@@ -1,0 +1,219 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+  - ``knn_brute``: baseline exact top-k — per-batch numpy matmul against
+    a BROADCAST query matrix (``ray.put`` once), partial top-k per batch,
+    tiny final merge. The shuffle carries k rows per (query, batch).
+  - ``IvfIndex`` / ``knn_ivf``: the scale path — k-means centroids fitted
+    on a driver-side sample, batches prune to the ``nprobe`` nearest
+    centroid lists before scoring.
+  - ``embedding_neardup``: random-hyperplane LSH buckets + within-bucket
+    cosine for near-duplicate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+__all__ = ["knn_brute", "IvfIndex", "knn_ivf", "embedding_neardup"]
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+class _BruteScorer:
+    """Per-batch partial top-k vs the broadcast query matrix."""
+
+    def __init__(self, qref, k: int):
+        q = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        self.qids = q["qids"]
+        self.qmat = _normalize(np.asarray(q["qmat"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_mat(batch)
+        sims = _normalize(mat) @ self.qmat.T          # (n, q)
+        out_q, out_v, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            top = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+            for i in top:
+                out_q.append(int(qid))
+                out_v.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def _final_topk(partials: Dataset, k: int) -> Dataset:
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(per_query, batch_format="pandas")
+
+
+def knn_brute(
+    embeds: Dataset, qids: list[int], qmat: np.ndarray, k: int = 10, concurrency: int = 2
+) -> Dataset:
+    """Exact cosine top-k: (query_id, vec_id, score) — k rows per query.
+    Ties broken by vec_id so output is deterministic."""
+    qref = ray.put({"qids": list(qids), "qmat": np.asarray(qmat)})
+    partials = embeds.map_batches(
+        _BruteScorer,
+        fn_constructor_args=(qref, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return _final_topk(partials, k)
+
+
+class IvfIndex:
+    """Tiny IVF: k-means on a driver-side sample (numpy Lloyd, fixed
+    seed), centroids broadcast to scorers. At cluster scale the sample is
+    ``ds.random_sample``; centroid count ~ sqrt(N)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(centroids)
+
+    @classmethod
+    def fit(cls, embeds: Dataset, n_clusters: int = 16, sample: int = 4096,
+            iters: int = 10, seed: int = 7) -> "IvfIndex":
+        sample_rows = embeds.limit(sample).to_pandas()
+        mat = _normalize(np.stack(sample_rows["embedding"].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        cents = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+        for _ in range(iters):
+            assign = (mat @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = mat[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+            cents = _normalize(cents)
+        return cls(cents)
+
+
+class _IvfScorer:
+    def __init__(self, qref, cents_ref, k: int, nprobe: int):
+        q = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        self.qids = q["qids"]
+        self.qmat = _normalize(np.asarray(q["qmat"], dtype=np.float64))
+        cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+        self.cents = cents
+        self.k = k
+        # per-query probe set, computed once per actor
+        qc = self.qmat @ cents.T
+        self.probe = np.argsort(-qc, axis=1)[:, :nprobe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_mat(batch)
+        nmat = _normalize(mat)
+        assign = (nmat @ self.cents.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            mask = np.isin(assign, self.probe[j])
+            if not mask.any():
+                continue
+            col = nmat[mask] @ self.qmat[j]
+            sub_ids = ids[mask]
+            k = min(self.k, len(sub_ids))
+            top = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
+            for i in top:
+                out_q.append(int(qid))
+                out_v.append(int(sub_ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def knn_ivf(
+    embeds: Dataset,
+    qids: list[int],
+    qmat: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    concurrency: int = 2,
+) -> Dataset:
+    """Approximate top-k via IVF pruning. Recall measured in tests vs
+    ``knn_brute``; raise ``nprobe`` toward n_clusters for exactness."""
+    index = IvfIndex.fit(embeds, n_clusters=n_clusters)
+    qref = ray.put({"qids": list(qids), "qmat": np.asarray(qmat)})
+    cref = ray.put(index.centroids)
+    partials = embeds.map_batches(
+        _IvfScorer,
+        fn_constructor_args=(qref, cref, k, nprobe),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return _final_topk(partials, k)
+
+
+def embedding_neardup(
+    embeds: Dataset, threshold: float = 0.95, planes: int = 12, seed: int = 7,
+    concurrency: int = 2,
+) -> Dataset:
+    """Near-duplicate vector pairs: sign-projection LSH bucket, then exact
+    cosine within buckets → (a, b, cosine)."""
+
+    class Project:
+        def __init__(self):
+            self.rng_planes = None
+            self.seed = seed
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _batch_mat(batch)
+            if self.rng_planes is None:
+                dim = mat.shape[1]
+                self.rng_planes = np.random.default_rng(seed).standard_normal((dim, planes))
+            bits = (_normalize(mat) @ self.rng_planes) > 0
+            keys = (bits * (1 << np.arange(planes))).sum(axis=1)
+            return pa.table(
+                {
+                    "bucket": pa.array(keys, type=pa.int64()),
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": batch["embedding"],
+                }
+            )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": "int64", "b": "int64", "cosine": "float64"}
+            )
+        ids = g["vec_id"].to_numpy()
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        sv = sims[iu]
+        keep = sv >= threshold
+        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "cosine": sv[keep]})
+
+    return (
+        embeds.map_batches(Project, batch_format="pyarrow", concurrency=concurrency)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,128 @@
+"""The flagship KG-construction pipeline (north rule):
+
+    read_parquet(transcript shards)
+      → stable sort (conv_id, turn_idx)          [ordering invariant]
+      → map_batches(TranscriptExtractor)         [actor pool, Arrow in/out]
+      → map_batches(EntityLinker)                [actor pool, broadcast map]
+      → assemble: two-phase dedup shuffles       [edges + nodes]
+      → write nodes/edges Parquet
+
+This is the Ray-Data reimagination of the reference's
+collect → process → parse → assemble chain (SURVEY.md §3.1,
+cmd/guacone/cmd/files.go:59-179) — streaming with backpressure, no
+driver-side row loops, no full materialization of the input.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data import Dataset
+
+from guac_ray.schemas import VALID_ROLES
+from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
+from guac_ray.stages.extract import RejectRouter, TranscriptExtractor
+from guac_ray.stages.linker import EntityLinker, put_link_map
+
+__all__ = [
+    "read_transcripts",
+    "filter_valid",
+    "extract_triples",
+    "link_entities",
+    "build_graph",
+    "turn_text",
+    "rejects",
+    "write_graph",
+]
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(path: str | list[str], columns: list[str] | None = None) -> Dataset:
+    """Parquet shard dir (or explicit file list) → Dataset, pruned at the
+    read to the requested columns."""
+    return rd.read_parquet(path, columns=columns or TRANSCRIPT_COLUMNS)
+
+
+def filter_valid(ds: Dataset) -> Dataset:
+    """Vectorized validity predicate (text non-empty, role in enum)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.not_equal(batch["text"], pa.scalar("")),
+            pc.is_in(batch["role"], value_set=pa.array(VALID_ROLES)),
+        )
+        return batch.filter(pc.fill_null(mask, False))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rejects(ds: Dataset) -> Dataset:
+    """Invalid rows with a reason column (side-channel sink)."""
+    return ds.map_batches(RejectRouter, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def extract_triples(ds: Dataset, concurrency=(1, 4), batch_size: int = 4096) -> Dataset:
+    """Transcript rows → raw edge rows. Patterns compile once per actor."""
+    return ds.map_batches(
+        TranscriptExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def link_entities(edges: Dataset, catalog_path: str, concurrency=(1, 2)) -> Dataset:
+    """Alias keys → canonical keys via the broadcast catalog map."""
+    ref = put_link_map(catalog_path)
+    return edges.map_batches(
+        EntityLinker,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def build_graph(
+    transcripts_path: str | list[str],
+    catalog_path: str | None = None,
+    sort: bool = True,
+    num_buckets: int = 64,
+    extract_concurrency=(1, 4),
+) -> dict[str, Dataset]:
+    """End-to-end: transcripts → {"edges": Dataset, "nodes": Dataset}.
+
+    ``sort=True`` applies the stable (conv_id, turn_idx) global sort the
+    ordering invariant requires; extraction itself is per-turn, so
+    pipelines that don't need ordered output may skip the shuffle.
+    """
+    ds = read_transcripts(transcripts_path)
+    if sort:
+        ds = ds.sort(["conv_id", "turn_idx"])
+    triples = extract_triples(ds, concurrency=extract_concurrency)
+    if catalog_path:
+        triples = link_entities(triples, catalog_path)
+    edges = assemble_edges(triples, num_buckets=num_buckets)
+    nodes = nodes_from_edges(edges, num_buckets=max(8, num_buckets // 2))
+    return {"edges": edges, "nodes": nodes}
+
+
+def turn_text(transcripts_path: str | list[str]) -> Dataset:
+    """Per-turn text under stable ordering — the invariant oracle table."""
+    ds = read_transcripts(transcripts_path, columns=["conv_id", "turn_idx", "role", "text"])
+    ds = filter_valid(ds)
+    return ds.select_columns(["conv_id", "turn_idx", "text"]).sort(["conv_id", "turn_idx"])
+
+
+def write_graph(graph: dict[str, Dataset], out_dir: str) -> dict[str, str]:
+    """Write nodes/edges as partitioned Parquet directories."""
+    paths = {}
+    for name in ("edges", "nodes"):
+        p = os.path.join(out_dir, name)
+        graph[name].write_parquet(p)
+        paths[name] = p
+    return paths

@@ -1,0 +1,149 @@
+"""Assemble — exact dedup / merge shuffles (SURVEY.md §2.6).
+
+The reference's assembler dedups nouns and edges with canonical-key maps
+behind one RWMutex (pkg/assembler/backends/inmem/backend.go:77-106,
+isDependency.go:100-151: duplicate edge = equality on subject, object AND
+every payload field). Here that becomes a distributed two-phase combine:
+
+  phase 1 (partial): per-batch ``drop_duplicates`` inside ``map_batches``
+          — removes the bulk of duplicates (hot keys!) before any network
+  phase 2 (final):   bucket by a stable hash of the identity columns,
+          ``groupby(bucket).map_groups(drop_duplicates)`` — only rows with
+          equal identity hash co-locate, and each bucket dedups vectorized
+
+Bucketing by *hash of the full identity* (not by ``subj_key``) is the
+skew treatment: a hot subject ("search" appears in 40% of turns) expands
+to many DISTINCT identities that spread across buckets, and its millions
+of IDENTICAL duplicate rows are already collapsed per-batch in phase 1 —
+the salted two-phase combine the north rule requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from guac_ray.schemas import EDGE_IDENTITY
+
+__all__ = [
+    "stable_hash",
+    "dedup_exact",
+    "assemble_edges",
+    "nodes_from_edges",
+    "salted_count",
+]
+
+_HKEY = b"guac-ray-hash-key"  # fixed → stable across runs/processes
+
+
+def stable_hash(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    """Deterministic uint64 row hash of the given columns (stable across
+    processes — pandas siphash with a fixed key)."""
+    s = df[cols[0]].astype(str)
+    for c in cols[1:]:
+        s = s + "\x1f" + df[c].astype(str)
+    return pd.util.hash_pandas_object(s, index=False, categorize=False).to_numpy()
+
+
+def dedup_exact(
+    ds: Dataset,
+    cols: list[str],
+    num_buckets: int = 64,
+    keep_cols: list[str] | None = None,
+) -> Dataset:
+    """Distinct rows by ``cols`` via local-dedup → hash-bucket → per-bucket
+    vectorized dedup. ``keep_cols`` defaults to ``cols`` (identity output);
+    with extra columns the first row per identity wins (reference:
+    map-based first-wins dedup, assembler.go:198-578).
+
+    ``num_buckets`` sizes the final shuffle: each bucket must fit one
+    worker's memory (≈ distinct_rows / num_buckets). Raise it for larger
+    inputs — it is the analog of output partition count.
+    """
+    keep = keep_cols or cols
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keep].drop_duplicates(subset=cols)
+        df["_bucket"] = (stable_hash(df, cols) % num_buckets).astype("int64")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=cols)[keep]
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def assemble_edges(triples: Dataset, num_buckets: int = 64) -> Dataset:
+    """Edge table: distinct on the FULL identity (all payload fields —
+    the reference's duplicate-edge definition)."""
+    return dedup_exact(triples, EDGE_IDENTITY, num_buckets=num_buckets)
+
+
+def nodes_from_edges(edges: Dataset, num_buckets: int = 32) -> Dataset:
+    """Node table from edge endpoints: project both endpoint pairs, union
+    within each batch, dedup globally. Mirrors the reference's noun
+    materialization before edge ingest (clients/helpers/bulk.go:29-100)."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        node_type = pa.concat_arrays(
+            [batch["subj_type"].combine_chunks(), batch["obj_type"].combine_chunks()]
+        )
+        node_key = pa.concat_arrays(
+            [batch["subj_key"].combine_chunks(), batch["obj_key"].combine_chunks()]
+        )
+        t = pa.table(
+            {
+                "node_type": node_type,
+                "node_key": node_key,
+                "attrs": pa.array(["{}"] * (2 * n), type=pa.string()),
+            }
+        )
+        return t
+
+    nodes = edges.map_batches(endpoints, batch_format="pyarrow")
+    return dedup_exact(nodes, ["node_type", "node_key"], num_buckets=num_buckets,
+                       keep_cols=["node_type", "node_key", "attrs"])
+
+
+def salted_count(
+    ds: Dataset,
+    key_cols: list[str],
+    num_salts: int = 16,
+    alias: str = "n",
+) -> Dataset:
+    """Count rows per key with an explicit salted two-phase combine:
+
+      phase 1: per-batch ``groupby(key).size()`` partials + a salt column
+      phase 2: ``groupby(key+salt).sum`` → tiny ``groupby(key).sum``
+
+    Used for hot-entity degree/usage stats where one key (the 40%-hot
+    tool) would otherwise land every row on one reducer.
+    """
+    rng_state = {"i": 0}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_cols, sort=False).size().reset_index(name="_partial")
+        rng_state["i"] += 1
+        out["_salt"] = (
+            stable_hash(out, key_cols) + rng_state["i"]
+        ) % num_salts
+        return out
+
+    salted = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_cols + ["_salt"])
+        .aggregate(Sum("_partial", alias_name="_salted"))
+    )
+    return (
+        salted.groupby(key_cols)
+        .aggregate(Sum("_salted", alias_name=alias))
+    )

@@ -1,0 +1,112 @@
+"""Enrichment — the certifier loop analog (SURVEY.md §3.3).
+
+The reference's OSV certifier pages packages from the graph, anti-joins
+on scan freshness, batch-queries osv.dev, and re-ingests CertifyVuln
+triples including ``noVuln`` negatives (pkg/certifier/osv/osv.go:48-146,
+root_package.go:127-184, vuln.go:57). Here the vuln source is a local
+Parquet table (no network in this sandbox); the lookup is a broadcast
+small-side join inside an actor pool:
+
+  - ``ray.put`` the vulndb dict once (driver)
+  - anti-join = broadcast the already-scanned key set, filter in the batch
+  - per-batch the actor dedups lookups (the reference dedups purls per
+    batch before the HTTP call — osv.go:69-77)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+from ray.data import Dataset
+
+from guac_ray.canonical import NO_VULN_KEY, vuln_key
+from guac_ray.stages.rules import ENRICH_COLLECTOR, ENRICH_ORIGIN, make_edge
+
+__all__ = ["load_vulndb", "VulnCertifier", "certify_vulns"]
+
+_ID_FIELDS = [
+    "subj_type", "subj_key", "pred", "obj_type", "obj_key",
+    "props", "justification", "origin", "collector",
+]
+_ID_SCHEMA = pa.schema([(c, pa.string()) for c in _ID_FIELDS])
+
+
+def load_vulndb(path: str) -> dict[str, list[str]]:
+    """vulndb.parquet → {package key: sorted distinct vuln ids}."""
+    t = pq.read_table(path, columns=["ent_key", "vuln_id"])
+    out: dict[str, set[str]] = {}
+    for k, v in zip(t["ent_key"].to_pylist(), t["vuln_id"].to_pylist()):
+        out.setdefault(k, set()).add(v)
+    return {k: sorted(v) for k, v in out.items()}
+
+
+class VulnCertifier:
+    """Actor-pool batch UDF: package-node batch → certify_vuln edges.
+
+    Misses emit the ``noVuln`` negative fact (obj = NO_VULN_KEY) — these
+    count in P/R (reference emits noVuln CertifyVuln — vuln.go:57,156-163).
+    ``scanned_ref`` (optional) broadcasts already-certified keys for the
+    anti-join re-scan selection.
+    """
+
+    def __init__(self, vulndb_ref, scanned_ref=None) -> None:
+        self.vmap: dict[str, list[str]] = (
+            ray.get(vulndb_ref) if isinstance(vulndb_ref, ray.ObjectRef) else dict(vulndb_ref)
+        )
+        scanned = (
+            ray.get(scanned_ref) if isinstance(scanned_ref, ray.ObjectRef) else scanned_ref
+        )
+        self.scanned: set[str] = set(scanned or ())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch["node_key"].to_pylist()
+        types = batch["node_type"].to_pylist()
+        out: list[tuple] = []
+        seen: set[str] = set()  # per-batch query dedup (osv.go:69-77)
+        for t, k in zip(types, keys):
+            if t != "package" or k in seen or k in self.scanned:
+                continue
+            seen.add(k)
+            hits = self.vmap.get(k)
+            if hits:
+                for vid in hits:
+                    out.append(
+                        make_edge("package", k, "certify_vuln", "vulnerability",
+                                  vuln_key(vid), {"scanner": "local-vulndb"},
+                                  origin=ENRICH_ORIGIN, collector=ENRICH_COLLECTOR)
+                    )
+            else:
+                out.append(
+                    make_edge("package", k, "certify_vuln", "vulnerability",
+                              NO_VULN_KEY, {"scanner": "local-vulndb"},
+                              origin=ENRICH_ORIGIN, collector=ENRICH_COLLECTOR)
+                )
+        if not out:
+            return _ID_SCHEMA.empty_table()
+        cols = list(zip(*out))
+        return pa.Table.from_arrays(
+            [pa.array(c, type=pa.string()) for c in cols], schema=_ID_SCHEMA
+        )
+
+
+def certify_vulns(
+    nodes: Dataset,
+    vulndb_path: str,
+    scanned: set[str] | None = None,
+    concurrency: int = 2,
+) -> Dataset:
+    """nodes → certify_vuln edge Dataset (identity columns only).
+
+    Nodes are already globally distinct (assemble output), so per-batch
+    dedup inside the actor suffices — no extra shuffle here.
+    """
+    vref = ray.put(load_vulndb(vulndb_path))
+    sref = ray.put(scanned or set())
+    return nodes.map_batches(
+        VulnCertifier,
+        fn_constructor_args=(vref, sref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,162 @@
+"""Triple extraction — the parser family (SURVEY.md §2.3) as ONE
+``map_batches`` stage over zero-copy Arrow transcript batches.
+
+The reference registers one ``DocumentParser`` per document type
+(pkg/ingestor/parser/parser.go:43-56); here mention grammars play that
+role: each compiled pattern recovers one entity family from raw turn
+text, canonicalization maps surfaces to node keys (canonical.py), and
+the shared rule table (rules.py) stamps predicates + lineage — the
+GraphBuilder analog (parser/common/graph_builder.go:61-110).
+
+Use as an actor pool so patterns compile once per actor:
+
+    ds.map_batches(TranscriptExtractor, batch_format="pyarrow",
+                   batch_size=4096, concurrency=N)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from guac_ray.canonical import (
+    artifact_key,
+    package_key,
+    parse_vcs,
+    source_key,
+    vuln_key,
+)
+from guac_ray.schemas import EDGE_SCHEMA, REJECT_SCHEMA, VALID_ROLES
+from guac_ray.stages.rules import TurnFacts, derive
+
+__all__ = ["TranscriptExtractor", "RejectRouter", "parse_turn_facts"]
+
+_PATTERNS = {
+    "artifact": r"\b(sha256|sha1|sha512|md5):([0-9a-fA-F]{32,128})\b",
+    "purl": r"\bpkg:[A-Za-z0-9.+-]+/[^\s]+",
+    "repo": r"\bgit\+https?://[^\s]+",
+    "vuln": r"\b(?:[Cc][Vv][Ee]-\d{4}-\d{4,}|[Gg][Hh][Ss][Aa]-[0-9a-zA-Z]{4}-[0-9a-zA-Z]{4}-[0-9a-zA-Z]{4,})\b",
+    "scorecard": r"\bscorecard score (\d+(?:\.\d+)?)/10 for (git\+\S+)",
+    "legal": r"(pkg:\S+) is licensed under ([A-Za-z0-9.+-]+)",
+    "slsa": r"artifact ((?:sha256|sha1|sha512|md5):[0-9a-fA-F]+) was built by (https?://\S+)",
+    "good": r"\bendorsed: (pkg:\S+)",
+    "bad": r"\bflagged: (pkg:\S+)",
+    "contact": r"\bcontact ([\w.+-]+@[\w.-]+) for (pkg:\S+)",
+    "severity": r"\bseverity (\d+(?:\.\d+)?) for ((?:[Cc][Vv][Ee]|[Gg][Hh][Ss][Aa])\S+)",
+}
+
+
+def _compile():
+    return {k: re.compile(v) for k, v in _PATTERNS.items()}
+
+
+def parse_turn_facts(
+    pats: dict[str, re.Pattern],
+    conv_id: str,
+    turn_idx: int,
+    role: str,
+    text: str,
+    tool: str,
+) -> TurnFacts:
+    """Raw turn → canonical TurnFacts. Pure; unparseable surfaces are
+    silently skipped (the reference logs-and-continues per document —
+    parser.go:100-121)."""
+    from guac_ray.canonical import license_key
+
+    f = TurnFacts(conv_id=conv_id, turn_idx=turn_idx, role=role, tool_surface=tool)
+    for alg, digest in pats["artifact"].findall(text):
+        f.artifacts.append(artifact_key(alg, digest))
+    for raw in pats["purl"].findall(text):
+        k = package_key(raw)
+        if k:
+            f.packages.append(k)
+    for raw in pats["repo"].findall(text):
+        spec = parse_vcs(raw)
+        if spec:
+            f.repos.append(source_key(spec))
+    for raw in pats["vuln"].findall(text):
+        f.vulns.append(vuln_key(raw))
+    for score, raw in pats["scorecard"].findall(text):
+        spec = parse_vcs(raw)
+        if spec:
+            f.scorecards.append((source_key(spec), round(float(score), 1)))
+    for raw, lic in pats["legal"].findall(text):
+        f.legals.append(license_key(lic))
+    for raw_art, builder in pats["slsa"].findall(text):
+        f.builders.append(builder)
+    for raw in pats["good"].findall(text):
+        k = package_key(raw)
+        if k:
+            f.endorsements.append(("package", k))
+    for raw in pats["bad"].findall(text):
+        k = package_key(raw)
+        if k:
+            f.flags.append(("package", k))
+    for email, raw in pats["contact"].findall(text):
+        f.contacts.append(email)
+    for score, raw in pats["severity"].findall(text):
+        f.severities.append((vuln_key(raw), round(float(score), 1)))
+    return f
+
+
+_EDGE_COLS = [f.name for f in EDGE_SCHEMA]
+
+
+class TranscriptExtractor:
+    """Actor-pool batch UDF: transcript batch (Arrow) → edge batch (Arrow).
+
+    Invalid rows (empty text / unknown role) emit nothing here; route them
+    with :class:`RejectRouter`. Local (per-turn) duplicate edges are kept —
+    global dedup is the assemble stage's job, but per-batch dedup happens
+    there as the partial phase of the two-phase combine.
+    """
+
+    def __init__(self) -> None:
+        self.pats = _compile()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        tidx = batch["turn_idx"].to_pylist()
+        role = batch["role"].to_pylist()
+        text = batch["text"].to_pylist()
+        tool = batch["tool"].to_pylist()
+        out: list[tuple] = []
+        for c, ti, r, tx, tl in zip(conv, tidx, role, text, tool):
+            if not tx or r not in VALID_ROLES:
+                continue
+            facts = parse_turn_facts(self.pats, c, ti, r, tx, tl or "")
+            for e in derive(facts):
+                out.append(e + (c, ti))
+        if not out:
+            return EDGE_SCHEMA.empty_table()
+        cols = list(zip(*out))
+        return pa.Table.from_arrays(
+            [pa.array(col, type=EDGE_SCHEMA.field(i).type) for i, col in enumerate(cols)],
+            schema=EDGE_SCHEMA,
+        )
+
+
+class RejectRouter:
+    """Batch UDF: transcript batch → reject rows with a reason column
+    (the reference routes invalid docs to error handlers instead of
+    crashing — process/process.go:200-207)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        tidx = batch["turn_idx"].to_pylist()
+        role = batch["role"].to_pylist()
+        text = batch["text"].to_pylist()
+        out = []
+        for c, ti, r, tx in zip(conv, tidx, role, text):
+            if not tx:
+                out.append((c, ti, r, tx or "", "empty text"))
+            elif r not in VALID_ROLES:
+                out.append((c, ti, r, tx, f"invalid role: {r}"))
+        if not out:
+            return REJECT_SCHEMA.empty_table()
+        cols = list(zip(*out))
+        return pa.Table.from_arrays(
+            [pa.array(col, type=REJECT_SCHEMA.field(i).type) for i, col in enumerate(cols)],
+            schema=REJECT_SCHEMA,
+        )
