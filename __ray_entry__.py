@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the guac_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself BEFORE importing this module;
+nothing here (or in guac_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline on the deterministic
+  sf0.001 transcript corpus → edge Dataset.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  the training-data operator family); each takes ``sf_dir``.
+- ``oracle_sql()``: DuckDB-runnable SQL equivalent for every
+  SQL-expressible query (same column names). KG queries' SQL reads the
+  same deterministic /tmp fixture parquet the Ray side reads.
 """
 
 from __future__ import annotations
@@ -20,25 +19,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: transcripts →
+    sorted extract → link → assembled edge table."""
+    from guac_ray.pipelines.kg import build_graph
+    from guac_ray.synth import corpus_for_sf
+
+    c = corpus_for_sf("/root/testdata/sf0.001")
+    g = build_graph(c["transcripts"], catalog_path=c["catalog"], sort=True,
+                    num_buckets=16)
+    return g["edges"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from guac_ray.pipelines.suite import SUITE
+    from guac_ray.synth import corpus_for_sf
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # the KG oracle SQL reads the sf0.01 fixture from /tmp — make sure it
+    # exists before the driver runs either side (generation is idempotent
+    # and seeded)
+    corpus_for_sf("/root/testdata/sf0.01")
+
+    return {name: fn for name, (fn, _sql) in SUITE.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from guac_ray.pipelines.suite import SUITE
+
+    return {name: sql for name, (_fn, sql) in SUITE.items() if sql is not None}

@@ -1,0 +1,750 @@
+"""The query suite: every operator exposed through ``__ray_entry__`` —
+one Ray-Data implementation per entry, plus (where SQL-expressible) the
+DuckDB oracle string the driver checks it against.
+
+Cross-engine float determinism: monetary/real aggregates use the
+integer-cents trick — ``floor(x*100 + 0.5)`` per row is the same IEEE
+operation in numpy and DuckDB, integer sums are exact, and the final
+``/100.0`` is exact — so Ray and the oracle agree bit-for-bit (plain
+double SUMs differ in the last bits between engines).
+
+Scale notes are in each docstring: dimension sides are broadcast via
+``ray.put`` (document the bucket-join alternative for when the "small"
+side stops being small); aggregations pre-combine per batch before the
+groupby shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from guac_ray.synth import FIXTURE_ROOT, corpus_for_sf
+
+VALID_ROLES_SQL = "('user','assistant','system','tool')"
+
+
+def cents(x) -> np.ndarray:
+    """floor(x*100+0.5) as int64 — identical in numpy and DuckDB."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100 + 0.5).astype("int64")
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _bcast_df(sf_dir: str, table: str, columns: list[str]):
+    """Broadcast a small dimension table once (ray.put). At 100 TB scale a
+    grown dimension switches to the bucketed hash join (ray_guide.md)."""
+    return ray.put(pd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational operators
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """Filter + two-phase grouped aggregate (TPC-H Q1 shape).
+
+    Partial per-batch combine emits ≤ |groups| rows per batch, so the
+    groupby shuffle moves partials, not the fact table.
+    """
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp("1998-09-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_shipdate <= cutoff]
+        if df.empty:
+            return pd.DataFrame({"l_returnflag": [], "l_linestatus": [],
+                                 "_qty": [], "_base": [], "_disc": [], "_n": []})
+        t = pd.DataFrame({
+            "l_returnflag": df.l_returnflag,
+            "l_linestatus": df.l_linestatus,
+            "_qty": cents(df.l_quantity),
+            "_base": cents(df.l_extendedprice),
+            "_disc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+        })
+        g = t.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            _qty=("_qty", "sum"), _base=("_base", "sum"), _disc=("_disc", "sum"),
+            _n=("_qty", "size"),
+        ).reset_index()
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("_qty", alias_name="qc"), Sum("_base", alias_name="bc"),
+            Sum("_disc", alias_name="dc"), Sum("_n", alias_name="n"),
+        )
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df.l_returnflag,
+            "l_linestatus": df.l_linestatus,
+            "sum_qty": df.qc / 100.0,
+            "sum_base": df.bc / 100.0,
+            "sum_disc_price": df.dc / 100.0,
+            "count_order": df.n.astype("int64"),
+        })
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty,
+  sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base,
+  sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_building_revenue(sf_dir: str):
+    """Broadcast-join lineitem ⋈ orders ⋈ customer (BUILDING segment),
+    revenue per order, top 10. Orders/customer are the broadcast side."""
+    cut = pd.Timestamp("1998-01-01")
+    oref = _bcast_df(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    class Join:
+        def __init__(self):
+            orders = ray.get(oref)
+            cust = ray.get(cref)
+            keep_cust = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+            ok = orders[(orders.o_orderdate < cut) & orders.o_custkey.isin(keep_cust)]
+            self.orderkeys = set(ok.o_orderkey)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[(df.l_shipdate > cut) & df.l_orderkey.isin(self.orderkeys)]
+            if df.empty:
+                return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                                     "_rc": pd.Series([], dtype="int64")})
+            t = pd.DataFrame({
+                "l_orderkey": df.l_orderkey,
+                "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+            })
+            return t.groupby("l_orderkey", sort=False)._rc.sum().reset_index()
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    agg = (
+        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
+        .groupby("l_orderkey")
+        .aggregate(Sum("_rc", alias_name="rc"))
+    )
+    top = agg.sort(["rc", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda df: pd.DataFrame({"l_orderkey": df.l_orderkey, "revenue": df.rc / 100.0}),
+        batch_format="pandas",
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str):
+    """Five-way dimension chain collapsed to one broadcast lookup
+    (orderkey → nation name for ASIA customers in 1996)."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    refs = {
+        "orders": _bcast_df(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        "customer": _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "nation": _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]),
+        "region": _bcast_df(sf_dir, "region", ["r_regionkey", "r_name"]),
+    }
+
+    class Join:
+        def __init__(self):
+            orders = ray.get(refs["orders"])
+            cust = ray.get(refs["customer"])
+            nation = ray.get(refs["nation"])
+            region = ray.get(refs["region"])
+            asia = region[region.r_name == "ASIA"].r_regionkey
+            nat = nation[nation.n_regionkey.isin(set(asia))]
+            cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+            o = orders[(orders.o_orderdate >= lo) & (orders.o_orderdate < hi)]
+            o = o.merge(cust[["c_custkey", "n_name"]], left_on="o_custkey", right_on="c_custkey")
+            self.order_to_nation = dict(zip(o.o_orderkey, o.n_name))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nn = df.l_orderkey.map(self.order_to_nation)
+            df = df[nn.notna()]
+            if df.empty:
+                return pd.DataFrame({"n_name": pd.Series([], dtype="str"),
+                                     "_rc": pd.Series([], dtype="int64")})
+            t = pd.DataFrame({
+                "n_name": nn[nn.notna()],
+                "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+            })
+            return t.groupby("n_name", sort=False)._rc.sum().reset_index()
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = (
+        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
+        .groupby("n_name")
+        .aggregate(Sum("_rc", alias_name="rc"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({"n_name": df.n_name, "revenue": df.rc / 100.0}),
+        batch_format="pandas",
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def top_customers(sf_dir: str):
+    """Revenue per customer (broadcast orders→custkey), global top 10."""
+    oref = _bcast_df(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    class Join:
+        def __init__(self):
+            o = ray.get(oref)
+            self.o2c = dict(zip(o.o_orderkey, o.o_custkey))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ck = df.l_orderkey.map(self.o2c)
+            t = pd.DataFrame({
+                "c_custkey": ck,
+                "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+            })
+            return t.groupby("c_custkey", sort=False)._rc.sum().reset_index()
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    agg = (
+        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
+        .groupby("c_custkey")
+        .aggregate(Sum("_rc", alias_name="rc"))
+        .sort(["rc", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+    cust = ray.get(cref)
+    name = dict(zip(cust.c_custkey, cust.c_name))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "c_custkey": df.c_custkey.astype("int64"),
+            "c_name": df.c_custkey.map(name),
+            "revenue": df.rc / 100.0,
+        }),
+        batch_format="pandas",
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10
+"""
+
+
+def part_type_stats(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"p_type": df.p_type, "_rc": cents(df.p_retailprice)})
+        g = t.groupby("p_type", sort=False).agg(_rc=("_rc", "sum"), _n=("_rc", "size"))
+        return g.reset_index()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("p_type")
+        .aggregate(Sum("_rc", alias_name="rc"), Sum("_n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "p_type": df.p_type, "n": df.n.astype("int64"), "retail_cents": df.rc,
+        }),
+        batch_format="pandas",
+    )
+
+
+PART_TYPE_SQL = """
+SELECT p_type, count(*) AS n,
+       CAST(sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
+FROM part GROUP BY p_type
+"""
+
+
+def orders_per_status(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+ORDERS_STATUS_SQL = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+
+
+def distinct_segments(sf_dir: str):
+    """Set op: distinct values of one column (``Dataset.unique`` — a
+    shuffle; the materialized value list is small by definition)."""
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event type (stream-shaped:
+    window key = truncated event time; GROUP BY is the window)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "event_type": df.event_type,
+            "hour": df.ts.dt.floor("h").astype("datetime64[us]"),
+            "_vc": cents(df.value),
+        })
+        g = t.groupby(["event_type", "hour"], sort=False).agg(
+            _vc=("_vc", "sum"), _n=("_vc", "size")).reset_index()
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("_vc", alias_name="vc"), Sum("_n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": df.event_type,
+            "hour": df.hour.astype("datetime64[us]"),
+            "n": df.n.astype("int64"), "value_cents": df.vc,
+        }),
+        batch_format="pandas",
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def events_user_stats(sf_dir: str):
+    """Per-user totals via the salted two-phase combine (hot-user safe)."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"user_id": df.user_id, "_vc": cents(df.value)})
+        return t.groupby("user_id", sort=False).agg(
+            _vc=("_vc", "sum"), _n=("_vc", "size")).reset_index()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("_vc", alias_name="vc"), Sum("_n", alias_name="n"))
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df.user_id.astype("int64"),
+            "n": df.n.astype("int64"), "value_cents": df.vc,
+        }),
+        batch_format="pandas",
+    )
+
+
+EVENTS_USER_SQL = """
+SELECT user_id, count(*) AS n,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings operators
+# ---------------------------------------------------------------------------
+
+def exact_dedup_docs(sf_dir: str):
+    from guac_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+EXACT_DEDUP_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def doc_token_counts(sf_dir: str):
+    from guac_ray.functions.text import token_counts
+
+    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       CAST(coalesce(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def doc_quality(sf_dir: str):
+    from guac_ray.functions.text import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    class IntQuality(QualityScorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            n_tok = [len(self.tok.findall(t or "")) for t in texts]
+            # ASCII-alpha char count == length after regexp_replace('[^A-Za-z]','')
+            n_alpha = [
+                sum(c.isascii() and c.isalpha() for c in (t or "")) for t in texts
+            ]
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array([len(t or "") for t in texts], type=pa.int64()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_alpha": pa.array(n_alpha, type=pa.int64()),
+            })
+
+    return ds.map_batches(IntQuality, batch_format="pyarrow", concurrency=(1, 2))
+
+
+DOC_QUALITY_SQL = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(coalesce(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha
+FROM documents
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    from guac_ray.functions.text import fingerprints
+
+    return fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def doc_lang_id(sf_dir: str):
+    """Heuristic language ID — no SQL oracle (model-style scoring);
+    accuracy asserted against the ``lang`` label column in pytest."""
+    from guac_ray.functions.text import lang_id
+
+    return lang_id(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def knn_brute_q0(sf_dir: str, k: int = 10):
+    """Exact cosine top-k for query = embedding of vec_id 0. Returns the
+    neighbor id list only (scores differ across engines in the last float
+    bits; the ID SET is the deterministic contract)."""
+    from guac_ray.functions.ann import knn_brute
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(q[q.vec_id == 0].embedding.iloc[0], dtype=np.float64)
+    out = knn_brute(emb, [0], qvec[None, :], k=k)
+    return out.select_columns(["vec_id"])
+
+
+KNN_SQL = """
+SELECT vec_id FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def knn_ivf_q0(sf_dir: str, k: int = 10):
+    """IVF-pruned approximate variant — rows-only check; recall vs brute
+    force asserted in pytest."""
+    from guac_ray.functions.ann import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(q[q.vec_id == 0].embedding.iloc[0], dtype=np.float64)
+    return knn_ivf(emb, [0], qvec[None, :], k=k, n_clusters=8, nprobe=4)
+
+
+def neardup_docs_minhash(sf_dir: str):
+    """MinHash-LSH candidate pairs over documents (rows-only; exact-
+    Jaccard verification covered in pytest on crafted near-dups)."""
+    from guac_ray.functions.dedup import MinHasher, lsh_candidate_pairs, minhash_bands
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
+    return lsh_candidate_pairs(minhash_bands(sigs, 32), threshold=0.7)
+
+
+def neardup_docs_simhash(sf_dir: str):
+    from guac_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=3, concurrency=(1, 2))
+
+
+def neardup_embeddings(sf_dir: str):
+    from guac_ray.functions.ann import embedding_neardup
+
+    return embedding_neardup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                             threshold=0.95)
+
+
+def media_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic fake media table → decode
+    actor pool (stubbed kernel) → feature rows."""
+    from guac_ray.functions.multimodal import decode_images, make_fake_media
+
+    media = rd.from_arrow(make_fake_media(256))
+    return decode_images(media, concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# KG queries over the deterministic transcript fixtures
+# (oracle SQL reads the same /tmp fixture parquet via read_parquet())
+# ---------------------------------------------------------------------------
+
+_SF01 = f"{FIXTURE_ROOT}/sf0.01"
+_T = f"read_parquet('{_SF01}/transcripts/*.parquet')"
+_VALID = f"text <> '' AND role IN {VALID_ROLES_SQL}"
+# canonicalization of this corpus's raw purl surfaces, expressed in SQL
+# (qualifier-order normalization + the one escaped namespace)
+_PURL_CANON = (
+    "replace(replace(m, '?os=linux&arch=amd64', '?arch=amd64&os=linux'),"
+    " ':npm/@scope/', ':npm/%40scope/')"
+)
+
+
+def kg_turn_text(sf_dir: str):
+    from guac_ray.pipelines.kg import turn_text
+
+    c = corpus_for_sf(sf_dir)
+    return turn_text(c["transcripts"])
+
+
+KG_TURN_TEXT_SQL = f"""
+SELECT conv_id, turn_idx, text FROM {_T} WHERE {_VALID}
+"""
+
+
+def kg_tool_usage(sf_dir: str):
+    """Turns per canonical tool — the salted two-phase combine on the
+    40%-hot key, plus the broadcast alias link."""
+    from guac_ray.pipelines.kg import filter_valid, read_transcripts
+    from guac_ray.stages.assemble import salted_count
+    from guac_ray.stages.linker import load_link_map
+    from guac_ray.canonical import entity_key
+
+    c = corpus_for_sf(sf_dir)
+    link = load_link_map(c["catalog"])
+    lref = ray.put(link)
+    ds = filter_valid(read_transcripts(c["transcripts"], columns=["conv_id", "turn_idx", "role", "text", "tool"]))
+
+    class ToolKey:
+        def __init__(self):
+            self.link = ray.get(lref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df.tool != ""]
+            keys = [
+                self.link.get(k, k)
+                for k in (entity_key("tool", t) for t in df.tool)
+            ]
+            return pd.DataFrame({"tool_key": pd.Series(keys, dtype="str")})
+
+    keyed = ds.map_batches(ToolKey, batch_format="pandas", concurrency=(1, 2))
+    return salted_count(keyed, ["tool_key"], alias="n")
+
+
+KG_TOOL_USAGE_SQL = f"""
+SELECT coalesce(c.ent_key, 'ent:tool/' || t.tool) AS tool_key, count(*) AS n
+FROM {_T} t
+LEFT JOIN read_parquet('{_SF01}/entity_catalog.parquet') c
+       ON c.surface = t.tool AND c.ent_type = 'tool'
+WHERE t.tool <> '' AND t.text <> '' AND t.role IN {VALID_ROLES_SQL}
+GROUP BY 1
+"""
+
+
+def _corpus_edges(sf_dir: str):
+    from guac_ray.pipelines.kg import build_graph
+
+    c = corpus_for_sf(sf_dir)
+    return build_graph(
+        c["transcripts"], catalog_path=c["catalog"], sort=False, num_buckets=32
+    )
+
+
+def kg_artifact_mentions(sf_dir: str):
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["pred"], "mentions_artifact"))
+        return pa.table({"artifact_key": t["obj_key"]})
+
+    vals = g["edges"].map_batches(pick, batch_format="pyarrow").unique("artifact_key")
+    return pd.DataFrame({"artifact_key": sorted(vals)})
+
+
+KG_ARTIFACT_SQL = f"""
+SELECT DISTINCT lower(m) AS artifact_key FROM (
+  SELECT unnest(regexp_extract_all(text,
+      '(?:sha256|sha1|sha512|md5):[0-9a-fA-F]{{32,128}}')) AS m
+  FROM {_T} WHERE {_VALID})
+"""
+
+
+def kg_vuln_mentions(sf_dir: str):
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["pred"], "mentions_vuln"))
+        return pa.table({"vuln_key": t["obj_key"]})
+
+    vals = g["edges"].map_batches(pick, batch_format="pyarrow").unique("vuln_key")
+    return pd.DataFrame({"vuln_key": sorted(vals)})
+
+
+KG_VULN_SQL = f"""
+SELECT DISTINCT 'vuln://' || split_part(lower(m), '-', 1) || '/' || lower(m) AS vuln_key
+FROM (
+  SELECT unnest(regexp_extract_all(text,
+      '(?:[Cc][Vv][Ee]-[0-9]{{4}}-[0-9]{{4,}}|[Gg][Hh][Ss][Aa]-[0-9a-zA-Z]{{4}}-[0-9a-zA-Z]{{4}}-[0-9a-zA-Z]{{4,}})')) AS m
+  FROM {_T} WHERE {_VALID})
+"""
+
+
+def kg_package_mentions(sf_dir: str):
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["pred"], "mentions_package"))
+        return pa.table({"pkg_key": t["obj_key"]})
+
+    vals = g["edges"].map_batches(pick, batch_format="pyarrow").unique("pkg_key")
+    return pd.DataFrame({"pkg_key": sorted(vals)})
+
+
+KG_PACKAGE_SQL = f"""
+SELECT DISTINCT {_PURL_CANON} AS pkg_key FROM (
+  SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+  FROM {_T} WHERE {_VALID})
+"""
+
+
+def kg_certify_vuln(sf_dir: str):
+    """Full enrichment path: assembled package nodes → vulndb lookup →
+    certify_vuln incl. noVuln negatives (subject, object keys)."""
+    from guac_ray.stages.enrich import certify_vulns
+
+    c = corpus_for_sf(sf_dir)
+    g = _corpus_edges(sf_dir)
+    edges = certify_vulns(g["nodes"], c["vulndb"])
+    return edges.select_columns(["subj_key", "obj_key"])
+
+
+KG_CERTIFY_SQL = f"""
+WITH pkgs AS (
+  SELECT DISTINCT {_PURL_CANON} AS ent_key FROM (
+    SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+    FROM {_T} WHERE {_VALID})
+)
+SELECT p.ent_key AS subj_key,
+       coalesce('vuln://' || split_part(v.vuln_id, '-', 1) || '/' || v.vuln_id,
+                'vuln://novuln/novuln') AS obj_key
+FROM pkgs p
+LEFT JOIN (SELECT DISTINCT ent_key, vuln_id
+           FROM read_parquet('{_SF01}/vulndb.parquet')) v USING (ent_key)
+"""
+
+
+def kg_edge_pred_counts(sf_dir: str):
+    """Distinct-edge count per predicate from the full pipeline
+    (rows-only; the per-edge golden compare lives in pytest)."""
+    g = _corpus_edges(sf_dir)
+    return g["edges"].groupby("pred").aggregate(Count(alias_name="n"))
+
+
+def kg_degree_top(sf_dir: str):
+    """Top-20 subjects by distinct-edge degree (salted two-phase count
+    over the assembled edge table)."""
+    from guac_ray.stages.assemble import salted_count
+
+    g = _corpus_edges(sf_dir)
+    return (
+        salted_count(g["edges"], ["subj_key"], alias="degree")
+        .sort(["degree", "subj_key"], descending=[True, False])
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name → (ray callable, oracle SQL or None)
+SUITE: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_building_revenue": (q3_building_revenue, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
+    "part_type_stats": (part_type_stats, PART_TYPE_SQL),
+    "orders_per_status": (orders_per_status, ORDERS_STATUS_SQL),
+    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
+    "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "doc_lang_id": (doc_lang_id, None),
+    "knn_brute": (knn_brute_q0, KNN_SQL),
+    "knn_ivf": (knn_ivf_q0, None),
+    "neardup_docs_minhash": (neardup_docs_minhash, None),
+    "neardup_docs_simhash": (neardup_docs_simhash, None),
+    "neardup_embeddings": (neardup_embeddings, None),
+    "media_decode": (media_decode, None),
+    "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
+    "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
+    "kg_artifact_mentions": (kg_artifact_mentions, KG_ARTIFACT_SQL),
+    "kg_vuln_mentions": (kg_vuln_mentions, KG_VULN_SQL),
+    "kg_package_mentions": (kg_package_mentions, KG_PACKAGE_SQL),
+    "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
+    "kg_edge_pred_counts": (kg_edge_pred_counts, None),
+    "kg_degree_top": (kg_degree_top, None),
+}

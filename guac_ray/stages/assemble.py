@@ -128,14 +128,13 @@ def salted_count(
     Used for hot-entity degree/usage stats where one key (the 40%-hot
     tool) would otherwise land every row on one reducer.
     """
-    rng_state = {"i": 0}
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key_cols, sort=False).size().reset_index(name="_partial")
-        rng_state["i"] += 1
-        out["_salt"] = (
-            stable_hash(out, key_cols) + rng_state["i"]
-        ) % num_salts
+        # per-batch random salt offset: partials for the SAME hot key land
+        # on different reducers across batches (correctness is unaffected —
+        # the final groupby(key) re-combines)
+        offset = int(np.random.randint(0, num_salts))
+        out["_salt"] = ((stable_hash(out, key_cols) + offset) % num_salts).astype("int64")
         return out
 
     salted = (

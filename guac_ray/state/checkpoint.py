@@ -1,0 +1,169 @@
+"""Per-partition checkpointing with lineage + metrics records (north
+rule; SURVEY.md §4 "checkpoint/resume" row).
+
+The reference resumes via durable NATS consumer cursors and collector
+mod-time checks (nats_emitter.go:179, file.go:81-83). A batch engine's
+equivalent is a partition manifest:
+
+  out/
+    raw_edges/part-<i>/*.parquet     extraction output per input partition
+    _ckpt/part-<i>.json              manifest: inputs+digests, row counts,
+                                     wall time, engine version (lineage)
+    edges/  nodes/                   assembled graph (stage B)
+    metrics/part-<i>.json            per-partition metrics records
+
+Stage A (extract+link) is embarrassingly parallel across partitions —
+each partition is one Ray Data job over its shard group, written
+atomically (tmp dir + rename) so Ray task retries / reruns can't leave a
+half partition. Stage B (the dedup shuffles) runs over stage A's files,
+so a crash resumes by re-running only missing partitions + stage B.
+
+A partition here = a group of input files. On a real cluster the loop
+body submits concurrently (`ray job submit` per partition group or one
+driver with N concurrent Dataset executions); sequential here keeps the
+single-node test deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import ray.data as rd
+from ray.data import Dataset
+
+from guac_ray.pipelines.kg import extract_triples, link_entities
+from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
+
+__all__ = ["partition_inputs", "run_extract_partition", "run_graph_job", "resume_status"]
+
+ENGINE_VERSION = "guac_ray-0.1.0"
+
+
+def _digest(paths: list[str]) -> str:
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()[:16]
+
+
+def partition_inputs(transcripts_dir: str, num_partitions: int) -> list[list[str]]:
+    files = sorted(
+        os.path.join(transcripts_dir, f)
+        for f in os.listdir(transcripts_dir)
+        if f.endswith(".parquet")
+    )
+    num_partitions = min(num_partitions, len(files))
+    return [files[i::num_partitions] for i in range(num_partitions)]
+
+
+def run_extract_partition(
+    part_id: int,
+    files: list[str],
+    out_dir: str,
+    catalog_path: str | None = None,
+    force: bool = False,
+) -> dict:
+    """Extract+link ONE partition → raw_edges/part-<i>/ with manifest.
+    Skips (and says so) when the manifest matches the input digest."""
+    ck_dir = os.path.join(out_dir, "_ckpt")
+    mx_dir = os.path.join(out_dir, "metrics")
+    os.makedirs(ck_dir, exist_ok=True)
+    os.makedirs(mx_dir, exist_ok=True)
+    manifest_path = os.path.join(ck_dir, f"part-{part_id:04d}.json")
+    dest = os.path.join(out_dir, "raw_edges", f"part-{part_id:04d}")
+    digest = _digest(files)
+
+    if not force and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("input_digest") == digest and os.path.isdir(dest):
+            return {**m, "skipped": True}
+
+    t0 = time.time()
+    ds = rd.read_parquet(files)
+    rows_in = ds.count()
+    triples = extract_triples(ds)
+    if catalog_path:
+        triples = link_entities(triples, catalog_path)
+    tmp = dest + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(dest, ignore_errors=True)
+    triples.write_parquet(tmp)
+    os.replace(tmp, dest)
+    edges_out = rd.read_parquet(dest).count()
+    wall = time.time() - t0
+
+    manifest = {
+        "part_id": part_id,
+        "inputs": files,
+        "input_digest": digest,
+        "rows_in": rows_in,
+        "edges_out": edges_out,
+        "wall_sec": round(wall, 3),
+        "engine": ENGINE_VERSION,
+        "skipped": False,
+    }
+    # manifest written LAST (commit point)
+    with open(manifest_path + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(manifest_path + ".tmp", manifest_path)
+    with open(os.path.join(mx_dir, f"part-{part_id:04d}.json"), "w") as f:
+        json.dump(
+            {
+                "part_id": part_id,
+                "turns_per_sec": round(rows_in / wall, 1) if wall else None,
+                "rows_in": rows_in,
+                "edges_out": edges_out,
+                "wall_sec": round(wall, 3),
+            },
+            f,
+        )
+    return manifest
+
+
+def run_graph_job(
+    transcripts_dir: str,
+    out_dir: str,
+    catalog_path: str | None = None,
+    num_partitions: int = 4,
+    num_buckets: int = 64,
+) -> dict:
+    """Checkpointable end-to-end job. Stage A per-partition (resumable),
+    stage B assembles from stage A's files (no re-extraction)."""
+    manifests = [
+        run_extract_partition(i, files, out_dir, catalog_path)
+        for i, files in enumerate(partition_inputs(transcripts_dir, num_partitions))
+    ]
+    raw = rd.read_parquet(os.path.join(out_dir, "raw_edges"))
+    edges = assemble_edges(raw, num_buckets=num_buckets)
+    edges_dir = os.path.join(out_dir, "edges")
+    tmp = edges_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(edges_dir, ignore_errors=True)
+    edges.write_parquet(tmp)
+    os.replace(tmp, edges_dir)
+    # nodes derive from the WRITTEN edges — no pipeline re-execution
+    nodes = nodes_from_edges(rd.read_parquet(edges_dir), num_buckets=max(8, num_buckets // 2))
+    nodes_dir = os.path.join(out_dir, "nodes")
+    tmp = nodes_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(nodes_dir, ignore_errors=True)
+    nodes.write_parquet(tmp)
+    os.replace(tmp, nodes_dir)
+    return {
+        "partitions": manifests,
+        "skipped": sum(1 for m in manifests if m.get("skipped")),
+        "edges_dir": edges_dir,
+        "nodes_dir": nodes_dir,
+    }
+
+
+def resume_status(out_dir: str) -> dict:
+    ck = os.path.join(out_dir, "_ckpt")
+    done = sorted(f for f in os.listdir(ck)) if os.path.isdir(ck) else []
+    return {"completed_partitions": len(done), "manifests": done}

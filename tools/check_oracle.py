@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry at sf0.01 and compare row-count / schema /
+order-insensitive values against ``oracle_sql()`` via DuckDB.
+
+Usage: python tools/check_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    if isinstance(res, Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    only = set(sys.argv[1:])
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(SF_DIR))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            fails.append(name)
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok?  {name}: rows={len(got)} (rows-only, no oracle) [{dt:.1f}s]")
+            if len(got) < 0:
+                fails.append(name)
+            continue
+        try:
+            want = con.execute(sqls[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
+            fails.append(name)
+            continue
+        g, w = normalize(got), normalize(want)
+        status = []
+        if len(g) != len(w):
+            status.append(f"rows {len(g)} != {len(w)}")
+        if list(g.columns) != list(w.columns):
+            status.append(f"cols {list(g.columns)} != {list(w.columns)}")
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False)
+            except AssertionError as ex:
+                status.append("values differ: " + str(ex).split("\n")[-2][:160])
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)} [{dt:.1f}s]")
+            fails.append(name)
+        else:
+            # dtype strictness (the driver checks schema)
+            dtypes_differ = [
+                c for c in g.columns if str(g[c].dtype) != str(w[c].dtype)
+            ]
+            note = f" DTYPE? {dtypes_differ}" if dtypes_differ else ""
+            print(f"PASS {name}: rows={len(g)}{note} [{dt:.1f}s]")
+    ray.shutdown()
+    if fails:
+        print("FAILURES:", fails)
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
