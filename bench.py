@@ -1,0 +1,156 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline KG-construction pipeline + representative operator
+queries over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints
+ONE JSON line:
+
+  {"metric": "kg_build_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": ..., "turns_per_sec": ...}
+
+``python bench.py --scaling`` runs the same job twice in fresh
+processes at num_cpus=8 and num_cpus=32 (the sandbox stand-in for
+N-node vs 4N-node clusters) and prints throughput at both plus the
+scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _ensure_corpus(sf_dir: str):
+    from guac_ray.synth import corpus_for_sf
+
+    return corpus_for_sf(sf_dir)
+
+
+def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
+              kg_only: bool = False) -> dict:
+    import ray
+
+    if corpus_dir:
+        corpus = {
+            "transcripts": os.path.join(corpus_dir, "transcripts"),
+            "catalog": os.path.join(corpus_dir, "entity_catalog.parquet"),
+        }
+    else:
+        corpus = _ensure_corpus(sf_dir)  # generation excluded from timings
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    # warm page cache (untimed) so we measure compute+shuffle, not disk
+    turns = rd.read_parquet(corpus["transcripts"]).count()
+    if not kg_only:
+        for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
+            rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
+
+    # ---- headline: full KG construction (extract→link→dedup→write) ----
+    from guac_ray.pipelines.kg import build_graph
+
+    out_dir = f"/tmp/guac_ray_bench/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    # actor-pool floor sized to the node so the pool is warm before the
+    # post-sort burst; ceiling leaves CPUs for shuffle tasks
+    conc = (max(2, num_cpus // 2), max(2, num_cpus - 4))
+    g = build_graph(
+        corpus["transcripts"], catalog_path=corpus["catalog"], sort=True,
+        num_buckets=64, extract_concurrency=conc,
+    )
+    g["edges"].write_parquet(os.path.join(out_dir, "edges"))
+    kg_sec = time.time() - t0
+
+    # ---- representative operator queries ----
+    qtimes = {}
+    if not kg_only:
+        from guac_ray.pipelines.suite import SUITE
+
+        bench_queries = [
+            "q1_pricing_summary", "q3_building_revenue", "top_customers",
+            "events_hourly", "exact_dedup_docs", "doc_token_counts",
+            "doc_fingerprints", "knn_brute", "neardup_docs_minhash",
+            "kg_tool_usage",
+        ]
+        for name in bench_queries:
+            fn, _ = SUITE[name]
+            t0 = time.time()
+            res = fn(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_build_sec",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "turns": turns,
+        "turns_per_sec": round(turns / kg_sec, 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs → scaling efficiency.
+
+    Uses the larger ``scaling`` corpus profile (~750k turns): the bench
+    corpus is small enough that fixed per-job costs dominate and 8 CPUs
+    can beat 32 — the scaling criterion needs a compute-bound job, as a
+    real multi-node run at 10^12 turns would be.
+    """
+    from guac_ray.synth import FIXTURE_ROOT, PROFILES, generate_corpus
+
+    corpus_dir = os.path.join(FIXTURE_ROOT, "scaling")
+    generate_corpus(corpus_dir, **PROFILES["scaling"])  # cached after first run
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_KG_ONLY="1", GRAFT_CORPUS_DIR=corpus_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "turns": r_lo["turns"],
+        "sf": "scaling(~750k turns)",
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(
+            sf_dir, ncpu,
+            corpus_dir=os.environ.get("GRAFT_CORPUS_DIR"),
+            kg_only=bool(os.environ.get("GRAFT_KG_ONLY")),
+        )))

@@ -28,6 +28,8 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Min
 
+from guac_ray.stages.assemble import dedup_exact, stable_hash
+
 __all__ = [
     "exact_dedup",
     "MinHasher",
@@ -57,6 +59,8 @@ def exact_dedup(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -
     content per batch, never the text itself.
     """
 
+    from guac_ray.stages.groupagg import grouped_agg
+
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {"h": _text_md5(batch[text_col].to_pylist()),
@@ -65,10 +69,13 @@ def exact_dedup(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -
         out = df.groupby("h", sort=False)[id_col].min().reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min(id_col, alias_name=id_col))
+    out = grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["h"], {id_col: (id_col, "min")}, num_buckets=16,
+    )
+    return out.map_batches(
+        lambda df: df.assign(**{id_col: df[id_col].astype("int64")}),
+        batch_format="pandas",
     )
 
 
@@ -155,41 +162,59 @@ def minhash_bands(sigs: Dataset, num_bands: int = 32) -> Dataset:
 
 
 def lsh_candidate_pairs(
-    bands: Dataset, threshold: float = 0.7, max_bucket: int = 2000
+    bands: Dataset,
+    threshold: float = 0.7,
+    max_bucket: int = 2000,
+    num_coarse: int = 16,
 ) -> Dataset:
-    """groupby(band_id, band_hash) → within-bucket pairs whose SIGNATURE
-    similarity ≥ threshold. Buckets larger than ``max_bucket`` are
-    truncated with a warning row-count cap (hot-bucket guard; log-don't-die)."""
+    """(band_id, band_hash) buckets → within-bucket pairs whose SIGNATURE
+    similarity ≥ threshold.
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2:
+    The shuffle co-locates by a COARSE hash of (band_id, band_hash)
+    (``num_coarse`` groups), and the per-(band,hash) fan-out happens in
+    vectorized pandas inside each coarse group — thousands of tiny LSH
+    buckets would otherwise each pay Ray's per-group dispatch. Buckets
+    larger than ``max_bucket`` are truncated (hot-bucket guard).
+    """
+
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cb"] = (
+            stable_hash(df, ["band_id", "band_hash"]) % num_coarse
+        ).astype("int64")
+        return df
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
+            sub = sub.drop_duplicates("doc_id")
+            if len(sub) < 2:
+                continue
+            sub = sub.nsmallest(max_bucket, "doc_id")
+            ids = sub["doc_id"].to_numpy()
+            sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in sub["sig"]])
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            iu = np.triu_indices(len(ids), k=1)
+            sim = eq[iu]
+            keep = sim >= threshold
+            if keep.any():
+                outs.append(pd.DataFrame(
+                    {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "sim": sim[keep]}
+                ))
+        if not outs:
             return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
                 {"a": "int64", "b": "int64", "sim": "float64"}
             )
-        g = g.nsmallest(max_bucket, "doc_id")
-        ids = g["doc_id"].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        iu = np.triu_indices(len(ids), k=1)
-        sim = eq[iu]
-        keep = sim >= threshold
-        return pd.DataFrame(
-            {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "sim": sim[keep]}
-        )
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        per_bucket, batch_format="pandas"
+    pairs = (
+        bands.map_batches(coarse, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(per_coarse, batch_format="pandas")
     )
-    # same pair can surface from several bands — dedup on (a, b)
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["a", "b"])
-
-    return (
-        pairs.map_batches(local, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    # same pair surfaces from several bands — exact dedup on (a, b)
+    return dedup_exact(pairs, ["a", "b"], num_buckets=8,
+                       keep_cols=["a", "b", "sim"])
 
 
 def connected_components(pairs: pd.DataFrame, max_rounds: int = 20) -> dict[int, int]:
@@ -306,32 +331,45 @@ def simhash_pairs(
             }
         )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
-        if len(g) < 2:
+    def coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cb"] = (stable_hash(df, ["chunk_id", "chunk_val"]) % 8).astype("int64")
+        return df
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False):
+            sub = sub.drop_duplicates("doc_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["doc_id"].to_numpy()
+            hs = sub["simhash"].to_numpy().astype(np.uint64)
+            x = hs[:, None] ^ hs[None, :]
+            ham = np.zeros_like(x, dtype=np.int64)
+            for _ in range(64):
+                ham += (x & 1).astype(np.int64)
+                x >>= 1
+            iu = np.triu_indices(len(ids), k=1)
+            hv = ham[iu]
+            keep = hv <= max_hamming
+            if keep.any():
+                outs.append(pd.DataFrame(
+                    {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "hamming": hv[keep]}
+                ))
+        if not outs:
             return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
                 {"a": "int64", "b": "int64", "hamming": "int64"}
             )
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        x = hs[:, None] ^ hs[None, :]
-        ham = np.zeros_like(x, dtype=np.int64)
-        for _ in range(64):
-            ham += (x & 1).astype(np.int64)
-            x >>= 1
-        iu = np.triu_indices(len(ids), k=1)
-        hv = ham[iu]
-        keep = hv <= max_hamming
-        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "hamming": hv[keep]})
+        return pd.concat(outs, ignore_index=True)
 
     pairs = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_batches(coarse, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(per_coarse, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return dedup_exact(pairs, ["a", "b"], num_buckets=8,
+                       keep_cols=["a", "b", "hamming"])
 
 
 # ---------------------------------------------------------------------------

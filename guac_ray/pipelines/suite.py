@@ -25,6 +25,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from guac_ray.stages.groupagg import grouped_agg
 from guac_ray.synth import FIXTURE_ROOT, corpus_for_sf
 
 VALID_ROLES_SQL = "('user','assistant','system','tool')"
@@ -78,13 +79,12 @@ def q1_pricing_summary(sf_dir: str):
         ).reset_index()
         return g
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("_qty", alias_name="qc"), Sum("_base", alias_name="bc"),
-            Sum("_disc", alias_name="dc"), Sum("_n", alias_name="n"),
-        )
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {"qc": ("_qty", "sum"), "bc": ("_base", "sum"),
+         "dc": ("_disc", "sum"), "n": ("_n", "sum")},
+        num_buckets=4,
     )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,10 +138,9 @@ def q3_building_revenue(sf_dir: str):
             return t.groupby("l_orderkey", sort=False)._rc.sum().reset_index()
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    agg = (
-        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
-        .groupby("l_orderkey")
-        .aggregate(Sum("_rc", alias_name="rc"))
+    agg = grouped_agg(
+        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2)),
+        ["l_orderkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
     )
     top = agg.sort(["rc", "l_orderkey"], descending=[True, False]).limit(10)
     return top.map_batches(
@@ -200,10 +199,9 @@ def q5_region_revenue(sf_dir: str):
             return t.groupby("n_name", sort=False)._rc.sum().reset_index()
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    agg = (
-        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
-        .groupby("n_name")
-        .aggregate(Sum("_rc", alias_name="rc"))
+    agg = grouped_agg(
+        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2)),
+        ["n_name"], {"rc": ("_rc", "sum")}, num_buckets=4,
     )
     return agg.map_batches(
         lambda df: pd.DataFrame({"n_name": df.n_name, "revenue": df.rc / 100.0}),
@@ -245,9 +243,10 @@ def top_customers(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     agg = (
-        ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2))
-        .groupby("c_custkey")
-        .aggregate(Sum("_rc", alias_name="rc"))
+        grouped_agg(
+            ds.map_batches(Join, batch_format="pandas", concurrency=(1, 2)),
+            ["c_custkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
+        )
         .sort(["rc", "c_custkey"], descending=[True, False])
         .limit(10)
     )
@@ -279,10 +278,9 @@ def part_type_stats(sf_dir: str):
         g = t.groupby("p_type", sort=False).agg(_rc=("_rc", "sum"), _n=("_rc", "size"))
         return g.reset_index()
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("p_type")
-        .aggregate(Sum("_rc", alias_name="rc"), Sum("_n", alias_name="n"))
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["p_type"], {"rc": ("_rc", "sum"), "n": ("_n", "sum")}, num_buckets=4,
     )
     return agg.map_batches(
         lambda df: pd.DataFrame({
@@ -301,7 +299,11 @@ FROM part GROUP BY p_type
 
 def orders_per_status(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderstatus"])
-    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+    out = grouped_agg(ds, ["o_orderstatus"],
+                      {"n": ("o_orderstatus", "count")}, num_buckets=2)
+    return out.map_batches(
+        lambda df: df.assign(n=df.n.astype("int64")), batch_format="pandas"
+    )
 
 
 ORDERS_STATUS_SQL = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
@@ -332,10 +334,10 @@ def events_hourly(sf_dir: str):
             _vc=("_vc", "sum"), _n=("_vc", "size")).reset_index()
         return g
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("_vc", alias_name="vc"), Sum("_n", alias_name="n"))
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"vc": ("_vc", "sum"), "n": ("_n", "sum")}, num_buckets=16,
     )
     return agg.map_batches(
         lambda df: pd.DataFrame({
@@ -363,10 +365,10 @@ def events_user_stats(sf_dir: str):
         return t.groupby("user_id", sort=False).agg(
             _vc=("_vc", "sum"), _n=("_vc", "size")).reset_index()
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Sum("_vc", alias_name="vc"), Sum("_n", alias_name="n"))
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"vc": ("_vc", "sum"), "n": ("_n", "sum")}, num_buckets=8,
     )
     return agg.map_batches(
         lambda df: pd.DataFrame({
@@ -697,7 +699,8 @@ def kg_edge_pred_counts(sf_dir: str):
     """Distinct-edge count per predicate from the full pipeline
     (rows-only; the per-edge golden compare lives in pytest)."""
     g = _corpus_edges(sf_dir)
-    return g["edges"].groupby("pred").aggregate(Count(alias_name="n"))
+    return grouped_agg(g["edges"], ["pred"], {"n": ("pred", "count")},
+                       num_buckets=4)
 
 
 def kg_degree_top(sf_dir: str):

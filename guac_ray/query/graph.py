@@ -59,7 +59,8 @@ def _expand(edges: Dataset, frontier: set[str], preds: list[str] | None) -> set[
         t = batch.filter(mask)
         return pa.table({"k": t["obj_key"]})
 
-    return set(edges.map_batches(f, batch_format="pyarrow").unique("k"))
+    vals = edges.map_batches(f, batch_format="pyarrow").unique("k")
+    return set(vals or [])  # unique() yields None on an empty dataset
 
 
 def bfs_reach(

@@ -66,13 +66,18 @@ def dedup_exact(
     """
     keep = keep_cols or cols
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
+    # both phases RETURN Arrow tables: pandas-serialized blocks measure
+    # ~3.3× the bytes of the same rows as Arrow, and the groupby shuffle
+    # moves every one of them
+    def local(df: pd.DataFrame) -> pa.Table:
         df = df[keep].drop_duplicates(subset=cols)
         df["_bucket"] = (stable_hash(df, cols) % num_buckets).astype("int64")
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=cols)[keep]
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            g.drop_duplicates(subset=cols)[keep], preserve_index=False
+        )
 
     return (
         ds.map_batches(local, batch_format="pandas")
@@ -128,6 +133,8 @@ def salted_count(
     Used for hot-entity degree/usage stats where one key (the 40%-hot
     tool) would otherwise land every row on one reducer.
     """
+    from guac_ray.stages.groupagg import grouped_agg  # lazy: avoids cycle
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(key_cols, sort=False).size().reset_index(name="_partial")
         # per-batch random salt offset: partials for the SAME hot key land
@@ -137,12 +144,14 @@ def salted_count(
         out["_salt"] = ((stable_hash(out, key_cols) + offset) % num_salts).astype("int64")
         return out
 
-    salted = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key_cols + ["_salt"])
-        .aggregate(Sum("_partial", alias_name="_salted"))
+    salted = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_cols + ["_salt"], {"_salted": ("_partial", "sum")},
+        num_buckets=num_salts,
     )
-    return (
-        salted.groupby(key_cols)
-        .aggregate(Sum("_salted", alias_name=alias))
+    out = grouped_agg(salted, key_cols, {alias: ("_salted", "sum")},
+                      num_buckets=max(2, num_salts // 2))
+    return out.map_batches(
+        lambda df: df.assign(**{alias: df[alias].astype("int64")}),
+        batch_format="pandas",
     )

@@ -214,9 +214,9 @@ FILLERS = [
 ROLES = ["user", "assistant", "system", "tool"]
 
 
-def _gen_conversation(ci: int, n_turns: int, rng, pools, link, hot_frac: float):
+def _gen_conversation(ci: int, n_turns: int, rng, pools, link, hot_frac: float, prefix: str = "c"):
     """→ (rows, per-turn TurnFacts list). Turn 0 is never invalid."""
-    conv_id = f"c{ci:06d}"
+    conv_id = f"{prefix}{ci:06d}"
     rows, facts_list = [], []
     for ti in range(n_turns):
         role = ROLES[int(rng.integers(0, 2))] if ti % 2 == 0 else ROLES[1]
@@ -273,6 +273,7 @@ def generate_corpus(
     seed: int = SEED,
     hot_frac: float = 0.40,
     force: bool = False,
+    conv_prefix: str = "c",
 ) -> dict:
     """Write the full corpus; idempotent via a done-marker. Returns paths."""
     marker = os.path.join(out_dir, "_done.json")
@@ -305,7 +306,7 @@ def generate_corpus(
             n_turns = 16                     # max-length edge case
         else:
             n_turns = int(rng.integers(3, 13))
-        rows, facts_list = _gen_conversation(ci, n_turns, rng, pools, link, hot_frac)
+        rows, facts_list = _gen_conversation(ci, n_turns, rng, pools, link, hot_frac, conv_prefix)
         if ci == 2:
             saved_for_dup = (rows, facts_list)
         for row, facts in zip(rows, facts_list):
@@ -317,7 +318,7 @@ def generate_corpus(
     # byte-identical duplicate conversation under a fresh conv_id — dedup
     # must keep both (identity includes the conversation key)
     dup_ci = n_convs
-    dup_id = f"c{dup_ci:06d}"
+    dup_id = f"{conv_prefix}{dup_ci:06d}"
     rows, facts_list = saved_for_dup
     for row, facts in zip(rows, facts_list):
         ts = BASE_TS + timedelta(seconds=dup_ci * 3600 + row[1] * 7)
@@ -429,6 +430,9 @@ PROFILES = {
     "sf0.001": dict(n_convs=200, n_shards=2),    # ~1.5k turns (smoke)
     "sf0.01": dict(n_convs=2000, n_shards=4),    # ~15k turns (test)
     "sf0.1": dict(n_convs=20000, n_shards=8),    # ~150k turns (bench)
+    # scaling-efficiency runs need a compute-bound job: ~750k turns so the
+    # fixed per-job overhead (actor spin-up, shuffle setup) is amortized
+    "scaling": dict(n_convs=100000, n_shards=16),
 }
 
 FIXTURE_ROOT = "/tmp/guac_ray_fixtures"

@@ -1,0 +1,67 @@
+"""Checkpoint/resume: kill-and-rerun skips completed partitions and the
+assembled graph still matches the golden set (north rule)."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from guac_ray.schemas import EDGE_IDENTITY
+
+
+class TestCheckpoint:
+    def test_run_resume_and_correctness(self, ray_session, smoke_corpus, tmp_path):
+        from guac_ray.state.checkpoint import resume_status, run_graph_job
+
+        out = str(tmp_path / "ckpt_out")
+        r1 = run_graph_job(
+            smoke_corpus["transcripts"], out,
+            catalog_path=smoke_corpus["catalog"], num_partitions=2, num_buckets=16,
+        )
+        assert r1["skipped"] == 0
+        st = resume_status(out)
+        assert st["completed_partitions"] == 2
+
+        # manifests carry lineage + metrics
+        with open(os.path.join(out, "_ckpt", "part-0000.json")) as f:
+            m = json.load(f)
+        assert m["inputs"] and m["input_digest"] and m["rows_in"] > 0
+        assert os.path.exists(os.path.join(out, "metrics", "part-0000.json"))
+
+        # rerun: everything skips ("kill after completion" case)
+        r2 = run_graph_job(
+            smoke_corpus["transcripts"], out,
+            catalog_path=smoke_corpus["catalog"], num_partitions=2, num_buckets=16,
+        )
+        assert r2["skipped"] == 2
+
+        # simulate mid-job death: lose one partition's manifest → only
+        # that partition re-runs
+        os.remove(os.path.join(out, "_ckpt", "part-0001.json"))
+        r3 = run_graph_job(
+            smoke_corpus["transcripts"], out,
+            catalog_path=smoke_corpus["catalog"], num_partitions=2, num_buckets=16,
+        )
+        assert r3["skipped"] == 1
+
+        # assembled output matches the golden edge set exactly
+        got = pd.read_parquet(r3["edges_dir"])
+        golden = pd.read_parquet(smoke_corpus["golden_edges"])
+        g = set(map(tuple, got[EDGE_IDENTITY].itertuples(index=False)))
+        w = set(map(tuple, golden[EDGE_IDENTITY].itertuples(index=False)))
+        assert g == w
+
+    def test_input_change_invalidates(self, ray_session, smoke_corpus, tmp_path):
+        from guac_ray.state.checkpoint import run_extract_partition, partition_inputs
+
+        out = str(tmp_path / "inval")
+        parts = partition_inputs(smoke_corpus["transcripts"], 2)
+        m1 = run_extract_partition(0, parts[0], out)
+        assert not m1["skipped"]
+        m2 = run_extract_partition(0, parts[0], out)
+        assert m2["skipped"]
+        # touch an input → digest change → re-run
+        os.utime(parts[0][0], (0, 0))
+        m3 = run_extract_partition(0, parts[0], out)
+        assert not m3["skipped"]

@@ -1,0 +1,79 @@
+"""Near-dup family: MinHash-LSH, SimHash, exact-Jaccard verify, CC."""
+
+import pandas as pd
+import pytest
+
+from guac_ray.functions.dedup import (
+    connected_components,
+    jaccard,
+    ngram_set,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest where nobody can find it anymore at all"
+)
+
+
+def _docs():
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),            # near-dup of 0
+        (2, BASE),                                       # exact dup of 0
+        (3, "completely different text about ray data pipelines and arrow batches"),
+        (4, "yet another unrelated document mentioning nothing in common whatsoever"),
+        (5, BASE.replace("dog", "cat").replace("forest", "meadow")),  # near-dup
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+class TestPure:
+    def test_ngram_jaccard_sanity(self):
+        a, b = ngram_set(BASE), ngram_set(BASE.replace("quick", "swift"))
+        assert jaccard(a, a) == 1.0
+        assert 0.7 < jaccard(a, b) < 1.0
+        assert jaccard(a, ngram_set("zzz")) < 0.05
+
+    def test_connected_components(self):
+        pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+        label = connected_components(pairs)
+        assert label[1] == label[2] == label[3] == 1
+        assert label[10] == label[11] == 10
+
+
+class TestMinhash:
+    def test_pipeline_finds_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import minhash_dedup, verify_pairs_exact
+
+        ds = rd.from_pandas(_docs()).repartition(3)
+        out = minhash_dedup(ds, num_perm=64, num_bands=16, threshold=0.6,
+                            concurrency=(1, 2))
+        pairs = set(map(tuple, out["pairs"][["a", "b"]].itertuples(index=False)))
+        assert (0, 2) in pairs          # exact dup
+        assert (0, 1) in pairs          # near dup
+        assert not any({3, 4} & {a, b} for a, b in pairs)
+        # survivor = min id per component → 1,2,5 dropped
+        assert out["drop"] == {1, 2, 5}
+        verified = verify_pairs_exact(ds, out["pairs"], threshold=0.6)
+        assert verified.is_dup.all()
+
+    def test_signature_deterministic_across_actors(self):
+        from guac_ray.functions.dedup import MinHasher
+
+        a, b = MinHasher(num_perm=32), MinHasher(num_perm=32)
+        assert (a.signature(BASE) == b.signature(BASE)).all()
+
+
+class TestSimhash:
+    def test_finds_planted_dups(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import simhash_pairs
+
+        ds = rd.from_pandas(_docs()).repartition(2)
+        pairs = simhash_pairs(ds, max_hamming=6, concurrency=(1, 2)).to_pandas()
+        got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+        assert (0, 2) in got
+        assert (0, 1) in got

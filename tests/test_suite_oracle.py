@@ -1,0 +1,57 @@
+"""Driver-gate mimic inside pytest: a fast subset of the suite compared
+against its DuckDB oracle at sf0.001 (the full 28-query sweep runs via
+tools/check_oracle.py at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+FAST = [
+    "q1_pricing_summary",
+    "orders_per_status",
+    "distinct_segments",
+    "exact_dedup_docs",
+    "doc_token_counts",
+    "doc_quality",
+    "doc_fingerprints",
+    "knn_brute",
+    "events_user_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(name, con, ray_session):
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    from guac_ray.pipelines.suite import SUITE
+
+    fn, sql = SUITE[name]
+    got = fn(SF)
+    if isinstance(got, Dataset):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    want = con.execute(sql).df()
+    g, w = _norm(got), _norm(want)
+    assert list(g.columns) == list(w.columns)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
