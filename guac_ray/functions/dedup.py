@@ -26,7 +26,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Min
 
 from guac_ray.stages.assemble import dedup_exact, stable_hash
 

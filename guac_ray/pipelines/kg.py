@@ -66,10 +66,18 @@ def rejects(ds: Dataset) -> Dataset:
     return ds.map_batches(RejectRouter, batch_format="pyarrow", concurrency=(1, 2))
 
 
-def extract_triples(ds: Dataset, concurrency=(1, 4), batch_size: int = 4096) -> Dataset:
-    """Transcript rows → raw edge rows. Patterns compile once per actor."""
+def extract_triples(
+    ds: Dataset,
+    concurrency=(1, 4),
+    batch_size: int = 4096,
+    link_ref=None,
+) -> Dataset:
+    """Transcript rows → raw edge rows. Patterns compile once per actor;
+    ``link_ref`` (ray.put of a surface→key map) fuses entity linking into
+    the same pass."""
     return ds.map_batches(
         TranscriptExtractor,
+        fn_constructor_kwargs={"link_ref": link_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -100,13 +108,21 @@ def build_graph(
     ordering invariant requires; extraction itself is per-turn, so
     pipelines that don't need ordered output may skip the shuffle.
     """
+    import ray
+
+    from guac_ray.stages.linker import load_surface_map
+
     ds = read_transcripts(transcripts_path)
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
-    triples = extract_triples(ds, concurrency=extract_concurrency)
-    if catalog_path:
-        triples = link_entities(triples, catalog_path)
-    edges = assemble_edges(triples, num_buckets=num_buckets)
+    # entity linking fused into extraction: the broadcast surface map is
+    # applied at fact time (per-turn tool surfaces) instead of a separate
+    # actor pool rescanning every edge column
+    link_ref = ray.put(load_surface_map(catalog_path)) if catalog_path else None
+    triples = extract_triples(ds, concurrency=extract_concurrency, link_ref=link_ref)
+    # extractor-produced edges ⇒ justification/origin/collector are
+    # functional — safe to slim through the exchange and refit
+    edges = assemble_edges(triples, num_buckets=num_buckets, refit_functional=True)
     nodes = nodes_from_edges(edges, num_buckets=max(8, num_buckets // 2))
     return {"edges": edges, "nodes": nodes}
 

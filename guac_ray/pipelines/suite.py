@@ -23,7 +23,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from guac_ray.stages.groupagg import grouped_agg
 from guac_ray.synth import FIXTURE_ROOT, corpus_for_sf

@@ -25,7 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
 
 from guac_ray.schemas import EDGE_IDENTITY
 
@@ -86,10 +85,47 @@ def dedup_exact(
     )
 
 
-def assemble_edges(triples: Dataset, num_buckets: int = 64) -> Dataset:
+def assemble_edges(
+    triples: Dataset, num_buckets: int = 64, refit_functional: bool = False
+) -> Dataset:
     """Edge table: distinct on the FULL identity (all payload fields —
-    the reference's duplicate-edge definition)."""
-    return dedup_exact(triples, EDGE_IDENTITY, num_buckets=num_buckets)
+    the reference's duplicate-edge definition).
+
+    ``refit_functional=True`` is an exchange-bytes optimization valid
+    ONLY for edges produced by the transcript extractor, where
+    ``justification`` is a pure function of ``pred`` and
+    ``origin``/``collector`` are the extraction constants
+    (rules.JUSTIFICATION/ORIGIN/COLLECTOR): those columns are dropped
+    before the shuffle and re-attached after — dedup on the remaining
+    identity is then equivalent to full-identity dedup, with ~30% fewer
+    bytes through the exchange. Mixed-origin edge streams must keep the
+    default (False).
+    """
+    if not refit_functional:
+        return dedup_exact(triples, EDGE_IDENTITY, num_buckets=num_buckets)
+
+    from guac_ray.stages import rules
+
+    slim_cols = [
+        c for c in EDGE_IDENTITY if c not in ("justification", "origin", "collector")
+    ]
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(slim_cols)
+
+    ded = dedup_exact(
+        triples.map_batches(slim, batch_format="pyarrow"),
+        slim_cols, num_buckets=num_buckets,
+    )
+
+    def refit(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["justification"] = df["pred"].map(rules.JUSTIFICATION)
+        df["origin"] = rules.ORIGIN
+        df["collector"] = rules.COLLECTOR
+        return pa.Table.from_pandas(df[EDGE_IDENTITY], preserve_index=False)
+
+    return ded.map_batches(refit, batch_format="pandas")
 
 
 def nodes_from_edges(edges: Dataset, num_buckets: int = 32) -> Dataset:

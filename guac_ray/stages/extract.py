@@ -61,42 +61,63 @@ def parse_turn_facts(
 ) -> TurnFacts:
     """Raw turn → canonical TurnFacts. Pure; unparseable surfaces are
     silently skipped (the reference logs-and-continues per document —
-    parser.go:100-121)."""
+    parser.go:100-121).
+
+    Cheap substring guards gate each regex scan — most turns contain no
+    mentions, and each guard is an order of magnitude cheaper than its
+    pattern (same first-match-wins sniffing idea as the reference's
+    guesser chain — guesser.go:25-51).
+    """
     from guac_ray.canonical import license_key
 
     f = TurnFacts(conv_id=conv_id, turn_idx=turn_idx, role=role, tool_surface=tool)
-    for alg, digest in pats["artifact"].findall(text):
-        f.artifacts.append(artifact_key(alg, digest))
-    for raw in pats["purl"].findall(text):
-        k = package_key(raw)
-        if k:
-            f.packages.append(k)
-    for raw in pats["repo"].findall(text):
-        spec = parse_vcs(raw)
-        if spec:
-            f.repos.append(source_key(spec))
-    for raw in pats["vuln"].findall(text):
-        f.vulns.append(vuln_key(raw))
-    for score, raw in pats["scorecard"].findall(text):
-        spec = parse_vcs(raw)
-        if spec:
-            f.scorecards.append((source_key(spec), round(float(score), 1)))
-    for raw, lic in pats["legal"].findall(text):
-        f.legals.append(license_key(lic))
-    for raw_art, builder in pats["slsa"].findall(text):
-        f.builders.append(builder)
-    for raw in pats["good"].findall(text):
-        k = package_key(raw)
-        if k:
-            f.endorsements.append(("package", k))
-    for raw in pats["bad"].findall(text):
-        k = package_key(raw)
-        if k:
-            f.flags.append(("package", k))
-    for email, raw in pats["contact"].findall(text):
-        f.contacts.append(email)
-    for score, raw in pats["severity"].findall(text):
-        f.severities.append((vuln_key(raw), round(float(score), 1)))
+    if (
+        "sha256:" in text or "sha1:" in text
+        or "sha512:" in text or "md5:" in text
+    ):
+        for alg, digest in pats["artifact"].findall(text):
+            f.artifacts.append(artifact_key(alg, digest))
+        if " was built by http" in text:
+            for raw_art, builder in pats["slsa"].findall(text):
+                f.builders.append(builder)
+    if "pkg:" in text:
+        for raw in pats["purl"].findall(text):
+            k = package_key(raw)
+            if k:
+                f.packages.append(k)
+        if " is licensed under " in text:
+            for raw, lic in pats["legal"].findall(text):
+                f.legals.append(license_key(lic))
+        if "endorsed: pkg:" in text:
+            for raw in pats["good"].findall(text):
+                k = package_key(raw)
+                if k:
+                    f.endorsements.append(("package", k))
+        if "flagged: pkg:" in text:
+            for raw in pats["bad"].findall(text):
+                k = package_key(raw)
+                if k:
+                    f.flags.append(("package", k))
+        if "contact " in text:
+            for email, raw in pats["contact"].findall(text):
+                f.contacts.append(email)
+    if "git+" in text:
+        for raw in pats["repo"].findall(text):
+            spec = parse_vcs(raw)
+            if spec:
+                f.repos.append(source_key(spec))
+        if "scorecard score " in text:
+            for score, raw in pats["scorecard"].findall(text):
+                spec = parse_vcs(raw)
+                if spec:
+                    f.scorecards.append((source_key(spec), round(float(score), 1)))
+    lower = text.lower()
+    if "cve-" in lower or "ghsa-" in lower:
+        for raw in pats["vuln"].findall(text):
+            f.vulns.append(vuln_key(raw))
+        if "severity " in text:
+            for score, raw in pats["severity"].findall(text):
+                f.severities.append((vuln_key(raw), round(float(score), 1)))
     return f
 
 
@@ -107,13 +128,34 @@ class TranscriptExtractor:
     """Actor-pool batch UDF: transcript batch (Arrow) → edge batch (Arrow).
 
     Invalid rows (empty text / unknown role) emit nothing here; route them
-    with :class:`RejectRouter`. Local (per-turn) duplicate edges are kept —
-    global dedup is the assemble stage's job, but per-batch dedup happens
-    there as the partial phase of the two-phase combine.
+    with :class:`RejectRouter`.
+
+    The per-actor ``seen`` cache drops cross-batch duplicate edges before
+    they enter the shuffle — with the stable (conv_id, turn_idx) sort
+    upstream, a conversation's repeated edges (participates_in, uses_tool,
+    has_metadata…) arrive consecutively at one actor, so the cache removes
+    most duplicate mass locally (the two-phase combine's partial phase;
+    the reference's parser-level maps do the same — parse_spdx.go:41-63).
+    Bounded: cleared at ``cache_limit`` to cap memory; correctness never
+    depends on it (global dedup happens in assemble).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, cache_limit: int = 500_000, dedup: bool = True,
+                 link_ref=None) -> None:
         self.pats = _compile()
+        self.seen: set[tuple] = set()
+        self.cache_limit = cache_limit
+        self.dedup = dedup
+        # fused entity linking: {tool surface: canonical key}, broadcast
+        # once via ray.put (None ⇒ identity keys)
+        if link_ref is None:
+            self.link: dict[str, str] = {}
+        else:
+            import ray
+
+            self.link = (
+                ray.get(link_ref) if isinstance(link_ref, ray.ObjectRef) else dict(link_ref)
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch["conv_id"].to_pylist()
@@ -122,11 +164,20 @@ class TranscriptExtractor:
         text = batch["text"].to_pylist()
         tool = batch["tool"].to_pylist()
         out: list[tuple] = []
+        seen = self.seen
+        if len(seen) > self.cache_limit:
+            seen.clear()
         for c, ti, r, tx, tl in zip(conv, tidx, role, text, tool):
             if not tx or r not in VALID_ROLES:
                 continue
             facts = parse_turn_facts(self.pats, c, ti, r, tx, tl or "")
+            if tl and self.link:
+                facts.tool_key = self.link.get(tl, "")
             for e in derive(facts):
+                if self.dedup:
+                    if e in seen:
+                        continue
+                    seen.add(e)
                 out.append(e + (c, ti))
         if not out:
             return EDGE_SCHEMA.empty_table()

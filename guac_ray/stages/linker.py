@@ -49,6 +49,20 @@ def put_link_map(catalog_path: str) -> "ray.ObjectRef":
     return ray.put(load_link_map(catalog_path))
 
 
+def load_surface_map(catalog_path: str, ent_type: str = "tool") -> dict[str, str]:
+    """{raw surface: canonical key} for one entity type — the fused-link
+    form the extractor consumes (linking at fact time touches only the
+    few surfaces per turn instead of rescanning every edge column)."""
+    t = pq.read_table(catalog_path, columns=["surface", "ent_type", "ent_key"])
+    return {
+        s: k
+        for s, et, k in zip(
+            t["surface"].to_pylist(), t["ent_type"].to_pylist(), t["ent_key"].to_pylist()
+        )
+        if et == ent_type
+    }
+
+
 class EntityLinker:
     """Actor-pool batch UDF rewriting alias keys to canonical keys.
 

@@ -69,6 +69,7 @@ class TurnFacts:
     turn_idx: int
     role: str
     tool_surface: str = ""                 # raw tool column value
+    tool_key: str = ""                     # pre-linked canonical key (optional)
     packages: list[str] = field(default_factory=list)    # canonical purls
     artifacts: list[str] = field(default_factory=list)   # alg:digest keys
     repos: list[str] = field(default_factory=list)       # src: keys
@@ -127,7 +128,7 @@ def derive(f: TurnFacts) -> list[tuple]:
         edges.append(make_edge("conversation", conv_key, "has_sbom", "manifest", man_key))
 
     if f.tool_surface:
-        tool_key = entity_key("tool", f.tool_surface)
+        tool_key = f.tool_key or entity_key("tool", f.tool_surface)
         edges.append(make_edge("speaker", speaker_key, "uses_tool", "tool", tool_key))
 
     for p in f.packages:

@@ -35,7 +35,7 @@ import time
 import ray.data as rd
 from ray.data import Dataset
 
-from guac_ray.pipelines.kg import extract_triples, link_entities
+from guac_ray.pipelines.kg import extract_triples
 from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
 
 __all__ = ["partition_inputs", "run_extract_partition", "run_graph_job", "resume_status"]
@@ -87,9 +87,14 @@ def run_extract_partition(
     t0 = time.time()
     ds = rd.read_parquet(files)
     rows_in = ds.count()
-    triples = extract_triples(ds)
+    link_ref = None
     if catalog_path:
-        triples = link_entities(triples, catalog_path)
+        import ray
+
+        from guac_ray.stages.linker import load_surface_map
+
+        link_ref = ray.put(load_surface_map(catalog_path))
+    triples = extract_triples(ds, link_ref=link_ref)
     tmp = dest + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(dest, ignore_errors=True)
@@ -155,11 +160,33 @@ def run_graph_job(
     shutil.rmtree(nodes_dir, ignore_errors=True)
     nodes.write_parquet(tmp)
     os.replace(tmp, nodes_dir)
+
+    # identifiers output — the collectsub feedback analog (SURVEY §2.1):
+    # round k writes the discovered fetchable identifiers, round k+1's
+    # collectors/enrichers read them (ingestor.go:168-180 re-expressed as
+    # a table between batch rounds)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def idents(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["node_type"],
+                        value_set=pa.array(["package", "source", "artifact"]))
+        t = batch.filter(mask)
+        return pa.table({"kind": t["node_type"], "identifier": t["node_key"]})
+
+    ident_dir = os.path.join(out_dir, "identifiers")
+    tmp = ident_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(ident_dir, ignore_errors=True)
+    rd.read_parquet(nodes_dir).map_batches(idents, batch_format="pyarrow").write_parquet(tmp)
+    os.replace(tmp, ident_dir)
+
     return {
         "partitions": manifests,
         "skipped": sum(1 for m in manifests if m.get("skipped")),
         "edges_dir": edges_dir,
         "nodes_dir": nodes_dir,
+        "identifiers_dir": ident_dir,
     }
 
 

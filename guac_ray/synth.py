@@ -443,3 +443,45 @@ def corpus_for_sf(sf_dir: str) -> dict:
     name = os.path.basename(os.path.normpath(sf_dir))
     prof = PROFILES.get(name, PROFILES["sf0.01"])
     return generate_corpus(os.path.join(FIXTURE_ROOT, name), **prof)
+
+
+def ensure_scaling_corpus(
+    n_chunks: int = 10, convs_per_chunk: int = 100000, procs: int = 10
+) -> dict:
+    """~7.5M-turn corpus for the scaling-efficiency measurement, built as
+    seed-distinct chunks IN PARALLEL (conv-id prefixes keep conversations
+    globally unique) and exposed as one flat transcripts dir of links.
+    Cached; first build ≈ a few minutes of CPU."""
+    import multiprocessing as mp
+
+    root = os.path.join(FIXTURE_ROOT, "scaling-xl")
+    flat = os.path.join(root, "transcripts")
+    catalog = os.path.join(root, "entity_catalog.parquet")
+    marker = os.path.join(root, "_flat_done.json")
+    if os.path.exists(marker):
+        return {"dir": root, "transcripts": flat, "catalog": catalog}
+
+    with mp.Pool(min(procs, n_chunks)) as pool:
+        pool.starmap(
+            _gen_chunk,
+            [(os.path.join(root, f"chunk{i}"), convs_per_chunk, 42 + i, f"x{i}c")
+             for i in range(n_chunks)],
+        )
+    os.makedirs(flat, exist_ok=True)
+    for i in range(n_chunks):
+        src_dir = os.path.join(root, f"chunk{i}", "transcripts")
+        for f in sorted(os.listdir(src_dir)):
+            dst = os.path.join(flat, f"c{i:02d}-{f}")
+            if not os.path.exists(dst):
+                os.link(os.path.join(src_dir, f), dst)
+    import shutil as _sh
+
+    _sh.copyfile(os.path.join(root, "chunk0", "entity_catalog.parquet"), catalog)
+    with open(marker, "w") as f:
+        json.dump({"n_chunks": n_chunks, "convs_per_chunk": convs_per_chunk}, f)
+    return {"dir": root, "transcripts": flat, "catalog": catalog}
+
+
+def _gen_chunk(out_dir: str, n_convs: int, seed: int, prefix: str) -> None:
+    generate_corpus(out_dir, n_convs=n_convs, n_shards=4, seed=seed,
+                    conv_prefix=prefix)
