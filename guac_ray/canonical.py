@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from urllib.parse import quote, unquote
 
 __all__ = [
@@ -38,12 +39,22 @@ __all__ = [
     "vuln_type",
     "license_key",
     "entity_key",
+    "vcs_source_key",
     "is_commit_sha",
 ]
 
 # URL-escape a free-text path segment so it can never collide with key
 # structure characters. safe="" escapes '/' too.
+# Hot path: most segments contain no character needing escape — a single
+# C-regex check skips urllib entirely; lru_cache amortizes repeated
+# surfaces (entity pools repeat heavily in any real corpus).
+_NO_ESCAPE = re.compile(r"^[A-Za-z0-9_.~-]*$")
+
+
+@lru_cache(maxsize=65536)
 def sanitize(s: str) -> str:
+    if _NO_ESCAPE.match(s):
+        return s
     return quote(s, safe="")
 
 
@@ -141,12 +152,14 @@ def canonical_purl(spec: PackageSpec, with_version: bool = True) -> str:
     return "".join(out)
 
 
+@lru_cache(maxsize=65536)
 def package_key(purl: str) -> str | None:
     """Version-level canonical key (PkgMatchTypeSpecificVersion analog)."""
     spec = parse_purl(purl)
     return canonical_purl(spec) if spec else None
 
 
+@lru_cache(maxsize=65536)
 def package_name_key(purl: str) -> str | None:
     """Name-level canonical key (PkgMatchTypeAllVersions analog): the purl
     without version/qualifiers/subpath."""
@@ -234,6 +247,7 @@ def vuln_type(vuln_id: str) -> str:
     return vid.split("-", 1)[0] if "-" in vid else vid
 
 
+@lru_cache(maxsize=65536)
 def vuln_key(vuln_id: str) -> str:
     """VURI ``vuln://type/id`` with the whole id lowercased."""
     vid = vuln_id.strip().lower()
@@ -257,7 +271,15 @@ def license_key(name: str, list_version: str = "") -> str:
 # Generic transcript entities (speakers, tools, conversations, contacts…)
 # ---------------------------------------------------------------------------
 
+@lru_cache(maxsize=65536)
 def entity_key(ent_type: str, name: str) -> str:
     """``ent:<type>/<sanitized name>`` for identity-less transcript entities
     (analog of GUAC's synthesized ``pkg:guac/...`` purls — purl.go:29-33)."""
     return f"ent:{ent_type.strip().lower()}/{sanitize(name.strip().lower())}"
+
+
+@lru_cache(maxsize=65536)
+def vcs_source_key(uri: str) -> str | None:
+    """Cached ``parse_vcs`` + ``source_key`` composition (hot path)."""
+    spec = parse_vcs(uri)
+    return source_key(spec) if spec else None

@@ -101,12 +101,18 @@ def build_graph(
     sort: bool = True,
     num_buckets: int = 64,
     extract_concurrency=(1, 4),
+    exchange_dir: str | None = None,
 ) -> dict[str, Dataset]:
     """End-to-end: transcripts → {"edges": Dataset, "nodes": Dataset}.
 
     ``sort=True`` applies the stable (conv_id, turn_idx) global sort the
     ordering invariant requires; extraction itself is per-turn, so
     pipelines that don't need ordered output may skip the shuffle.
+
+    ``exchange_dir`` routes the dedup through the filesystem-partitioned
+    exchange (scales near-linearly; phase 1 runs eagerly) — point it at
+    fast local storage (/dev/shm here, the per-node shuffle store on a
+    cluster).
     """
     import ray
 
@@ -122,7 +128,8 @@ def build_graph(
     triples = extract_triples(ds, concurrency=extract_concurrency, link_ref=link_ref)
     # extractor-produced edges ⇒ justification/origin/collector are
     # functional — safe to slim through the exchange and refit
-    edges = assemble_edges(triples, num_buckets=num_buckets, refit_functional=True)
+    edges = assemble_edges(triples, num_buckets=num_buckets, refit_functional=True,
+                           exchange_dir=exchange_dir)
     nodes = nodes_from_edges(edges, num_buckets=max(8, num_buckets // 2))
     return {"edges": edges, "nodes": nodes}
 

@@ -23,8 +23,7 @@ import pyarrow as pa
 from guac_ray.canonical import (
     artifact_key,
     package_key,
-    parse_vcs,
-    source_key,
+    vcs_source_key,
     vuln_key,
 )
 from guac_ray.schemas import EDGE_SCHEMA, REJECT_SCHEMA, VALID_ROLES
@@ -103,14 +102,14 @@ def parse_turn_facts(
                 f.contacts.append(email)
     if "git+" in text:
         for raw in pats["repo"].findall(text):
-            spec = parse_vcs(raw)
-            if spec:
-                f.repos.append(source_key(spec))
+            k = vcs_source_key(raw)
+            if k:
+                f.repos.append(k)
         if "scorecard score " in text:
             for score, raw in pats["scorecard"].findall(text):
-                spec = parse_vcs(raw)
-                if spec:
-                    f.scorecards.append((source_key(spec), round(float(score), 1)))
+                k = vcs_source_key(raw)
+                if k:
+                    f.scorecards.append((k, round(float(score), 1)))
     lower = text.lower()
     if "cve-" in lower or "ghsa-" in lower:
         for raw in pats["vuln"].findall(text):

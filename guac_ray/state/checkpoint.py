@@ -137,6 +137,7 @@ def run_graph_job(
     catalog_path: str | None = None,
     num_partitions: int = 4,
     num_buckets: int = 64,
+    exchange_dir: str | None = None,
 ) -> dict:
     """Checkpointable end-to-end job. Stage A per-partition (resumable),
     stage B assembles from stage A's files (no re-extraction)."""
@@ -145,7 +146,7 @@ def run_graph_job(
         for i, files in enumerate(partition_inputs(transcripts_dir, num_partitions))
     ]
     raw = rd.read_parquet(os.path.join(out_dir, "raw_edges"))
-    edges = assemble_edges(raw, num_buckets=num_buckets)
+    edges = assemble_edges(raw, num_buckets=num_buckets, exchange_dir=exchange_dir)
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -39,6 +39,41 @@ class TestDedupExact:
         assert len(out) == 2
 
 
+class TestDedupExactFs:
+    def test_fs_exchange_matches_object_store_path(self, ray_ok, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.stages.assemble import dedup_exact, dedup_exact_fs
+
+        df = pd.DataFrame(
+            {"k": [f"key{i % 37}" for i in range(4000)],
+             "p": [f"p{i % 5}" for i in range(4000)]}
+        )
+        ds = rd.from_pandas(df).repartition(8)
+        a = dedup_exact(ds, ["k", "p"], num_buckets=8).to_pandas()
+        b = dedup_exact_fs(
+            rd.from_pandas(df).repartition(8), ["k", "p"],
+            str(tmp_path / "exch"), num_buckets=8,
+        ).to_pandas()
+        sa = set(map(tuple, a.itertuples(index=False)))
+        sb = set(map(tuple, b[["k", "p"]].itertuples(index=False)))
+        assert sa == sb and len(sa) == 37 * 5
+
+    def test_e2e_exchange_path_matches_golden(self, ray_ok, smoke_corpus, tmp_path):
+        from guac_ray.pipelines.kg import build_graph
+        from guac_ray.schemas import EDGE_IDENTITY
+
+        g = build_graph(
+            smoke_corpus["transcripts"], catalog_path=smoke_corpus["catalog"],
+            sort=False, num_buckets=8, exchange_dir=str(tmp_path / "ex"),
+        )
+        got = g["edges"].to_pandas()
+        golden = pd.read_parquet(smoke_corpus["golden_edges"])
+        sg = set(map(tuple, got[EDGE_IDENTITY].itertuples(index=False)))
+        sw = set(map(tuple, golden[EDGE_IDENTITY].itertuples(index=False)))
+        assert sg == sw
+
+
 class TestSaltedCount:
     def test_matches_plain_value_counts_on_skew(self, ray_ok):
         import ray.data as rd
