@@ -82,16 +82,29 @@ def exact_dedup(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def ngram_set(text: str, n: int = 5) -> set[int]:
-    """Character n-gram shingle set as stable 61-bit ints (md5-based, so
-    identical across processes/runs)."""
-    t = " ".join((text or "").lower().split())
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def ngram_hashes(text: str, n: int = 5) -> np.ndarray:
+    """Distinct character n-gram shingle hashes as uint64, fully
+    vectorized: a polynomial rolling hash over the byte windows (uint64
+    wraparound arithmetic — deterministic across processes/platforms).
+    ~100× the throughput of per-shingle md5."""
+    t = " ".join((text or "").lower().split()).encode("utf-8")
     if len(t) < n:
-        return {int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") % _MERSENNE}
-    return {
-        int.from_bytes(hashlib.md5(t[i : i + n].encode()).digest()[:8], "big") % _MERSENNE
-        for i in range(len(t) - n + 1)
-    }
+        t = t + b"\x00" * (n - len(t))
+    b = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+    pw = _FNV_PRIME ** np.arange(n, dtype=np.uint64)        # wraps — fine
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(b, n)
+    h = (w * pw[None, ::-1]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h) % _MERSENNE
+
+
+def ngram_set(text: str, n: int = 5) -> set[int]:
+    """Shingle set view of :func:`ngram_hashes` (exact-Jaccard path)."""
+    return set(int(x) for x in ngram_hashes(text, n))
 
 
 def jaccard(a: set, b: set) -> float:
@@ -115,31 +128,38 @@ class MinHasher:
         self.shingle_n = shingle_n
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.fromiter(ngram_set(text, self.shingle_n), dtype=np.uint64)
+        sh = ngram_hashes(text, self.shingle_n)
         # h_i(x) = (a_i * x + b_i) mod p, minimized over shingles — all numpy
         prod = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
         return prod.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        # signatures travel as fixed-size binary blobs — a list<uint64>
+        # column would marshal num_perm python ints per row at every
+        # arrow boundary
+        sigs = [self.signature(t).tobytes() for t in batch["text"].to_pylist()]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+                "sig": pa.array(sigs, type=pa.binary()),
             }
         )
 
 
 def minhash_bands(sigs: Dataset, num_bands: int = 32) -> Dataset:
-    """(doc_id, sig) → exploded (band_id, band_hash, doc_id, sig) rows.
-    band_hash folds the band's slice to one uint64."""
+    """(doc_id, sig) → exploded (band_id, band_hash, doc_id) rows —
+    band_hash folds the band's slice to one uint64. Signatures do NOT
+    ride along (they would multiply the banding shuffle by
+    num_bands × sig_bytes); similarity verification happens after
+    candidate dedup against the signature table."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        sigs_ = [np.asarray(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
-        rows_id, rows_band, rows_hash, rows_sig = [], [], [], []
-        for i, sig in zip(ids, sigs_):
+        blobs = batch["sig"].to_pylist()
+        rows_id, rows_band, rows_hash = [], [], []
+        for i, blob in zip(ids, blobs):
+            sig = np.frombuffer(blob, dtype=np.uint64)
             r = len(sig) // num_bands
             for b in range(num_bands):
                 chunk = sig[b * r : (b + 1) * r]
@@ -147,13 +167,11 @@ def minhash_bands(sigs: Dataset, num_bands: int = 32) -> Dataset:
                 rows_id.append(i)
                 rows_band.append(b)
                 rows_hash.append(h)
-                rows_sig.append(sig.tolist())
         return pa.table(
             {
                 "band_id": pa.array(rows_band, type=pa.int32()),
                 "band_hash": pa.array(rows_hash, type=pa.uint64()),
                 "doc_id": pa.array(rows_id, type=pa.int64()),
-                "sig": pa.array(rows_sig, type=pa.list_(pa.uint64())),
             }
         )
 
@@ -163,16 +181,21 @@ def minhash_bands(sigs: Dataset, num_bands: int = 32) -> Dataset:
 def lsh_candidate_pairs(
     bands: Dataset,
     threshold: float = 0.7,
+    sigs: Dataset | None = None,
     max_bucket: int = 2000,
     num_coarse: int = 16,
 ) -> Dataset:
-    """(band_id, band_hash) buckets → within-bucket pairs whose SIGNATURE
+    """(band_id, band_hash) buckets → candidate pairs, then signature
     similarity ≥ threshold.
 
-    The shuffle co-locates by a COARSE hash of (band_id, band_hash)
-    (``num_coarse`` groups), and the per-(band,hash) fan-out happens in
-    vectorized pandas inside each coarse group — thousands of tiny LSH
-    buckets would otherwise each pay Ray's per-group dispatch. Buckets
+    The banding shuffle co-locates by a COARSE hash of
+    (band_id, band_hash) (``num_coarse`` groups) and moves only
+    (band, hash, id) triples; the per-(band,hash) fan-out happens in
+    vectorized pandas inside each coarse group. Deduped candidate pairs
+    are then verified against the broadcast signature table (signature
+    volume = num_docs × num_perm×8 B; when that outgrows the object
+    store, swap the broadcast for a hash_join of pairs ⋈ sigs — the
+    candidate set is always far smaller than the band rows). Buckets
     larger than ``max_bucket`` are truncated (hot-bucket guard).
     """
 
@@ -190,19 +213,12 @@ def lsh_candidate_pairs(
             if len(sub) < 2:
                 continue
             sub = sub.nsmallest(max_bucket, "doc_id")
-            ids = sub["doc_id"].to_numpy()
-            sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in sub["sig"]])
-            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            ids = np.sort(sub["doc_id"].to_numpy())
             iu = np.triu_indices(len(ids), k=1)
-            sim = eq[iu]
-            keep = sim >= threshold
-            if keep.any():
-                outs.append(pd.DataFrame(
-                    {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "sim": sim[keep]}
-                ))
+            outs.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
         if not outs:
-            return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                {"a": "int64", "b": "int64", "sim": "float64"}
+            return pd.DataFrame({"a": [], "b": []}).astype(
+                {"a": "int64", "b": "int64"}
             )
         return pd.concat(outs, ignore_index=True)
 
@@ -212,8 +228,30 @@ def lsh_candidate_pairs(
         .map_groups(per_coarse, batch_format="pandas")
     )
     # same pair surfaces from several bands — exact dedup on (a, b)
-    return dedup_exact(pairs, ["a", "b"], num_buckets=8,
-                       keep_cols=["a", "b", "sim"])
+    pairs = dedup_exact(pairs, ["a", "b"], num_buckets=8)
+    if sigs is None:
+        return pairs
+
+    import ray
+
+    sig_df = sigs.to_pandas()
+    sref = ray.put(dict(zip(sig_df["doc_id"], sig_df["sig"])))
+
+    class Verify:
+        def __init__(self):
+            self.sigs = ray.get(sref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
+                    {"a": "int64", "b": "int64", "sim": "float64"})
+            sa = np.stack([np.frombuffer(self.sigs[a], dtype=np.uint64) for a in df["a"]])
+            sb = np.stack([np.frombuffer(self.sigs[b], dtype=np.uint64) for b in df["b"]])
+            sim = (sa == sb).mean(axis=1)
+            out = df.assign(sim=sim)
+            return out[out.sim >= threshold]
+
+    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
 
 
 def connected_components(pairs: pd.DataFrame, max_rounds: int = 20) -> dict[int, int]:
@@ -260,8 +298,8 @@ def minhash_dedup(
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
         batch_format="pyarrow",
         concurrency=concurrency,
-    )
-    pairs = lsh_candidate_pairs(minhash_bands(sigs, num_bands), threshold).to_pandas()
+    ).materialize()  # consumed twice: banding + verification
+    pairs = lsh_candidate_pairs(minhash_bands(sigs, num_bands), threshold, sigs=sigs).to_pandas()
     label = connected_components(pairs)
     drop = {d for d, root in label.items() if d != root}
     return {"pairs": pairs, "drop": drop}

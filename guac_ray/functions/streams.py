@@ -1,0 +1,78 @@
+"""Stream-shaped operators over event logs (SURVEY.md §2.10 mapping).
+
+Ray Data has no event-time windows/watermarks; the reference has no
+windows either (NATS work queue, at-most-once). For stream-shaped
+workloads the engine treats the log as a partitioned table:
+
+  - tumbling windows = truncated-timestamp GROUP BY (suite.events_hourly)
+  - session windows  = gap-based sessionization below: hash-cluster by
+    key, sort within cluster, vectorized gap/cumsum per key
+
+Ordering assumption: within one coarse bucket all events of a user are
+present (guaranteed by hash-clustering on user), and sessions never span
+buckets. Late data = re-run the affected partitions (batch semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from guac_ray.stages.assemble import stable_hash
+
+__all__ = ["sessionize"]
+
+
+def sessionize(
+    events: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Gap-based session windows per user → one row per session:
+    ``(user_id, session_start, n, value_cents)``.
+
+    A new session starts when the gap to the previous event (ordered by
+    (ts, event_id) — the deterministic tie-break) exceeds ``gap_minutes``.
+    The shuffle is a coarse user-hash bucket groupby; the per-user
+    windowing is vectorized pandas inside each bucket.
+    """
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[[user_col, ts_col, id_col, value_col]].copy()
+        df["_b"] = (stable_hash(df, [user_col]) % num_buckets).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        prev_ts = g.groupby(user_col, sort=False)[ts_col].shift()
+        new_sess = prev_ts.isna() | ((g[ts_col] - prev_ts) > gap)
+        g["_sess"] = new_sess.cumsum()  # globally increasing → unique per (user, session)
+        cents = np.floor(g[value_col].to_numpy() * 100 + 0.5).astype("int64")
+        g["_vc"] = cents
+        out = (
+            g.groupby([user_col, "_sess"], sort=False)
+            .agg(
+                session_start=(ts_col, "min"),
+                n=(ts_col, "size"),
+                value_cents=("_vc", "sum"),
+            )
+            .reset_index()
+            .drop(columns=["_sess"])
+        )
+        out["n"] = out["n"].astype("int64")
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        events.map_batches(bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

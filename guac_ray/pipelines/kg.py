@@ -61,6 +61,54 @@ def filter_valid(ds: Dataset) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def cluster_by_conversation(
+    ds: Dataset, exchange_dir: str, num_buckets: int = 32
+) -> Dataset:
+    """Hash-cluster transcripts by conv_id and sort (conv_id, turn_idx)
+    within each cluster via the filesystem-partitioned exchange.
+
+    The ordering invariant is PER-CONVERSATION (a conversation's turns in
+    stable order, each conversation contiguous); a global total order is
+    stronger than needed and costs an object-store all-to-all. This
+    clustered layout delivers the invariant with two pure map phases that
+    scale with workers — the same trade Hive/Spark ``CLUSTER BY`` makes.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    import pandas as pd
+
+    from guac_ray.stages.assemble import stable_hash
+
+    _shutil.rmtree(exchange_dir, ignore_errors=True)
+
+    def part(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["_cb"] = (stable_hash(df, ["conv_id"]) % num_buckets).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds.map_batches(part, batch_format="pandas").write_parquet(
+        exchange_dir, partition_cols=["_cb"]
+    )
+    bucket_dirs = sorted(_glob.glob(os.path.join(exchange_dir, "_cb=*")))
+
+    def sorted_bucket(batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for bdir in batch["bdir"]:
+            df = pq.read_table(bdir, columns=TRANSCRIPT_COLUMNS).to_pandas()
+            outs.append(df.sort_values(["conv_id", "turn_idx"], kind="mergesort"))
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        )
+
+    import ray.data as rd
+
+    paths = rd.from_items([{"bdir": b} for b in bucket_dirs])
+    return paths.map_batches(sorted_bucket, batch_format="pandas", batch_size=1)
+
+
 def rejects(ds: Dataset) -> Dataset:
     """Invalid rows with a reason column (side-channel sink)."""
     return ds.map_batches(RejectRouter, batch_format="pyarrow", concurrency=(1, 2))
@@ -120,6 +168,12 @@ def build_graph(
 
     ds = read_transcripts(transcripts_path)
     if sort:
+        # NOTE: cluster_by_conversation (fs-exchange clustered order) was
+        # measured 8× slower than the object-store sort for this text-heavy
+        # input on this box — the transcript payload pays parquet
+        # encode/decode twice. The object-store sort is cheap here (~4 s
+        # for 7.5M rows); the fs exchange stays reserved for the DEDUP
+        # shuffle where it wins.
         ds = ds.sort(["conv_id", "turn_idx"])
     # entity linking fused into extraction: the broadcast surface map is
     # applied at fact time (per-turn tool surfaces) instead of a separate
@@ -128,8 +182,10 @@ def build_graph(
     triples = extract_triples(ds, concurrency=extract_concurrency, link_ref=link_ref)
     # extractor-produced edges ⇒ justification/origin/collector are
     # functional — safe to slim through the exchange and refit
-    edges = assemble_edges(triples, num_buckets=num_buckets, refit_functional=True,
-                           exchange_dir=exchange_dir)
+    edges = assemble_edges(
+        triples, num_buckets=num_buckets, refit_functional=True,
+        exchange_dir=os.path.join(exchange_dir, "dedup") if exchange_dir else None,
+    )
     nodes = nodes_from_edges(edges, num_buckets=max(8, num_buckets // 2))
     return {"edges": edges, "nodes": nodes}
 

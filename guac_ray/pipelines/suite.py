@@ -16,6 +16,8 @@ groupby shuffle.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -385,6 +387,81 @@ FROM events GROUP BY user_id
 """
 
 
+def events_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user — the stream-shaped
+    session operator; oracle uses SQL window functions."""
+    from guac_ray.functions.streams import sessionize
+
+    return sessionize(_read(sf_dir, "events",
+                            ["event_id", "user_id", "ts", "value"]))
+
+
+EVENTS_SESSIONS_SQL = """
+WITH t AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM t
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, sess
+"""
+
+
+def priority_revenue_hashjoin(sf_dir: str):
+    """Large-large partitioned hash join (lineitem ⋈ orders through the
+    filesystem exchange — no broadcast side) → revenue per order priority."""
+    import shutil
+
+    from guac_ray.functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li = li.map_batches(
+        lambda t: t.rename_columns(["orderkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    ex = "/dev/shm/guac_ray_exchange/priority_join" if os.path.isdir("/dev/shm") \
+        else "/tmp/guac_ray_exchange/priority_join"
+    joined = hash_join(li, orders, on="orderkey", exchange_dir=ex, num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "o_orderpriority": df.o_orderpriority,
+            "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+        })
+        return t.groupby("o_orderpriority", sort=False)._rc.sum().reset_index()
+
+    agg = grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"], {"rc": ("_rc", "sum")}, num_buckets=4,
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({"o_orderpriority": df.o_orderpriority,
+                                 "revenue": df.rc / 100.0}),
+        batch_format="pandas",
+    )
+
+
+PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings operators
 # ---------------------------------------------------------------------------
@@ -502,8 +579,10 @@ def neardup_docs_minhash(sf_dir: str):
     from guac_ray.functions.dedup import MinHasher, lsh_candidate_pairs, minhash_bands
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2))
-    return lsh_candidate_pairs(minhash_bands(sigs, 32), threshold=0.7)
+    # materialize: the signature table feeds both banding and the final
+    # verification — without pinning it the MinHasher would execute twice
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2)).materialize()
+    return lsh_candidate_pairs(minhash_bands(sigs, 32), threshold=0.7, sigs=sigs)
 
 
 def neardup_docs_simhash(sf_dir: str):
@@ -730,6 +809,8 @@ SUITE: dict[str, tuple] = {
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),

@@ -63,9 +63,10 @@ class TestDedupExactFs:
         from guac_ray.pipelines.kg import build_graph
         from guac_ray.schemas import EDGE_IDENTITY
 
+        # sort=True exercises the clustered-order fs exchange as well
         g = build_graph(
             smoke_corpus["transcripts"], catalog_path=smoke_corpus["catalog"],
-            sort=False, num_buckets=8, exchange_dir=str(tmp_path / "ex"),
+            sort=True, num_buckets=8, exchange_dir=str(tmp_path / "ex"),
         )
         got = g["edges"].to_pandas()
         golden = pd.read_parquet(smoke_corpus["golden_edges"])

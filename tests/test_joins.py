@@ -1,0 +1,66 @@
+"""Join tiers: broadcast, semi/anti, partitioned hash join."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _sides(n=5000, seed=2):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({"k": rng.integers(0, 800, n), "x": rng.integers(0, 100, n)})
+    right = pd.DataFrame({"k": np.arange(0, 1000), "y": np.arange(0, 1000) * 2})
+    return left, right
+
+
+class TestJoins:
+    def test_broadcast_join_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import broadcast_join
+
+        left, right = _sides()
+        got = broadcast_join(rd.from_pandas(left).repartition(4), right, on="k").to_pandas()
+        want = left.merge(right, on="k", how="inner")
+        assert len(got) == len(want)
+        assert got.y.sum() == want.y.sum()
+
+    def test_hash_join_matches_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides()
+        got = hash_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(3),
+            on="k", exchange_dir=str(tmp_path / "jex"), num_buckets=8,
+        ).to_pandas()
+        want = left.merge(right, on="k", how="inner")
+        assert len(got) == len(want)
+        g = got.sort_values(["k", "x"]).reset_index(drop=True)
+        w = want.sort_values(["k", "x"]).reset_index(drop=True)
+        assert (g.y.to_numpy() == w.y.to_numpy()).all()
+
+    def test_hash_join_outer_not_implemented(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(100)
+        with pytest.raises(NotImplementedError):
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                      exchange_dir=str(tmp_path / "x"), how="left")
+
+    def test_semi_anti_partition(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import anti_join, semi_join
+
+        left, _ = _sides(1000)
+        keys = set(range(0, 400))
+        ds = rd.from_pandas(left).repartition(3)
+        s = semi_join(ds, keys, "k").to_pandas()
+        a = anti_join(ds, keys, "k").to_pandas()
+        assert len(s) + len(a) == len(left)
+        assert s.k.isin(keys).all()
+        assert (~a.k.isin(keys)).all()
