@@ -773,6 +773,39 @@ LEFT JOIN (SELECT DISTINCT ent_key, vuln_id
 """
 
 
+def kg_conv_stats(sf_dir: str):
+    """Per-conversation aggregates (turn counts, time span) — the
+    conversation-grouped operator over valid turns."""
+    from guac_ray.pipelines.kg import filter_valid, read_transcripts
+
+    c = corpus_for_sf(sf_dir)
+    ds = filter_valid(
+        read_transcripts(c["transcripts"], columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    )
+    agg = grouped_agg(
+        ds, ["conv_id"],
+        {"n_turns": ("turn_idx", "count"),
+         "first_ts": ("ts", "min"), "last_ts": ("ts", "max")},
+        num_buckets=16,
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "conv_id": df.conv_id,
+            "n_turns": df.n_turns.astype("int64"),
+            "first_ts": df.first_ts.astype("datetime64[us]"),
+            "last_ts": df.last_ts.astype("datetime64[us]"),
+        }),
+        batch_format="pandas",
+    )
+
+
+KG_CONV_STATS_SQL = f"""
+SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
+FROM {_T} WHERE {_VALID}
+GROUP BY conv_id
+"""
+
+
 def kg_edge_pred_counts(sf_dir: str):
     """Distinct-edge count per predicate from the full pipeline
     (rows-only; the per-edge golden compare lives in pytest)."""
@@ -828,6 +861,7 @@ SUITE: dict[str, tuple] = {
     "kg_vuln_mentions": (kg_vuln_mentions, KG_VULN_SQL),
     "kg_package_mentions": (kg_package_mentions, KG_PACKAGE_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
+    "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),
     "kg_edge_pred_counts": (kg_edge_pred_counts, None),
     "kg_degree_top": (kg_degree_top, None),
 }

@@ -1,0 +1,104 @@
+"""Transcript source readers — the collector/format-guesser analog
+(SURVEY.md §2.1-2.2).
+
+The reference guesses format (JSON / JSON-Lines / XML) then validates
+per-type schemas (process/process.go:170-207). Here sources are files:
+the format sniffer keys on extension + a content peek, every format
+normalizes to the ``input_hint`` Arrow schema, and rows that cannot be
+coerced route to rejects rather than crashing. Compression (gz/zstd on
+json/csv) rides on Arrow's native codec support — the reference's
+Encoding enum analog.
+
+Registry (§2.11 plugin surface): ``register_reader("ext", fn)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from guac_ray.schemas import TRANSCRIPT_SCHEMA
+
+__all__ = ["read_transcripts_any", "register_reader", "sniff_format", "coerce_schema"]
+
+_READERS: dict[str, callable] = {}
+
+
+def register_reader(ext: str, fn) -> None:
+    """Plugin registry with overwrite-error semantics (the reference's
+    Register* pattern — collector.go:62-71)."""
+    if ext in _READERS:
+        raise ValueError(f"reader already registered for {ext!r}")
+    _READERS[ext] = fn
+
+
+def sniff_format(path: str) -> str:
+    """Extension-first format guess with a content peek fallback
+    (guesser chain analog — first match wins)."""
+    base = path.lower()
+    for ext in (".parquet", ".jsonl", ".ndjson", ".json", ".csv"):
+        if base.endswith(ext) or base.endswith(ext + ".gz"):
+            return ext.lstrip(".")
+    with open(path, "rb") as f:
+        head = f.read(64)
+    if head.startswith(b"PAR1"):
+        return "parquet"
+    if head.lstrip()[:1] in (b"{", b"["):
+        return "json"
+    return "csv"
+
+
+def coerce_schema(ds: Dataset) -> Dataset:
+    """Cast to the canonical transcript schema; rows whose turn_idx/ts
+    cannot coerce become nulls → downstream validity filter routes them
+    (reject side-channel, never a crash)."""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for f in TRANSCRIPT_SCHEMA:
+            if f.name in batch.column_names:
+                col = batch[f.name]
+                try:
+                    cols[f.name] = col.cast(f.type)
+                except pa.ArrowInvalid:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            else:
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        return pa.table(cols)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def read_transcripts_any(paths: str | list[str]) -> Dataset:
+    """Read transcript rows from parquet / json / json-lines / csv files
+    (mixed directories allowed), normalized to the canonical schema.
+    Multi-source union = one Dataset over all shards (collector fan-in)."""
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))]
+        else:
+            paths = [paths]
+    by_fmt: dict[str, list[str]] = {}
+    for p in paths:
+        by_fmt.setdefault(sniff_format(p), []).append(p)
+
+    parts: list[Dataset] = []
+    for fmt, ps in sorted(by_fmt.items()):
+        if fmt in _READERS:
+            parts.append(_READERS[fmt](ps))
+        elif fmt == "parquet":
+            parts.append(rd.read_parquet(ps))
+        elif fmt in ("json", "jsonl", "ndjson"):
+            parts.append(coerce_schema(rd.read_json(ps)))
+        elif fmt == "csv":
+            parts.append(coerce_schema(rd.read_csv(ps)))
+        else:
+            raise ValueError(f"unsupported transcript format: {fmt}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

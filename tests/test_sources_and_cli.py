@@ -1,0 +1,110 @@
+"""Multi-format readers + CLI-style graph queries."""
+
+import json
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mixed_sources(tmp_path_factory):
+    d = tmp_path_factory.mktemp("src")
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "we installed pkg:pypi/x@1.0.0 today", "tool": "bash",
+         "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "done", "tool": "", "ts": "2026-01-01T00:00:07"},
+    ]
+    pq = d / "a.parquet"
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df.ts).astype("datetime64[us]")
+    df["turn_idx"] = df.turn_idx.astype("int32")
+    df.to_parquet(pq, index=False)
+    jl = d / "b.jsonl"
+    with open(jl, "w") as f:
+        for r in rows:
+            r2 = dict(r, conv_id="c2")
+            f.write(json.dumps(r2) + "\n")
+    cs = d / "c.csv"
+    pd.DataFrame([dict(r, conv_id="c3") for r in rows]).to_csv(cs, index=False)
+    return str(d)
+
+
+class TestReaders:
+    def test_sniff(self, mixed_sources):
+        from guac_ray.sources.readers import sniff_format
+
+        assert sniff_format(mixed_sources + "/a.parquet") == "parquet"
+        assert sniff_format(mixed_sources + "/b.jsonl") == "jsonl"
+        assert sniff_format(mixed_sources + "/c.csv") == "csv"
+
+    def test_mixed_dir_normalizes_and_unions(self, ray_session, mixed_sources):
+        from guac_ray.schemas import TRANSCRIPT_SCHEMA
+        from guac_ray.sources.readers import read_transcripts_any
+
+        ds = read_transcripts_any(mixed_sources)
+        df = ds.to_pandas()
+        assert len(df) == 6
+        assert sorted(df.conv_id.unique()) == ["c1", "c2", "c3"]
+        assert [f.name for f in TRANSCRIPT_SCHEMA] == list(df.columns)
+
+    def test_extraction_works_on_any_source(self, ray_session, mixed_sources):
+        from guac_ray.pipelines.kg import extract_triples
+        from guac_ray.sources.readers import read_transcripts_any
+
+        edges = extract_triples(read_transcripts_any(mixed_sources)).to_pandas()
+        pkgs = edges[edges.pred == "mentions_package"]
+        assert set(pkgs.conv_id) == {"c1", "c2", "c3"}
+
+    def test_register_reader_conflict(self):
+        from guac_ray.sources.readers import register_reader
+
+        register_reader("xyz-test", lambda ps: ps)
+        with pytest.raises(ValueError):
+            register_reader("xyz-test", lambda ps: ps)
+
+
+@pytest.fixture(scope="module")
+def cli_edges(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("package", "pkg:a", "affected_by", "vulnerability", "vuln://cve/cve-1"),
+        ("package", "pkg:a", "certify_vuln", "vulnerability", "vuln://cve/cve-1"),
+        ("package", "pkg:b", "certify_vuln", "vulnerability", "vuln://novuln/novuln"),
+        ("package", "pkg:a", "depends_on", "package", "pkg:b"),
+        ("package", "pkg:b", "depends_on", "package", "pkg:c"),
+        ("conversation", "c:1", "mentions_package", "package", "pkg:a"),
+    ]
+    df = pd.DataFrame(rows, columns=["subj_type", "subj_key", "pred", "obj_type", "obj_key"])
+    return rd.from_pandas(df).repartition(2)
+
+
+class TestCliQueries:
+    def test_known(self, cli_edges):
+        from guac_ray.query.cli import known
+
+        out = known(cli_edges, "pkg:a")
+        assert set(out.pred) == {"affected_by", "certify_vuln", "depends_on",
+                                 "mentions_package"}
+        inbound = out[out.direction == "in"]
+        assert list(inbound.other_key) == ["c:1"]
+
+    def test_vulnerabilities_with_novuln(self, cli_edges):
+        from guac_ray.query.cli import vulnerabilities
+
+        v = vulnerabilities(cli_edges, "pkg:b")
+        assert v.is_novuln.all()
+        v = vulnerabilities(cli_edges, "pkg:a")
+        assert not v.is_novuln.any()
+        assert set(v.vuln_key) == {"vuln://cve/cve-1"}
+
+    def test_patch_plan(self, cli_edges):
+        from guac_ray.query.cli import patch_plan
+
+        plan = patch_plan(cli_edges, "pkg:a", preds=["depends_on"])
+        assert plan["reached"] == {"pkg:a": 0, "pkg:b": 1, "pkg:c": 2}
+        flat = [n for lvl in plan["levels"] for n in lvl]
+        assert flat.index("pkg:a") < flat.index("pkg:b") < flat.index("pkg:c")
+        assert not plan["has_cycle"]
