@@ -22,6 +22,7 @@ import glob
 import os
 import shutil
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -31,7 +32,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join"]
+__all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join", "asof_join"]
 
 
 def broadcast_join(
@@ -140,6 +141,67 @@ def hash_join(
             lt = pq.read_table(os.path.join(ldir, f"_jb={k}")).to_pandas()
             rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
             outs.append(lt.merge(rt, on=keys, how="inner", suffixes=suffixes))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    buckets = rd.from_items([{"k": k} for k in present])
+    return buckets.map_batches(join_bucket, batch_format="pandas", batch_size=1)
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    on: str,
+    exchange_dir: str,
+    num_buckets: int = 16,
+    right_suffix: str = "_r",
+) -> Dataset:
+    """As-of join (backward, inclusive): for each left row, the latest
+    right row with the same ``by`` key and ``right.on <= left.on`` —
+    matching DuckDB's ``ASOF JOIN … ON l.by = r.by AND l.on >= r.on``
+    (inner semantics: unmatched left rows drop).
+
+    Both sides co-partition on ``by`` through the filesystem exchange;
+    within each bucket a sorted ``pd.merge_asof(by=…)`` does the work.
+    The partitioning assumption: all rows of one ``by`` key land in one
+    bucket (guaranteed by the hash), so no as-of pair spans buckets.
+    """
+    shutil.rmtree(exchange_dir, ignore_errors=True)
+
+    def part(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["_jb"] = (stable_hash(df, [by]) % num_buckets).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ldir = os.path.join(exchange_dir, "left")
+    rdir = os.path.join(exchange_dir, "right")
+    left.map_batches(part, batch_format="pandas").write_parquet(
+        ldir, partition_cols=["_jb"]
+    )
+    right.map_batches(part, batch_format="pandas").write_parquet(
+        rdir, partition_cols=["_jb"]
+    )
+    present = sorted(
+        {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(ldir, "_jb=*"))}
+        & {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(rdir, "_jb=*"))}
+    )
+
+    def join_bucket(batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for k in batch["k"]:
+            lt = pq.read_table(os.path.join(ldir, f"_jb={k}")).to_pandas()
+            rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
+            rt["_matched"] = np.int8(1)
+            lt = lt.sort_values(on, kind="mergesort")
+            rt = rt.sort_values(on, kind="mergesort")
+            m = pd.merge_asof(lt, rt, on=on, by=by, direction="backward",
+                              allow_exact_matches=True, suffixes=("", right_suffix))
+            # inner semantics: drop lefts with no as-of match
+            m = m[m["_matched"].notna()].drop(columns=["_matched"])
+            outs.append(m)
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
 

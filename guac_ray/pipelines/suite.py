@@ -462,6 +462,44 @@ GROUP BY o_orderpriority
 """
 
 
+def purchase_signup_asof(sf_dir: str):
+    """As-of join: each purchase event paired with the user's most recent
+    prior-or-equal signup (co-partitioned merge_asof through the fs
+    exchange; oracle = DuckDB native ASOF JOIN)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def pick(kind, extra=None):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            cols = {"user_id": t["user_id"], "ts": t["ts"]}
+            if kind == "purchase":
+                cols["event_id"] = t["event_id"]
+            else:
+                cols["signup_ts"] = t["ts"]  # keep right ts under its own name
+            return pa.table(cols)
+
+        return f
+
+    left = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(pick("signup"), batch_format="pyarrow")
+    ex = ("/dev/shm" if os.path.isdir("/dev/shm") else "/tmp") + "/guac_ray_exchange/asof"
+    out = asof_join(left, right, by="user_id", on="ts", exchange_dir=ex,
+                    num_buckets=8)
+    return out.select_columns(["event_id", "signup_ts"])
+
+
+PURCHASE_SIGNUP_SQL = """
+SELECT l.event_id, r.ts AS signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings operators
 # ---------------------------------------------------------------------------
@@ -844,6 +882,7 @@ SUITE: dict[str, tuple] = {
     "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
+    "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),

@@ -64,3 +64,36 @@ class TestJoins:
         assert len(s) + len(a) == len(left)
         assert s.k.isin(keys).all()
         assert (~a.k.isin(keys)).all()
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import asof_join
+
+        rng = np.random.default_rng(9)
+        left = pd.DataFrame({
+            "u": rng.integers(0, 30, 400),
+            "t": rng.integers(0, 10_000, 400),
+            "ev": np.arange(400),
+        }).astype({"t": "int64"})
+        right = pd.DataFrame({
+            "u": rng.integers(0, 30, 120),
+            "t": rng.integers(0, 10_000, 120),
+            "mark": np.arange(120),
+        }).astype({"t": "int64"})
+        got = asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            by="u", on="t", exchange_dir=str(tmp_path / "aex"), num_buckets=4,
+        ).to_pandas()
+        want = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="u", direction="backward", suffixes=("", "_r"),
+        ).dropna(subset=["mark"])
+        assert len(got) == len(want)
+        g = got.sort_values("ev").reset_index(drop=True)
+        w = want.sort_values("ev").reset_index(drop=True)
+        assert (g.mark.to_numpy() == w.mark.to_numpy()).all()
