@@ -43,6 +43,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from guac_ray.pipelines.suite import SUITE
+    from guac_ray.pipelines.suite import SUITE, resolve_sql
 
-    return {name: sql for name, (_fn, sql) in SUITE.items() if sql is not None}
+    # the driver compares at sf0.01; KG SQL builders resolve against the
+    # matching /tmp fixture (tools/check_oracle.py resolves for ITS sf)
+    sf = "/root/testdata/sf0.01"
+    return {
+        name: resolve_sql(sql, sf)
+        for name, (_fn, sql) in SUITE.items()
+        if sql is not None
+    }

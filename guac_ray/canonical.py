@@ -101,9 +101,12 @@ def parse_purl(purl: str) -> PackageSpec | None:
     ptype = m.group("type").lower()
     rest = m.group("rest")
     version = ""
-    if "@" in rest:
-        rest, version = rest.rsplit("@", 1)
-        version = unquote(version)
+    # '@' is the version separator ONLY when it does not start a path
+    # segment: npm scoped names like pkg:npm/@scope/lib are versionless
+    # (the reference's purl parser accepts unencoded scoped names)
+    at = rest.rfind("@")
+    if at > 0 and rest[at - 1] != "/":
+        rest, version = rest[:at], unquote(rest[at + 1 :])
     parts = [p for p in rest.split("/") if p]
     if not parts:
         return None

@@ -21,6 +21,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -33,6 +34,29 @@ from ray.data import Dataset
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join", "asof_join"]
+
+
+def fresh_exchange_dir(base: str) -> str:
+    """A unique subdirectory per exchange use. Callers pass a stable base
+    path (e.g. ``/dev/shm/guac_ray_exchange/priority_join``); each call
+    gets its own subdir so a previously returned lazy Dataset — which
+    re-reads its exchange files on every consumption — is never silently
+    repointed at newer data by a later call with the same base. Stale
+    siblings from finished calls are pruned opportunistically (best
+    effort: a sibling may still back a live Dataset in THIS process, so
+    pruning only removes dirs older than one hour)."""
+    os.makedirs(base, exist_ok=True)
+    import time as _time
+
+    now = _time.time()
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        try:
+            if now - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return os.path.join(base, uuid.uuid4().hex[:12])
 
 
 def broadcast_join(
@@ -104,7 +128,7 @@ def hash_join(
     balance across DISTINCT keys.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    shutil.rmtree(exchange_dir, ignore_errors=True)
+    exchange_dir = fresh_exchange_dir(exchange_dir)
 
     def part(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -167,7 +191,7 @@ def asof_join(
     The partitioning assumption: all rows of one ``by`` key land in one
     bucket (guaranteed by the hash), so no as-of pair spans buckets.
     """
-    shutil.rmtree(exchange_dir, ignore_errors=True)
+    exchange_dir = fresh_exchange_dir(exchange_dir)
 
     def part(df: pd.DataFrame) -> pa.Table:
         df = df.copy()

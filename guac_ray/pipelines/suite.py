@@ -651,8 +651,16 @@ def media_decode(sf_dir: str):
 # (oracle SQL reads the same /tmp fixture parquet via read_parquet())
 # ---------------------------------------------------------------------------
 
-_SF01 = f"{FIXTURE_ROOT}/sf0.01"
-_T = f"read_parquet('{_SF01}/transcripts/*.parquet')"
+def _fix(sf_dir: str) -> str:
+    """Fixture dir for a testdata sf dir — matches corpus_for_sf's
+    mapping so Ray side and oracle SQL always read the SAME corpus."""
+    return os.path.join(FIXTURE_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _t(sf_dir: str) -> str:
+    return f"read_parquet('{_fix(sf_dir)}/transcripts/*.parquet')"
+
+
 _VALID = f"text <> '' AND role IN {VALID_ROLES_SQL}"
 # canonicalization of this corpus's raw purl surfaces, expressed in SQL
 # (qualifier-order normalization + the one escaped namespace)
@@ -669,8 +677,9 @@ def kg_turn_text(sf_dir: str):
     return turn_text(c["transcripts"])
 
 
-KG_TURN_TEXT_SQL = f"""
-SELECT conv_id, turn_idx, text FROM {_T} WHERE {_VALID}
+def KG_TURN_TEXT_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT conv_id, turn_idx, text FROM {_t(sf_dir)} WHERE {_VALID}
 """
 
 
@@ -703,23 +712,40 @@ def kg_tool_usage(sf_dir: str):
     return salted_count(keyed, ["tool_key"], alias="n")
 
 
-KG_TOOL_USAGE_SQL = f"""
+def KG_TOOL_USAGE_SQL(sf_dir: str) -> str:
+    return f"""
 SELECT coalesce(c.ent_key, 'ent:tool/' || t.tool) AS tool_key, count(*) AS n
-FROM {_T} t
-LEFT JOIN read_parquet('{_SF01}/entity_catalog.parquet') c
+FROM {_t(sf_dir)} t
+LEFT JOIN read_parquet('{_fix(sf_dir)}/entity_catalog.parquet') c
        ON c.surface = t.tool AND c.ent_type = 'tool'
 WHERE t.tool <> '' AND t.text <> '' AND t.role IN {VALID_ROLES_SQL}
 GROUP BY 1
 """
 
 
-def _corpus_edges(sf_dir: str):
-    from guac_ray.pipelines.kg import build_graph
+# one graph build per (process, sf_dir): six kg_* queries share the
+# assembled edge/node tables instead of re-running extraction each
+_GRAPH_CACHE: dict[str, dict] = {}
 
-    c = corpus_for_sf(sf_dir)
-    return build_graph(
-        c["transcripts"], catalog_path=c["catalog"], sort=False, num_buckets=32
-    )
+
+def _corpus_edges(sf_dir: str):
+    g = _GRAPH_CACHE.get(sf_dir)
+    if g is None:
+        from guac_ray.pipelines.kg import build_graph
+
+        c = corpus_for_sf(sf_dir)
+        raw = build_graph(
+            c["transcripts"], catalog_path=c["catalog"], sort=False, num_buckets=32
+        )
+        edges = raw["edges"].materialize()
+        # derive nodes from the PINNED edges (raw["nodes"] would re-run
+        # the whole extraction pipeline on materialize)
+        from guac_ray.stages.assemble import nodes_from_edges
+
+        g = {"edges": edges,
+             "nodes": nodes_from_edges(edges, num_buckets=16).materialize()}
+        _GRAPH_CACHE[sf_dir] = g
+    return g
 
 
 def kg_artifact_mentions(sf_dir: str):
@@ -735,11 +761,12 @@ def kg_artifact_mentions(sf_dir: str):
     return pd.DataFrame({"artifact_key": sorted(vals)})
 
 
-KG_ARTIFACT_SQL = f"""
+def KG_ARTIFACT_SQL(sf_dir: str) -> str:
+    return f"""
 SELECT DISTINCT lower(m) AS artifact_key FROM (
   SELECT unnest(regexp_extract_all(text,
       '(?:sha256|sha1|sha512|md5):[0-9a-fA-F]{{32,128}}')) AS m
-  FROM {_T} WHERE {_VALID})
+  FROM {_t(sf_dir)} WHERE {_VALID})
 """
 
 
@@ -756,12 +783,13 @@ def kg_vuln_mentions(sf_dir: str):
     return pd.DataFrame({"vuln_key": sorted(vals)})
 
 
-KG_VULN_SQL = f"""
+def KG_VULN_SQL(sf_dir: str) -> str:
+    return f"""
 SELECT DISTINCT 'vuln://' || split_part(lower(m), '-', 1) || '/' || lower(m) AS vuln_key
 FROM (
   SELECT unnest(regexp_extract_all(text,
       '(?:[Cc][Vv][Ee]-[0-9]{{4}}-[0-9]{{4,}}|[Gg][Hh][Ss][Aa]-[0-9a-zA-Z]{{4}}-[0-9a-zA-Z]{{4}}-[0-9a-zA-Z]{{4,}})')) AS m
-  FROM {_T} WHERE {_VALID})
+  FROM {_t(sf_dir)} WHERE {_VALID})
 """
 
 
@@ -778,10 +806,11 @@ def kg_package_mentions(sf_dir: str):
     return pd.DataFrame({"pkg_key": sorted(vals)})
 
 
-KG_PACKAGE_SQL = f"""
+def KG_PACKAGE_SQL(sf_dir: str) -> str:
+    return f"""
 SELECT DISTINCT {_PURL_CANON} AS pkg_key FROM (
   SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
-  FROM {_T} WHERE {_VALID})
+  FROM {_t(sf_dir)} WHERE {_VALID})
 """
 
 
@@ -796,18 +825,19 @@ def kg_certify_vuln(sf_dir: str):
     return edges.select_columns(["subj_key", "obj_key"])
 
 
-KG_CERTIFY_SQL = f"""
+def KG_CERTIFY_SQL(sf_dir: str) -> str:
+    return f"""
 WITH pkgs AS (
   SELECT DISTINCT {_PURL_CANON} AS ent_key FROM (
     SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
-    FROM {_T} WHERE {_VALID})
+    FROM {_t(sf_dir)} WHERE {_VALID})
 )
 SELECT p.ent_key AS subj_key,
        coalesce('vuln://' || split_part(v.vuln_id, '-', 1) || '/' || v.vuln_id,
                 'vuln://novuln/novuln') AS obj_key
 FROM pkgs p
 LEFT JOIN (SELECT DISTINCT ent_key, vuln_id
-           FROM read_parquet('{_SF01}/vulndb.parquet')) v USING (ent_key)
+           FROM read_parquet('{_fix(sf_dir)}/vulndb.parquet')) v USING (ent_key)
 """
 
 
@@ -837,9 +867,10 @@ def kg_conv_stats(sf_dir: str):
     )
 
 
-KG_CONV_STATS_SQL = f"""
+def KG_CONV_STATS_SQL(sf_dir: str) -> str:
+    return f"""
 SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
-FROM {_T} WHERE {_VALID}
+FROM {_t(sf_dir)} WHERE {_VALID}
 GROUP BY conv_id
 """
 
@@ -869,7 +900,15 @@ def kg_degree_top(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
-# name → (ray callable, oracle SQL or None)
+def resolve_sql(sql, sf_dir: str) -> str | None:
+    """SUITE oracle entries are either literal SQL (relational queries —
+    table views are pre-registered by the driver) or builders of
+    ``sf_dir`` (KG queries — their SQL reads the deterministic fixture
+    parquet matched to that sf_dir)."""
+    return sql(sf_dir) if callable(sql) else sql
+
+
+# name → (ray callable, oracle SQL string / builder(sf_dir) / None)
 SUITE: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),

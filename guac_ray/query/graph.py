@@ -52,10 +52,14 @@ def _expand(edges: Dataset, frontier: set[str], preds: list[str] | None) -> set[
     """One BFS round: distributed semi-join against the broadcast
     frontier; returns the next frontier's keys."""
 
+    # built once per round, not per batch
+    frontier_arr = pa.array(sorted(frontier))
+    preds_arr = pa.array(preds) if preds else None
+
     def f(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["subj_key"], value_set=pa.array(sorted(frontier)))
-        if preds:
-            mask = pc.and_(mask, pc.is_in(batch["pred"], value_set=pa.array(preds)))
+        mask = pc.is_in(batch["subj_key"], value_set=frontier_arr)
+        if preds_arr is not None:
+            mask = pc.and_(mask, pc.is_in(batch["pred"], value_set=preds_arr))
         t = batch.filter(mask)
         return pa.table({"k": t["obj_key"]})
 

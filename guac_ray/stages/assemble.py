@@ -112,10 +112,13 @@ def dedup_exact_fs(
     the exchange.
     """
     import glob as _glob
-    import shutil as _shutil
+
+    from guac_ray.functions.joins import fresh_exchange_dir
 
     keep = keep_cols or cols
-    _shutil.rmtree(exchange_dir, ignore_errors=True)  # stale exchange data
+    # unique per-call subdir: a lazy Dataset returned earlier keeps
+    # re-reading ITS files; a later call must never repoint them
+    exchange_dir = fresh_exchange_dir(exchange_dir)
 
     def local(df: pd.DataFrame) -> pa.Table:
         df = df[keep].drop_duplicates(subset=cols)

@@ -70,7 +70,15 @@ def grouped_agg(
             cols = {k: pd.Series([], dtype=df[k].dtype if k in df else "object")
                     for k in keys}
             for o, (c, f) in allspec.items():
-                cols[o] = pd.Series([], dtype="float64")
+                # partial dtype must match the non-empty blocks': counts
+                # are int64, everything else carries the source dtype
+                # (float64 placeholders corrupt e.g. timestamp min/max
+                # at the Arrow schema-unification boundary)
+                if f == "count":
+                    cols[o] = pd.Series([], dtype="int64")
+                else:
+                    cols[o] = pd.Series(
+                        [], dtype=df[c].dtype if c in df else "float64")
             out = pd.DataFrame(cols)
         else:
             g = df.groupby(keys, sort=False, dropna=False)

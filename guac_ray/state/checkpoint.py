@@ -145,7 +145,27 @@ def run_graph_job(
         run_extract_partition(i, files, out_dir, catalog_path)
         for i, files in enumerate(partition_inputs(transcripts_dir, num_partitions))
     ]
-    raw = rd.read_parquet(os.path.join(out_dir, "raw_edges"))
+    # assemble ONLY the partitions in the current plan — a previous run
+    # with a different num_partitions / input set leaves stale
+    # raw_edges/part-* dirs that must not blend into the graph
+    raw_root = os.path.join(out_dir, "raw_edges")
+    current = {f"part-{m['part_id']:04d}" for m in manifests}
+    for d in os.listdir(raw_root):
+        if d not in current:
+            shutil.rmtree(os.path.join(raw_root, d), ignore_errors=True)
+    # same for stale stage-A manifests/metrics beyond the current plan
+    for sub in ("_ckpt", "metrics"):
+        p = os.path.join(out_dir, sub)
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.split(".")[0] not in current:
+                    os.unlink(os.path.join(p, f))
+    raw = rd.read_parquet(sorted(
+        os.path.join(raw_root, d, f)
+        for d in current
+        for f in os.listdir(os.path.join(raw_root, d))
+        if f.endswith(".parquet")
+    ))
     edges = assemble_edges(raw, num_buckets=num_buckets, exchange_dir=exchange_dir)
     edges_dir = os.path.join(out_dir, "edges")
     tmp = edges_dir + ".tmp"

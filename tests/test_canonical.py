@@ -50,6 +50,18 @@ class TestPurl:
         assert parse_purl("not-a-purl") is None
         assert package_key("pkg:") is None
 
+    def test_versionless_scoped_name(self):
+        # '@' starting a path segment is part of the name, not a version
+        # separator (unencoded npm scope)
+        spec = parse_purl("pkg:npm/@scope/lib")
+        assert spec is not None
+        assert (spec.namespace, spec.name, spec.version) == ("@scope", "lib", "")
+        assert package_key("pkg:npm/@scope/lib") == "pkg:npm/%40scope/lib"
+
+    def test_versioned_scoped_name(self):
+        spec = parse_purl("pkg:npm/@scope/lib@1.2.3")
+        assert (spec.namespace, spec.name, spec.version) == ("@scope", "lib", "1.2.3")
+
 
 class TestVcs:
     def test_tag_vs_commit_heuristic(self):

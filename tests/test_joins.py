@@ -41,6 +41,24 @@ class TestJoins:
         w = want.sort_values(["k", "x"]).reset_index(drop=True)
         assert (g.y.to_numpy() == w.y.to_numpy()).all()
 
+    def test_exchange_dir_reuse_keeps_earlier_result_live(self, ray_session, tmp_path):
+        """Two calls sharing one exchange_dir base must not repoint the
+        first (lazy) result at the second call's data."""
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides()
+        ex = str(tmp_path / "shared")
+        first = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", exchange_dir=ex, num_buckets=4)
+        n_first = first.count()
+        # second call, same base dir, much smaller input
+        hash_join(rd.from_pandas(left.head(3)), rd.from_pandas(right.head(3)),
+                  on="k", exchange_dir=ex, num_buckets=4).materialize()
+        # re-consume the FIRST result — must still see its own data
+        assert first.to_pandas().shape[0] == n_first
+
     def test_hash_join_outer_not_implemented(self, ray_session, tmp_path):
         import ray.data as rd
 

@@ -43,9 +43,10 @@ def test_query_matches_oracle(name, con, ray_session):
     import pyarrow as pa
     from ray.data import Dataset
 
-    from guac_ray.pipelines.suite import SUITE
+    from guac_ray.pipelines.suite import SUITE, resolve_sql
 
     fn, sql = SUITE[name]
+    sql = resolve_sql(sql, SF)
     got = fn(SF)
     if isinstance(got, Dataset):
         got = got.to_pandas()

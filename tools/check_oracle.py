@@ -49,9 +49,17 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as e
+    from guac_ray.pipelines.suite import SUITE, resolve_sql
+    from guac_ray.synth import corpus_for_sf
 
+    corpus_for_sf(SF_DIR)  # KG fixture for THIS sf (idempotent, seeded)
     qs = e.queries()
-    sqls = e.oracle_sql()
+    # resolve oracle SQL against the sf under test, not the driver default
+    sqls = {
+        name: resolve_sql(sql, SF_DIR)
+        for name, (_fn, sql) in SUITE.items()
+        if sql is not None
+    }
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
