@@ -10,11 +10,17 @@ Scale notes (100 TB posture):
   * every per-doc step is a ``map_batches`` stage; signatures are tiny
     (num_perm × 8 bytes) so the band explosion shuffles signatures, never
     text;
-  * candidate pairs are verified from signatures; EXACT verification
-    re-joins pairs to text through a hash-bucket join
-    (``verify_pairs_exact`` — driver-side only under an explicit bound);
-  * connected components use iterative min-label propagation over the
-    pair list (bounded rounds), not a global union-find.
+  * candidate pairs are verified against signatures through TWO
+    co-partitioned hash joins (pairs ⋈ sigs on a, then on b) via the
+    filesystem exchange — the signature table is never materialized on
+    the driver or broadcast;
+  * connected components are bounded rounds of distributed min-label
+    propagation (``connected_components_ds``): messages flow through
+    co-partitioned joins, labels combine with a groupby-min — the label
+    table is a Dataset end to end. The pandas ``connected_components``
+    remains for driver-small pair lists only.
+  * EXACT text verification re-joins pairs to text driver-side under an
+    explicit bound (``verify_pairs_exact``).
 """
 
 from __future__ import annotations
@@ -41,7 +47,15 @@ __all__ = [
     "jaccard",
     "verify_pairs_exact",
     "connected_components",
+    "connected_components_ds",
 ]
+
+
+def _default_exchange(name: str) -> str:
+    import os
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return f"{base}/guac_ray_exchange/{name}"
 
 _MERSENNE = (1 << 61) - 1
 
@@ -155,23 +169,33 @@ def minhash_bands(sigs: Dataset, num_bands: int = 32) -> Dataset:
     candidate dedup against the signature table."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         blobs = batch["sig"].to_pylist()
-        rows_id, rows_band, rows_hash = [], [], []
-        for i, blob in zip(ids, blobs):
-            sig = np.frombuffer(blob, dtype=np.uint64)
-            r = len(sig) // num_bands
-            for b in range(num_bands):
-                chunk = sig[b * r : (b + 1) * r]
-                h = int.from_bytes(hashlib.md5(chunk.tobytes()).digest()[:8], "big")
-                rows_id.append(i)
-                rows_band.append(b)
-                rows_hash.append(h)
+        if not blobs:
+            return pa.table({
+                "band_id": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.uint64()),
+                "doc_id": pa.array([], type=pa.int64()),
+            })
+        # all signatures share num_perm — one reshape, then a vectorized
+        # polynomial fold per band slice + a murmur-style finalizer
+        # (identical band slices hash identically, which is the only
+        # property banding needs; ~50× the per-doc md5 loop)
+        sig = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(len(blobs), -1)
+        n, num_perm = sig.shape
+        r = num_perm // num_bands
+        sl = sig[:, : num_bands * r].reshape(n, num_bands, r)
+        pw = _FNV_PRIME ** np.arange(r, dtype=np.uint64)          # wraps — fine
+        with np.errstate(over="ignore"):
+            h = (sl * pw[None, None, :]).sum(axis=2, dtype=np.uint64)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
         return pa.table(
             {
-                "band_id": pa.array(rows_band, type=pa.int32()),
-                "band_hash": pa.array(rows_hash, type=pa.uint64()),
-                "doc_id": pa.array(rows_id, type=pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+                "band_hash": pa.array(h.reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), num_bands)),
             }
         )
 
@@ -184,6 +208,8 @@ def lsh_candidate_pairs(
     sigs: Dataset | None = None,
     max_bucket: int = 2000,
     num_coarse: int = 16,
+    exchange_dir: str | None = None,
+    num_join_buckets: int = 16,
 ) -> Dataset:
     """(band_id, band_hash) buckets → candidate pairs, then signature
     similarity ≥ threshold.
@@ -192,11 +218,11 @@ def lsh_candidate_pairs(
     (band_id, band_hash) (``num_coarse`` groups) and moves only
     (band, hash, id) triples; the per-(band,hash) fan-out happens in
     vectorized pandas inside each coarse group. Deduped candidate pairs
-    are then verified against the broadcast signature table (signature
-    volume = num_docs × num_perm×8 B; when that outgrows the object
-    store, swap the broadcast for a hash_join of pairs ⋈ sigs — the
-    candidate set is always far smaller than the band rows). Buckets
-    larger than ``max_bucket`` are truncated (hot-bucket guard).
+    are verified DISTRIBUTED: two co-partitioned hash joins through the
+    filesystem exchange attach sig_a then sig_b to each pair, and a map
+    stage computes signature similarity — the signature table never
+    lands on the driver and is never broadcast (at 10⁹ docs it is a TB).
+    Buckets larger than ``max_bucket`` are truncated (hot-bucket guard).
     """
 
     def coarse(df: pd.DataFrame) -> pd.DataFrame:
@@ -231,33 +257,155 @@ def lsh_candidate_pairs(
     pairs = dedup_exact(pairs, ["a", "b"], num_buckets=8)
     if sigs is None:
         return pairs
+    return verify_pairs_sigs(pairs, sigs, threshold,
+                             exchange_dir=exchange_dir,
+                             num_buckets=num_join_buckets)
 
-    import ray
 
-    sig_df = sigs.to_pandas()
-    sref = ray.put(dict(zip(sig_df["doc_id"], sig_df["sig"])))
+def _rename_cols(ds: Dataset, mapping: dict[str, str]) -> Dataset:
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(n, n) for n in t.column_names])
 
-    class Verify:
-        def __init__(self):
-            self.sigs = ray.get(sref)
+    return ds.map_batches(f, batch_format="pyarrow")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame({"a": [], "b": [], "sim": []}).astype(
-                    {"a": "int64", "b": "int64", "sim": "float64"})
-            sa = np.stack([np.frombuffer(self.sigs[a], dtype=np.uint64) for a in df["a"]])
-            sb = np.stack([np.frombuffer(self.sigs[b], dtype=np.uint64) for b in df["b"]])
-            sim = (sa == sb).mean(axis=1)
-            out = df.assign(sim=sim)
-            return out[out.sim >= threshold]
 
-    return pairs.map_batches(Verify, batch_format="pandas", concurrency=(1, 2))
+def verify_pairs_sigs(
+    pairs: Dataset,
+    sigs: Dataset,
+    threshold: float = 0.7,
+    exchange_dir: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Signature-similarity verification of candidate pairs, fully
+    distributed: pairs ⋈ sigs on ``a`` then on ``b`` (co-partitioned
+    filesystem-exchange hash joins — ``functions/joins.py:hash_join``),
+    then a vectorized per-batch similarity filter → (a, b, sim).
+
+    The candidate-pair set is always far smaller than the band rows, and
+    the signature table flows through the exchange in hash buckets — no
+    driver materialization, no whole-table broadcast."""
+    import os
+
+    from guac_ray.functions.joins import hash_join
+
+    ex = exchange_dir or _default_exchange("lsh_verify")
+    with_a = hash_join(
+        _rename_cols(pairs, {"a": "doc_id"}), sigs,
+        on="doc_id", exchange_dir=os.path.join(ex, "a"), num_buckets=num_buckets,
+    )
+    with_ab = hash_join(
+        _rename_cols(_rename_cols(with_a, {"doc_id": "a", "sig": "sig_a"}),
+                     {"b": "doc_id"}),
+        sigs,
+        on="doc_id", exchange_dir=os.path.join(ex, "b"), num_buckets=num_buckets,
+    )
+    with_ab = _rename_cols(with_ab, {"doc_id": "b", "sig": "sig_b"})
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if n == 0:
+            return empty
+        sa = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64).reshape(n, -1)
+        sb = np.frombuffer(b"".join(t["sig_b"].to_pylist()), dtype=np.uint64).reshape(n, -1)
+        sim = (sa == sb).mean(axis=1)
+        keep = sim >= threshold
+        if not keep.any():
+            return empty
+        return pa.table({
+            "a": pa.array(t["a"].to_numpy(zero_copy_only=False)[keep].astype("int64")),
+            "b": pa.array(t["b"].to_numpy(zero_copy_only=False)[keep].astype("int64")),
+            "sim": pa.array(sim[keep]),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components_ds(
+    pairs: Dataset,
+    exchange_dir: str | None = None,
+    num_buckets: int = 16,
+    max_rounds: int = 20,
+) -> Dataset:
+    """Distributed connected components over an (a, b) pair Dataset →
+    (doc_id, root) Dataset, via bounded min-label propagation rounds.
+
+    Each round: labels join the STATIC pair list on each endpoint
+    (co-partitioned fs-exchange hash joins), producing "my label" messages
+    to the opposite endpoint; the union of messages + current labels
+    reduces with a bucketed groupby-min. Labels only ever decrease, so
+    the per-round label SUM is a monotone convergence witness — equal sum
+    ⇒ fixpoint, stop. Rounds needed = component diameter (near-dup
+    clusters are shallow); ``max_rounds`` bounds pathological chains.
+
+    Everything is map work + bucketed combines: no driver-side label
+    table, no union-find. (Reference keeps a single in-memory backend
+    map — backend.go:77-106; this is its shuffle-native replacement.)
+    """
+    import os
+
+    from guac_ray.functions.joins import hash_join
+    from guac_ray.stages.groupagg import grouped_agg
+
+    ex = exchange_dir or _default_exchange("concomp")
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([
+            t["a"].combine_chunks().cast(pa.int64()),
+            t["b"].combine_chunks().cast(pa.int64()),
+        ])
+        return pa.table({"node": ids, "label": ids})
+
+    pairs = pairs.select_columns(["a", "b"]).materialize()  # consumed every round
+    labels = grouped_agg(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        ["node"], {"label": ("label", "min")}, num_buckets=num_buckets,
+    ).materialize()
+    prev_sum = labels.sum("label") or 0
+
+    for rnd in range(max_rounds):
+        ja = hash_join(
+            _rename_cols(pairs, {"a": "node"}), labels,
+            on="node", exchange_dir=os.path.join(ex, f"r{rnd}a"),
+            num_buckets=num_buckets,
+        )
+        msg_to_b = ja.map_batches(
+            lambda t: pa.table({"node": t["b"].combine_chunks().cast(pa.int64()),
+                                "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        jb = hash_join(
+            _rename_cols(pairs, {"b": "node"}), labels,
+            on="node", exchange_dir=os.path.join(ex, f"r{rnd}b"),
+            num_buckets=num_buckets,
+        )
+        msg_to_a = jb.map_batches(
+            lambda t: pa.table({"node": t["a"].combine_chunks().cast(pa.int64()),
+                                "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = grouped_agg(
+            labels.union(msg_to_b).union(msg_to_a),
+            ["node"], {"label": ("label", "min")}, num_buckets=num_buckets,
+        ).materialize()
+        cur_sum = labels.sum("label") or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    return _rename_cols(labels, {"node": "doc_id", "label": "root"}).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                            "root": t["root"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
 
 
 def connected_components(pairs: pd.DataFrame, max_rounds: int = 20) -> dict[int, int]:
     """Min-label propagation over an edge list → {doc_id: cluster_min_id}.
-    Pure pandas; at cluster scale the same loop runs as repeated
-    groupby-min Dataset rounds (bounded by component diameter)."""
+    Pure pandas, for DRIVER-SMALL pair lists (tests, bounded verifies);
+    the pipeline path is :func:`connected_components_ds`."""
     label: dict[int, int] = {}
     for x in pd.unique(pairs[["a", "b"]].to_numpy().ravel()):
         label[int(x)] = int(x)
@@ -286,12 +434,14 @@ def minhash_dedup(
     threshold: float = 0.7,
     concurrency: int = 2,
 ) -> dict:
-    """Full near-dup pipeline → {"pairs": DataFrame, "drop": set[int]}.
+    """Full near-dup pipeline → {"pairs": DataFrame, "drop": set[int],
+    "labels": DataFrame}.
 
-    Survivor = min doc_id per connected component. The pair set is
-    materialized to the driver — bounded by the near-dup rate, and the
-    documented contract for this operator (components are driver-small;
-    the signatures/bands never are).
+    Signatures → banding → candidate pairs → DISTRIBUTED signature
+    verification (fs-exchange joins) → DISTRIBUTED connected components
+    (min-label rounds). Survivor = min doc_id per component. Only the
+    final pair/label tables — bounded by the near-dup rate, not the
+    corpus — come back to the driver for the convenience dict.
     """
     sigs = docs.map_batches(
         MinHasher,
@@ -299,10 +449,12 @@ def minhash_dedup(
         batch_format="pyarrow",
         concurrency=concurrency,
     ).materialize()  # consumed twice: banding + verification
-    pairs = lsh_candidate_pairs(minhash_bands(sigs, num_bands), threshold, sigs=sigs).to_pandas()
-    label = connected_components(pairs)
-    drop = {d for d, root in label.items() if d != root}
-    return {"pairs": pairs, "drop": drop}
+    pairs_ds = lsh_candidate_pairs(
+        minhash_bands(sigs, num_bands), threshold, sigs=sigs
+    ).materialize()  # consumed twice: components + the returned frame
+    labels = connected_components_ds(pairs_ds).to_pandas()
+    drop = set(labels.loc[labels.doc_id != labels.root, "doc_id"].astype(int))
+    return {"pairs": pairs_ds.to_pandas(), "drop": drop, "labels": labels}
 
 
 # ---------------------------------------------------------------------------
@@ -310,29 +462,51 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """docs → (doc_id, simhash:uint64). Token hashes vote per bit."""
+    """docs → (doc_id, simhash:uint64). Token hashes vote per bit.
+
+    Vectorized: per batch, tokens are uniqued, hashed once each (md5 →
+    uint64, cached per actor across batches — token pools repeat
+    heavily), expanded to a (tokens × 64) sign matrix, and vote sums
+    accumulate per doc with one ``np.add.at`` — no per-bit Python loop.
+    """
 
     def __init__(self, bits: int = 64):
         self.bits = bits
+        self._shifts = np.arange(bits, dtype=np.uint64)
+        self._cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            if len(self._cache) < 1_000_000:  # bound actor memory
+                self._cache[tok] = h
+        return h
+
+    def _batch_simhash(self, texts: list[str]) -> np.ndarray:
+        toks_per_doc = [(t or "").lower().split() for t in texts]
+        counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        all_toks = [tok for toks in toks_per_doc for tok in toks]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not all_toks:
+            return out
+        uniq, inv = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+        h_uniq = np.array([self._tok_hash(t) for t in uniq], dtype=np.uint64)
+        h = h_uniq[inv]                                        # (T,)
+        bits = ((h[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(texts)), counts)
+        votes = np.zeros((len(texts), self.bits), dtype=np.int64)
+        np.add.at(votes, doc_idx, 2 * bits - 1)
+        outbits = (votes > 0).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return (outbits << self._shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
     def simhash(self, text: str) -> int:
-        tokens = (text or "").lower().split()
-        if not tokens:
-            return 0
-        votes = np.zeros(self.bits, dtype=np.int64)
-        for tok in tokens:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(self.bits):
-                votes[bit] += 1 if (h >> bit) & 1 else -1
-        out = 0
-        for bit in range(self.bits):
-            if votes[bit] > 0:
-                out |= 1 << bit
-        return out
+        return int(self._batch_simhash([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        hs = [self.simhash(t) for t in batch["text"].to_pylist()]
+        hs = self._batch_simhash(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

@@ -631,10 +631,27 @@ def neardup_docs_simhash(sf_dir: str):
 
 
 def neardup_embeddings(sf_dir: str):
+    """Multi-band hyperplane-LSH near-dup pairs with exact cosine verify.
+    Exact verification ⇒ no false positives, so the pair ID set matches
+    the brute-force SQL oracle (candidate recall ≈99% at 0.95 — the
+    planted-dup recall pytest covers the probabilistic tail)."""
     from guac_ray.functions.ann import embedding_neardup
 
-    return embedding_neardup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
-                             threshold=0.95)
+    out = embedding_neardup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                            threshold=0.95).to_pandas()
+    if out.empty:
+        # Ray's to_pandas drops columns on a fully-empty Dataset; the
+        # oracle compare needs the typed (a, b) frame either way
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return out[["a", "b"]].astype({"a": "int64", "b": "int64"})
+
+
+NEARDUP_EMB_SQL = """
+SELECT l.vec_id AS a, r.vec_id AS b
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95
+"""
 
 
 def media_decode(sf_dir: str):
@@ -931,7 +948,7 @@ SUITE: dict[str, tuple] = {
     "knn_ivf": (knn_ivf_q0, None),
     "neardup_docs_minhash": (neardup_docs_minhash, None),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
-    "neardup_embeddings": (neardup_embeddings, None),
+    "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "media_decode": (media_decode, None),
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),

@@ -37,7 +37,19 @@ __all__ = [
     "assemble_edges",
     "nodes_from_edges",
     "salted_count",
+    "ensure_schema",
 ]
+
+
+def ensure_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Union a typed empty block onto ``ds`` so a pipeline that produced
+    ZERO rows (e.g. a groupby over an empty input, where map_groups never
+    runs) still carries the declared schema instead of a schema-less
+    empty — Ray otherwise emits ``PandasBlockSchema(names=[])`` blocks
+    that break downstream select/concat and to_pandas column names."""
+    import ray.data as rd
+
+    return ds.union(rd.from_arrow(schema.empty_table()))
 
 _HKEY = b"guac-ray-hash-key"  # fixed → stable across runs/processes
 

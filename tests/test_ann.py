@@ -58,3 +58,64 @@ class TestKnn:
                                   threshold=0.98, concurrency=(1, 2)).to_pandas()
         got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
         assert (7, len(df) - 1) in got
+
+    def test_neardup_recall_vs_bruteforce(self, ray_session):
+        """Multi-band LSH must recover ≥90% of true cosine≥0.95 pairs
+        (the single-band design this replaced measured ~30%)."""
+        import ray.data as rd
+
+        from guac_ray.functions.ann import embedding_neardup
+
+        rng = np.random.default_rng(21)
+        n, dim, planted = 400, 32, 40
+        mat = rng.standard_normal((n, dim))
+        for i in range(planted):  # vec n-1-i ≈ vec i
+            mat[n - 1 - i] = mat[i] + rng.standard_normal(dim) * 0.02
+        df = pd.DataFrame({"vec_id": range(n), "embedding": list(mat)})
+
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nm @ nm.T
+        iu = np.triu_indices(n, k=1)
+        true_pairs = {
+            (int(iu[0][j]), int(iu[1][j]))
+            for j in np.nonzero(sims[iu] >= 0.95)[0]
+        }
+        assert len(true_pairs) >= planted  # sanity: corpus has true pairs
+
+        got = embedding_neardup(rd.from_pandas(df).repartition(4),
+                                threshold=0.95, concurrency=(1, 2)).to_pandas()
+        got_pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        recall = len(got_pairs & true_pairs) / len(true_pairs)
+        assert recall >= 0.9, recall
+        assert got_pairs <= true_pairs  # exact verify ⇒ no false positives
+
+    def test_ivf_fit_samples_uniformly_on_clustered_input(self, ray_session):
+        """Sorted/clustered input: limit()-sampling sees only the first
+        cluster; random_sample must place centroids in both, keeping
+        recall for a query in the LAST cluster."""
+        import ray.data as rd
+
+        from guac_ray.functions.ann import IvfIndex, knn_ivf
+
+        rng = np.random.default_rng(3)
+        dim = 16
+        a = rng.standard_normal(dim) * 10
+        b = -a  # two far-apart clusters
+        mat = np.concatenate([
+            a + rng.standard_normal((500, dim)),   # first blocks: cluster A
+            b + rng.standard_normal((500, dim)),   # last blocks: cluster B
+        ])
+        df = pd.DataFrame({"vec_id": range(1000), "embedding": list(mat)})
+        ds = rd.from_pandas(df).repartition(8)
+
+        idx = IvfIndex.fit(ds, n_clusters=8, sample=256)
+        # at least one centroid must live in each half-space
+        side = idx.centroids @ (a / np.linalg.norm(a))
+        assert (side > 0).any() and (side < 0).any()
+
+        q = np.asarray(df.embedding.iloc[999])
+        got = knn_ivf(ds, [999], q[None, :], k=10, n_clusters=8, nprobe=4,
+                      concurrency=(1, 2)).to_pandas()
+        want = set(_exact_topk(df, q, 10))
+        recall = len(set(got.vec_id) & want) / 10
+        assert recall >= 0.9, recall

@@ -40,6 +40,64 @@ class TestPure:
         assert label[1] == label[2] == label[3] == 1
         assert label[10] == label[11] == 10
 
+    def test_simhash_vectorized_matches_reference_loop(self):
+        import hashlib
+
+        import numpy as np
+
+        from guac_ray.functions.dedup import SimHasher
+
+        def ref(text):  # the original per-token/per-bit loop
+            tokens = (text or "").lower().split()
+            if not tokens:
+                return 0
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in tokens:
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            return sum(1 << b for b in range(64) if votes[b] > 0)
+
+        sh = SimHasher()
+        for t in [BASE, "", "one", "a a a b", BASE.replace("dog", "cat")]:
+            assert sh.simhash(t) == ref(t)
+
+
+class TestDistributedCC:
+    def test_matches_pandas_cc_on_random_graph(self, ray_session, tmp_path):
+        import numpy as np
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import connected_components_ds
+
+        rng = np.random.default_rng(11)
+        pairs = pd.DataFrame({
+            "a": rng.integers(0, 60, size=80).astype("int64"),
+            "b": rng.integers(0, 60, size=80).astype("int64"),
+        })
+        pairs = pairs[pairs.a != pairs.b].reset_index(drop=True)
+        want = connected_components(pairs)
+        got = connected_components_ds(
+            rd.from_pandas(pairs).repartition(3),
+            exchange_dir=str(tmp_path / "cc"), num_buckets=4,
+        ).to_pandas()
+        got_map = dict(zip(got.doc_id, got.root))
+        assert got_map == want
+
+    def test_chain_converges(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import connected_components_ds
+
+        # a 10-node path: min label must travel the full diameter
+        pairs = pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))})
+        got = connected_components_ds(
+            rd.from_pandas(pairs), exchange_dir=str(tmp_path / "cc2"),
+            num_buckets=2,
+        ).to_pandas()
+        assert set(got.root) == {0}
+        assert len(got) == 10
+
 
 class TestMinhash:
     def test_pipeline_finds_planted_dups(self, ray_session):
