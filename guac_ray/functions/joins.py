@@ -144,18 +144,29 @@ def hash_join(
         rdir, partition_cols=["_jb"]
     )
 
-    if how != "inner":
-        raise NotImplementedError("hash_join currently implements inner joins; "
+    if how not in ("inner", "left"):
+        raise NotImplementedError("hash_join implements inner and left joins; "
                                   "use broadcast_join / semi_join / anti_join "
-                                  "for the outer patterns")
+                                  "for the other patterns")
 
-    # only buckets present on BOTH sides can produce inner-join rows;
-    # pruning here also keeps every output block non-empty (no schema-less
-    # placeholder blocks)
-    present = sorted(
-        {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(ldir, "_jb=*"))}
-        & {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(rdir, "_jb=*"))}
-    )
+    lb = {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(ldir, "_jb=*"))}
+    rb = {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(rdir, "_jb=*"))}
+    # inner: only buckets present on BOTH sides can produce rows — pruning
+    # also keeps every output block non-empty (no schema-less placeholders).
+    # left: every left bucket must emit its rows, matched or not.
+    present = sorted(lb & rb) if how == "inner" else sorted(lb)
+    # for left joins a right-side-empty bucket still needs the right
+    # columns WITH their dtypes — capture the right schema once
+    right_empty: pd.DataFrame | None = None
+    if how == "left" and rb:
+        import pyarrow.parquet as pq
+
+        any_rb = next(iter(rb))
+        f0 = glob.glob(os.path.join(rdir, f"_jb={any_rb}", "*.parquet"))[0]
+        sch = pq.read_schema(f0)
+        if "_jb" in sch.names:
+            sch = sch.remove(sch.get_field_index("_jb"))
+        right_empty = sch.empty_table().to_pandas()
 
     def join_bucket(batch: pd.DataFrame) -> pa.Table:
         import pyarrow.parquet as pq
@@ -163,8 +174,14 @@ def hash_join(
         outs = []
         for k in batch["k"]:
             lt = pq.read_table(os.path.join(ldir, f"_jb={k}")).to_pandas()
-            rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
-            outs.append(lt.merge(rt, on=keys, how="inner", suffixes=suffixes))
+            rpath = os.path.join(rdir, f"_jb={k}")
+            if os.path.isdir(rpath):
+                rt = pq.read_table(rpath).to_pandas()
+            elif right_empty is not None:
+                rt = right_empty
+            else:  # right side entirely empty: nulls for the key cols only
+                rt = pd.DataFrame({k2: pd.Series(dtype=lt[k2].dtype) for k2 in keys})
+            outs.append(lt.merge(rt, on=keys, how=how, suffixes=suffixes))
         return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
 

@@ -47,6 +47,25 @@ def _bcast_df(sf_dir: str, table: str, columns: list[str]):
     return ray.put(pd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns))
 
 
+# Join planning: a "dimension" side is broadcast only while it is small.
+# Above this row count the suite switches to the co-partitioned
+# fs-exchange hash join — on a real cluster the threshold would key on
+# bytes vs per-worker heap; rows are the right proxy for these tables.
+BROADCAST_ROW_LIMIT = int(os.environ.get("GUAC_RAY_BROADCAST_ROW_LIMIT", "100000"))
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet metadata — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def _exchange(name: str) -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return f"{base}/guac_ray_exchange/{name}"
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational operators
 # ---------------------------------------------------------------------------
@@ -113,8 +132,72 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_building_revenue(sf_dir: str):
-    """Broadcast-join lineitem ⋈ orders ⋈ customer (BUILDING segment),
-    revenue per order, top 10. Orders/customer are the broadcast side."""
+    """lineitem ⋈ orders ⋈ customer (BUILDING segment), revenue per
+    order, top 10. Size-guarded plan: orders/customer broadcast while
+    small, co-partitioned fs-exchange hash joins once orders outgrows
+    ``BROADCAST_ROW_LIMIT`` (a 150M-row fact table must never ship to
+    every actor as a Python dict)."""
+    if _table_rows(sf_dir, "orders") > BROADCAST_ROW_LIMIT:
+        return _q3_partitioned(sf_dir)
+    return _q3_broadcast(sf_dir)
+
+
+def _q3_partitioned(sf_dir: str):
+    """Partitioned q3: customer(BUILDING) ⋈ orders on custkey, then
+    ⋈ lineitem on orderkey — both through the fs exchange."""
+    from guac_ray.functions.joins import hash_join
+
+    cut = pd.Timestamp("1998-01-01")
+
+    def cust_f(df: pd.DataFrame) -> pa.Table:
+        d = df[df.c_mktsegment == "BUILDING"]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"custkey": d.c_custkey}), preserve_index=False)
+
+    def orders_f(df: pd.DataFrame) -> pa.Table:
+        d = df[df.o_orderdate < cut]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
+            preserve_index=False)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_f, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pandas")
+    okeys = hash_join(orders, cust, on="custkey",
+                      exchange_dir=_exchange("q3_oc"), num_buckets=16)
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        d = df[df.l_shipdate > cut]
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "orderkey": d.l_orderkey,
+                "_rc": cents(d.l_extendedprice.to_numpy() * (1 - d.l_discount.to_numpy())),
+            }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+               ).map_batches(li_f, batch_format="pandas")
+    joined = hash_join(li, okeys.select_columns(["orderkey"]), on="orderkey",
+                       exchange_dir=_exchange("q3_lo"), num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("orderkey", sort=False)._rc.sum().reset_index()
+
+    agg = grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["orderkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
+    )
+    top = agg.sort(["rc", "orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda df: pd.DataFrame({"l_orderkey": df.orderkey.astype("int64"),
+                                 "revenue": df.rc / 100.0}),
+        batch_format="pandas",
+    )
+
+
+def _q3_broadcast(sf_dir: str):
     cut = pd.Timestamp("1998-01-01")
     oref = _bcast_df(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -164,8 +247,73 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str):
-    """Five-way dimension chain collapsed to one broadcast lookup
-    (orderkey → nation name for ASIA customers in 1996)."""
+    """Five-way dimension chain. Size-guarded: one broadcast lookup
+    while orders is small; co-partitioned hash joins above the limit
+    (nation/region are constant-cardinality and always broadcast)."""
+    if _table_rows(sf_dir, "orders") > BROADCAST_ROW_LIMIT:
+        return _q5_partitioned(sf_dir)
+    return _q5_broadcast(sf_dir)
+
+
+def _q5_partitioned(sf_dir: str):
+    from guac_ray.functions.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    asia = set(region[region.r_name == "ASIA"].r_regionkey)
+    nat_name = dict(zip(nation.n_nationkey,
+                        nation.n_name.where(nation.n_regionkey.isin(asia))))
+
+    def cust_f(df: pd.DataFrame) -> pa.Table:
+        nn = df.c_nationkey.map(nat_name)
+        d = pd.DataFrame({"custkey": df.c_custkey, "n_name": nn}).dropna()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    def orders_f(df: pd.DataFrame) -> pa.Table:
+        d = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
+        return pa.Table.from_pandas(
+            pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
+            preserve_index=False)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_f, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_f, batch_format="pandas")
+    oc = hash_join(orders, cust, on="custkey",
+                   exchange_dir=_exchange("q5_oc"), num_buckets=16)
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "orderkey": df.l_orderkey,
+                "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+            }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_f, batch_format="pandas")
+    joined = hash_join(li, oc.select_columns(["orderkey", "n_name"]),
+                       on="orderkey", exchange_dir=_exchange("q5_lo"),
+                       num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("n_name", sort=False)._rc.sum().reset_index()
+
+    agg = grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["n_name"], {"rc": ("_rc", "sum")}, num_buckets=4,
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({"n_name": df.n_name, "revenue": df.rc / 100.0}),
+        batch_format="pandas",
+    )
+
+
+def _q5_broadcast(sf_dir: str):
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
     refs = {
         "orders": _bcast_df(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
@@ -225,7 +373,65 @@ GROUP BY n_name
 
 
 def top_customers(sf_dir: str):
-    """Revenue per customer (broadcast orders→custkey), global top 10."""
+    """Revenue per customer, global top 10. Size-guarded: the orders
+    fact side broadcasts only while small; above the limit lineitem and
+    orders co-partition through the fs exchange and only the FINAL ten
+    keys look up names (predicate-pushdown read of customer)."""
+    if _table_rows(sf_dir, "orders") > BROADCAST_ROW_LIMIT:
+        return _top_customers_partitioned(sf_dir)
+    return _top_customers_broadcast(sf_dir)
+
+
+def _top_customers_partitioned(sf_dir: str):
+    from guac_ray.functions.joins import hash_join
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["orderkey", "custkey"])
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "orderkey": df.l_orderkey,
+                "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
+            }), preserve_index=False)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_f, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_f, batch_format="pandas")
+    joined = hash_join(li, orders, on="orderkey",
+                       exchange_dir=_exchange("topc_lo"), num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("custkey", sort=False)._rc.sum().reset_index()
+
+    top = (
+        grouped_agg(
+            joined.map_batches(partial, batch_format="pandas"),
+            ["custkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
+        )
+        .sort(["rc", "custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    # ten keys → predicate-pushdown point lookup, never a table scan
+    import pyarrow.parquet as pq
+
+    keys = [int(k) for k in top.custkey]
+    names = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas()
+    nm = dict(zip(names.c_custkey, names.c_name))
+    return pd.DataFrame({
+        "c_custkey": top.custkey.astype("int64"),
+        "c_name": top.custkey.map(nm),
+        "revenue": top.rc / 100.0,
+    })
+
+
+def _top_customers_broadcast(sf_dir: str):
     oref = _bcast_df(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_name"])
 

@@ -59,7 +59,28 @@ class TestJoins:
         # re-consume the FIRST result — must still see its own data
         assert first.to_pandas().shape[0] == n_first
 
-    def test_hash_join_outer_not_implemented(self, ray_session, tmp_path):
+    def test_hash_join_left_matches_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(100)
+        # make some left keys unmatched
+        right = right[right.k % 3 != 0]
+        got = hash_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            on="k", exchange_dir=str(tmp_path / "lj"), num_buckets=8, how="left",
+        ).to_pandas()
+        want = left.merge(right, on="k", how="left")
+        assert len(got) == len(want)
+        g = got.sort_values(["k", "x"]).reset_index(drop=True)
+        w = want.sort_values(["k", "x"]).reset_index(drop=True)
+        assert g.y.isna().sum() == w.y.isna().sum() > 0
+        gm, wm = g[g.y.notna()], w[w.y.notna()]
+        assert (gm.y.to_numpy() == wm.y.to_numpy()).all()
+
+    def test_hash_join_full_outer_not_implemented(self, ray_session, tmp_path):
         import ray.data as rd
 
         from guac_ray.functions.joins import hash_join
@@ -67,7 +88,7 @@ class TestJoins:
         left, right = _sides(100)
         with pytest.raises(NotImplementedError):
             hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
-                      exchange_dir=str(tmp_path / "x"), how="left")
+                      exchange_dir=str(tmp_path / "x"), how="outer")
 
     def test_semi_anti_partition(self, ray_session):
         import ray.data as rd
