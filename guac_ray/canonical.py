@@ -270,6 +270,37 @@ def license_key(name: str, list_version: str = "") -> str:
     return f"{k}:{sanitize(list_version)}" if list_version else k
 
 
+# SPDX combinators are NOT licenses (license.go:27-31; the reference
+# leaves exception names in — so do we)
+_LICENSE_IGNORE = frozenset({"AND", "OR", "WITH"})
+
+
+def parse_license_expression(exp: str) -> list[str]:
+    """License expression → component license names, mirroring
+    ``ParseLicenses`` (pkg/ingestor/parser/common/license.go:72-88):
+    split on single spaces, trim ``()+`` from each part, drop the
+    AND/OR/WITH combinators (empty parts are skipped too)."""
+    out: list[str] = []
+    for part in exp.split(" "):
+        p = part.strip("()+")
+        if not p or p in _LICENSE_IGNORE:
+            continue
+        out.append(p)
+    return out
+
+
+def hash_license(inline: str) -> str:
+    """``LicenseRef-<fnv32a(inline):x>`` — a document-local LicenseRef
+    becomes a content-addressed name so identical inline texts converge
+    across documents (HashLicense, license.go:90-95; applied to SPDX
+    OtherLicenses in parse_spdx.go:410-432)."""
+    h = 2166136261
+    for b in inline.encode("utf-8"):
+        h ^= b
+        h = (h * 16777619) & 0xFFFFFFFF
+    return f"LicenseRef-{h:x}"
+
+
 # ---------------------------------------------------------------------------
 # Generic transcript entities (speakers, tools, conversations, contacts…)
 # ---------------------------------------------------------------------------

@@ -887,10 +887,16 @@ def _t(sf_dir: str) -> str:
 _VALID = f"text <> '' AND role IN {VALID_ROLES_SQL}"
 # canonicalization of this corpus's raw purl surfaces, expressed in SQL
 # (qualifier-order normalization + the one escaped namespace)
-_PURL_CANON = (
-    "replace(replace(m, '?os=linux&arch=amd64', '?arch=amd64&os=linux'),"
-    " ':npm/@scope/', ':npm/%40scope/')"
-)
+
+
+def _purl_canon(col: str) -> str:
+    return (
+        f"replace(replace({col}, '?os=linux&arch=amd64', '?arch=amd64&os=linux'),"
+        f" ':npm/@scope/', ':npm/%40scope/')"
+    )
+
+
+_PURL_CANON = _purl_canon("m")
 
 
 def kg_turn_text(sf_dir: str):
@@ -1049,11 +1055,19 @@ def kg_certify_vuln(sf_dir: str):
 
 
 def KG_CERTIFY_SQL(sf_dir: str) -> str:
+    # the certifier scans EVERY package node in the graph: version-level
+    # mention keys plus the name-level trie nodes they materialize
+    # (version_of / MatchFlags analog)
     return f"""
-WITH pkgs AS (
+WITH mentioned AS (
   SELECT DISTINCT {_PURL_CANON} AS ent_key FROM (
     SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
     FROM {_t(sf_dir)} WHERE {_VALID})
+), pkgs AS (
+  SELECT ent_key FROM mentioned
+  UNION
+  SELECT DISTINCT split_part(ent_key, '@', 1) AS ent_key
+  FROM mentioned WHERE ent_key LIKE '%@%'
 )
 SELECT p.ent_key AS subj_key,
        coalesce('vuln://' || split_part(v.vuln_id, '-', 1) || '/' || v.vuln_id,
@@ -1095,6 +1109,82 @@ def KG_CONV_STATS_SQL(sf_dir: str) -> str:
 SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts, max(ts) AS last_ts
 FROM {_t(sf_dir)} WHERE {_VALID}
 GROUP BY conv_id
+"""
+
+
+def kg_certify_legal(sf_dir: str):
+    """Distinct (package, license) certify_legal pairs from compound
+    SPDX-style expressions (ParseLicenses semantics — license.go:72-88).
+    LicenseRef-FNV pairs are excluded from the ORACLE comparison (DuckDB
+    has no fnv32a); the hash path is golden-tested in pytest."""
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.and_(
+            pc.equal(batch["pred"], "certify_legal"),
+            pc.invert(pc.starts_with(batch["obj_key"], "license:LicenseRef-")),
+        ))
+        return pa.table({"pkg_key": t["subj_key"], "license_key": t["obj_key"]})
+
+    from guac_ray.stages.assemble import dedup_exact
+
+    return dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["pkg_key", "license_key"], num_buckets=4,
+    )
+
+
+def KG_CERTIFY_LEGAL_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT DISTINCT {_purl_canon("split_part(m, ' ', 1)")} AS pkg_key,
+       'license:' || name AS license_key
+FROM (
+  SELECT m, trim(part, '()+') AS name
+  FROM (
+    SELECT m, unnest(string_split(
+        regexp_replace(rtrim(m, ';'), '^pkg:[^ ]+ is licensed under ', ''),
+        ' ')) AS part
+    FROM (SELECT unnest(regexp_extract_all(text,
+              'pkg:[^ ]+ is licensed under [^;"]+;')) AS m
+          FROM {_t(sf_dir)} WHERE {_VALID})
+  )
+  WHERE trim(part, '()+') NOT IN ('AND', 'OR', 'WITH')
+    AND trim(part, '()+') <> ''
+)
+"""
+
+
+def kg_version_of(sf_dir: str):
+    """Distinct version-level → name-level package trie edges (the
+    MatchFlags / AllVersions analog — helpers.go:125-131): every
+    versioned purl mention materializes its name-level node."""
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch["pred"], "version_of"))
+        return pa.table({"pkg_version": t["subj_key"], "pkg_name": t["obj_key"]})
+
+    from guac_ray.stages.assemble import dedup_exact
+
+    return dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["pkg_version", "pkg_name"], num_buckets=4,
+    )
+
+
+def KG_VERSION_OF_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT DISTINCT canon AS pkg_version, split_part(canon, '@', 1) AS pkg_name
+FROM (
+  SELECT {_PURL_CANON} AS canon FROM (
+    SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+    FROM {_t(sf_dir)} WHERE {_VALID})
+)
+WHERE canon LIKE '%@%'
 """
 
 
@@ -1163,6 +1253,8 @@ SUITE: dict[str, tuple] = {
     "kg_package_mentions": (kg_package_mentions, KG_PACKAGE_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
     "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),
+    "kg_certify_legal": (kg_certify_legal, KG_CERTIFY_LEGAL_SQL),
+    "kg_version_of": (kg_version_of, KG_VERSION_OF_SQL),
     "kg_edge_pred_counts": (kg_edge_pred_counts, None),
     "kg_degree_top": (kg_degree_top, None),
 }

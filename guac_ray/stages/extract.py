@@ -37,7 +37,11 @@ _PATTERNS = {
     "repo": r"\bgit\+https?://[^\s]+",
     "vuln": r"\b(?:[Cc][Vv][Ee]-\d{4}-\d{4,}|[Gg][Hh][Ss][Aa]-[0-9a-zA-Z]{4}-[0-9a-zA-Z]{4}-[0-9a-zA-Z]{4,})\b",
     "scorecard": r"\bscorecard score (\d+(?:\.\d+)?)/10 for (git\+\S+)",
-    "legal": r"(pkg:\S+) is licensed under ([A-Za-z0-9.+-]+)",
+    # expression runs to the ';' terminator ('.' is inside license names);
+    # LicenseRef statements carry their inline text in quotes
+    "legal": r"(pkg:\S+) is licensed under ([^;\"]+);",
+    "legal_ref": r"(pkg:\S+) is licensed under (LicenseRef-[\w.-]+) "
+                 r"where \2 reads \"([^\"]*)\";",
     "slsa": r"artifact ((?:sha256|sha1|sha512|md5):[0-9a-fA-F]+) was built by (https?://\S+)",
     "good": r"\bendorsed: (pkg:\S+)",
     "bad": r"\bflagged: (pkg:\S+)",
@@ -85,8 +89,26 @@ def parse_turn_facts(
             if k:
                 f.packages.append(k)
         if " is licensed under " in text:
-            for raw, lic in pats["legal"].findall(text):
-                f.legals.append(license_key(lic))
+            from guac_ray.canonical import hash_license, parse_license_expression
+
+            if "LicenseRef-" in text:
+                # document-local ref: FNV-hash the inline text
+                # (fixLicense — parse_spdx.go:410-432)
+                for raw, _ref, inline in pats["legal_ref"].findall(text):
+                    pk = package_key(raw)
+                    if pk:
+                        f.legals.append((pk, license_key(hash_license(inline))))
+            # compound SPDX expression → component licenses
+            # (ParseLicenses — license.go:72-88); LicenseRef statements
+            # carry quotes so the plain pattern cannot reach their ';',
+            # but guard anyway
+            for raw, exp in pats["legal"].findall(text):
+                if "LicenseRef-" in exp:
+                    continue
+                pk = package_key(raw)
+                if pk:
+                    for name in parse_license_expression(exp):
+                        f.legals.append((pk, license_key(name)))
         if "endorsed: pkg:" in text:
             for raw in pats["good"].findall(text):
                 k = package_key(raw)

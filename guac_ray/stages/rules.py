@@ -53,6 +53,7 @@ JUSTIFICATION = {
     "has_metadata": "package mentioned in conversation",
     "certify_vuln": "vulnerability scan",
     "participates_in": "turn row",
+    "version_of": "package version trie (AllVersions attach)",
 }
 
 ORIGIN = "guac_ray/transcripts"
@@ -76,7 +77,7 @@ class TurnFacts:
     vulns: list[str] = field(default_factory=list)       # vuln:// keys
     # template facts
     scorecards: list[tuple[str, float]] = field(default_factory=list)  # (src_key, score)
-    legals: list[str] = field(default_factory=list)      # license keys (pairs w/ pkgs)
+    legals: list[tuple[str, str]] = field(default_factory=list)  # (pkg_key, license_key)
     builders: list[str] = field(default_factory=list)    # builder URIs (pairs w/ artifacts)
     contacts: list[str] = field(default_factory=list)    # emails (pairs w/ pkgs)
     severities: list[tuple[str, float]] = field(default_factory=list)  # (vuln_key, score)
@@ -139,6 +140,13 @@ def derive(f: TurnFacts) -> list[tuple]:
                 {"key": "conversation", "value": f.conv_id},
             )
         )
+        # two-key-forms design (MatchFlags — helpers.go:125-131): a
+        # version-level key also materializes its AllVersions (name-level)
+        # node via the trie edge; in canonical form '@' appears ONLY as
+        # the version separator (names escape it as %40)
+        if "@" in p:
+            edges.append(make_edge("package", p, "version_of", "package",
+                                   p.split("@", 1)[0]))
     for a in f.artifacts:
         edges.append(make_edge("conversation", conv_key, "mentions_artifact", "artifact", a))
     for r in f.repos:
@@ -164,9 +172,10 @@ def derive(f: TurnFacts) -> list[tuple]:
             make_edge("source", src, "certify_scorecard", "scorecard", sc_key,
                       {"score": score})
         )
-    for lic in f.legals:
-        for p in f.packages:
-            edges.append(make_edge("package", p, "certify_legal", "license", lic))
+    # license attaches to the package DECLARING it (subject-specific, not
+    # a turn-wide cross product — certifyLegal binds statement→package)
+    for pk, lic in f.legals:
+        edges.append(make_edge("package", pk, "certify_legal", "license", lic))
     for b in f.builders:
         b_key = entity_key("builder", b)
         for a in f.artifacts:

@@ -31,8 +31,10 @@ import pandas as pd
 from guac_ray.canonical import (
     artifact_key,
     entity_key,
+    hash_license,
     license_key,
     package_key,
+    parse_license_expression,
     parse_vcs,
     source_key,
     vuln_key,
@@ -43,6 +45,9 @@ from guac_ray.stages.rules import TurnFacts, derive, make_edge
 
 BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 SEED = 42
+# bump when templates/pools/rules change: stale /tmp fixtures from an
+# older generator regenerate instead of silently mismatching the code
+CORPUS_VERSION = 3
 
 EDGE_ID_COLS = [
     "subj_type", "subj_key", "pred", "obj_type", "obj_key",
@@ -64,6 +69,8 @@ NEAR_MISS_TOOLS = ["searcher", "brows", "editr"]  # must NOT link (F3)
 HOT_TOOL = "search"
 
 LICENSES = ["MIT", "Apache-2.0", "GPL-3.0-only", "BSD-3-Clause", "MPL-2.0"]
+LICENSE_EXCEPTION = "Classpath-exception-2.0"
+INLINE_LICENSES = [f"Custom license text {i} for internal use." for i in range(6)]
 BUILDERS = [f"https://builder{i}.example.com/v1" for i in range(6)]
 CONTACTS = [f"dev{i}@example.org" for i in range(10)]
 
@@ -86,8 +93,10 @@ def _mk_pools(rng: np.random.Generator):
               "oci": "", "pypi": ""}[t]
         name = f"lib{i}" if i % 11 else f"we%20ird{i}"  # escaped-space name
         ver = f"{rng.integers(0, 4)}.{rng.integers(0, 10)}.{rng.integers(0, 20)}"
-        raw = f"pkg:{t}/" + (f"{ns}/" if ns else "") + f"{name}@{ver}"
-        if i % 3 == 0:  # unsorted qualifiers test canonical sorting
+        if i % 7 == 3:
+            ver = ""  # versionless purl: AllVersions-level (MatchFlags) attach
+        raw = f"pkg:{t}/" + (f"{ns}/" if ns else "") + name + (f"@{ver}" if ver else "")
+        if i % 3 == 0 and ver:  # unsorted qualifiers test canonical sorting
             raw += "?os=linux&arch=amd64" if i % 2 else "?arch=amd64&os=linux"
         pkgs.append({"raw": raw, "key": package_key(raw)})
     arts = []
@@ -161,11 +170,32 @@ def _apply_template(kind: str, rng: np.random.Generator, pools, facts: TurnFacts
         facts.scorecards.append((r["key"], score))
         return f"scorecard score {score}/10 for {r['raw']}"
     if kind == "legal":
+        # SPDX-style compound expression; ';' terminates it (license
+        # names contain '.', so '.' cannot delimit)
         p = pick("pkgs")
-        lic = LICENSES[int(rng.integers(0, len(LICENSES)))]
+        n = 1 + int(rng.integers(0, 3))
+        idxs = rng.choice(len(LICENSES), size=n, replace=False)
+        lics = [LICENSES[int(i)] for i in idxs]
+        exp = lics[0]
+        for lc in lics[1:]:
+            exp += (" AND " if rng.random() < 0.5 else " OR ") + lc
+        if n > 1 and rng.random() < 0.3:
+            exp = f"({exp})"
+        if rng.random() < 0.25:
+            exp += f" WITH {LICENSE_EXCEPTION}"
         facts.packages.append(p["key"])
-        facts.legals.append(license_key(lic))
-        return f"{p['raw']} is licensed under {lic}"
+        for name in parse_license_expression(exp):
+            facts.legals.append((p["key"], license_key(name)))
+        return f"{p['raw']} is licensed under {exp};"
+    if kind == "legal_ref":
+        # document-local LicenseRef + inline text → FNV-hashed name
+        p = pick("pkgs")
+        idx = int(rng.integers(0, len(INLINE_LICENSES)))
+        inline = INLINE_LICENSES[idx]
+        ref = f"LicenseRef-custom{idx}"
+        facts.packages.append(p["key"])
+        facts.legals.append((p["key"], license_key(hash_license(inline))))
+        return f'{p["raw"]} is licensed under {ref} where {ref} reads "{inline}";'
     if kind == "slsa":
         a = pick("arts")
         b = BUILDERS[int(rng.integers(0, len(BUILDERS)))]
@@ -200,8 +230,8 @@ def _apply_template(kind: str, rng: np.random.Generator, pools, facts: TurnFacts
 TEMPLATES = [
     ("pkg", 0.22), ("artifact", 0.12), ("occurrence", 0.10), ("repo", 0.10),
     ("vuln", 0.10), ("vuln_pair", 0.04), ("hash_pair", 0.04),
-    ("scorecard", 0.05), ("legal", 0.05), ("slsa", 0.04), ("good", 0.035),
-    ("bad", 0.035), ("contact", 0.035), ("severity", 0.035),
+    ("scorecard", 0.05), ("legal", 0.04), ("legal_ref", 0.01), ("slsa", 0.04),
+    ("good", 0.035), ("bad", 0.035), ("contact", 0.035), ("severity", 0.035),
 ]
 T_KINDS = [t for t, _ in TEMPLATES]
 T_PROBS = np.array([p for _, p in TEMPLATES])
@@ -288,7 +318,17 @@ def generate_corpus(
         "golden_turn_text": os.path.join(out_dir, "golden", "turn_text.parquet"),
     }
     if os.path.exists(marker) and not force:
-        return paths
+        try:
+            with open(marker) as fh:
+                ver = json.load(fh).get("corpus_version")
+        except (OSError, json.JSONDecodeError):
+            ver = None
+        if ver == CORPUS_VERSION:
+            return paths
+        # stale generator output — rebuild from scratch
+        import shutil as _sh
+
+        _sh.rmtree(out_dir, ignore_errors=True)
     os.makedirs(paths["transcripts"], exist_ok=True)
     os.makedirs(os.path.join(out_dir, "golden"), exist_ok=True)
 
@@ -417,6 +457,7 @@ def generate_corpus(
         "n_golden_nodes": int(len(golden_nodes)),
         "hot_tool_share": float((df.tool == HOT_TOOL).mean()),
         "seed": seed,
+        "corpus_version": CORPUS_VERSION,
     }
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
@@ -459,7 +500,16 @@ def ensure_scaling_corpus(
     catalog = os.path.join(root, "entity_catalog.parquet")
     marker = os.path.join(root, "_flat_done.json")
     if os.path.exists(marker):
-        return {"dir": root, "transcripts": flat, "catalog": catalog}
+        try:
+            with open(marker) as fh:
+                ok = json.load(fh).get("corpus_version") == CORPUS_VERSION
+        except (OSError, json.JSONDecodeError):
+            ok = False
+        if ok:
+            return {"dir": root, "transcripts": flat, "catalog": catalog}
+        import shutil as _sh
+
+        _sh.rmtree(root, ignore_errors=True)  # chunks + stale hard links
 
     with mp.Pool(min(procs, n_chunks)) as pool:
         pool.starmap(
@@ -478,7 +528,8 @@ def ensure_scaling_corpus(
 
     _sh.copyfile(os.path.join(root, "chunk0", "entity_catalog.parquet"), catalog)
     with open(marker, "w") as f:
-        json.dump({"n_chunks": n_chunks, "convs_per_chunk": convs_per_chunk}, f)
+        json.dump({"n_chunks": n_chunks, "convs_per_chunk": convs_per_chunk,
+                   "corpus_version": CORPUS_VERSION}, f)
     return {"dir": root, "transcripts": flat, "catalog": catalog}
 
 

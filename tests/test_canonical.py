@@ -63,6 +63,28 @@ class TestPurl:
         assert (spec.namespace, spec.name, spec.version) == ("@scope", "lib", "1.2.3")
 
 
+class TestLicense:
+    def test_expression_split_drops_combinators(self):
+        from guac_ray.canonical import parse_license_expression
+
+        assert parse_license_expression("MIT OR Apache-2.0") == ["MIT", "Apache-2.0"]
+        assert parse_license_expression("(MIT AND GPL-3.0-only)") == ["MIT", "GPL-3.0-only"]
+        assert parse_license_expression(
+            "GPL-3.0-only WITH Classpath-exception-2.0"
+        ) == ["GPL-3.0-only", "Classpath-exception-2.0"]
+        assert parse_license_expression("GPL-2.0+") == ["GPL-2.0"]
+        assert parse_license_expression("") == []
+
+    def test_hash_license_fnv32a(self):
+        from guac_ray.canonical import hash_license
+
+        # FNV-32a known vectors: fnv32a("") = 0x811c9dc5, fnv32a("a") = 0xe40c292c
+        assert hash_license("") == "LicenseRef-811c9dc5"
+        assert hash_license("a") == "LicenseRef-e40c292c"
+        # deterministic + content-addressed: same text, same ref
+        assert hash_license("custom text") == hash_license("custom text")
+
+
 class TestVcs:
     def test_tag_vs_commit_heuristic(self):
         assert is_commit_sha("a" * 40)

@@ -39,8 +39,21 @@ class TestMentionParsing:
         assert f.repos == ["src:git/github.com/org/r/tag=v1.0.0"]
 
     def test_legal_slsa_contact_severity(self):
-        f = facts("pkg:pypi/req@1.0.0 is licensed under MIT")
-        assert f.legals == ["license:MIT"] and f.packages
+        PK = "pkg:pypi/req@1.0.0"
+        f = facts(f"{PK} is licensed under MIT;")
+        assert f.legals == [(PK, "license:MIT")] and f.packages
+
+        f = facts(f"{PK} is licensed under (MIT OR Apache-2.0) "
+                  "WITH Classpath-exception-2.0;")
+        assert f.legals == [(PK, "license:MIT"), (PK, "license:Apache-2.0"),
+                            (PK, "license:Classpath-exception-2.0")]
+
+        from guac_ray.canonical import hash_license, license_key
+
+        inline = "Custom license text 3 for internal use."
+        f = facts(f'{PK} is licensed under LicenseRef-custom3 '
+                  f'where LicenseRef-custom3 reads "{inline}";')
+        assert f.legals == [(PK, license_key(hash_license(inline)))]
 
         f = facts("artifact sha256:" + "ab" * 32 + " was built by https://b.example/v1")
         assert f.builders == ["https://b.example/v1"] and f.artifacts
