@@ -1188,17 +1188,81 @@ WHERE canon LIKE '%@%'
 """
 
 
-def kg_edge_pred_counts(sf_dir: str):
-    """Distinct-edge count per predicate from the full pipeline
-    (rows-only; the per-edge golden compare lives in pytest)."""
+def kg_version_range(sf_dir: str, rng: str = "^1.2"):
+    """Version-range filter over the graph's versioned package nodes
+    (guacone query patch-style): which mentioned package versions
+    satisfy ``^1.2``. Range semantics come from functions/depversion
+    (the reference's depversion.go heuristics); the oracle expands the
+    caret range to explicit major/minor bounds in SQL."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.depversion import in_range
+    from guac_ray.stages.assemble import dedup_exact
+
     g = _corpus_edges(sf_dir)
-    return grouped_agg(g["edges"], ["pred"], {"n": ("pred", "count")},
-                       num_buckets=4)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], "version_of"))
+        return pa.table({"pkg_version": t["subj_key"]})
+
+    distinct = dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["pkg_version"], num_buckets=4,
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"pkg_version": pd.Series(dtype="str")})
+        vers = df.pkg_version.str.split("@").str[1].str.split("?").str[0]
+        keep = np.array([in_range(v, rng) for v in vers])
+        return df[keep][["pkg_version"]]
+
+    return distinct.map_batches(match, batch_format="pandas")
+
+
+def KG_VERSION_RANGE_SQL(sf_dir: str) -> str:
+    # ^1.2 ⇔ >=1.2.0 <2.0.0 ⇔ major = 1 AND minor >= 2
+    return f"""
+WITH v AS (
+  SELECT DISTINCT canon AS pkg_version,
+         split_part(split_part(canon, '@', 2), '?', 1) AS ver
+  FROM (
+    SELECT {_PURL_CANON} AS canon FROM (
+      SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+      FROM {_t(sf_dir)} WHERE {_VALID})
+  )
+  WHERE canon LIKE '%@%'
+)
+SELECT pkg_version FROM v
+WHERE TRY_CAST(split_part(ver, '.', 1) AS INTEGER) = 1
+  AND TRY_CAST(split_part(ver, '.', 2) AS INTEGER) >= 2
+"""
+
+
+def kg_edge_pred_counts(sf_dir: str):
+    """Distinct-edge count per predicate from the full pipeline. Oracle:
+    the fixture's GOLDEN edge table — derived at generation time from the
+    template parameters, a fully independent path from text extraction
+    (FIXTURES.md F5) — must produce identical per-predicate counts."""
+    g = _corpus_edges(sf_dir)
+    out = grouped_agg(g["edges"], ["pred"], {"n": ("pred", "count")},
+                      num_buckets=4)
+    return out.map_batches(lambda df: df.assign(n=df.n.astype("int64")),
+                           batch_format="pandas")
+
+
+def KG_PRED_COUNTS_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT pred, count(*) AS n
+FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+GROUP BY pred
+"""
 
 
 def kg_degree_top(sf_dir: str):
     """Top-20 subjects by distinct-edge degree (salted two-phase count
-    over the assembled edge table)."""
+    over the assembled edge table); golden edge table is the oracle,
+    ties broken by subj_key on both sides."""
     from guac_ray.stages.assemble import salted_count
 
     g = _corpus_edges(sf_dir)
@@ -1207,6 +1271,16 @@ def kg_degree_top(sf_dir: str):
         .sort(["degree", "subj_key"], descending=[True, False])
         .limit(20)
     )
+
+
+def KG_DEGREE_TOP_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT subj_key, count(*) AS degree
+FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+GROUP BY subj_key
+ORDER BY degree DESC, subj_key
+LIMIT 20
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1255,6 +1329,7 @@ SUITE: dict[str, tuple] = {
     "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),
     "kg_certify_legal": (kg_certify_legal, KG_CERTIFY_LEGAL_SQL),
     "kg_version_of": (kg_version_of, KG_VERSION_OF_SQL),
-    "kg_edge_pred_counts": (kg_edge_pred_counts, None),
-    "kg_degree_top": (kg_degree_top, None),
+    "kg_version_range": (kg_version_range, KG_VERSION_RANGE_SQL),
+    "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
+    "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
 }

@@ -5,9 +5,10 @@ The reference guesses format (JSON / JSON-Lines / XML) then validates
 per-type schemas (process/process.go:170-207). Here sources are files:
 the format sniffer keys on extension + a content peek, every format
 normalizes to the ``input_hint`` Arrow schema, and rows that cannot be
-coerced route to rejects rather than crashing. Compression (gz/zstd on
-json/csv) rides on Arrow's native codec support — the reference's
-Encoding enum analog.
+coerced route to rejects rather than crashing. Compressed json/csv
+(.gz/.zst/.bz2) decode through Arrow's codec input stream
+(``arrow_open_stream_args``) — the reference's Encoding enum analog
+(process/process.go:217-253).
 
 Registry (§2.11 plugin surface): ``register_reader("ext", fn)``.
 """
@@ -36,12 +37,30 @@ def register_reader(ext: str, fn) -> None:
     _READERS[ext] = fn
 
 
+_COMP_EXTS = {".gz": "gzip", ".zst": "zstd", ".zstd": "zstd", ".bz2": "bz2"}
+
+
+def sniff_compression(path: str) -> str | None:
+    """Arrow codec name from the filename suffix (Encoding enum analog —
+    process/process.go:217-253 dispatches bzip2/zstd decompressors)."""
+    base = path.lower()
+    for ext, codec in _COMP_EXTS.items():
+        if base.endswith(ext):
+            return codec
+    return None
+
+
 def sniff_format(path: str) -> str:
     """Extension-first format guess with a content peek fallback
-    (guesser chain analog — first match wins)."""
+    (guesser chain analog — first match wins). Compression suffixes
+    (.gz/.zst/.bz2) are transparent to the format guess."""
     base = path.lower()
+    for cext in _COMP_EXTS:
+        if base.endswith(cext):
+            base = base[: -len(cext)]
+            break
     for ext in (".parquet", ".jsonl", ".ndjson", ".json", ".csv"):
-        if base.endswith(ext) or base.endswith(ext + ".gz"):
+        if base.endswith(ext):
             return ext.lstrip(".")
     with open(path, "rb") as f:
         head = f.read(64)
@@ -82,20 +101,25 @@ def read_transcripts_any(paths: str | list[str]) -> Dataset:
             paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))]
         else:
             paths = [paths]
-    by_fmt: dict[str, list[str]] = {}
+    # group by (format, compression): every group becomes one read, and
+    # compressed json/csv shards decode through Arrow's codec stream
+    by_fmt: dict[tuple[str, str | None], list[str]] = {}
     for p in paths:
-        by_fmt.setdefault(sniff_format(p), []).append(p)
+        by_fmt.setdefault((sniff_format(p), sniff_compression(p)), []).append(p)
 
     parts: list[Dataset] = []
-    for fmt, ps in sorted(by_fmt.items()):
+    for (fmt, comp), ps in sorted(by_fmt.items(), key=lambda kv: (kv[0][0], kv[0][1] or "")):
+        stream_args = {"compression": comp} if comp else None
         if fmt in _READERS:
             parts.append(_READERS[fmt](ps))
         elif fmt == "parquet":
-            parts.append(rd.read_parquet(ps))
+            parts.append(rd.read_parquet(ps))  # parquet compression is internal
         elif fmt in ("json", "jsonl", "ndjson"):
-            parts.append(coerce_schema(rd.read_json(ps)))
+            parts.append(coerce_schema(
+                rd.read_json(ps, arrow_open_stream_args=stream_args)))
         elif fmt == "csv":
-            parts.append(coerce_schema(rd.read_csv(ps)))
+            parts.append(coerce_schema(
+                rd.read_csv(ps, arrow_open_stream_args=stream_args)))
         else:
             raise ValueError(f"unsupported transcript format: {fmt}")
     out = parts[0]

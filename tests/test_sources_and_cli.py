@@ -28,6 +28,14 @@ def mixed_sources(tmp_path_factory):
             f.write(json.dumps(r2) + "\n")
     cs = d / "c.csv"
     pd.DataFrame([dict(r, conv_id="c3") for r in rows]).to_csv(cs, index=False)
+    # compressed shards: gz jsonl + gz csv (Arrow codec stream path)
+    import gzip
+
+    with gzip.open(d / "d.jsonl.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(dict(r, conv_id="c4")) + "\n")
+    with gzip.open(d / "e.csv.gz", "wt") as f:
+        pd.DataFrame([dict(r, conv_id="c5") for r in rows]).to_csv(f, index=False)
     return str(d)
 
 
@@ -39,14 +47,21 @@ class TestReaders:
         assert sniff_format(mixed_sources + "/b.jsonl") == "jsonl"
         assert sniff_format(mixed_sources + "/c.csv") == "csv"
 
+        from guac_ray.sources.readers import sniff_compression
+
+        assert sniff_format(mixed_sources + "/d.jsonl.gz") == "jsonl"
+        assert sniff_compression(mixed_sources + "/d.jsonl.gz") == "gzip"
+        assert sniff_compression("x.csv.zst") == "zstd"
+        assert sniff_compression(mixed_sources + "/c.csv") is None
+
     def test_mixed_dir_normalizes_and_unions(self, ray_session, mixed_sources):
         from guac_ray.schemas import TRANSCRIPT_SCHEMA
         from guac_ray.sources.readers import read_transcripts_any
 
         ds = read_transcripts_any(mixed_sources)
         df = ds.to_pandas()
-        assert len(df) == 6
-        assert sorted(df.conv_id.unique()) == ["c1", "c2", "c3"]
+        assert len(df) == 10
+        assert sorted(df.conv_id.unique()) == ["c1", "c2", "c3", "c4", "c5"]
         assert [f.name for f in TRANSCRIPT_SCHEMA] == list(df.columns)
 
     def test_extraction_works_on_any_source(self, ray_session, mixed_sources):
@@ -55,7 +70,7 @@ class TestReaders:
 
         edges = extract_triples(read_transcripts_any(mixed_sources)).to_pandas()
         pkgs = edges[edges.pred == "mentions_package"]
-        assert set(pkgs.conv_id) == {"c1", "c2", "c3"}
+        assert set(pkgs.conv_id) == {"c1", "c2", "c3", "c4", "c5"}
 
     def test_register_reader_conflict(self):
         from guac_ray.sources.readers import register_reader
