@@ -1,20 +1,26 @@
-"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
-typed metadata. The decode kernels themselves are STUBBED (no image/audio
-libraries in this container — see ``set_real_decoder``); the Ray-side
-plumbing — schema, small-batch actor pools, output layout — is real and
-tested.
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata (SURVEY.md LLM-pipeline family).
+
+The decode kernel is REAL for the formats decodable with numpy + the
+stdlib — uncompressed 24-bit BMP and binary PPM (P6) — covering parse,
+pixel stats, feature extraction, and nearest-neighbor resize with no
+image library. Compressed formats (JPEG/PNG) need a codec this
+container doesn't ship: they fall back to a clearly-marked
+deterministic stub (or raise under ``strict=True``), pluggable via
+``set_real_decoder``.
 
 Pattern for heavy binary payloads (SURVEY-level scale note):
   * small ``batch_size`` (payload × batch × concurrency must fit worker
     heap) — callers pass e.g. ``batch_size=32`` for images
-  * ``batch_format="pyarrow"`` end-to-end (binary columns don't round-trip
-    pandas object dtype cleanly)
-  * decoder/model loaded once per actor in ``__init__``
+  * ``batch_format="pyarrow"`` end-to-end (binary columns don't
+    round-trip pandas object dtype cleanly)
+  * decoder state loaded once per actor in ``__init__``
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -23,10 +29,19 @@ from ray.data import Dataset
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "decode_bmp",
+    "decode_ppm",
+    "encode_bmp",
+    "encode_ppm",
+    "decode_any",
+    "resize_nearest",
     "ImageDecoder",
+    "ImageResizer",
     "FrameSampler",
     "decode_images",
+    "resize_images",
     "make_fake_media",
+    "set_real_decoder",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -40,32 +55,159 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a real decoder: derives stable
-    pseudo-dimensions and a 8-dim feature vector from the payload hash."""
+# ---------------------------------------------------------------------------
+# real pixel codecs (numpy + struct only)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP → (H, W, 3) uint8 RGB; None if not one."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    flipped = height > 0          # positive height ⇒ bottom-up rows
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off).reshape(h, stride)
+    bgr = rows[:, : width * 3].reshape(h, width, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flipped else rgb
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit bottom-up BMP bytes."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)   # bottom-up BGR
+    pixel_bytes = rows.tobytes()
+    data_off = 54
+    file_size = data_off + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                      len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + dib + pixel_bytes
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Binary PPM (P6, maxval ≤ 255) → (H, W, 3) uint8 RGB."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header tokens: P6 <w> <h> <maxval>, whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":                                 # comment to EOL
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval > 255 or w <= 0 or h <= 0:
+        return None
+    i += 1                                            # single whitespace after maxval
+    need = w * h * 3
+    if len(payload) - i < need:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_any(payload: bytes) -> np.ndarray | None:
+    """Dispatch on magic bytes (format guesser chain — first match wins)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return None
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index maps — pure numpy."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def _features(rgb: np.ndarray) -> np.ndarray:
+    """8-dim real feature vector: channel means, gray std, quadrant
+    gray means — all in [0, 1]."""
+    f = rgb.astype(np.float64)
+    gray = f.mean(axis=2)
+    h, w = gray.shape
+    hh, hw = max(1, h // 2), max(1, w // 2)
+    quads = [gray[:hh, :hw], gray[:hh, hw:], gray[hh:, :hw], gray[hh:, hw:]]
+    feat = np.array(
+        [f[:, :, 0].mean(), f[:, :, 1].mean(), f[:, :, 2].mean(), gray.std()]
+        + [(q.mean() if q.size else 0.0) for q in quads]
+    )
+    return feat / 255.0
+
+
+def _stub_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for codec formats (JPEG/PNG) this
+    container cannot decode: stable pseudo-dimensions + hash features."""
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     feat = (np.frombuffer(h[:32], dtype=np.uint8)[:8].astype(np.float64) / 255.0)
-    return {"width": int(width), "height": int(height), "features": feat}
+    return {"width": int(width), "height": int(height), "features": feat,
+            "decoded": False}
 
+
+# ---------------------------------------------------------------------------
+# actor-pool stages
+# ---------------------------------------------------------------------------
 
 class ImageDecoder:
     """Actor-pool stage: media batch → (media_id, width, height,
-    features). A real build replaces ``self.decode`` via
-    ``set_real_decoder`` (e.g. PIL/libvips); this container has neither,
-    so the deterministic fake keeps the plumbing testable.
-    """
+    features, decoded). BMP/PPM decode for real; unknown magics use the
+    pluggable ``real_decoder`` hook, then the stub (or raise when
+    ``strict``)."""
 
-    real_decoder = None  # set by set_real_decoder()
+    real_decoder = None  # set by set_real_decoder() (e.g. PIL/libvips)
 
     def __init__(self, strict: bool = False):
-        if strict and ImageDecoder.real_decoder is None:
+        self.strict = strict
+
+    def decode(self, payload: bytes) -> dict:
+        rgb = decode_any(payload or b"")
+        if rgb is not None:
+            return {"width": rgb.shape[1], "height": rgb.shape[0],
+                    "features": _features(rgb), "decoded": True}
+        if ImageDecoder.real_decoder is not None:
+            return ImageDecoder.real_decoder(payload)
+        if self.strict:
             raise NotImplementedError(
-                "no image decode library in this environment; "
+                "payload is not BMP/PPM and no codec decoder is installed; "
                 "install one and call set_real_decoder()"
             )
-        self.decode = ImageDecoder.real_decoder or _fake_decode
+        return _stub_decode(payload or b"")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -76,7 +218,11 @@ class ImageDecoder:
                 "width": pa.array([o["width"] for o in outs], type=pa.int32()),
                 "height": pa.array([o["height"] for o in outs], type=pa.int32()),
                 "features": pa.array(
-                    [o["features"].tolist() for o in outs], type=pa.list_(pa.float64())
+                    [np.asarray(o["features"]).tolist() for o in outs],
+                    type=pa.list_(pa.float64()),
+                ),
+                "decoded": pa.array(
+                    [bool(o.get("decoded", False)) for o in outs], type=pa.bool_()
                 ),
             }
         )
@@ -84,6 +230,40 @@ class ImageDecoder:
 
 def set_real_decoder(fn) -> None:
     ImageDecoder.real_decoder = staticmethod(fn)
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → nearest-neighbor resize → re-encode as
+    PPM (the smallest real container). Undecodable payloads pass through
+    untouched with ``resized=False``."""
+
+    def __init__(self, out_w: int = 64, out_h: int = 64):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        out_p, out_ok = [], []
+        for p in batch["payload"].to_pylist():
+            rgb = decode_any(p or b"")
+            if rgb is None:
+                out_p.append(p or b"")
+                out_ok.append(False)
+            else:
+                out_p.append(encode_ppm(resize_nearest(rgb, self.out_w, self.out_h)))
+                out_ok.append(True)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(out_p, type=pa.binary()),
+                "mime": pa.array(
+                    ["image/x-portable-pixmap" if ok else "application/octet-stream"
+                     for ok in out_ok],
+                    type=pa.string(),
+                ),
+                "resized": pa.array(out_ok, type=pa.bool_()),
+            }
+        )
 
 
 class FrameSampler:
@@ -121,16 +301,36 @@ def decode_images(media: Dataset, concurrency: int = 2, batch_size: int = 32) ->
     )
 
 
+def resize_images(media: Dataset, out_w: int = 64, out_h: int = 64,
+                  concurrency: int = 2, batch_size: int = 32) -> Dataset:
+    return media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
 def make_fake_media(n: int = 64, seed: int = 7) -> pa.Table:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic media table: REAL BMP images (decodable by the real
+    kernel) with a few codec-format stand-ins mixed in (every 8th row) so
+    the stub path stays exercised."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(rng.integers(100, 4000)), dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads, mimes = [], []
+    for i in range(n):
+        if i % 8 == 7:
+            payloads.append(rng.integers(0, 256, size=int(rng.integers(100, 4000)),
+                                         dtype=np.uint8).tobytes())
+            mimes.append("image/jpeg")           # undecodable here → stub path
+        else:
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(arr))
+            mimes.append("image/bmp")
     return pa.table(
         {
             "media_id": pa.array(range(n), type=pa.int64()),
             "kind": pa.array(["image"] * n, type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
-            "mime": pa.array(["image/fake"] * n, type=pa.string()),
+            "mime": pa.array(mimes, type=pa.string()),
             "meta": pa.array(["{}"] * n, type=pa.string()),
         }
     )

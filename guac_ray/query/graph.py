@@ -19,7 +19,31 @@ import pandas as pd
 
 from ray.data import Dataset
 
-__all__ = ["neighbors", "bfs_reach", "shortest_path", "toposort", "find_nodes"]
+__all__ = ["neighbors", "bfs_reach", "shortest_path", "toposort", "find_nodes",
+           "paginate"]
+
+
+def paginate(
+    ds: Dataset,
+    sort_keys: list[str],
+    offset: int = 0,
+    limit: int = 100,
+    descending: bool = False,
+) -> Dataset:
+    """Deterministic offset/limit page over a sorted result — every
+    read-side consumer's pagination contract (backends.go:118-127 takes
+    the same {sort, offset, limit} triple). The sort is the distributed
+    shuffle; offset+limit prune to one small head before the skip."""
+    if offset < 0 or limit <= 0:
+        raise ValueError("offset must be >= 0 and limit > 0")
+    # the sort is the distributed shuffle; the limited head (offset+limit
+    # rows) is driver-small by the pagination contract, so one take
+    # applies the skip
+    head = ds.sort(sort_keys, descending=descending).limit(offset + limit)
+    import ray.data as rd
+
+    rows = head.take(offset + limit)[offset:]
+    return rd.from_items(rows) if rows else rd.from_items([])
 
 
 def neighbors(

@@ -29,7 +29,26 @@ from guac_ray.canonical import (
 from guac_ray.schemas import EDGE_SCHEMA, REJECT_SCHEMA, VALID_ROLES
 from guac_ray.stages.rules import TurnFacts, derive
 
-__all__ = ["TranscriptExtractor", "RejectRouter", "parse_turn_facts"]
+__all__ = ["TranscriptExtractor", "RejectRouter", "parse_turn_facts",
+           "register_mention_parser", "unregister_mention_parser"]
+
+# §2.11 plugin surface: extra mention parsers run after the built-in
+# grammars, mutating TurnFacts in place — the reference's per-type
+# DocumentParser registry (parser.go:43-56 RegisterDocumentParser, with
+# overwrite-error semantics like collector.go:62-71)
+_EXTRA_PARSERS: dict[str, "callable"] = {}
+
+
+def register_mention_parser(name: str, fn) -> None:
+    """``fn(text: str, facts: TurnFacts) -> None`` — appends canonical
+    keys to the facts it recognizes. Errors on name conflict."""
+    if name in _EXTRA_PARSERS:
+        raise ValueError(f"mention parser already registered: {name!r}")
+    _EXTRA_PARSERS[name] = fn
+
+
+def unregister_mention_parser(name: str) -> None:
+    _EXTRA_PARSERS.pop(name, None)
 
 _PATTERNS = {
     "artifact": r"\b(sha256|sha1|sha512|md5):([0-9a-fA-F]{32,128})\b",
@@ -139,6 +158,8 @@ def parse_turn_facts(
         if "severity " in text:
             for score, raw in pats["severity"].findall(text):
                 f.severities.append((vuln_key(raw), round(float(score), 1)))
+    for extra in _EXTRA_PARSERS.values():
+        extra(text, f)
     return f
 
 

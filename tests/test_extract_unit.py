@@ -2,6 +2,7 @@
 reference's table-driven parser goldens (parse_spdx_test.go etc.)."""
 
 import pyarrow as pa
+import pytest
 
 from guac_ray.schemas import EDGE_SCHEMA
 from guac_ray.stages.extract import (
@@ -69,6 +70,28 @@ class TestMentionParsing:
             ("package", "pkg:pypi/a@1.0.0")
         ]
         assert facts("flagged: pkg:pypi/a@1.0.0").flags == [("package", "pkg:pypi/a@1.0.0")]
+
+    def test_mention_parser_registry(self):
+        from guac_ray.stages.extract import (
+            register_mention_parser,
+            unregister_mention_parser,
+        )
+
+        def ticket_parser(text, f):
+            import re
+
+            for m in re.findall(r"\bTICKET-\d+\b", text):
+                f.artifacts.append(f"ticket:{m.lower()}")
+
+        register_mention_parser("tickets", ticket_parser)
+        try:
+            with pytest.raises(ValueError):
+                register_mention_parser("tickets", ticket_parser)
+            f = facts("resolved TICKET-42 yesterday")
+            assert "ticket:ticket-42" in f.artifacts
+        finally:
+            unregister_mention_parser("tickets")
+        assert "ticket:ticket-42" not in facts("resolved TICKET-42").artifacts
 
     def test_no_mentions(self):
         f = facts("Let me check that.")

@@ -1,18 +1,72 @@
-"""Multimodal plumbing (decode kernel is a documented stub)."""
+"""Multimodal: real BMP/PPM decode kernel + stub fallback for codec
+formats, nearest-neighbor resize, frame sampling."""
 
+import numpy as np
 import pytest
 
 from guac_ray.functions.multimodal import (
     FrameSampler,
     ImageDecoder,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
     make_fake_media,
+    resize_nearest,
 )
 
 
+class TestCodecs:
+    def test_bmp_roundtrip_exact(self):
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)  # odd stride
+        assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+    def test_ppm_roundtrip_exact(self):
+        rng = np.random.default_rng(4)
+        arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(arr)) == arr).all()
+
+    def test_garbage_returns_none(self):
+        assert decode_bmp(b"not an image") is None
+        assert decode_ppm(b"P5\n1 1\n255\n\x00") is None
+        assert decode_bmp(b"BM" + b"\x00" * 10) is None
+
+    def test_resize_nearest_shapes_and_values(self):
+        arr = np.zeros((4, 4, 3), dtype=np.uint8)
+        arr[2:, 2:] = 200
+        out = resize_nearest(arr, 2, 2)
+        assert out.shape == (2, 2, 3)
+        assert out[0, 0, 0] == 0 and out[1, 1, 0] == 200
+
+
 class TestMultimodal:
-    def test_strict_mode_raises_without_real_decoder(self):
+    def test_real_decode_reports_true_dimensions(self):
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 256, size=(17, 31, 3), dtype=np.uint8)
+        import pyarrow as pa
+
+        media = pa.table({
+            "media_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([encode_bmp(arr)], type=pa.binary()),
+        })
+        out = ImageDecoder()(media).to_pandas()
+        assert out.decoded.iloc[0]
+        assert (out.width.iloc[0], out.height.iloc[0]) == (31, 17)
+        # features are REAL pixel stats: channel means match numpy
+        feats = np.asarray(out.features.iloc[0])
+        assert abs(feats[0] - arr[:, :, 0].mean() / 255.0) < 1e-9
+
+    def test_strict_mode_raises_on_codec_formats_only(self):
+        media = make_fake_media(8)
+        dec = ImageDecoder(strict=True)
+        # BMP rows decode fine even in strict mode; the jpeg stand-in raises
         with pytest.raises(NotImplementedError):
-            ImageDecoder(strict=True)
+            dec(media)
+        bmp_only = media.filter(
+            __import__("pyarrow").compute.equal(media["mime"], "image/bmp"))
+        out = dec(bmp_only).to_pandas()
+        assert out.decoded.all()
 
     def test_decode_plumbing_deterministic(self):
         media = make_fake_media(8)
@@ -21,6 +75,8 @@ class TestMultimodal:
         assert len(out1) == 8
         assert (out1.width == out2.width).all()
         assert all(len(f) == 8 for f in out1.features)
+        # mixed corpus: most rows real-decoded, the codec stand-ins stubbed
+        assert out1.decoded.sum() == 7 and not out1.decoded.iloc[7]
 
     def test_frame_sampler_explodes_bounded(self):
         media = make_fake_media(4)
@@ -36,3 +92,16 @@ class TestMultimodal:
         out = decode_images(rd.from_arrow(make_fake_media(32)),
                             concurrency=(1, 2), batch_size=8).to_pandas()
         assert len(out) == 32
+        assert out.decoded.sum() == 28  # every 8th row is the stub path
+
+    def test_resize_actor_pool(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.multimodal import decode_ppm, resize_images
+
+        out = resize_images(rd.from_arrow(make_fake_media(16)), out_w=8, out_h=8,
+                            concurrency=(1, 2), batch_size=8).to_pandas()
+        ok = out[out.resized]
+        assert len(ok) == 14
+        for p in ok.payload:
+            assert decode_ppm(p).shape == (8, 8, 3)
