@@ -550,7 +550,10 @@ def simhash_pairs(
     def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False):
-            sub = sub.drop_duplicates("doc_id")
+            # sort: pairs emit canonically as (a < b), so the SAME pair
+            # surfacing from different chunks dedups exactly (unsorted
+            # group order varies with block arrival → (a,b)/(b,a) dupes)
+            sub = sub.drop_duplicates("doc_id").sort_values("doc_id")
             if len(sub) < 2:
                 continue
             ids = sub["doc_id"].to_numpy()

@@ -135,3 +135,35 @@ class TestSimhash:
         got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
         assert (0, 2) in got
         assert (0, 1) in got
+        # canonical orientation: never both (a,b) and (b,a)
+        assert (pairs.a < pairs.b).all()
+        assert not pairs.duplicated(["a", "b"]).any()
+
+    def test_pair_set_matches_bruteforce(self, ray_session):
+        """Pipeline pair set == brute-force 64-bit hamming pair set on a
+        real-ish corpus (regression: unsorted groups once emitted the
+        same pair in both orientations, inflating counts run to run)."""
+        import numpy as np
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import SimHasher, simhash_pairs
+
+        df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+        hs = SimHasher()._batch_simhash(df.text.tolist())
+        ids = df.doc_id.to_numpy()
+        x = hs[:, None] ^ hs[None, :]
+        ham = np.zeros(x.shape, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = ham[iu] <= 3
+        truth = {(int(min(a, b)), int(max(a, b)))
+                 for a, b in zip(ids[iu[0][keep]], ids[iu[1][keep]])}
+
+        got = simhash_pairs(rd.from_pandas(df).repartition(3),
+                            max_hamming=3, concurrency=(1, 2)).to_pandas()
+        gset = {(int(a), int(b)) for a, b in zip(got.a, got.b)}
+        assert gset == truth
+        assert len(got) == len(gset)
