@@ -141,34 +141,83 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N vs 4N parallelism (driver instruction allows any N). 4→16 rather
-    # than 8→32: runs that occupy the whole 32-CPU VM collide with host
-    # co-tenancy (identical 32-CPU jobs measured 38–58 s), while ≤16-CPU
-    # runs get stable CPU — measured efficiencies: 1.03 at 4→16 vs
-    # 0.54–0.75 at 8→32 for the SAME binary and input. The hi level gets
-    # min-of-2 trials; the lo level is stable.
-    lo, hi = 4, 16
-    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # N vs 4N at two levels: 4→16 AND 8→32. Runs that occupy the whole
+    # 32-CPU VM collide with host co-tenancy (identical 32-CPU jobs
+    # historically spread 38–58 s), so the 32-CPU level takes min-of-3
+    # and ALL raw trials are reported — the spread of identical-config
+    # trials is the isolation evidence separating host noise from
+    # engine scaling.
+    def best(ncpu: int, trials: int) -> tuple[dict, list[float]]:
+        rs = [run(ncpu) for _ in range(trials)]
+        secs = [r["value"] for r in rs]
+        return min(rs, key=lambda r: r["value"]), secs
+
+    r4, t4 = best(4, 2)
+    r8, t8 = best(8, 2)
+    r16, t16 = best(16, 2)
+    r32, t32 = best(32, 3)
+    eff_4_16 = (r4["value"] / r16["value"]) / 4
+    eff_8_32 = (r8["value"] / r32["value"]) / 4
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_8_32, 3),
         "unit": "ratio",
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
-        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
-        "turns": r_lo["turns"],
-        "num_cpus_lo": lo,
-        "num_cpus_hi": hi,
+        "eff_4_16": round(eff_4_16, 3),
+        "eff_8_32": round(eff_8_32, 3),
+        "sec_4": r4["value"], "sec_8": r8["value"],
+        "sec_16": r16["value"], "sec_32": r32["value"],
+        "trials_sec": {"4": t4, "8": t8, "16": t16, "32": t32},
+        "turns_per_sec_8": r8["turns_per_sec"],
+        "turns_per_sec_32": r32["turns_per_sec"],
+        "turns": r8["turns"],
+        "num_cpus_lo": 8,
+        "num_cpus_hi": 32,
         "sf": "scaling(~7.5M turns)",
+    }
+
+
+def _burn(_n):
+    """Pure-CPU probe worker: tight md5 chain, ~zero memory traffic."""
+    import hashlib
+
+    h = b"x" * 64
+    t0 = time.time()
+    it = 0
+    while time.time() - t0 < 6.0:
+        for _ in range(2000):
+            h = hashlib.md5(h).digest()
+        it += 2000
+    return it
+
+
+def run_cpuprobe() -> dict:
+    """Host-CPU-delivery isolation experiment (no Ray, no engine): if
+    aggregate pure-CPU throughput itself scales sub-linearly from N to
+    4N processes, the VM's vCPUs are not backed by that many deliverable
+    cores and NO engine can reach 0.8 on this box — the engine's scaling
+    efficiency must be read relative to this ceiling."""
+    import multiprocessing as mp
+
+    out = {}
+    for w in (4, 8, 16, 32):
+        with mp.Pool(w) as p:
+            t0 = time.time()
+            tot = sum(p.map(_burn, range(w)))
+            out[str(w)] = round(tot / (time.time() - t0) / 1e6, 2)
+    return {
+        "metric": "cpu_delivery_probe",
+        "unit": "M md5/s aggregate",
+        "throughput": out,
+        "eff_4_16": round(out["16"] / out["4"] / 4, 3),
+        "eff_8_32": round(out["32"] / out["8"] / 4, 3),
     }
 
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
+    if "--cpuprobe" in sys.argv:
+        print(json.dumps(run_cpuprobe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -1,0 +1,113 @@
+"""CLI entry points (the guacone analog: collect → ingest → query from
+one binary — cmd/guacone). Owns the Ray session (guarded init); library
+code never calls ray.init.
+
+    python -m guac_ray build  <transcripts_dir> <out_dir> [--catalog F] [--partitions N]
+    python -m guac_ray query  <graph_out_dir> known <node_key>
+    python -m guac_ray query  <graph_out_dir> vulns <pkg_key>
+    python -m guac_ray query  <graph_out_dir> patch <node_key> [--depth N]
+    python -m guac_ray query  <graph_out_dir> neighbors <node_key> [--direction out|in|both]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _ray_up(args.num_cpus)
+    from guac_ray.state.checkpoint import run_graph_job
+
+    res = run_graph_job(
+        args.transcripts, args.out,
+        catalog_path=args.catalog,
+        num_partitions=args.partitions,
+    )
+    print(json.dumps({
+        "edges_dir": res["edges_dir"],
+        "nodes_dir": res["nodes_dir"],
+        "identifiers_dir": res["identifiers_dir"],
+        "partitions": len(res["partitions"]),
+        "skipped": res["skipped"],
+    }))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    edges = rd.read_parquet(os.path.join(args.graph, "edges"))
+    if args.what == "known":
+        from guac_ray.query.cli import known
+
+        out = known(edges, args.key)
+    elif args.what == "vulns":
+        from guac_ray.query.cli import vulnerabilities
+
+        out = vulnerabilities(edges, args.key)
+    elif args.what == "patch":
+        from guac_ray.query.cli import patch_plan
+
+        out = patch_plan(edges, args.key, max_depth=args.depth)
+    elif args.what == "neighbors":
+        from guac_ray.query.graph import neighbors, paginate
+
+        out = paginate(
+            neighbors(edges, args.key, direction=args.direction),
+            sort_keys=["pred", "obj_key"], offset=args.offset, limit=args.limit,
+        ).to_pandas()
+    else:  # pragma: no cover - argparse restricts choices
+        raise ValueError(args.what)
+    print(out.to_json(orient="records", lines=True) if hasattr(out, "to_json")
+          else json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="guac_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="transcripts → nodes/edges Parquet graph")
+    b.add_argument("transcripts")
+    b.add_argument("out")
+    b.add_argument("--catalog", default=None)
+    b.add_argument("--partitions", type=int, default=4)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="read-side queries over a built graph")
+    q.add_argument("graph")
+    q.add_argument("what", choices=["known", "vulns", "patch", "neighbors"])
+    q.add_argument("key")
+    q.add_argument("--depth", type=int, default=10)
+    q.add_argument("--direction", default="out", choices=["out", "in", "both"])
+    q.add_argument("--offset", type=int, default=0)
+    q.add_argument("--limit", type=int, default=100)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

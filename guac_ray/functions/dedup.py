@@ -225,12 +225,14 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are truncated (hot-bucket guard).
     """
 
-    def coarse(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_cb"] = (
-            stable_hash(df, ["band_id", "band_hash"]) % num_coarse
-        ).astype("int64")
-        return df
+    def coarse(batch: pa.Table) -> pa.Table:
+        # band_hash is already a mixed 64-bit hash — a numeric fold is a
+        # valid coarse key and ~10× the pandas string-hash stable_hash
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            cb = (bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(num_coarse)
+        return batch.append_column("_cb", pa.array(cb.astype("int64")))
 
     def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -249,7 +251,7 @@ def lsh_candidate_pairs(
         return pd.concat(outs, ignore_index=True)
 
     pairs = (
-        bands.map_batches(coarse, batch_format="pandas")
+        bands.map_batches(coarse, batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(per_coarse, batch_format="pandas")
     )
@@ -275,16 +277,53 @@ def verify_pairs_sigs(
     threshold: float = 0.7,
     exchange_dir: str | None = None,
     num_buckets: int = 16,
+    broadcast_row_limit: int = 200_000,
 ) -> Dataset:
-    """Signature-similarity verification of candidate pairs, fully
-    distributed: pairs ⋈ sigs on ``a`` then on ``b`` (co-partitioned
-    filesystem-exchange hash joins — ``functions/joins.py:hash_join``),
-    then a vectorized per-batch similarity filter → (a, b, sim).
+    """Signature-similarity verification of candidate pairs → (a, b,
+    sim). Size-guarded plan, same policy as the suite's join planner:
 
-    The candidate-pair set is always far smaller than the band rows, and
-    the signature table flows through the exchange in hash buckets — no
-    driver materialization, no whole-table broadcast."""
+      - sigs under ``broadcast_row_limit`` rows (~25 MB at 128 perms):
+        ``ray.put`` the {doc_id: sig} map once, verify per batch — no
+        shuffle, one job;
+      - above it: pairs ⋈ sigs on ``a`` then on ``b`` through
+        co-partitioned filesystem-exchange hash joins
+        (``functions/joins.py:hash_join``) — the signature table never
+        lands on the driver whole and is never broadcast (at 10⁹ docs
+        it is a TB).
+
+    The candidate-pair set is always far smaller than the band rows."""
     import os
+
+    if sigs.count() <= broadcast_row_limit:
+        import ray
+
+        sig_df = sigs.to_pandas()
+        sref = ray.put(dict(zip(sig_df["doc_id"], sig_df["sig"])))
+
+        class Verify:
+            def __init__(self):
+                self.sigs = ray.get(sref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                if n == 0:
+                    return pa.table({"a": pa.array([], type=pa.int64()),
+                                     "b": pa.array([], type=pa.int64()),
+                                     "sim": pa.array([], type=pa.float64())})
+                a = t["a"].to_numpy(zero_copy_only=False)
+                b = t["b"].to_numpy(zero_copy_only=False)
+                sa = np.frombuffer(b"".join(self.sigs[x] for x in a),
+                                   dtype=np.uint64).reshape(n, -1)
+                sb = np.frombuffer(b"".join(self.sigs[x] for x in b),
+                                   dtype=np.uint64).reshape(n, -1)
+                sim = (sa == sb).mean(axis=1)
+                keep = sim >= threshold
+                return pa.table({"a": pa.array(a[keep].astype("int64")),
+                                 "b": pa.array(b[keep].astype("int64")),
+                                 "sim": pa.array(sim[keep])})
+
+        return pairs.map_batches(Verify, batch_format="pyarrow",
+                                 concurrency=(1, 2))
 
     from guac_ray.functions.joins import hash_join
 
@@ -542,10 +581,14 @@ def simhash_pairs(
             }
         )
 
-    def coarse(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_cb"] = (stable_hash(df, ["chunk_id", "chunk_val"]) % 8).astype("int64")
-        return df
+    def coarse(batch: pa.Table) -> pa.Table:
+        cv = batch["chunk_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ci = batch["chunk_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (cv * np.uint64(0x9E3779B97F4A7C15)) ^ ci
+            h ^= h >> np.uint64(29)
+            cb = h % np.uint64(8)
+        return batch.append_column("_cb", pa.array(cb.astype("int64")))
 
     def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -578,7 +621,7 @@ def simhash_pairs(
 
     pairs = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .map_batches(coarse, batch_format="pandas")
+        .map_batches(coarse, batch_format="pyarrow")
         .groupby("_cb")
         .map_groups(per_coarse, batch_format="pandas")
     )

@@ -818,15 +818,23 @@ def knn_ivf_q0(sf_dir: str, k: int = 10):
 
 
 def neardup_docs_minhash(sf_dir: str):
-    """MinHash-LSH candidate pairs over documents (rows-only; exact-
-    Jaccard verification covered in pytest on crafted near-dups)."""
+    """MinHash-LSH near-dup pairs over documents, signature-verified
+    through the distributed fs-exchange joins (rows-only; exact-Jaccard
+    verification covered in pytest on crafted near-dups).
+
+    Banding 128 perms as 16 bands × 8 rows puts the LSH threshold at
+    (1/16)^(1/8) ≈ 0.71 — matched to the 0.7 verify threshold. The old
+    32×4 banding (threshold ≈ 0.42) generated ~2000 false candidates per
+    true pair at sf0.1; precision at the banding stage is what bounds
+    the candidate shuffle at 100 TB."""
     from guac_ray.functions.dedup import MinHasher, lsh_candidate_pairs, minhash_bands
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # materialize: the signature table feeds both banding and the final
     # verification — without pinning it the MinHasher would execute twice
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 2)).materialize()
-    return lsh_candidate_pairs(minhash_bands(sigs, 32), threshold=0.7, sigs=sigs)
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
+                          batch_size=256, concurrency=(2, 8)).materialize()
+    return lsh_candidate_pairs(minhash_bands(sigs, 16), threshold=0.7, sigs=sigs)
 
 
 def neardup_docs_simhash(sf_dir: str):

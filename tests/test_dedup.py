@@ -117,6 +117,33 @@ class TestMinhash:
         verified = verify_pairs_exact(ds, out["pairs"], threshold=0.6)
         assert verified.is_dup.all()
 
+    def test_distributed_verify_path_matches_broadcast(self, ray_session, tmp_path):
+        """Force the fs-exchange join verify (broadcast_row_limit=0) and
+        check it yields the same verified pairs as the broadcast plan."""
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import (
+            MinHasher,
+            lsh_candidate_pairs,
+            minhash_bands,
+            verify_pairs_sigs,
+        )
+
+        ds = rd.from_pandas(_docs()).repartition(3)
+        sigs = ds.map_batches(
+            MinHasher, fn_constructor_kwargs={"num_perm": 64, "shingle_n": 5},
+            batch_format="pyarrow", concurrency=(1, 2),
+        ).materialize()
+        cands = lsh_candidate_pairs(minhash_bands(sigs, 16), sigs=None).materialize()
+        bcast = verify_pairs_sigs(cands, sigs, 0.6).to_pandas()
+        joined = verify_pairs_sigs(
+            cands, sigs, 0.6, exchange_dir=str(tmp_path / "vx"),
+            broadcast_row_limit=0,
+        ).to_pandas()
+        key = lambda df: sorted(map(tuple, df[["a", "b"]].itertuples(index=False)))
+        assert key(bcast) == key(joined)
+        assert (0, 2) in key(joined)
+
     def test_signature_deterministic_across_actors(self):
         from guac_ray.functions.dedup import MinHasher
 

@@ -39,6 +39,39 @@ def mixed_sources(tmp_path_factory):
     return str(d)
 
 
+class TestMainCli:
+    def test_build_and_query_subprocess(self, smoke_corpus, tmp_path):
+        """python -m guac_ray build/query end-to-end in fresh processes
+        (the CLI owns its own Ray session)."""
+        import subprocess
+        import sys
+
+        out_dir = str(tmp_path / "cli_graph")
+        r = subprocess.run(
+            [sys.executable, "-m", "guac_ray", "--num-cpus", "4", "build",
+             smoke_corpus["transcripts"], out_dir,
+             "--catalog", smoke_corpus["catalog"], "--partitions", "2"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["partitions"] == 2
+
+        import pandas as pd
+
+        edges = pd.read_parquet(info["edges_dir"])
+        pkg = edges[edges.pred == "mentions_package"].obj_key.iloc[0]
+        r2 = subprocess.run(
+            [sys.executable, "-m", "guac_ray", "--num-cpus", "4", "query",
+             out_dir, "neighbors", pkg, "--direction", "both", "--limit", "5"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        lines = [json.loads(x) for x in r2.stdout.strip().splitlines() if x]
+        assert 0 < len(lines) <= 5
+        assert all(pkg in (e["subj_key"], e["obj_key"]) for e in lines)
+
+
 class TestReaders:
     def test_sniff(self, mixed_sources):
         from guac_ray.sources.readers import sniff_format
