@@ -44,10 +44,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from guac_ray.pipelines.suite import SUITE, resolve_sql
+    from guac_ray.synth import corpus_for_sf
 
     # the driver compares at sf0.01; KG SQL builders resolve against the
-    # matching /tmp fixture (tools/check_oracle.py resolves for ITS sf)
+    # matching /tmp fixture (tools/check_oracle.py resolves for ITS sf).
+    # Ensure the fixture exists/is current even if the driver runs the
+    # SQL side before calling queries() (generation is idempotent,
+    # seeded, and version-checked).
     sf = "/root/testdata/sf0.01"
+    corpus_for_sf(sf)
     return {
         name: resolve_sql(sql, sf)
         for name, (_fn, sql) in SUITE.items()

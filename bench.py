@@ -32,7 +32,12 @@ def _ensure_corpus(sf_dir: str):
 
 
 def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
-              kg_only: bool = False) -> dict:
+              kg_only: bool = False, repeats: int = 1) -> dict:
+    """``repeats > 1`` re-runs the headline job and every query and
+    keeps the MINIMUM — the shared host's deliverable CPU varies ~2×
+    between windows (see ``--cpuprobe`` / BASELINE.md), and min-of-k is
+    the standard way to measure the engine rather than the weather.
+    ``--scaling`` keeps repeats=1 (it does its own min-of-N trials)."""
     import ray
 
     if corpus_dir:
@@ -67,25 +72,28 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     # measure that disk, not the engine
     out_root = "/dev/shm/guac_ray_bench" if os.path.isdir("/dev/shm") else "/tmp/guac_ray_bench"
     out_dir = f"{out_root}/{os.path.basename(os.path.normpath(sf_dir))}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
     # actor-pool floor sized to the node so the pool is warm before the
     # post-sort burst; ceiling leaves CPUs for shuffle tasks
     conc = (max(2, num_cpus // 2), max(2, num_cpus * 3 // 4))
-    g = build_graph(
-        corpus["transcripts"], catalog_path=corpus["catalog"], sort=True,
-        num_buckets=64, extract_concurrency=conc,
-        exchange_dir=f"{out_root}/_exchange",
-    )
-    # headline = read→sort→extract→link→global dedup, consumed (the
-    # BASELINE metric is triple-extraction throughput); the output write
-    # is timed separately below — with the fs exchange, re-consuming the
-    # edge dataset re-runs only the cheap per-bucket phase
-    n_edges = g["edges"].count()
-    kg_sec = time.time() - t0
-    t0 = time.time()
-    g["edges"].write_parquet(os.path.join(out_dir, "edges"))
-    write_sec = time.time() - t0
+    kg_sec = write_sec = float("inf")
+    n_edges = 0
+    for _ in range(max(1, repeats)):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        g = build_graph(
+            corpus["transcripts"], catalog_path=corpus["catalog"], sort=True,
+            num_buckets=64, extract_concurrency=conc,
+            exchange_dir=f"{out_root}/_exchange",
+        )
+        # headline = read→sort→extract→link→global dedup, consumed (the
+        # BASELINE metric is triple-extraction throughput); the output
+        # write is timed separately — with the fs exchange, re-consuming
+        # the edge dataset re-runs only the cheap per-bucket phase
+        n_edges = g["edges"].count()
+        kg_sec = min(kg_sec, time.time() - t0)
+        t0 = time.time()
+        g["edges"].write_parquet(os.path.join(out_dir, "edges"))
+        write_sec = min(write_sec, time.time() - t0)
 
     # ---- representative operator queries ----
     qtimes = {}
@@ -100,11 +108,14 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]
-            t0 = time.time()
-            res = fn(sf_dir)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            qtimes[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(max(1, repeats)):
+                t0 = time.time()
+                res = fn(sf_dir)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+                best = min(best, time.time() - t0)
+            qtimes[name] = round(best, 3)
 
     ray.shutdown()
     return {
@@ -221,8 +232,12 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        kg_only = bool(os.environ.get("GRAFT_KG_ONLY"))
         print(json.dumps(run_bench(
             sf_dir, ncpu,
             corpus_dir=os.environ.get("GRAFT_CORPUS_DIR"),
-            kg_only=bool(os.environ.get("GRAFT_KG_ONLY")),
+            kg_only=kg_only,
+            # scaling trials (kg_only) do their own min-of-N in fresh
+            # processes; the standalone bench takes best-of-2 in-process
+            repeats=1 if kg_only else 2,
         )))
