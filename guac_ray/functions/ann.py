@@ -121,6 +121,20 @@ class IvfIndex:
             cents = _normalize(cents)
         return cls(cents)
 
+    # ---- persistence: fit once, reuse across sessions/queries ----
+
+    def save(self, path: str) -> None:
+        """Parquet snapshot (one row per centroid, list<float> column)."""
+        pd.DataFrame({
+            "centroid_id": range(len(self.centroids)),
+            "centroid": list(self.centroids),
+        }).to_parquet(path, index=False)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfIndex":
+        df = pd.read_parquet(path).sort_values("centroid_id")
+        return cls(np.stack(df.centroid.to_numpy()).astype(np.float64))
+
 
 class _IvfScorer:
     def __init__(self, qref, cents_ref, k: int, nprobe: int):

@@ -1,0 +1,133 @@
+"""Distributed cardinality sketches: HyperLogLog distinct counting.
+
+The public HLL construction (Flajolet et al. 2007): hash each value to
+64 bits, use the top ``p`` bits as a register index (m = 2^p registers)
+and the position of the first set bit of the remainder as the register
+value (max); estimate = alpha_m · m² / Σ 2^-reg with the standard
+small-range (linear counting) correction. Standard error ≈ 1.04/√m
+(~1.6 % at p=12, 4 KB per sketch).
+
+Ray shape: each ``map_batches`` task folds its batch into ONE register
+array and emits it as a single binary row — the shuffle carries
+O(blocks) × 2^p bytes, never the values. Register arrays merge by
+elementwise max (associative/commutative/idempotent), so grouped
+variants just group the partial rows and max-reduce. This is the sketch
+analog of ``grouped_agg``'s partial-combine discipline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+__all__ = ["hll_fold", "hll_merge", "hll_estimate", "approx_ndistinct",
+           "approx_ndistinct_grouped"]
+
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _hash64(values: pd.Series) -> np.ndarray:
+    """Stable 64-bit hashes (pandas siphash with its fixed default key —
+    identical across processes)."""
+    return pd.util.hash_pandas_object(
+        values.astype(str), index=False, categorize=False
+    ).to_numpy().astype(np.uint64)
+
+
+def _rho(w: np.ndarray, max_bits: int) -> np.ndarray:
+    """Position (1-based) of the first set bit from the MSB of the
+    ``max_bits``-wide value ``w``; max_bits+1 when w == 0. Vectorized
+    mask-compare loop — exact, no float log tricks."""
+    out = np.full(w.shape, max_bits + 1, dtype=np.uint8)
+    found = np.zeros(w.shape, dtype=bool)
+    for i in range(max_bits):
+        bit = (w >> np.uint64(max_bits - 1 - i)) & np.uint64(1)
+        hit = (~found) & (bit == 1)
+        out[hit] = i + 1
+        found |= hit
+    return out
+
+
+def hll_fold(values: pd.Series, p: int = 12) -> np.ndarray:
+    """Fold a value series into a fresh 2^p register array (uint8)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    rho = _rho(w, 64 - p)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_merge(blobs: list[bytes], p: int = 12) -> np.ndarray:
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    for b in blobs:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:                      # small-range correction
+        zeros = int((regs == 0).sum())
+        if zeros:
+            return m * float(np.log(m / zeros))
+    return float(est)
+
+
+def approx_ndistinct(ds: Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) over the whole Dataset."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        return pa.table({"regs": pa.array([hll_fold(df[col], p).tobytes()],
+                                          type=pa.binary())})
+
+    blobs = [r["regs"] for r in
+             ds.map_batches(partial, batch_format="pandas").take_all()]
+    return hll_estimate(hll_merge(blobs, p))
+
+
+def approx_ndistinct_grouped(
+    ds: Dataset, key_cols: list[str], col: str, p: int = 12,
+    num_buckets: int = 8, out_col: str = "approx_n",
+) -> Dataset:
+    """Approximate per-key distinct counts: per-batch per-key register
+    partials → coarse-bucketed groupby → per-key max-merge + estimate.
+    The shuffle carries one 2^p-byte blob per (key, block)."""
+    from guac_ray.stages.assemble import stable_hash
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        keys, blobs = [], []
+        for k, sub in df.groupby(key_cols, sort=False):
+            keys.append(k if isinstance(k, tuple) else (k,))
+            blobs.append(hll_fold(sub[col], p).tobytes())
+        out = pd.DataFrame(keys, columns=key_cols)
+        out["regs"] = blobs
+        out["_bucket"] = (stable_hash(out, key_cols) % num_buckets).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for k, sub in g.groupby(key_cols, sort=False):
+            est = hll_estimate(hll_merge(list(sub["regs"]), p))
+            rows.append((k if isinstance(k, tuple) else (k,)) + (est,))
+        out = pd.DataFrame(rows, columns=key_cols + [out_col])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )

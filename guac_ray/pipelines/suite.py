@@ -621,6 +621,64 @@ FROM s GROUP BY user_id, sess
 """
 
 
+def events_sliding(sf_dir: str):
+    """HOPPING (sliding) window aggregate: 1-hour windows every 15 min —
+    each event lands in exactly 4 windows. The window explode is a
+    vectorized ×4 repeat inside map_batches (no per-row loop), then the
+    standard partial-combine → bucketed groupby. Stream-shaped operator
+    #3 next to tumbling (events_hourly) and sessions (events_sessions)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    HOP, LEN = 900, 3600  # seconds
+    K = LEN // HOP
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_type": pd.Series(dtype="str"),
+                                 "w": pd.Series(dtype="int64"),
+                                 "_vc": pd.Series(dtype="int64"),
+                                 "_n": pd.Series(dtype="int64")})
+        epoch = df.ts.astype("datetime64[s]").astype("int64").to_numpy()
+        base = (epoch // HOP) * HOP
+        vc = cents(df.value)
+        et = df.event_type.to_numpy()
+        n = len(df)
+        w = np.repeat(base, K) - np.tile(np.arange(K, dtype=np.int64) * HOP, n)
+        t = pd.DataFrame({
+            "event_type": np.repeat(et, K),
+            "w": w,
+            "_vc": np.repeat(vc, K),
+        })
+        g = t.groupby(["event_type", "w"], sort=False).agg(
+            _vc=("_vc", "sum"), _n=("_vc", "size")).reset_index()
+        return g
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "w"],
+        {"vc": ("_vc", "sum"), "n": ("_n", "sum")}, num_buckets=16,
+    )
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": df.event_type,
+            "window_start": pd.to_datetime(df.w, unit="s").astype("datetime64[us]"),
+            "n": df.n.astype("int64"),
+            "value_cents": df.vc,
+        }),
+        batch_format="pandas",
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       CAST(to_timestamp(CAST(floor(epoch(ts)/900)*900 AS BIGINT) - k*900)
+            AS TIMESTAMP) AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+GROUP BY 1, 2
+"""
+
+
 def priority_revenue_hashjoin(sf_dir: str):
     """Large-large partitioned hash join (lineitem ⋈ orders through the
     filesystem exchange — no broadcast side) → revenue per order priority."""
@@ -866,6 +924,24 @@ SELECT l.vec_id AS a, r.vec_id AS b
 FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95
 """
+
+
+def events_user_approx(sf_dir: str):
+    """Approximate distinct users per event type (HyperLogLog p=12,
+    ~1.6% std error) — the sketch shuffle carries one 4 KB register blob
+    per (key, block) instead of the user ids. No SQL oracle (the
+    estimate is approximate by construction); the ≤5% accuracy bound vs
+    exact counts is asserted in pytest."""
+    from guac_ray.functions.sketch import approx_ndistinct_grouped
+
+    out = approx_ndistinct_grouped(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        ["event_type"], "user_id",
+    )
+    return out.map_batches(
+        lambda df: df.assign(approx_n=df.approx_n.round().astype("int64")),
+        batch_format="pandas",
+    )
 
 
 def media_decode(sf_dir: str):
@@ -1315,6 +1391,7 @@ SUITE: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
@@ -1327,6 +1404,7 @@ SUITE: dict[str, tuple] = {
     "neardup_docs_minhash": (neardup_docs_minhash, None),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
+    "events_user_approx": (events_user_approx, None),
     "media_decode": (media_decode, None),
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),

@@ -48,6 +48,18 @@ class TestKnn:
         recall = len(set(got.vec_id) & want) / 10
         assert recall >= 0.6, recall
 
+    def test_ivf_save_load_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.ann import IvfIndex
+
+        df = _emb_df()
+        idx = IvfIndex.fit(rd.from_pandas(df).repartition(3), n_clusters=8)
+        p = str(tmp_path / "ivf.parquet")
+        idx.save(p)
+        idx2 = IvfIndex.load(p)
+        assert np.allclose(idx.centroids, idx2.centroids)
+
     def test_neardup_finds_planted_pair(self, ray_session):
         import ray.data as rd
 
