@@ -37,6 +37,7 @@ __all__ = [
     "turn_text",
     "rejects",
     "write_graph",
+    "ingest_predicates",
 ]
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -188,6 +189,30 @@ def build_graph(
     )
     nodes = nodes_from_edges(edges, num_buckets=max(8, num_buckets // 2))
     return {"edges": edges, "nodes": nodes}
+
+
+def ingest_predicates(
+    edges_path: str | list[str],
+    extra: Dataset | None = None,
+    num_buckets: int = 32,
+) -> dict[str, Dataset]:
+    """Trusted triple import (the ``ingest_predicates`` parser —
+    pkg/ingestor/parser/ingest_predicates/parser_ingest_predicates.go:44-60):
+    pre-derived edge rows in the engine's identity schema bypass
+    extraction, optionally union with freshly extracted ``extra`` edges,
+    and flow straight into the assemble dedup — identical edges from
+    both paths collapse because identity is the full payload."""
+    from guac_ray.schemas import EDGE_IDENTITY
+
+    ds = rd.read_parquet(edges_path)
+    ds = ds.map_batches(lambda t: t.select(EDGE_IDENTITY), batch_format="pyarrow")
+    if extra is not None:
+        ds = ds.union(
+            extra.map_batches(lambda t: t.select(EDGE_IDENTITY),
+                              batch_format="pyarrow"))
+    edges = assemble_edges(ds, num_buckets=num_buckets)
+    return {"edges": edges, "nodes": nodes_from_edges(edges,
+                                                      num_buckets=max(8, num_buckets // 2))}
 
 
 def turn_text(transcripts_path: str | list[str]) -> Dataset:

@@ -1,6 +1,9 @@
 """Rate-limited external-fetch collector (SURVEY.md §2.1, the OCI /
 registry collector shape — pkg/handler/collector/oci/oci.go fetches
-referrers per identifier through a rate-limited client).
+referrers per identifier through a rate-limited client; the GitHub and
+git collectors — github/github.go, git/git.go — are the SAME stage with
+a different transport: identifier = release-asset URL / repo ref, the
+injected callable does the protocol).
 
 There is no network in this environment, so the TRANSPORT is injected:
 a callable ``identifier -> bytes`` (tests inject a deterministic fake;

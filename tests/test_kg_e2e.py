@@ -74,6 +74,29 @@ class TestKgE2e:
         assert (rej.turn_idx > 0).all()
 
 
+class TestIngestPredicates:
+    def test_trusted_import_unions_and_dedups(self, ray_session, smoke_corpus):
+        """ingest_predicates: pre-derived edges import directly; identical
+        edges imported twice (or also present in `extra`) collapse."""
+        from guac_ray.pipelines.kg import ingest_predicates
+
+        golden = pd.read_parquet(smoke_corpus["golden_enrich"])
+        g = ingest_predicates(smoke_corpus["golden_enrich"])
+        edges = g["edges"].to_pandas()
+        assert len(edges) == len(golden[EDGE_IDENTITY].drop_duplicates())
+
+        # import the same file as BOTH path and extra → still deduped
+        import ray.data as rd
+
+        g2 = ingest_predicates(
+            smoke_corpus["golden_enrich"],
+            extra=rd.read_parquet(smoke_corpus["golden_enrich"]),
+        )
+        assert g2["edges"].count() == len(edges)
+        nodes = g2["nodes"].to_pandas()
+        assert set(nodes.node_type) >= {"package", "vulnerability"}
+
+
 class TestEnrichment:
     def test_certify_vuln_with_novuln_negatives(self, ray_session, graph, smoke_corpus, tmp_path):
         import ray.data as rd
