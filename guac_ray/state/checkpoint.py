@@ -138,13 +138,39 @@ def run_graph_job(
     num_partitions: int = 4,
     num_buckets: int = 64,
     exchange_dir: str | None = None,
+    max_concurrent: int = 1,
 ) -> dict:
     """Checkpointable end-to-end job. Stage A per-partition (resumable),
-    stage B assembles from stage A's files (no re-extraction)."""
-    manifests = [
-        run_extract_partition(i, files, out_dir, catalog_path)
-        for i, files in enumerate(partition_inputs(transcripts_dir, num_partitions))
-    ]
+    stage B assembles from stage A's files (no re-extraction).
+
+    ``max_concurrent > 1`` submits stage-A partitions from a thread
+    pool — each partition is an independent Dataset execution, so
+    concurrent submissions keep the cluster busy across the per-job
+    setup gaps (the real-cluster shape: one driver, N in-flight
+    partition jobs). Partition outputs are independent directories, so
+    concurrency never races; manifests are written per-partition."""
+    plan = list(enumerate(partition_inputs(transcripts_dir, num_partitions)))
+    if max_concurrent <= 1:
+        manifests = [
+            run_extract_partition(i, files, out_dir, catalog_path)
+            for i, files in plan
+        ]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _run(p):
+            # CPython `from x import y` race: concurrent FAILING imports
+            # of fsspec.implementations.http (no aiohttp here) inside
+            # Ray's path resolution can surface as ImportError in one
+            # thread. Partition runs are idempotent (tmp+rename,
+            # manifest written last), so a single retry is safe.
+            try:
+                return run_extract_partition(p[0], p[1], out_dir, catalog_path)
+            except ImportError:
+                return run_extract_partition(p[0], p[1], out_dir, catalog_path)
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            manifests = list(pool.map(_run, plan))
     # assemble ONLY the partitions in the current plan — a previous run
     # with a different num_partitions / input set leaves stale
     # raw_edges/part-* dirs that must not blend into the graph

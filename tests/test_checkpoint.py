@@ -52,6 +52,25 @@ class TestCheckpoint:
         w = set(map(tuple, golden[EDGE_IDENTITY].itertuples(index=False)))
         assert g == w
 
+    def test_concurrent_partitions_match_sequential(self, ray_session, smoke_corpus, tmp_path):
+        """max_concurrent=2 submits stage-A partitions from a thread
+        pool; the assembled graph is identical to the sequential run."""
+        from guac_ray.state.checkpoint import run_graph_job
+
+        out = str(tmp_path / "conc_out")
+        r = run_graph_job(
+            smoke_corpus["transcripts"], out,
+            catalog_path=smoke_corpus["catalog"], num_partitions=2,
+            num_buckets=16, max_concurrent=2,
+        )
+        # smoke corpus has 2 shards → 2 partitions, both run concurrently
+        assert len(r["partitions"]) == 2 and r["skipped"] == 0
+        got = pd.read_parquet(r["edges_dir"])
+        golden = pd.read_parquet(smoke_corpus["golden_edges"])
+        g = set(map(tuple, got[EDGE_IDENTITY].itertuples(index=False)))
+        w = set(map(tuple, golden[EDGE_IDENTITY].itertuples(index=False)))
+        assert g == w
+
     def test_input_change_invalidates(self, ray_session, smoke_corpus, tmp_path):
         from guac_ray.state.checkpoint import run_extract_partition, partition_inputs
 
