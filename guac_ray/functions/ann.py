@@ -30,7 +30,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-    mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    col = batch["embedding"].combine_chunks()
+    # uniform-length vectors → one flat buffer reshape, no per-row python
+    # objects: list<float> flattens; Ray tensor-extension arrays already
+    # yield (n, dim) from to_numpy. Ragged lists fall back to a stack.
+    try:
+        if hasattr(col, "flatten"):      # plain ListArray
+            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                len(ids), -1).astype(np.float64)
+        else:                            # ArrowTensorArray et al.
+            mat = np.asarray(col.to_numpy(zero_copy_only=False),
+                             dtype=np.float64)
+            if mat.ndim != 2:
+                raise ValueError("not rectangular")
+    except (ValueError, TypeError):
+        mat = np.stack(col.to_pandas().to_numpy()).astype(np.float64)
     return ids, mat
 
 

@@ -369,74 +369,153 @@ def connected_components_ds(
     max_rounds: int = 20,
 ) -> Dataset:
     """Distributed connected components over an (a, b) pair Dataset →
-    (doc_id, root) Dataset, via bounded min-label propagation rounds.
+    (doc_id, root) Dataset, via bounded min-label propagation rounds on
+    a filesystem exchange.
 
-    Each round: labels join the STATIC pair list on each endpoint
-    (co-partitioned fs-exchange hash joins), producing "my label" messages
-    to the opposite endpoint; the union of messages + current labels
-    reduces with a bucketed groupby-min. Labels only ever decrease, so
-    the per-round label SUM is a monotone convergence witness — equal sum
-    ⇒ fixpoint, stop. Rounds needed = component diameter (near-dup
-    clusters are shallow); ``max_rounds`` bounds pathological chains.
+    Setup (once): the STATIC pair list is written partitioned by
+    hash(a) and by hash(b); initial labels (node → node) partitioned by
+    hash(node) — all with the SAME bucket function, so a bucket's
+    labels co-locate with every pair that touches its nodes.
 
-    Everything is map work + bucketed combines: no driver-side label
-    table, no union-find. (Reference keeps a single in-memory backend
-    map — backend.go:77-106; this is its shuffle-native replacement.)
+    Each round is TWO pure-map jobs over bucket ids:
+      send:   per bucket — reduce labels (min per node), merge against
+              both pair partitions, emit (neighbor, my label) messages +
+              the labels themselves, written directly into the NEXT
+              exchange partitioned by hash(target node);
+      reduce: per bucket — min per node over the received messages,
+              written as the next round's labels + a stats row.
+
+    Labels only decrease, so the per-round label SUM is a monotone
+    convergence witness — equal sum ⇒ fixpoint, stop. Rounds needed =
+    component diameter (near-dup clusters are shallow); ``max_rounds``
+    bounds pathological chains. No driver-side label table, no
+    union-find (the reference's single in-memory backend map —
+    backend.go:77-106 — re-expressed as an external shuffle).
     """
     import os
 
-    from guac_ray.functions.joins import hash_join
-    from guac_ray.stages.groupagg import grouped_agg
+    import pyarrow.parquet as pq
+    import ray.data as rdata
 
-    ex = exchange_dir or _default_exchange("concomp")
+    from guac_ray.functions.joins import fresh_exchange_dir
+
+    ex = fresh_exchange_dir(exchange_dir or _default_exchange("concomp"))
+    B = num_buckets
+
+    def nb(arr: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(33)
+        return (h % np.uint64(B)).astype("int64")
+
+    empty_out = rdata.from_arrow(pa.schema(
+        [("doc_id", pa.int64()), ("root", pa.int64())]).empty_table())
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    if pairs.count() == 0:
+        return empty_out
+
+    pa_dir = os.path.join(ex, "pairs_a")
+    pb_dir = os.path.join(ex, "pairs_b")
+
+    def part_by(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            a = t["a"].combine_chunks().cast(pa.int64())
+            b = t["b"].combine_chunks().cast(pa.int64())
+            key = (a if col == "a" else b).to_numpy(zero_copy_only=False)
+            return pa.table({"a": a, "b": b, "_jb": pa.array(nb(key))})
+        return f
+
+    pairs.map_batches(part_by("a"), batch_format="pyarrow").write_parquet(
+        pa_dir, partition_cols=["_jb"])
+    pairs.map_batches(part_by("b"), batch_format="pyarrow").write_parquet(
+        pb_dir, partition_cols=["_jb"])
 
     def endpoints(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([
             t["a"].combine_chunks().cast(pa.int64()),
             t["b"].combine_chunks().cast(pa.int64()),
         ])
-        return pa.table({"node": ids, "label": ids})
+        arr = ids.to_numpy(zero_copy_only=False)
+        return pa.table({"node": ids, "label": ids, "_jb": pa.array(nb(arr))})
 
-    pairs = pairs.select_columns(["a", "b"]).materialize()  # consumed every round
-    labels = grouped_agg(
-        pairs.map_batches(endpoints, batch_format="pyarrow"),
-        ["node"], {"label": ("label", "min")}, num_buckets=num_buckets,
-    ).materialize()
-    prev_sum = labels.sum("label") or 0
+    def labels_dir(r: int) -> str:
+        return os.path.join(ex, f"labels_r{r}")
 
+    pairs.map_batches(endpoints, batch_format="pyarrow").write_parquet(
+        labels_dir(0), partition_cols=["_jb"])
+
+    def _read_part(root: str, i: int) -> pd.DataFrame | None:
+        p = os.path.join(root, f"_jb={i}")
+        if not os.path.isdir(p):
+            return None
+        return pq.read_table(p).to_pandas()
+
+    prev_sum: int | None = None
+    rnd = 0
     for rnd in range(max_rounds):
-        ja = hash_join(
-            _rename_cols(pairs, {"a": "node"}), labels,
-            on="node", exchange_dir=os.path.join(ex, f"r{rnd}a"),
-            num_buckets=num_buckets,
-        )
-        msg_to_b = ja.map_batches(
-            lambda t: pa.table({"node": t["b"].combine_chunks().cast(pa.int64()),
-                                "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        jb = hash_join(
-            _rename_cols(pairs, {"b": "node"}), labels,
-            on="node", exchange_dir=os.path.join(ex, f"r{rnd}b"),
-            num_buckets=num_buckets,
-        )
-        msg_to_a = jb.map_batches(
-            lambda t: pa.table({"node": t["a"].combine_chunks().cast(pa.int64()),
-                                "label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        labels = grouped_agg(
-            labels.union(msg_to_b).union(msg_to_a),
-            ["node"], {"label": ("label", "min")}, num_buckets=num_buckets,
-        ).materialize()
-        cur_sum = labels.sum("label") or 0
+        lr, msgs, nxt = labels_dir(rnd), os.path.join(ex, f"msgs{rnd}"), labels_dir(rnd + 1)
+        buckets = sorted(int(d.rsplit("=", 1)[1])
+                         for d in os.listdir(lr) if d.startswith("_jb="))
+
+        def send(batch: pd.DataFrame, lr=lr, msgs=msgs) -> pa.Table:
+            for i in batch["k"]:
+                lab = _read_part(lr, int(i))
+                lab = lab.groupby("node", as_index=False).label.min()
+                outs = [lab]
+                for pdir, key, tgt in ((pa_dir, "a", "b"), (pb_dir, "b", "a")):
+                    pp = _read_part(pdir, int(i))
+                    if pp is not None:
+                        m = pp.merge(lab, left_on=key, right_on="node")
+                        outs.append(pd.DataFrame({"node": m[tgt], "label": m.label}))
+                allm = pd.concat(outs, ignore_index=True)
+                allm["_tb"] = nb(allm.node.to_numpy())
+                for j, sub in allm.groupby("_tb", sort=False):
+                    d = os.path.join(msgs, f"_jb={j}")
+                    os.makedirs(d, exist_ok=True)
+                    pq.write_table(
+                        pa.Table.from_pandas(sub[["node", "label"]],
+                                             preserve_index=False),
+                        os.path.join(d, f"from-{int(i):04d}.parquet"))
+            return pa.table({"k": batch["k"].astype("int64")})
+
+        rdata.from_items([{"k": k} for k in buckets]).map_batches(
+            send, batch_format="pandas", batch_size=1).count()
+
+        tgt_buckets = sorted(int(d.rsplit("=", 1)[1])
+                             for d in os.listdir(msgs) if d.startswith("_jb="))
+
+        def reduce_(batch: pd.DataFrame, msgs=msgs, nxt=nxt) -> pa.Table:
+            sums, counts, ks = [], [], []
+            for i in batch["k"]:
+                m = _read_part(msgs, int(i))
+                red = m.groupby("node", as_index=False).label.min()
+                d = os.path.join(nxt, f"_jb={int(i)}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(pa.Table.from_pandas(red, preserve_index=False),
+                               os.path.join(d, "labels.parquet"))
+                ks.append(int(i))
+                sums.append(int(red.label.sum()))
+                counts.append(len(red))
+            return pa.table({"k": pa.array(ks, type=pa.int64()),
+                             "label_sum": pa.array(sums, type=pa.int64()),
+                             "n": pa.array(counts, type=pa.int64())})
+
+        stats = rdata.from_items([{"k": k} for k in tgt_buckets]).map_batches(
+            reduce_, batch_format="pandas", batch_size=1).to_pandas()
+        cur_sum = int(stats.label_sum.sum())
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
-    return _rename_cols(labels, {"node": "doc_id", "label": "root"}).map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
-                            "root": t["root"].combine_chunks().cast(pa.int64())}),
+    import glob as _glob
+
+    # explicit file list: dataset discovery IGNORES underscore-prefixed
+    # paths ("_jb=*" partition dirs look like _metadata-style sidecars)
+    final = rdata.read_parquet(sorted(
+        _glob.glob(os.path.join(labels_dir(rnd + 1), "_jb=*", "*.parquet"))))
+    return final.map_batches(
+        lambda t: pa.table({"doc_id": t["node"].combine_chunks().cast(pa.int64()),
+                            "root": t["label"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow",
     )
 
