@@ -926,6 +926,92 @@ WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95
 """
 
 
+def doc_train_test_split(sf_dir: str):
+    """Deterministic, engine-portable dataset split: a document's split
+    is a pure function of md5(doc_id) — the first two hex chars compared
+    against 'cc' (204/256 ≈ 80% train). No RNG, no state: any engine,
+    any partitioning, any rerun produces the same assignment (the only
+    sampling discipline that survives resume/backfill at 100 TB)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        h = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in df.doc_id]
+        return pd.DataFrame({
+            "doc_id": df.doc_id.astype("int64"),
+            "split": ["train" if x < "cc" else "test" for x in h],
+        })
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+TRAIN_TEST_SQL = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def top_orders_per_status(sf_dir: str):
+    """Per-group top-k (window-function family): the 3 highest-value
+    orders per status. Plan: per-batch partial top-k per group (bounded
+    rows into the shuffle), then a coarse-bucketed final top-k — the
+    grouped analog of sort+limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    K = 3
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "o_orderstatus": df.o_orderstatus,
+            "o_orderkey": df.o_orderkey,
+            "_tc": cents(df.o_totalprice),
+        })
+        return (
+            t.sort_values(["_tc", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderstatus", sort=False)
+            .head(K)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.sort_values(["_tc", "o_orderkey"], ascending=[False, True])
+            .groupby("o_orderstatus", sort=False)
+            .head(K)
+        )
+        return pd.DataFrame({
+            "o_orderstatus": out.o_orderstatus,
+            "o_orderkey": out.o_orderkey.astype("int64"),
+            "o_totalprice": out._tc / 100.0,
+        })
+
+    # statuses are low-cardinality: one coarse group suffices; the
+    # partial phase already bounded rows to K per (group, batch)
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return (
+        parts.map_batches(
+            lambda df: df.assign(_cb=0), batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(lambda g: final(g.drop(columns=["_cb"])),
+                    batch_format="pandas")
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderkey,
+       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)/100.0 AS o_totalprice
+FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY floor(o_totalprice*100 + 0.5) DESC,
+                                     o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
 def events_user_approx(sf_dir: str):
     """Approximate distinct users per event type (HyperLogLog p=12,
     ~1.6% std error) — the sketch shuffle carries one 4 KB register blob
@@ -1070,8 +1156,15 @@ def kg_artifact_mentions(sf_dir: str):
         t = batch.filter(pc.equal(batch["pred"], "mentions_artifact"))
         return pa.table({"artifact_key": t["obj_key"]})
 
-    vals = g["edges"].map_batches(pick, batch_format="pyarrow").unique("artifact_key")
-    return pd.DataFrame({"artifact_key": sorted(vals)})
+    from guac_ray.stages.assemble import dedup_exact
+
+    # distinct via the engine's bucketed dedup (Ray's Unique aggregate
+    # trips over mixed empty blocks at larger SFs)
+    vals = dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["artifact_key"], num_buckets=4,
+    ).to_pandas()
+    return vals.sort_values("artifact_key").reset_index(drop=True)
 
 
 def KG_ARTIFACT_SQL(sf_dir: str) -> str:
@@ -1092,8 +1185,15 @@ def kg_vuln_mentions(sf_dir: str):
         t = batch.filter(pc.equal(batch["pred"], "mentions_vuln"))
         return pa.table({"vuln_key": t["obj_key"]})
 
-    vals = g["edges"].map_batches(pick, batch_format="pyarrow").unique("vuln_key")
-    return pd.DataFrame({"vuln_key": sorted(vals)})
+    from guac_ray.stages.assemble import dedup_exact
+
+    # distinct via the engine's bucketed dedup (Ray's Unique aggregate
+    # trips over mixed empty blocks at larger SFs)
+    vals = dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["vuln_key"], num_buckets=4,
+    ).to_pandas()
+    return vals.sort_values("vuln_key").reset_index(drop=True)
 
 
 def KG_VULN_SQL(sf_dir: str) -> str:
@@ -1115,8 +1215,15 @@ def kg_package_mentions(sf_dir: str):
         t = batch.filter(pc.equal(batch["pred"], "mentions_package"))
         return pa.table({"pkg_key": t["obj_key"]})
 
-    vals = g["edges"].map_batches(pick, batch_format="pyarrow").unique("pkg_key")
-    return pd.DataFrame({"pkg_key": sorted(vals)})
+    from guac_ray.stages.assemble import dedup_exact
+
+    # distinct via the engine's bucketed dedup (Ray's Unique aggregate
+    # trips over mixed empty blocks at larger SFs)
+    vals = dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["pkg_key"], num_buckets=4,
+    ).to_pandas()
+    return vals.sort_values("pkg_key").reset_index(drop=True)
 
 
 def KG_PACKAGE_SQL(sf_dir: str) -> str:
@@ -1394,6 +1501,8 @@ SUITE: dict[str, tuple] = {
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
+    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
+    "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
