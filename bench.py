@@ -102,8 +102,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
 
         bench_queries = [
             "q1_pricing_summary", "q3_building_revenue", "top_customers",
-            "events_hourly", "exact_dedup_docs", "doc_token_counts",
-            "doc_fingerprints", "knn_brute", "neardup_docs_minhash",
+            "events_hourly", "events_sliding", "exact_dedup_docs",
+            "doc_token_counts", "doc_fingerprints", "knn_brute",
+            "neardup_docs_minhash", "neardup_docs_simhash",
             "kg_tool_usage",
         ]
         for name in bench_queries:
