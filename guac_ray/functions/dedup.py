@@ -10,15 +10,16 @@ Scale notes (100 TB posture):
   * every per-doc step is a ``map_batches`` stage; signatures are tiny
     (num_perm × 8 bytes) so the band explosion shuffles signatures, never
     text;
-  * candidate pairs are verified against signatures through TWO
-    co-partitioned hash joins (pairs ⋈ sigs on a, then on b) via the
-    filesystem exchange — the signature table is never materialized on
-    the driver or broadcast;
+  * candidate-pair verification is SIZE-GUARDED: under a row limit the
+    signature map broadcasts once (``ray.put``); above it pairs ⋈ sigs
+    flow through two co-partitioned fs-exchange hash joins — the
+    signature table is never materialized whole on the driver;
   * connected components are bounded rounds of distributed min-label
-    propagation (``connected_components_ds``): messages flow through
-    co-partitioned joins, labels combine with a groupby-min — the label
-    table is a Dataset end to end. The pandas ``connected_components``
-    remains for driver-small pair lists only.
+    propagation on the filesystem exchange
+    (``connected_components_ds``): pairs partition once per endpoint,
+    each round is two pure-map jobs (send labels to neighbors, min-reduce
+    per node). The pandas ``connected_components`` remains for
+    driver-small pair lists only.
   * EXACT text verification re-joins pairs to text driver-side under an
     explicit bound (``verify_pairs_exact``).
 """
@@ -33,7 +34,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from guac_ray.stages.assemble import dedup_exact, stable_hash
+from guac_ray.stages.assemble import dedup_exact
 
 __all__ = [
     "exact_dedup",

@@ -682,8 +682,6 @@ GROUP BY 1, 2
 def priority_revenue_hashjoin(sf_dir: str):
     """Large-large partitioned hash join (lineitem ⋈ orders through the
     filesystem exchange — no broadcast side) → revenue per order priority."""
-    import shutil
-
     from guac_ray.functions.joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])

@@ -21,7 +21,6 @@ shuffle partition count in any MPP engine).
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from ray.data import Dataset

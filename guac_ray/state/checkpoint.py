@@ -33,7 +33,6 @@ import shutil
 import time
 
 import ray.data as rd
-from ray.data import Dataset
 
 from guac_ray.pipelines.kg import extract_triples
 from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
