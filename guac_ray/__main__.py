@@ -69,7 +69,9 @@ def cmd_query(args) -> int:
 
         out = paginate(
             neighbors(edges, args.key, direction=args.direction),
-            sort_keys=["pred", "obj_key"], offset=args.offset, limit=args.limit,
+            # full identity = a total order → pages are stable across calls
+            sort_keys=["pred", "obj_key", "subj_key", "props"],
+            offset=args.offset, limit=args.limit,
         ).to_pandas()
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.what)

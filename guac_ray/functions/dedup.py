@@ -53,10 +53,9 @@ __all__ = [
 
 
 def _default_exchange(name: str) -> str:
-    import os
+    from guac_ray.functions.joins import default_exchange
 
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    return f"{base}/guac_ray_exchange/{name}"
+    return default_exchange(name)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -227,13 +226,15 @@ def lsh_candidate_pairs(
     """
 
     def coarse(batch: pa.Table) -> pa.Table:
-        # band_hash is already a mixed 64-bit hash — a numeric fold is a
-        # valid coarse key and ~10× the pandas string-hash stable_hash
+        # numeric fold of (band_hash, band_id) — ~10× the pandas
+        # string-hash stable_hash; shared bucket fn keeps policy in one place
+        from guac_ray.stages.assemble import hash_bucket
+
         bh = batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
-            cb = (bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(num_coarse)
-        return batch.append_column("_cb", pa.array(cb.astype("int64")))
+            key = bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))
+        return batch.append_column("_cb", pa.array(hash_bucket(key, num_coarse)))
 
     def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -403,11 +404,10 @@ def connected_components_ds(
     ex = fresh_exchange_dir(exchange_dir or _default_exchange("concomp"))
     B = num_buckets
 
+    from guac_ray.stages.assemble import hash_bucket
+
     def nb(arr: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            h ^= h >> np.uint64(33)
-        return (h % np.uint64(B)).astype("int64")
+        return hash_bucket(arr, B)
 
     empty_out = rdata.from_arrow(pa.schema(
         [("doc_id", pa.int64()), ("root", pa.int64())]).empty_table())
@@ -548,7 +548,7 @@ def connected_components(pairs: pd.DataFrame, max_rounds: int = 20) -> dict[int,
 def minhash_dedup(
     docs: Dataset,
     num_perm: int = 128,
-    num_bands: int = 32,
+    num_bands: int = 16,
     shingle_n: int = 5,
     threshold: float = 0.7,
     concurrency: int = 2,
@@ -662,13 +662,13 @@ def simhash_pairs(
         )
 
     def coarse(batch: pa.Table) -> pa.Table:
+        from guac_ray.stages.assemble import hash_bucket
+
         cv = batch["chunk_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ci = batch["chunk_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
-            h = (cv * np.uint64(0x9E3779B97F4A7C15)) ^ ci
-            h ^= h >> np.uint64(29)
-            cb = h % np.uint64(8)
-        return batch.append_column("_cb", pa.array(cb.astype("int64")))
+            key = (cv << np.uint64(3)) ^ ci       # distinct (chunk, val) pairs
+        return batch.append_column("_cb", pa.array(hash_bucket(key, 8)))
 
     def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
         outs = []

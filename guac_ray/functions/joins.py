@@ -36,6 +36,13 @@ from guac_ray.stages.assemble import stable_hash
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join", "asof_join"]
 
 
+def default_exchange(name: str) -> str:
+    """Default exchange base: RAM-backed when available. ALL exchange
+    users resolve through here so the base-dir policy lives once."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    return f"{base}/guac_ray_exchange/{name}"
+
+
 def fresh_exchange_dir(base: str) -> str:
     """A unique subdirectory per exchange use. Callers pass a stable base
     path (e.g. ``/dev/shm/guac_ray_exchange/priority_join``); each call
@@ -156,17 +163,26 @@ def hash_join(
     # left: every left bucket must emit its rows, matched or not.
     present = sorted(lb & rb) if how == "inner" else sorted(lb)
     # for left joins a right-side-empty bucket still needs the right
-    # columns WITH their dtypes — capture the right schema once
+    # columns WITH their dtypes — capture the right schema once (from
+    # the exchange files, or from the Dataset when right wrote nothing)
     right_empty: pd.DataFrame | None = None
-    if how == "left" and rb:
-        import pyarrow.parquet as pq
+    if how == "left":
+        if rb:
+            import pyarrow.parquet as pq
 
-        any_rb = next(iter(rb))
-        f0 = glob.glob(os.path.join(rdir, f"_jb={any_rb}", "*.parquet"))[0]
-        sch = pq.read_schema(f0)
-        if "_jb" in sch.names:
-            sch = sch.remove(sch.get_field_index("_jb"))
-        right_empty = sch.empty_table().to_pandas()
+            any_rb = next(iter(rb))
+            f0 = glob.glob(os.path.join(rdir, f"_jb={any_rb}", "*.parquet"))[0]
+            sch = pq.read_schema(f0)
+            if "_jb" in sch.names:
+                sch = sch.remove(sch.get_field_index("_jb"))
+            right_empty = sch.empty_table().to_pandas()
+        else:
+            rsch = right.schema()
+            if rsch is not None:
+                right_empty = pa.schema(
+                    [(n, t) for n, t in zip(rsch.names, rsch.types)
+                     if n != "_jb"]
+                ).empty_table().to_pandas()
 
     def join_bucket(batch: pd.DataFrame) -> pa.Table:
         import pyarrow.parquet as pq

@@ -42,13 +42,15 @@ def _hash64(values: pd.Series) -> np.ndarray:
 
 
 def _rho(w: np.ndarray, max_bits: int) -> np.ndarray:
-    """Position (1-based) of the first set bit from the MSB of the
-    ``max_bits``-wide value ``w``; max_bits+1 when w == 0. Vectorized
-    mask-compare loop — exact, no float log tricks."""
+    """Position (1-based) of the first set bit scanning the TOP
+    ``max_bits`` bits of the 64-bit value ``w`` from the MSB;
+    max_bits+1 when all scanned bits are zero. Vectorized mask-compare
+    loop — exact, no float log tricks. (The hash remainder sits in the
+    HIGH bits after ``h << p``.)"""
     out = np.full(w.shape, max_bits + 1, dtype=np.uint8)
     found = np.zeros(w.shape, dtype=bool)
     for i in range(max_bits):
-        bit = (w >> np.uint64(max_bits - 1 - i)) & np.uint64(1)
+        bit = (w >> np.uint64(63 - i)) & np.uint64(1)
         hit = (~found) & (bit == 1)
         out[hit] = i + 1
         found |= hit

@@ -62,8 +62,9 @@ def _table_rows(sf_dir: str, table: str) -> int:
 
 
 def _exchange(name: str) -> str:
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    return f"{base}/guac_ray_exchange/{name}"
+    from guac_ray.functions.joins import default_exchange
+
+    return default_exchange(name)
 
 
 # ---------------------------------------------------------------------------

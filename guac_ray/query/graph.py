@@ -33,7 +33,12 @@ def paginate(
     """Deterministic offset/limit page over a sorted result — every
     read-side consumer's pagination contract (backends.go:118-127 takes
     the same {sort, offset, limit} triple). The sort is the distributed
-    shuffle; offset+limit prune to one small head before the skip."""
+    shuffle; offset+limit prune to one small head before the skip.
+
+    ``sort_keys`` MUST be a total order (unique per row): a distributed
+    sort gives no stable tie order across executions, so tie-prone keys
+    make successive pages overlap/drop rows. Append enough columns to
+    break every tie (e.g. the full edge identity)."""
     if offset < 0 or limit <= 0:
         raise ValueError("offset must be >= 0 and limit > 0")
     # the sort is the distributed shuffle; the limited head (offset+limit

@@ -54,6 +54,18 @@ def ensure_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
 _HKEY = b"guac-ray-hash-key"  # fixed → stable across runs/processes
 
 
+def hash_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic int64 bucket ids for a NUMERIC key array — a
+    golden-ratio multiply + xor-shift fold. The one bucket function
+    every numeric co-partitioning step shares (LSH coarse groups,
+    connected-components exchanges): two stages that must co-locate
+    rows by the same key MUST call this same fold."""
+    with np.errstate(over="ignore"):
+        h = arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(33)
+    return (h % np.uint64(num_buckets)).astype("int64")
+
+
 def stable_hash(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
     """Deterministic uint64 row hash of the given columns (stable across
     processes — pandas siphash with a fixed key)."""

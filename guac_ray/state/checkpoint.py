@@ -130,6 +130,38 @@ def run_extract_partition(
     return manifest
 
 
+def _stabilize_optional_imports() -> None:
+    """Make Ray's optional fsspec-http probe race-free before spawning
+    submission threads. Ray's path resolution does
+    ``from fsspec.implementations.http import HTTPFileSystem`` per read;
+    without aiohttp that import FAILS every time, and two threads
+    failing it concurrently hit the CPython partial-module race — one
+    thread then sees a poisoned sys.modules entry forever. If the real
+    import fails, cache a placeholder module whose HTTPFileSystem
+    nothing is an instance of (behavior identical to the
+    ModuleNotFoundError branch Ray already handles), so every later
+    import is a race-free cache hit."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        import sys
+        import types
+
+        m = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder: the real one needs aiohttp
+            pass
+
+        m.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = m
+        try:
+            import fsspec.implementations as _fi
+
+            _fi.http = m
+        except ImportError:
+            pass
+
+
 def run_graph_job(
     transcripts_dir: str,
     out_dir: str,
@@ -157,19 +189,12 @@ def run_graph_job(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        def _run(p):
-            # CPython `from x import y` race: concurrent FAILING imports
-            # of fsspec.implementations.http (no aiohttp here) inside
-            # Ray's path resolution can surface as ImportError in one
-            # thread. Partition runs are idempotent (tmp+rename,
-            # manifest written last), so a single retry is safe.
-            try:
-                return run_extract_partition(p[0], p[1], out_dir, catalog_path)
-            except ImportError:
-                return run_extract_partition(p[0], p[1], out_dir, catalog_path)
-
+        _stabilize_optional_imports()
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
-            manifests = list(pool.map(_run, plan))
+            manifests = list(pool.map(
+                lambda p: run_extract_partition(p[0], p[1], out_dir, catalog_path),
+                plan,
+            ))
     # assemble ONLY the partitions in the current plan — a previous run
     # with a different num_partitions / input set leaves stale
     # raw_edges/part-* dirs that must not blend into the graph
