@@ -110,7 +110,23 @@ def approx_ndistinct_grouped(
     The shuffle carries one 2^p-byte blob per (key, block)."""
     from guac_ray.stages.assemble import stable_hash
 
+    def _typed_empty(df: pd.DataFrame) -> pa.Table:
+        # an empty pandas batch must still emit TYPED columns: letting
+        # from_pandas infer null-typed regs/key columns breaks Arrow
+        # schema unification against the binary-typed non-empty blocks
+        # (same guard family as grouped_agg / events_sliding)
+        fields = []
+        for k in key_cols:
+            t = pa.Array.from_pandas(df[k]).type if k in df else pa.string()
+            if pa.types.is_null(t):
+                t = pa.string()
+            fields.append((k, t))
+        fields += [("regs", pa.binary()), ("_bucket", pa.int64())]
+        return pa.schema(fields).empty_table()
+
     def partial(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _typed_empty(df)
         keys, blobs = [], []
         for k, sub in df.groupby(key_cols, sort=False):
             keys.append(k if isinstance(k, tuple) else (k,))

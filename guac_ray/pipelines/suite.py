@@ -143,31 +143,64 @@ def q3_building_revenue(sf_dir: str):
     return _q3_broadcast(sf_dir)
 
 
+def _rc_sum_partial(key: str):
+    """Fused reduce-side partial: groupby(key)._rc.sum inside the join
+    task, so the join payload never re-enters the object store."""
+    def f(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().groupby(key, sort=False)._rc.sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+    return f
+
+
 def _q3_partitioned(sf_dir: str):
-    """Partitioned q3: customer(BUILDING) ⋈ orders on custkey, then
-    ⋈ lineitem on orderkey — both through the fs exchange."""
+    """Partitioned q3. The customer side is a DIMENSION: while it fits
+    (``BROADCAST_ROW_LIMIT``) its BUILDING keys broadcast once and the
+    semi-filter fuses into the orders partition write — one exchange
+    instead of two. lineitem ⋈ orders stays the co-partitioned
+    fs-exchange hash join (both sides fact-scale), with the per-order
+    revenue partial fused into the reduce tasks."""
     from guac_ray.functions.joins import hash_join
 
     cut = pd.Timestamp("1998-01-01")
 
-    def cust_f(df: pd.DataFrame) -> pa.Table:
-        d = df[df.c_mktsegment == "BUILDING"]
-        return pa.Table.from_pandas(
-            pd.DataFrame({"custkey": d.c_custkey}), preserve_index=False)
+    if _table_rows(sf_dir, "customer") <= BROADCAST_ROW_LIMIT:
+        import pyarrow.parquet as pq
 
-    def orders_f(df: pd.DataFrame) -> pa.Table:
-        d = df[df.o_orderdate < cut]
-        return pa.Table.from_pandas(
-            pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
-            preserve_index=False)
+        ck = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+            filters=[("c_mktsegment", "==", "BUILDING")],
+        )["c_custkey"].to_pylist()
+        kref = ray.put(frozenset(ck))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
-        cust_f, batch_format="pandas")
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_f, batch_format="pandas")
-    okeys = hash_join(orders, cust, on="custkey",
-                      exchange_dir=_exchange("q3_oc"), num_buckets=16)
+        def orders_f(df: pd.DataFrame) -> pa.Table:
+            ks = ray.get(kref)
+            d = df[(df.o_orderdate < cut) & df.o_custkey.isin(ks)]
+            return pa.Table.from_pandas(
+                pd.DataFrame({"orderkey": d.o_orderkey}), preserve_index=False)
+
+        okeys = _read(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_f, batch_format="pandas")
+    else:
+        def cust_f(df: pd.DataFrame) -> pa.Table:
+            d = df[df.c_mktsegment == "BUILDING"]
+            return pa.Table.from_pandas(
+                pd.DataFrame({"custkey": d.c_custkey}), preserve_index=False)
+
+        def orders_all_f(df: pd.DataFrame) -> pa.Table:
+            d = df[df.o_orderdate < cut]
+            return pa.Table.from_pandas(
+                pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
+                preserve_index=False)
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+            cust_f, batch_format="pandas")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_all_f, batch_format="pandas")
+        okeys = hash_join(orders, cust, on="custkey",
+                          exchange_dir=_exchange("q3_oc")
+                          ).select_columns(["orderkey"])
 
     def li_f(df: pd.DataFrame) -> pa.Table:
         d = df[df.l_shipdate > cut]
@@ -180,16 +213,12 @@ def _q3_partitioned(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
                ).map_batches(li_f, batch_format="pandas")
-    joined = hash_join(li, okeys.select_columns(["orderkey"]), on="orderkey",
-                       exchange_dir=_exchange("q3_lo"), num_buckets=16)
+    joined = hash_join(li, okeys, on="orderkey",
+                       exchange_dir=_exchange("q3_lo"),
+                       partial_fn=_rc_sum_partial("orderkey"))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("orderkey", sort=False)._rc.sum().reset_index()
-
-    agg = grouped_agg(
-        joined.map_batches(partial, batch_format="pandas"),
-        ["orderkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
-    )
+    agg = grouped_agg(joined, ["orderkey"], {"rc": ("_rc", "sum")},
+                      num_buckets=16)
     top = agg.sort(["rc", "orderkey"], descending=[True, False]).limit(10)
     return top.map_batches(
         lambda df: pd.DataFrame({"l_orderkey": df.orderkey.astype("int64"),
@@ -257,6 +286,11 @@ def q5_region_revenue(sf_dir: str):
 
 
 def _q5_partitioned(sf_dir: str):
+    """nation/region are constant-cardinality → always a broadcast dict;
+    customer is a dimension → its custkey→n_name map broadcasts while it
+    fits, fusing the customer join into the orders partition write; the
+    fact-fact lineitem ⋈ orders goes through the fs exchange with the
+    revenue partial fused into the reduce."""
     from guac_ray.functions.joins import hash_join
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
@@ -268,24 +302,43 @@ def _q5_partitioned(sf_dir: str):
     nat_name = dict(zip(nation.n_nationkey,
                         nation.n_name.where(nation.n_regionkey.isin(asia))))
 
-    def cust_f(df: pd.DataFrame) -> pa.Table:
-        nn = df.c_nationkey.map(nat_name)
-        d = pd.DataFrame({"custkey": df.c_custkey, "n_name": nn}).dropna()
-        return pa.Table.from_pandas(d, preserve_index=False)
+    if _table_rows(sf_dir, "customer") <= BROADCAST_ROW_LIMIT:
+        cdf = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+        nn = cdf.c_nationkey.map(nat_name)
+        cref = ray.put(dict(zip(cdf.c_custkey[nn.notna()], nn[nn.notna()])))
 
-    def orders_f(df: pd.DataFrame) -> pa.Table:
-        d = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
-        return pa.Table.from_pandas(
-            pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
-            preserve_index=False)
+        def orders_f(df: pd.DataFrame) -> pa.Table:
+            cmap = ray.get(cref)
+            d = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
+            names = d.o_custkey.map(cmap)
+            out = pd.DataFrame({"orderkey": d.o_orderkey,
+                                "n_name": names}).dropna()
+            return pa.Table.from_pandas(out, preserve_index=False)
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        cust_f, batch_format="pandas")
-    orders = _read(sf_dir, "orders",
+        oc = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        orders_f, batch_format="pandas")
-    oc = hash_join(orders, cust, on="custkey",
-                   exchange_dir=_exchange("q5_oc"), num_buckets=16)
+            orders_f, batch_format="pandas")
+    else:
+        def cust_f(df: pd.DataFrame) -> pa.Table:
+            nn = df.c_nationkey.map(nat_name)
+            d = pd.DataFrame({"custkey": df.c_custkey, "n_name": nn}).dropna()
+            return pa.Table.from_pandas(d, preserve_index=False)
+
+        def orders_all_f(df: pd.DataFrame) -> pa.Table:
+            d = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
+            return pa.Table.from_pandas(
+                pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
+                preserve_index=False)
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_f, batch_format="pandas")
+        orders = _read(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            orders_all_f, batch_format="pandas")
+        oc = hash_join(orders, cust, on="custkey",
+                       exchange_dir=_exchange("q5_oc")
+                       ).select_columns(["orderkey", "n_name"])
 
     def li_f(df: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(
@@ -297,17 +350,10 @@ def _q5_partitioned(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         li_f, batch_format="pandas")
-    joined = hash_join(li, oc.select_columns(["orderkey", "n_name"]),
-                       on="orderkey", exchange_dir=_exchange("q5_lo"),
-                       num_buckets=16)
+    joined = hash_join(li, oc, on="orderkey", exchange_dir=_exchange("q5_lo"),
+                       partial_fn=_rc_sum_partial("n_name"))
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("n_name", sort=False)._rc.sum().reset_index()
-
-    agg = grouped_agg(
-        joined.map_batches(partial, batch_format="pandas"),
-        ["n_name"], {"rc": ("_rc", "sum")}, num_buckets=4,
-    )
+    agg = grouped_agg(joined, ["n_name"], {"rc": ("_rc", "sum")}, num_buckets=4)
     return agg.map_batches(
         lambda df: pd.DataFrame({"n_name": df.n_name, "revenue": df.rc / 100.0}),
         batch_format="pandas",
@@ -402,15 +448,12 @@ def _top_customers_partitioned(sf_dir: str):
                ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
         li_f, batch_format="pandas")
     joined = hash_join(li, orders, on="orderkey",
-                       exchange_dir=_exchange("topc_lo"), num_buckets=16)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("custkey", sort=False)._rc.sum().reset_index()
+                       exchange_dir=_exchange("topc_lo"),
+                       partial_fn=_rc_sum_partial("custkey"))
 
     top = (
         grouped_agg(
-            joined.map_batches(partial, batch_format="pandas"),
-            ["custkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
+            joined, ["custkey"], {"rc": ("_rc", "sum")}, num_buckets=16,
         )
         .sort(["rc", "custkey"], descending=[True, False])
         .limit(10)
@@ -697,19 +740,18 @@ def priority_revenue_hashjoin(sf_dir: str):
     )
     ex = "/dev/shm/guac_ray_exchange/priority_join" if os.path.isdir("/dev/shm") \
         else "/tmp/guac_ray_exchange/priority_join"
-    joined = hash_join(li, orders, on="orderkey", exchange_dir=ex, num_buckets=16)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = pd.DataFrame({
+    def partial_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = pd.DataFrame({
             "o_orderpriority": df.o_orderpriority,
             "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
-        })
-        return t.groupby("o_orderpriority", sort=False)._rc.sum().reset_index()
+        }).groupby("o_orderpriority", sort=False)._rc.sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = grouped_agg(
-        joined.map_batches(partial, batch_format="pandas"),
-        ["o_orderpriority"], {"rc": ("_rc", "sum")}, num_buckets=4,
-    )
+    joined = hash_join(li, orders, on="orderkey", exchange_dir=ex,
+                       partial_fn=partial_fn)
+    agg = grouped_agg(joined, ["o_orderpriority"], {"rc": ("_rc", "sum")},
+                      num_buckets=4)
     return agg.map_batches(
         lambda df: pd.DataFrame({"o_orderpriority": df.o_orderpriority,
                                  "revenue": df.rc / 100.0}),

@@ -41,12 +41,16 @@ _OUT_SCHEMA = pa.schema(
 
 class _TokenBucket:
     def __init__(self, rate_per_sec: float, burst: int):
+        # rate <= 0 means "no limit" (a paused/unlimited setting must not
+        # divide by zero below or spin forever on a negative rate)
         self.rate = float(rate_per_sec)
         self.capacity = float(max(1, burst))
         self.tokens = self.capacity
         self.last = time.monotonic()
 
     def acquire(self) -> None:
+        if self.rate <= 0:
+            return
         while True:
             now = time.monotonic()
             self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)

@@ -131,35 +131,9 @@ def run_extract_partition(
 
 
 def _stabilize_optional_imports() -> None:
-    """Make Ray's optional fsspec-http probe race-free before spawning
-    submission threads. Ray's path resolution does
-    ``from fsspec.implementations.http import HTTPFileSystem`` per read;
-    without aiohttp that import FAILS every time, and two threads
-    failing it concurrently hit the CPython partial-module race — one
-    thread then sees a poisoned sys.modules entry forever. If the real
-    import fails, cache a placeholder module whose HTTPFileSystem
-    nothing is an instance of (behavior identical to the
-    ModuleNotFoundError branch Ray already handles), so every later
-    import is a race-free cache hit."""
-    try:
-        import fsspec.implementations.http  # noqa: F401
-    except ImportError:
-        import sys
-        import types
+    from guac_ray.compat import stabilize_optional_imports
 
-        m = types.ModuleType("fsspec.implementations.http")
-
-        class HTTPFileSystem:  # placeholder: the real one needs aiohttp
-            pass
-
-        m.HTTPFileSystem = HTTPFileSystem
-        sys.modules["fsspec.implementations.http"] = m
-        try:
-            import fsspec.implementations as _fi
-
-            _fi.http = m
-        except ImportError:
-            pass
+    stabilize_optional_imports()
 
 
 def run_graph_job(
@@ -181,6 +155,10 @@ def run_graph_job(
     partition jobs). Partition outputs are independent directories, so
     concurrency never races; manifests are written per-partition."""
     plan = list(enumerate(partition_inputs(transcripts_dir, num_partitions)))
+    if not plan:
+        raise ValueError(
+            f"run_graph_job: no transcript shards found under {transcripts_dir!r}"
+        )
     if max_concurrent <= 1:
         manifests = [
             run_extract_partition(i, files, out_dir, catalog_path)
