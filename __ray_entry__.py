@@ -20,12 +20,14 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: transcripts →
-    sorted extract → link → assembled edge table."""
+    extract → link → assembled edge table (sortless default: extraction
+    is per-turn and the graph is order-independent; only ``turn_text``
+    needs ordering and sorts its own projection)."""
     from guac_ray.pipelines.kg import build_graph
     from guac_ray.synth import corpus_for_sf
 
     c = corpus_for_sf("/root/testdata/sf0.001")
-    g = build_graph(c["transcripts"], catalog_path=c["catalog"], sort=True,
+    g = build_graph(c["transcripts"], catalog_path=c["catalog"],
                     num_buckets=16)
     return g["edges"]
 

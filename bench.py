@@ -85,7 +85,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         g = build_graph(
-            corpus["transcripts"], catalog_path=corpus["catalog"], sort=True,
+            corpus["transcripts"], catalog_path=corpus["catalog"],
             num_buckets=64, extract_concurrency=conc,
             exchange_dir=f"{out_root}/_exchange",
         )

@@ -147,16 +147,22 @@ def link_entities(edges: Dataset, catalog_path: str, concurrency=(1, 2)) -> Data
 def build_graph(
     transcripts_path: str | list[str],
     catalog_path: str | None = None,
-    sort: bool = True,
+    sort: bool = False,
     num_buckets: int = 64,
     extract_concurrency=(1, 4),
     exchange_dir: str | None = None,
 ) -> dict[str, Dataset]:
     """End-to-end: transcripts → {"edges": Dataset, "nodes": Dataset}.
 
-    ``sort=True`` applies the stable (conv_id, turn_idx) global sort the
-    ordering invariant requires; extraction itself is per-turn, so
-    pipelines that don't need ordered output may skip the shuffle.
+    ``sort=False`` (default) skips the global (conv_id, turn_idx) sort:
+    extraction is strictly per-turn and edge identity carries
+    (conv_id, turn_idx), so the assembled graph is IDENTICAL either way
+    — at 100 TB an all-to-all on the raw text column would be the job's
+    single biggest data movement, spent on an ordering only the
+    ``turn_text`` query consumes (and that query sorts its own slimmed
+    projection). ``sort=True`` remains for callers that want
+    conversation-contiguous batches into the extractor — it raises the
+    per-actor dedup-cache hit rate at the cost of the shuffle.
 
     ``exchange_dir`` routes the dedup through the filesystem-partitioned
     exchange (scales near-linearly; phase 1 runs eagerly) — point it at

@@ -112,6 +112,48 @@ def dedup_exact(
     )
 
 
+def fs_exchange_reduce(
+    ds: Dataset,
+    exchange_base: str,
+    reduce_fn,
+    bucket_col: str = "_bucket",
+    columns: list[str] | None = None,
+) -> "Dataset | None":
+    """Generic filesystem-exchange reduce: write ``ds`` partitioned by
+    ``bucket_col`` (eager, pure map), then run ``reduce_fn`` (pa.Table →
+    pa.Table) once per bucket over that bucket's FILES (reading files,
+    not the hive dirs, keeps ``bucket_col`` out of the reduce input).
+    Both phases are pure map work — no object-store all-to-all, no
+    empty placeholder blocks from unpopulated sort partitions. Returns
+    ``None`` when the input wrote zero rows (caller picks its own
+    empty-shape fallback)."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from guac_ray.functions.joins import fresh_exchange_dir
+
+    ex = fresh_exchange_dir(exchange_base)
+    ds.write_parquet(ex, partition_cols=[bucket_col])
+    bucket_dirs = sorted(_glob.glob(os.path.join(ex, f"{bucket_col}=*")))
+    if not bucket_dirs:
+        return None
+
+    def task(batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for bdir in batch["bdir"]:
+            files = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+            t = pa.concat_tables([pq.read_table(f, columns=columns)
+                                  for f in files])
+            outs.append(reduce_fn(t))
+        return pa.concat_tables(outs)
+
+    paths = rd.from_items([{"bdir": b} for b in bucket_dirs])
+    return paths.map_batches(task, batch_format="pandas", batch_size=1)
+
+
 def dedup_exact_fs(
     ds: Dataset,
     cols: list[str],

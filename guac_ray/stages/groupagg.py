@@ -48,11 +48,20 @@ def grouped_agg(
     keys: list[str],
     spec: dict[str, tuple[str, str]],
     num_buckets: int = 32,
+    use_exchange: bool = True,
 ) -> Dataset:
     """``spec``: {out_col: (in_col, fn)} with fn ∈ sum|count|min|max|mean.
     For ``count`` the in_col only anchors the row count. Returns a
     Dataset with columns keys + spec keys.
-    """
+
+    ``use_exchange=True`` (default) routes the final phase through the
+    filesystem-partitioned exchange (``fs_exchange_reduce``): both
+    phases are pure map work, the reduce reads only populated buckets
+    (no empty placeholder blocks from Ray's sort partitions), and the
+    partial write runs eagerly. ``use_exchange=False`` keeps the fully
+    lazy object-store ``groupby(bucket).map_groups`` plan — also the
+    automatic fallback when the partial phase writes zero rows, where
+    the exchange has no schema to reduce over."""
     means = {o: c for o, (c, f) in spec.items() if f == "mean"}
     plain = {o: (c, f) for o, (c, f) in spec.items() if f != "mean"}
     # mean decomposes into hidden sum/count partials
@@ -99,8 +108,22 @@ def grouped_agg(
             out = out.drop(columns=[f"_{o}_s", f"_{o}_n"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if use_exchange:
+        from guac_ray.functions.joins import default_exchange
+        from guac_ray.stages.assemble import fs_exchange_reduce
+
+        def final_t(t: "pa.Table") -> "pa.Table":
+            return final(t.to_pandas())
+
+        out = fs_exchange_reduce(partials, default_exchange("groupagg"), final_t)
+        if out is not None:
+            return out
+        # zero partial rows: fall through to the lazy plan, which keeps
+        # the historical empty-result shape
+        partials = ds.map_batches(partial, batch_format="pandas")
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        partials
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
     )
