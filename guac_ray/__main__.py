@@ -63,7 +63,11 @@ def cmd_query(args) -> int:
     elif args.what == "patch":
         from guac_ray.query.cli import patch_plan
 
-        out = patch_plan(edges, args.key, max_depth=args.depth)
+        out = patch_plan(
+            edges, args.key, max_depth=args.depth,
+            preds=args.preds.split(",") if args.preds else None,
+            direction=args.direction,
+        )
     elif args.what == "neighbors":
         from guac_ray.query.graph import neighbors, paginate
 
@@ -98,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("key")
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])
+    q.add_argument("--preds", default=None,
+                   help="comma-separated predicate filter (patch: e.g. depends_on)")
     q.add_argument("--offset", type=int, default=0)
     q.add_argument("--limit", type=int, default=100)
     q.set_defaults(fn=cmd_query)

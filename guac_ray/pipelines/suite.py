@@ -1471,6 +1471,99 @@ WHERE TRY_CAST(split_part(ver, '.', 1) AS INTEGER) = 1
 """
 
 
+def kg_depends_on(sf_dir: str):
+    """IsDependency analog (assembler.go:58-63) from BOTH producers:
+    grammar-extracted statement edges (SPDX relationship parsing —
+    parse_spdx.go:263-304) UNION the deps.dev-style certifier
+    (deps_dev.go:44-132) run over every assembled package node, emitting
+    name-level AllVersions dep objects. ``source`` (edge origin)
+    distinguishes provenance; distinct on the full triple."""
+    import pyarrow.compute as pc
+
+    from guac_ray.stages.assemble import dedup_exact
+    from guac_ray.stages.enrich import certify_deps
+
+    c = corpus_for_sf(sf_dir)
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], "depends_on"))
+        return pa.table({"subj_key": t["subj_key"], "dep_key": t["obj_key"],
+                         "source": t["origin"]})
+
+    extracted = g["edges"].map_batches(pick, batch_format="pyarrow")
+    enriched = certify_deps(g["nodes"], c["depdb"]).map_batches(
+        pick, batch_format="pyarrow")
+    return dedup_exact(extracted.union(enriched),
+                       ["subj_key", "dep_key", "source"], num_buckets=4)
+
+
+def KG_DEPENDS_ON_SQL(sf_dir: str) -> str:
+    sub = _purl_canon("split_part(m, ' depends on ', 1)")
+    obj = _purl_canon("split_part(m, ' depends on ', 2)")
+    return f"""
+WITH mentioned AS (
+  SELECT DISTINCT {_PURL_CANON} AS ent_key FROM (
+    SELECT unnest(regexp_extract_all(text, 'pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+    FROM {_t(sf_dir)} WHERE {_VALID})
+), pkgs AS (
+  SELECT ent_key FROM mentioned
+  UNION
+  SELECT DISTINCT split_part(ent_key, '@', 1) AS ent_key
+  FROM mentioned WHERE ent_key LIKE '%@%'
+), grammar AS (
+  SELECT {sub} AS subj_key, {obj} AS dep_key
+  FROM (SELECT unnest(regexp_extract_all(text,
+          'pkg:[A-Za-z0-9.+-]+/[^ ]+ depends on pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+        FROM {_t(sf_dir)} WHERE {_VALID})
+), enrich AS (
+  SELECT p.ent_key AS subj_key, d.dep_name AS dep_key
+  FROM pkgs p
+  JOIN read_parquet('{_fix(sf_dir)}/depdb.parquet') d
+    ON split_part(p.ent_key, '@', 1) = d.pkg_name
+)
+SELECT DISTINCT subj_key, dep_key, source FROM (
+  SELECT subj_key, dep_key, 'guac_ray/transcripts' AS source
+  FROM grammar WHERE subj_key <> dep_key
+  UNION ALL
+  SELECT subj_key, dep_key, 'guac_ray/depdb' AS source FROM enrich
+)
+"""
+
+
+def kg_pkg_equal(sf_dir: str):
+    """PkgEqual analog (assembler.go:181-186): equivalence statements →
+    sorted distinct package pairs (same sorted-pair discipline as
+    hash_equal / vuln_equal)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.stages.assemble import dedup_exact
+
+    g = _corpus_edges(sf_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], "pkg_equal"))
+        return pa.table({"pkg_a": t["subj_key"], "pkg_b": t["obj_key"]})
+
+    return dedup_exact(
+        g["edges"].map_batches(pick, batch_format="pyarrow"),
+        ["pkg_a", "pkg_b"], num_buckets=4,
+    )
+
+
+def KG_PKG_EQUAL_SQL(sf_dir: str) -> str:
+    a = _purl_canon("split_part(m, ' is the same as ', 1)")
+    b = _purl_canon("split_part(m, ' is the same as ', 2)")
+    return f"""
+SELECT DISTINCT least(a, b) AS pkg_a, greatest(a, b) AS pkg_b FROM (
+  SELECT {a} AS a, {b} AS b
+  FROM (SELECT unnest(regexp_extract_all(text,
+          'pkg:[A-Za-z0-9.+-]+/[^ ]+ is the same as pkg:[A-Za-z0-9.+-]+/[^ ]+')) AS m
+        FROM {_t(sf_dir)} WHERE {_VALID})
+) WHERE a <> b
+"""
+
+
 def kg_edge_pred_counts(sf_dir: str):
     """Distinct-edge count per predicate from the full pipeline. Oracle:
     the fixture's GOLDEN edge table — derived at generation time from the
@@ -1566,6 +1659,8 @@ SUITE: dict[str, tuple] = {
     "kg_certify_legal": (kg_certify_legal, KG_CERTIFY_LEGAL_SQL),
     "kg_version_of": (kg_version_of, KG_VERSION_OF_SQL),
     "kg_version_range": (kg_version_range, KG_VERSION_RANGE_SQL),
+    "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
+    "kg_pkg_equal": (kg_pkg_equal, KG_PKG_EQUAL_SQL),
     "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
 }

@@ -50,13 +50,19 @@ def vulnerabilities(edges: Dataset, pkg_key: str) -> pd.DataFrame:
 
 
 def patch_plan(edges: Dataset, node_key: str, max_depth: int = 10,
-               preds: list[str] | None = None) -> dict:
+               preds: list[str] | None = None,
+               direction: str = "out") -> dict:
     """Blast-radius plan for patching a node (``query patch``,
     pkg/guacanalytics/patchPlanning.go + toposort.go): BFS the dependents
-    closure, then toposort the reached subgraph into update levels."""
-    depth = bfs_reach(edges, node_key, max_depth=max_depth, preds=preds)
+    closure, then toposort the reached subgraph into update levels.
+
+    Over ``preds=["depends_on"]`` pass ``direction="in"`` — the closure
+    is then every package whose dependency chain contains ``node_key``
+    (patch X, update its dependents), the reference's flagship patch
+    workload."""
+    depth = bfs_reach(edges, node_key, max_depth=max_depth, preds=preds,
+                      direction=direction)
     reached = set(depth)
-    sub = neighbors(edges, node_key, direction="out", preds=preds).to_pandas()
     # pull the full reached subgraph (small by construction of the BFS)
     import pyarrow as pa
     import pyarrow.compute as pc

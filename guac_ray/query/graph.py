@@ -77,20 +77,25 @@ def neighbors(
     return edges.map_batches(f, batch_format="pyarrow")
 
 
-def _expand(edges: Dataset, frontier: set[str], preds: list[str] | None) -> set[str]:
+def _expand(
+    edges: Dataset, frontier: set[str], preds: list[str] | None,
+    direction: str = "out",
+) -> set[str]:
     """One BFS round: distributed semi-join against the broadcast
-    frontier; returns the next frontier's keys."""
+    frontier; returns the next frontier's keys. ``direction="in"``
+    walks edges REVERSE (obj → subj) — the dependents traversal."""
+    src, dst = ("subj_key", "obj_key") if direction == "out" else ("obj_key", "subj_key")
 
     # built once per round, not per batch
     frontier_arr = pa.array(sorted(frontier))
     preds_arr = pa.array(preds) if preds else None
 
     def f(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["subj_key"], value_set=frontier_arr)
+        mask = pc.is_in(batch[src], value_set=frontier_arr)
         if preds_arr is not None:
             mask = pc.and_(mask, pc.is_in(batch["pred"], value_set=preds_arr))
         t = batch.filter(mask)
-        return pa.table({"k": t["obj_key"]})
+        return pa.table({"k": t[dst]})
 
     vals = edges.map_batches(f, batch_format="pyarrow").unique("k")
     return set(vals or [])  # unique() yields None on an empty dataset
@@ -101,14 +106,17 @@ def bfs_reach(
     start: str,
     max_depth: int = 10,
     preds: list[str] | None = None,
+    direction: str = "out",
 ) -> dict[str, int]:
     """{reached node_key: depth} — the dependents "blast radius" BFS
     (patchPlanning.go:56-115), with the reference's maxPathLength-style
-    bound (inmem/path.go:42)."""
+    bound (inmem/path.go:42). ``direction="in"`` walks reverse edges:
+    over ``depends_on`` that is the set of packages whose dependency
+    closure contains ``start`` — the patch blast radius."""
     depth = {start: 0}
     frontier = {start}
     for d in range(1, max_depth + 1):
-        nxt = _expand(edges, frontier, preds) - set(depth)
+        nxt = _expand(edges, frontier, preds, direction) - set(depth)
         if not nxt:
             break
         for k in nxt:

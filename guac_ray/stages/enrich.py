@@ -22,9 +22,16 @@ import ray
 from ray.data import Dataset
 
 from guac_ray.canonical import NO_VULN_KEY, vuln_key
-from guac_ray.stages.rules import ENRICH_COLLECTOR, ENRICH_ORIGIN, make_edge
+from guac_ray.stages.rules import (
+    DEP_COLLECTOR,
+    DEP_ORIGIN,
+    ENRICH_COLLECTOR,
+    ENRICH_ORIGIN,
+    make_edge,
+)
 
-__all__ = ["load_vulndb", "VulnCertifier", "certify_vulns"]
+__all__ = ["load_vulndb", "VulnCertifier", "certify_vulns",
+           "load_depdb", "DepCertifier", "certify_deps"]
 
 _ID_FIELDS = [
     "subj_type", "subj_key", "pred", "obj_type", "obj_key",
@@ -107,6 +114,77 @@ def certify_vulns(
     return nodes.map_batches(
         VulnCertifier,
         fn_constructor_args=(vref, sref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def load_depdb(path: str) -> dict[str, list[tuple[str, str]]]:
+    """depdb.parquet → {name-level package key: sorted (dep key, req)}."""
+    t = pq.read_table(path, columns=["pkg_name", "dep_name", "requirement"])
+    out: dict[str, set[tuple[str, str]]] = {}
+    for k, d, r in zip(t["pkg_name"].to_pylist(), t["dep_name"].to_pylist(),
+                       t["requirement"].to_pylist()):
+        out.setdefault(k, set()).add((d, r))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+class DepCertifier:
+    """Actor-pool batch UDF: package-node batch → depends_on edges — the
+    deps.dev dependency-graph enrichment analog (deps_dev.go:44-132):
+    every package node is looked up at NAME level (split before '@', the
+    AllVersions attach — helpers.go:125-131) and its dependencies emit as
+    edges to name-level dep keys with the requirement range in props
+    (assembler.go:58-63 IsDependency). No negative fact on a miss — the
+    reference emits nothing for dependency-free packages."""
+
+    def __init__(self, depdb_ref, scanned_ref=None) -> None:
+        self.dmap: dict[str, list[tuple[str, str]]] = (
+            ray.get(depdb_ref) if isinstance(depdb_ref, ray.ObjectRef)
+            else dict(depdb_ref)
+        )
+        scanned = (
+            ray.get(scanned_ref) if isinstance(scanned_ref, ray.ObjectRef)
+            else scanned_ref
+        )
+        self.scanned: set[str] = set(scanned or ())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch["node_key"].to_pylist()
+        types = batch["node_type"].to_pylist()
+        out: list[tuple] = []
+        seen: set[str] = set()  # per-batch lookup dedup (deps_dev.go:61-68)
+        for t, k in zip(types, keys):
+            if t != "package" or k in seen or k in self.scanned:
+                continue
+            seen.add(k)
+            for dep, req in self.dmap.get(k.split("@", 1)[0], ()):
+                out.append(
+                    make_edge("package", k, "depends_on", "package", dep,
+                              {"requirement": req},
+                              origin=DEP_ORIGIN, collector=DEP_COLLECTOR)
+                )
+        if not out:
+            return _ID_SCHEMA.empty_table()
+        cols = list(zip(*out))
+        return pa.Table.from_arrays(
+            [pa.array(c, type=pa.string()) for c in cols], schema=_ID_SCHEMA
+        )
+
+
+def certify_deps(
+    nodes: Dataset,
+    depdb_path: str,
+    scanned: set[str] | None = None,
+    concurrency: int = 2,
+) -> Dataset:
+    """nodes → depends_on edge Dataset (identity columns only). Same
+    broadcast-lookup actor-pool shape as :func:`certify_vulns`."""
+    dref = ray.put(load_depdb(depdb_path))
+    sref = ray.put(scanned or set())
+    return nodes.map_batches(
+        DepCertifier,
+        fn_constructor_args=(dref, sref),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -66,6 +66,10 @@ _PATTERNS = {
     "bad": r"\bflagged: (pkg:\S+)",
     "contact": r"\bcontact ([\w.+-]+@[\w.-]+) for (pkg:\S+)",
     "severity": r"\bseverity (\d+(?:\.\d+)?) for ((?:[Cc][Vv][Ee]|[Gg][Hh][Ss][Aa])\S+)",
+    # IsDependency / PkgEqual analogs (SPDX relationship statements →
+    # parse_spdx.go:263-304 DEPENDS_ON; assembler.go:181-186 PkgEqual)
+    "dep": r"(pkg:[A-Za-z0-9.+-]+/[^\s]+) depends on (pkg:[A-Za-z0-9.+-]+/[^\s]+)",
+    "pkg_eq": r"(pkg:[A-Za-z0-9.+-]+/[^\s]+) is the same as (pkg:[A-Za-z0-9.+-]+/[^\s]+)",
 }
 
 
@@ -141,6 +145,16 @@ def parse_turn_facts(
         if "contact " in text:
             for email, raw in pats["contact"].findall(text):
                 f.contacts.append(email)
+        if " depends on pkg:" in text:
+            for raw_a, raw_b in pats["dep"].findall(text):
+                ka, kb = package_key(raw_a), package_key(raw_b)
+                if ka and kb and ka != kb:
+                    f.dependencies.append((ka, kb))
+        if " is the same as pkg:" in text:
+            for raw_a, raw_b in pats["pkg_eq"].findall(text):
+                ka, kb = package_key(raw_a), package_key(raw_b)
+                if ka and kb and ka != kb:
+                    f.equal_pkgs.append((ka, kb))
     if "git+" in text:
         for raw in pats["repo"].findall(text):
             k = vcs_source_key(raw)

@@ -54,12 +54,19 @@ JUSTIFICATION = {
     "certify_vuln": "vulnerability scan",
     "participates_in": "turn row",
     "version_of": "package version trie (AllVersions attach)",
+    # IsDependency analog (assembler.go:58-63; emitted by the transcript
+    # grammar AND the deps.dev-style certifier — origin distinguishes)
+    "depends_on": "dependency statement",
+    # PkgEqual analog (assembler.go:181-186): sorted pair like hash_equal
+    "pkg_equal": "package equivalence statement",
 }
 
 ORIGIN = "guac_ray/transcripts"
 COLLECTOR = "file-collector"
 ENRICH_ORIGIN = "guac_ray/vulndb"
 ENRICH_COLLECTOR = "vuln-certifier"
+DEP_ORIGIN = "guac_ray/depdb"
+DEP_COLLECTOR = "deps-dev-certifier"
 
 
 @dataclass
@@ -83,6 +90,8 @@ class TurnFacts:
     severities: list[tuple[str, float]] = field(default_factory=list)  # (vuln_key, score)
     endorsements: list[tuple[str, str]] = field(default_factory=list)  # (type, key)
     flags: list[tuple[str, str]] = field(default_factory=list)         # (type, key)
+    dependencies: list[tuple[str, str]] = field(default_factory=list)  # (pkg, dep)
+    equal_pkgs: list[tuple[str, str]] = field(default_factory=list)    # pkg pairs
 
 
 def make_edge(
@@ -194,6 +203,13 @@ def derive(f: TurnFacts) -> list[tuple]:
         edges.append(make_edge(t, k, "certify_good", "speaker", speaker_key))
     for t, k in f.flags:
         edges.append(make_edge(t, k, "certify_bad", "speaker", speaker_key))
+    # statement-bound (not a turn-wide cross product): each dependency /
+    # equivalence pairs exactly the two packages its statement names
+    for p, d in f.dependencies:
+        edges.append(make_edge("package", p, "depends_on", "package", d))
+    for x, y in f.equal_pkgs:
+        a, b = sorted((x, y))
+        edges.append(make_edge("package", a, "pkg_equal", "package", b))
 
     return edges
 

@@ -47,7 +47,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 SEED = 42
 # bump when templates/pools/rules change: stale /tmp fixtures from an
 # older generator regenerate instead of silently mismatching the code
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 EDGE_ID_COLS = [
     "subj_type", "subj_key", "pred", "obj_type", "obj_key",
@@ -224,6 +224,21 @@ def _apply_template(kind: str, rng: np.random.Generator, pools, facts: TurnFacts
         facts.vulns.append(v["key"])
         facts.severities.append((v["key"], score))
         return f"severity {score} for {v['raw']}"
+    if kind in ("dep", "pkg_eq"):
+        # two DISTINCT pool entries (distinct canonical keys by pool
+        # construction) — the grammars skip self-pairs
+        n = len(pools["pkgs"])
+        i = int(rng.integers(0, n))
+        j = int(rng.integers(0, n - 1))
+        j += int(j >= i)
+        p, q = pools["pkgs"][i], pools["pkgs"][j]
+        facts.packages.append(p["key"])
+        facts.packages.append(q["key"])
+        if kind == "dep":
+            facts.dependencies.append((p["key"], q["key"]))
+            return f"{p['raw']} depends on {q['raw']}"
+        facts.equal_pkgs.append((p["key"], q["key"]))
+        return f"{p['raw']} is the same as {q['raw']}"
     raise ValueError(kind)
 
 
@@ -232,6 +247,7 @@ TEMPLATES = [
     ("vuln", 0.10), ("vuln_pair", 0.04), ("hash_pair", 0.04),
     ("scorecard", 0.05), ("legal", 0.04), ("legal_ref", 0.01), ("slsa", 0.04),
     ("good", 0.035), ("bad", 0.035), ("contact", 0.035), ("severity", 0.035),
+    ("dep", 0.05), ("pkg_eq", 0.02),
 ]
 T_KINDS = [t for t, _ in TEMPLATES]
 T_PROBS = np.array([p for _, p in TEMPLATES])
@@ -312,6 +328,7 @@ def generate_corpus(
         "transcripts": os.path.join(out_dir, "transcripts"),
         "catalog": os.path.join(out_dir, "entity_catalog.parquet"),
         "vulndb": os.path.join(out_dir, "vulndb.parquet"),
+        "depdb": os.path.join(out_dir, "depdb.parquet"),
         "golden_edges": os.path.join(out_dir, "golden", "edges.parquet"),
         "golden_nodes": os.path.join(out_dir, "golden", "nodes.parquet"),
         "golden_enrich": os.path.join(out_dir, "golden", "enrich_edges.parquet"),
@@ -407,6 +424,19 @@ def generate_corpus(
     vdb = pd.DataFrame(vdb_rows, columns=["ent_key", "vuln_id", "score", "ts"])
     vdb["ts"] = pd.to_datetime(vdb["ts"]).astype("datetime64[us]")
     vdb.to_parquet(paths["vulndb"], index=False)
+
+    # ---- depdb (deps.dev analog — deps_dev.go:44-132): NAME-level
+    # dependency adjacency; dep objects are AllVersions keys ----
+    name_keys = sorted({pk.split("@", 1)[0] for pk in pkg_keys})
+    dep_rows = []
+    for i, nk in enumerate(name_keys):
+        for j in range(i % 3):  # 0–2 deps per name, deterministic
+            dk = name_keys[(i * 7 + j * 11 + 1) % len(name_keys)]
+            if dk != nk:
+                dep_rows.append((nk, dk, f"^{j}.{i % 10}"))
+    pd.DataFrame(dep_rows, columns=["pkg_name", "dep_name", "requirement"]) \
+        .drop_duplicates(["pkg_name", "dep_name"]) \
+        .to_parquet(paths["depdb"], index=False)
 
     # ---- goldens ----
     edf = pd.DataFrame(all_edges, columns=EDGE_ID_COLS + ["conv_id", "turn_idx"])

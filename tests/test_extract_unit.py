@@ -93,6 +93,25 @@ class TestMentionParsing:
             unregister_mention_parser("tickets")
         assert "ticket:ticket-42" not in facts("resolved TICKET-42").artifacts
 
+    def test_depends_on(self):
+        f = facts("pkg:pypi/app@1.0.0 depends on pkg:pypi/libz@0.2.0")
+        assert f.dependencies == [("pkg:pypi/app@1.0.0", "pkg:pypi/libz@0.2.0")]
+        # both sides are also plain mentions (purl scan runs first)
+        assert set(f.packages) == {"pkg:pypi/app@1.0.0", "pkg:pypi/libz@0.2.0"}
+
+    def test_depends_on_self_pair_skipped(self):
+        f = facts("pkg:pypi/app@1.0.0 depends on pkg:pypi/app@1.0.0")
+        assert f.dependencies == []
+
+    def test_pkg_equal_sorted_in_derive(self):
+        from guac_ray.stages.rules import derive
+
+        f = facts("pkg:pypi/zlib@2.0.0 is the same as pkg:pypi/alib@1.0.0")
+        assert f.equal_pkgs == [("pkg:pypi/zlib@2.0.0", "pkg:pypi/alib@1.0.0")]
+        eq = [e for e in derive(f) if e[2] == "pkg_equal"]
+        assert len(eq) == 1
+        assert (eq[0][1], eq[0][4]) == ("pkg:pypi/alib@1.0.0", "pkg:pypi/zlib@2.0.0")
+
     def test_no_mentions(self):
         f = facts("Let me check that.")
         assert not (f.packages or f.artifacts or f.repos or f.vulns)

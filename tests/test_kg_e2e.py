@@ -124,3 +124,61 @@ class TestEnrichment:
         out = certify_vulns(nodes, smoke_corpus["vulndb"], scanned=scanned).to_pandas()
         assert set(out.subj_key).isdisjoint(scanned)
         assert set(out.subj_key) == all_pkgs - scanned
+
+    def test_certify_deps_matches_depdb(self, ray_session, graph, smoke_corpus):
+        """deps.dev-style enrichment: every package node's NAME-level
+        lookup emits exactly its depdb adjacency with the requirement
+        range in props."""
+        import json
+
+        import ray.data as rd
+
+        from guac_ray.stages.enrich import certify_deps, load_depdb
+
+        nodes = rd.from_pandas(graph["nodes"])
+        got = certify_deps(nodes, smoke_corpus["depdb"]).to_pandas()
+        dmap = load_depdb(smoke_corpus["depdb"])
+        want = {
+            (k, dep, req)
+            for k in graph["nodes"].query("node_type == 'package'").node_key
+            for dep, req in dmap.get(k.split("@", 1)[0], ())
+        }
+        got_set = {
+            (r.subj_key, r.obj_key, json.loads(r.props)["requirement"])
+            for r in got.itertuples(index=False)
+        }
+        assert want and got_set == want
+        assert (got.origin == "guac_ray/depdb").all()
+        assert (got.pred == "depends_on").all()
+
+    def test_patch_plan_blast_radius_over_dependencies(
+        self, ray_session, graph, smoke_corpus
+    ):
+        """The reference's flagship patch workload (patchPlanning.go:
+        56-115): patch a package, BFS REVERSE over real depends_on edges
+        (grammar + depdb enrichment) for the dependents closure."""
+        import ray.data as rd
+
+        from guac_ray.query.cli import patch_plan
+
+        from guac_ray.stages.enrich import certify_deps
+
+        nodes = rd.from_pandas(graph["nodes"])
+        enriched = certify_deps(nodes, smoke_corpus["depdb"]).to_pandas()
+        extracted = graph["edges"].query("pred == 'depends_on'")
+        dep_edges = pd.concat(
+            [enriched[EDGE_IDENTITY], extracted[EDGE_IDENTITY]],
+            ignore_index=True,
+        ).drop_duplicates()
+        edges = rd.from_pandas(dep_edges).repartition(2)
+
+        # most-depended-on name-level package: guaranteed dependents
+        target = dep_edges.obj_key.value_counts().idxmax()
+        plan = patch_plan(edges, target, preds=["depends_on"], direction="in")
+        assert plan["reached"][target] == 0
+        assert plan["n_nodes"] > 1, "blast radius must traverse real dep edges"
+        direct = set(dep_edges[dep_edges.obj_key == target].subj_key) - {target}
+        got_d1 = {k for k, d in plan["reached"].items() if d == 1}
+        assert got_d1 == direct
+        flat = {n for lvl in plan["levels"] for n in lvl}
+        assert plan["has_cycle"] or flat == set(plan["reached"])
