@@ -211,29 +211,158 @@ def knn_ivf(
     return _final_topk(partials, k)
 
 
+_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())])
+
+
+def _empty_pairs() -> pa.Table:
+    return _PAIR_SCHEMA.empty_table()
+
+
+def _exact_neardup(embeds: Dataset, threshold: float, concurrency) -> Dataset:
+    """All-pairs exact cosine under the small-table guard: the full
+    normalized matrix broadcasts once (``ray.put``); each batch scores its
+    rows against it. Orientation a < b emits every unordered pair exactly
+    once globally — no dedup pass needed. 100% recall ⇒ byte-stable vs a
+    brute-force oracle regardless of LSH banding luck."""
+    df = embeds.to_pandas()  # bounded by exact_limit rows
+    ref = ray.put({
+        "ids": df["vec_id"].to_numpy().astype("int64"),
+        "mat": _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64)),
+    })
+
+    class Exact:
+        def __init__(self):
+            d = ray.get(ref)
+            self.ids, self.mat = d["ids"], d["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _empty_pairs()
+            ids, mat = _batch_mat(batch)
+            sims = _normalize(mat) @ self.mat.T
+            rows, cols = np.nonzero(sims >= threshold)
+            a, b, s = ids[rows], self.ids[cols], sims[rows, cols]
+            m = a < b
+            if not m.any():
+                return _empty_pairs()
+            return pa.table({"a": pa.array(a[m].astype("int64")),
+                             "b": pa.array(b[m].astype("int64")),
+                             "cosine": pa.array(s[m])})
+
+    return embeds.map_batches(Exact, batch_format="pyarrow",
+                              concurrency=concurrency)
+
+
+def _join_verify_pairs(
+    pairs: Dataset, embeds: Dataset, threshold: float,
+    exchange_dir: str | None, num_buckets: int | None,
+) -> Dataset:
+    """Candidate (a, b) pairs ⋈ embeddings on each side through the
+    co-partitioned fs-exchange hash join, then vectorized row-wise cosine.
+    The embedding table is never broadcast and never rides the band
+    shuffle — the plan ``verify_pairs_sigs`` uses above its guard.
+
+    Vectors travel as raw float64 BYTES (one flat-buffer encode per
+    batch): Arrow's acero join rejects list-typed payload columns, and
+    binary is the proven payload type on this path (the MinHash sig
+    joins)."""
+    import os
+
+    from guac_ray.functions.joins import default_exchange, hash_join
+
+    def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    def encode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "emb": pa.array([], type=pa.binary())})
+        ids, mat = _batch_mat(batch)
+        mat = np.ascontiguousarray(mat, dtype=np.float64)
+        fsb = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(8 * mat.shape[1]), n, [None, pa.py_buffer(mat.tobytes())])
+        return pa.table({"vec_id": pa.array(ids.astype("int64")),
+                         "emb": fsb.cast(pa.binary())})
+
+    emb_bin = embeds.map_batches(encode, batch_format="pyarrow")
+
+    ex = exchange_dir or default_exchange("emb_verify")
+    with_a = hash_join(
+        rename(pairs, {"a": "vec_id"}), emb_bin,
+        on="vec_id", exchange_dir=os.path.join(ex, "a"), num_buckets=num_buckets,
+    )
+    with_ab = hash_join(
+        rename(with_a, {"vec_id": "a", "emb": "emb_a", "b": "vec_id"}),
+        emb_bin,
+        on="vec_id", exchange_dir=os.path.join(ex, "b"), num_buckets=num_buckets,
+    )
+    with_ab = rename(with_ab, {"vec_id": "b", "emb": "emb_b"})
+
+    def decode(col: pa.ChunkedArray, n: int) -> np.ndarray:
+        return np.frombuffer(b"".join(col.to_pylist()),
+                             dtype=np.float64).reshape(n, -1)
+
+    def verify(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty_pairs()
+        sim = (_normalize(decode(t["emb_a"], n))
+               * _normalize(decode(t["emb_b"], n))).sum(axis=1)
+        keep = sim >= threshold
+        if not keep.any():
+            return _empty_pairs()
+        return pa.table({
+            "a": pa.array(t["a"].to_numpy(zero_copy_only=False)[keep].astype("int64")),
+            "b": pa.array(t["b"].to_numpy(zero_copy_only=False)[keep].astype("int64")),
+            "cosine": pa.array(sim[keep]),
+        })
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
 def embedding_neardup(
     embeds: Dataset, threshold: float = 0.95, num_bands: int = 8,
     planes_per_band: int = 8, seed: int = 7, concurrency: int = 2,
     num_coarse: int = 16, max_bucket: int = 4000,
+    exact_limit: int = 10_000, shuffle_cell_limit: int = 50_000_000,
+    exchange_dir: str | None = None, num_join_buckets: int | None = None,
 ) -> Dataset:
-    """Near-duplicate vector pairs by MULTI-BAND random-hyperplane LSH:
-    ``num_bands`` independent bands of ``planes_per_band`` hyperplanes
-    each; a pair is a candidate if it collides in ANY band (union), then
-    verified with exact cosine inside the bucket → (a, b, cosine).
+    """Near-duplicate vector pairs → (a, b, cosine). Size-guarded plan,
+    three regimes by input shape:
 
-    Recall math: P(bit match) = 1 − θ/π; with b=8, r=8 at cosine 0.95
-    (θ≈18°, p≈0.90) the candidate probability is 1−(1−p⁸)⁸ ≈ 0.99 —
-    versus ~0.3 for the single 12-plane band this replaces. Cross-band
-    duplicate pairs are removed by an exact dedup on (a, b).
+      1. ``count ≤ exact_limit``: all-pairs exact cosine against a
+         broadcast matrix (10k × 768-d f64 ≈ 61 MB) — exact results make
+         the output robust to LSH recall at the threshold boundary
+         (multi-band recall at cosine == 0.95 is ~0.99, not 1.0).
+      2. ``count × dim ≤ shuffle_cell_limit``: multi-band random-
+         hyperplane LSH (``num_bands`` bands × ``planes_per_band``
+         planes; candidate = collision in ANY band), embeddings ride the
+         band shuffle as the verify payload, exact cosine inside each
+         bucket. Recall math: P(bit)=1−θ/π; b=8, r=8 at 0.95 → ≈0.99.
+      3. above it (wide vectors × many rows — the 100-TB shape): bands
+         carry (band, bucket, vec_id) ONLY; in-bucket candidates verify
+         via pairs ⋈ embeddings fs-exchange hash joins — the vector
+         column moves through ONE co-partitioned join per side instead
+         of ×num_bands through the shuffle.
 
-    Scale shape mirrors the MinHash path: the bucket groupby is COARSE
-    (``num_coarse`` groups — fine (band, bucket) fan-out happens in
-    pandas inside), embeddings ride the shuffle ×num_bands (they are the
-    verify payload; for very wide vectors lower num_bands or verify via
-    a pairs ⋈ embeddings hash join like dedup.verify_pairs_sigs).
-    ``max_bucket`` caps degenerate buckets.
+    All regimes: bucket groupby is COARSE (``num_coarse`` groups, fine
+    (band, bucket) fan-out in pandas inside), ``max_bucket`` caps
+    degenerate buckets, cross-band duplicate pairs exact-deduped.
     """
-    from guac_ray.stages.assemble import dedup_exact, stable_hash
+    from guac_ray.stages.assemble import dedup_exact, ensure_schema, stable_hash
+
+    n_rows = embeds.count()
+    if n_rows <= exact_limit:
+        return _exact_neardup(embeds, threshold, concurrency)
+
+    first = embeds.take(1)
+    dim = len(first[0]["embedding"]) if first else 0
+    carry_embedding = n_rows * max(dim, 1) <= shuffle_cell_limit
 
     total_planes = num_bands * planes_per_band
 
@@ -244,25 +373,23 @@ def embedding_neardup(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids, mat = _batch_mat(batch)
             if self.planes is None:
-                dim = mat.shape[1]
                 self.planes = np.random.default_rng(seed).standard_normal(
-                    (dim, total_planes))
+                    (mat.shape[1], total_planes))
             bits = ((_normalize(mat) @ self.planes) > 0).astype(np.int64)
             bits = bits.reshape(len(ids), num_bands, planes_per_band)
             keys = (bits << np.arange(planes_per_band)[None, None, :]).sum(axis=2)
             n = len(ids)
-            emb = batch["embedding"]
             # explode: one row per (vec, band)
-            idx = pa.array(np.repeat(np.arange(n), num_bands))
-            return pa.table(
-                {
-                    "band_id": pa.array(
-                        np.tile(np.arange(num_bands, dtype=np.int64), n)),
-                    "bucket": pa.array(keys.reshape(-1).astype("int64")),
-                    "vec_id": pa.array(np.repeat(ids.astype("int64"), num_bands)),
-                    "embedding": emb.take(idx),
-                }
-            )
+            cols = {
+                "band_id": pa.array(
+                    np.tile(np.arange(num_bands, dtype=np.int64), n)),
+                "bucket": pa.array(keys.reshape(-1).astype("int64")),
+                "vec_id": pa.array(np.repeat(ids.astype("int64"), num_bands)),
+            }
+            if carry_embedding:
+                cols["embedding"] = batch["embedding"].take(
+                    pa.array(np.repeat(np.arange(n), num_bands)))
+            return pa.table(cols)
 
     def coarse(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -277,18 +404,25 @@ def embedding_neardup(
                 continue
             sub = sub.nsmallest(max_bucket, "vec_id").sort_values("vec_id")
             ids = sub["vec_id"].to_numpy()
-            mat = _normalize(np.stack(sub["embedding"].to_numpy()).astype(np.float64))
-            sims = mat @ mat.T
             iu = np.triu_indices(len(ids), k=1)
-            sv = sims[iu]
-            keep = sv >= threshold
-            if keep.any():
-                outs.append(pd.DataFrame({
-                    "a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "cosine": sv[keep],
-                }))
+            if carry_embedding:
+                mat = _normalize(
+                    np.stack(sub["embedding"].to_numpy()).astype(np.float64))
+                sv = (mat @ mat.T)[iu]
+                keep = sv >= threshold
+                if keep.any():
+                    outs.append(pd.DataFrame({
+                        "a": ids[iu[0][keep]], "b": ids[iu[1][keep]],
+                        "cosine": sv[keep],
+                    }))
+            else:
+                # candidates only — cosine comes from the join verify
+                outs.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
+        cols = {"a": "int64", "b": "int64"}
+        if carry_embedding:
+            cols["cosine"] = "float64"
         if not outs:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-                {"a": "int64", "b": "int64", "cosine": "float64"})
+            return pd.DataFrame({c: [] for c in cols}).astype(cols)
         return pd.concat(outs, ignore_index=True)
 
     pairs = (
@@ -298,9 +432,11 @@ def embedding_neardup(
         .map_groups(per_coarse, batch_format="pandas")
     )
     # same pair collides in several bands — keep one (cosine is identical)
-    from guac_ray.stages.assemble import ensure_schema
-
-    out = dedup_exact(pairs, ["a", "b"], num_buckets=8,
-                      keep_cols=["a", "b", "cosine"])
-    return ensure_schema(out, pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]))
+    if carry_embedding:
+        out = dedup_exact(pairs, ["a", "b"], num_buckets=8,
+                          keep_cols=["a", "b", "cosine"])
+        return ensure_schema(out, _PAIR_SCHEMA)
+    cands = dedup_exact(pairs, ["a", "b"], num_buckets=8)
+    out = _join_verify_pairs(cands, embeds, threshold,
+                             exchange_dir, num_join_buckets)
+    return ensure_schema(out, _PAIR_SCHEMA)

@@ -944,10 +944,11 @@ def neardup_docs_simhash(sf_dir: str):
 
 
 def neardup_embeddings(sf_dir: str):
-    """Multi-band hyperplane-LSH near-dup pairs with exact cosine verify.
-    Exact verification ⇒ no false positives, so the pair ID set matches
-    the brute-force SQL oracle (candidate recall ≈99% at 0.95 — the
-    planted-dup recall pytest covers the probabilistic tail)."""
+    """Embedding near-dup pairs via the size-guarded planner: at suite
+    scale the table is under ``exact_limit`` so the plan is all-pairs
+    exact cosine (recall 1.0 ⇒ byte-stable vs the brute-force SQL oracle
+    even for pairs at exactly the threshold). The LSH and join-verify
+    regimes engage above the guards and are pytest-covered."""
     from guac_ray.functions.ann import embedding_neardup
 
     out = embedding_neardup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),

@@ -94,12 +94,81 @@ class TestKnn:
         }
         assert len(true_pairs) >= planted  # sanity: corpus has true pairs
 
+        # exact_limit=0 pins the LSH regime (default would go exact here)
         got = embedding_neardup(rd.from_pandas(df).repartition(4),
-                                threshold=0.95, concurrency=(1, 2)).to_pandas()
+                                threshold=0.95, concurrency=(1, 2),
+                                exact_limit=0).to_pandas()
         got_pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
         recall = len(got_pairs & true_pairs) / len(true_pairs)
         assert recall >= 0.9, recall
         assert got_pairs <= true_pairs  # exact verify ⇒ no false positives
+
+    def test_neardup_exact_regime_is_bruteforce(self, ray_session):
+        """Under ``exact_limit`` the planner must return the FULL true
+        pair set (recall 1.0) — the property the DuckDB oracle relies
+        on for byte-stable comparison."""
+        import ray.data as rd
+
+        from guac_ray.functions.ann import embedding_neardup
+
+        rng = np.random.default_rng(11)
+        n, dim = 250, 24
+        mat = rng.standard_normal((n, dim))
+        for i in range(20):
+            mat[n - 1 - i] = mat[i] + rng.standard_normal(dim) * 0.02
+        df = pd.DataFrame({"vec_id": range(n), "embedding": list(mat)})
+
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        iu = np.triu_indices(n, k=1)
+        sims = (nm @ nm.T)[iu]
+        true_pairs = {(int(iu[0][j]), int(iu[1][j]))
+                      for j in np.nonzero(sims >= 0.95)[0]}
+
+        got = embedding_neardup(rd.from_pandas(df).repartition(4),
+                                threshold=0.95, concurrency=(1, 2)).to_pandas()
+        got_pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        assert got_pairs == true_pairs
+        # exact path emits each pair once — no cross-band duplicates
+        assert len(got) == len(got_pairs)
+
+    def test_neardup_join_verify_regime_512dim(self, ray_session, tmp_path):
+        """Wide vectors above ``shuffle_cell_limit``: bands carry ids
+        only and verification runs through the pairs ⋈ embeddings
+        fs-exchange hash joins. Same contract as the in-shuffle regime:
+        no false positives, planted near-dups recovered."""
+        import ray.data as rd
+
+        from guac_ray.functions.ann import embedding_neardup
+
+        rng = np.random.default_rng(17)
+        n, dim, planted = 300, 512, 25
+        mat = rng.standard_normal((n, dim))
+        for i in range(planted):
+            mat[n - 1 - i] = mat[i] + rng.standard_normal(dim) * 0.01
+        df = pd.DataFrame({"vec_id": range(n), "embedding": list(mat)})
+
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        iu = np.triu_indices(n, k=1)
+        sims = (nm @ nm.T)[iu]
+        true_pairs = {(int(iu[0][j]), int(iu[1][j]))
+                      for j in np.nonzero(sims >= 0.95)[0]}
+        true_cos = {(int(iu[0][j]), int(iu[1][j])): float(sims[j])
+                    for j in range(len(sims))}
+        assert len(true_pairs) >= planted
+
+        # exact_limit=0 + shuffle_cell_limit=0 force the join-verify plan
+        got = embedding_neardup(
+            rd.from_pandas(df).repartition(4), threshold=0.95,
+            concurrency=(1, 2), exact_limit=0, shuffle_cell_limit=0,
+            exchange_dir=str(tmp_path / "ex"), num_join_buckets=4,
+        ).to_pandas()
+        got_pairs = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        assert got_pairs <= true_pairs            # verify ⇒ no false positives
+        recall = len(got_pairs & true_pairs) / len(true_pairs)
+        assert recall >= 0.9, recall
+        assert len(got) == len(got_pairs)         # join verify didn't duplicate
+        for r in got.itertuples(index=False):     # cosines come from the join
+            assert abs(r.cosine - true_cos[(r.a, r.b)]) < 1e-9
 
     def test_ivf_fit_samples_uniformly_on_clustered_input(self, ray_session):
         """Sorted/clustered input: limit()-sampling sees only the first
