@@ -12,6 +12,28 @@ REPO_GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fil
 
 
 class TestGoldenStability:
+    def test_doc_lang_id_matches_committed_golden(self, ray_session):
+        """doc_lang_id has no SQL oracle (heuristic scoring) and the
+        testdata ``lang`` label is independent of the text content (the
+        synthetic docs are English-ish regardless of label), so the
+        committed golden IS the correctness contract: exact predictions
+        at sf0.001, drift-guarded like the smoke goldens."""
+        import os
+
+        import pytest
+
+        sf_dir = "/root/testdata/sf0.001"
+        if not os.path.isdir(sf_dir):
+            pytest.skip("driver testdata not present")
+        from guac_ray.pipelines.suite import doc_lang_id
+
+        got = (doc_lang_id(sf_dir).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        fixtures_root = os.path.dirname(os.path.dirname(REPO_GOLDEN))
+        want = pd.read_parquet(os.path.join(
+            fixtures_root, "golden", "doc_lang_id_sf0.001.parquet"))
+        pd.testing.assert_frame_equal(got, want)
+
     def test_generator_reproduces_committed_goldens(self, smoke_corpus):
         for name, key_cols in [
             ("edges.parquet", None),
