@@ -37,7 +37,8 @@ import ray.data as rd
 from guac_ray.pipelines.kg import extract_triples
 from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
 
-__all__ = ["partition_inputs", "run_extract_partition", "run_graph_job", "resume_status"]
+__all__ = ["partition_inputs", "partition_inputs_incremental",
+           "run_extract_partition", "run_graph_job", "resume_status"]
 
 ENGINE_VERSION = "guac_ray-0.1.0"
 
@@ -58,6 +59,58 @@ def partition_inputs(transcripts_dir: str, num_partitions: int) -> list[list[str
     )
     num_partitions = min(num_partitions, len(files))
     return [files[i::num_partitions] for i in range(num_partitions)]
+
+
+def partition_inputs_incremental(
+    transcripts_dir: str, out_dir: str, num_partitions: int
+) -> list[tuple[int, list[str]]]:
+    """STABLE file → partition assignment for a GROWING input directory
+    (the reference's steady-state mode: the file collector skips
+    already-seen files by mod-time, file.go:81-83).
+
+    Round-robin repartitioning reshuffles every file when one shard is
+    added, invalidating every manifest digest and forcing a full
+    re-extract. Instead the assignment is persisted
+    (``_ckpt/assignment.json``): files keep their partition forever, new
+    files pack into NEW partitions sized like the existing ones, so a
+    rerun extracts only the new partitions (plus any whose files were
+    modified — the digest's mtime component is the mod-time check).
+    Deleted files drop from the assignment; their partition's digest then
+    mismatches and it re-extracts from the survivors."""
+    files = sorted(
+        os.path.join(transcripts_dir, f)
+        for f in os.listdir(transcripts_dir)
+        if f.endswith(".parquet")
+    )
+    apath = os.path.join(out_dir, "_ckpt", "assignment.json")
+    assign: dict[str, int] = {}
+    if os.path.exists(apath):
+        with open(apath) as f:
+            assign = json.load(f)
+    live = set(files)
+    assign = {f: p for f, p in assign.items() if f in live}
+    new = [f for f in files if f not in assign]
+    if new:
+        if assign:
+            from collections import Counter
+
+            sizes = Counter(assign.values())
+            per = max(1, round(sum(sizes.values()) / len(sizes)))
+        else:
+            per = max(1, -(-len(new) // max(1, num_partitions)))  # ceil
+        next_id = max(assign.values(), default=-1) + 1
+        for gi in range(0, len(new), per):
+            for f in new[gi:gi + per]:
+                assign[f] = next_id + gi // per
+    os.makedirs(os.path.dirname(apath), exist_ok=True)
+    with open(apath + ".tmp", "w") as f:
+        json.dump(assign, f, indent=1)
+    os.replace(apath + ".tmp", apath)
+
+    plan: dict[int, list[str]] = {}
+    for fp, pid in assign.items():
+        plan.setdefault(pid, []).append(fp)
+    return sorted((pid, sorted(fs)) for pid, fs in plan.items())
 
 
 def run_extract_partition(
@@ -144,6 +197,7 @@ def run_graph_job(
     num_buckets: int = 64,
     exchange_dir: str | None = None,
     max_concurrent: int = 1,
+    incremental: bool = False,
 ) -> dict:
     """Checkpointable end-to-end job. Stage A per-partition (resumable),
     stage B assembles from stage A's files (no re-extraction).
@@ -153,8 +207,18 @@ def run_graph_job(
     concurrent submissions keep the cluster busy across the per-job
     setup gaps (the real-cluster shape: one driver, N in-flight
     partition jobs). Partition outputs are independent directories, so
-    concurrency never races; manifests are written per-partition."""
-    plan = list(enumerate(partition_inputs(transcripts_dir, num_partitions)))
+    concurrency never races; manifests are written per-partition.
+
+    ``incremental=True`` keys the plan on the persisted file → partition
+    assignment (:func:`partition_inputs_incremental`): a rerun over a
+    GROWN input directory extracts only partitions holding new or
+    modified files and skips the rest on manifest digests — the
+    steady-state collection mode. Stage B always reassembles (it is the
+    cheap global dedup over stage-A files)."""
+    if incremental:
+        plan = partition_inputs_incremental(transcripts_dir, out_dir, num_partitions)
+    else:
+        plan = list(enumerate(partition_inputs(transcripts_dir, num_partitions)))
     if not plan:
         raise ValueError(
             f"run_graph_job: no transcript shards found under {transcripts_dir!r}"
@@ -186,7 +250,9 @@ def run_graph_job(
         p = os.path.join(out_dir, sub)
         if os.path.isdir(p):
             for f in os.listdir(p):
-                if f.split(".")[0] not in current:
+                # only part-* manifests are plan-scoped; the incremental
+                # assignment file persists across runs
+                if f.startswith("part-") and f.split(".")[0] not in current:
                     os.unlink(os.path.join(p, f))
     raw = rd.read_parquet(sorted(
         os.path.join(raw_root, d, f)

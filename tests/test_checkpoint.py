@@ -71,6 +71,60 @@ class TestCheckpoint:
         w = set(map(tuple, golden[EDGE_IDENTITY].itertuples(index=False)))
         assert g == w
 
+    def test_incremental_growth_runs_only_new_partitions(
+        self, ray_session, tmp_path
+    ):
+        """Steady-state collection (reference file.go:81-83 mod-time
+        skip): grow the input dir, rerun with ``incremental=True`` —
+        existing partitions skip on their manifests (stable file →
+        partition assignment), only the new shard extracts, and the
+        incremental graph equals a from-scratch full rebuild."""
+        import shutil
+
+        from guac_ray.state.checkpoint import run_graph_job
+        from guac_ray.synth import generate_corpus
+
+        src = generate_corpus(str(tmp_path / "corpus"), n_convs=120, n_shards=3)
+        shards = sorted(
+            os.path.join(src["transcripts"], f)
+            for f in os.listdir(src["transcripts"])
+            if f.endswith(".parquet")
+        )
+        assert len(shards) == 3
+        grow_dir = str(tmp_path / "grow")
+        os.makedirs(grow_dir)
+        for s in shards[:2]:                      # wave 1: two shards
+            shutil.copy2(s, grow_dir)
+
+        out = str(tmp_path / "inc_out")
+        r1 = run_graph_job(grow_dir, out, catalog_path=src["catalog"],
+                           num_partitions=2, num_buckets=16, incremental=True)
+        assert len(r1["partitions"]) == 2 and r1["skipped"] == 0
+
+        shutil.copy2(shards[2], grow_dir)         # wave 2: one new shard
+        r2 = run_graph_job(grow_dir, out, catalog_path=src["catalog"],
+                           num_partitions=2, num_buckets=16, incremental=True)
+        # the two wave-1 partitions skip; exactly one NEW partition runs
+        assert r2["skipped"] == 2
+        ran = [m for m in r2["partitions"] if not m.get("skipped")]
+        assert len(ran) == 1
+        assert ran[0]["inputs"] == [os.path.join(grow_dir,
+                                                 os.path.basename(shards[2]))]
+
+        full = run_graph_job(grow_dir, str(tmp_path / "full_out"),
+                             catalog_path=src["catalog"],
+                             num_partitions=3, num_buckets=16)
+        got = pd.read_parquet(r2["edges_dir"])
+        want = pd.read_parquet(full["edges_dir"])
+        g = set(map(tuple, got[EDGE_IDENTITY].itertuples(index=False)))
+        w = set(map(tuple, want[EDGE_IDENTITY].itertuples(index=False)))
+        assert g == w and len(g) > 0
+
+        # third run with no growth: everything skips
+        r3 = run_graph_job(grow_dir, out, catalog_path=src["catalog"],
+                           num_partitions=2, num_buckets=16, incremental=True)
+        assert r3["skipped"] == 3
+
     def test_input_change_invalidates(self, ray_session, smoke_corpus, tmp_path):
         from guac_ray.state.checkpoint import run_extract_partition, partition_inputs
 
