@@ -976,16 +976,23 @@ def doc_train_test_split(sf_dir: str):
     sampling discipline that survives resume/backfill at 100 TB)."""
     ds = _read(sf_dir, "documents", ["doc_id"])
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
         import hashlib
 
-        h = [hashlib.md5(str(i).encode()).hexdigest()[:2] for i in df.doc_id]
-        return pd.DataFrame({
-            "doc_id": df.doc_id.astype("int64"),
-            "split": ["train" if x < "cc" else "test" for x in h],
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        # md5 has no vectorized kernel; the loop is reduced to one digest
+        # byte per row ('cc' on the hex prefix == 0xCC on byte 0), with
+        # all column assembly in numpy/Arrow
+        first = np.frombuffer(
+            b"".join(hashlib.md5(str(i).encode()).digest()[:1] for i in ids),
+            dtype=np.uint8,
+        )
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "split": pa.array(np.where(first < 0xCC, "train", "test")),
         })
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 TRAIN_TEST_SQL = """
