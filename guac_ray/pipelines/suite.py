@@ -832,6 +832,51 @@ FROM documents
 """
 
 
+def doc_top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus n-gram statistics (text-analysis family): top-k word
+    bigrams. Shape: per-batch Counter partials (tokenization is
+    inherently per-doc; only the (bigram, cnt) partials enter the
+    shuffle — at 100 TB the shuffled bytes are vocab², not corpus
+    size), grouped_agg sum, driver-side top-k on the small result."""
+    from collections import Counter
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            w = (txt or "").lower().split()
+            c.update(map(" ".join, zip(w, w[1:])))
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["bigram"], {"cnt": ("cnt", "sum")}, num_buckets=8)
+    out = agg.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
+    out = out.sort_values(["cnt", "bigram"], ascending=[False, True]).head(k)
+    return out.astype({"cnt": "int64"}).reset_index(drop=True)
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+), b AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+)
+SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM b WHERE w1 <> '' AND w2 <> ''
+GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
 def doc_quality(sf_dir: str):
     from guac_ray.functions.text import QualityScorer
 
@@ -1539,6 +1584,71 @@ SELECT DISTINCT subj_key, dep_key, source FROM (
 """
 
 
+def kg_patch_radius(sf_dir: str, max_depth: int = 3):
+    """The reference's flagship patch-planning workload
+    (guacanalytics/patchPlanning.go:56-115) as an ORACLE-CHECKED query:
+    pick the most-depended-on package (deterministic: max distinct
+    dependents, ties → smallest key) and BFS REVERSE over the full
+    depends_on edge set (grammar + depdb enrichment) for the dependents
+    blast radius → (node_key, depth). Depth bounds the traversal like
+    the reference's maxPathLength (inmem/path.go:42); the oracle is a
+    bounded recursive CTE with min-depth aggregation."""
+    from guac_ray.query.graph import bfs_reach
+    from guac_ray.stages.assemble import dedup_exact
+
+    deps = kg_depends_on(sf_dir)
+
+    def pair(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj_key": batch["subj_key"],
+                         "obj_key": batch["dep_key"]})
+
+    pairs = dedup_exact(deps.map_batches(pair, batch_format="pyarrow"),
+                        ["subj_key", "obj_key"], num_buckets=4)
+    # the distinct name-level pair set is bounded by catalog size (not
+    # corpus size) — driver-small by construction, like the top-k frames
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"node_key": pd.Series(dtype="object"),
+                             "depth": pd.Series(dtype="int64")})
+    cnt = pdf.groupby("obj_key")["subj_key"].nunique()
+    target = cnt.sort_index().sort_values(kind="stable", ascending=False).index[0]
+
+    # BFS rounds re-scan their edge Dataset; feed them the already-
+    # materialized pair frame instead of the lazy pipeline (which would
+    # re-run extraction+enrichment once per round)
+    import ray.data as rd
+
+    edges = rd.from_pandas(pdf.assign(pred="depends_on"))
+    reached = bfs_reach(edges, target, max_depth=max_depth,
+                        preds=["depends_on"], direction="in")
+    out = pd.DataFrame({
+        "node_key": list(reached.keys()),
+        "depth": pd.Series(list(reached.values()), dtype="int64"),
+    })
+    return out.sort_values(["depth", "node_key"]).reset_index(drop=True)
+
+
+def KG_PATCH_RADIUS_SQL(sf_dir: str) -> str:
+    return f"""
+WITH RECURSIVE deps AS (
+  SELECT DISTINCT subj_key, dep_key FROM ({KG_DEPENDS_ON_SQL(sf_dir)})
+), target AS (
+  SELECT dep_key AS node_key
+  FROM (SELECT dep_key, count(DISTINCT subj_key) AS c
+        FROM deps GROUP BY dep_key)
+  ORDER BY c DESC, node_key ASC LIMIT 1
+), reach(node_key, depth) AS (
+  SELECT node_key, 0 FROM target
+  UNION ALL
+  SELECT d.subj_key, r.depth + 1
+  FROM reach r JOIN deps d ON d.dep_key = r.node_key
+  WHERE r.depth < 3
+)
+SELECT node_key, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY node_key
+"""
+
+
 def kg_pkg_equal(sf_dir: str):
     """PkgEqual analog (assembler.go:181-186): equivalence statements →
     sorted distinct package pairs (same sorted-pair discipline as
@@ -1647,6 +1757,7 @@ SUITE: dict[str, tuple] = {
     "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),
+    "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
     "doc_lang_id": (doc_lang_id, None),
@@ -1668,6 +1779,7 @@ SUITE: dict[str, tuple] = {
     "kg_version_of": (kg_version_of, KG_VERSION_OF_SQL),
     "kg_version_range": (kg_version_range, KG_VERSION_RANGE_SQL),
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
+    "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_pkg_equal": (kg_pkg_equal, KG_PKG_EQUAL_SQL),
     "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),

@@ -95,10 +95,13 @@ def _expand(
         if preds_arr is not None:
             mask = pc.and_(mask, pc.is_in(batch["pred"], value_set=preds_arr))
         t = batch.filter(mask)
-        return pa.table({"k": t[dst]})
+        # per-batch dedup; the driver unions the (frontier-bounded) sets.
+        # NOT Dataset.unique(): its Unique aggregate crashes with
+        # "unhashable type: numpy.ndarray" on some block shapes
+        return pa.table({"k": pc.unique(t[dst].combine_chunks())})
 
-    vals = edges.map_batches(f, batch_format="pyarrow").unique("k")
-    return set(vals or [])  # unique() yields None on an empty dataset
+    rows = edges.map_batches(f, batch_format="pyarrow").take_all()
+    return {r["k"] for r in rows}
 
 
 def bfs_reach(

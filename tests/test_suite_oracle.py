@@ -18,6 +18,7 @@ FAST = [
     "distinct_segments",
     "exact_dedup_docs",
     "doc_token_counts",
+    "doc_top_bigrams",
     "doc_quality",
     "doc_fingerprints",
     "knn_brute",
