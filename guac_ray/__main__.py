@@ -36,6 +36,7 @@ def cmd_build(args) -> int:
         args.transcripts, args.out,
         catalog_path=args.catalog,
         num_partitions=args.partitions,
+        incremental=args.incremental,
     )
     print(json.dumps({
         "edges_dir": res["edges_dir"],
@@ -94,6 +95,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("out")
     b.add_argument("--catalog", default=None)
     b.add_argument("--partitions", type=int, default=4)
+    b.add_argument("--incremental", action="store_true",
+                   help="stable file->partition assignment: reruns over a "
+                        "grown input dir extract only new/changed shards")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="read-side queries over a built graph")
