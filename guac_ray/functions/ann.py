@@ -354,7 +354,7 @@ def embedding_neardup(
     (band, bucket) fan-out in pandas inside), ``max_bucket`` caps
     degenerate buckets, cross-band duplicate pairs exact-deduped.
     """
-    from guac_ray.stages.assemble import dedup_exact, ensure_schema, stable_hash
+    from guac_ray.stages.assemble import dedup_exact, ensure_schema
 
     n_rows = embeds.count()
     if n_rows <= exact_limit:
@@ -391,12 +391,22 @@ def embedding_neardup(
                     pa.array(np.repeat(np.arange(n), num_bands)))
             return pa.table(cols)
 
-    def coarse(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_cb"] = (stable_hash(df, ["band_id", "bucket"]) % num_coarse).astype("int64")
-        return df
+    def coarse(batch: pa.Table) -> pa.Table:
+        from guac_ray.stages.assemble import hash_bucket
 
-    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        b = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bid = batch["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = b ^ (bid * np.uint64(0x9E3779B97F4A7C15))
+        return batch.append_column("_cb", pa.array(hash_bucket(key, num_coarse)))
+
+    out_fields = [("a", pa.int64()), ("b", pa.int64())]
+    if carry_embedding:
+        out_fields.append(("cosine", pa.float64()))
+    out_schema = pa.schema(out_fields)
+
+    def per_coarse(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         outs = []
         for _, sub in g.groupby(["band_id", "bucket"], sort=False):
             sub = sub.drop_duplicates("vec_id")
@@ -418,19 +428,27 @@ def embedding_neardup(
             else:
                 # candidates only — cosine comes from the join verify
                 outs.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
-        cols = {"a": "int64", "b": "int64"}
-        if carry_embedding:
-            cols["cosine"] = "float64"
         if not outs:
-            return pd.DataFrame({c: [] for c in cols}).astype(cols)
-        return pd.concat(outs, ignore_index=True)
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    schema=out_schema, preserve_index=False)
 
-    pairs = (
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    banded = (
         embeds.map_batches(Project, batch_format="pyarrow", concurrency=concurrency)
-        .map_batches(coarse, batch_format="pandas")
-        .groupby("_cb")
-        .map_groups(per_coarse, batch_format="pandas")
+        .map_batches(coarse, batch_format="pyarrow")
     )
+    pairs = fs_exchange_reduce(
+        banded,
+        (exchange_dir + "_bands") if exchange_dir else default_exchange("emb_bands"),
+        per_coarse, bucket_col="_cb",
+    )
+    if pairs is None:
+        pairs = rd.from_arrow(out_schema.empty_table())
     # same pair collides in several bands — keep one (cosine is identical)
     if carry_embedding:
         out = dedup_exact(pairs, ["a", "b"], num_buckets=8,

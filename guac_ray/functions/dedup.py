@@ -215,7 +215,10 @@ def lsh_candidate_pairs(
     similarity ≥ threshold.
 
     The banding shuffle co-locates by a COARSE hash of
-    (band_id, band_hash) (``num_coarse`` groups) and moves only
+    (band_id, band_hash) (``num_coarse`` groups) THROUGH THE FILESYSTEM
+    EXCHANGE (pure map write + per-bucket reduce — no object-store
+    all-to-all, no empty placeholder blocks from unpopulated sort
+    partitions, no pandas/Arrow block mixing) and moves only
     (band, hash, id) triples; the per-(band,hash) fan-out happens in
     vectorized pandas inside each coarse group. Deduped candidate pairs
     are verified DISTRIBUTED: two co-partitioned hash joins through the
@@ -236,7 +239,10 @@ def lsh_candidate_pairs(
             key = bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))
         return batch.append_column("_cb", pa.array(hash_bucket(key, num_coarse)))
 
-    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+    _pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def per_coarse(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         outs = []
         for _, sub in g.groupby(["band_id", "band_hash"], sort=False):
             sub = sub.drop_duplicates("doc_id")
@@ -247,16 +253,25 @@ def lsh_candidate_pairs(
             iu = np.triu_indices(len(ids), k=1)
             outs.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
         if not outs:
-            return pd.DataFrame({"a": [], "b": []}).astype(
-                {"a": "int64", "b": "int64"}
-            )
-        return pd.concat(outs, ignore_index=True)
+            return _pairs_schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True).astype({"a": "int64", "b": "int64"}),
+            schema=_pairs_schema, preserve_index=False)
 
-    pairs = (
-        bands.map_batches(coarse, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(per_coarse, batch_format="pandas")
+    import os
+
+    import ray.data as rd
+
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    base = (os.path.join(exchange_dir, "bands") if exchange_dir
+            else _default_exchange("lsh_bands"))
+    pairs = fs_exchange_reduce(
+        bands.map_batches(coarse, batch_format="pyarrow"),
+        base, per_coarse, bucket_col="_cb",
     )
+    if pairs is None:
+        pairs = rd.from_arrow(_pairs_schema.empty_table())
     # same pair surfaces from several bands — exact dedup on (a, b)
     pairs = dedup_exact(pairs, ["a", "b"], num_buckets=8)
     if sigs is None:
@@ -670,7 +685,11 @@ def simhash_pairs(
             key = (cv << np.uint64(3)) ^ ci       # distinct (chunk, val) pairs
         return batch.append_column("_cb", pa.array(hash_bucket(key, 8)))
 
-    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+    _pairs_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("hamming", pa.int64())])
+
+    def per_coarse(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
         outs = []
         for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False):
             # sort: pairs emit canonically as (a < b), so the SAME pair
@@ -694,17 +713,22 @@ def simhash_pairs(
                     {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "hamming": hv[keep]}
                 ))
         if not outs:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": "int64", "b": "int64", "hamming": "int64"}
-            )
-        return pd.concat(outs, ignore_index=True)
+            return _pairs_schema.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True).astype(
+                {"a": "int64", "b": "int64", "hamming": "int64"}),
+            schema=_pairs_schema, preserve_index=False)
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .map_batches(coarse, batch_format="pyarrow")
-        .groupby("_cb")
-        .map_groups(per_coarse, batch_format="pandas")
-    )
+    import ray.data as rd
+
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    banded = (sigs.map_batches(explode, batch_format="pyarrow")
+              .map_batches(coarse, batch_format="pyarrow"))
+    pairs = fs_exchange_reduce(banded, _default_exchange("simhash_bands"),
+                               per_coarse, bucket_col="_cb")
+    if pairs is None:
+        pairs = rd.from_arrow(_pairs_schema.empty_table())
     return dedup_exact(pairs, ["a", "b"], num_buckets=8,
                        keep_cols=["a", "b", "hamming"])
 

@@ -80,6 +80,7 @@ def dedup_exact(
     cols: list[str],
     num_buckets: int = 64,
     keep_cols: list[str] | None = None,
+    use_exchange: bool = True,
 ) -> Dataset:
     """Distinct rows by ``cols`` via local-dedup → hash-bucket → per-bucket
     vectorized dedup. ``keep_cols`` defaults to ``cols`` (identity output);
@@ -89,6 +90,13 @@ def dedup_exact(
     ``num_buckets`` sizes the final shuffle: each bucket must fit one
     worker's memory (≈ distinct_rows / num_buckets). Raise it for larger
     inputs — it is the analog of output partition count.
+
+    ``use_exchange=True`` (default) runs the bucket shuffle through the
+    filesystem exchange (``fs_exchange_reduce``) — pure map work in both
+    phases, no object-store all-to-all, no empty placeholder blocks or
+    pandas/Arrow block mixing from Ray's sort partitions. Falls back to
+    the fully lazy ``groupby(bucket).map_groups`` plan when the partial
+    phase writes zero rows (where the exchange has no schema to reduce).
     """
     keep = keep_cols or cols
 
@@ -99,6 +107,20 @@ def dedup_exact(
         df = df[keep].drop_duplicates(subset=cols)
         df["_bucket"] = (stable_hash(df, cols) % num_buckets).astype("int64")
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(local, batch_format="pandas")
+
+    if use_exchange:
+        from guac_ray.functions.joins import default_exchange
+
+        def reduce_t(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().drop_duplicates(subset=cols)[keep]
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        out = fs_exchange_reduce(partials, default_exchange("dedup"),
+                                 reduce_t, bucket_col="_bucket")
+        if out is not None:
+            return out
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         return pa.Table.from_pandas(
