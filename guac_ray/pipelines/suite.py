@@ -961,6 +961,21 @@ def knn_ivf_q0(sf_dir: str, k: int = 10):
     return knn_ivf(emb, [0], qvec[None, :], k=k, n_clusters=8, nprobe=4)
 
 
+def knn_ivf_full_q0(sf_dir: str, k: int = 10):
+    """IVF with ``nprobe = n_clusters`` probes EVERY inverted list —
+    exhaustive, so the result must equal exact brute force. This pins
+    the IVF assign/score path against the same SQL oracle as
+    ``knn_brute`` (the pruned variant above stays rows-only; its recall
+    is pytest-bounded)."""
+    from guac_ray.functions.ann import knn_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qvec = np.asarray(q[q.vec_id == 0].embedding.iloc[0], dtype=np.float64)
+    out = knn_ivf(emb, [0], qvec[None, :], k=k, n_clusters=8, nprobe=8)
+    return out.select_columns(["vec_id"])
+
+
 def neardup_docs_minhash(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents, signature-verified
     through the distributed fs-exchange joins (rows-only; exact-Jaccard
@@ -1763,6 +1778,7 @@ SUITE: dict[str, tuple] = {
     "doc_lang_id": (doc_lang_id, None),
     "knn_brute": (knn_brute_q0, KNN_SQL),
     "knn_ivf": (knn_ivf_q0, None),
+    "knn_ivf_full": (knn_ivf_full_q0, KNN_SQL),
     "neardup_docs_minhash": (neardup_docs_minhash, None),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
