@@ -805,6 +805,59 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
 """
 
 
+def purchase_click_window(sf_dir: str):
+    """Banded range join (one row per match, vs as-of's latest-only):
+    every (purchase, click) pair for the same user with the click in the
+    30 minutes up to and including the purchase — the attribution-window
+    shape. Both sides co-partition on user through the fs exchange; the
+    per-bucket banded merge is three vectorized searchsorted calls
+    (functions/joins.py:range_join)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def pick(kind: str, idname: str):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], kind))
+            return pa.table({idname: t["event_id"], "user_id": t["user_id"],
+                             "ts": t["ts"]})
+
+        return f
+
+    left = ev.map_batches(pick("purchase", "purchase_id"), batch_format="pyarrow")
+    right = ev.map_batches(pick("click", "click_id"), batch_format="pyarrow")
+    out = range_join(left, right, by="user_id", on="ts",
+                     lower=pd.Timedelta("-30min"), upper=pd.Timedelta(0),
+                     exchange_dir=_exchange("rangejoin"), num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize both ts columns to int64 microseconds regardless of the
+        # datetime64 unit pandas surfaced ([us] from parquet, [ns] elsewhere)
+        pts = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        cts = df["ts_r"].to_numpy().astype("datetime64[us]").view("int64")
+        gap = pd.Series(pts - cts)
+        return pd.DataFrame({
+            "purchase_id": df["purchase_id"].astype("int64"),
+            "click_id": df["click_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "gap_us": gap.astype("int64"),
+        })
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+PURCHASE_CLICK_WINDOW_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents / embeddings operators
 # ---------------------------------------------------------------------------
@@ -1768,6 +1821,7 @@ SUITE: dict[str, tuple] = {
     "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
+    "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
     "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),

@@ -105,6 +105,114 @@ class TestJoins:
         assert (~a.k.isin(keys)).all()
 
 
+def _range_reference(left, right, by, on, lower, upper, rsuffix="_r"):
+    m = left.merge(right, on=by, how="inner", suffixes=("", rsuffix))
+    ron = on + rsuffix if on + rsuffix in m.columns else on
+    keep = (m[ron] >= m[on] + lower) & (m[ron] <= m[on] + upper)
+    return m[keep]
+
+
+class TestRangeJoin:
+    def _sides(self, seed=11, n_left=400, n_right=600, keys=25):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame({
+            "u": rng.integers(0, keys, n_left),
+            "t": rng.integers(0, 5_000, n_left).astype("int64"),
+            "lid": np.arange(n_left),
+        })
+        right = pd.DataFrame({
+            "u": rng.integers(0, keys, n_right),
+            "t": rng.integers(0, 5_000, n_right).astype("int64"),
+            "rid": np.arange(n_right),
+        })
+        return left, right
+
+    def test_matches_pandas_reference(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import range_join
+
+        left, right = self._sides()
+        got = range_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            by="u", on="t", lower=-100, upper=50,
+            exchange_dir=str(tmp_path / "rex"), num_buckets=4,
+        ).to_pandas()
+        want = _range_reference(left, right, "u", "t", -100, 50)
+        assert len(got) == len(want)
+        g = set(zip(got.lid, got.rid))
+        w = set(zip(want.lid, want.rid))
+        assert g == w
+
+    def test_inclusive_bounds_and_missing_keys(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import range_join
+
+        left = pd.DataFrame({"u": [1, 1, 2, 9], "t": [100, 200, 50, 7],
+                             "lid": [0, 1, 2, 3]})
+        # key 9 absent on the right; exact-boundary matches at both edges
+        right = pd.DataFrame({"u": [1, 1, 1, 2], "t": [90, 110, 201, 50],
+                              "rid": [0, 1, 2, 3]})
+        got = range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", on="t", lower=-10, upper=10,
+            exchange_dir=str(tmp_path / "rex2"), num_buckets=2,
+        ).to_pandas()
+        pairs = set(zip(got.lid, got.rid))
+        # lid 0 @100: right 90 (=-10 edge) and 110 (=+10 edge); lid 1 @200:
+        # 201; lid 2 @50: 50 (zero gap); lid 3: key missing → nothing
+        assert pairs == {(0, 0), (0, 1), (1, 2), (2, 3)}
+
+    def test_datetime_ordinate(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import range_join
+
+        base = pd.Timestamp("2024-03-01")
+        left = pd.DataFrame({
+            "u": [5, 5, 6],
+            "t": [base, base + pd.Timedelta("45min"), base],
+            "lid": [0, 1, 2],
+        })
+        right = pd.DataFrame({
+            "u": [5, 5, 6, 6],
+            "t": [base - pd.Timedelta("20min"), base + pd.Timedelta("40min"),
+                  base - pd.Timedelta("31min"), base + pd.Timedelta("1s")],
+            "rid": [0, 1, 2, 3],
+        })
+        got = range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", on="t", lower=pd.Timedelta("-30min"), upper=pd.Timedelta(0),
+            exchange_dir=str(tmp_path / "rex3"), num_buckets=2,
+        ).to_pandas()
+        pairs = set(zip(got.lid, got.rid))
+        # lid0 window [-30m, 0]: rid0 (-20m) in, rid1 (+40m) out; lid1 window
+        # covers rid1 (45-40=5m before); lid2: rid2 at -31m out, rid3 (+1s) out
+        assert pairs == {(0, 0), (1, 1)}
+
+    def test_float_ordinate_fallback(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import range_join
+
+        rng = np.random.default_rng(3)
+        left = pd.DataFrame({"u": rng.integers(0, 8, 200),
+                             "t": rng.uniform(0, 100, 200),
+                             "lid": np.arange(200)})
+        right = pd.DataFrame({"u": rng.integers(0, 8, 200),
+                              "t": rng.uniform(0, 100, 200),
+                              "rid": np.arange(200)})
+        got = range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", on="t", lower=-2.5, upper=2.5,
+            exchange_dir=str(tmp_path / "rex4"), num_buckets=3,
+        ).to_pandas()
+        want = _range_reference(left, right, "u", "t", -2.5, 2.5)
+        assert set(zip(got.lid, got.rid)) == set(zip(want.lid, want.rid))
+
+
 class TestAsofJoin:
     def test_matches_pandas_merge_asof(self, ray_session, tmp_path):
         import ray.data as rd
