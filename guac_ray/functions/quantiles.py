@@ -1,0 +1,154 @@
+"""Distributed EXACT quantiles (global and grouped).
+
+The reference has no quantile operator (SURVEY.md §2.7: no sampling, no
+sketches); a training-data pipeline needs percentiles constantly
+(latency SLOs, length caps, score thresholds). Ray Data's built-in path
+would be ``ds.sort(col)`` — a full all-to-all on 100 TB for a handful
+of scalars. This module computes exact discrete quantiles (DuckDB
+``quantile_disc`` semantics: 0-based rank ``max(ceil(p*n)-1, 0)`` per
+group) with three streaming passes and no global sort:
+
+  1. **sample** — a deterministic strided per-batch sample (no RNG, so
+     reruns are identical) picks ``num_range_buckets`` range splitters.
+     Splitter quality affects only pass-3 candidate size, never
+     correctness.
+  2. **count** — one pure-map pass assigns each row its range bucket
+     (``np.searchsorted``); :func:`grouped_agg` sums (group, bucket)
+     counts through the fs exchange. The driver sees only the
+     G×B count table and computes, per requested quantile, which bucket
+     holds the target rank and the within-bucket offset.
+  3. **refine** — one filtered pass collects ONLY the values in needed
+     (group, bucket) pairs (≈ n/B rows per quantile, ``candidate_cap``
+     guarded); a local sort of each small candidate set yields the
+     exact element.
+
+Scale shape: passes 1–3 are map-only over the input; the only shuffle
+is the count aggregation whose payload is (group, bucket, n) — bytes,
+not data. Driver memory holds the count table plus ≤ ``candidate_cap``
+scalars. Skewed value distributions concentrate candidates in one
+bucket; raise ``num_range_buckets`` (cost: a wider count table) if the
+cap trips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from guac_ray.stages.groupagg import grouped_agg
+
+__all__ = ["exact_quantiles"]
+
+
+def _strided_sample(v: np.ndarray, k: int) -> np.ndarray:
+    if len(v) <= k:
+        return v
+    step = max(1, len(v) // k)
+    return v[::step][:k]
+
+
+def exact_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: dict[str, float],
+    by: list[str] | None = None,
+    num_range_buckets: int = 512,
+    sample_per_batch: int = 64,
+    candidate_cap: int = 5_000_000,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """Exact discrete quantiles of ``ds[col]``, optionally per ``by``
+    group. ``qs`` maps output column name → quantile in [0, 1]. Returns
+    a small pandas frame: ``by`` columns + one column per ``qs`` entry
+    (the driver-sized result of a distributed computation, like every
+    top-k in this engine). NaN values are excluded (SQL NULL
+    semantics)."""
+    by = list(by or [])
+    proj = ds.select_columns(by + [col])
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)]
+        return pa.table({col: _strided_sample(v, sample_per_batch)})
+
+    sample = proj.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    if sample.empty:
+        return pd.DataFrame(columns=by + list(qs))
+    probe = np.linspace(0.0, 1.0, num_range_buckets + 1)[1:-1]
+    splitters = np.unique(np.quantile(sample[col].to_numpy(), probe))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        keep = ~pd.isna(v)
+        cols = {c: t[c].to_numpy(zero_copy_only=False)[keep] for c in by}
+        cols["_qb"] = np.searchsorted(
+            splitters, v[keep], side="right").astype("int64")
+        return pa.table(cols)
+
+    bucketed = proj.map_batches(bucketize, batch_format="pyarrow")
+    counts = grouped_agg(bucketed, by + ["_qb"], {"n": ("_qb", "count")},
+                         num_buckets=num_buckets).to_pandas()
+    if counts.empty:
+        return pd.DataFrame(columns=by + list(qs))
+
+    # per group: locate each quantile's bucket + within-bucket offset
+    def group_key(row) -> tuple:
+        return tuple(row[c] for c in by)
+
+    needed: dict[tuple, list[tuple[str, int]]] = {}  # (group..., qb) -> [(qname, offset)]
+    group_rows: dict[tuple, dict] = {}
+    counts = counts.sort_values(by + ["_qb"]) if by else counts.sort_values("_qb")
+    for g, sub in (counts.groupby(by, sort=True) if by else [((), counts)]):
+        g = g if isinstance(g, tuple) else (g,)
+        qb = sub["_qb"].to_numpy()
+        n_arr = sub["n"].to_numpy()
+        cum = np.cumsum(n_arr)
+        n = int(cum[-1])
+        group_rows[g] = {}
+        for qname, p in qs.items():
+            r = max(math.ceil(p * n) - 1, 0)
+            r = min(r, n - 1)
+            i = int(np.searchsorted(cum, r, side="right"))
+            offset = r - (int(cum[i - 1]) if i > 0 else 0)
+            needed.setdefault((*g, int(qb[i])), []).append((qname, offset))
+
+    import ray
+    need_df = pd.DataFrame(
+        [{**dict(zip(by, k[:-1])), "_qb": k[-1]} for k in needed])
+    needed_ref = ray.put(need_df)
+
+    def pick_candidates(df: pd.DataFrame) -> pa.Table:
+        want = ray.get(needed_ref)
+        df = df[~df[col].isna()].copy()
+        df["_qb"] = np.searchsorted(
+            splitters, df[col].to_numpy(), side="right").astype("int64")
+        out = df.merge(want, on=by + ["_qb"], how="inner")[by + ["_qb", col]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = proj.map_batches(pick_candidates, batch_format="pandas").to_pandas()
+    if len(cand) > candidate_cap:
+        raise MemoryError(
+            f"exact_quantiles: {len(cand)} candidate rows exceed "
+            f"candidate_cap={candidate_cap}; raise num_range_buckets "
+            f"(currently {num_range_buckets}) to narrow the refinement")
+
+    for key, picks in needed.items():
+        g, qb = key[:-1], key[-1]
+        sub = cand
+        for c, val in zip(by, g):
+            sub = sub[sub[c] == val]
+        vals = np.sort(sub[sub["_qb"] == qb][col].to_numpy())
+        for qname, offset in picks:
+            group_rows[g][qname] = vals[offset]
+
+    rows = []
+    for g in sorted(group_rows):
+        row = {c: val for c, val in zip(by, g)}
+        row.update({qname: group_rows[g].get(qname) for qname in qs})
+        rows.append(row)
+    return pd.DataFrame(rows, columns=by + list(qs))

@@ -767,6 +767,28 @@ GROUP BY o_orderpriority
 """
 
 
+def events_value_quantiles(sf_dir: str):
+    """Distributed EXACT grouped percentiles without a global sort:
+    sample → range-bucket counts through the fs exchange → one filtered
+    refinement pass (functions/quantiles.py). Matches DuckDB
+    ``quantile_disc`` element-for-element."""
+    from guac_ray.functions.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_quantiles(
+        ev, "value", {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        by=["event_type"], num_range_buckets=128, num_buckets=8)
+
+
+EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def purchase_signup_asof(sf_dir: str):
     """As-of join: each purchase event paired with the user's most recent
     prior-or-equal signup (co-partitioned merge_asof through the fs
@@ -1837,6 +1859,7 @@ SUITE: dict[str, tuple] = {
     "neardup_docs_simhash": (neardup_docs_simhash, None),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "events_user_approx": (events_user_approx, None),
+    "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "media_decode": (media_decode, None),
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),

@@ -1,0 +1,75 @@
+"""Distributed exact quantiles (functions/quantiles.py) vs a local
+reference implementing the same quantile_disc rank rule."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _disc(values: np.ndarray, p: float):
+    v = np.sort(values[~pd.isna(values)])
+    r = min(max(math.ceil(p * len(v)) - 1, 0), len(v) - 1)
+    return v[r]
+
+
+class TestExactQuantiles:
+    def test_global_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({"x": rng.lognormal(0, 2, 20_000)})
+        got = exact_quantiles(
+            rd.from_pandas(df).repartition(6), "x",
+            {"p50": 0.5, "p95": 0.95, "p01": 0.01}, num_range_buckets=64)
+        assert len(got) == 1
+        for name, p in [("p50", 0.5), ("p95", 0.95), ("p01", 0.01)]:
+            assert got[name].iloc[0] == _disc(df.x.to_numpy(), p)
+
+    def test_grouped_skewed_groups(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(8)
+        # one huge group, several tiny ones (incl. a 1-row group)
+        g = np.concatenate([
+            np.repeat("big", 15_000),
+            np.repeat("mid", 500),
+            np.repeat("tiny", 3),
+            ["one"],
+        ])
+        df = pd.DataFrame({"g": g, "x": rng.normal(0, 10, len(g))})
+        got = exact_quantiles(
+            rd.from_pandas(df).repartition(5), "x",
+            {"p50": 0.5, "p99": 0.99}, by=["g"], num_range_buckets=32,
+            num_buckets=4).set_index("g")
+        for name, sub in df.groupby("g"):
+            for qname, p in [("p50", 0.5), ("p99", 0.99)]:
+                assert got.loc[name, qname] == _disc(sub.x.to_numpy(), p), (name, qname)
+
+    def test_integer_dtype_and_nans(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(9)
+        x = rng.integers(0, 1000, 5000).astype("float64")
+        x[::7] = np.nan  # NULL semantics: excluded
+        df = pd.DataFrame({"x": x})
+        got = exact_quantiles(rd.from_pandas(df).repartition(3), "x",
+                              {"p50": 0.5}, num_range_buckets=16)
+        assert got["p50"].iloc[0] == _disc(x, 0.5)
+
+    def test_candidate_cap_raises(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        df = pd.DataFrame({"x": np.arange(4000, dtype="float64")})
+        with pytest.raises(MemoryError, match="num_range_buckets"):
+            exact_quantiles(rd.from_pandas(df), "x", {"p50": 0.5},
+                            num_range_buckets=2, candidate_cap=100)
