@@ -1,0 +1,99 @@
+"""Reshaping aggregates: pivot (long→wide counts) and rollup
+(multi-level grouping sets).
+
+Neither exists in the reference (its only aggregation is graph-node
+merge — SURVEY.md §2.6) or in Ray Data; both are everyday report shapes
+over a 100 TB events table, so they're built on the same two-phase
+fs-exchange aggregation as everything else:
+
+- :func:`pivot_counts` one-hot-encodes the category column per batch
+  (pure map, width = |categories| int64 columns) and sums through
+  :func:`grouped_agg` — the wide row never exists as Python objects and
+  the shuffle payload is (index, k ints) per partial group.
+- :func:`rollup_agg` aggregates ONCE at the finest level distributed,
+  then derives every coarser grouping-set level from the finest result
+  on the driver — correct because the supported aggregates (sum, count,
+  min, max) are re-aggregable, and cheap because a rollup you'd ever
+  render has a driver-small finest level (document cardinality in the
+  caller if not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from guac_ray.stages.groupagg import grouped_agg
+
+__all__ = ["pivot_counts", "rollup_agg"]
+
+_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def pivot_counts(
+    ds: Dataset,
+    index: str,
+    column: str,
+    categories: list[str],
+    prefix: str = "n_",
+    num_buckets: int = 16,
+) -> Dataset:
+    """Wide per-``index`` occurrence counts of each category of
+    ``column``. Categories must be listed explicitly (the schema of a
+    distributed pivot cannot depend on the data without an extra
+    distinct pass); values outside ``categories`` are ignored."""
+    cols = [f"{prefix}{c}" for c in categories]
+
+    def onehot(t: pa.Table) -> pa.Table:
+        vals = t[column].to_numpy(zero_copy_only=False)
+        out = {index: t[index]}
+        for c, name in zip(categories, cols):
+            out[name] = (vals == c).astype("int64")
+        return pa.table(out)
+
+    wide = ds.map_batches(onehot, batch_format="pyarrow")
+    return grouped_agg(wide, [index], {n: (n, "sum") for n in cols},
+                       num_buckets=num_buckets)
+
+
+def rollup_agg(
+    ds: Dataset,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    fill: str = "ALL",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """ROLLUP(keys...) aggregate: one row per group at every prefix
+    level (finest → grand total), dropped key columns filled with
+    ``fill`` (string keys assumed — the SQL shape is
+    ``COALESCE(k, 'ALL') ... GROUP BY ROLLUP(k, ...)``).
+
+    ``spec``: {out: (in_col, fn)} with fn ∈ sum|count|min|max (mean is
+    not re-aggregable from finest rows — decompose it yourself).
+    Distributed work happens once, at the finest level; coarser levels
+    re-aggregate the finest pandas frame on the driver."""
+    for out, (_c, fn) in spec.items():
+        if fn not in _REAGG:
+            raise ValueError(f"rollup_agg: unsupported fn {fn!r} for {out!r}")
+    finest = grouped_agg(ds, keys, spec, num_buckets=num_buckets).to_pandas()
+    finest[keys] = finest[keys].astype(str)
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        head = keys[:depth]
+        agg = {out: _REAGG[spec[out][1]] for out in spec}
+        if head:
+            lvl = finest.groupby(head, as_index=False).agg(agg)
+        else:
+            lvl = finest[list(spec)].agg(agg).to_frame().T
+        for k in keys[depth:]:
+            lvl[k] = fill
+        levels.append(lvl[keys + list(spec)])
+    out = pd.concat(levels, ignore_index=True)
+    # re-aggregated counts stay int64; pandas .agg on empty groups can
+    # upcast — normalize to the finest dtypes
+    for c in spec:
+        out[c] = out[c].astype(finest[c].dtype)
+    return out

@@ -767,6 +767,101 @@ GROUP BY o_orderpriority
 """
 
 
+def orders_rollup(sf_dir: str):
+    """ROLLUP(status, priority): finest level aggregated distributed
+    (two-phase fs exchange), coarser grouping-set levels derived from
+    the finest result on the driver (functions/reshape.py:rollup_agg).
+    Revenue in integer cents through the shuffle so every level is
+    order-independent."""
+    from guac_ray.functions.reshape import rollup_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": df["o_orderstatus"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "_tc": cents(df["o_totalprice"].to_numpy()),
+        })
+
+    r = rollup_agg(ds.map_batches(prep, batch_format="pandas"),
+                   ["o_orderstatus", "o_orderpriority"],
+                   {"n_orders": ("_tc", "count"), "_tc": ("_tc", "sum")},
+                   num_buckets=4)
+    r["revenue"] = r["_tc"] / 100.0
+    return r.drop(columns=["_tc"])
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def events_type_pivot(sf_dir: str):
+    """Long→wide pivot: per-user counts of each event type. One-hot per
+    batch (pure map), summed through the fs-exchange aggregate — the
+    wide row never exists as Python objects
+    (functions/reshape.py:pivot_counts)."""
+    from guac_ray.functions.reshape import pivot_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup", "error"],
+                        num_buckets=8)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def events_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: per-stratum rates (errors 50%,
+    purchases 25%, everything else ~5%) as a pure function of
+    md5(event_id) — the train_test_split discipline generalized to
+    per-group rates, so the sample is reproducible under resume,
+    backfill, and engine swap. Rates are expressed in /256 units (one
+    digest byte) to stay oracle-exact."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        first = np.frombuffer(
+            b"".join(hashlib.md5(str(i).encode()).digest()[:1] for i in ids),
+            dtype=np.uint8,
+        )
+        thr = np.select([et == "error", et == "purchase"],
+                        [np.uint8(0x80), np.uint8(0x40)], np.uint8(0x0D))
+        keep = first < thr
+        return pa.table({"event_id": pa.array(ids[keep]),
+                         "event_type": pa.array(et[keep])})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+EVENTS_STRATIFIED_SQL = """
+SELECT event_id, event_type FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+      CASE event_type WHEN 'error' THEN '80'
+                      WHEN 'purchase' THEN '40'
+                      ELSE '0d' END
+"""
+
+
 def events_value_quantiles(sf_dir: str):
     """Distributed EXACT grouped percentiles without a global sort:
     sample → range-bucket counts through the fs exchange → one filtered
@@ -1100,6 +1195,40 @@ NEARDUP_EMB_SQL = """
 SELECT l.vec_id AS a, r.vec_id AS b
 FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95
+"""
+
+
+def simjoin_docs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity join (prefix-filtered — see
+    functions/simjoin.py): every pair ≥ 0.6, no LSH misses, verified by
+    full-set intersection, byte-identical to the O(n²) SQL oracle."""
+    from guac_ray.functions.simjoin import jaccard_similarity_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return jaccard_similarity_join(
+        docs, threshold=0.6, exchange_base=_exchange("simjoin"),
+        num_buckets=8)
+
+
+SIMJOIN_SQL = """
+WITH docs AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(length(s) - 4, 1)),
+             i -> substr(s, i, 5)))) AS g
+  FROM docs),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT da, db, c * 1.0 / (sa.n + sb.n - c) AS j
+FROM co
+JOIN sz sa ON co.da = sa.doc_id
+JOIN sz sb ON co.db = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
 """
 
 
@@ -1856,10 +1985,14 @@ SUITE: dict[str, tuple] = {
     "knn_ivf": (knn_ivf_q0, None),
     "knn_ivf_full": (knn_ivf_full_q0, KNN_SQL),
     "neardup_docs_minhash": (neardup_docs_minhash, None),
+    "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "events_user_approx": (events_user_approx, None),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "events_stratified_sample": (events_stratified_sample, EVENTS_STRATIFIED_SQL),
     "media_decode": (media_decode, None),
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),

@@ -1,0 +1,79 @@
+"""Pivot / rollup reshaping aggregates (functions/reshape.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=4000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "u": rng.integers(0, 40, n),
+        "kind": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 50, n).astype("int64"),
+    })
+
+
+class TestPivotCounts:
+    def test_matches_crosstab(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import pivot_counts
+
+        df = _events()
+        got = pivot_counts(rd.from_pandas(df).repartition(4), "u", "kind",
+                           ["a", "b", "c"], num_buckets=4).to_pandas()
+        want = pd.crosstab(df.u, df.kind)
+        got = got.sort_values("u").reset_index(drop=True)
+        for c in ["a", "b", "c"]:
+            assert (got[f"n_{c}"].to_numpy()
+                    == want[c].reindex(got.u).to_numpy()).all()
+
+    def test_unlisted_category_ignored(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import pivot_counts
+
+        df = _events(500)
+        got = pivot_counts(rd.from_pandas(df), "u", "kind", ["a"],
+                           num_buckets=2).to_pandas()
+        assert set(got.columns) == {"u", "n_a"}
+        assert got.n_a.sum() == (df.kind == "a").sum()
+
+
+class TestRollupAgg:
+    def test_matches_pandas_levels(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import rollup_agg
+
+        df = _events()
+        df["kind2"] = np.where(df.v % 2 == 0, "even", "odd")
+        got = rollup_agg(
+            rd.from_pandas(df).repartition(3), ["kind", "kind2"],
+            {"n": ("v", "count"), "s": ("v", "sum"), "mx": ("v", "max")},
+            num_buckets=4)
+        # finest
+        finest = df.groupby(["kind", "kind2"]).agg(
+            n=("v", "count"), s=("v", "sum"), mx=("v", "max")).reset_index()
+        mid = df.groupby("kind").agg(
+            n=("v", "count"), s=("v", "sum"), mx=("v", "max")).reset_index()
+        assert len(got) == len(finest) + len(mid) + 1
+        g = got.set_index(["kind", "kind2"])
+        for _, r in finest.iterrows():
+            row = g.loc[(r.kind, r.kind2)]
+            assert (row.n, row.s, row.mx) == (r.n, r.s, r.mx)
+        for _, r in mid.iterrows():
+            row = g.loc[(r.kind, "ALL")]
+            assert (row.n, row.s, row.mx) == (r.n, r.s, r.mx)
+        total = g.loc[("ALL", "ALL")]
+        assert total.n == len(df) and total.s == df.v.sum() and total.mx == df.v.max()
+
+    def test_mean_rejected(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import rollup_agg
+
+        with pytest.raises(ValueError, match="mean"):
+            rollup_agg(rd.from_pandas(_events(50)), ["kind"],
+                       {"m": ("v", "mean")})
