@@ -110,6 +110,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "doc_token_counts", "doc_fingerprints", "knn_brute",
             "neardup_docs_minhash", "neardup_docs_simhash",
             "kg_tool_usage",
+            # round-3 additions: banded range join, exact quantiles,
+            # pivot, exact prefix-filtered similarity join
+            "purchase_click_window", "events_value_quantiles",
+            "events_type_pivot", "simjoin_docs",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -1,0 +1,256 @@
+"""Distributed PageRank over the assembled edge table — the iterative
+sibling of the exchange-native connected components
+(``functions/dedup.py``): every round is pure map work over static
+bucket files, no object-store all-to-all, no driver-resident graph.
+
+Algorithm: standard damped PageRank with dangling-mass redistribution,
+
+    r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u) + dangling/N )
+
+iterated until the L1 delta < ``tol`` or ``max_iters``.
+
+Scale shape (the part that matters at 10⁹ edges):
+  - the EDGE table is hash-partitioned by source into bucket files ONCE
+    (plus one per-bucket pass to attach out-degrees — all edges of a
+    source land in one bucket, so outdeg is a local groupby, not a
+    join). Iterations never reshuffle edges.
+  - each iteration moves only the RANK table: a contribution job joins
+    bucket k's edges with bucket k's ranks (both already co-partitioned)
+    and writes per-destination partial sums re-bucketed by destination
+    hash; a rank job then reduces each destination bucket, applies
+    teleport + dangling mass, writes ranks_{i+1}, and emits a per-bucket
+    L1-delta partial — the driver sees B delta rows and one dangling
+    scalar per round, nothing else.
+  - rank files are written with deterministic per-bucket names, so a
+    retried task overwrites its own output (idempotent), and a crashed
+    run resumes from the last completed ``ranks_i`` directory.
+
+The reference has no analytics beyond BFS/toposort
+(pkg/guacanalytics/); PageRank is the canonical "which node matters"
+query a KG consumer asks next, and the canonical iterative-dataflow
+stress test for the engine.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+from ray.data import Dataset
+
+from guac_ray.functions.joins import default_exchange, fresh_exchange_dir
+from guac_ray.stages.assemble import stable_hash
+
+__all__ = ["pagerank"]
+
+_DANGLING = "\x00dangling\x00"
+
+
+def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
+    return (stable_hash(keys.to_frame("k"), ["k"]) % num_buckets).astype("int64")
+
+
+def _files(d: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(d, "*.parquet")))
+
+
+def _read_bucket(root: str, k: int, columns=None) -> pd.DataFrame | None:
+    d = os.path.join(root, f"_bucket={k}")
+    fs = _files(d)
+    if not fs:
+        return None
+    return pa.concat_tables(
+        [pq.read_table(f, columns=columns) for f in fs]).to_pandas()
+
+
+def pagerank(
+    edges: Dataset,
+    src_col: str = "subj_key",
+    dst_col: str = "obj_key",
+    damping: float = 0.85,
+    max_iters: int = 20,
+    tol: float = 1e-9,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """PageRank of the (deduplicated) directed graph in ``edges`` →
+    pandas frame (node_key, rank). The rank table is assumed
+    driver-collectable at the END (one row per node, two columns — the
+    same contract as every top-k here); all iteration state lives in
+    the exchange."""
+    ex = fresh_exchange_dir(exchange_base or default_exchange("pagerank"))
+    B = num_buckets
+
+    # ---- setup job 1: distinct edges, bucketed by source ----
+    def part_edges(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"src": df[src_col], "dst": df[dst_col]}
+                           ).drop_duplicates()
+        out["_bucket"] = _bucket_of(out["src"], B)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    e0 = os.path.join(ex, "edges0")
+    edges.select_columns([src_col, dst_col]).map_batches(
+        part_edges, batch_format="pandas").write_parquet(
+        e0, partition_cols=["_bucket"])
+
+    # ---- setup job 2: per-bucket dedup + outdeg attach (local: all of a
+    # source's edges are in its bucket) + node emission ----
+    eadj = os.path.join(ex, "edges")
+    os.makedirs(eadj, exist_ok=True)
+
+    def build_adj(batch: pd.DataFrame) -> pa.Table:
+        nodes = []
+        for k in batch["k"]:
+            df = _read_bucket(e0, int(k))
+            df = df.drop_duplicates(["src", "dst"])
+            df["outdeg"] = df.groupby("src", sort=False)["src"].transform("size")
+            d = os.path.join(eadj, f"_bucket={k}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           os.path.join(d, "part.parquet"))
+            nodes.append(pd.DataFrame({
+                "node_key": pd.unique(pd.concat([df["src"], df["dst"]]))}))
+        return pa.Table.from_pandas(pd.concat(nodes, ignore_index=True),
+                                    preserve_index=False)
+
+    ebuckets = sorted(int(p.rsplit("=", 1)[1])
+                      for p in glob.glob(os.path.join(e0, "_bucket=*")))
+    if not ebuckets:
+        return pd.DataFrame(columns=["node_key", "rank"])
+    nodes_ds = rd.from_items([{"k": k} for k in ebuckets]).map_batches(
+        build_adj, batch_format="pandas", batch_size=1)
+
+    # ---- setup job 3: distinct nodes bucketed by node hash; ranks_0 ----
+    from guac_ray.functions.dedup import dedup_exact
+
+    def part_nodes(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df["node_key"], B)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    nodes_dir = os.path.join(ex, "nodes")
+    dedup_exact(nodes_ds, ["node_key"], num_buckets=B).map_batches(
+        part_nodes, batch_format="pandas").write_parquet(
+        nodes_dir, partition_cols=["_bucket"])
+    nbuckets = sorted(int(p.rsplit("=", 1)[1])
+                      for p in glob.glob(os.path.join(nodes_dir, "_bucket=*")))
+    n_total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for k in nbuckets for f in _files(os.path.join(nodes_dir, f"_bucket={k}")))
+
+    rank_dir = os.path.join(ex, "ranks_0")
+
+    def init_ranks(batch: pd.DataFrame) -> pa.Table:
+        for k in batch["k"]:
+            df = _read_bucket(nodes_dir, int(k), columns=["node_key"])
+            df["rank"] = 1.0 / n_total
+            d = os.path.join(rank_dir, f"_bucket={k}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           os.path.join(d, "part.parquet"))
+        return pa.table({"k": pa.array(batch["k"], type=pa.int64())})
+
+    rd.from_items([{"k": k} for k in nbuckets]).map_batches(
+        init_ranks, batch_format="pandas", batch_size=1).materialize()
+
+    cur = rank_dir
+    for it in range(max_iters):
+        cdir = os.path.join(ex, f"c_{it}")
+        ndir = os.path.join(ex, f"ranks_{it + 1}")
+
+        # contribution job: edge bucket k ⋈ rank bucket k (node buckets
+        # use node-hash == src-hash, so the co-partition is free)
+        def contrib(batch: pd.DataFrame, cur=cur) -> pa.Table:
+            outs = []
+            for k in batch["k"]:
+                e = _read_bucket(eadj, int(k))
+                r = _read_bucket(cur, int(k))
+                if e is None and r is None:
+                    continue
+                if e is not None and r is not None:
+                    m = e.merge(r, left_on="src", right_on="node_key",
+                                how="inner")
+                    w = m["rank"].to_numpy() / m["outdeg"].to_numpy()
+                    part = (pd.DataFrame({"dst": m["dst"], "c": w})
+                            .groupby("dst", sort=False)["c"].sum()
+                            .reset_index())
+                else:
+                    part = pd.DataFrame({"dst": pd.Series([], dtype=object),
+                                         "c": pd.Series([], dtype="float64")})
+                # dangling mass: ranked nodes in this bucket with no
+                # out-edges (node-bucket == src-bucket by construction)
+                if r is not None:
+                    srcs = set() if e is None else set(e["src"].unique())
+                    dang = float(r.loc[~r["node_key"].isin(srcs), "rank"].sum())
+                else:
+                    dang = 0.0
+                if dang > 0.0:
+                    part = pd.concat(
+                        [part, pd.DataFrame({"dst": [_DANGLING], "c": [dang]})],
+                        ignore_index=True)
+                part["_bucket"] = _bucket_of(part["dst"], B)
+                part.loc[part["dst"] == _DANGLING, "_bucket"] = 0
+                outs.append(part)
+            if not outs:
+                return pa.schema([("dst", pa.string()), ("c", pa.float64()),
+                                  ("_bucket", pa.int64())]).empty_table()
+            return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                        preserve_index=False)
+
+        all_k = sorted(set(ebuckets) | set(nbuckets))
+        rd.from_items([{"k": k} for k in all_k]).map_batches(
+            contrib, batch_format="pandas", batch_size=1).write_parquet(
+            cdir, partition_cols=["_bucket"])
+
+        # dangling scalar: sentinel rows all live in contrib bucket 0
+        b0 = _read_bucket(cdir, 0, columns=["dst", "c"])
+        dangling = 0.0
+        if b0 is not None:
+            dangling = float(b0.loc[b0["dst"] == _DANGLING, "c"].sum())
+
+        # rank job: reduce contribs per node bucket, apply teleport +
+        # dangling, write ranks_{it+1}, emit per-bucket L1 delta
+        def new_ranks(batch: pd.DataFrame, cdir=cdir, cur=cur, ndir=ndir,
+                      dangling=dangling) -> pa.Table:
+            deltas = []
+            for k in batch["k"]:
+                nodes = _read_bucket(nodes_dir, int(k), columns=["node_key"])
+                old = _read_bucket(cur, int(k))
+                c = _read_bucket(cdir, int(k), columns=["dst", "c"])
+                if c is not None:
+                    c = c[c["dst"] != _DANGLING]
+                    agg = c.groupby("dst", sort=False)["c"].sum()
+                    contrib_v = nodes["node_key"].map(agg).fillna(0.0).to_numpy()
+                else:
+                    contrib_v = np.zeros(len(nodes))
+                rank = ((1.0 - damping) / n_total
+                        + damping * (contrib_v + dangling / n_total))
+                out = pd.DataFrame({"node_key": nodes["node_key"],
+                                    "rank": rank})
+                d = os.path.join(ndir, f"_bucket={k}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                               os.path.join(d, "part.parquet"))
+                prev = old.set_index("node_key")["rank"]
+                delta = float(np.abs(
+                    out.set_index("node_key")["rank"] - prev).sum())
+                deltas.append({"k": int(k), "delta": delta})
+            return pa.Table.from_pandas(pd.DataFrame(deltas),
+                                        preserve_index=False)
+
+        deltas = rd.from_items([{"k": k} for k in nbuckets]).map_batches(
+            new_ranks, batch_format="pandas", batch_size=1).to_pandas()
+        cur = ndir
+        if float(deltas["delta"].sum()) < tol:
+            break
+
+    final = pa.concat_tables([
+        pq.read_table(f)
+        for k in nbuckets for f in _files(os.path.join(cur, f"_bucket={k}"))])
+    return final.to_pandas().sort_values("node_key").reset_index(drop=True)

@@ -1901,6 +1901,21 @@ SELECT DISTINCT least(a, b) AS pkg_a, greatest(a, b) AS pkg_b FROM (
 """
 
 
+def kg_pagerank_top(sf_dir: str):
+    """Top-20 nodes by PageRank over the assembled edge table —
+    iterative dataflow on static exchange bucket files (edges shuffled
+    once, only the rank table moves per round; functions/pagerank.py).
+    No SQL oracle (iterative fixpoint); pytest-verified against a local
+    dense power iteration."""
+    from guac_ray.functions.pagerank import pagerank
+
+    g = _corpus_edges(sf_dir)
+    pr = pagerank(g["edges"], exchange_base=_exchange("pagerank"),
+                  num_buckets=8, max_iters=15)
+    return (pr.sort_values(["rank", "node_key"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+
 def kg_edge_pred_counts(sf_dir: str):
     """Distinct-edge count per predicate from the full pipeline. Oracle:
     the fixture's GOLDEN edge table — derived at generation time from the
@@ -2007,6 +2022,7 @@ SUITE: dict[str, tuple] = {
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_pkg_equal": (kg_pkg_equal, KG_PKG_EQUAL_SQL),
+    "kg_pagerank_top": (kg_pagerank_top, None),
     "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
 }

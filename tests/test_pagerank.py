@@ -1,0 +1,83 @@
+"""Exchange-native PageRank (functions/pagerank.py) vs a local dense
+power iteration with identical semantics (teleport + dangling-mass
+redistribution, L1 stopping rule)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ref_pagerank(edges: pd.DataFrame, d=0.85, max_iters=20, tol=1e-9):
+    e = edges.drop_duplicates(["src", "dst"])
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    out = np.zeros(N)
+    for s in e.src:
+        out[idx[s]] += 1
+    r = np.full(N, 1.0 / N)
+    si = e.src.map(idx).to_numpy()
+    di = e.dst.map(idx).to_numpy()
+    for _ in range(max_iters):
+        contrib = np.zeros(N)
+        np.add.at(contrib, di, r[si] / out[si])
+        dangling = r[out == 0].sum()
+        r_new = (1 - d) / N + d * (contrib + dangling / N)
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        if delta < tol:
+            break
+    return pd.DataFrame({"node_key": nodes, "rank": r})
+
+
+def _graph(seed=4, n_nodes=80, n_edges=400):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "subj_key": [f"n{i}" for i in rng.integers(0, n_nodes, n_edges)],
+        "obj_key": [f"n{i}" for i in rng.integers(0, n_nodes, n_edges)],
+    })
+    # guarantee some dangling nodes: targets that never appear as source
+    df.loc[:10, "obj_key"] = [f"sink{i}" for i in range(11)]
+    return df[df.subj_key != df.obj_key]
+
+
+class TestPagerank:
+    def test_matches_dense_reference(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.pagerank import pagerank
+
+        df = _graph()
+        got = pagerank(rd.from_pandas(df).repartition(4),
+                       exchange_base=str(tmp_path / "pr"), num_buckets=4,
+                       max_iters=20)
+        want = _ref_pagerank(
+            df.rename(columns={"subj_key": "src", "obj_key": "dst"}))
+        m = got.merge(want, on="node_key", suffixes=("", "_ref"))
+        assert len(m) == len(want)
+        assert np.abs(m["rank"] - m["rank_ref"]).max() < 1e-12
+        # probability mass conserved (dangling handled)
+        assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+    def test_early_convergence(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.pagerank import pagerank
+
+        # a 3-cycle converges to uniform immediately
+        df = pd.DataFrame({"subj_key": ["a", "b", "c"],
+                           "obj_key": ["b", "c", "a"]})
+        got = pagerank(rd.from_pandas(df), exchange_base=str(tmp_path / "pr2"),
+                       num_buckets=2, max_iters=50, tol=1e-12)
+        assert np.allclose(got["rank"], 1 / 3)
+
+    def test_empty_edges(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.pagerank import pagerank
+
+        df = pd.DataFrame({"subj_key": pd.Series([], dtype=str),
+                           "obj_key": pd.Series([], dtype=str)})
+        got = pagerank(rd.from_pandas(df), exchange_base=str(tmp_path / "pr3"),
+                       num_buckets=2)
+        assert len(got) == 0
