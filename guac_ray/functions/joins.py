@@ -333,9 +333,14 @@ def _banded_matches(
     """
     lon_i, ron_i = _as_i64(lon), _as_i64(ron)
     ukeys, rstart = np.unique(rby, return_index=True)
+    # the composite path needs EVERYTHING integral: float bounds would
+    # promote the int64 composites to float64 (exact only to 2^53) and
+    # silently corrupt large encodings — those take the loop fallback
     composite_ok = (
         np.issubdtype(np.asarray(lon_i).dtype, np.integer)
         and np.issubdtype(np.asarray(ron_i).dtype, np.integer)
+        and isinstance(lower, (int, np.integer))
+        and isinstance(upper, (int, np.integer))
         and len(ron_i) > 0
     )
     if composite_ok:

@@ -194,8 +194,12 @@ def pagerank(
                     part = pd.concat(
                         [part, pd.DataFrame({"dst": [_DANGLING], "c": [dang]})],
                         ignore_index=True)
+                # dangling sentinels go to a DEDICATED bucket id (== B,
+                # outside the node-hash range) so the driver's per-round
+                # scalar read touches only sentinel rows, never a full
+                # contribution bucket
                 part["_bucket"] = _bucket_of(part["dst"], B)
-                part.loc[part["dst"] == _DANGLING, "_bucket"] = 0
+                part.loc[part["dst"] == _DANGLING, "_bucket"] = B
                 outs.append(part)
             if not outs:
                 return pa.schema([("dst", pa.string()), ("c", pa.float64()),
@@ -208,11 +212,10 @@ def pagerank(
             contrib, batch_format="pandas", batch_size=1).write_parquet(
             cdir, partition_cols=["_bucket"])
 
-        # dangling scalar: sentinel rows all live in contrib bucket 0
-        b0 = _read_bucket(cdir, 0, columns=["dst", "c"])
-        dangling = 0.0
-        if b0 is not None:
-            dangling = float(b0.loc[b0["dst"] == _DANGLING, "c"].sum())
+        # dangling scalar: the sentinel bucket holds ONLY sentinel rows
+        # (one per contributing task) — a driver read of a few floats
+        b0 = _read_bucket(cdir, B, columns=["dst", "c"])
+        dangling = 0.0 if b0 is None else float(b0["c"].sum())
 
         # rank job: reduce contribs per node bucket, apply teleport +
         # dangling, write ranks_{it+1}, emit per-bucket L1 delta

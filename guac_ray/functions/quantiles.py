@@ -5,8 +5,9 @@ sketches); a training-data pipeline needs percentiles constantly
 (latency SLOs, length caps, score thresholds). Ray Data's built-in path
 would be ``ds.sort(col)`` — a full all-to-all on 100 TB for a handful
 of scalars. This module computes exact discrete quantiles (DuckDB
-``quantile_disc`` semantics: 0-based rank ``max(ceil(p*n)-1, 0)`` per
-group) with three streaming passes and no global sort:
+``quantile_disc`` semantics: 0-based rank ``ceil(p*n) - 1`` in EXACT
+decimal arithmetic, per group) with three streaming passes and no
+global sort:
 
   1. **sample** — a deterministic strided per-batch sample (no RNG, so
      reruns are identical) picks ``num_range_buckets`` range splitters.
@@ -67,7 +68,8 @@ def exact_quantiles(
     a small pandas frame: ``by`` columns + one column per ``qs`` entry
     (the driver-sized result of a distributed computation, like every
     top-k in this engine). NaN values are excluded (SQL NULL
-    semantics)."""
+    semantics); rows with a null ``by`` key are excluded from the
+    output (the two-phase aggregate drops null group keys)."""
     by = list(by or [])
     proj = ds.select_columns(by + [col])
 
@@ -111,8 +113,15 @@ def exact_quantiles(
         n = int(cum[-1])
         group_rows[g] = {}
         for qname, p in qs.items():
-            r = max(math.ceil(p * n) - 1, 0)
-            r = min(r, n - 1)
+            # DuckDB quantile_disc rank: ceil(p*n) - 1 computed in EXACT
+            # arithmetic (a SQL literal like 0.55 is DECIMAL, not double
+            # — empirically pinned: p=0.55, n=100 → index 54, while a
+            # double ceil gives 55). Fraction(str(p)) recovers the
+            # decimal the caller wrote from the Python float.
+            from fractions import Fraction
+
+            r = int(math.ceil(Fraction(str(p)) * n)) - 1
+            r = min(max(r, 0), n - 1)
             i = int(np.searchsorted(cum, r, side="right"))
             offset = r - (int(cum[i - 1]) if i > 0 else 0)
             needed.setdefault((*g, int(qb[i])), []).append((qname, offset))
@@ -137,12 +146,18 @@ def exact_quantiles(
             f"candidate_cap={candidate_cap}; raise num_range_buckets "
             f"(currently {num_range_buckets}) to narrow the refinement")
 
+    # one pass over candidates (not one filter per needed key); dropna=False
+    # keeps SQL NULL-group semantics for null by-values
+    grouped_vals: dict[tuple, np.ndarray] = {}
+    if by:
+        for key, sub in cand.groupby(by + ["_qb"], sort=False, dropna=False):
+            grouped_vals[key] = np.sort(sub[col].to_numpy())
+    else:
+        for qb, sub in cand.groupby("_qb", sort=False):
+            grouped_vals[(qb,)] = np.sort(sub[col].to_numpy())
     for key, picks in needed.items():
-        g, qb = key[:-1], key[-1]
-        sub = cand
-        for c, val in zip(by, g):
-            sub = sub[sub[c] == val]
-        vals = np.sort(sub[sub["_qb"] == qb][col].to_numpy())
+        g = key[:-1]
+        vals = grouped_vals[key]
         for qname, offset in picks:
             group_rows[g][qname] = vals[offset]
 

@@ -79,6 +79,11 @@ def rollup_agg(
         if fn not in _REAGG:
             raise ValueError(f"rollup_agg: unsupported fn {fn!r} for {out!r}")
     finest = grouped_agg(ds, keys, spec, num_buckets=num_buckets).to_pandas()
+    if finest.empty:
+        # no groups → no rollup rows (empty-relation shape; a SQL ROLLUP
+        # would still emit one grand-total row, but with NULL aggregates
+        # that an int-typed frame cannot represent)
+        return finest.reindex(columns=keys + list(spec))
     finest[keys] = finest[keys].astype(str)
     levels = [finest]
     for depth in range(len(keys) - 1, -1, -1):

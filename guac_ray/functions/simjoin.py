@@ -64,7 +64,14 @@ def shingle_strings(text: str, n: int = 5) -> list[str]:
 
 
 def _prefix_len(n: int, threshold: float) -> int:
-    return n - math.ceil(threshold * n) + 1
+    """Required prefix length for Jaccard ≥ threshold is
+    ``n - ceil(t*n) + 1``; this uses ``n - floor(t*n) + 1`` — one longer
+    at fractional t·n — because float ceil overshoots at representation
+    boundaries (e.g. 0.55*100 → 55.000…01 → ceil 56, a prefix ONE TOO
+    SHORT, which silently loses true pairs). floor is safe in both fuzz
+    directions: upward fuzz cannot cross the next integer, downward fuzz
+    only lengthens the prefix."""
+    return n - math.floor(threshold * n) + 1
 
 
 def jaccard_similarity_join(
@@ -99,7 +106,8 @@ def jaccard_similarity_join(
 
     sh = docs.map_batches(shingle_batch, batch_format="pyarrow")
     df_tab = grouped_agg(sh.select_columns(["g"]), ["g"],
-                         {"df": ("g", "count")}, num_buckets=num_buckets)
+                         {"df": ("g", "count")}, num_buckets=num_buckets
+                         ).materialize()  # consumed twice: guard + attach
 
     n_grams = df_tab.count()
     if n_grams <= broadcast_df_limit:
@@ -115,19 +123,22 @@ def jaccard_similarity_join(
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 ids = t[id_col].to_numpy(zero_copy_only=False)
-                out_id, out_g = [], []
+                out_id, out_g, out_n = [], [], []
                 for i, text in zip(ids, t[text_col].to_pylist()):
                     grams = shingle_strings(text, shingle_n)
-                    k = _prefix_len(len(grams), threshold)
+                    k = min(_prefix_len(len(grams), threshold), len(grams))
                     grams.sort(key=lambda g: (self.df[g], g))
                     out_g.extend(grams[:k])
-                    out_id.append(np.full(k if k <= len(grams) else len(grams),
-                                          i, dtype="int64"))
+                    out_id.append(np.full(k, i, dtype="int64"))
+                    out_n.append(np.full(k, len(grams), dtype="int64"))
                 return pa.table({
                     id_col: pa.array(
                         np.concatenate(out_id) if out_id
                         else np.empty(0, dtype="int64")),
                     "g": pa.array(out_g, type=pa.string()),
+                    "nsh": pa.array(
+                        np.concatenate(out_n) if out_n
+                        else np.empty(0, dtype="int64")),
                 })
 
         prefix = docs.map_batches(Prefix, batch_format="pyarrow",
@@ -150,11 +161,12 @@ def jaccard_similarity_join(
             pdf = t.to_pandas().sort_values([id_col, "df", "g"],
                                             kind="mergesort")
             n = pdf["nsh"].to_numpy()
-            klen = n - np.ceil(threshold * n).astype("int64") + 1
+            # floor-based prefix length — see _prefix_len for why not ceil
+            klen = n - np.floor(threshold * n).astype("int64") + 1
             pos = pdf.groupby(id_col, sort=False).cumcount().to_numpy()
             keep = pos < klen
             return pa.Table.from_pandas(
-                pdf.loc[keep, [id_col, "g"]], preserve_index=False)
+                pdf.loc[keep, [id_col, "g", "nsh"]], preserve_index=False)
 
         prefix = fs_exchange_reduce(
             with_df.map_batches(add_bucket, batch_format="pandas"),
@@ -169,7 +181,13 @@ def jaccard_similarity_join(
         m = pdf.merge(pdf, on="g", suffixes=("_a", "_b"))
         a = m[f"{id_col}_a"].to_numpy()
         b = m[f"{id_col}_b"].to_numpy()
-        keep = a < b
+        na = m["nsh_a"].to_numpy()
+        nb = m["nsh_b"].to_numpy()
+        # length filter (SSJoin): |A∩B| ≤ min(na,nb), so J ≥ t requires
+        # t·max ≤ min. Small slack keeps the float compare conservative —
+        # a filter may only over-keep, never drop a true pair.
+        keep = (a < b) & (threshold * na <= nb + 1e-9) \
+            & (threshold * nb <= na + 1e-9)
         out = pd.DataFrame({"da": a[keep], "db": b[keep]}).drop_duplicates()
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -202,6 +220,9 @@ def jaccard_similarity_join(
             "gs": pa.array(grams, type=pa.string()),
         })
 
+    # strategy guard on the INPUT row count (cheap metadata/count — never
+    # re-executes the shingling pass just to pick a plan)
+    n_docs = docs.count()
     sets = docs.map_batches(sets_batch, batch_format="pyarrow")
 
     def verify_fn(a_sets, b_sets, a_ids, b_ids):
@@ -218,7 +239,7 @@ def jaccard_similarity_join(
                          "db": pa.array(dbs, type=pa.int64()),
                          "j": pa.array(js, type=pa.float64())})
 
-    if sets.count() <= broadcast_sets_limit:
+    if n_docs <= broadcast_sets_limit:
         sets_pd = sets.to_pandas()
         sref = ray.put(dict(zip(sets_pd[id_col],
                                 [set(g.split("\x1f")) for g in sets_pd["gs"]])))

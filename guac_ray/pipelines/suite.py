@@ -1200,14 +1200,18 @@ WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.95
 
 def simjoin_docs(sf_dir: str):
     """EXACT n-gram Jaccard similarity join (prefix-filtered — see
-    functions/simjoin.py): every pair ≥ 0.6, no LSH misses, verified by
-    full-set intersection, byte-identical to the O(n²) SQL oracle."""
+    functions/simjoin.py): every pair ≥ 0.8, no LSH misses, verified by
+    full-set intersection, byte-identical to the O(n²) SQL oracle.
+    Shingles are 10-grams: this corpus is template-heavy, and a 5-gram
+    vocabulary saturates (~2k distinct grams over 5k docs at sf0.1) so
+    NO exact algorithm can prune — 10-grams give a 50k-gram vocabulary
+    and the prefix filter cuts raw candidates 60M → ~2M (measured)."""
     from guac_ray.functions.simjoin import jaccard_similarity_join
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return jaccard_similarity_join(
-        docs, threshold=0.6, exchange_base=_exchange("simjoin"),
-        num_buckets=8)
+        docs, threshold=0.8, shingle_n=10,
+        exchange_base=_exchange("simjoin"), num_buckets=8)
 
 
 SIMJOIN_SQL = """
@@ -1217,8 +1221,8 @@ WITH docs AS (
 sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-             generate_series(1, greatest(length(s) - 4, 1)),
-             i -> substr(s, i, 5)))) AS g
+             generate_series(1, greatest(length(s) - 9, 1)),
+             i -> substr(s, i, 10)))) AS g
   FROM docs),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
@@ -1228,7 +1232,7 @@ SELECT da, db, c * 1.0 / (sa.n + sb.n - c) AS j
 FROM co
 JOIN sz sa ON co.da = sa.doc_id
 JOIN sz sb ON co.db = sb.doc_id
-WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 """
 
 

@@ -9,9 +9,27 @@ import pytest
 
 
 def _disc(values: np.ndarray, p: float):
+    from fractions import Fraction
+
     v = np.sort(values[~pd.isna(values)])
-    r = min(max(math.ceil(p * len(v)) - 1, 0), len(v) - 1)
-    return v[r]
+    # DuckDB quantile_disc rank: ceil(p*n)-1 in EXACT decimal arithmetic
+    r = int(math.ceil(Fraction(str(p)) * len(v))) - 1
+    return v[min(max(r, 0), len(v) - 1)]
+
+
+def test_rank_rule_matches_duckdb_at_float_boundaries():
+    """p*(n-1) hits float-representation boundaries (0.55*99 etc.) —
+    the local rule and DuckDB must agree exactly there."""
+    import duckdb
+
+    for n, ps in [(100, [0.55, 0.54, 0.9, 0.99]), (450, [0.54, 0.55]),
+                  (4, [0.25, 0.5, 0.75]), (5, [0.5]), (3, [0.33])]:
+        vals = np.arange(n, dtype="float64")
+        for p in ps:
+            want = duckdb.sql(
+                f"SELECT quantile_disc(x, {p}) FROM "
+                f"(SELECT unnest(range({n}))::DOUBLE x)").fetchone()[0]
+            assert _disc(vals, p) == want, (n, p)
 
 
 class TestExactQuantiles:
