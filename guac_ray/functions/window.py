@@ -1,0 +1,119 @@
+"""Partitioned window operators: lag/lead/row_number/cumsum per key, and
+keep-latest compaction (the CDC/upsert primitive).
+
+Ray Data has no window functions; the reference never needs them (graph
+nouns are unordered). An events/training pipeline uses them constantly
+(gap-to-previous features, dedup-keep-latest snapshots), so they get the
+same treatment as every wide operator here:
+
+- :func:`windowed` co-partitions rows by key through the filesystem
+  exchange, sorts each bucket ONCE by (key, order...), and computes all
+  requested window columns vectorized on the sorted frame (groupby
+  shift / cumsum / cumcount — no per-row Python). The partitioning
+  assumption: all rows of one key land in one bucket (hash-guaranteed);
+  a single key's rows must fit one reduce task, the same contract as
+  every PARTITION BY in a SQL engine's hash-windowing mode.
+- :func:`keep_latest` is two-phase: a per-batch partial keeps each
+  key's newest row (bounded rows into the shuffle — the combiner), then
+  the per-bucket reduce keeps the global newest. Ties break by the last
+  ``order`` column ascending, so give it a unique tiebreaker (e.g. the
+  event id) for a deterministic result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from guac_ray.functions.joins import default_exchange
+from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+__all__ = ["windowed", "keep_latest"]
+
+_OPS = ("lag", "lead", "row_number", "cumsum")
+
+
+def windowed(
+    ds: Dataset,
+    by: list[str] | str,
+    order: list[str] | str,
+    ops: dict[str, tuple],
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """SQL-window analog: for each output column name, ``ops`` maps to
+    ``("lag", col)`` / ``("lead", col)`` (offset 1, NULL at the edge),
+    ``("row_number",)`` (1-based within key, in ``order``), or
+    ``("cumsum", col)`` (inclusive running sum). Rows come back with all
+    original columns plus the window columns; row order is not
+    meaningful (as after any shuffle)."""
+    by = [by] if isinstance(by, str) else list(by)
+    order = [order] if isinstance(order, str) else list(order)
+    for name, spec in ops.items():
+        if spec[0] not in _OPS:
+            raise ValueError(f"windowed: unknown op {spec[0]!r} for {name!r}")
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["_bucket"] = (stable_hash(df, by) % num_buckets).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(by + order, kind="mergesort")
+        g = df.groupby(by, sort=False)
+        for name, spec in ops.items():
+            if spec[0] == "lag":
+                df[name] = g[spec[1]].shift(1)
+            elif spec[0] == "lead":
+                df[name] = g[spec[1]].shift(-1)
+            elif spec[0] == "row_number":
+                df[name] = (g.cumcount() + 1).astype("int64")
+            elif spec[0] == "cumsum":
+                df[name] = g[spec[1]].cumsum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("window"), reduce_fn)
+    if out is None:
+        return rd.from_items([])
+    return out
+
+
+def keep_latest(
+    ds: Dataset,
+    by: list[str] | str,
+    order: list[str] | str,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """One row per key: the row with the greatest ``order`` tuple — the
+    upsert-compaction / snapshot primitive. Per-batch partial first, so
+    the shuffle carries at most one row per (key, batch)."""
+    by = [by] if isinstance(by, str) else list(by)
+    order = [order] if isinstance(order, str) else list(order)
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(by + order, kind="mergesort")
+                .drop_duplicates(by, keep="last"))
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = latest(df)
+        out = out.copy()
+        out["_bucket"] = (stable_hash(out, by) % num_buckets).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(latest(t.to_pandas()),
+                                    preserve_index=False)
+
+    out = fs_exchange_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        exchange_base or default_exchange("keep_latest"), reduce_fn)
+    if out is None:
+        return rd.from_items([])
+    return out

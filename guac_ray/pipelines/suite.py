@@ -862,6 +862,69 @@ WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
 """
 
 
+def events_gap_to_prev(sf_dir: str):
+    """Window-function family (lag): per user, microseconds since that
+    user's previous event (first events drop — both engines would
+    otherwise disagree on NULL int representation). Co-partitioned
+    per-key window through the fs exchange (functions/window.py)."""
+    from guac_ray.functions.window import windowed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    w = windowed(ev, by="user_id", order=["ts", "event_id"],
+                 ops={"prev_ts": ("lag", "ts")},
+                 exchange_base=_exchange("window_lag"), num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        df = df[df["prev_ts"].notna()]
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        pv = df["prev_ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy().astype("int64")),
+            "gap_us": pa.array(ts - pv),
+        })
+
+    return w.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_GAP_SQL = """
+SELECT event_id, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+FROM (SELECT event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events)
+WHERE prev_ts IS NOT NULL
+"""
+
+
+def events_latest_per_user(sf_dir: str):
+    """Keep-latest compaction (the CDC/upsert primitive): one row per
+    user — their newest event. Per-batch partial keeps the shuffle at
+    one row per (user, batch) (functions/window.py:keep_latest)."""
+    from guac_ray.functions.window import keep_latest
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts"])
+    out = keep_latest(ev, by="user_id", order=["ts", "event_id"],
+                      exchange_base=_exchange("keep_latest"), num_buckets=8)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_event_id": t["event_id"],
+            "last_type": t["event_type"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_type
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 def events_value_quantiles(sf_dir: str):
     """Distributed EXACT grouped percentiles without a global sort:
     sample → range-bucket counts through the fs exchange → one filtered
@@ -2012,6 +2075,8 @@ SUITE: dict[str, tuple] = {
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "events_stratified_sample": (events_stratified_sample, EVENTS_STRATIFIED_SQL),
+    "events_gap_to_prev": (events_gap_to_prev, EVENTS_GAP_SQL),
+    "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
     "media_decode": (media_decode, None),
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),

@@ -1,0 +1,84 @@
+"""Partitioned window operators (functions/window.py) vs pandas
+references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events(n=3000, seed=12, keys=40):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "u": rng.integers(0, keys, n),
+        "t": rng.permutation(n).astype("int64"),  # unique order col
+        "v": rng.integers(0, 100, n).astype("int64"),
+        "eid": np.arange(n, dtype="int64"),
+    })
+
+
+class TestWindowed:
+    def test_lag_lead_rownum_cumsum_match_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = _events()
+        got = windowed(
+            rd.from_pandas(df).repartition(5), by="u", order="t",
+            ops={"pv": ("lag", "v"), "nv": ("lead", "v"),
+                 "rn": ("row_number",), "cs": ("cumsum", "v")},
+            exchange_base=str(tmp_path / "w"), num_buckets=4,
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+
+        ref = df.sort_values(["u", "t"], kind="mergesort")
+        g = ref.groupby("u", sort=False)
+        ref = ref.assign(pv=g["v"].shift(1), nv=g["v"].shift(-1),
+                         rn=(g.cumcount() + 1).astype("int64"),
+                         cs=g["v"].cumsum())
+        ref = ref.sort_values("eid").reset_index(drop=True)
+        assert len(got) == len(ref)
+        for c in ["pv", "nv"]:
+            pd.testing.assert_series_equal(got[c], ref[c], check_names=False)
+        assert (got["rn"].to_numpy() == ref["rn"].to_numpy()).all()
+        assert (got["cs"].to_numpy() == ref["cs"].to_numpy()).all()
+
+    def test_unknown_op_rejected(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        with pytest.raises(ValueError, match="unknown op"):
+            windowed(rd.from_pandas(_events(10)), "u", "t",
+                     {"x": ("median", "v")})
+
+
+class TestKeepLatest:
+    def test_matches_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import keep_latest
+
+        df = _events()
+        got = keep_latest(
+            rd.from_pandas(df).repartition(6), by="u", order=["t", "eid"],
+            exchange_base=str(tmp_path / "kl"), num_buckets=4,
+        ).to_pandas().sort_values("u").reset_index(drop=True)
+        want = (df.sort_values(["u", "t", "eid"], kind="mergesort")
+                .drop_duplicates("u", keep="last")
+                .sort_values("u").reset_index(drop=True))
+        assert (got["eid"].to_numpy() == want["eid"].to_numpy()).all()
+        assert len(got) == df["u"].nunique()
+
+    def test_tie_breaks_deterministically(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import keep_latest
+
+        # all same key and order value: highest eid must win every run
+        df = pd.DataFrame({"u": [1] * 50, "t": [7] * 50,
+                           "eid": np.arange(50, dtype="int64")})
+        got = keep_latest(rd.from_pandas(df).repartition(5), "u",
+                          ["t", "eid"],
+                          exchange_base=str(tmp_path / "kl2"),
+                          num_buckets=2).to_pandas()
+        assert got["eid"].tolist() == [49]
