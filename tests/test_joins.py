@@ -192,6 +192,32 @@ class TestRangeJoin:
         # covers rid1 (45-40=5m before); lid2: rid2 at -31m out, rid3 (+1s) out
         assert pairs == {(0, 0), (1, 1)}
 
+    def test_hot_key_skew(self, ray_session, tmp_path):
+        """One key holding 60% of both sides (the documented worst case:
+        a hot key serializes into one bucket's task) — must still be
+        correct and produce exactly the true matches."""
+        import ray.data as rd
+
+        from guac_ray.functions.joins import range_join
+
+        rng = np.random.default_rng(21)
+        n = 2000
+        hot = rng.random(n) < 0.6
+        left = pd.DataFrame({
+            "u": np.where(hot, 7, rng.integers(100, 130, n)),
+            "t": rng.integers(0, 20_000, n).astype("int64"),
+            "lid": np.arange(n),
+        })
+        right = left.rename(columns={"lid": "rid"}).copy()
+        got = range_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(4),
+            by="u", on="t", lower=-3, upper=3,
+            exchange_dir=str(tmp_path / "skew"), num_buckets=4,
+        ).to_pandas()
+        want = _range_reference(left, right, "u", "t", -3, 3)
+        assert set(zip(got.lid, got.rid)) == set(zip(want.lid, want.rid))
+
     def test_float_ordinate_fallback(self, ray_session, tmp_path):
         import ray.data as rd
 
