@@ -28,7 +28,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.groupagg import grouped_agg
 
-__all__ = ["pivot_counts", "rollup_agg"]
+__all__ = ["pivot_counts", "rollup_agg", "unpivot"]
 
 _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -57,6 +57,45 @@ def pivot_counts(
     wide = ds.map_batches(onehot, batch_format="pyarrow")
     return grouped_agg(wide, [index], {n: (n, "sum") for n in cols},
                        num_buckets=num_buckets)
+
+
+def unpivot(
+    ds: Dataset,
+    index: list[str] | str,
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    var_labels: list[str] | None = None,
+) -> Dataset:
+    """Wide→long (the inverse of :func:`pivot_counts`): each input row
+    becomes ``len(value_cols)`` rows of (index..., label, value). Pure
+    per-batch map — no shuffle, row count grows by exactly the column
+    factor. ``var_labels`` overrides the emitted label per column
+    (default: the column name)."""
+    index = [index] if isinstance(index, str) else list(index)
+    labels = var_labels or value_cols
+
+    def melt(t: pa.Table) -> pa.Table:
+        k = len(value_cols)
+        n = t.num_rows
+        cols = {c: np.repeat(t[c].to_numpy(zero_copy_only=False), k)
+                for c in index}
+        lab = np.tile(np.array(labels, dtype=object), n)
+        vals = np.empty(n * k, dtype="object")
+        for j, c in enumerate(value_cols):
+            vals[j::k] = t[c].to_numpy(zero_copy_only=False)
+        cols[var_name] = lab
+        # preserve the concrete dtype when all value columns agree;
+        # heterogeneous columns melt to strings (Arrow columns are typed —
+        # there is no object column to fall back to)
+        dtypes = {t.schema.field(c).type for c in value_cols}
+        if len(dtypes) == 1:
+            cols[value_name] = pa.array(vals, type=dtypes.pop())
+        else:
+            cols[value_name] = pa.array(vals.astype(str), type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
 
 
 def rollup_agg(

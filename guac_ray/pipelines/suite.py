@@ -862,6 +862,50 @@ WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
 """
 
 
+def events_type_long(sf_dir: str):
+    """Pivot→unpivot round trip: the wide per-user counts melted back to
+    long (user_id, event_type, n), zero-count combinations dropped —
+    equals the plain GROUP BY. Exercises unpivot end-to-end against a
+    SQL oracle (functions/reshape.py:unpivot)."""
+    from guac_ray.functions.reshape import unpivot
+
+    cats = ["click", "view", "purchase", "signup", "error"]
+    wide = events_type_pivot(sf_dir)
+    import pyarrow.compute as pc
+
+    long = unpivot(wide, "user_id", [f"n_{c}" for c in cats],
+                   var_name="event_type", value_name="n", var_labels=cats)
+    return long.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 0)), batch_format="pyarrow")
+
+
+EVENTS_TYPE_LONG_SQL = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def events_running_total(sf_dir: str):
+    """Per-user running total of value ordered by (ts, event_id) —
+    window cumsum through the co-partitioned exchange. Both engines add
+    the same doubles in the same order, so the floats match exactly."""
+    from guac_ray.functions.window import windowed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    w = windowed(ev, by="user_id", order=["ts", "event_id"],
+                 ops={"running_value": ("cumsum", "value")},
+                 exchange_base=_exchange("window_cumsum"), num_buckets=8)
+    return w.select_columns(["event_id", "running_value"])
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_value
+FROM events
+"""
+
+
 def events_gap_to_prev(sf_dir: str):
     """Window-function family (lag): per user, microseconds since that
     user's previous event (first events drop — both engines would
@@ -2075,6 +2119,8 @@ SUITE: dict[str, tuple] = {
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "events_stratified_sample": (events_stratified_sample, EVENTS_STRATIFIED_SQL),
+    "events_type_long": (events_type_long, EVENTS_TYPE_LONG_SQL),
+    "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "events_gap_to_prev": (events_gap_to_prev, EVENTS_GAP_SQL),
     "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
     "media_decode": (media_decode, None),

@@ -77,3 +77,37 @@ class TestRollupAgg:
         with pytest.raises(ValueError, match="mean"):
             rollup_agg(rd.from_pandas(_events(50)), ["kind"],
                        {"m": ("v", "mean")})
+
+
+class TestUnpivot:
+    def test_roundtrip_with_pivot(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import pivot_counts, unpivot
+
+        df = _events(2000)
+        wide = pivot_counts(rd.from_pandas(df).repartition(3), "u", "kind",
+                            ["a", "b", "c"], num_buckets=4)
+        long = unpivot(wide, "u", ["n_a", "n_b", "n_c"],
+                       var_name="kind", value_name="n",
+                       var_labels=["a", "b", "c"]).to_pandas()
+        want = df.groupby(["u", "kind"]).size().rename("n").reset_index()
+        m = long[long.n > 0].merge(want, on=["u", "kind"],
+                                   suffixes=("", "_w"))
+        assert len(m) == len(want)
+        assert (m.n.to_numpy() == m.n_w.to_numpy()).all()
+        # zero rows exist exactly where a (u, kind) combo is absent
+        assert len(long) == long.u.nunique() * 3
+
+    def test_mixed_dtypes_melt_to_string(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import unpivot
+
+        df = pd.DataFrame({"k": [1, 2], "a": [10, 20],
+                           "b": ["x", "y"]})
+        long = unpivot(rd.from_pandas(df), "k", ["a", "b"]).to_pandas()
+        assert len(long) == 4
+        assert set(zip(long.k, long.variable, long.value)) == {
+            (1, "a", "10"), (1, "b", "x"), (2, "a", "20"), (2, "b", "y")}
