@@ -7,6 +7,8 @@ code never calls ray.init.
     python -m guac_ray query  <graph_out_dir> vulns <pkg_key>
     python -m guac_ray query  <graph_out_dir> patch <node_key> [--depth N]
     python -m guac_ray query  <graph_out_dir> neighbors <node_key> [--direction out|in|both]
+    python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--depth ITERS]
+    python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
 """
 
 from __future__ import annotations
@@ -78,10 +80,32 @@ def cmd_query(args) -> int:
             sort_keys=["pred", "obj_key", "subj_key", "props"],
             offset=args.offset, limit=args.limit,
         ).to_pandas()
+    elif args.what == "pagerank":
+        from guac_ray.functions.pagerank import pagerank
+
+        pr = pagerank(edges, max_iters=args.depth)
+        out = (pr.sort_values(["rank", "node_key"],
+                              ascending=[False, True])
+               .head(args.limit).reset_index(drop=True))
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.what)
     print(out.to_json(orient="records", lines=True) if hasattr(out, "to_json")
           else json.dumps(out))
+    return 0
+
+
+def cmd_simjoin(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    docs = rd.read_parquet(args.documents, columns=[args.id_col, args.text_col])
+    from guac_ray.functions.simjoin import jaccard_similarity_join
+
+    out = jaccard_similarity_join(
+        docs, id_col=args.id_col, text_col=args.text_col,
+        threshold=args.threshold, shingle_n=args.ngram).to_pandas()
+    out = out.sort_values(["da", "db"]).reset_index(drop=True)
+    print(out.to_json(orient="records", lines=True))
     return 0
 
 
@@ -102,8 +126,9 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="read-side queries over a built graph")
     q.add_argument("graph")
-    q.add_argument("what", choices=["known", "vulns", "patch", "neighbors"])
-    q.add_argument("key")
+    q.add_argument("what",
+                   choices=["known", "vulns", "patch", "neighbors", "pagerank"])
+    q.add_argument("key", nargs="?", default=None)
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])
     q.add_argument("--preds", default=None,
@@ -111,6 +136,16 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--offset", type=int, default=0)
     q.add_argument("--limit", type=int, default=100)
     q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("simjoin",
+                       help="exact n-gram Jaccard similarity join over a "
+                            "documents parquet")
+    s.add_argument("documents")
+    s.add_argument("--id-col", default="doc_id")
+    s.add_argument("--text-col", default="text")
+    s.add_argument("--threshold", type=float, default=0.8)
+    s.add_argument("--ngram", type=int, default=10)
+    s.set_defaults(fn=cmd_simjoin)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
