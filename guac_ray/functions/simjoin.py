@@ -110,6 +110,8 @@ def jaccard_similarity_join(
                          ).materialize()  # consumed twice: guard + attach
 
     n_grams = df_tab.count()
+    if n_grams == 0:  # no documents at all
+        return rd.from_arrow(_result_schema.empty_table())
     if n_grams <= broadcast_df_limit:
         # df fits one worker: fuse df-attach + prefix selection + set
         # assembly into ONE re-scan of the documents (docs stay whole

@@ -91,3 +91,13 @@ class TestExactQuantiles:
         with pytest.raises(MemoryError, match="num_range_buckets"):
             exact_quantiles(rd.from_pandas(df), "x", {"p50": 0.5},
                             num_range_buckets=2, candidate_cap=100)
+
+
+def test_empty_input(ray_session):
+    import ray.data as rd
+
+    from guac_ray.functions.quantiles import exact_quantiles
+
+    df = pd.DataFrame({"x": pd.Series([], dtype="float64")})
+    out = exact_quantiles(rd.from_pandas(df), "x", {"p50": 0.5})
+    assert len(out) == 0 and list(out.columns) == ["p50"]

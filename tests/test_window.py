@@ -82,3 +82,29 @@ class TestKeepLatest:
                           exchange_base=str(tmp_path / "kl2"),
                           num_buckets=2).to_pandas()
         assert got["eid"].tolist() == [49]
+
+
+class TestEmptyInputs:
+    def test_windowed_empty(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                           "t": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+        out = windowed(rd.from_pandas(df), "u", "t",
+                       {"pv": ("lag", "v")},
+                       exchange_base=str(tmp_path / "we")).to_pandas()
+        assert len(out) == 0
+
+    def test_keep_latest_empty(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import keep_latest
+
+        df = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                           "t": pd.Series([], dtype="int64")})
+        out = keep_latest(rd.from_pandas(df), "u", "t",
+                          exchange_base=str(tmp_path / "ke")).to_pandas()
+        assert len(out) == 0
