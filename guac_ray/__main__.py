@@ -51,6 +51,11 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
+    if args.what != "pagerank" and not args.key:
+        # only the whole-graph verb is keyless; a forgotten key on the
+        # node verbs must not silently read as "no results"
+        print(f"error: query {args.what} requires a node key", file=sys.stderr)
+        return 2
     _ray_up(args.num_cpus)
     import ray.data as rd
 
@@ -83,7 +88,7 @@ def cmd_query(args) -> int:
     elif args.what == "pagerank":
         from guac_ray.functions.pagerank import pagerank
 
-        pr = pagerank(edges, max_iters=args.depth)
+        pr = pagerank(edges, max_iters=args.iters)
         out = (pr.sort_values(["rank", "node_key"],
                               ascending=[False, True])
                .head(args.limit).reset_index(drop=True))
@@ -104,6 +109,9 @@ def cmd_simjoin(args) -> int:
     out = jaccard_similarity_join(
         docs, id_col=args.id_col, text_col=args.text_col,
         threshold=args.threshold, shingle_n=args.ngram).to_pandas()
+    if out.empty:  # Ray drops columns on a fully-empty Dataset
+        print("", end="")
+        return 0
     out = out.sort_values(["da", "db"]).reset_index(drop=True)
     print(out.to_json(orient="records", lines=True))
     return 0
@@ -135,6 +143,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated predicate filter (patch: e.g. depends_on)")
     q.add_argument("--offset", type=int, default=0)
     q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--iters", type=int, default=20,
+                   help="pagerank iterations (library default)")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("simjoin",

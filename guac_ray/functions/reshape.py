@@ -73,7 +73,11 @@ def unpivot(
     factor. ``var_labels`` overrides the emitted label per column
     (default: the column name)."""
     index = [index] if isinstance(index, str) else list(index)
-    labels = var_labels or value_cols
+    labels = value_cols if var_labels is None else var_labels
+    if len(labels) != len(value_cols):
+        raise ValueError(
+            f"unpivot: var_labels has {len(labels)} entries for "
+            f"{len(value_cols)} value columns")
 
     def melt(t: pa.Table) -> pa.Table:
         k = len(value_cols)
@@ -92,7 +96,11 @@ def unpivot(
         if len(dtypes) == 1:
             cols[value_name] = pa.array(vals, type=dtypes.pop())
         else:
-            cols[value_name] = pa.array(vals.astype(str), type=pa.string())
+            # nulls must stay null — a bare astype(str) would stamp the
+            # literal string 'None' over them
+            isna = pd.isna(vals)
+            conv = np.where(isna, None, vals.astype(str))
+            cols[value_name] = pa.array(conv, type=pa.string())
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow")

@@ -37,6 +37,23 @@ __all__ = ["windowed", "keep_latest"]
 _OPS = ("lag", "lead", "row_number", "cumsum")
 
 
+def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
+    """Typed empty result for an empty input: input columns plus (for
+    ``windowed``) the window columns — so downstream select_columns /
+    map_batches keep working on the empty shape."""
+    sch = ds.schema()
+    if sch is None:
+        return pa.schema([]).empty_table()
+    fields = list(zip(sch.names, sch.types))
+    types = dict(fields)
+    for name, spec in (ops or {}).items():
+        if spec[0] == "row_number":
+            fields.append((name, pa.int64()))
+        else:  # lag/lead/cumsum inherit the source column's type
+            fields.append((name, types[spec[1]]))
+    return pa.schema(fields).empty_table()
+
+
 def windowed(
     ds: Dataset,
     by: list[str] | str,
@@ -56,6 +73,14 @@ def windowed(
     for name, spec in ops.items():
         if spec[0] not in _OPS:
             raise ValueError(f"windowed: unknown op {spec[0]!r} for {name!r}")
+    src_cols = {spec[1] for spec in ops.values() if len(spec) > 1}
+    shadowed = set(ops) & (src_cols | set(by) | set(order))
+    if shadowed:
+        # an output name equal to a column another op reads would make
+        # that op consume the already-overwritten values
+        raise ValueError(
+            f"windowed: output name(s) {sorted(shadowed)} shadow input "
+            f"columns used by the window — rename the outputs")
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -65,22 +90,28 @@ def windowed(
     def reduce_fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(by + order, kind="mergesort")
         g = df.groupby(by, sort=False)
+        # compute every window column BEFORE assigning any: the GroupBy
+        # reads the live frame, so interleaving writes would feed one
+        # op's output into another op that names the same source column
+        new = {}
         for name, spec in ops.items():
             if spec[0] == "lag":
-                df[name] = g[spec[1]].shift(1)
+                new[name] = g[spec[1]].shift(1)
             elif spec[0] == "lead":
-                df[name] = g[spec[1]].shift(-1)
+                new[name] = g[spec[1]].shift(-1)
             elif spec[0] == "row_number":
-                df[name] = (g.cumcount() + 1).astype("int64")
+                new[name] = (g.cumcount() + 1).astype("int64")
             elif spec[0] == "cumsum":
-                df[name] = g[spec[1]].cumsum()
+                new[name] = g[spec[1]].cumsum()
+        for name, v in new.items():
+            df[name] = v
         return pa.Table.from_pandas(df, preserve_index=False)
 
     out = fs_exchange_reduce(
         ds.map_batches(add_bucket, batch_format="pandas"),
         exchange_base or default_exchange("window"), reduce_fn)
     if out is None:
-        return rd.from_items([])
+        return rd.from_arrow(_typed_empty(ds, ops))
     return out
 
 
@@ -102,8 +133,7 @@ def keep_latest(
                 .drop_duplicates(by, keep="last"))
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        out = latest(df)
-        out = out.copy()
+        out = latest(df)  # drop_duplicates already returns a new frame
         out["_bucket"] = (stable_hash(out, by) % num_buckets).astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -115,5 +145,5 @@ def keep_latest(
         ds.map_batches(partial, batch_format="pandas"),
         exchange_base or default_exchange("keep_latest"), reduce_fn)
     if out is None:
-        return rd.from_items([])
+        return rd.from_arrow(_typed_empty(ds))
     return out

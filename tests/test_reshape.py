@@ -111,3 +111,23 @@ class TestUnpivot:
         assert len(long) == 4
         assert set(zip(long.k, long.variable, long.value)) == {
             (1, "a", "10"), (1, "b", "x"), (2, "a", "20"), (2, "b", "y")}
+
+    def test_label_length_mismatch_rejected(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import unpivot
+
+        with pytest.raises(ValueError, match="var_labels"):
+            unpivot(rd.from_pandas(_events(5)), "u", ["kind", "v"],
+                    var_labels=["only_one"])
+
+    def test_mixed_dtype_nulls_stay_null(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import unpivot
+
+        df = pd.DataFrame({"k": [1], "a": [pd.NA], "b": ["x"]})
+        long = unpivot(rd.from_pandas(df), "k", ["a", "b"]).to_pandas()
+        byvar = long.set_index("variable")["value"]
+        assert pd.isna(byvar["a"]) and byvar["b"] == "x"

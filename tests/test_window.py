@@ -108,3 +108,25 @@ class TestEmptyInputs:
         out = keep_latest(rd.from_pandas(df), "u", "t",
                           exchange_base=str(tmp_path / "ke")).to_pandas()
         assert len(out) == 0
+
+    def test_shadowing_output_name_rejected(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        with pytest.raises(ValueError, match="shadow"):
+            windowed(rd.from_pandas(_events(20)), "u", "t",
+                     {"v": ("lag", "v"), "w": ("lead", "v")})
+
+    def test_typed_empty_supports_downstream_select(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                           "t": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="float64")})
+        out = windowed(rd.from_pandas(df), "u", "t", {"pv": ("lag", "v")},
+                       exchange_base=str(tmp_path / "we2"))
+        sel = out.select_columns(["u", "pv"])
+        assert sel.count() == 0
