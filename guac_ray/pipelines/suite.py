@@ -862,6 +862,108 @@ WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
 """
 
 
+def click_days_no_purchase(sf_dir: str):
+    """Anti-join with an oracle: (user, day) pairs with click activity
+    but no purchase that day — broadcast key-set anti-join on the
+    composite key (functions/joins.py:anti_join, the certifier re-scan
+    pattern), then exact dedup."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.dedup import dedup_exact
+    from guac_ray.functions.joins import anti_join
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def keyed(kind: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], kind))
+            ts = t["ts"].to_numpy(zero_copy_only=False)
+            day = np.datetime_as_string(
+                ts.astype("datetime64[D]"), unit="D")
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+            comp = np.char.add(np.char.add(uid.astype("U20"), "|"), day)
+            return pa.table({
+                "user_id": pa.array(uid),
+                "day": pa.array(day),
+                "_k": pa.array(comp),
+            })
+
+        return f
+
+    purchase_keys = set(
+        ev.map_batches(keyed("purchase"), batch_format="pyarrow").unique("_k"))
+    clicks = ev.map_batches(keyed("click"), batch_format="pyarrow")
+    out = anti_join(clicks, purchase_keys, "_k")
+    out = dedup_exact(out.select_columns(["user_id", "day"]),
+                      ["user_id", "day"], num_buckets=4)
+    return out
+
+
+CLICK_DAYS_SQL = """
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events e
+WHERE event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      AND strftime(p.ts, '%Y-%m-%d') = strftime(e.ts, '%Y-%m-%d'))
+"""
+
+
+def events_sample_k_per_type(sf_dir: str, k: int = 5):
+    """Deterministic fixed-k per-stratum sample: the k events per type
+    with the smallest md5(event_id) — 'random' under the hash ordering,
+    yet a pure function of the data (resume/backfill/engine-swap
+    stable). Per-batch partial top-k bounds the shuffle at k rows per
+    (type, batch)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def hashed(t: pa.Table) -> pd.DataFrame:
+        import hashlib
+
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pd.DataFrame({
+            "event_id": ids,
+            "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+            "_h": h,
+        })
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = hashed(t)
+        out = (df.sort_values(["event_type", "_h"], kind="mergesort")
+               .groupby("event_type", sort=False).head(k))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.sort_values(["event_type", "_h"], kind="mergesort")
+               .groupby("event_type", sort=False).head(k)
+               .drop(columns=["_h"]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df["_bucket"] = (stable_hash(df, ["event_type"]) % 4).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_bucket, batch_format="pandas")
+    out = fs_exchange_reduce(partials, _exchange("sample_k"), final)
+    import ray.data as rd
+
+    return out if out is not None else rd.from_items([])
+
+
+EVENTS_SAMPLE_K_SQL = """
+SELECT event_id, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR))) <= 5
+"""
+
+
 def events_type_long(sf_dir: str):
     """Pivot→unpivot round trip: the wide per-user counts melted back to
     long (user_id, event_type, n), zero-count combinations dropped —
@@ -2119,6 +2221,8 @@ SUITE: dict[str, tuple] = {
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "events_stratified_sample": (events_stratified_sample, EVENTS_STRATIFIED_SQL),
+    "click_days_no_purchase": (click_days_no_purchase, CLICK_DAYS_SQL),
+    "events_sample_k_per_type": (events_sample_k_per_type, EVENTS_SAMPLE_K_SQL),
     "events_type_long": (events_type_long, EVENTS_TYPE_LONG_SQL),
     "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
     "events_gap_to_prev": (events_gap_to_prev, EVENTS_GAP_SQL),
