@@ -191,6 +191,30 @@ def _bucket_files(side_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def _build_bloom(ds: Dataset, keys: list[str], m_bits: int = 1 << 23,
+                 k_hashes: int = 2) -> np.ndarray:
+    """Bloom bitmap over the join keys of ``ds`` (byte-per-bit uint8 for
+    cheap vectorized membership tests). Partial bitmaps are OR-ed on the
+    driver from a column-pruned streaming scan — the driver holds
+    ``m_bits`` bytes (8 MiB default) plus one partial at a time, never
+    the key set."""
+    bloom = np.zeros(m_bits, dtype=np.uint8)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        idx = np.zeros(0, dtype=np.int64)
+        h = stable_hash(df, keys)
+        for i in range(k_hashes):
+            idx = np.concatenate([idx, ((h >> np.uint64(i * 23))
+                                        % np.uint64(m_bits)).astype(np.int64)])
+        return pa.table({"idx": pa.array(np.unique(idx))})
+
+    for batch in ds.select_columns(keys).map_batches(
+            partial, batch_format="pandas").iter_batches(
+            batch_format="pyarrow"):
+        bloom[batch["idx"].to_numpy(zero_copy_only=False)] = 1
+    return bloom
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -201,6 +225,7 @@ def hash_join(
     suffixes: tuple[str, str] = ("_l", "_r"),
     partial_fn=None,
     probe_rows_per_task: int = 2_000_000,
+    bloom_prune: bool = False,
 ) -> Dataset:
     """Large-large partitioned hash join via the filesystem exchange.
 
@@ -229,6 +254,13 @@ def hash_join(
     pipelines produce non-null keys). For pathological single-key skew,
     pre-split the hot key upstream (salt column) — buckets only balance
     across DISTINCT keys.
+
+    ``bloom_prune=True`` (inner joins only) spends one extra
+    column-pruned scan of the RIGHT keys to build a Bloom bitmap, then
+    drops left rows that cannot match BEFORE they enter the exchange —
+    worth it when the left side is much larger than its matching subset
+    (the semi-join-pushdown shape). False positives only pass extra rows
+    to the (exact) Arrow join, so the result is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("inner", "left"):
@@ -237,6 +269,22 @@ def hash_join(
                                   "for the other patterns")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
+    if bloom_prune and how == "inner":
+        bloom = _build_bloom(right, keys)
+        bref = ray.put(bloom)
+        m_bits = len(bloom)
+
+        def prune(df: pd.DataFrame) -> pa.Table:
+            b = ray.get(bref)
+            h = stable_hash(df, keys)
+            ok = np.ones(len(df), dtype=bool)
+            for i in range(2):
+                idx = ((h >> np.uint64(i * 23)) % np.uint64(m_bits)
+                       ).astype(np.int64)
+                ok &= b[idx] == 1
+            return pa.Table.from_pandas(df[ok], preserve_index=False)
+
+        left = left.map_batches(prune, batch_format="pandas")
     exchange_dir = fresh_exchange_dir(exchange_dir)
     ldir, rdir = _partition_both(left, right, keys, keys, exchange_dir, num_buckets)
 

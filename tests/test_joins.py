@@ -270,3 +270,30 @@ class TestAsofJoin:
         g = got.sort_values("ev").reset_index(drop=True)
         w = want.sort_values("ev").reset_index(drop=True)
         assert (g.mark.to_numpy() == w.mark.to_numpy()).all()
+
+
+class TestBloomPrune:
+    def test_bloom_join_matches_plain(self, ray_session, tmp_path):
+        """Selective right side: bloom-pruned inner join must equal the
+        unpruned join exactly (false positives only add exchange rows,
+        never results)."""
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        rng = np.random.default_rng(31)
+        left = pd.DataFrame({"k": rng.integers(0, 100_000, 20_000),
+                             "x": rng.integers(0, 9, 20_000)})
+        right = pd.DataFrame({"k": rng.choice(100_000, 50, replace=False),
+                              "y": np.arange(50)})
+        plain = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on="k", exchange_dir=str(tmp_path / "p"),
+                          num_buckets=4).to_pandas()
+        pruned = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", exchange_dir=str(tmp_path / "b"),
+                           num_buckets=4, bloom_prune=True).to_pandas()
+        key = ["k", "x", "y"]
+        a = plain.sort_values(key).reset_index(drop=True)
+        b = pruned.sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a[key].to_numpy() == b[key].to_numpy()).all()
