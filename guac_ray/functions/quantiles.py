@@ -34,6 +34,7 @@ cap trips.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 
 import numpy as np
 import pandas as pd
@@ -118,8 +119,6 @@ def exact_quantiles(
             # — empirically pinned: p=0.55, n=100 → index 54, while a
             # double ceil gives 55). Fraction(str(p)) recovers the
             # decimal the caller wrote from the Python float.
-            from fractions import Fraction
-
             r = int(math.ceil(Fraction(str(p)) * n)) - 1
             r = min(max(r, 0), n - 1)
             i = int(np.searchsorted(cum, r, side="right"))

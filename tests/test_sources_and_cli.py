@@ -156,3 +156,56 @@ class TestCliQueries:
         flat = [n for lvl in plan["levels"] for n in lvl]
         assert flat.index("pkg:a") < flat.index("pkg:b") < flat.index("pkg:c")
         assert not plan["has_cycle"]
+
+
+class TestCliNewVerbs:
+    def test_query_requires_key_for_node_verbs(self, tmp_path):
+        # cmd_query directly (main() owns ray.shutdown, which would kill
+        # the shared test session); the key check fires before any Ray use
+        from guac_ray.__main__ import cmd_query
+
+        class A:
+            what, key, graph = "vulns", None, str(tmp_path)
+            num_cpus = None
+
+        assert cmd_query(A()) == 2
+
+    def test_pagerank_verb(self, ray_session, cli_edges, tmp_path):
+        # write the fixture edges out as a graph dir and run the verb path
+        import json
+
+        from guac_ray.__main__ import cmd_query
+
+        gdir = tmp_path / "graph"
+        cli_edges.write_parquet(str(gdir / "edges"))
+
+        class A:
+            what, key, graph = "pagerank", None, str(gdir)
+            num_cpus = None
+            depth, direction, preds = 10, "out", None
+            offset, limit, iters = 0, 3, 20
+
+        rc = cmd_query(A())
+        assert rc == 0
+
+    def test_simjoin_cli_empty_result_is_clean(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_simjoin
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["completely different words here",
+                     "nothing shared with the other"],
+        }), str(p))
+
+        class A:
+            documents = str(p)
+            id_col, text_col = "doc_id", "text"
+            threshold, ngram = 0.95, 10
+            num_cpus = None
+
+        rc = cmd_simjoin(A())
+        assert rc == 0
