@@ -7,7 +7,7 @@ code never calls ray.init.
     python -m guac_ray query  <graph_out_dir> vulns <pkg_key>
     python -m guac_ray query  <graph_out_dir> patch <node_key> [--depth N]
     python -m guac_ray query  <graph_out_dir> neighbors <node_key> [--direction out|in|both]
-    python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--depth ITERS]
+    python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--iters N]
     python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
 """
 

@@ -191,6 +191,13 @@ def _bucket_files(side_dir: str) -> dict[int, list[str]]:
     return out
 
 
+def _bloom_idx(h: np.ndarray, i: int, m_bits: int) -> np.ndarray:
+    """The i-th Bloom bit index for uint64 key hashes — the ONE place
+    the stride/modulus lives, shared by build and probe (a divergence
+    between the two silently drops matching join rows)."""
+    return ((h >> np.uint64(i * 23)) % np.uint64(m_bits)).astype(np.int64)
+
+
 def _build_bloom(ds: Dataset, keys: list[str], m_bits: int = 1 << 23,
                  k_hashes: int = 2) -> np.ndarray:
     """Bloom bitmap over the join keys of ``ds`` (byte-per-bit uint8 for
@@ -201,11 +208,9 @@ def _build_bloom(ds: Dataset, keys: list[str], m_bits: int = 1 << 23,
     bloom = np.zeros(m_bits, dtype=np.uint8)
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        idx = np.zeros(0, dtype=np.int64)
         h = stable_hash(df, keys)
-        for i in range(k_hashes):
-            idx = np.concatenate([idx, ((h >> np.uint64(i * 23))
-                                        % np.uint64(m_bits)).astype(np.int64)])
+        idx = np.concatenate([_bloom_idx(h, i, m_bits)
+                              for i in range(k_hashes)])
         return pa.table({"idx": pa.array(np.unique(idx))})
 
     for batch in ds.select_columns(keys).map_batches(
@@ -269,7 +274,10 @@ def hash_join(
                                   "for the other patterns")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
-    if bloom_prune and how == "inner":
+    if bloom_prune and how != "inner":
+        raise ValueError("bloom_prune only applies to inner joins — a left "
+                         "join must keep unmatched left rows")
+    if bloom_prune:
         bloom = _build_bloom(right, keys)
         bref = ray.put(bloom)
         m_bits = len(bloom)
@@ -278,10 +286,8 @@ def hash_join(
             b = ray.get(bref)
             h = stable_hash(df, keys)
             ok = np.ones(len(df), dtype=bool)
-            for i in range(2):
-                idx = ((h >> np.uint64(i * 23)) % np.uint64(m_bits)
-                       ).astype(np.int64)
-                ok &= b[idx] == 1
+            for i in range(2):  # k_hashes of the build above
+                ok &= b[_bloom_idx(h, i, m_bits)] == 1
             return pa.Table.from_pandas(df[ok], preserve_index=False)
 
         left = left.map_batches(prune, batch_format="pandas")

@@ -49,7 +49,11 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
     for name, spec in (ops or {}).items():
         if spec[0] == "row_number":
             fields.append((name, pa.int64()))
-        else:  # lag/lead/cumsum inherit the source column's type
+        elif spec[0] in ("lag", "lead") and pa.types.is_integer(types[spec[1]]):
+            # match the non-empty path: pandas shift introduces NaN, so
+            # integer sources come back as double there too
+            fields.append((name, pa.float64()))
+        else:  # cumsum / non-integer lag/lead inherit the source type
             fields.append((name, types[spec[1]]))
     return pa.schema(fields).empty_table()
 
