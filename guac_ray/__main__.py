@@ -9,6 +9,7 @@ code never calls ray.init.
     python -m guac_ray query  <graph_out_dir> neighbors <node_key> [--direction out|in|both]
     python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--iters N]
     python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
+    python -m guac_ray compact <in_dir> <out_dir> [--target-mb M] [--delete-inputs]
 """
 
 from __future__ import annotations
@@ -117,6 +118,16 @@ def cmd_simjoin(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ray_up(args.num_cpus)
+    from guac_ray.sources.compact import compact_parquet
+
+    print(json.dumps(compact_parquet(
+        args.in_dir, args.out_dir, target_mb=args.target_mb,
+        delete_inputs=args.delete_inputs)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -156,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=0.8)
     s.add_argument("--ngram", type=int, default=10)
     s.set_defaults(fn=cmd_simjoin)
+
+    c = sub.add_parser("compact",
+                       help="bin-pack small parquet files into ~target-MB "
+                            "files (deterministic, resumable)")
+    c.add_argument("in_dir")
+    c.add_argument("out_dir")
+    c.add_argument("--target-mb", type=int, default=256)
+    c.add_argument("--delete-inputs", action="store_true")
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -767,6 +767,54 @@ GROUP BY o_orderpriority
 """
 
 
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_returnflag", "l_linestatus"]
+
+
+def lineitem_profile(sf_dir: str):
+    """ANALYZE-style column profile (count / nulls / min / max per
+    column, values normalized to strings for a type-stable result) —
+    one per-batch partial pass + the two-phase grouped aggregate; the
+    widest table never leaves the workers. Exact for integer and string
+    columns (float/date formatting differs across engines, so those are
+    profiled via pytest, not the SQL oracle)."""
+    ds = _read(sf_dir, "lineitem", _PROFILE_COLS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        for c in _PROFILE_COLS:
+            v = t[c]
+            nn = v.null_count
+            vals = v.drop_null()
+            s = vals.cast(pa.string()) if len(vals) else None
+            import pyarrow.compute as pc
+
+            rows.append({
+                "column": c,
+                "n": t.num_rows,
+                "nnull": nn,
+                "mn": pc.min(s).as_py() if s is not None else None,
+                "mx": pc.max(s).as_py() if s is not None else None,
+            })
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["column"],
+        {"n": ("n", "sum"), "nnull": ("nnull", "sum"),
+         "mn": ("mn", "min"), "mx": ("mx", "max")},
+        num_buckets=2)
+
+
+LINEITEM_PROFILE_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, count(*) AS n, "
+    f"count(*) - count({c}) AS nnull, "
+    f"CAST(min(CAST({c} AS VARCHAR)) AS VARCHAR) AS mn, "
+    f"max(CAST({c} AS VARCHAR)) AS mx FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+
 def orders_rollup(sf_dir: str):
     """ROLLUP(status, priority): finest level aggregated distributed
     (two-phase fs exchange), coarser grouping-set levels derived from
@@ -2219,6 +2267,7 @@ SUITE: dict[str, tuple] = {
     "events_user_approx": (events_user_approx, None),
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "events_stratified_sample": (events_stratified_sample, EVENTS_STRATIFIED_SQL),
     "click_days_no_purchase": (click_days_no_purchase, CLICK_DAYS_SQL),
