@@ -10,6 +10,7 @@ code never calls ray.init.
     python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--iters N]
     python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
     python -m guac_ray compact <in_dir> <out_dir> [--target-mb M] [--delete-inputs]
+    python -m guac_ray curate <documents.parquet> <out_dir> [--threshold T]
 """
 
 from __future__ import annotations
@@ -128,6 +129,23 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.pipelines.curation import curate
+
+    docs = rd.read_parquet(args.documents, columns=["doc_id", "text"])
+    kept = curate(docs, min_tokens=args.min_tokens,
+                  neardup_threshold=args.threshold, shingle_n=args.ngram)
+    kept.write_parquet(args.out_dir)
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(args.out_dir).num_rows
+    print(json.dumps({"kept": n, "out_dir": args.out_dir}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -176,6 +194,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--target-mb", type=int, default=256)
     c.add_argument("--delete-inputs", action="store_true")
     c.set_defaults(fn=cmd_compact)
+
+    u = sub.add_parser("curate",
+                       help="quality filter + exact dedup + exact near-dup "
+                            "removal + split over a documents parquet")
+    u.add_argument("documents")
+    u.add_argument("out_dir")
+    u.add_argument("--threshold", type=float, default=0.8)
+    u.add_argument("--ngram", type=int, default=10)
+    u.add_argument("--min-tokens", type=int, default=20)
+    u.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -1,0 +1,142 @@
+"""End-to-end training-corpus curation — the canonical LLM-data
+pipeline, composed entirely from this engine's operators and (unusually
+for a curation pipeline) EXACTLY reproducible in SQL, because every
+stage is deterministic:
+
+    quality filter        integer-exact thresholds (token count,
+                          alpha-chars cross-multiplied — no float ratio)
+    exact dedup           keep min(doc_id) per md5(text)
+                          (functions/dedup.py:exact_dedup, two-phase)
+    near-dup removal      EXACT prefix-filtered Jaccard join
+                          (functions/simjoin.py) → connected components
+                          (min-label propagation) → keep each cluster's
+                          min id. No LSH miss probability anywhere.
+    split assignment      md5(doc_id) prefix — resume/backfill-stable
+
+Scale shape: the only all-to-all work is the operators' own exchanges;
+the quality filter is a pure map; the survivor re-join runs through the
+co-partitioned hash join; the set of near-dup LOSERS (non-min cluster
+members) is bounded by the pair count and broadcasts as an anti-join
+key set (swap for a hash join if a corpus is mostly duplicates).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+__all__ = ["curate"]
+
+_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
+
+
+def curate(
+    docs: Dataset,
+    min_tokens: int = 20,
+    min_alpha_pct: int = 60,
+    neardup_threshold: float = 0.8,
+    shingle_n: int = 10,
+    exchange_base: str | None = None,
+    num_buckets: int = 8,
+    components_driver_limit: int = 100_000,
+) -> Dataset:
+    """documents(doc_id, text) → kept (doc_id, split) after quality /
+    exact-dup / near-dup curation."""
+    import os
+
+    from guac_ray.functions.dedup import exact_dedup
+    from guac_ray.functions.joins import anti_join, default_exchange, hash_join
+    from guac_ray.functions.simjoin import jaccard_similarity_join
+
+    ex = exchange_base or default_exchange("curation")
+
+    def quality(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        keep = [
+            len(_TOKEN_RE.findall(x or "")) >= min_tokens
+            and len(_NON_ALPHA_RE.sub("", x or "")) * 100
+            >= min_alpha_pct * len(x or "")
+            for x in texts
+        ]
+        return t.filter(pa.array(keep))
+
+    q = docs.map_batches(quality, batch_format="pyarrow")
+
+    # exact dedup: survivors' ids, then re-attach text via the
+    # co-partitioned hash join (scale path; ids are one int column)
+    ids = exact_dedup(q).select_columns(["doc_id"])
+    survivors = hash_join(q, ids, on="doc_id",
+                          exchange_dir=os.path.join(ex, "dedup_join"),
+                          num_buckets=num_buckets)
+
+    pairs = jaccard_similarity_join(
+        survivors, threshold=neardup_threshold, shingle_n=shingle_n,
+        exchange_base=os.path.join(ex, "simjoin"), num_buckets=num_buckets)
+
+    # cluster the near-dup graph; drop every non-minimum member.
+    # Size-guarded (the engine's standard policy): a driver-small pair
+    # list clusters locally and anti-joins as a broadcast key set; a
+    # duplicate-heavy corpus takes the exchange-native components and a
+    # co-partitioned left join instead — no loser table on the driver.
+    n_pairs = pairs.count()
+    surv_ids = survivors.select_columns(["doc_id"])
+    if n_pairs == 0:
+        kept = surv_ids
+    elif n_pairs <= components_driver_limit:
+        from guac_ray.functions.dedup import connected_components
+
+        pair_df = pairs.select_columns(["da", "db"]).to_pandas()
+        label = connected_components(pair_df.rename(
+            columns={"da": "a", "db": "b"}))
+        losers = {n for n, root in label.items() if root != n}
+        kept = anti_join(surv_ids, losers, "doc_id")
+    else:
+        from guac_ray.functions.dedup import connected_components_ds
+
+        comp = connected_components_ds(
+            pairs.map_batches(
+                lambda t: t.rename_columns(["a", "b", "j"]),
+                batch_format="pyarrow").select_columns(["a", "b"]),
+            exchange_dir=os.path.join(ex, "components"),
+            num_buckets=num_buckets)
+
+        def loser_rows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.not_equal(t["doc_id"], t["root"])
+            t = t.filter(keep)
+            return pa.table({"doc_id": t["doc_id"],
+                             "_loser": pa.array([1] * t.num_rows,
+                                                type=pa.int8())})
+
+        losers_ds = comp.map_batches(loser_rows, batch_format="pyarrow")
+        joined = hash_join(surv_ids, losers_ds, on="doc_id", how="left",
+                           exchange_dir=os.path.join(ex, "anti"),
+                           num_buckets=num_buckets)
+
+        def keep_unmatched(df: pd.DataFrame) -> pa.Table:
+            out = df[df["_loser"].isna()][["doc_id"]]
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        kept = joined.map_batches(keep_unmatched, batch_format="pandas")
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        import numpy as np
+
+        ids_ = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        first = np.frombuffer(
+            b"".join(hashlib.md5(str(i).encode()).digest()[:1] for i in ids_),
+            dtype=np.uint8)
+        return pa.table({
+            "doc_id": pa.array(ids_),
+            "split": pa.array(np.where(first < 0xCC, "train", "test")),
+        })
+
+    return kept.map_batches(assign_split, batch_format="pyarrow")

@@ -1493,6 +1493,60 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 """
 
 
+def corpus_curation(sf_dir: str):
+    """The flagship TRAINING-DATA pipeline: quality filter → exact
+    dedup → EXACT near-dup removal (prefix-filtered Jaccard join +
+    connected components) → split assignment, composed end-to-end from
+    the engine's operators (pipelines/curation.py) — and, because every
+    stage is deterministic, reproduced exactly by one SQL statement
+    (recursive CTE for the components)."""
+    from guac_ray.pipelines.curation import curate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return curate(docs, exchange_base=_exchange("curation"), num_buckets=8)
+
+
+CORPUS_CURATION_SQL = """
+WITH RECURSIVE q AS (
+  SELECT doc_id, text FROM documents
+  WHERE coalesce(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0) >= 20
+    AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 100
+        >= 60 * length(text)
+),
+ded AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+surv AS (SELECT q.doc_id, q.text FROM q JOIN ded USING (doc_id)),
+docs3 AS (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+          FROM surv),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(
+                  generate_series(1, greatest(length(s) - 9, 1)),
+                  i -> substr(s, i, 10)))) AS g
+       FROM docs3),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (SELECT da, db FROM co
+          JOIN sz sa ON co.da = sa.doc_id
+          JOIN sz sb ON co.db = sb.doc_id
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+e2 AS (SELECT da AS a, db AS b FROM pairs
+       UNION ALL SELECT db AS a, da AS b FROM pairs),
+rr(node, lbl) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT e2.b, rr.lbl FROM rr JOIN e2 ON e2.a = rr.node WHERE rr.lbl < e2.b
+),
+roots AS (SELECT node, min(lbl) AS root FROM rr GROUP BY node)
+SELECT s.doc_id,
+       CASE WHEN substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train' ELSE 'test' END AS split
+FROM surv s JOIN roots r ON r.node = s.doc_id
+WHERE r.root = s.doc_id
+"""
+
+
 def doc_train_test_split(sf_dir: str):
     """Deterministic, engine-portable dataset split: a document's split
     is a pure function of md5(doc_id) — the first two hex chars compared
@@ -2250,6 +2304,7 @@ SUITE: dict[str, tuple] = {
     "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
+    "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),

@@ -1,0 +1,81 @@
+"""End-to-end corpus curation (pipelines/curation.py): quality filter,
+exact dedup, exact near-dup removal, split assignment."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _corpus():
+    good = ("the quick brown fox jumps over the lazy dog near the quiet "
+            "river bank every single morning before sunrise with friends")
+    near = good + " ok"  # tiny suffix: Jaccard ≈ 0.97 → near-dup of `good`
+    rows = [
+        (0, good),                      # cluster min — kept
+        (1, good),                      # exact dup of 0 — dropped
+        (2, near),                      # near-dup of 0 — dropped
+        (3, "1234 5678 !!! ???"),       # low alpha ratio — dropped
+        (4, "too few words"),           # too few tokens — dropped
+        (5, "completely different verbose sentence about distributed "
+            "dataflow engines busily shuffling arrow record batches "
+            "through filesystem exchanges forever and ever amen today"),  # kept (21 tokens)
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+        {"doc_id": "int64"})
+
+
+class TestCurate:
+    def test_stages_and_determinism(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import curate
+
+        df = _corpus()
+        out = curate(rd.from_pandas(df).repartition(2),
+                     neardup_threshold=0.8, shingle_n=10,
+                     exchange_base=str(tmp_path / "c1"),
+                     num_buckets=2).to_pandas()
+        assert sorted(out.doc_id) == [0, 5]
+        # rerun → identical output (deterministic end to end)
+        out2 = curate(rd.from_pandas(df).repartition(3),
+                      neardup_threshold=0.8, shingle_n=10,
+                      exchange_base=str(tmp_path / "c2"),
+                      num_buckets=2).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert (a.values == b.values).all()
+        assert set(out.split) <= {"train", "test"}
+
+    def test_exchange_components_path_matches_driver_path(
+            self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import curate
+
+        df = _corpus()
+        driver = curate(rd.from_pandas(df), shingle_n=10,
+                        exchange_base=str(tmp_path / "d"),
+                        num_buckets=2).to_pandas()
+        exchange = curate(rd.from_pandas(df), shingle_n=10,
+                          exchange_base=str(tmp_path / "e"),
+                          num_buckets=2,
+                          components_driver_limit=0).to_pandas()
+        assert sorted(driver.doc_id) == sorted(exchange.doc_id)
+
+    def test_no_neardups_all_kept(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import curate
+
+        rng = np.random.default_rng(5)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                 "golf", "hotel", "india", "juliet", "kilo", "lima"]
+        df = pd.DataFrame({
+            "doc_id": np.arange(30, dtype="int64"),
+            "text": [" ".join(rng.choice(words, 30, replace=True))
+                     for _ in range(30)],
+        })
+        out = curate(rd.from_pandas(df), neardup_threshold=0.95,
+                     exchange_base=str(tmp_path / "n"),
+                     num_buckets=2).to_pandas()
+        assert len(out) == 30
