@@ -113,7 +113,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-3 additions: banded range join, exact quantiles,
             # pivot, exact prefix-filtered similarity join
             "purchase_click_window", "events_value_quantiles",
-            "events_type_pivot", "simjoin_docs",
+            "events_type_pivot", "simjoin_docs", "corpus_curation",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]
