@@ -198,8 +198,14 @@ def _bloom_idx(h: np.ndarray, i: int, m_bits: int) -> np.ndarray:
     return ((h >> np.uint64(i * 23)) % np.uint64(m_bits)).astype(np.int64)
 
 
+# hash-function count shared by _build_bloom and the probe in hash_join —
+# a build/probe mismatch would leave bits unset and silently drop
+# matching rows from an inner join
+_BLOOM_K_HASHES = 2
+
+
 def _build_bloom(ds: Dataset, keys: list[str], m_bits: int = 1 << 23,
-                 k_hashes: int = 2) -> np.ndarray:
+                 k_hashes: int = _BLOOM_K_HASHES) -> np.ndarray:
     """Bloom bitmap over the join keys of ``ds`` (byte-per-bit uint8 for
     cheap vectorized membership tests). Partial bitmaps are OR-ed on the
     driver from a column-pruned streaming scan — the driver holds
@@ -286,7 +292,7 @@ def hash_join(
             b = ray.get(bref)
             h = stable_hash(df, keys)
             ok = np.ones(len(df), dtype=bool)
-            for i in range(2):  # k_hashes of the build above
+            for i in range(_BLOOM_K_HASHES):
                 ok &= b[_bloom_idx(h, i, m_bits)] == 1
             return pa.Table.from_pandas(df[ok], preserve_index=False)
 
@@ -379,17 +385,19 @@ def _banded_matches(
     (by, on)). Returns (left_idx, right_idx) pairs where
     ``lby[i] == rby[j]`` and ``lon[i]+lower <= ron[j] <= lon[i]+upper``.
 
-    The whole match is three ``np.searchsorted`` calls on a composite
-    ``rank*span + (on - min)`` encoding — no per-key Python loop, so a
-    bucket with millions of distinct keys costs the same as one key.
-    Falls back to a per-key loop only when the composite would overflow
-    int64 (astronomically wide ordinate domains) or ``on`` is float.
+    The whole match is a handful of ``np.searchsorted`` calls on a
+    DENSE-RANK composite: each right row encodes as
+    ``key_rank * span + ordinate_rank`` where ordinate_rank is the
+    position of ``on`` among the bucket's distinct ordinate values, so
+    ``span = n_distinct + 1`` regardless of the ordinate's numeric
+    domain — nanosecond timestamps over years encode as comfortably as
+    small ints, and the composite stays below int64 for any bucket under
+    ~3e9 rows. No per-key (let alone per-row) Python work on the
+    integer path; float ordinates take a per-left-row loop fallback
+    (rank arithmetic on float bounds is exact only to 2^53).
     """
     lon_i, ron_i = _as_i64(lon), _as_i64(ron)
     ukeys, rstart = np.unique(rby, return_index=True)
-    # the composite path needs EVERYTHING integral: float bounds would
-    # promote the int64 composites to float64 (exact only to 2^53) and
-    # silently corrupt large encodings — those take the loop fallback
     composite_ok = (
         np.issubdtype(np.asarray(lon_i).dtype, np.integer)
         and np.issubdtype(np.asarray(ron_i).dtype, np.integer)
@@ -398,25 +406,30 @@ def _banded_matches(
         and len(ron_i) > 0
     )
     if composite_ok:
-        m = int(ron_i.min())
-        span = int(ron_i.max()) - m + 2  # +2: room for the end-sentinel clip
-        composite_ok = (len(ukeys) + 1) * span < 2**62
+        rvals = np.unique(ron_i)  # sorted distinct ordinates
+        span = len(rvals) + 1  # ordinate ranks occupy [0, len(rvals)]
+        composite_ok = (len(ukeys) + 1) * span < 2**62  # ~never trips now
     if composite_ok:
         rank = np.searchsorted(ukeys, lby)
         valid = (rank < len(ukeys))
         valid[valid] &= ukeys[rank[valid]] == lby[valid]
         rank = np.where(valid, rank, 0).astype("int64")
+        # right rows arrive sorted by (by, on), so rcomp is nondecreasing
         rcomp = (
-            np.searchsorted(ukeys, rby).astype("int64") * span + (ron_i - m)
+            np.searchsorted(ukeys, rby).astype("int64") * span
+            + np.searchsorted(rvals, ron_i)
         )
-        qlo = rank * span + np.clip(lon_i + lower - m, 0, span - 1)
-        qhi = rank * span + np.clip(lon_i + upper - m, -1, span - 2)
+        # left-of-q_lo rank counts ordinates < q_lo; right-of-q_hi rank
+        # counts ordinates <= q_hi — both queried with side="left" on
+        # rcomp, which lands on the first element at-or-past that rank
+        qlo = rank * span + np.searchsorted(rvals, lon_i + lower, side="left")
+        qhi = rank * span + np.searchsorted(rvals, lon_i + upper, side="right")
         lo = np.searchsorted(rcomp, qlo, side="left")
-        hi = np.searchsorted(rcomp, qhi, side="right")
+        hi = np.searchsorted(rcomp, qhi, side="left")
         counts = np.where(valid, np.maximum(hi - lo, 0), 0)
     else:
-        # float ordinates / pathological domain: per-key slices, two
-        # searchsorteds per key (keys per bucket, not rows)
+        # float ordinates: per-LEFT-ROW loop, two searchsorteds per row —
+        # correct but slow; integer/datetime ordinates never come here
         slices = {k: (int(s), int(e)) for k, s, e in zip(
             ukeys, rstart, np.append(rstart[1:], len(rby)))}
         lo = np.zeros(len(lby), dtype="int64")

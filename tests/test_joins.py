@@ -218,6 +218,42 @@ class TestRangeJoin:
         want = _range_reference(left, right, "u", "t", -3, 3)
         assert set(zip(got.lid, got.rid)) == set(zip(want.lid, want.rid))
 
+    def test_ns_timestamps_many_keys_stay_vectorized(self):
+        """Regression for the dense-rank composite: ns-resolution
+        timestamps over a 30-day span with thousands of distinct keys
+        previously overflowed the value-range composite guard
+        ((keys+1)*span >= 2^62) and fell into the per-row Python loop.
+        Rank encoding keeps span = n_distinct_ordinates + 1, so this must
+        run the vectorized path (budgeted) and match brute force."""
+        import time
+
+        from guac_ray.functions.joins import _banded_matches
+
+        rng = np.random.default_rng(9)
+        n, keys = 30_000, 4000
+        base = pd.Timestamp("2024-01-01").value
+        span_ns = 30 * 24 * 3600 * 10**9  # 30 days in ns
+        lby = rng.integers(0, keys, n)
+        lon = base + rng.integers(0, span_ns, n)
+        rby = np.sort(rng.integers(0, keys, n))
+        ron = base + rng.integers(0, span_ns, n)
+        ron = np.concatenate([np.sort(ron[rby == k]) for k in np.unique(rby)])
+        lower, upper = -3_600 * 10**9, 3_600 * 10**9  # ±1h
+        t0 = time.time()
+        lidx, ridx = _banded_matches(lby, lon, rby, ron, lower, upper)
+        elapsed = time.time() - t0
+        got = set(zip(lidx.tolist(), ridx.tolist()))
+        want = set()
+        for k in np.unique(np.concatenate([lby, rby])):
+            lmask = np.flatnonzero(lby == k)
+            rmask = np.flatnonzero(rby == k)
+            for i in lmask:
+                ok = (ron[rmask] >= lon[i] + lower) & (ron[rmask] <= lon[i] + upper)
+                want.update((int(i), int(j)) for j in rmask[ok])
+        assert got == want
+        # the per-row loop takes >10s on 30k rows; the composite is ~ms
+        assert elapsed < 2.0
+
     def test_float_ordinate_fallback(self, ray_session, tmp_path):
         import ray.data as rd
 
