@@ -138,10 +138,13 @@ def cmd_curate(args) -> int:
     docs = rd.read_parquet(args.documents, columns=["doc_id", "text"])
     kept = curate(docs, min_tokens=args.min_tokens,
                   neardup_threshold=args.threshold, shingle_n=args.ngram)
-    kept.write_parquet(args.out_dir)
-    import pyarrow.parquet as pq
-
-    n = pq.read_table(args.out_dir).num_rows
+    # materialize once: count + write read the same blocks, and a
+    # zero-survivor corpus reports kept=0 instead of crashing on a
+    # parquet-less out_dir (Ray writes no files for an empty dataset)
+    kept = kept.materialize()
+    n = kept.count()
+    if n:
+        kept.write_parquet(args.out_dir)
     print(json.dumps({"kept": n, "out_dir": args.out_dir}))
     return 0
 

@@ -14,7 +14,9 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -28,9 +30,85 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "fingerprints",
+    "utf8_stats",
 ]
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
+
+# byte-class lookup tables for the zero-copy text scanner below
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _c in (b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+           b"abcdefghijklmnopqrstuvwxyz0123456789_"):
+    _WORD_LUT[_c] = True
+_ALPHA_LUT = np.zeros(256, dtype=bool)
+for _c in b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _ALPHA_LUT[_c] = True
+
+
+def _chunk_stats(a: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = len(a)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    odt = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=odt)[
+        a.offset:a.offset + n + 1].astype(np.int64)
+    dbuf = a.buffers()[2]
+    if dbuf is None or int(offs[-1]) == int(offs[0]):  # all-empty chunk
+        z = np.zeros(n, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    data = np.frombuffer(dbuf, dtype=np.uint8)
+    lo = int(offs[0])
+    d = data[lo:int(offs[-1])]
+    offs = offs - lo
+    w = _WORD_LUT[d]
+    starts = np.empty_like(w)
+    starts[0] = w[0]
+    np.logical_and(w[1:], ~w[:-1], out=starts[1:])
+    b, e = offs[:-1], offs[1:]
+    # segment sums via reduceat over EXPLICIT int64 views: numpy's
+    # bool-input accumulate/reduceat with a dtype= conversion runs an
+    # unbuffered casting inner loop that is ~100x slower than the
+    # astype + native-dtype reduceat pair (measured on this host)
+    idx = np.minimum(b, max(len(d) - 1, 0))
+    ntok = np.add.reduceat(starts.astype(np.int64), idx)
+    nalpha = np.add.reduceat(_ALPHA_LUT[d].astype(np.int64), idx)
+    ncont = np.add.reduceat(((d & 0xC0) == 0x80).astype(np.int64), idx)
+    # reduceat quirk: an empty segment (b == e) returns a[b], not 0
+    empty = b >= e
+    if empty.any():
+        ntok[empty] = 0
+        nalpha[empty] = 0
+        ncont[empty] = 0
+    # a string that BEGINS inside a global word run still starts a token
+    # of its own: global run-starts missed position offs[i] when the
+    # previous string's last byte was also a word byte
+    ii = np.flatnonzero(~empty & (b > 0))
+    if len(ii):
+        ntok[ii] += (w[b[ii]] & w[b[ii] - 1]).astype(np.int64)
+    nchars = (e - b) - ncont  # bytes minus UTF-8 continuations
+    return ntok, nalpha, nchars
+
+
+def utf8_stats(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(n_tokens, n_alpha_chars, n_chars) int64 arrays for a string
+    column, computed by byte-class lookup + cumulative sums DIRECTLY on
+    the Arrow UTF-8 buffers — no Python-object conversion, no regex.
+
+    Exact parity with the regex definitions (nulls count as empty):
+      n_tokens = len(re.findall(r"[A-Za-z0-9_]+", s))  — word bytes are
+        ASCII-only, and UTF-8 continuation/lead bytes are ≥ 0x80, so
+        byte runs == character runs;
+      n_alpha  = len(re.sub(r"[^A-Za-z]", "", s));
+      n_chars  = len(s)  — codepoints = non-continuation bytes.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        chunks = pc.fill_null(col, "").chunks
+    else:
+        chunks = [pc.fill_null(col, "")]
+    parts = [_chunk_stats(c) for c in chunks] or [_chunk_stats(
+        pa.array([], type=pa.string()))]
+    return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
 
 # tiny per-language trigram + stopword profiles for the heuristic
 # language-ID (public-knowledge frequency tables, hand-abridged)
@@ -44,17 +122,22 @@ _LANG_PROFILES: dict[str, set[str]] = {
 
 
 class TokenCounter:
-    """doc batch → (doc_id, n_tokens). Regex compiled once per actor."""
+    """doc batch → (doc_id, n_tokens). The default grammar takes the
+    zero-copy byte scanner (:func:`utf8_stats`); a custom pattern
+    compiles once per actor and falls back to the regex loop."""
 
     def __init__(self, pattern: str = TOKEN_RE):
+        self.default = pattern == TOKEN_RE
         self.pat = re.compile(pattern)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = [len(self.pat.findall(t or "")) for t in texts]
-        return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, type=pa.int64())}
-        )
+        if self.default:
+            n = pa.array(utf8_stats(batch["text"])[0], type=pa.int64())
+        else:
+            texts = batch["text"].to_pylist()
+            n = pa.array([len(self.pat.findall(t or "")) for t in texts],
+                         type=pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
 
 
 class QualityScorer:
@@ -64,24 +147,21 @@ class QualityScorer:
     to 4 so the float matches the SQL oracle bit-for-bit.
     """
 
-    def __init__(self):
-        self.tok = re.compile(TOKEN_RE)
-        self.alpha = re.compile(r"[^A-Za-z]")
-
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_tok, alpha_ratio = [], []
-        for t in texts:
-            t = t or ""
-            n_tok.append(len(self.tok.findall(t)))
-            alpha_ratio.append(
-                round(len(self.alpha.sub("", t)) / len(t), 4) if t else 0.0
-            )
+        ntok, nalpha, nchars = utf8_stats(batch["text"])
+        # counts are zero-copy-vectorized; the final round() stays
+        # Python's correctly-rounded decimal rounding (np.round's
+        # scale-round-unscale can differ at half-even boundaries, and
+        # the SQL oracle is pinned to the Python semantics)
+        alpha_ratio = [
+            round(a / c, 4) if c else 0.0
+            for a, c in zip(nalpha.tolist(), nchars.tolist())
+        ]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars": pa.array([len(t or "") for t in texts], type=pa.int64()),
-                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_chars": pa.array(nchars, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
                 "alpha_ratio": pa.array(alpha_ratio, type=pa.float64()),
             }
         )

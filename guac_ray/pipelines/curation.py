@@ -14,7 +14,9 @@ stage is deterministic:
     split assignment      md5(doc_id) prefix — resume/backfill-stable
 
 Scale shape: the only all-to-all work is the operators' own exchanges;
-the quality filter is a pure map; the survivor re-join runs through the
+the quality filter is a pure Arrow-kernel map (``count_substring_regex``
+/ ``utf8_length`` — every byte of the corpus transits this stage, so no
+Python-object conversion); the survivor re-join runs through the
 co-partitioned hash join; the set of near-dup LOSERS (non-min cluster
 members) is bounded by the pair count and broadcasts as an anti-join
 key set (swap for a hash join if a corpus is mostly duplicates).
@@ -22,17 +24,28 @@ key set (swap for a hash join if a corpus is mostly duplicates).
 
 from __future__ import annotations
 
-import re
-
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["curate"]
+__all__ = ["curate", "md5_first_byte"]
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
-_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
+
+def md5_first_byte(ids) -> "np.ndarray":
+    """First md5 digest byte per int id ('cc' on the hex prefix == 0xCC
+    on byte 0) — the deterministic split discipline shared by
+    ``curate`` and the suite's ``doc_train_test_split``. md5 has no
+    vectorized kernel, so the loop is reduced to ONE digest byte per
+    row; all column assembly stays in numpy."""
+    import hashlib
+
+    import numpy as np
+
+    return np.frombuffer(
+        b"".join(hashlib.md5(str(int(i)).encode()).digest()[:1] for i in ids),
+        dtype=np.uint8)
 
 
 def curate(
@@ -56,13 +69,14 @@ def curate(
     ex = exchange_base or default_exchange("curation")
 
     def quality(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        keep = [
-            len(_TOKEN_RE.findall(x or "")) >= min_tokens
-            and len(_NON_ALPHA_RE.sub("", x or "")) * 100
-            >= min_alpha_pct * len(x or "")
-            for x in texts
-        ]
+        # zero-copy byte scan over the Arrow UTF-8 buffers (no regex, no
+        # Python objects), integer-exact same thresholds as the SQL
+        # oracle: token count = [A-Za-z0-9_]+ runs; alpha ratio compared
+        # cross-multiplied so no float enters the filter
+        from guac_ray.functions.text import utf8_stats
+
+        ntok, nalpha, nchars = utf8_stats(t["text"])
+        keep = (ntok >= min_tokens) & (nalpha * 100 >= min_alpha_pct * nchars)
         return t.filter(pa.array(keep))
 
     q = docs.map_batches(quality, batch_format="pyarrow")
@@ -100,8 +114,8 @@ def curate(
 
         comp = connected_components_ds(
             pairs.map_batches(
-                lambda t: t.rename_columns(["a", "b", "j"]),
-                batch_format="pyarrow").select_columns(["a", "b"]),
+                lambda t: pa.table({"a": t["da"], "b": t["db"]}),
+                batch_format="pyarrow"),
             exchange_dir=os.path.join(ex, "components"),
             num_buckets=num_buckets)
 
@@ -126,14 +140,10 @@ def curate(
         kept = joined.map_batches(keep_unmatched, batch_format="pandas")
 
     def assign_split(t: pa.Table) -> pa.Table:
-        import hashlib
-
         import numpy as np
 
         ids_ = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
-        first = np.frombuffer(
-            b"".join(hashlib.md5(str(i).encode()).digest()[:1] for i in ids_),
-            dtype=np.uint8)
+        first = md5_first_byte(ids_)
         return pa.table({
             "doc_id": pa.array(ids_),
             "split": pa.array(np.where(first < 0xCC, "train", "test")),

@@ -1311,15 +1311,14 @@ def doc_quality(sf_dir: str):
 
     class IntQuality(QualityScorer):
         def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch["text"].to_pylist()
-            n_tok = [len(self.tok.findall(t or "")) for t in texts]
-            # ASCII-alpha char count == length after regexp_replace('[^A-Za-z]','')
-            n_alpha = [
-                sum(c.isascii() and c.isalpha() for c in (t or "")) for t in texts
-            ]
+            from guac_ray.functions.text import utf8_stats
+
+            # zero-copy byte scan; n_alpha (ASCII alpha chars) ==
+            # length after regexp_replace('[^A-Za-z]','') in the oracle
+            n_tok, n_alpha, n_chars = utf8_stats(batch["text"])
             return pa.table({
                 "doc_id": batch["doc_id"],
-                "n_chars": pa.array([len(t or "") for t in texts], type=pa.int64()),
+                "n_chars": pa.array(n_chars, type=pa.int64()),
                 "n_tokens": pa.array(n_tok, type=pa.int64()),
                 "n_alpha": pa.array(n_alpha, type=pa.int64()),
             })
@@ -1556,16 +1555,10 @@ def doc_train_test_split(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
-        import hashlib
+        from guac_ray.pipelines.curation import md5_first_byte
 
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
-        # md5 has no vectorized kernel; the loop is reduced to one digest
-        # byte per row ('cc' on the hex prefix == 0xCC on byte 0), with
-        # all column assembly in numpy/Arrow
-        first = np.frombuffer(
-            b"".join(hashlib.md5(str(i).encode()).digest()[:1] for i in ids),
-            dtype=np.uint8,
-        )
+        first = md5_first_byte(ids)
         return pa.table({
             "doc_id": pa.array(ids),
             "split": pa.array(np.where(first < 0xCC, "train", "test")),

@@ -55,3 +55,70 @@ class TestFingerprint:
         out = fp(_batch(["abc", "abd"]))
         a, b = out["fingerprint"].to_pylist()
         assert a != b
+
+
+class TestUtf8Stats:
+    """The zero-copy byte scanner must match the regex definitions
+    exactly — including unicode, empties, nulls, chunk slices, and
+    token runs touching string boundaries."""
+
+    def _reference(self, texts):
+        import re
+
+        tok = re.compile(r"[A-Za-z0-9_]+")
+        alpha = re.compile(r"[^A-Za-z]")
+        ntok = [len(tok.findall(t or "")) for t in texts]
+        nalpha = [len(alpha.sub("", t or "")) for t in texts]
+        nchars = [len(t or "") for t in texts]
+        return ntok, nalpha, nchars
+
+    def _check(self, texts, col):
+        from guac_ray.functions.text import utf8_stats
+
+        got = utf8_stats(col)
+        want = self._reference(texts)
+        for g, w in zip(got, want):
+            assert g.tolist() == w
+
+    def test_handwritten_edges(self):
+        import pyarrow as pa
+
+        texts = ["", None, "a", "_", "  ", "ab cd_ef", "tok", "a b",
+                 "héllo wörld", "日本語 text", "x" * 5000, "1+2=3",
+                 "ends_with_word", "word starts", "\n\t ok\n", "émoji 🎉 mix",
+                 "UPPER lower 123_456", "...", "_ _ _"]
+        self._check(texts, pa.chunked_array([pa.array(texts[:7], type=pa.string()),
+                                             pa.array(texts[7:], type=pa.string())]))
+        self._check(texts, pa.array(texts, type=pa.large_string()))
+        # sliced chunk (nonzero array offset into shared buffers)
+        arr = pa.array(texts)
+        self._check(texts[3:15], arr.slice(3, 12))
+
+    def test_boundary_runs_and_random(self):
+        import random
+
+        import pyarrow as pa
+
+        rng = random.Random(7)
+        alphabet = "ab_ 9.éß日🎉\t-"
+        texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+                 for _ in range(500)]
+        # adjacent word-final / word-initial strings (run across boundary)
+        texts += ["abc", "def", "ab ", " cd", "xy", "", "z"]
+        self._check(texts, pa.array(texts))
+
+    def test_quality_scorer_matches_old_loop(self, ray_session):
+        import pyarrow as pa
+
+        from guac_ray.functions.text import QualityScorer
+
+        texts = ["The quick brown fox", "", "1234 5678", "mixed é chars here",
+                 "a" * 300]
+        batch = pa.table({"doc_id": pa.array(range(len(texts))),
+                          "text": pa.array(texts)})
+        out = QualityScorer()(batch).to_pydict()
+        want = self._reference(texts)
+        assert out["n_tokens"] == want[0]
+        assert out["n_chars"] == want[2]
+        assert out["alpha_ratio"] == [
+            round(a / c, 4) if c else 0.0 for a, c in zip(want[1], want[2])]
