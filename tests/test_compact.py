@@ -67,5 +67,43 @@ class TestCompactParquet:
         assert pq.read_table(dst).num_rows == total
 
     def test_empty_dir_raises(self, ray_session, tmp_path):
+        os.makedirs(tmp_path / "empty_src")
         with pytest.raises(ValueError, match="no parquet files"):
-            compact_parquet(str(tmp_path), str(tmp_path / "o"))
+            compact_parquet(str(tmp_path / "empty_src"), str(tmp_path / "o"))
+
+    def test_out_dir_inside_in_dir_rejected(self, ray_session, tmp_path):
+        src = str(tmp_path / "src")
+        _write_small_files(src, n_files=2)
+        with pytest.raises(ValueError, match="inside in_dir"):
+            compact_parquet(src, os.path.join(src, "compacted"))
+
+    def test_crash_mid_delete_does_not_duplicate_rows(self, ray_session, tmp_path):
+        """The ADVICE scenario: group [A, B] committed, A removed, crash
+        before B's removal. The rerun must resume the persisted plan
+        (digest-skip the group) rather than re-pack the surviving B into
+        a new group and duplicate its rows."""
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        total = _write_small_files(src, n_files=6)
+        compact_parquet(src, dst, target_mb=1)
+        # simulate the partial post-commit deletion of a crashed
+        # delete_inputs run: some inputs gone, some survive
+        survivors = sorted(os.listdir(src))
+        for f in survivors[::2]:
+            os.remove(os.path.join(src, f))
+        res = compact_parquet(src, dst, target_mb=1, delete_inputs=True)
+        assert res["skipped"] == res["groups"]  # plan resumed, no rewrites
+        assert pq.read_table(dst).num_rows == total  # no duplicated rows
+        assert not [f for f in os.listdir(src) if f.endswith(".parquet")]
+
+    def test_new_files_extend_manifest(self, ray_session, tmp_path):
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        total = _write_small_files(src, n_files=4)
+        first = compact_parquet(src, dst, target_mb=1)
+        # new shards arrive; rerun compacts only them, old groups skip
+        extra = _write_small_files(os.path.join(src, "late"), n_files=3, seed=9)
+        res = compact_parquet(src, dst, target_mb=1)
+        assert res["skipped"] == first["groups"]
+        assert res["groups"] > first["groups"]
+        assert pq.read_table(dst).num_rows == total + extra
