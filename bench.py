@@ -107,13 +107,15 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         bench_queries = [
             "q1_pricing_summary", "q3_building_revenue", "top_customers",
             "events_hourly", "events_sliding", "exact_dedup_docs",
-            "doc_token_counts", "doc_fingerprints", "knn_brute",
+            "doc_quality", "doc_fingerprints", "knn_brute",
             "neardup_docs_minhash", "neardup_docs_simhash",
             "kg_tool_usage",
             # round-3 additions: banded range join, exact quantiles,
-            # pivot, exact prefix-filtered similarity join
+            # reshape roundtrip, exact prefix-filtered similarity join
             "purchase_click_window", "events_value_quantiles",
-            "events_type_pivot", "simjoin_docs", "corpus_curation",
+            "events_type_long", "simjoin_docs", "corpus_curation",
+            # round-4 additions: fused window family, quantized pagerank
+            "events_window_funcs", "kg_pagerank_top",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

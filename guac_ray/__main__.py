@@ -91,9 +91,9 @@ def cmd_query(args) -> int:
         from guac_ray.functions.pagerank import pagerank
 
         pr = pagerank(edges, max_iters=args.iters)
-        out = (pr.sort_values(["rank", "node_key"],
-                              ascending=[False, True])
-               .head(args.limit).reset_index(drop=True))
+        # top-k distributedly: the full rank table never hits the driver
+        out = (pr.sort(["rank", "node_key"], descending=[True, False])
+               .limit(args.limit).to_pandas())
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.what)
     print(out.to_json(orient="records", lines=True) if hasattr(out, "to_json")

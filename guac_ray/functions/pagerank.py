@@ -9,6 +9,17 @@ Algorithm: standard damped PageRank with dangling-mass redistribution,
 
 iterated until the L1 delta < ``tol`` or ``max_iters``.
 
+``quantize_scale`` switches the arithmetic to FIXED-POINT int64 (ranks
+are multiples of 1/scale; damping d = num/den exactly, divisions are
+floor divisions): integer addition is order-independent, so the result
+is bit-identical across any partitioning, summation order, or engine —
+which is what lets the suite's ``kg_pagerank_top`` carry a DuCKDB SQL
+oracle (the same unrolled integer recurrence) and be hash-checked like
+any relational query. Within O(iters · (num/scale)) of the real-valued
+ranks; with scale = 10^12 the quantization error is far below any
+ranking decision. Mass bound: total int mass ≤ scale, so num·scale ≤
+17e12 ≪ int64 — no overflow at any node count.
+
 Scale shape (the part that matters at 10⁹ edges):
   - the EDGE table is hash-partitioned by source into bucket files ONCE
     (plus one per-bucket pass to attach out-degrees — all edges of a
@@ -78,14 +89,25 @@ def pagerank(
     tol: float = 1e-9,
     exchange_base: str | None = None,
     num_buckets: int = 16,
-) -> pd.DataFrame:
+    quantize_scale: int | None = None,
+) -> Dataset:
     """PageRank of the (deduplicated) directed graph in ``edges`` →
-    pandas frame (node_key, rank). The rank table is assumed
-    driver-collectable at the END (one row per node, two columns — the
-    same contract as every top-k here); all iteration state lives in
-    the exchange."""
+    Dataset(node_key, rank). The returned Dataset reads the FINAL rank
+    bucket files straight from the exchange — nothing rank-sized ever
+    lands on the driver (take top-k with ``.sort(...).limit(k)``); all
+    iteration state lives in the exchange. With ``quantize_scale`` the
+    ranks are exact int64 fixed-point (see module docstring); integer
+    deltas make ``tol`` an exact-fixpoint early-stop (delta < 1 ⟺ 0),
+    so extra iterations past convergence are no-ops on both the engine
+    and the SQL-oracle side."""
     ex = fresh_exchange_dir(exchange_base or default_exchange("pagerank"))
     B = num_buckets
+    Q = quantize_scale
+    if Q is not None:
+        from fractions import Fraction
+
+        fr = Fraction(str(damping))
+        d_num, d_den = fr.numerator, fr.denominator
 
     # ---- setup job 1: distinct edges, bucketed by source ----
     def part_edges(df: pd.DataFrame) -> pa.Table:
@@ -122,7 +144,10 @@ def pagerank(
     ebuckets = sorted(int(p.rsplit("=", 1)[1])
                       for p in glob.glob(os.path.join(e0, "_bucket=*")))
     if not ebuckets:
-        return pd.DataFrame(columns=["node_key", "rank"])
+        return rd.from_arrow(pa.schema(
+            [("node_key", pa.string()),
+             ("rank", pa.int64() if Q is not None else pa.float64())]
+        ).empty_table())
     nodes_ds = rd.from_items([{"k": k} for k in ebuckets]).map_batches(
         build_adj, batch_format="pandas", batch_size=1)
 
@@ -149,7 +174,8 @@ def pagerank(
     def init_ranks(batch: pd.DataFrame) -> pa.Table:
         for k in batch["k"]:
             df = _read_bucket(nodes_dir, int(k), columns=["node_key"])
-            df["rank"] = 1.0 / n_total
+            df["rank"] = (np.int64(Q // n_total) if Q is not None
+                          else 1.0 / n_total)
             d = os.path.join(rank_dir, f"_bucket={k}")
             os.makedirs(d, exist_ok=True)
             pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
@@ -176,21 +202,28 @@ def pagerank(
                 if e is not None and r is not None:
                     m = e.merge(r, left_on="src", right_on="node_key",
                                 how="inner")
-                    w = m["rank"].to_numpy() / m["outdeg"].to_numpy()
+                    # quantized: floor-div per edge keeps everything
+                    # int64 and order-independent under summation
+                    if Q is not None:
+                        w = m["rank"].to_numpy() // m["outdeg"].to_numpy()
+                    else:
+                        w = m["rank"].to_numpy() / m["outdeg"].to_numpy()
                     part = (pd.DataFrame({"dst": m["dst"], "c": w})
                             .groupby("dst", sort=False)["c"].sum()
                             .reset_index())
                 else:
+                    cdtype = "int64" if Q is not None else "float64"
                     part = pd.DataFrame({"dst": pd.Series([], dtype=object),
-                                         "c": pd.Series([], dtype="float64")})
+                                         "c": pd.Series([], dtype=cdtype)})
                 # dangling mass: ranked nodes in this bucket with no
                 # out-edges (node-bucket == src-bucket by construction)
                 if r is not None:
                     srcs = set() if e is None else set(e["src"].unique())
-                    dang = float(r.loc[~r["node_key"].isin(srcs), "rank"].sum())
+                    dang = r.loc[~r["node_key"].isin(srcs), "rank"].sum()
+                    dang = int(dang) if Q is not None else float(dang)
                 else:
-                    dang = 0.0
-                if dang > 0.0:
+                    dang = 0 if Q is not None else 0.0
+                if dang > 0:
                     part = pd.concat(
                         [part, pd.DataFrame({"dst": [_DANGLING], "c": [dang]})],
                         ignore_index=True)
@@ -213,9 +246,12 @@ def pagerank(
             cdir, partition_cols=["_bucket"])
 
         # dangling scalar: the sentinel bucket holds ONLY sentinel rows
-        # (one per contributing task) — a driver read of a few floats
+        # (one per contributing task) — a driver read of a few scalars
         b0 = _read_bucket(cdir, B, columns=["dst", "c"])
-        dangling = 0.0 if b0 is None else float(b0["c"].sum())
+        if Q is not None:
+            dangling = 0 if b0 is None else int(b0["c"].sum())
+        else:
+            dangling = 0.0 if b0 is None else float(b0["c"].sum())
 
         # rank job: reduce contribs per node bucket, apply teleport +
         # dangling, write ranks_{it+1}, emit per-bucket L1 delta
@@ -229,11 +265,20 @@ def pagerank(
                 if c is not None:
                     c = c[c["dst"] != _DANGLING]
                     agg = c.groupby("dst", sort=False)["c"].sum()
-                    contrib_v = nodes["node_key"].map(agg).fillna(0.0).to_numpy()
+                    contrib_v = nodes["node_key"].map(agg).fillna(0)
                 else:
                     contrib_v = np.zeros(len(nodes))
-                rank = ((1.0 - damping) / n_total
-                        + damping * (contrib_v + dangling / n_total))
+                if Q is not None:
+                    # integer recurrence — mirrored exactly by the SQL
+                    # oracle: tele + (num*(contrib + dangling//N)) // den
+                    contrib_i = np.asarray(contrib_v, dtype="int64")
+                    tele = ((d_den - d_num) * Q) // (d_den * n_total)
+                    rank = tele + (
+                        d_num * (contrib_i + dangling // n_total)) // d_den
+                else:
+                    rank = ((1.0 - damping) / n_total
+                            + damping * (np.asarray(contrib_v, dtype="float64")
+                                         + dangling / n_total))
                 out = pd.DataFrame({"node_key": nodes["node_key"],
                                     "rank": rank})
                 d = os.path.join(ndir, f"_bucket={k}")
@@ -253,7 +298,12 @@ def pagerank(
         if float(deltas["delta"].sum()) < tol:
             break
 
-    final = pa.concat_tables([
-        pq.read_table(f)
-        for k in nbuckets for f in _files(os.path.join(cur, f"_bucket={k}"))])
-    return final.to_pandas().sort_values("node_key").reset_index(drop=True)
+    # finalize DISTRIBUTED: hand back a Dataset over the final rank
+    # bucket files (the exchange dir stays live for this process) — at
+    # 10^9 nodes the rank table never transits the driver; top-k goes
+    # through Dataset.sort(...).limit(k)
+    # columns= also drops the hive-inferred _bucket partition column
+    return rd.read_parquet(
+        [f for k in nbuckets
+         for f in _files(os.path.join(cur, f"_bucket={k}"))],
+        columns=["node_key", "rank"])

@@ -34,7 +34,7 @@ from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 
 __all__ = ["windowed", "keep_latest"]
 
-_OPS = ("lag", "lead", "row_number", "cumsum")
+_OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank")
 
 
 def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
@@ -47,7 +47,7 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
     fields = list(zip(sch.names, sch.types))
     types = dict(fields)
     for name, spec in (ops or {}).items():
-        if spec[0] == "row_number":
+        if spec[0] in ("row_number", "rank", "dense_rank"):
             fields.append((name, pa.int64()))
         elif spec[0] in ("lag", "lead") and pa.types.is_integer(types[spec[1]]):
             # match the non-empty path: pandas shift introduces NaN, so
@@ -67,17 +67,22 @@ def windowed(
     num_buckets: int = 16,
 ) -> Dataset:
     """SQL-window analog: for each output column name, ``ops`` maps to
-    ``("lag", col)`` / ``("lead", col)`` (offset 1, NULL at the edge),
-    ``("row_number",)`` (1-based within key, in ``order``), or
-    ``("cumsum", col)`` (inclusive running sum). Rows come back with all
-    original columns plus the window columns; row order is not
+    ``("lag", col[, k])`` / ``("lead", col[, k])`` (offset k, default 1,
+    NULL at the edge), ``("row_number",)`` (1-based within key, in
+    ``order``), ``("cumsum", col)`` (inclusive running sum), or
+    ``("rank",)`` / ``("dense_rank",)`` (SQL semantics over the full
+    ``order`` tuple: ties share a rank; rank leaves gaps, dense_rank
+    does not — both are functions of the order-key VALUE, so they are
+    deterministic even when the order tuple has ties). Rows come back
+    with all original columns plus the window columns; row order is not
     meaningful (as after any shuffle)."""
     by = [by] if isinstance(by, str) else list(by)
     order = [order] if isinstance(order, str) else list(order)
     for name, spec in ops.items():
         if spec[0] not in _OPS:
             raise ValueError(f"windowed: unknown op {spec[0]!r} for {name!r}")
-    src_cols = {spec[1] for spec in ops.values() if len(spec) > 1}
+    src_cols = {spec[1] for spec in ops.values()
+                if len(spec) > 1 and spec[0] in ("lag", "lead", "cumsum")}
     shadowed = set(ops) & (src_cols | set(by) | set(order))
     if shadowed:
         # an output name equal to a column another op reads would make
@@ -98,15 +103,29 @@ def windowed(
         # reads the live frame, so interleaving writes would feed one
         # op's output into another op that names the same source column
         new = {}
+        rn = tie_start = None
         for name, spec in ops.items():
             if spec[0] == "lag":
-                new[name] = g[spec[1]].shift(1)
+                new[name] = g[spec[1]].shift(spec[2] if len(spec) > 2 else 1)
             elif spec[0] == "lead":
-                new[name] = g[spec[1]].shift(-1)
+                new[name] = g[spec[1]].shift(-(spec[2] if len(spec) > 2 else 1))
             elif spec[0] == "row_number":
                 new[name] = (g.cumcount() + 1).astype("int64")
             elif spec[0] == "cumsum":
                 new[name] = g[spec[1]].cumsum()
+            elif spec[0] in ("rank", "dense_rank"):
+                if tie_start is None:
+                    # a row opens a new tie-run when ANY of (key, order)
+                    # differs from the previous sorted row
+                    prev_eq = (df[by + order] == df[by + order].shift())
+                    tie_start = ~prev_eq.all(axis=1)
+                    rn = (g.cumcount() + 1).astype("int64")
+                if spec[0] == "rank":
+                    # rank = row_number at the tie-run start, propagated
+                    new[name] = rn.where(tie_start).ffill().astype("int64")
+                else:
+                    new[name] = tie_start.astype("int64").groupby(
+                        [df[c] for c in by], sort=False).cumsum()
         for name, v in new.items():
             df[name] = v
         return pa.Table.from_pandas(df, preserve_index=False)

@@ -884,14 +884,11 @@ def events_stratified_sample(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
 
     def pick(t: pa.Table) -> pa.Table:
-        import hashlib
+        from guac_ray.pipelines.curation import md5_first_byte
 
         ids = t["event_id"].to_numpy(zero_copy_only=False).astype("int64")
         et = t["event_type"].to_numpy(zero_copy_only=False)
-        first = np.frombuffer(
-            b"".join(hashlib.md5(str(i).encode()).digest()[:1] for i in ids),
-            dtype=np.uint8,
-        )
+        first = md5_first_byte(ids)
         thr = np.select([et == "error", et == "purchase"],
                         [np.uint8(0x80), np.uint8(0x40)], np.uint8(0x0D))
         keep = first < thr
@@ -1012,6 +1009,36 @@ QUALIFY row_number() OVER (PARTITION BY event_type
 """
 
 
+def events_samples(sf_dir: str):
+    """Both deterministic sampling disciplines in one driver row,
+    union-tagged by method: per-stratum RATE sampling (md5-threshold,
+    resume/backfill-stable) and fixed-K per-stratum sampling (k smallest
+    md5 per type, per-batch partial top-k bounds the shuffle)."""
+
+    def tag(method):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "method": pa.array([method] * t.num_rows, type=pa.string()),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+            })
+        return f
+
+    rate = events_stratified_sample(sf_dir).map_batches(
+        tag("rate"), batch_format="pyarrow")
+    topk = events_sample_k_per_type(sf_dir).map_batches(
+        tag("topk"), batch_format="pyarrow")
+    return rate.union(topk)
+
+
+def EVENTS_SAMPLES_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT 'rate' AS method, event_id, event_type FROM ({EVENTS_STRATIFIED_SQL})
+UNION ALL
+SELECT 'topk' AS method, event_id, event_type FROM ({EVENTS_SAMPLE_K_SQL})
+"""
+
+
 def events_type_long(sf_dir: str):
     """Pivot→unpivot round trip: the wide per-user counts melted back to
     long (user_id, event_type, n), zero-count combinations dropped —
@@ -1035,58 +1062,77 @@ FROM events GROUP BY user_id, event_type
 """
 
 
-def events_running_total(sf_dir: str):
-    """Per-user running total of value ordered by (ts, event_id) —
-    window cumsum through the co-partitioned exchange. Both engines add
-    the same doubles in the same order, so the floats match exactly."""
+def events_window_funcs(sf_dir: str):
+    """The window-function family in ONE co-partitioned pass (one sort
+    per bucket computes every column — functions/window.py): per user
+    ordered by (ts, event_id): gap to previous event (lag; -1 for the
+    first event so the NULL never crosses engines), running total of
+    value (cumsum — both engines add the same doubles in the same
+    order), row_number, and a 3-row moving sum expressed as
+    value + lag1 + lag2 with explicit left-assoc float addition so the
+    doubles match the SQL bit-for-bit."""
     from guac_ray.functions.window import windowed
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     w = windowed(ev, by="user_id", order=["ts", "event_id"],
-                 ops={"running_value": ("cumsum", "value")},
-                 exchange_base=_exchange("window_cumsum"), num_buckets=8)
-    return w.select_columns(["event_id", "running_value"])
-
-
-EVENTS_RUNNING_SQL = """
-SELECT event_id,
-       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS running_value
-FROM events
-"""
-
-
-def events_gap_to_prev(sf_dir: str):
-    """Window-function family (lag): per user, microseconds since that
-    user's previous event (first events drop — both engines would
-    otherwise disagree on NULL int representation). Co-partitioned
-    per-key window through the fs exchange (functions/window.py)."""
-    from guac_ray.functions.window import windowed
-
-    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    w = windowed(ev, by="user_id", order=["ts", "event_id"],
-                 ops={"prev_ts": ("lag", "ts")},
-                 exchange_base=_exchange("window_lag"), num_buckets=8)
+                 ops={"prev_ts": ("lag", "ts"),
+                      "running_value": ("cumsum", "value"),
+                      "rn": ("row_number",),
+                      "l1": ("lag", "value"),
+                      "l2": ("lag", "value", 2)},
+                 exchange_base=_exchange("window_funcs"), num_buckets=8)
 
     def finish(df: pd.DataFrame) -> pa.Table:
-        df = df[df["prev_ts"].notna()]
         ts = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
         pv = df["prev_ts"].to_numpy().astype("datetime64[us]").view("int64")
+        gap = np.where(df["prev_ts"].notna(), ts - pv, -1)
+        mov3 = (df["value"].to_numpy()
+                + df["l1"].fillna(0.0).to_numpy()) + df["l2"].fillna(0.0).to_numpy()
         return pa.table({
             "event_id": pa.array(df["event_id"].to_numpy().astype("int64")),
-            "gap_us": pa.array(ts - pv),
+            "gap_us": pa.array(gap.astype("int64")),
+            "running_value": pa.array(df["running_value"].to_numpy()),
+            "rn": pa.array(df["rn"].to_numpy().astype("int64")),
+            "mov3": pa.array(mov3),
         })
 
     return w.map_batches(finish, batch_format="pandas")
 
 
-EVENTS_GAP_SQL = """
-SELECT event_id, epoch_us(ts) - epoch_us(prev_ts) AS gap_us
-FROM (SELECT event_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                 AS prev_ts
-      FROM events)
-WHERE prev_ts IS NOT NULL
+EVENTS_WINDOW_SQL = """
+SELECT event_id,
+       coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS gap_us,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       (value + coalesce(lag(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id), 0))
+        + coalesce(lag(value, 2) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id), 0) AS mov3
+FROM events
+"""
+
+
+def events_rank_dense(sf_dir: str):
+    """rank / dense_rank with SQL tie semantics: per user, events ranked
+    by event_type (a deliberately tie-rich order key — both ranks are
+    functions of the order-key VALUE, so the result is deterministic
+    and hash-checkable even though the physical tie order is not)."""
+    from guac_ray.functions.window import windowed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    w = windowed(ev, by="user_id", order=["event_type"],
+                 ops={"rk": ("rank",), "dr": ("dense_rank",)},
+                 exchange_base=_exchange("window_rank"), num_buckets=8)
+    return w.select_columns(["event_id", "rk", "dr"])
+
+
+EVENTS_RANK_SQL = """
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS rk,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS dr
+FROM events
 """
 
 
@@ -1246,19 +1292,6 @@ def exact_dedup_docs(sf_dir: str):
 EXACT_DEDUP_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
 
 
-def doc_token_counts(sf_dir: str):
-    from guac_ray.functions.text import token_counts
-
-    return token_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
-
-
-TOKEN_COUNTS_SQL = """
-SELECT doc_id,
-       CAST(coalesce(array_length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 0) AS BIGINT) AS n_tokens
-FROM documents
-"""
-
-
 def doc_top_bigrams(sf_dir: str, k: int = 20):
     """Corpus n-gram statistics (text-analysis family): top-k word
     bigrams. Shape: per-batch Counter partials (tokenization is
@@ -1376,23 +1409,13 @@ LIMIT 10
 """
 
 
-def knn_ivf_q0(sf_dir: str, k: int = 10):
-    """IVF-pruned approximate variant — rows-only check; recall vs brute
-    force asserted in pytest."""
-    from guac_ray.functions.ann import knn_ivf
-
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qvec = np.asarray(q[q.vec_id == 0].embedding.iloc[0], dtype=np.float64)
-    return knn_ivf(emb, [0], qvec[None, :], k=k, n_clusters=8, nprobe=4)
-
-
 def knn_ivf_full_q0(sf_dir: str, k: int = 10):
     """IVF with ``nprobe = n_clusters`` probes EVERY inverted list —
     exhaustive, so the result must equal exact brute force. This pins
     the IVF assign/score path against the same SQL oracle as
-    ``knn_brute`` (the pruned variant above stays rows-only; its recall
-    is pytest-bounded)."""
+    ``knn_brute`` (the PRUNED variant — nprobe < n_clusters — is
+    pytest-bounded on recall in tests/test_ann.py; its former SUITE
+    entry was rows-only and folded into this one)."""
     from guac_ray.functions.ann import knn_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1768,24 +1791,41 @@ def _corpus_edges(sf_dir: str):
     return g
 
 
-def kg_artifact_mentions(sf_dir: str):
-    g = _corpus_edges(sf_dir)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = batch.filter(pc.equal(batch["pred"], "mentions_artifact"))
-        return pa.table({"artifact_key": t["obj_key"]})
+def kg_mentions(sf_dir: str):
+    """Distinct mention targets across ALL THREE mention families
+    (artifact / vuln / package) in one pass over the assembled edge
+    table — the classifier-chain coverage of the former per-family
+    queries folded into a single driver row (family, ent_key). Distinct
+    via the engine's bucketed dedup (Ray's Unique aggregate trips over
+    mixed empty blocks at larger SFs)."""
+    import pyarrow.compute as pc
 
     from guac_ray.stages.assemble import dedup_exact
 
-    # distinct via the engine's bucketed dedup (Ray's Unique aggregate
-    # trips over mixed empty blocks at larger SFs)
+    g = _corpus_edges(sf_dir)
+    fams = ["mentions_artifact", "mentions_vuln", "mentions_package"]
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["pred"],
+                                  value_set=pa.array(fams)))
+        fam = pc.replace_substring(t["pred"], "mentions_", "")
+        return pa.table({"family": fam, "ent_key": t["obj_key"]})
+
     vals = dedup_exact(
         g["edges"].map_batches(pick, batch_format="pyarrow"),
-        ["artifact_key"], num_buckets=4,
+        ["family", "ent_key"], num_buckets=4,
     ).to_pandas()
-    return vals.sort_values("artifact_key").reset_index(drop=True)
+    return vals.sort_values(["family", "ent_key"]).reset_index(drop=True)
+
+
+def KG_MENTIONS_SQL(sf_dir: str) -> str:
+    return f"""
+SELECT 'artifact' AS family, artifact_key AS ent_key FROM ({KG_ARTIFACT_SQL(sf_dir)})
+UNION ALL
+SELECT 'vuln' AS family, vuln_key AS ent_key FROM ({KG_VULN_SQL(sf_dir)})
+UNION ALL
+SELECT 'package' AS family, pkg_key AS ent_key FROM ({KG_PACKAGE_SQL(sf_dir)})
+"""
 
 
 def KG_ARTIFACT_SQL(sf_dir: str) -> str:
@@ -1797,26 +1837,6 @@ SELECT DISTINCT lower(m) AS artifact_key FROM (
 """
 
 
-def kg_vuln_mentions(sf_dir: str):
-    g = _corpus_edges(sf_dir)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = batch.filter(pc.equal(batch["pred"], "mentions_vuln"))
-        return pa.table({"vuln_key": t["obj_key"]})
-
-    from guac_ray.stages.assemble import dedup_exact
-
-    # distinct via the engine's bucketed dedup (Ray's Unique aggregate
-    # trips over mixed empty blocks at larger SFs)
-    vals = dedup_exact(
-        g["edges"].map_batches(pick, batch_format="pyarrow"),
-        ["vuln_key"], num_buckets=4,
-    ).to_pandas()
-    return vals.sort_values("vuln_key").reset_index(drop=True)
-
-
 def KG_VULN_SQL(sf_dir: str) -> str:
     return f"""
 SELECT DISTINCT 'vuln://' || split_part(lower(m), '-', 1) || '/' || lower(m) AS vuln_key
@@ -1825,26 +1845,6 @@ FROM (
       '(?:[Cc][Vv][Ee]-[0-9]{{4}}-[0-9]{{4,}}|[Gg][Hh][Ss][Aa]-[0-9a-zA-Z]{{4}}-[0-9a-zA-Z]{{4}}-[0-9a-zA-Z]{{4,}})')) AS m
   FROM {_t(sf_dir)} WHERE {_VALID})
 """
-
-
-def kg_package_mentions(sf_dir: str):
-    g = _corpus_edges(sf_dir)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        t = batch.filter(pc.equal(batch["pred"], "mentions_package"))
-        return pa.table({"pkg_key": t["obj_key"]})
-
-    from guac_ray.stages.assemble import dedup_exact
-
-    # distinct via the engine's bucketed dedup (Ray's Unique aggregate
-    # trips over mixed empty blocks at larger SFs)
-    vals = dedup_exact(
-        g["edges"].map_batches(pick, batch_format="pyarrow"),
-        ["pkg_key"], num_buckets=4,
-    ).to_pandas()
-    return vals.sort_values("pkg_key").reset_index(drop=True)
 
 
 def KG_PACKAGE_SQL(sf_dir: str) -> str:
@@ -2209,19 +2209,68 @@ SELECT DISTINCT least(a, b) AS pkg_a, greatest(a, b) AS pkg_b FROM (
 """
 
 
+_PAGERANK_SCALE = 10**12
+_PAGERANK_ITERS = 10
+
+
 def kg_pagerank_top(sf_dir: str):
     """Top-20 nodes by PageRank over the assembled edge table —
     iterative dataflow on static exchange bucket files (edges shuffled
     once, only the rank table moves per round; functions/pagerank.py).
-    No SQL oracle (iterative fixpoint); pytest-verified against a local
-    dense power iteration."""
+    Runs in QUANTIZED fixed-point mode (int64 ranks, floor-div
+    recurrence): integer sums are order-independent, so the result is
+    bit-exact against the unrolled SQL recurrence in the DuckDB oracle
+    — an iterative-dataflow operator hash-checked like any relational
+    query. Finalize is distributed: top-k via Dataset sort+limit over
+    the final rank buckets, never the whole rank table on the driver."""
     from guac_ray.functions.pagerank import pagerank
 
     g = _corpus_edges(sf_dir)
     pr = pagerank(g["edges"], exchange_base=_exchange("pagerank"),
-                  num_buckets=8, max_iters=15)
-    return (pr.sort_values(["rank", "node_key"], ascending=[False, True])
-            .head(20).reset_index(drop=True))
+                  num_buckets=8, max_iters=_PAGERANK_ITERS,
+                  quantize_scale=_PAGERANK_SCALE)
+    return pr.sort(["rank", "node_key"], descending=[True, False]).limit(20)
+
+
+def KG_PAGERANK_SQL(sf_dir: str) -> str:
+    """The same fixed-point recurrence unrolled: rank_0 = Q//N;
+    rank_{i+1} = (3Q)//(20N) + (17*(Σ_in rank_i//outdeg + dang_i//N))//20
+    with d = 0.85 = 17/20 exactly (matches pagerank(quantize_scale=Q))."""
+    Q, K = _PAGERANK_SCALE, _PAGERANK_ITERS
+    # every r{i} is referenced twice by level i+1 (contribution join +
+    # dangling sum): AS MATERIALIZED is load-bearing — DuckDB's default
+    # CTE inlining would otherwise expand the chain 2^K times
+    parts = [f"""
+WITH edges0 AS MATERIALIZED (
+  SELECT DISTINCT subj_key AS src, obj_key AS dst
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+edges AS MATERIALIZED (
+  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
+nodes AS MATERIALIZED (
+  SELECT src AS node_key FROM edges0 UNION SELECT dst FROM edges0),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node_key, {Q} // nn.n AS rank FROM nodes, nn)"""]
+    for i in range(K):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0) // (SELECT n FROM nn) AS m
+  FROM r{i} WHERE node_key NOT IN (SELECT src FROM deg)),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.node_key,
+         (3 * {Q}) // (20 * (SELECT n FROM nn))
+         + (17 * (COALESCE(s.c, 0) + d{i}.m)) // 20 AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst, SUM(r.rank // e.outdeg) AS c
+             FROM edges e JOIN r{i} r ON r.node_key = e.src
+             GROUP BY e.dst) s ON s.dst = n.node_key
+  CROSS JOIN d{i}
+)""")
+    parts.append(f"""
+SELECT node_key, CAST(rank AS BIGINT) AS rank FROM r{K}
+ORDER BY rank DESC, node_key LIMIT 20""")
+    return "".join(parts)
 
 
 def kg_edge_pred_counts(sf_dir: str):
@@ -2281,55 +2330,19 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 
 
 # name → (ray callable, oracle SQL string / builder(sf_dir) / None)
+#
+# ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+# entries. The registry holds 53; it is ordered so that (a) every
+# kg_* operator — the north-star workload — leads, (b) every entry
+# with a SQL oracle sits inside the first 50, and (c) only the three
+# golden/pytest-bounded no-oracle queries (HLL sketch, heuristic
+# lang-id, media decode) sit past the cap, where the driver row would
+# have been rows-only anyway.
 SUITE: dict[str, tuple] = {
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
-    "q3_building_revenue": (q3_building_revenue, Q3_SQL),
-    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
-    "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
-    "part_type_stats": (part_type_stats, PART_TYPE_SQL),
-    "orders_per_status": (orders_per_status, ORDERS_STATUS_SQL),
-    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
-    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
-    "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
-    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
-    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
-    "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
-    "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
-    "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
-    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
-    "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
-    "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
-    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
-    "doc_token_counts": (doc_token_counts, TOKEN_COUNTS_SQL),
-    "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
-    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
-    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
-    "doc_lang_id": (doc_lang_id, None),
-    "knn_brute": (knn_brute_q0, KNN_SQL),
-    "knn_ivf": (knn_ivf_q0, None),
-    "knn_ivf_full": (knn_ivf_full_q0, KNN_SQL),
-    "neardup_docs_minhash": (neardup_docs_minhash, None),
-    "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
-    "neardup_docs_simhash": (neardup_docs_simhash, None),
-    "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
-    "events_user_approx": (events_user_approx, None),
-    "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
-    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
-    "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
-    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
-    "events_stratified_sample": (events_stratified_sample, EVENTS_STRATIFIED_SQL),
-    "click_days_no_purchase": (click_days_no_purchase, CLICK_DAYS_SQL),
-    "events_sample_k_per_type": (events_sample_k_per_type, EVENTS_SAMPLE_K_SQL),
-    "events_type_long": (events_type_long, EVENTS_TYPE_LONG_SQL),
-    "events_running_total": (events_running_total, EVENTS_RUNNING_SQL),
-    "events_gap_to_prev": (events_gap_to_prev, EVENTS_GAP_SQL),
-    "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
-    "media_decode": (media_decode, None),
+    # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
-    "kg_artifact_mentions": (kg_artifact_mentions, KG_ARTIFACT_SQL),
-    "kg_vuln_mentions": (kg_vuln_mentions, KG_VULN_SQL),
-    "kg_package_mentions": (kg_package_mentions, KG_PACKAGE_SQL),
+    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
     "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),
     "kg_certify_legal": (kg_certify_legal, KG_CERTIFY_LEGAL_SQL),
@@ -2338,7 +2351,50 @@ SUITE: dict[str, tuple] = {
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_pkg_equal": (kg_pkg_equal, KG_PKG_EQUAL_SQL),
-    "kg_pagerank_top": (kg_pagerank_top, None),
+    "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
+    # --- training-data / LLM pipeline operators ---
+    "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
+    "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
+    "knn_brute": (knn_brute_q0, KNN_SQL),
+    "knn_ivf_full": (knn_ivf_full_q0, KNN_SQL),
+    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
+    "doc_fingerprints": (doc_fingerprints, FINGERPRINT_SQL),
+    "neardup_docs_minhash": (neardup_docs_minhash, None),
+    "neardup_docs_simhash": (neardup_docs_simhash, None),
+    # --- relational core (TPC-H-ish) ---
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_building_revenue": (q3_building_revenue, Q3_SQL),
+    "q5_region_revenue": (q5_region_revenue, Q5_SQL),
+    "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
+    "part_type_stats": (part_type_stats, PART_TYPE_SQL),
+    "orders_per_status": (orders_per_status, ORDERS_STATUS_SQL),
+    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
+    "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
+    "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
+    "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
+    "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
+    "click_days_no_purchase": (click_days_no_purchase, CLICK_DAYS_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
+    # --- event streams: windows, samples, quantiles, reshape ---
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_sliding": (events_sliding, EVENTS_SLIDING_SQL),
+    "events_window_funcs": (events_window_funcs, EVENTS_WINDOW_SQL),
+    "events_rank_dense": (events_rank_dense, EVENTS_RANK_SQL),
+    "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
+    "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
+    "events_type_long": (events_type_long, EVENTS_TYPE_LONG_SQL),
+    "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
+    # --- past the driver's 50-entry cap: golden/pytest-bounded ---
+    "events_user_approx": (events_user_approx, None),
+    "doc_lang_id": (doc_lang_id, None),
+    "media_decode": (media_decode, None),
 }

@@ -50,7 +50,7 @@ class TestPagerank:
         df = _graph()
         got = pagerank(rd.from_pandas(df).repartition(4),
                        exchange_base=str(tmp_path / "pr"), num_buckets=4,
-                       max_iters=20)
+                       max_iters=20).to_pandas()
         want = _ref_pagerank(
             df.rename(columns={"subj_key": "src", "obj_key": "dst"}))
         m = got.merge(want, on="node_key", suffixes=("", "_ref"))
@@ -68,7 +68,7 @@ class TestPagerank:
         df = pd.DataFrame({"subj_key": ["a", "b", "c"],
                            "obj_key": ["b", "c", "a"]})
         got = pagerank(rd.from_pandas(df), exchange_base=str(tmp_path / "pr2"),
-                       num_buckets=2, max_iters=50, tol=1e-12)
+                       num_buckets=2, max_iters=50, tol=1e-12).to_pandas()
         assert np.allclose(got["rank"], 1 / 3)
 
     def test_empty_edges(self, ray_session, tmp_path):
@@ -79,5 +79,60 @@ class TestPagerank:
         df = pd.DataFrame({"subj_key": pd.Series([], dtype=str),
                            "obj_key": pd.Series([], dtype=str)})
         got = pagerank(rd.from_pandas(df), exchange_base=str(tmp_path / "pr3"),
-                       num_buckets=2)
+                       num_buckets=2).to_pandas()
         assert len(got) == 0
+
+
+def _ref_pagerank_quantized(edges: pd.DataFrame, Q=10**12, num=17, den=20,
+                            max_iters=10):
+    """Single-process integer reference of the exact fixed-point
+    recurrence (mirrors the SQL oracle)."""
+    e = edges.drop_duplicates(["src", "dst"])
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    out = np.zeros(N, dtype=np.int64)
+    for s in e.src:
+        out[idx[s]] += 1
+    r = np.full(N, Q // N, dtype=np.int64)
+    si = e.src.map(idx).to_numpy()
+    di = e.dst.map(idx).to_numpy()
+    for _ in range(max_iters):
+        contrib = np.zeros(N, dtype=np.int64)
+        np.add.at(contrib, di, r[si] // out[si])
+        dang = int(r[out == 0].sum())
+        r = ((den - num) * Q) // (den * N) + (num * (contrib + dang // N)) // den
+    return pd.DataFrame({"node_key": nodes, "rank": r})
+
+
+class TestPagerankQuantized:
+    def test_bit_exact_vs_integer_reference(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.pagerank import pagerank
+
+        df = _graph(seed=12)
+        got = pagerank(rd.from_pandas(df).repartition(4),
+                       exchange_base=str(tmp_path / "prq"), num_buckets=4,
+                       max_iters=10, quantize_scale=10**12).to_pandas()
+        want = _ref_pagerank_quantized(
+            df.rename(columns={"subj_key": "src", "obj_key": "dst"}))
+        m = got.merge(want, on="node_key", suffixes=("", "_ref"))
+        assert len(m) == len(want)
+        assert got["rank"].dtype == np.int64
+        assert (m["rank"] == m["rank_ref"]).all()  # BIT-exact, not close
+
+    def test_quantized_close_to_float(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.pagerank import pagerank
+
+        df = _graph(seed=5)
+        q = pagerank(rd.from_pandas(df), exchange_base=str(tmp_path / "prq2"),
+                     num_buckets=2, max_iters=20,
+                     quantize_scale=10**12).to_pandas()
+        f = _ref_pagerank(
+            df.rename(columns={"subj_key": "src", "obj_key": "dst"}),
+            max_iters=20, tol=0)
+        m = q.merge(f, on="node_key", suffixes=("_q", "_f"))
+        assert (np.abs(m["rank_q"] / 1e12 - m["rank_f"]) < 1e-9).all()

@@ -17,12 +17,13 @@ FAST = [
     "orders_per_status",
     "distinct_segments",
     "exact_dedup_docs",
-    "doc_token_counts",
     "doc_top_bigrams",
     "doc_quality",
     "doc_fingerprints",
     "knn_brute",
     "events_user_stats",
+    "events_rank_dense",
+    "events_samples",
 ]
 
 
