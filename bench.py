@@ -80,6 +80,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     # post-sort burst; ceiling leaves CPUs for shuffle tasks
     conc = (max(2, num_cpus // 2), max(2, num_cpus * 3 // 4))
     kg_sec = write_sec = float("inf")
+    kg_trials: list[float] = []
     n_edges = 0
     for _ in range(max(1, repeats)):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -94,13 +95,18 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         # write is timed separately — with the fs exchange, re-consuming
         # the edge dataset re-runs only the cheap per-bucket phase
         n_edges = g["edges"].count()
-        kg_sec = min(kg_sec, time.time() - t0)
+        kg_trials.append(round(time.time() - t0, 3))
+        kg_sec = min(kg_sec, kg_trials[-1])
         t0 = time.time()
         g["edges"].write_parquet(os.path.join(out_dir, "edges"))
         write_sec = min(write_sec, time.time() - t0)
 
     # ---- representative operator queries ----
-    qtimes = {}
+    # min-of-k with ALL raw trials reported: the shared host's
+    # deliverable CPU swings ~2x between windows (BASELINE.md), so the
+    # paired evidence must land in the bench record itself
+    qtimes: dict[str, float] = {}
+    qtrials: dict[str, list[float]] = {}
     if not kg_only:
         from guac_ray.pipelines.suite import SUITE
 
@@ -119,14 +125,15 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]
-            best = float("inf")
+            trials = []
             for _ in range(max(1, repeats)):
                 t0 = time.time()
                 res = fn(sf_dir)
                 if hasattr(res, "to_pandas"):
                     res.to_pandas()
-                best = min(best, time.time() - t0)
-            qtimes[name] = round(best, 3)
+                trials.append(round(time.time() - t0, 3))
+            qtimes[name] = min(trials)
+            qtrials[name] = trials
 
     ray.shutdown()
     return {
@@ -134,6 +141,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         "value": round(kg_sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        "queries_trials": qtrials,
+        "kg_trials": kg_trials,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": num_cpus,
         "turns": turns,

@@ -34,8 +34,24 @@ def _ray_up(num_cpus: int | None):
 
 def cmd_build(args) -> int:
     _ray_up(args.num_cpus)
-    from guac_ray.state.checkpoint import run_graph_job
+    from guac_ray.state.checkpoint import poll_graph_job, run_graph_job
 
+    if args.poll:
+        res = poll_graph_job(
+            args.transcripts, args.out,
+            catalog_path=args.catalog,
+            num_partitions=args.partitions,
+            interval_sec=args.interval,
+            max_polls=args.poll if args.poll > 0 else None,
+            idle_stop=args.idle_stop,
+        )
+        print(json.dumps({
+            "polls": res["polls"],
+            "assemblies": res["assemblies"],
+            "edges_dir": res["last"]["edges_dir"],
+            "partitions": len(res["last"]["partitions"]),
+        }))
+        return 0
     res = run_graph_job(
         args.transcripts, args.out,
         catalog_path=args.catalog,
@@ -162,6 +178,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--incremental", action="store_true",
                    help="stable file->partition assignment: reruns over a "
                         "grown input dir extract only new/changed shards")
+    b.add_argument("--poll", type=int, default=0, metavar="N",
+                   help="steady-state mode: poll the input dir up to N "
+                        "times (implies --incremental); unchanged polls "
+                        "are no-ops, new shards extract + reassemble")
+    b.add_argument("--interval", type=float, default=10.0,
+                   help="seconds between polls (with --poll)")
+    b.add_argument("--idle-stop", type=int, default=None, metavar="K",
+                   help="stop after K consecutive no-op polls")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="read-side queries over a built graph")

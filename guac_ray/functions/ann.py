@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 import ray
 from ray.data import Dataset
 
@@ -430,7 +432,7 @@ def embedding_neardup(
                 outs.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
         if not outs:
             return out_schema.empty_table()
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+        return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     schema=out_schema, preserve_index=False)
 
     import ray.data as rd

@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 from ray.data import Dataset
 
 from guac_ray.stages.assemble import dedup_exact
@@ -80,7 +82,7 @@ def exact_dedup(docs: Dataset, id_col: str = "doc_id", text_col: str = "text") -
              id_col: batch[id_col].to_pylist()}
         )
         out = df.groupby("h", sort=False)[id_col].min().reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     out = grouped_agg(
         docs.map_batches(partial, batch_format="pyarrow"),
@@ -254,7 +256,7 @@ def lsh_candidate_pairs(
             outs.append(pd.DataFrame({"a": ids[iu[0]], "b": ids[iu[1]]}))
         if not outs:
             return _pairs_schema.empty_table()
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.concat(outs, ignore_index=True).astype({"a": "int64", "b": "int64"}),
             schema=_pairs_schema, preserve_index=False)
 
@@ -489,7 +491,7 @@ def connected_components_ds(
                     d = os.path.join(msgs, f"_jb={j}")
                     os.makedirs(d, exist_ok=True)
                     pq.write_table(
-                        pa.Table.from_pandas(sub[["node", "label"]],
+                        table_from_pandas(sub[["node", "label"]],
                                              preserve_index=False),
                         os.path.join(d, f"from-{int(i):04d}.parquet"))
             return pa.table({"k": batch["k"].astype("int64")})
@@ -507,7 +509,7 @@ def connected_components_ds(
                 red = m.groupby("node", as_index=False).label.min()
                 d = os.path.join(nxt, f"_jb={int(i)}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(pa.Table.from_pandas(red, preserve_index=False),
+                pq.write_table(table_from_pandas(red, preserve_index=False),
                                os.path.join(d, "labels.parquet"))
                 ks.append(int(i))
                 sums.append(int(red.label.sum()))
@@ -714,7 +716,7 @@ def simhash_pairs(
                 ))
         if not outs:
             return _pairs_schema.empty_table()
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.concat(outs, ignore_index=True).astype(
                 {"a": "int64", "b": "int64", "hamming": "int64"}),
             schema=_pairs_schema, preserve_index=False)

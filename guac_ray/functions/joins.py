@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 import ray
 import ray.data as rd
 from ray.data import Dataset
@@ -94,7 +96,7 @@ def broadcast_join(
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
             out = df.merge(self.small, on=on, how=how)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return table_from_pandas(out, preserve_index=False)
 
     return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 4))
 
@@ -109,7 +111,7 @@ def semi_join(ds: Dataset, keys, col: str) -> Dataset:
 
     def f(df: pd.DataFrame) -> pa.Table:
         ks = ray.get(ref)
-        return pa.Table.from_pandas(df[df[col].isin(ks)], preserve_index=False)
+        return table_from_pandas(df[df[col].isin(ks)], preserve_index=False)
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -120,7 +122,7 @@ def anti_join(ds: Dataset, keys, col: str) -> Dataset:
 
     def f(df: pd.DataFrame) -> pa.Table:
         ks = ray.get(ref)
-        return pa.Table.from_pandas(df[~df[col].isin(ks)], preserve_index=False)
+        return table_from_pandas(df[~df[col].isin(ks)], preserve_index=False)
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -155,7 +157,7 @@ def _partition_both(
         def part(df: pd.DataFrame) -> pa.Table:
             df = df.copy()
             df["_jb"] = (stable_hash(df, keys) % num_buckets).astype("int64")
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return table_from_pandas(df, preserve_index=False)
         return part
 
     ldir = os.path.join(exchange_dir, "left")
@@ -294,7 +296,7 @@ def hash_join(
             ok = np.ones(len(df), dtype=bool)
             for i in range(_BLOOM_K_HASHES):
                 ok &= b[_bloom_idx(h, i, m_bits)] == 1
-            return pa.Table.from_pandas(df[ok], preserve_index=False)
+            return table_from_pandas(df[ok], preserve_index=False)
 
         left = left.map_batches(prune, batch_format="pandas")
     exchange_dir = fresh_exchange_dir(exchange_dir)
@@ -516,7 +518,7 @@ def range_join(
                 c if c + suffixes[1] not in rpart.columns else c + suffixes[0]
                 for c in lpart.columns]
             outs.append(pd.concat([lpart, rpart], axis=1))
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+        return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
 
     buckets = rd.from_items([{"k": k} for k in present])
@@ -564,7 +566,7 @@ def asof_join(
             # inner semantics: drop lefts with no as-of match
             m = m[m["_matched"].notna()].drop(columns=["_matched"])
             outs.append(m)
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+        return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
 
     buckets = rd.from_items([{"k": k} for k in present])

@@ -50,6 +50,8 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from guac_ray.arrowutil import table_from_pandas
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -114,7 +116,7 @@ def pagerank(
         out = pd.DataFrame({"src": df[src_col], "dst": df[dst_col]}
                            ).drop_duplicates()
         out["_bucket"] = _bucket_of(out["src"], B)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     e0 = os.path.join(ex, "edges0")
     edges.select_columns([src_col, dst_col]).map_batches(
@@ -134,11 +136,11 @@ def pagerank(
             df["outdeg"] = df.groupby("src", sort=False)["src"].transform("size")
             d = os.path.join(eadj, f"_bucket={k}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+            pq.write_table(table_from_pandas(df, preserve_index=False),
                            os.path.join(d, "part.parquet"))
             nodes.append(pd.DataFrame({
                 "node_key": pd.unique(pd.concat([df["src"], df["dst"]]))}))
-        return pa.Table.from_pandas(pd.concat(nodes, ignore_index=True),
+        return table_from_pandas(pd.concat(nodes, ignore_index=True),
                                     preserve_index=False)
 
     ebuckets = sorted(int(p.rsplit("=", 1)[1])
@@ -157,7 +159,7 @@ def pagerank(
     def part_nodes(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["_bucket"] = _bucket_of(df["node_key"], B)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     nodes_dir = os.path.join(ex, "nodes")
     dedup_exact(nodes_ds, ["node_key"], num_buckets=B).map_batches(
@@ -178,7 +180,7 @@ def pagerank(
                           else 1.0 / n_total)
             d = os.path.join(rank_dir, f"_bucket={k}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+            pq.write_table(table_from_pandas(df, preserve_index=False),
                            os.path.join(d, "part.parquet"))
         return pa.table({"k": pa.array(batch["k"], type=pa.int64())})
 
@@ -237,7 +239,7 @@ def pagerank(
             if not outs:
                 return pa.schema([("dst", pa.string()), ("c", pa.float64()),
                                   ("_bucket", pa.int64())]).empty_table()
-            return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+            return table_from_pandas(pd.concat(outs, ignore_index=True),
                                         preserve_index=False)
 
         all_k = sorted(set(ebuckets) | set(nbuckets))
@@ -283,13 +285,13 @@ def pagerank(
                                     "rank": rank})
                 d = os.path.join(ndir, f"_bucket={k}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                pq.write_table(table_from_pandas(out, preserve_index=False),
                                os.path.join(d, "part.parquet"))
                 prev = old.set_index("node_key")["rank"]
                 delta = float(np.abs(
                     out.set_index("node_key")["rank"] - prev).sum())
                 deltas.append({"k": int(k), "delta": delta})
-            return pa.Table.from_pandas(pd.DataFrame(deltas),
+            return table_from_pandas(pd.DataFrame(deltas),
                                         preserve_index=False)
 
         deltas = rd.from_items([{"k": k} for k in nbuckets]).map_batches(

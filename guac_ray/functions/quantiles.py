@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 from ray.data import Dataset
 
 from guac_ray.stages.groupagg import grouped_agg
@@ -136,7 +138,7 @@ def exact_quantiles(
         df["_qb"] = np.searchsorted(
             splitters, df[col].to_numpy(), side="right").astype("int64")
         out = df.merge(want, on=by + ["_qb"], how="inner")[by + ["_qb", col]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     cand = proj.map_batches(pick_candidates, batch_format="pandas").to_pandas()
     if len(cand) > candidate_cap:

@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 import ray
 import ray.data as rd
 from ray.data import Dataset
@@ -180,7 +182,7 @@ def jaccard_similarity_join(
             pdf = pdf.copy()
             pdf["_bucket"] = (stable_hash(pdf, [id_col]) % num_buckets
                               ).astype("int64")
-            return pa.Table.from_pandas(pdf, preserve_index=False)
+            return table_from_pandas(pdf, preserve_index=False)
 
         def prefix_reduce(t: pa.Table) -> pa.Table:
             pdf = t.to_pandas().sort_values([id_col, "df", "g"],
@@ -192,7 +194,7 @@ def jaccard_similarity_join(
             keep = pos < klen
             pdf = pdf.loc[keep, [id_col, "g", "nsh"]]
             pdf["pos"] = pos[keep]
-            return pa.Table.from_pandas(pdf, preserve_index=False)
+            return table_from_pandas(pdf, preserve_index=False)
 
         prefix = fs_exchange_reduce(
             with_df.map_batches(add_bucket, batch_format="pandas"),
@@ -270,7 +272,7 @@ def jaccard_similarity_join(
             "da": np.concatenate(out_a),
             "db": np.concatenate(out_b),
         }).drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     ghash = os.path.join(ex, "cand")
     # pair generation is the quadratic stage — give it its own, cluster-
@@ -284,7 +286,7 @@ def jaccard_similarity_join(
     def add_gbucket(pdf: pd.DataFrame) -> pa.Table:
         pdf = pdf.copy()
         pdf["_bucket"] = (stable_hash(pdf, ["g"]) % pair_buckets).astype("int64")
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        return table_from_pandas(pdf, preserve_index=False)
 
     cand = fs_exchange_reduce(
         prefix.map_batches(add_gbucket, batch_format="pandas"),

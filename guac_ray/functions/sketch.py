@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 from ray.data import Dataset
 
 __all__ = ["hll_fold", "hll_merge", "hll_estimate", "approx_ndistinct",
@@ -134,7 +136,7 @@ def approx_ndistinct_grouped(
         out = pd.DataFrame(keys, columns=key_cols)
         out["regs"] = blobs
         out["_bucket"] = (stable_hash(out, key_cols) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pa.Table:
         rows = []
@@ -142,7 +144,7 @@ def approx_ndistinct_grouped(
             est = hll_estimate(hll_merge(list(sub["regs"]), p))
             rows.append((k if isinstance(k, tuple) else (k,)) + (est,))
         out = pd.DataFrame(rows, columns=key_cols + [out_col])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pandas")

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
@@ -48,7 +50,7 @@ def sessionize(
     def bucket(df: pd.DataFrame) -> pa.Table:
         df = df[[user_col, ts_col, id_col, value_col]].copy()
         df["_b"] = (stable_hash(df, [user_col]) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
@@ -69,7 +71,7 @@ def sessionize(
         )
         out["n"] = out["n"].astype("int64")
         out["session_start"] = out["session_start"].astype("datetime64[us]")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     return (
         events.map_batches(bucket, batch_format="pandas")

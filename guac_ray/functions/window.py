@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 import ray.data as rd
 from ray.data import Dataset
 
@@ -94,7 +96,7 @@ def windowed(
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["_bucket"] = (stable_hash(df, by) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(by + order, kind="mergesort")
@@ -128,7 +130,7 @@ def windowed(
                         [df[c] for c in by], sort=False).cumsum()
         for name, v in new.items():
             df[name] = v
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     out = fs_exchange_reduce(
         ds.map_batches(add_bucket, batch_format="pandas"),
@@ -158,10 +160,10 @@ def keep_latest(
     def partial(df: pd.DataFrame) -> pa.Table:
         out = latest(df)  # drop_duplicates already returns a new frame
         out["_bucket"] = (stable_hash(out, by) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(latest(t.to_pandas()),
+        return table_from_pandas(latest(t.to_pandas()),
                                     preserve_index=False)
 
     out = fs_exchange_reduce(

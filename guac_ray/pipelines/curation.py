@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+
+from guac_ray.arrowutil import table_from_pandas
 import pyarrow.compute as pc
 
 from ray.data import Dataset
@@ -135,7 +137,7 @@ def curate(
 
         def keep_unmatched(df: pd.DataFrame) -> pa.Table:
             out = df[df["_loser"].isna()][["doc_id"]]
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return table_from_pandas(out, preserve_index=False)
 
         kept = joined.map_batches(keep_unmatched, batch_format="pandas")
 

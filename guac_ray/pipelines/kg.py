@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 
 import pyarrow as pa
+
+from guac_ray.arrowutil import table_from_pandas
 import pyarrow.compute as pc
 
 import ray.data as rd
@@ -86,7 +88,7 @@ def cluster_by_conversation(
     def part(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["_cb"] = (stable_hash(df, ["conv_id"]) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     ds.map_batches(part, batch_format="pandas").write_parquet(
         exchange_dir, partition_cols=["_cb"]
@@ -100,7 +102,7 @@ def cluster_by_conversation(
         for bdir in batch["bdir"]:
             df = pq.read_table(bdir, columns=TRANSCRIPT_COLUMNS).to_pandas()
             outs.append(df.sort_values(["conv_id", "turn_idx"], kind="mergesort"))
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.concat(outs, ignore_index=True), preserve_index=False
         )
 

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 import ray
 import ray.data as rd
 from ray.data import Dataset
@@ -38,7 +40,17 @@ def cents(x) -> np.ndarray:
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned read with the file's pandas footer metadata
+    stripped: pa.Schema with that metadata is unhashable, so every
+    worker-side block concat (actor-pool batching) would log a
+    "Failed to hash the schemas" warning per batch otherwise."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, schema=sch, columns=columns)
 
 
 def _bcast_df(sf_dir: str, table: str, columns: list[str]):
@@ -148,7 +160,7 @@ def _rc_sum_partial(key: str):
     task, so the join payload never re-enters the object store."""
     def f(t: pa.Table) -> pa.Table:
         g = t.to_pandas().groupby(key, sort=False)._rc.sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
     return f
 
 
@@ -175,7 +187,7 @@ def _q3_partitioned(sf_dir: str):
         def orders_f(df: pd.DataFrame) -> pa.Table:
             ks = ray.get(kref)
             d = df[(df.o_orderdate < cut) & df.o_custkey.isin(ks)]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 pd.DataFrame({"orderkey": d.o_orderkey}), preserve_index=False)
 
         okeys = _read(sf_dir, "orders",
@@ -184,12 +196,12 @@ def _q3_partitioned(sf_dir: str):
     else:
         def cust_f(df: pd.DataFrame) -> pa.Table:
             d = df[df.c_mktsegment == "BUILDING"]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 pd.DataFrame({"custkey": d.c_custkey}), preserve_index=False)
 
         def orders_all_f(df: pd.DataFrame) -> pa.Table:
             d = df[df.o_orderdate < cut]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
                 preserve_index=False)
 
@@ -204,7 +216,7 @@ def _q3_partitioned(sf_dir: str):
 
     def li_f(df: pd.DataFrame) -> pa.Table:
         d = df[df.l_shipdate > cut]
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.DataFrame({
                 "orderkey": d.l_orderkey,
                 "_rc": cents(d.l_extendedprice.to_numpy() * (1 - d.l_discount.to_numpy())),
@@ -314,7 +326,7 @@ def _q5_partitioned(sf_dir: str):
             names = d.o_custkey.map(cmap)
             out = pd.DataFrame({"orderkey": d.o_orderkey,
                                 "n_name": names}).dropna()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return table_from_pandas(out, preserve_index=False)
 
         oc = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
@@ -323,11 +335,11 @@ def _q5_partitioned(sf_dir: str):
         def cust_f(df: pd.DataFrame) -> pa.Table:
             nn = df.c_nationkey.map(nat_name)
             d = pd.DataFrame({"custkey": df.c_custkey, "n_name": nn}).dropna()
-            return pa.Table.from_pandas(d, preserve_index=False)
+            return table_from_pandas(d, preserve_index=False)
 
         def orders_all_f(df: pd.DataFrame) -> pa.Table:
             d = df[(df.o_orderdate >= lo) & (df.o_orderdate < hi)]
-            return pa.Table.from_pandas(
+            return table_from_pandas(
                 pd.DataFrame({"orderkey": d.o_orderkey, "custkey": d.o_custkey}),
                 preserve_index=False)
 
@@ -341,7 +353,7 @@ def _q5_partitioned(sf_dir: str):
                        ).select_columns(["orderkey", "n_name"])
 
     def li_f(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.DataFrame({
                 "orderkey": df.l_orderkey,
                 "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
@@ -436,7 +448,7 @@ def _top_customers_partitioned(sf_dir: str):
         return t.rename_columns(["orderkey", "custkey"])
 
     def li_f(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             pd.DataFrame({
                 "orderkey": df.l_orderkey,
                 "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
@@ -746,7 +758,7 @@ def priority_revenue_hashjoin(sf_dir: str):
             "o_orderpriority": df.o_orderpriority,
             "_rc": cents(df.l_extendedprice.to_numpy() * (1 - df.l_discount.to_numpy())),
         }).groupby("o_orderpriority", sort=False)._rc.sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     joined = hash_join(li, orders, on="orderkey", exchange_dir=ex,
                        partial_fn=partial_fn)
@@ -796,7 +808,7 @@ def lineitem_profile(sf_dir: str):
                 "mn": pc.min(s).as_py() if s is not None else None,
                 "mx": pc.max(s).as_py() if s is not None else None,
             })
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        return table_from_pandas(pd.DataFrame(rows), preserve_index=False)
 
     return grouped_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -978,21 +990,21 @@ def events_sample_k_per_type(sf_dir: str, k: int = 5):
         df = hashed(t)
         out = (df.sort_values(["event_type", "_h"], kind="mergesort")
                .groupby("event_type", sort=False).head(k))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     def final(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out = (df.sort_values(["event_type", "_h"], kind="mergesort")
                .groupby("event_type", sort=False).head(k)
                .drop(columns=["_h"]))
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df["_bucket"] = (stable_hash(df, ["event_type"]) % 4).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         add_bucket, batch_format="pandas")

@@ -31,6 +31,8 @@ import os
 
 import pandas as pd
 import pyarrow as pa
+
+from guac_ray.arrowutil import table_from_pandas
 import pyarrow.parquet as pq
 
 import ray.data as rd
@@ -124,7 +126,7 @@ def compact_parquet(
             os.replace(tmp, dest)  # atomic commit
             out.append({"gid": int(gid), "rows": t.num_rows,
                         "skipped": False})
-        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+        return table_from_pandas(pd.DataFrame(out), preserve_index=False)
 
     res = rd.from_items([{"gid": i} for i in range(len(groups))]).map_batches(
         work, batch_format="pandas", batch_size=1).to_pandas()

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from guac_ray.arrowutil import table_from_pandas
+
 from ray.data import Dataset
 
 from guac_ray.schemas import EDGE_IDENTITY
@@ -106,7 +108,7 @@ def dedup_exact(
     def local(df: pd.DataFrame) -> pa.Table:
         df = df[keep].drop_duplicates(subset=cols)
         df["_bucket"] = (stable_hash(df, cols) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     partials = ds.map_batches(local, batch_format="pandas")
 
@@ -115,7 +117,7 @@ def dedup_exact(
 
         def reduce_t(t: pa.Table) -> pa.Table:
             df = t.to_pandas().drop_duplicates(subset=cols)[keep]
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return table_from_pandas(df, preserve_index=False)
 
         out = fs_exchange_reduce(partials, default_exchange("dedup"),
                                  reduce_t, bucket_col="_bucket")
@@ -123,7 +125,7 @@ def dedup_exact(
             return out
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
+        return table_from_pandas(
             g.drop_duplicates(subset=cols)[keep], preserve_index=False
         )
 
@@ -211,7 +213,7 @@ def dedup_exact_fs(
     def local(df: pd.DataFrame) -> pa.Table:
         df = df[keep].drop_duplicates(subset=cols)
         df["_bucket"] = (stable_hash(df, cols) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     # NOTE: this write executes EAGERLY (phase 1 materializes to the
     # exchange before the returned Dataset is built)
@@ -227,7 +229,7 @@ def dedup_exact_fs(
         for bdir in batch["bdir"]:
             t = pq.read_table(bdir, columns=keep)
             outs.append(t.to_pandas().drop_duplicates(subset=cols)[keep])
-        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+        return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
 
     import ray.data as rd
@@ -283,7 +285,7 @@ def assemble_edges(
         df["justification"] = df["pred"].map(rules.JUSTIFICATION)
         df["origin"] = rules.ORIGIN
         df["collector"] = rules.COLLECTOR
-        return pa.Table.from_pandas(df[EDGE_IDENTITY], preserve_index=False)
+        return table_from_pandas(df[EDGE_IDENTITY], preserve_index=False)
 
     return ded.map_batches(refit, batch_format="pandas")
 

@@ -21,6 +21,8 @@ shuffle partition count in any MPP engine).
 
 from __future__ import annotations
 
+from guac_ray.arrowutil import table_from_pandas
+
 import pandas as pd
 
 from ray.data import Dataset
@@ -95,7 +97,7 @@ def grouped_agg(
                 pieces[o] = g[c].agg(_PARTIAL[f])
             out = pd.DataFrame(pieces).reset_index()
         out["_bucket"] = (stable_hash(out, keys) % num_buckets).astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     def final(g: pd.DataFrame) -> "pa.Table":
         gg = g.groupby(keys, sort=False, dropna=False)
@@ -106,7 +108,7 @@ def grouped_agg(
         for o in means:
             out[o] = out[f"_{o}_s"] / out[f"_{o}_n"]
             out = out.drop(columns=[f"_{o}_s", f"_{o}_n"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pandas")
     if use_exchange:

@@ -38,7 +38,8 @@ from guac_ray.pipelines.kg import extract_triples
 from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
 
 __all__ = ["partition_inputs", "partition_inputs_incremental",
-           "run_extract_partition", "run_graph_job", "resume_status"]
+           "run_extract_partition", "run_graph_job", "poll_graph_job",
+           "resume_status"]
 
 ENGINE_VERSION = "guac_ray-0.1.0"
 
@@ -254,6 +255,27 @@ def run_graph_job(
                 # assignment file persists across runs
                 if f.startswith("part-") and f.split(".")[0] not in current:
                     os.unlink(os.path.join(p, f))
+    # steady-state fast path: when every stage-A partition was a digest
+    # skip AND the assembled graph was built from exactly this plan, the
+    # whole job is a no-op (the poll loop's common case)
+    gpath = os.path.join(out_dir, "_ckpt", "graph.json")
+    graph_digest = hashlib.sha256(json.dumps(
+        sorted((m["part_id"], m["input_digest"]) for m in manifests)
+    ).encode()).hexdigest()[:16]
+    out_dirs = {k: os.path.join(out_dir, k)
+                for k in ("edges", "nodes", "identifiers")}
+    if all(m.get("skipped") for m in manifests) and os.path.exists(gpath):
+        with open(gpath) as f:
+            prev = json.load(f).get("graph_digest")
+        if prev == graph_digest and all(os.path.isdir(d) for d in out_dirs.values()):
+            return {
+                "partitions": manifests,
+                "skipped": len(manifests),
+                "assembled": False,
+                "edges_dir": out_dirs["edges"],
+                "nodes_dir": out_dirs["nodes"],
+                "identifiers_dir": out_dirs["identifiers"],
+            }
     raw = rd.read_parquet(sorted(
         os.path.join(raw_root, d, f)
         for d in current
@@ -296,16 +318,72 @@ def run_graph_job(
     rd.read_parquet(nodes_dir).map_batches(idents, batch_format="pyarrow").write_parquet(tmp)
     os.replace(tmp, ident_dir)
 
+    # commit point for the fast path above
+    with open(gpath + ".tmp", "w") as f:
+        json.dump({"graph_digest": graph_digest}, f)
+    os.replace(gpath + ".tmp", gpath)
+
     return {
         "partitions": manifests,
         "skipped": sum(1 for m in manifests if m.get("skipped")),
+        "assembled": True,
         "edges_dir": edges_dir,
         "nodes_dir": nodes_dir,
         "identifiers_dir": ident_dir,
     }
 
 
+def poll_graph_job(
+    transcripts_dir: str,
+    out_dir: str,
+    catalog_path: str | None = None,
+    num_partitions: int = 4,
+    num_buckets: int = 64,
+    interval_sec: float = 10.0,
+    max_polls: int | None = None,
+    idle_stop: int | None = None,
+    sleep_fn=time.sleep,
+) -> dict:
+    """Steady-state collection loop — the reference file collector's
+    poll mode (file.go:105-119: UseLastModified + poll interval)
+    re-expressed over the incremental partition assignment: every
+    ``interval_sec`` re-run :func:`run_graph_job(incremental=True)`.
+    Unchanged shards are manifest-digest no-ops; an unchanged PLAN skips
+    assembly entirely (graph.json fast path), so an idle poll costs a
+    directory listing and a digest. New/modified shards extract into
+    their own partitions and trigger one reassembly — the resulting
+    graph is always identical to a from-scratch rebuild (tested).
+
+    Stops after ``max_polls`` polls, or after ``idle_stop`` consecutive
+    polls that assembled nothing. ``sleep_fn`` is injectable for tests.
+    Returns {polls, assemblies, idle_streak, last}."""
+    polls = assemblies = idle = 0
+    last: dict | None = None
+    while True:
+        polls += 1
+        res = run_graph_job(
+            transcripts_dir, out_dir, catalog_path=catalog_path,
+            num_partitions=num_partitions, num_buckets=num_buckets,
+            incremental=True,
+        )
+        last = res
+        if res["assembled"]:
+            assemblies += 1
+            idle = 0
+        else:
+            idle += 1
+        if max_polls is not None and polls >= max_polls:
+            break
+        if idle_stop is not None and idle >= idle_stop:
+            break
+        sleep_fn(interval_sec)
+    return {"polls": polls, "assemblies": assemblies,
+            "idle_streak": idle, "last": last}
+
+
 def resume_status(out_dir: str) -> dict:
     ck = os.path.join(out_dir, "_ckpt")
-    done = sorted(f for f in os.listdir(ck)) if os.path.isdir(ck) else []
+    done = sorted(
+        f for f in os.listdir(ck) if f.startswith("part-")
+    ) if os.path.isdir(ck) else []
     return {"completed_partitions": len(done), "manifests": done}

@@ -27,6 +27,10 @@ from datetime import datetime, timedelta
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+from guac_ray.arrowutil import table_from_pandas
+import pyarrow.parquet as pq
 
 from guac_ray.canonical import (
     artifact_key,
@@ -47,7 +51,7 @@ BASE_TS = datetime(2026, 1, 1, 0, 0, 0)
 SEED = 42
 # bump when templates/pools/rules change: stale /tmp fixtures from an
 # older generator regenerate instead of silently mismatching the code
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5  # v5: transcript shards carry no pandas schema metadata
 
 EDGE_ID_COLS = [
     "subj_type", "subj_key", "pred", "obj_type", "obj_key",
@@ -334,13 +338,18 @@ def generate_corpus(
         "golden_enrich": os.path.join(out_dir, "golden", "enrich_edges.parquet"),
         "golden_turn_text": os.path.join(out_dir, "golden", "turn_text.parquet"),
     }
+    # the marker pins generator version AND parameters: a dir built for
+    # a different (n_convs, n_shards, seed) must rebuild, not be reused
+    want_params = {"n_convs": n_convs, "n_shards": n_shards, "seed": seed,
+                   "hot_frac": hot_frac, "conv_prefix": conv_prefix}
     if os.path.exists(marker) and not force:
         try:
             with open(marker) as fh:
-                ver = json.load(fh).get("corpus_version")
+                done = json.load(fh)
         except (OSError, json.JSONDecodeError):
-            ver = None
-        if ver == CORPUS_VERSION:
+            done = {}
+        if (done.get("corpus_version") == CORPUS_VERSION
+                and done.get("params") == want_params):
             return paths
         # stale generator output — rebuild from scratch
         import shutil as _sh
@@ -396,9 +405,12 @@ def generate_corpus(
     perm = rng.permutation(len(df))
     df = df.iloc[perm].reset_index(drop=True)
     for i, shard in enumerate(np.array_split(np.arange(len(df)), n_shards)):
-        df.iloc[shard].to_parquet(
-            os.path.join(paths["transcripts"], f"part-{i:04d}.parquet"), index=False
-        )
+        # strip the pandas schema metadata: pa.Schema with it is
+        # unhashable, and Ray Data's block-concat schema dedup logs a
+        # "Failed to hash the schemas" warning per worker otherwise
+        t = table_from_pandas(df.iloc[shard], preserve_index=False)
+        pq.write_table(t.replace_schema_metadata(None),
+                       os.path.join(paths["transcripts"], f"part-{i:04d}.parquet"))
 
     # ---- catalog ----
     cat_rows = []
@@ -492,7 +504,7 @@ def generate_corpus(
     with open(os.path.join(out_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     with open(marker, "w") as f:
-        json.dump({"ok": True, **stats}, f)
+        json.dump({"ok": True, "params": want_params, **stats}, f)
     return paths
 
 

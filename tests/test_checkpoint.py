@@ -138,3 +138,74 @@ class TestCheckpoint:
         os.utime(parts[0][0], (0, 0))
         m3 = run_extract_partition(0, parts[0], out)
         assert not m3["skipped"]
+
+
+class TestPollLoop:
+    def test_poll_extracts_new_shards_and_skips_idle(self, ray_session, tmp_path):
+        """Steady-state poll mode (reference file.go:105-119): the poll
+        sequence idle → grow → idle must (1) assemble on the first poll,
+        (2) no-op on an unchanged poll via the graph-digest fast path,
+        (3) extract ONLY the new shard when the dir grows, and (4) end
+        with a graph equal to a from-scratch rebuild."""
+        import shutil
+
+        from guac_ray.state.checkpoint import poll_graph_job, run_graph_job
+        from guac_ray.synth import generate_corpus
+
+        src = generate_corpus(str(tmp_path / "corpus"), n_convs=120, n_shards=3)
+        shards = sorted(
+            os.path.join(src["transcripts"], f)
+            for f in os.listdir(src["transcripts"])
+            if f.endswith(".parquet")
+        )
+        grow_dir = str(tmp_path / "grow")
+        os.makedirs(grow_dir)
+        for s in shards[:2]:
+            shutil.copy2(s, grow_dir)
+        out = str(tmp_path / "poll_out")
+
+        # the sleep hook doubles as the "external writer": the new shard
+        # lands between poll 2 (idle) and poll 3
+        polls_seen = []
+
+        def grower(_interval):
+            polls_seen.append(1)
+            if len(polls_seen) == 2:
+                shutil.copy2(shards[2], grow_dir)
+
+        res = poll_graph_job(
+            grow_dir, out, catalog_path=src["catalog"], num_partitions=2,
+            num_buckets=16, interval_sec=0, max_polls=4, sleep_fn=grower,
+        )
+        assert res["polls"] == 4
+        # poll 1 assembles (fresh), poll 2 no-ops, poll 3 assembles the
+        # grown dir, poll 4 no-ops again
+        assert res["assemblies"] == 2
+        assert res["idle_streak"] == 1
+        last = res["last"]
+        assert last["assembled"] is False and last["skipped"] == 3
+
+        full = run_graph_job(grow_dir, str(tmp_path / "full_out"),
+                             catalog_path=src["catalog"],
+                             num_partitions=3, num_buckets=16)
+        got = pd.read_parquet(last["edges_dir"])
+        want = pd.read_parquet(full["edges_dir"])
+        g = set(map(tuple, got[EDGE_IDENTITY].itertuples(index=False)))
+        w = set(map(tuple, want[EDGE_IDENTITY].itertuples(index=False)))
+        assert g == w and len(g) > 0
+
+    def test_poll_idle_stop(self, ray_session, tmp_path):
+        from guac_ray.state.checkpoint import poll_graph_job
+        from guac_ray.synth import generate_corpus
+
+        src = generate_corpus(str(tmp_path / "corpus2"), n_convs=40, n_shards=2)
+        out = str(tmp_path / "poll_out2")
+        res = poll_graph_job(
+            src["transcripts"], out, catalog_path=src["catalog"],
+            num_partitions=2, num_buckets=16, interval_sec=0,
+            idle_stop=2, sleep_fn=lambda _s: None,
+        )
+        # 1 assembling poll + 2 idle polls, then stop
+        assert res["polls"] == 3
+        assert res["assemblies"] == 1
+        assert res["idle_streak"] == 2

@@ -6,6 +6,7 @@ committed artifacts, not just derived ones)."""
 import os
 
 import pandas as pd
+import pytest
 
 REPO_GOLDEN = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "fixtures", "smoke", "golden")
@@ -32,6 +33,42 @@ class TestGoldenStability:
         fixtures_root = os.path.dirname(os.path.dirname(REPO_GOLDEN))
         want = pd.read_parquet(os.path.join(
             fixtures_root, "golden", "doc_lang_id_sf0.001.parquet"))
+        pd.testing.assert_frame_equal(got, want)
+
+    @pytest.mark.parametrize("name", [
+        "neardup_docs_minhash",
+        "neardup_docs_simhash",
+        "events_user_approx",
+        "media_decode",
+    ])
+    def test_no_oracle_query_matches_committed_golden(self, name, ray_session):
+        """The four no-SQL-oracle queries (LSH pair lists, HLL sketch,
+        stubbed media decode) are deterministic functions of the fixed
+        testdata, so a committed sf0.001 golden pins them exactly —
+        array columns are md5-normalized so the golden stays a flat
+        table. Any behavior drift in banding, hashing, register layout,
+        or the decode stub fails here."""
+        import hashlib
+
+        import numpy as np
+        import pytest
+
+        if not os.path.isdir("/root/testdata/sf0.001"):
+            pytest.skip("driver testdata not present")
+        from guac_ray.pipelines.suite import SUITE
+
+        fn, _ = SUITE[name]
+        res = fn("/root/testdata/sf0.001")
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        for c in df.columns:
+            if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda v: hashlib.md5(np.asarray(v).tobytes()).hexdigest())
+        cols = sorted(df.columns)
+        got = df[cols].sort_values(cols).reset_index(drop=True)
+        fixtures_root = os.path.dirname(os.path.dirname(REPO_GOLDEN))
+        want = pd.read_parquet(os.path.join(
+            fixtures_root, "golden", f"{name}_sf0.001.parquet"))
         pd.testing.assert_frame_equal(got, want)
 
     def test_generator_reproduces_committed_goldens(self, smoke_corpus):
