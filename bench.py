@@ -112,16 +112,18 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
 
         bench_queries = [
             "q1_pricing_summary", "q3_building_revenue", "top_customers",
-            "events_hourly", "events_sliding", "exact_dedup_docs",
-            "doc_quality", "doc_fingerprints", "knn_brute",
+            "events_windows", "exact_dedup_docs",
+            "doc_quality", "knn_search",
             "neardup_docs_minhash", "neardup_docs_simhash",
             "kg_tool_usage",
             # round-3 additions: banded range join, exact quantiles,
             # reshape roundtrip, exact prefix-filtered similarity join
             "purchase_click_window", "events_value_quantiles",
             "events_type_long", "simjoin_docs", "corpus_curation",
-            # round-4 additions: fused window family, quantized pagerank
+            # round-4 additions: fused window family, quantized pagerank,
+            # full outer hash join, sketch+verify heavy hitters, tf-idf
             "events_window_funcs", "kg_pagerank_top",
+            "events_customer_outer", "kg_heavy_tools", "doc_tfidf",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -256,7 +256,12 @@ def hash_join(
         across several tasks — correct for inner/left joins because each
         left row joins only against the full right bucket, so probe-side
         memory is bounded independently of bucket size and a skewed
-        bucket fans out instead of serializing on one task.
+        bucket fans out instead of serializing on one task. FULL OUTER
+        joins run one task per bucket instead: emitting a right row as
+        unmatched requires having seen the WHOLE left bucket, so a split
+        probe would duplicate right-unmatched rows (bucket memory for
+        outer ≈ (left+right)/num_buckets — raise ``num_buckets`` to
+        shrink it).
       - ``partial_fn`` (pa.Table → pa.Table) runs inside each reduce
         task on its join output — fuse the downstream per-batch PARTIAL
         aggregate here so the join payload never re-enters the object
@@ -276,15 +281,15 @@ def hash_join(
     to the (exact) Arrow join, so the result is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if how not in ("inner", "left"):
-        raise NotImplementedError("hash_join implements inner and left joins; "
-                                  "use broadcast_join / semi_join / anti_join "
-                                  "for the other patterns")
+    if how not in ("inner", "left", "outer"):
+        raise NotImplementedError("hash_join implements inner, left and full "
+                                  "outer joins; use broadcast_join / semi_join "
+                                  "/ anti_join for the other patterns")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
     if bloom_prune and how != "inner":
-        raise ValueError("bloom_prune only applies to inner joins — a left "
-                         "join must keep unmatched left rows")
+        raise ValueError("bloom_prune only applies to inner joins — a left/"
+                         "outer join must keep unmatched rows")
     if bloom_prune:
         bloom = _build_bloom(right, keys)
         bref = ray.put(bloom)
@@ -309,28 +314,35 @@ def hash_join(
     # inner: only buckets present on BOTH sides can produce rows — pruning
     # also keeps every output block non-empty (no schema-less placeholders).
     # left: every left bucket must emit its rows, matched or not.
-    present = (
-        sorted(lfiles.keys() & rfiles.keys()) if how == "inner"
-        else sorted(lfiles.keys())
-    )
-    # for left joins a right-side-empty bucket still needs the right
-    # columns WITH their dtypes — capture the right schema once (from
-    # the exchange files, or from the Dataset when right wrote nothing)
-    right_schema: pa.Schema | None = None
-    if how == "left":
-        if rfiles:
-            f0 = next(iter(rfiles.values()))[0]
-            right_schema = pq.read_schema(f0)
-        else:
-            rsch = right.schema()
-            if rsch is not None:
-                right_schema = pa.schema(
-                    [(n, t) for n, t in zip(rsch.names, rsch.types)
-                     if n != "_jb"])
+    # outer: every bucket on EITHER side emits rows.
+    if how == "inner":
+        present = sorted(lfiles.keys() & rfiles.keys())
+    elif how == "left":
+        present = sorted(lfiles.keys())
+    else:
+        present = sorted(lfiles.keys() | rfiles.keys())
 
-    # one task per (bucket, probe-file chunk): chunk by footer row counts
+    def _side_schema(files: dict[int, list[str]], ds: Dataset) -> pa.Schema | None:
+        """Schema for a side that may be empty in some (or all) buckets,
+        so empty placeholders keep the column dtypes."""
+        if files:
+            return pq.read_schema(next(iter(files.values()))[0])
+        sch = ds.schema()
+        if sch is not None:
+            return pa.schema(
+                [(n, t) for n, t in zip(sch.names, sch.types) if n != "_jb"])
+        return None
+
+    right_schema = _side_schema(rfiles, right) if how in ("left", "outer") else None
+    left_schema = _side_schema(lfiles, left) if how == "outer" else None
+
+    # one task per (bucket, probe-file chunk): chunk by footer row counts.
+    # outer joins never split a bucket's probe side (see docstring).
     tasks: list[dict] = []
     for k in present:
+        if how == "outer":
+            tasks.append({"k": k, "lfiles": lfiles.get(k, [])})
+            continue
         chunk: list[str] = []
         rows = 0
         for f in lfiles[k]:
@@ -342,27 +354,37 @@ def hash_join(
         if chunk:
             tasks.append({"k": k, "lfiles": chunk})
 
-    join_type = "inner" if how == "inner" else "left outer"
+    join_type = {"inner": "inner", "left": "left outer",
+                 "outer": "full outer"}[how]
 
     def join_task(batch: pd.DataFrame) -> pa.Table:
         outs = []
-        for k, files in zip(batch["k"], batch["lfiles"]):
-            lt = pa.concat_tables([pq.read_table(f) for f in files])
+        for k, lspec in zip(batch["k"], batch["lfiles"]):
+            files = lspec.split("\n") if lspec else []
             rfs = rfiles.get(int(k))
-            if rfs:
-                rt = pa.concat_tables([pq.read_table(f) for f in rfs])
-            elif right_schema is not None:
-                rt = right_schema.empty_table()
-            else:  # right side entirely empty: key columns only
-                rt = pa.schema(
-                    [(c, lt.schema.field(c).type) for c in keys]).empty_table()
+            rt = (pa.concat_tables([pq.read_table(f) for f in rfs])
+                  if rfs else None)
+            if len(files):
+                lt = pa.concat_tables([pq.read_table(f) for f in files])
+            elif left_schema is not None:  # outer, right-only bucket
+                lt = left_schema.empty_table()
+            else:  # left side entirely empty + schema-less: keys from right
+                lt = pa.schema(
+                    [(c, rt.schema.field(c).type) for c in keys]).empty_table()
+            if rt is None:
+                if right_schema is not None:
+                    rt = right_schema.empty_table()
+                else:  # right side entirely empty: key columns only
+                    rt = pa.schema(
+                        [(c, lt.schema.field(c).type) for c in keys]).empty_table()
             j = lt.join(rt, keys=keys, join_type=join_type,
                         left_suffix=suffixes[0], right_suffix=suffixes[1],
                         use_threads=False)
             outs.append(partial_fn(j) if partial_fn is not None else j)
         return pa.concat_tables(outs)
 
-    buckets = rd.from_items([{"k": t["k"], "lfiles": t["lfiles"]} for t in tasks])
+    buckets = rd.from_items(
+        [{"k": t["k"], "lfiles": "\n".join(t["lfiles"])} for t in tasks])
     return buckets.map_batches(join_task, batch_format="pandas", batch_size=1)
 
 

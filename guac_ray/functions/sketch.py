@@ -26,7 +26,7 @@ from guac_ray.arrowutil import table_from_pandas
 from ray.data import Dataset
 
 __all__ = ["hll_fold", "hll_merge", "hll_estimate", "approx_ndistinct",
-           "approx_ndistinct_grouped"]
+           "approx_ndistinct_grouped", "heavy_hitters"]
 
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -151,3 +151,78 @@ def approx_ndistinct_grouped(
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def heavy_hitters(
+    ds: Dataset,
+    col: str,
+    k: int,
+    num_buckets: int = 16,
+    candidate_cap: int = 5_000_000,
+) -> Dataset:
+    """EXACT heavy hitters — items whose count strictly exceeds
+    ``total_rows / k`` — in two streaming passes (the sketch-then-verify
+    discipline; cf. Misra–Gries 1982 / space-saving summaries).
+
+    Pass 1 (candidate sketch): each batch emits the items whose BATCH
+    count exceeds ``batch_rows / k`` — at most k-1 items per batch, via
+    one vectorized ``value_counts`` — plus a row carrying the batch row
+    count. Pigeonhole guarantee: if ``count(x)·k > Σ nᵢ`` then
+    ``countᵢ(x)·k > nᵢ`` for at least one batch i, so the union of
+    per-batch candidates is a SUPERSET of every true heavy hitter (the
+    converse doesn't hold — locally-hot items are pruned by pass 2).
+
+    Pass 2 (exact verify): the deduped candidate set is broadcast once
+    (``ray.put``; size-guarded by ``candidate_cap`` — it is bounded by
+    (k-1)·num_batches but in practice vocabulary-sized), the input is
+    re-scanned with a candidate filter, and exact grouped counts keep
+    items with ``count·k > total``. All comparisons are integer —
+    the result equals ``GROUP BY col HAVING count(*)*k > total`` —
+    at the cost of two column-pruned scans and a candidate-sized
+    (not corpus-sized) shuffle. Item values are returned as STRINGS
+    (the sketch normalizes through str for dtype-generic set
+    membership).
+    """
+    import ray
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    if k < 2:
+        raise ValueError("k must be >= 2 (threshold = total/k)")
+
+    def sketch(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        vc = df[col].value_counts()
+        cand = vc[vc.to_numpy() * k > n]
+        items = cand.index.astype(str).tolist()
+        return pa.table({
+            "item": pa.array(items + [None], type=pa.string()),
+            "rows": pa.array([0] * len(items) + [n], type=pa.int64()),
+        })
+
+    summary = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pandas").to_pandas()
+    total = int(summary["rows"].sum())
+    cands = set(summary["item"].dropna())
+    if len(cands) > candidate_cap:
+        raise ValueError(
+            f"candidate set ({len(cands)}) exceeds candidate_cap "
+            f"({candidate_cap}); raise the cap or lower k")
+    cref = ray.put(frozenset(cands))
+
+    def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df[col].astype(str).isin(ray.get(cref))]
+        g = keep[col].astype(str).value_counts().reset_index()
+        g.columns = [col, "_n"]
+        return g
+
+    agg = grouped_agg(
+        ds.select_columns([col]).map_batches(exact_partial, batch_format="pandas"),
+        [col], {"n": ("_n", "sum")}, num_buckets=num_buckets,
+    )
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n"].to_numpy() * k > total]
+        return pd.DataFrame({col: out[col], "n": out["n"].astype("int64")})
+
+    return agg.map_batches(threshold, batch_format="pandas")

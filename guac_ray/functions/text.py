@@ -31,6 +31,7 @@ __all__ = [
     "lang_id",
     "fingerprints",
     "utf8_stats",
+    "tfidf_top_terms",
 ]
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
@@ -230,3 +231,91 @@ def lang_id(docs: Dataset, concurrency: int = 2) -> Dataset:
 
 def fingerprints(docs: Dataset, concurrency: int = 2) -> Dataset:
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=concurrency)
+
+
+def tfidf_top_terms(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    scale: int = 1_000_000,
+    vocab_cap: int = 20_000_000,
+    num_buckets: int = 8,
+    concurrency=2,
+) -> Dataset:
+    """Per-document top-k terms by FIXED-POINT tf-idf.
+
+    Scoring is integer-exact so any engine reproduces it bit-for-bit:
+    ``score_fp = tf * scale // df`` (tf = term count in the doc, df =
+    number of docs containing the term) — floor division on int64, no
+    float log/division anywhere. Ranking is (score_fp DESC, term ASC).
+    Tokens are lowercased whitespace splits (same grammar as the bigram
+    oracle — expressible in DuckDB for exact checking).
+
+    Shape: pass 1 computes the document-frequency table — per-batch
+    (term, partial-df) rows (one per DISTINCT term per doc, so the
+    shuffle is vocabulary×blocks, never token-scale) → ``grouped_agg``
+    → one vocabulary-sized dict broadcast via ``ray.put``
+    (size-guarded by ``vocab_cap``; beyond it, route through
+    ``hash_join`` on term + a doc-keyed regroup instead). Pass 2
+    re-scans the docs: a document is ONE ROW, so its whole term
+    multiset is batch-local and the per-doc top-k needs NO shuffle —
+    each batch emits ≤ top_k rows per doc directly.
+    """
+    import heapq
+    from collections import Counter
+
+    import pandas as pd
+    import ray
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            c.update(set((txt or "").lower().split()))
+        return pa.table({
+            "term": pa.array(list(c.keys()), type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    df_tab = grouped_agg(
+        docs.select_columns([text_col]).map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], {"df": ("cnt", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(df_tab) > vocab_cap:
+        raise ValueError(
+            f"vocabulary ({len(df_tab)}) exceeds vocab_cap ({vocab_cap}); "
+            "use the hash_join-on-term path for ultra-wide vocabularies")
+    dref = ray.put(dict(zip(df_tab["term"], df_tab["df"].astype(int))))
+
+    class Scorer:
+        def __init__(self):
+            self.df = ray.get(dref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, terms, tfs, dfs, scores = [], [], [], [], []
+            for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+                c = Counter((txt or "").lower().split())
+                if not c:
+                    continue
+                best = heapq.nsmallest(
+                    top_k,
+                    ((-(tf * scale // self.df[w]), w, tf) for w, tf in c.items()),
+                )
+                for negscore, w, tf in best:
+                    ids.append(did)
+                    terms.append(w)
+                    tfs.append(tf)
+                    dfs.append(self.df[w])
+                    scores.append(-negscore)
+            return pa.table({
+                id_col: pa.array(ids, type=t.schema.field(id_col).type),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "doc_freq": pa.array(dfs, type=pa.int64()),
+                "score_fp": pa.array(scores, type=pa.int64()),
+            })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency)

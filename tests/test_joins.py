@@ -80,7 +80,47 @@ class TestJoins:
         gm, wm = g[g.y.notna()], w[w.y.notna()]
         assert (gm.y.to_numpy() == wm.y.to_numpy()).all()
 
-    def test_hash_join_full_outer_not_implemented(self, ray_session, tmp_path):
+    def test_hash_join_full_outer_matches_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(200)
+        # unmatched rows on BOTH sides: drop some keys from each
+        left = left[left.k % 3 != 0]        # right-only keys appear
+        right = right[right.k % 5 != 0]     # left-only keys appear
+        got = hash_join(
+            rd.from_pandas(left).repartition(4),
+            rd.from_pandas(right).repartition(2),
+            on="k", exchange_dir=str(tmp_path / "oj"), num_buckets=8, how="outer",
+        ).to_pandas()
+        want = left.merge(right, on="k", how="outer")
+        g = got.sort_values(["k", "x", "y"], na_position="last").reset_index(drop=True)
+        w = want.sort_values(["k", "x", "y"], na_position="last").reset_index(drop=True)
+        assert len(g) == len(w)
+        # both directions of unmatchedness must survive
+        assert g.x.isna().sum() == w.x.isna().sum() > 0
+        assert g.y.isna().sum() == w.y.isna().sum() > 0
+        pd.testing.assert_frame_equal(g[w.columns], w, check_dtype=False)
+
+    def test_hash_join_right_only_bucket_and_empty_left(self, ray_session, tmp_path):
+        """Outer join where entire buckets (and then the entire left
+        side) have no left rows still emits the right rows."""
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left = pd.DataFrame({"k": [1], "x": [7]})
+        right = pd.DataFrame({"k": np.arange(50), "y": np.arange(50) * 2})
+        got = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k",
+            exchange_dir=str(tmp_path / "ro"), num_buckets=8, how="outer",
+        ).to_pandas()
+        want = left.merge(right, on="k", how="outer")
+        assert len(got) == len(want) == 50
+        assert got.x.notna().sum() == 1
+
+    def test_hash_join_rejects_unknown_how(self, ray_session, tmp_path):
         import ray.data as rd
 
         from guac_ray.functions.joins import hash_join
@@ -88,7 +128,7 @@ class TestJoins:
         left, right = _sides(100)
         with pytest.raises(NotImplementedError):
             hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
-                      exchange_dir=str(tmp_path / "x"), how="outer")
+                      exchange_dir=str(tmp_path / "x"), how="right")
 
     def test_semi_anti_partition(self, ray_session):
         import ray.data as rd

@@ -69,3 +69,51 @@ class TestDistributed:
         for g in ("a", "b", "c"):
             rel = abs(out.loc[g, "approx_n"] - exact[g]) / exact[g]
             assert rel < 0.05, (g, out.loc[g, "approx_n"], exact[g])
+
+
+class TestHeavyHitters:
+    def _zipfish(self, n=20000, seed=7):
+        rng = np.random.default_rng(seed)
+        # one dominant item, a mid tier, and a long uniform tail
+        vals = np.concatenate([
+            np.repeat("hot", n // 2),
+            np.repeat(["warm1", "warm2"], n // 10),
+            rng.integers(0, 5000, n - n // 2 - 2 * (n // 10)).astype(str),
+        ])
+        rng.shuffle(vals)
+        return pd.DataFrame({"v": vals})
+
+    def test_matches_exact_groupby(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import heavy_hitters
+
+        df = self._zipfish()
+        for k in (3, 8, 50):
+            got = heavy_hitters(
+                rd.from_pandas(df).repartition(8), "v", k=k
+            ).to_pandas().sort_values("v").reset_index(drop=True)
+            vc = df.v.value_counts()
+            want = vc[vc * k > len(df)].rename_axis("v").reset_index(name="n")
+            want = want.sort_values("v").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_no_hitters_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import heavy_hitters
+
+        uniform = pd.DataFrame({"v": np.arange(5000).astype(str)})
+        got = heavy_hitters(rd.from_pandas(uniform).repartition(4), "v", k=10).to_pandas()
+        assert len(got) == 0
+        with pytest.raises(ValueError):
+            heavy_hitters(rd.from_pandas(uniform), "v", k=1)
+
+    def test_int_column_returns_strings(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import heavy_hitters
+
+        df = pd.DataFrame({"v": [1] * 90 + list(range(2, 12))})
+        got = heavy_hitters(rd.from_pandas(df).repartition(3), "v", k=4).to_pandas()
+        assert got.v.tolist() == ["1"] and got.n.tolist() == [90]

@@ -19,11 +19,12 @@ FAST = [
     "exact_dedup_docs",
     "doc_top_bigrams",
     "doc_quality",
-    "doc_fingerprints",
-    "knn_brute",
+    "doc_tfidf",
+    "knn_search",
     "events_user_stats",
     "events_rank_dense",
     "events_samples",
+    "events_customer_outer",
 ]
 
 

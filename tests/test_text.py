@@ -122,3 +122,55 @@ class TestUtf8Stats:
         assert out["n_chars"] == want[2]
         assert out["alpha_ratio"] == [
             round(a / c, 4) if c else 0.0 for a, c in zip(want[1], want[2])]
+
+
+class TestTfidf:
+    def _reference(self, docs):
+        """Plain-Python tf-idf reference: score = tf*1e6 // df, top-3 by
+        (score desc, term asc)."""
+        from collections import Counter
+
+        tfs = {i: Counter((t or "").lower().split()) for i, t in docs}
+        df = Counter()
+        for c in tfs.values():
+            df.update(c.keys())
+        rows = []
+        for i, c in tfs.items():
+            scored = sorted(
+                ((-(tf * 1_000_000 // df[w]), w, tf) for w, tf in c.items()))
+            for s, w, tf in scored[:3]:
+                rows.append((i, w, tf, df[w], -s))
+        return sorted(rows)
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import tfidf_top_terms
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "cats and dogs and cats"),
+            (4, "  The THE the  unique-token  "),
+            (5, ""),
+            (6, "solo"),
+        ]
+        ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+        got = tfidf_top_terms(ds.repartition(3)).to_pandas()
+        got_rows = sorted(map(tuple, got.to_numpy()))
+        assert got_rows == self._reference(docs)
+        # empty doc contributes no rows; rare terms outrank common ones
+        assert 5 not in set(got.doc_id)
+        top_of_1 = got[got.doc_id == 1].sort_values("score_fp", ascending=False)
+        assert top_of_1.iloc[0].term in ("cat", "mat")  # df=1 terms beat 'the'
+
+    def test_vocab_cap(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.text import tfidf_top_terms
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1], "text": ["a b c d e f"]}))
+        with pytest.raises(ValueError):
+            tfidf_top_terms(ds, vocab_cap=3).to_pandas()
