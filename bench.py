@@ -140,6 +140,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     ray.shutdown()
     return {
         "metric": "kg_build_sec",
+        "cpu_weather_m_md5_s": quick_weather(num_cpus),
         "value": round(kg_sec, 3),
         "unit": "sec",
         "queries": qtimes,
@@ -215,16 +216,40 @@ def run_scaling(sf_dir: str) -> dict:
 
 def _burn(_n):
     """Pure-CPU probe worker: tight md5 chain, ~zero memory traffic."""
+    return _burn_for(6.0)
+
+
+def _burn_for(secs: float):
     import hashlib
 
     h = b"x" * 64
     t0 = time.time()
     it = 0
-    while time.time() - t0 < 6.0:
+    while time.time() - t0 < secs:
         for _ in range(2000):
             h = hashlib.md5(h).digest()
         it += 2000
     return it
+
+
+def _burn_short(_n):
+    return _burn_for(1.5)
+
+
+def quick_weather(workers: int = 32) -> float:
+    """One-point host-CPU-delivery reading (aggregate M md5/s at
+    ``workers`` procs, 1.5 s) stamped into every bench record: this
+    shared host's deliverable CPU swings ~2× between windows (full
+    probe history in BASELINE.md — e.g. 52.4 M md5/s in the round-3
+    window vs 32.7 in a round-4 window, which alone rescales every
+    wall-time by 1.6×), so a bench number is only comparable across
+    rounds TOGETHER with its same-window weather reading."""
+    import multiprocessing as mp
+
+    with mp.Pool(workers) as p:
+        t0 = time.time()
+        tot = sum(p.map(_burn_short, range(workers)))
+    return round(tot / (time.time() - t0) / 1e6, 2)
 
 
 def run_cpuprobe() -> dict:

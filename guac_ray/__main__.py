@@ -165,6 +165,40 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_hh(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.sketch import heavy_hitters
+
+    ds = rd.read_parquet(args.table, columns=[args.col])
+    out = heavy_hitters(ds, args.col, k=args.k).to_pandas()
+    if out.empty:
+        print("", end="")
+        return 0
+    out = out.sort_values(["n", args.col], ascending=[False, True]).reset_index(drop=True)
+    print(out.to_json(orient="records", lines=True))
+    return 0
+
+
+def cmd_tfidf(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.text import tfidf_top_terms
+
+    docs = rd.read_parquet(args.documents, columns=[args.id_col, args.text_col])
+    out = tfidf_top_terms(docs, id_col=args.id_col, text_col=args.text_col,
+                          top_k=args.top_k).to_pandas()
+    if out.empty:
+        print("", end="")
+        return 0
+    out = out.sort_values([args.id_col, "score_fp", "term"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    print(out.to_json(orient="records", lines=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -231,6 +265,23 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--ngram", type=int, default=10)
     u.add_argument("--min-tokens", type=int, default=20)
     u.set_defaults(fn=cmd_curate)
+
+    h = sub.add_parser("hh",
+                       help="EXACT heavy hitters (count > rows/k) over one "
+                            "column of a parquet table, sketch + verify")
+    h.add_argument("table")
+    h.add_argument("col")
+    h.add_argument("--k", type=int, default=100)
+    h.set_defaults(fn=cmd_hh)
+
+    t = sub.add_parser("tfidf",
+                       help="per-doc top-k terms by fixed-point tf-idf over "
+                            "a documents parquet")
+    t.add_argument("documents")
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--top-k", type=int, default=3)
+    t.set_defaults(fn=cmd_tfidf)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

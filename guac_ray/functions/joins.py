@@ -256,12 +256,19 @@ def hash_join(
         across several tasks — correct for inner/left joins because each
         left row joins only against the full right bucket, so probe-side
         memory is bounded independently of bucket size and a skewed
-        bucket fans out instead of serializing on one task. FULL OUTER
-        joins run one task per bucket instead: emitting a right row as
-        unmatched requires having seen the WHOLE left bucket, so a split
-        probe would duplicate right-unmatched rows (bucket memory for
-        outer ≈ (left+right)/num_buckets — raise ``num_buckets`` to
-        shrink it).
+        bucket fans out instead of serializing on one task. Splitting is
+        also correct for SEMI/ANTI (the keep/drop decision is row-local
+        given the full right bucket). FULL OUTER joins run one task per
+        bucket instead: emitting a right row as unmatched requires
+        having seen the WHOLE left bucket, so a split probe would
+        duplicate right-unmatched rows (bucket memory for outer ≈
+        (left+right)/num_buckets — raise ``num_buckets`` to shrink it).
+
+    ``how="semi"`` / ``how="anti"`` are the LARGE-LARGE membership
+    joins (left rows with / without a key match; no right columns in
+    the output) — the distributed counterpart of the broadcast-set
+    ``semi_join`` / ``anti_join`` helpers. Only the right KEY columns
+    enter the exchange, pre-deduped per batch.
       - ``partial_fn`` (pa.Table → pa.Table) runs inside each reduce
         task on its join output — fuse the downstream per-batch PARTIAL
         aggregate here so the join payload never re-enters the object
@@ -281,15 +288,21 @@ def hash_join(
     to the (exact) Arrow join, so the result is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if how not in ("inner", "left", "outer"):
-        raise NotImplementedError("hash_join implements inner, left and full "
-                                  "outer joins; use broadcast_join / semi_join "
-                                  "/ anti_join for the other patterns")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise NotImplementedError(
+            "hash_join implements inner/left/outer/semi/anti; use "
+            "broadcast_join (or the set-based semi_join/anti_join) for "
+            "small right sides")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
-    if bloom_prune and how != "inner":
-        raise ValueError("bloom_prune only applies to inner joins — a left/"
-                         "outer join must keep unmatched rows")
+    if bloom_prune and how not in ("inner", "semi"):
+        raise ValueError("bloom_prune only applies to inner/semi joins — "
+                         "left/outer/anti must keep unmatched rows")
+    if how in ("semi", "anti"):
+        # only membership matters: ship nothing but (deduped) right keys
+        # through the exchange
+        right = right.select_columns(keys).map_batches(
+            lambda t: t.group_by(keys).aggregate([]), batch_format="pyarrow")
     if bloom_prune:
         bloom = _build_bloom(right, keys)
         bref = ray.put(bloom)
@@ -315,11 +328,11 @@ def hash_join(
     # also keeps every output block non-empty (no schema-less placeholders).
     # left: every left bucket must emit its rows, matched or not.
     # outer: every bucket on EITHER side emits rows.
-    if how == "inner":
+    if how in ("inner", "semi"):
         present = sorted(lfiles.keys() & rfiles.keys())
-    elif how == "left":
+    elif how in ("left", "anti"):
         present = sorted(lfiles.keys())
-    else:
+    else:  # outer
         present = sorted(lfiles.keys() | rfiles.keys())
 
     def _side_schema(files: dict[int, list[str]], ds: Dataset) -> pa.Schema | None:
@@ -355,7 +368,8 @@ def hash_join(
             tasks.append({"k": k, "lfiles": chunk})
 
     join_type = {"inner": "inner", "left": "left outer",
-                 "outer": "full outer"}[how]
+                 "outer": "full outer", "semi": "left semi",
+                 "anti": "left anti"}[how]
 
     def join_task(batch: pd.DataFrame) -> pa.Table:
         outs = []

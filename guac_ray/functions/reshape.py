@@ -28,7 +28,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.groupagg import grouped_agg
 
-__all__ = ["pivot_counts", "rollup_agg", "unpivot"]
+__all__ = ["pivot_counts", "rollup_agg", "cube_agg", "unpivot"]
 
 _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -133,19 +133,60 @@ def rollup_agg(
         return finest.reindex(columns=keys + list(spec))
     finest[keys] = finest[keys].astype(str)
     levels = [finest]
-    for depth in range(len(keys) - 1, -1, -1):
-        head = keys[:depth]
-        agg = {out: _REAGG[spec[out][1]] for out in spec}
-        if head:
-            lvl = finest.groupby(head, as_index=False).agg(agg)
-        else:
-            lvl = finest[list(spec)].agg(agg).to_frame().T
-        for k in keys[depth:]:
-            lvl[k] = fill
-        levels.append(lvl[keys + list(spec)])
+    grouping_sets = [tuple(keys[:d]) for d in range(len(keys) - 1, -1, -1)]
+    for gset in grouping_sets:
+        levels.append(_derive_level(finest, keys, spec, gset, fill))
     out = pd.concat(levels, ignore_index=True)
     # re-aggregated counts stay int64; pandas .agg on empty groups can
     # upcast — normalize to the finest dtypes
+    for c in spec:
+        out[c] = out[c].astype(finest[c].dtype)
+    return out
+
+
+def _derive_level(finest: pd.DataFrame, keys: list[str], spec, gset, fill):
+    """Re-aggregate the finest frame to one grouping set, dropped key
+    columns filled with ``fill``."""
+    agg = {out: _REAGG[spec[out][1]] for out in spec}
+    head = list(gset)
+    if head:
+        lvl = finest.groupby(head, as_index=False).agg(agg)
+    else:
+        lvl = finest[list(spec)].agg(agg).to_frame().T
+    for k in keys:
+        if k not in gset:
+            lvl[k] = fill
+    return lvl[keys + list(spec)]
+
+
+def cube_agg(
+    ds: Dataset,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    fill: str = "ALL",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """CUBE(keys...) aggregate: one row per group for EVERY subset of
+    the keys (2^k grouping sets — a strict superset of ROLLUP's k+1
+    prefix sets). Same discipline as ``rollup_agg``: the distributed
+    two-phase aggregate runs ONCE at the finest level; every coarser
+    grouping set re-aggregates the finest pandas frame on the driver —
+    bounded by finest-group cardinality, never input size. Same
+    re-aggregability rules (sum|count|min|max)."""
+    from itertools import combinations
+
+    for out, (_c, fn) in spec.items():
+        if fn not in _REAGG:
+            raise ValueError(f"cube_agg: unsupported fn {fn!r} for {out!r}")
+    finest = grouped_agg(ds, keys, spec, num_buckets=num_buckets).to_pandas()
+    if finest.empty:
+        return finest.reindex(columns=keys + list(spec))
+    finest[keys] = finest[keys].astype(str)
+    levels = [finest]
+    for size in range(len(keys) - 1, -1, -1):
+        for gset in combinations(keys, size):
+            levels.append(_derive_level(finest, keys, spec, gset, fill))
+    out = pd.concat(levels, ignore_index=True)
     for c in spec:
         out[c] = out[c].astype(finest[c].dtype)
     return out

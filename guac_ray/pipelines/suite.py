@@ -921,13 +921,14 @@ LINEITEM_PROFILE_SQL = " UNION ALL ".join(
 )
 
 
-def orders_rollup(sf_dir: str):
-    """ROLLUP(status, priority): finest level aggregated distributed
-    (two-phase fs exchange), coarser grouping-set levels derived from
-    the finest result on the driver (functions/reshape.py:rollup_agg).
-    Revenue in integer cents through the shuffle so every level is
-    order-independent."""
-    from guac_ray.functions.reshape import rollup_agg
+def orders_cube(sf_dir: str):
+    """CUBE(status, priority) — every grouping set, a strict superset of
+    the former ROLLUP query's levels (same gate slot, more operator).
+    Finest level aggregated distributed (two-phase fs exchange), all
+    2^k coarser grouping sets derived from the finest result on the
+    driver (functions/reshape.py:cube_agg). Revenue in integer cents
+    through the shuffle so every level is order-independent."""
+    from guac_ray.functions.reshape import cube_agg
 
     ds = _read(sf_dir, "orders",
                ["o_orderstatus", "o_orderpriority", "o_totalprice"])
@@ -939,20 +940,20 @@ def orders_rollup(sf_dir: str):
             "_tc": cents(df["o_totalprice"].to_numpy()),
         })
 
-    r = rollup_agg(ds.map_batches(prep, batch_format="pandas"),
-                   ["o_orderstatus", "o_orderpriority"],
-                   {"n_orders": ("_tc", "count"), "_tc": ("_tc", "sum")},
-                   num_buckets=4)
+    r = cube_agg(ds.map_batches(prep, batch_format="pandas"),
+                 ["o_orderstatus", "o_orderpriority"],
+                 {"n_orders": ("_tc", "count"), "_tc": ("_tc", "sum")},
+                 num_buckets=4)
     r["revenue"] = r["_tc"] / 100.0
     return r.drop(columns=["_tc"])
 
 
-ORDERS_ROLLUP_SQL = """
+ORDERS_CUBE_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
        coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
        count(*) AS n_orders,
        sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS revenue
-FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
@@ -2578,7 +2579,7 @@ SUITE: dict[str, tuple] = {
     "purchase_signup_asof": (purchase_signup_asof, PURCHASE_SIGNUP_SQL),
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     "click_days_no_purchase": (click_days_no_purchase, CLICK_DAYS_SQL),
-    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     "lineitem_profile": (lineitem_profile, LINEITEM_PROFILE_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),

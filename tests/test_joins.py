@@ -373,3 +373,42 @@ class TestBloomPrune:
         b = pruned.sort_values(key).reset_index(drop=True)
         assert len(a) == len(b)
         assert (a[key].to_numpy() == b[key].to_numpy()).all()
+
+
+class TestHashSemiAnti:
+    def test_semi_anti_match_pandas(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(500)
+        right = right[right.k % 3 == 0]  # membership set with gaps
+        lds = rd.from_pandas(left).repartition(4)
+        rds = rd.from_pandas(right).repartition(2)
+        semi = hash_join(lds, rds, on="k", how="semi",
+                         exchange_dir=str(tmp_path / "s"), num_buckets=8).to_pandas()
+        anti = hash_join(lds, rds, on="k", how="anti",
+                         exchange_dir=str(tmp_path / "a"), num_buckets=8).to_pandas()
+        member = left.k.isin(set(right.k))
+        assert list(semi.columns) == ["k", "x"]  # no right columns
+        assert len(semi) == int(member.sum()) > 0
+        assert len(anti) == int((~member).sum()) > 0
+        assert semi.k.isin(set(right.k)).all()
+        assert (~anti.k.isin(set(right.k))).all()
+        # semi/anti never multiply left rows on duplicate right keys
+        dup_right = pd.concat([right, right])
+        semi2 = hash_join(lds, rd.from_pandas(dup_right), on="k", how="semi",
+                          exchange_dir=str(tmp_path / "s2"), num_buckets=8).to_pandas()
+        assert len(semi2) == len(semi)
+
+    def test_anti_with_empty_right(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(100)
+        anti = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right.iloc[:0]), on="k",
+            how="anti", exchange_dir=str(tmp_path / "e"), num_buckets=4,
+        ).to_pandas()
+        assert len(anti) == len(left)

@@ -131,3 +131,37 @@ class TestUnpivot:
         long = unpivot(rd.from_pandas(df), "k", ["a", "b"]).to_pandas()
         byvar = long.set_index("variable")["value"]
         assert pd.isna(byvar["a"]) and byvar["b"] == "x"
+
+
+class TestCubeAgg:
+    def test_all_grouping_sets(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import cube_agg
+
+        df = _events()
+        df["kind2"] = np.where(df.v % 2 == 0, "even", "odd")
+        got = cube_agg(
+            rd.from_pandas(df).repartition(3), ["kind", "kind2"],
+            {"n": ("v", "count"), "s": ("v", "sum")}, num_buckets=4)
+        finest = df.groupby(["kind", "kind2"]).agg(
+            n=("v", "count"), s=("v", "sum")).reset_index()
+        by_kind = df.groupby("kind").agg(n=("v", "count"), s=("v", "sum")).reset_index()
+        by_kind2 = df.groupby("kind2").agg(n=("v", "count"), s=("v", "sum")).reset_index()
+        # cube = finest + each single-key set + grand total
+        assert len(got) == len(finest) + len(by_kind) + len(by_kind2) + 1
+        g = got.set_index(["kind", "kind2"])
+        for _, r in by_kind2.iterrows():  # the set ROLLUP cannot produce
+            row = g.loc[("ALL", r.kind2)]
+            assert (row.n, row.s) == (r.n, r.s)
+        total = g.loc[("ALL", "ALL")]
+        assert total.n == len(df) and total.s == df.v.sum()
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import cube_agg
+
+        got = cube_agg(rd.from_pandas(_events(50).iloc[:0]), ["kind"],
+                       {"n": ("v", "count")})
+        assert len(got) == 0 and list(got.columns) == ["kind", "n"]

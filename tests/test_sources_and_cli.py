@@ -209,3 +209,46 @@ class TestCliNewVerbs:
 
         rc = cmd_simjoin(A())
         assert rc == 0
+
+
+class TestCliRound4Verbs:
+    def test_hh_verb(self, ray_session, tmp_path, capsys):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_hh
+
+        p = tmp_path / "t.parquet"
+        pq.write_table(pa.table({"c": ["hot"] * 90 + [f"x{i}" for i in range(10)]}),
+                       str(p))
+
+        class A:
+            table, col, k, num_cpus = str(p), "c", 4, None
+
+        assert cmd_hh(A()) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1 and '"hot"' in out[0] and '"n":90' in out[0]
+
+    def test_tfidf_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_tfidf
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["alpha alpha shared", "beta shared"],
+        }), str(p))
+
+        class A:
+            documents, id_col, text_col, top_k = str(p), "doc_id", "text", 2
+            num_cpus = None
+
+        assert cmd_tfidf(A()) == 0
+        rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        # rare 'alpha' (tf=2, df=1) outranks 'shared' (df=2) in doc 1
+        d1 = [r for r in rows if r["doc_id"] == 1]
+        assert d1[0]["term"] == "alpha" and d1[0]["score_fp"] == 2_000_000
