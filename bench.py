@@ -124,6 +124,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # full outer hash join, sketch+verify heavy hitters, tf-idf
             "events_window_funcs", "kg_pagerank_top",
             "events_customer_outer", "kg_heavy_tools", "doc_tfidf",
+            "doc_decontaminate",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

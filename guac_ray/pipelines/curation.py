@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["curate", "md5_first_byte"]
+__all__ = ["curate", "md5_first_byte", "decontaminate"]
 
 
 def md5_first_byte(ids) -> "np.ndarray":
@@ -152,3 +152,105 @@ def curate(
         })
 
     return kept.map_batches(assign_split, batch_format="pyarrow")
+
+
+def decontaminate(
+    train: Dataset,
+    test: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    exchange_dir: str | None = None,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Train/test CONTAMINATION check — the curation step every
+    benchmark-respecting training pipeline runs before shipping a
+    split: for each test document, how many of its distinct word
+    ``ngram``-shingles also occur anywhere in the train corpus.
+
+    Returns (id_col, n_shingles, n_contaminated) per test doc with at
+    least one shingle (docs shorter than ``ngram`` tokens emit no row —
+    they have nothing to leak). Tokens are lowercased whitespace
+    splits; shingles are space-joined token windows, both
+    SQL-expressible so the whole operator has an exact DuckDB oracle.
+
+    Scale shape: shingling is batch-local on BOTH sides (a doc is one
+    row, so per-doc distinctness needs no shuffle); the train side
+    ships only per-batch-DEDUPED shingles; the overlap test is the
+    LARGE-LARGE ``hash_join(how="semi")`` on the shingle itself; the
+    per-doc contaminated counts come out of a partial-combine
+    ``grouped_agg``; totals re-attach through a left hash join on the
+    doc id, never a driver merge. Shingles travel as STRINGS for
+    oracle-exactness — at 100-TB scale hash them to u64 first
+    (collision risk ~1e-19/pair) and drop the oracle claim to
+    rows-only.
+    """
+    from guac_ray.functions.joins import default_exchange, hash_join
+    from guac_ray.stages.groupagg import grouped_agg
+
+    ex = exchange_dir or default_exchange("decontaminate")
+
+    def _shingles(txt: str) -> set:
+        w = (txt or "").lower().split()
+        return {" ".join(w[j:j + ngram]) for j in range(len(w) - ngram + 1)}
+
+    def test_shingles(t: pa.Table) -> pa.Table:
+        ids, shs = [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for s in _shingles(txt):
+                ids.append(did)
+                shs.append(s)
+        return pa.table({
+            id_col: pa.array(ids, type=t.schema.field(id_col).type),
+            "s": pa.array(shs, type=pa.string()),
+        })
+
+    def train_shingles(t: pa.Table) -> pa.Table:
+        acc: set = set()
+        for txt in t[text_col].to_pylist():
+            acc |= _shingles(txt)
+        return pa.table({"s": pa.array(sorted(acc), type=pa.string())})
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids, ns = [], []
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            n = len(_shingles(txt))
+            if n:
+                ids.append(did)
+                ns.append(n)
+        return pa.table({
+            id_col: pa.array(ids, type=t.schema.field(id_col).type),
+            "n_shingles": pa.array(ns, type=pa.int64()),
+        })
+
+    te_sh = test.select_columns([id_col, text_col]).map_batches(
+        test_shingles, batch_format="pyarrow")
+    tr_sh = train.select_columns([text_col]).map_batches(
+        train_shingles, batch_format="pyarrow")
+    hit = hash_join(te_sh, tr_sh, on="s", how="semi",
+                    exchange_dir=f"{ex}/semi", num_buckets=num_buckets)
+
+    def cont_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False).size().reset_index(name="_c")
+        return g
+
+    cont = grouped_agg(
+        hit.map_batches(cont_partial, batch_format="pandas"),
+        [id_col], {"c": ("_c", "sum")}, num_buckets=8,
+    )
+    tot = test.select_columns([id_col, text_col]).map_batches(
+        totals, batch_format="pyarrow")
+    out = hash_join(tot, cont, on=id_col, how="left",
+                    exchange_dir=f"{ex}/attach", num_buckets=8)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        # an entirely-empty train side can leave the join with no "c"
+        # column at all (no right schema to carry) — everything is clean
+        c = df["c"] if "c" in df.columns else pd.Series(0, index=df.index)
+        return table_from_pandas(pd.DataFrame({
+            id_col: df[id_col],
+            "n_shingles": df["n_shingles"].astype("int64"),
+            "n_contaminated": c.fillna(0).astype("int64"),
+        }), preserve_index=False)
+
+    return out.map_batches(final, batch_format="pandas")

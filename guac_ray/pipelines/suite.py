@@ -560,16 +560,9 @@ FROM part GROUP BY p_type
 """
 
 
-def orders_per_status(sf_dir: str):
-    ds = _read(sf_dir, "orders", ["o_orderstatus"])
-    out = grouped_agg(ds, ["o_orderstatus"],
-                      {"n": ("o_orderstatus", "count")}, num_buckets=2)
-    return out.map_batches(
-        lambda df: df.assign(n=df.n.astype("int64")), batch_format="pandas"
-    )
-
-
-ORDERS_STATUS_SQL = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+# orders_per_status retired from the registry in round 4: its rows are a
+# strict subset of orders_cube's (status, ALL) level — the freed gate
+# slot went to doc_decontaminate.
 
 
 def distinct_segments(sf_dir: str):
@@ -1753,6 +1746,51 @@ FROM documents
 """
 
 
+def doc_decontaminate(sf_dir: str):
+    """Train/test contamination audit over the md5 split: per test doc,
+    distinct word-trigram shingles shared with ANY train doc. Composes
+    the large-large semi hash join (on the shingle), a partial-combine
+    grouped count, and a left hash join for the totals
+    (pipelines/curation.py:decontaminate). The corpus's planted
+    duplicates make the answer non-trivial at every sf."""
+    from guac_ray.pipelines.curation import decontaminate, md5_first_byte
+
+    def side(want_train: bool):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+            keep = (md5_first_byte(ids) < 0xCC) == want_train
+            return t.filter(pa.array(keep))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    return decontaminate(side(True), side(False))
+
+
+DOC_DECONTAMINATE_SQL = r"""
+WITH lab AS (
+  SELECT doc_id, lower(text) AS txt,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+), tok AS (
+  SELECT doc_id, split, regexp_split_to_array(txt, '\s+') AS w FROM lab
+), sh AS (
+  SELECT doc_id, split, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i)
+  WHERE w[i] <> '' AND w[i+1] <> '' AND w[i+2] <> ''
+), te AS (SELECT DISTINCT doc_id, s FROM sh WHERE split = 'test'),
+   tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train')
+SELECT te.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+FROM te LEFT JOIN tr ON te.s = tr.s
+GROUP BY te.doc_id
+"""
+
+
 def top_orders_per_status(sf_dir: str):
     """Per-group top-k (window-function family): the 3 highest-value
     orders per status. Plan: per-batch partial top-k per group (bounded
@@ -2560,6 +2598,7 @@ SUITE: dict[str, tuple] = {
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
+    "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
@@ -2571,7 +2610,6 @@ SUITE: dict[str, tuple] = {
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
     "part_type_stats": (part_type_stats, PART_TYPE_SQL),
-    "orders_per_status": (orders_per_status, ORDERS_STATUS_SQL),
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),

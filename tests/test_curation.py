@@ -79,3 +79,61 @@ class TestCurate:
                      exchange_base=str(tmp_path / "n"),
                      num_buckets=2).to_pandas()
         assert len(out) == 30
+
+
+class TestDecontaminate:
+    def _ref(self, train_texts, test_docs, n=3):
+        def sh(t):
+            w = (t or "").lower().split()
+            return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+
+        pool = set()
+        for t in train_texts:
+            pool |= sh(t)
+        out = {}
+        for i, t in test_docs:
+            s = sh(t)
+            if s:
+                out[i] = (len(s), len(s & pool))
+        return out
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import decontaminate
+
+        train_texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "completely unrelated training material here",
+        ]
+        test_docs = [
+            (1, "the quick brown fox went home"),          # partial overlap
+            (2, "pack my box with five dozen liquor jugs"),  # full overlap
+            (3, "no shared trigrams in this one at all"),  # clean
+            (4, "too short"),                              # < 3 tokens: no row
+            (5, "the the the quick brown fox the the"),    # repeated tokens
+        ]
+        train = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(100, 103), "text": train_texts}))
+        test = rd.from_pandas(pd.DataFrame(
+            test_docs, columns=["doc_id", "text"]))
+        got = decontaminate(train, test).to_pandas().set_index("doc_id")
+        want = self._ref(train_texts, test_docs)
+        assert set(got.index) == set(want)
+        for i, (ns, nc) in want.items():
+            assert (got.loc[i].n_shingles, got.loc[i].n_contaminated) == (ns, nc), i
+        assert got.loc[3].n_contaminated == 0
+        assert got.loc[2].n_contaminated == got.loc[2].n_shingles
+
+    def test_empty_train_means_clean(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import decontaminate
+
+        train = rd.from_pandas(pd.DataFrame({"doc_id": [], "text": []}, dtype=object))
+        test = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1], "text": ["alpha beta gamma delta"]}))
+        got = decontaminate(train, test).to_pandas()
+        assert got.n_contaminated.tolist() == [0]
+        assert got.n_shingles.tolist() == [2]

@@ -14,7 +14,8 @@ TABLES = [
 
 FAST = [
     "q1_pricing_summary",
-    "orders_per_status",
+    "orders_cube",
+    "doc_decontaminate",
     "distinct_segments",
     "exact_dedup_docs",
     "doc_top_bigrams",
