@@ -199,6 +199,26 @@ def cmd_tfidf(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.pipelines.curation import decontaminate
+
+    cols = [args.id_col, args.text_col]
+    out = decontaminate(
+        rd.read_parquet(args.train, columns=[args.text_col]),
+        rd.read_parquet(args.test, columns=cols),
+        id_col=args.id_col, text_col=args.text_col, ngram=args.ngram,
+    ).to_pandas()
+    if out.empty:
+        print("", end="")
+        return 0
+    out = out.sort_values(args.id_col).reset_index(drop=True)
+    print(out.to_json(orient="records", lines=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -282,6 +302,16 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--text-col", default="text")
     t.add_argument("--top-k", type=int, default=3)
     t.set_defaults(fn=cmd_tfidf)
+
+    d = sub.add_parser("decontaminate",
+                       help="per-test-doc word-ngram overlap with a train "
+                            "corpus (train/test leakage audit)")
+    d.add_argument("train")
+    d.add_argument("test")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--ngram", type=int, default=3)
+    d.set_defaults(fn=cmd_decontaminate)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

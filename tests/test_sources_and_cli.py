@@ -252,3 +252,32 @@ class TestCliRound4Verbs:
         # rare 'alpha' (tf=2, df=1) outranks 'shared' (df=2) in doc 1
         d1 = [r for r in rows if r["doc_id"] == 1]
         assert d1[0]["term"] == "alpha" and d1[0]["score_fp"] == 2_000_000
+
+    def test_decontaminate_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_decontaminate
+
+        tr = tmp_path / "train.parquet"
+        te = tmp_path / "test.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([10], type=pa.int64()),
+            "text": ["the quick brown fox jumps"],
+        }), str(tr))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["the quick brown cat sat", "nothing shared here at all"],
+        }), str(te))
+
+        class A:
+            train, test = str(tr), str(te)
+            id_col, text_col, ngram, num_cpus = "doc_id", "text", 3, None
+
+        assert cmd_decontaminate(A()) == 0
+        rows = {r["doc_id"]: r for r in map(
+            json.loads, capsys.readouterr().out.strip().splitlines())}
+        assert rows[1]["n_contaminated"] == 1  # 'the quick brown'
+        assert rows[2]["n_contaminated"] == 0
