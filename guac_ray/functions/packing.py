@@ -35,10 +35,52 @@ from guac_ray.functions.text import utf8_stats
 __all__ = ["pack_sequences"]
 
 
+class _LeftmostFit:
+    """Max-segment-tree over bins in creation order: find the LEFTMOST
+    bin with residual ≥ t in O(log n) — the exact first-fit rule, so
+    packings are identical to the naive scan, without its O(n·bins)
+    blowup when most docs open new bins (1M docs/bucket would otherwise
+    cost ~5·10¹¹ Python comparisons in one task)."""
+
+    def __init__(self, max_bins: int):
+        self.cap = 1
+        while self.cap < max(1, max_bins):
+            self.cap *= 2
+        self.tree = np.zeros(2 * self.cap, dtype=np.int64)  # max residual
+        self.n = 0  # bins created
+
+    def push(self, residual: int):
+        i = self.cap + self.n
+        self.n += 1
+        self.tree[i] = residual
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+
+    def take(self, t: int) -> int:
+        """Leftmost bin with residual ≥ t (or -1); decrements it."""
+        # n == 0 guard: with t == 0 the root max (0) would "fit" and the
+        # descent would land on an uncreated leaf
+        if self.n == 0 or self.tree[1] < t:
+            return -1
+        i = 1
+        while i < self.cap:
+            i = 2 * i if self.tree[2 * i] >= t else 2 * i + 1
+        b = i - self.cap
+        self.tree[i] -= t
+        i //= 2
+        while i:
+            self.tree[i] = max(self.tree[2 * i], self.tree[2 * i + 1])
+            i //= 2
+        return b
+
+
 def _ffd(ids: np.ndarray, toks: np.ndarray, budget: int):
     """First-fit-decreasing over (tokens desc, id asc). Returns a list
     of (member_id_list, total_tokens, oversize)."""
     order = np.lexsort((ids, -toks))
+    fit = _LeftmostFit(len(order))
     bins: list[list[int]] = []
     bin_tok: list[int] = []
     out_over: list[tuple[list, int]] = []
@@ -48,14 +90,14 @@ def _ffd(ids: np.ndarray, toks: np.ndarray, budget: int):
         if t > budget:
             out_over.append(([i], t))
             continue
-        for b in range(len(bins)):
-            if bin_tok[b] + t <= budget:
-                bins[b].append(i)
-                bin_tok[b] += t
-                break
-        else:
+        b = fit.take(t)
+        if b < 0:
+            fit.push(budget - t)
             bins.append([i])
             bin_tok.append(t)
+        else:
+            bins[b].append(i)
+            bin_tok[b] += t
     return ([(m, tt, False) for m, tt in zip(bins, bin_tok)]
             + [(m, tt, True) for m, tt in out_over])
 
@@ -82,8 +124,13 @@ def pack_sequences(
     def count_and_bucket(t: pa.Table) -> pa.Table:
         n_tok, _, _ = utf8_stats(t[text_col])
         ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        # md5 over the DECIMAL id string — the repo's one deterministic
+        # id-hash discipline (curation.md5_first_byte / the SQL split
+        # oracle md5(CAST(id AS VARCHAR))); hashing native-endian int64
+        # bytes would pack differently across architectures
         b = np.frombuffer(
-            b"".join(hashlib.md5(x.tobytes()).digest()[:2] for x in ids),
+            b"".join(hashlib.md5(str(int(x)).encode()).digest()[:2]
+                     for x in ids),
             dtype=">u2").astype("int64") % num_buckets
         return pa.table({
             "_b": pa.array(b), id_col: pa.array(ids),

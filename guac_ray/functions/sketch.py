@@ -211,8 +211,8 @@ def heavy_hitters(
     cref = ray.put(frozenset(cands))
 
     def exact_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[df[col].astype(str).isin(ray.get(cref))]
-        g = keep[col].astype(str).value_counts().reset_index()
+        s = df[col].astype(str)  # one conversion, reused by filter+count
+        g = s[s.isin(ray.get(cref))].value_counts().reset_index()
         g.columns = [col, "_n"]
         return g
 

@@ -36,6 +36,21 @@ __all__ = [
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
 
+# RE2 '\s' is exactly [\t\n\f\r ] (verified against DuckDB's
+# regexp_split_to_array: \v, \xa0 and U+2028 do NOT split). Python
+# str.split() splits on every Unicode whitespace, so any operator whose
+# oracle tokenizes with '\s+' must use THIS splitter or the "exact SQL
+# oracle" contract silently breaks on non-ASCII-whitespace corpora.
+_SQL_WS_RE = re.compile(r"[\t\n\f\r ]+")
+
+
+def sql_ws_tokens(text: str | None) -> list[str]:
+    """Lowercased tokens split on RE2-'\\s+' whitespace, empties
+    dropped — byte-for-byte the token stream DuckDB's
+    ``regexp_split_to_array(lower(text), '\\s+')`` (+ empty filter)
+    produces."""
+    return [t for t in _SQL_WS_RE.split((text or "").lower()) if t]
+
 # byte-class lookup tables for the zero-copy text scanner below
 _WORD_LUT = np.zeros(256, dtype=bool)
 for _c in (b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -67,24 +82,28 @@ def _chunk_stats(a: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     starts[0] = w[0]
     np.logical_and(w[1:], ~w[:-1], out=starts[1:])
     b, e = offs[:-1], offs[1:]
-    # segment sums via reduceat over EXPLICIT int64 views: numpy's
-    # bool-input accumulate/reduceat with a dtype= conversion runs an
-    # unbuffered casting inner loop that is ~100x slower than the
-    # astype + native-dtype reduceat pair (measured on this host)
-    idx = np.minimum(b, max(len(d) - 1, 0))
-    ntok = np.add.reduceat(starts.astype(np.int64), idx)
-    nalpha = np.add.reduceat(_ALPHA_LUT[d].astype(np.int64), idx)
-    ncont = np.add.reduceat(((d & 0xC0) == 0x80).astype(np.int64), idx)
-    # reduceat quirk: an empty segment (b == e) returns a[b], not 0
-    empty = b >= e
-    if empty.any():
-        ntok[empty] = 0
-        nalpha[empty] = 0
-        ncont[empty] = 0
+
+    # segment sums as prefix-sum differences cs[e]-cs[b]: exact for
+    # EVERY segment layout including empty strings anywhere (b == e →
+    # 0) — the previous reduceat formulation clamped indices to
+    # len(d)-1, which stole the final byte of the last non-empty string
+    # whenever the chunk ended in empties. int64 astype BEFORE cumsum:
+    # numpy's bool-input reductions with a dtype= conversion run an
+    # unbuffered casting inner loop ~100x slower than astype + native
+    # accumulate (measured on this host).
+    def seg(x: np.ndarray) -> np.ndarray:
+        cs = np.empty(len(x) + 1, dtype=np.int64)
+        cs[0] = 0
+        np.cumsum(x.astype(np.int64), out=cs[1:])
+        return cs[e] - cs[b]
+
+    ntok = seg(starts)
+    nalpha = seg(_ALPHA_LUT[d])
+    ncont = seg((d & 0xC0) == 0x80)
     # a string that BEGINS inside a global word run still starts a token
     # of its own: global run-starts missed position offs[i] when the
     # previous string's last byte was also a word byte
-    ii = np.flatnonzero(~empty & (b > 0))
+    ii = np.flatnonzero((b < e) & (b > 0))
     if len(ii):
         ntok[ii] += (w[b[ii]] & w[b[ii] - 1]).astype(np.int64)
     nchars = (e - b) - ncont  # bytes minus UTF-8 continuations
@@ -273,7 +292,7 @@ def tfidf_top_terms(
     def df_partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
         for txt in t[text_col].to_pylist():
-            c.update(set((txt or "").lower().split()))
+            c.update(set(sql_ws_tokens(txt)))
         return pa.table({
             "term": pa.array(list(c.keys()), type=pa.string()),
             "cnt": pa.array(list(c.values()), type=pa.int64()),
@@ -296,7 +315,7 @@ def tfidf_top_terms(
         def __call__(self, t: pa.Table) -> pa.Table:
             ids, terms, tfs, dfs, scores = [], [], [], [], []
             for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-                c = Counter((txt or "").lower().split())
+                c = Counter(sql_ws_tokens(txt))
                 if not c:
                     continue
                 best = heapq.nsmallest(

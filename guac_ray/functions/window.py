@@ -100,7 +100,9 @@ def windowed(
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(by + order, kind="mergesort")
-        g = df.groupby(by, sort=False)
+        # dropna=False: SQL window partitions treat NULL keys as one
+        # partition, not as rows to silently drop
+        g = df.groupby(by, sort=False, dropna=False)
         # compute every window column BEFORE assigning any: the GroupBy
         # reads the live frame, so interleaving writes would feed one
         # op's output into another op that names the same source column
@@ -118,8 +120,11 @@ def windowed(
             elif spec[0] in ("rank", "dense_rank"):
                 if tie_start is None:
                     # a row opens a new tie-run when ANY of (key, order)
-                    # differs from the previous sorted row
-                    prev_eq = (df[by + order] == df[by + order].shift())
+                    # differs from the previous sorted row; NULLs are
+                    # PEERS (SQL ORDER BY semantics), so null == null
+                    # must count as equal — bare == yields False on NaN
+                    cur, prev = df[by + order], df[by + order].shift()
+                    prev_eq = (cur == prev) | (cur.isna() & prev.isna())
                     tie_start = ~prev_eq.all(axis=1)
                     rn = (g.cumcount() + 1).astype("int64")
                 if spec[0] == "rank":
@@ -127,7 +132,8 @@ def windowed(
                     new[name] = rn.where(tie_start).ffill().astype("int64")
                 else:
                     new[name] = tie_start.astype("int64").groupby(
-                        [df[c] for c in by], sort=False).cumsum()
+                        [df[c] for c in by], sort=False,
+                        dropna=False).cumsum()
         for name, v in new.items():
             df[name] = v
         return table_from_pandas(df, preserve_index=False)

@@ -191,7 +191,9 @@ def decontaminate(
     ex = exchange_dir or default_exchange("decontaminate")
 
     def _shingles(txt: str) -> set:
-        w = (txt or "").lower().split()
+        from guac_ray.functions.text import sql_ws_tokens
+
+        w = sql_ws_tokens(txt)
         return {" ".join(w[j:j + ngram]) for j in range(len(w) - ngram + 1)}
 
     def test_shingles(t: pa.Table) -> pa.Table:

@@ -1406,8 +1406,10 @@ def doc_top_bigrams(sf_dir: str, k: int = 20):
 
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
+        from guac_ray.functions.text import sql_ws_tokens
+
         for txt in t["text"].to_pylist():
-            w = (txt or "").lower().split()
+            w = sql_ws_tokens(txt)
             c.update(map(" ".join, zip(w, w[1:])))
         return pa.table({
             "bigram": pa.array(list(c.keys()), type=pa.string()),

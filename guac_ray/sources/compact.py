@@ -15,11 +15,16 @@ reruns resume that exact plan — so a crash can never change which group
 a surviving file packs into (replanning from the post-crash file set
 would re-pack a half-deleted group's survivors into a new digest and
 duplicate their rows). Each group's output name is a digest of its
-member list; a rerun skips groups whose output exists. With
-``delete_inputs`` the inputs are removed only AFTER every group's
-output exists — output files are the only commit points. New files
-that appear under ``in_dir`` between runs are planned as additional
-groups appended to the manifest (incremental compaction).
+member list (salted with the group index for v2 groups); a rerun skips
+groups whose output exists. With ``delete_inputs`` the inputs are
+removed only AFTER every group's output exists — output files are the
+only commit points — and a file is removed only while its (size,
+mtime_ns) still matches what the plan recorded, so a producer
+RECREATING a compacted path can never lose the new data: the stale
+member skips the delete, and the next run plans the recreated file as
+a fresh group. New files that appear under ``in_dir`` between runs are
+planned as additional groups appended to the manifest (incremental
+compaction).
 """
 
 from __future__ import annotations
@@ -61,29 +66,79 @@ def plan_groups(files: list[tuple[str, int]],
 _MANIFEST = "_compact_manifest.json"
 
 
+def _group_digest(members: list[str], gid: int, legacy: bool) -> str:
+    """Output-file digest for one group. Legacy (v1) groups keep the
+    pure member-list digest so existing outputs stay recognized; v2
+    groups salt with the group index, because a path can legitimately
+    be planned AGAIN after its file is recreated — two generations of
+    the same member list must not collide on one output name."""
+    base = "\n".join(members)
+    if not legacy:
+        base += f"\n#gen={gid}"
+    return hashlib.sha256(base.encode()).hexdigest()[:16]
+
+
 def _load_or_extend_manifest(in_dir: str, out_dir: str,
-                             target_bytes: int) -> list[list[str]]:
+                             target_bytes: int) -> list[dict]:
     """Resume the persisted plan if one exists; plan any files it does
     not cover as APPENDED groups; rewrite atomically. The manifest is
     written before any data work so a crash mid-run can never change an
-    existing group's membership (and therefore its output digest)."""
+    existing group's membership (and therefore its output digest).
+
+    Each member records (size, mtime_ns) at planning time: a covered
+    path whose CURRENT stat differs was recreated by a producer after
+    compaction — its new content is planned as a fresh member, and the
+    stale member's deletion is suppressed (delete_inputs only removes a
+    file whose stat still matches the member it was planned as). That
+    closes the silent-loss window where a rerun deleted a recreated
+    file it had never read.
+
+    Returns [{"digest": str, "members": [{"p", "sz", "mt"}, ...]}, ...].
+    """
     mpath = os.path.join(out_dir, _MANIFEST)
-    groups: list[list[str]] = []
+    groups: list[dict] = []
     if os.path.exists(mpath):
         with open(mpath) as f:
-            groups = json.load(f)["groups"]
-    covered = {p for g in groups for p in g}
+            data = json.load(f)
+        if data.get("v", 1) >= 2:
+            groups = data["groups"]
+        else:  # v1: plain path lists; no stats recorded → sz/mt None
+            groups = [
+                {"digest": _group_digest(g, i, legacy=True),
+                 "members": [{"p": p, "sz": None, "mt": None} for p in g]}
+                for i, g in enumerate(data["groups"])
+            ]
+    covered: dict[str, dict] = {}
+    for g in groups:
+        for m in g["members"]:
+            covered[m["p"]] = m  # latest plan generation wins
     paths = sorted(glob.glob(os.path.join(in_dir, "**", "*.parquet"),
                              recursive=True))
     if not paths and not groups:
         raise ValueError(f"compact_parquet: no parquet files under {in_dir!r}")
-    new = [(p, os.path.getsize(p)) for p in paths if p not in covered]
+    new: list[tuple[str, int, int]] = []
+    for p in paths:
+        st = os.stat(p)
+        m = covered.get(p)
+        if m is None:
+            new.append((p, st.st_size, st.st_mtime_ns))
+        elif m["sz"] is not None and (m["sz"] != st.st_size
+                                      or m["mt"] != st.st_mtime_ns):
+            # recreated since it was planned: new data under an old name
+            new.append((p, st.st_size, st.st_mtime_ns))
     if new:
-        groups = groups + plan_groups(new, target_bytes)
+        stats = {p: (sz, mt) for p, sz, mt in new}
+        for g in plan_groups([(p, sz) for p, sz, _ in new], target_bytes):
+            gid = len(groups)
+            groups.append({
+                "digest": _group_digest(g, gid, legacy=False),
+                "members": [{"p": p, "sz": stats[p][0], "mt": stats[p][1]}
+                            for p in g],
+            })
     if new or not os.path.exists(mpath):
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"groups": groups}, f)
+            json.dump({"v": 2, "groups": groups}, f)
         os.replace(tmp, mpath)
     return groups
 
@@ -112,15 +167,14 @@ def compact_parquet(
     def work(batch: pd.DataFrame) -> pa.Table:
         out = []
         for gid in batch["gid"]:
-            members = groups[int(gid)]
-            digest = hashlib.sha256(
-                "\n".join(members).encode()).hexdigest()[:16]
-            dest = os.path.join(out_dir, f"compact-{digest}.parquet")
+            g = groups[int(gid)]
+            dest = os.path.join(out_dir, f"compact-{g['digest']}.parquet")
             if os.path.exists(dest):
                 out.append({"gid": int(gid), "rows": -1, "skipped": True})
                 continue
             t = pa.concat_tables(
-                [pq.read_table(f) for f in members], promote_options="default")
+                [pq.read_table(m["p"]) for m in g["members"]],
+                promote_options="default")
             tmp = dest + ".tmp"
             pq.write_table(t, tmp)
             os.replace(tmp, dest)  # atomic commit
@@ -133,11 +187,19 @@ def compact_parquet(
     if delete_inputs:
         # every group's output now exists; removing inputs is pure
         # cleanup, and a crash mid-removal just leaves files that the
-        # next rerun (all groups digest-skipped) removes again
+        # next rerun (all groups digest-skipped) removes again. A file
+        # is removed ONLY if its stat still matches the member it was
+        # planned as — a producer recreating a compacted path leaves
+        # NEW data that this run never read (it gets planned+compacted
+        # on the next run, then deleted by ITS matching member).
         for g in groups:
-            for f in g:
+            for m in g["members"]:
                 try:
-                    os.remove(f)
+                    if m["sz"] is not None:
+                        st = os.stat(m["p"])
+                        if st.st_size != m["sz"] or st.st_mtime_ns != m["mt"]:
+                            continue  # recreated since planning: keep
+                    os.remove(m["p"])
                 except OSError:
                     pass
     return {

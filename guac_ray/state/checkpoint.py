@@ -361,11 +361,21 @@ def poll_graph_job(
     last: dict | None = None
     while True:
         polls += 1
-        res = run_graph_job(
-            transcripts_dir, out_dir, catalog_path=catalog_path,
-            num_partitions=num_partitions, num_buckets=num_buckets,
-            incremental=True,
-        )
+        shards = (os.path.isdir(transcripts_dir)
+                  and any(f.endswith(".parquet")
+                          for f in os.listdir(transcripts_dir)))
+        if not shards:
+            # nothing has landed yet — the normal deployment race for a
+            # poller (the reference file collector idles too, rather
+            # than erroring on an empty watch dir); count as an idle
+            # poll and keep waiting for the first shard
+            res = {"assembled": False, "empty_dir": True}
+        else:
+            res = run_graph_job(
+                transcripts_dir, out_dir, catalog_path=catalog_path,
+                num_partitions=num_partitions, num_buckets=num_buckets,
+                incremental=True,
+            )
         last = res
         if res["assembled"]:
             assemblies += 1

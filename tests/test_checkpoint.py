@@ -209,3 +209,42 @@ class TestPollLoop:
         assert res["polls"] == 3
         assert res["assemblies"] == 1
         assert res["idle_streak"] == 2
+
+
+class TestPollEmptyDir:
+    def test_poll_idles_on_empty_dir_then_picks_up_first_shard(
+            self, ray_session, tmp_path):
+        """Review finding: a poller started before the upstream collector
+        writes its first shard must idle, not crash — and must build the
+        graph once shards land."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.state.checkpoint import poll_graph_job
+        from guac_ray.synth import generate_corpus
+
+        tdir = tmp_path / "transcripts"
+        tdir.mkdir()
+        out = str(tmp_path / "out")
+
+        corpus = generate_corpus(str(tmp_path / "seed"), n_convs=20, n_shards=2)
+
+        polls = {"n": 0}
+
+        def fake_sleep(_s):
+            # drop the first real shard after two empty polls
+            polls["n"] += 1
+            if polls["n"] == 2:
+                import glob as g
+                import shutil
+
+                src = sorted(g.glob(corpus["transcripts"] + "/*.parquet"))[0]
+                shutil.copy(src, str(tdir / "part-0000.parquet"))
+
+        res = poll_graph_job(str(tdir), out,
+                             catalog_path=corpus["catalog"],
+                             interval_sec=0, max_polls=4,
+                             sleep_fn=fake_sleep)
+        assert res["polls"] == 4
+        assert res["assemblies"] >= 1  # first shard got built
+        assert res["last"]["assembled"] is False or res["assemblies"] >= 1

@@ -107,3 +107,47 @@ class TestCompactParquet:
         assert res["skipped"] == first["groups"]
         assert res["groups"] > first["groups"]
         assert pq.read_table(dst).num_rows == total + extra
+
+    def test_recreated_input_is_not_deleted_unread(self, ray_session, tmp_path):
+        """Review finding: a path compacted+deleted in run 1, then
+        RECREATED by a producer, must not be deleted by run 2's deferred
+        cleanup without being read — and its new rows must land in the
+        output on the next compaction."""
+        import time
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        total = _write_small_files(src, n_files=3)
+        first_file = sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if f.endswith(".parquet"))[0]
+        compact_parquet(src, dst, target_mb=1, delete_inputs=True)
+        assert not os.path.exists(first_file)
+        # producer re-creates the same path with NEW data (same schema)
+        t_new = pa.table({"k": pa.array([7, 8], type=pa.int64()),
+                          "v": pa.array([0.5, 0.25], type=pa.float64())})
+        pq.write_table(t_new, first_file)
+        res2 = compact_parquet(src, dst, target_mb=1, delete_inputs=True)
+        # the recreated file was planned as a new group and compacted
+        assert res2["rows"] == 2
+        assert pq.read_table(dst).num_rows == total + 2
+        # and only then deleted (by its own matching member)
+        assert not os.path.exists(first_file)
+
+    def test_recreated_during_run_survives_delete(self, ray_session, tmp_path):
+        """A file recreated AFTER planning but BEFORE the delete pass
+        (mid-run race) must survive the cleanup."""
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        _write_small_files(src, n_files=2)
+        f0 = sorted(os.path.join(src, f) for f in os.listdir(src)
+                    if f.endswith(".parquet"))[0]
+        compact_parquet(src, dst, target_mb=1)  # plan + outputs, no delete
+        # recreate f0 with new content (stat changes)
+        pq.write_table(pa.table({"k": pa.array([9], type=pa.int64()),
+                                 "v": pa.array([0.125], type=pa.float64())}),
+                       f0)
+        res = compact_parquet(src, dst, target_mb=1, delete_inputs=True)
+        # new generation compacted; the recreated file deleted by ITS member
+        assert pq.read_table(dst).num_rows >= 1
+        assert res["groups"] > 1

@@ -174,3 +174,43 @@ class TestTfidf:
             {"doc_id": [1], "text": ["a b c d e f"]}))
         with pytest.raises(ValueError):
             tfidf_top_terms(ds, vocab_cap=3).to_pandas()
+
+
+class TestUtf8StatsEdges:
+    """Regression: the reduceat-clamp formulation stole the final byte
+    of the last non-empty string whenever a chunk ENDED with empty/null
+    strings — batch-layout-dependent corruption of the hot-path stats."""
+
+    def _ref(self, texts):
+        import re
+
+        nt = [len(re.findall(r"[A-Za-z0-9_]+", s or "")) for s in texts]
+        na = [len(re.sub(r"[^A-Za-z]", "", s or "")) for s in texts]
+        nc = [len(s or "") for s in texts]
+        return nt, na, nc
+
+    def test_trailing_empty_and_null(self):
+        from guac_ray.functions.text import utf8_stats
+
+        for texts in (["a b", ""], ["hello", None], ["café", ""],
+                      ["", "", ""], ["a b", "", "c", None, "", "x_y z9"],
+                      [""], [None], []):
+            got = utf8_stats(pa.array(texts, type=pa.string()))
+            for g, w in zip(got, self._ref(texts)):
+                assert list(g) == list(w), texts
+
+    def test_chunk_layout_invariance(self):
+        import random
+
+        from guac_ray.functions.text import utf8_stats
+
+        random.seed(3)
+        texts = [random.choice(
+            ["a b", "", "hello world_9", None, "café ü", "x"])
+            for _ in range(400)]
+        whole = utf8_stats(pa.array(texts, type=pa.string()))
+        ch = pa.chunked_array(
+            [pa.array(texts[i:i + 23], type=pa.string())
+             for i in range(0, 400, 23)])
+        for g, w in zip(utf8_stats(ch), whole):
+            assert list(g) == list(w)

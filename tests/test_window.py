@@ -173,3 +173,29 @@ class TestRankOps:
         ref2 = ref2.sort_values("eid").reset_index(drop=True)
         pd.testing.assert_series_equal(got2["l2"], ref2["l2"],
                                        check_names=False)
+
+
+class TestNullKeys:
+    def test_null_order_values_are_rank_peers(self, ray_session, tmp_path):
+        """Review finding: SQL ranks NULL order values as PEERS; the
+        NaN != NaN tie detector used to open a new run per null row."""
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 1, 2],
+            "v": [np.nan, np.nan, np.nan, 5.0, np.nan],
+        })
+        out = windowed(
+            rd.from_pandas(df), by="u", order=["v"],
+            ops={"rk": ("rank",), "dk": ("dense_rank",)},
+            exchange_base=str(tmp_path / "w"), num_buckets=2,
+        ).to_pandas().sort_values(["u", "v"], na_position="first")
+        u1 = out[out.u == 1]
+        # NaN sorts first in pandas ascending? SQL default NULLS LAST in
+        # duckdb — we assert the PEER property, not the null position:
+        nan_rows = u1[u1.v.isna()]
+        assert nan_rows.rk.nunique() == 1      # all null rows share a rank
+        assert nan_rows.dk.nunique() == 1
+        assert out[out.u == 2].rk.tolist() == [1]
