@@ -11,6 +11,9 @@ code never calls ray.init.
     python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
     python -m guac_ray compact <in_dir> <out_dir> [--target-mb M] [--delete-inputs]
     python -m guac_ray curate <documents.parquet> <out_dir> [--threshold T]
+    python -m guac_ray pii <table.parquet> <out_dir> [--text-col C]
+    python -m guac_ray kmeans <table.parquet> [--k K] [--iters N] [--out F]
+    python -m guac_ray boiler <table.parquet> <out_dir> --group-col G [--min-groups N]
 """
 
 from __future__ import annotations
@@ -219,6 +222,61 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_pii(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.text import scrub_pii
+
+    ds = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
+    out = scrub_pii(ds, text_col=args.text_col).materialize()
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"scrubbed": n, "out": args.out}))
+    return 0
+
+
+def cmd_kmeans(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.kmeans import kmeans_fixed_point
+
+    ds = rd.read_parquet(args.table, columns=[args.id_col, args.vec_col])
+    out = kmeans_fixed_point(
+        ds, vec_col=args.vec_col, id_col=args.id_col,
+        k=args.k, iters=args.iters).to_pandas()
+    sizes = out.groupby("cluster").size().sort_index()
+    print(json.dumps({"cluster_sizes": sizes.to_dict()}))
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False), args.out)
+    return 0
+
+
+def cmd_boiler(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.boilerplate import strip_boilerplate
+
+    cols = [args.group_col, args.text_col]
+    ds = rd.read_parquet(args.table, columns=cols)
+    total = ds.count()
+    kept = strip_boilerplate(
+        ds, args.text_col, args.group_col,
+        min_groups=args.min_groups).materialize()
+    n = kept.count()
+    if n:
+        kept.write_parquet(args.out)
+    print(json.dumps({"kept": n, "total": total, "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -312,6 +370,37 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text-col", default="text")
     d.add_argument("--ngram", type=int, default=3)
     d.set_defaults(fn=cmd_decontaminate)
+
+    pi = sub.add_parser("pii",
+                        help="redact URLs/emails/IPv4s/phones in a text "
+                             "column (RE2 kernels) → parquet + counts")
+    pi.add_argument("table")
+    pi.add_argument("out")
+    pi.add_argument("--id-col", default="doc_id")
+    pi.add_argument("--text-col", default="text")
+    pi.set_defaults(fn=cmd_pii)
+
+    km = sub.add_parser("kmeans",
+                        help="fixed-point k-means over an embedding column "
+                             "(deterministic: int64 distances, floor-div "
+                             "centroids)")
+    km.add_argument("table")
+    km.add_argument("--id-col", default="vec_id")
+    km.add_argument("--vec-col", default="embedding")
+    km.add_argument("--k", type=int, default=8)
+    km.add_argument("--iters", type=int, default=3)
+    km.add_argument("--out", default=None)
+    km.set_defaults(fn=cmd_kmeans)
+
+    bo = sub.add_parser("boiler",
+                        help="drop rows whose text recurs in >= min-groups "
+                             "distinct groups (cross-group boilerplate)")
+    bo.add_argument("table")
+    bo.add_argument("out")
+    bo.add_argument("--group-col", required=True)
+    bo.add_argument("--text-col", default="text")
+    bo.add_argument("--min-groups", type=int, default=50)
+    bo.set_defaults(fn=cmd_boiler)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -1,0 +1,119 @@
+"""Sub-document boilerplate removal: drop turns/lines whose exact text
+recurs across ≥ ``min_groups`` distinct groups (conversations, domains,
+pages). This is the inter-document complement of doc-level dedup — a
+corpus can be exactly deduplicated at document granularity and still be
+40% templated system preamble at turn granularity (reference analog:
+GUAC's per-document parsers skip shared header blocks the same way,
+pkg/ingestor/parser/common; the operator here generalizes it to any
+grouped text table).
+
+Scale shape (100 TB posture):
+  * identity is md5(text) — the same full-payload-hash discipline as
+    ``functions.dedup.exact_dedup``; the shuffle carries 16-byte digests
+    + group keys, never text;
+  * distinct-(text, group) pairs and per-text group counts are BOTH
+    two-phase ``grouped_agg`` passes (partial combine per batch, coarse
+    hash buckets), so per-key skew — one preamble in every conversation
+    — never lands on one reducer;
+  * the boilerplate set is bounded above by total_turns / min_groups,
+    so at a meaningful threshold it is tiny by construction and
+    broadcasts via ``ray.put`` (size-guarded by ``broadcast_cap``);
+  * the filter pass is a stateless map: hash each turn, test set
+    membership — zero-copy in, one boolean column out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ray.data import Dataset
+
+from guac_ray.arrowutil import table_from_pandas
+
+__all__ = ["boilerplate_digests", "flag_boilerplate", "strip_boilerplate"]
+
+
+def _digest_col(texts: list) -> list[str]:
+    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+
+
+def boilerplate_digests(
+    ds: Dataset,
+    text_col: str,
+    group_col: str,
+    min_groups: int,
+    num_buckets: int = 16,
+    broadcast_cap: int = 5_000_000,
+) -> set[str]:
+    """md5 digests of texts that occur in ≥ ``min_groups`` DISTINCT
+    groups. Exact distinct counting in two ``grouped_agg`` passes:
+    (digest, group) → distinct pairs, then digest → pair count."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "h": _digest_col(t[text_col].to_pylist()),
+            "g": t[group_col].to_pylist(),
+        }).drop_duplicates()
+        return table_from_pandas(df, preserve_index=False)
+
+    pairs = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["h", "g"], {"_n": ("g", "count")}, num_buckets=num_buckets,
+    )
+    counts = grouped_agg(
+        pairs, ["h"], {"n_groups": ("g", "count")}, num_buckets=num_buckets,
+    )
+    hot = counts.map_batches(
+        lambda df: df[df["n_groups"] >= min_groups][["h"]],
+        batch_format="pandas",
+    )
+    out = hot.take_all()  # bounded: ≤ total_rows / min_groups digests
+    if len(out) > broadcast_cap:
+        raise ValueError(
+            f"boilerplate set has {len(out)} digests > broadcast_cap="
+            f"{broadcast_cap}; raise min_groups or the cap")
+    return {r["h"] for r in out}
+
+
+def flag_boilerplate(
+    ds: Dataset,
+    text_col: str,
+    digests: set[str],
+    flag_col: str = "is_boiler",
+) -> Dataset:
+    """Add a boolean column: text's md5 is in the boilerplate set. The
+    set ships once per actor via ``ray.put``, not per batch."""
+    ref = ray.put(frozenset(digests))
+
+    def flag(t: pa.Table) -> pa.Table:
+        bp = ray.get(ref)
+        hs = _digest_col(t[text_col].to_pylist())
+        return t.append_column(
+            flag_col, pa.array([h in bp for h in hs], type=pa.bool_()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def strip_boilerplate(
+    ds: Dataset,
+    text_col: str,
+    group_col: str,
+    min_groups: int,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Rows whose text is NOT cross-group boilerplate (two passes over
+    the input: count, then filter — the input is read twice and
+    streamed both times; nothing data-sized is ever materialized)."""
+    digests = boilerplate_digests(
+        ds, text_col, group_col, min_groups, num_buckets=num_buckets)
+    flagged = flag_boilerplate(ds, text_col, digests)
+    return flagged.map_batches(
+        lambda t: t.filter(pa.compute.invert(t["is_boiler"]))
+                   .drop_columns(["is_boiler"]),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,151 @@
+"""Distributed k-means over an embedding column — the semantic-
+clustering primitive of corpus curation (cluster-balanced sampling,
+semantic dedup, domain discovery). Reference analog: GUAC has no ML
+clustering; this is one of the beyond-reference training-data operators
+(SURVEY.md §2 extension family, like minhash/simhash/ANN).
+
+Determinism contract (why any engine reproduces it bit-for-bit):
+  * embeddings quantize to NON-NEGATIVE int64 fixed point
+    ``floor((x + offset) * scale)`` — float32→float64 promotion, one
+    multiply, one floor: every engine computes identical doubles, and
+    floor (unlike round) has no half-even/half-away ambiguity;
+  * all distances are exact int64 arithmetic (no float accumulate
+    order-dependence), ties broken to the LOWEST cluster id;
+  * centroid update is ``sum // count`` — on non-negative ints floor
+    division == truncating division, so DuckDB's ``//`` and numpy's
+    ``//`` agree (the offset exists precisely to keep everything
+    non-negative); empty clusters carry the previous centroid forward.
+  The SQL oracle (suite.EMB_KMEANS_SQL) unrolls the same iterations as
+  materialized CTEs, the fixed-point-PageRank discipline.
+
+Scale shape (100 TB posture):
+  * each iteration is ONE streaming ``map_batches`` pass over the
+    column-pruned input: batches matmul against the broadcast centroid
+    matrix (``ray.put`` once per iteration, read per actor) and emit
+    k partial rows (cluster, count, per-dim sums) — the driver reduces
+    k × num_blocks partial rows, bounded by parallelism, never by data;
+  * the input is re-read per iteration rather than pinned: at 100 TB
+    the object store cannot hold the projection, and a pruned 2-column
+    parquet re-scan is the streaming-correct cost of an iterative
+    algorithm (same posture as pagerank.py's edge re-reads);
+  * the final labelled output is a streamed ``map_batches`` pass
+    returning a Dataset — nothing data-sized lands on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ray.data import Dataset
+
+__all__ = ["quantize_embeddings", "kmeans_fixed_point"]
+
+
+def quantize_embeddings(
+    batch: pa.Table, vec_col: str, scale: int, offset: float
+) -> np.ndarray:
+    """(rows, dim) int64 fixed-point matrix for one Arrow batch.
+    Accepts list<float> (parquet) and Ray's tensor extension arrays
+    (in-memory datasets); vectors must be non-null and equal-length."""
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        n = len(col)
+        flat = col.flatten().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = np.floor((flat + offset) * scale).astype(np.int64)
+        return q.reshape(n, -1)
+    arr = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+    return np.floor((arr + offset) * scale).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_k ||q - c_k||² in exact int64; np.argmin returns the first
+    (lowest) index on ties — the SQL ``ORDER BY dist, cid LIMIT 1``."""
+    # ||q||² is constant per row — rank by -2·q·cᵀ + ||c||² only
+    cross = q @ cents.T  # int64 matmul, exact
+    d = (cents * cents).sum(axis=1)[None, :] - 2 * cross
+    return np.argmin(d, axis=1).astype(np.int64)
+
+
+def kmeans_fixed_point(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 4096,
+    offset: float = 1.0,
+) -> Dataset:
+    """Lloyd's iterations under the fixed-point contract above.
+
+    Init: the embeddings of the k SMALLEST ids (deterministic, no RNG).
+    Loop ``iters`` times: assign → integer-mean update. Returns the
+    final assignment as a Dataset (id_col, cluster) streamed by one
+    more pass.
+    """
+    proj = ds.select_columns([id_col, vec_col])
+
+    # ---- init: k smallest ids; per-batch top-k keeps the driver pull
+    # bounded at k × num_blocks rows, never the table
+    def topk_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])[:k]
+        return t.take(idx)
+
+    small = proj.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    small.sort(key=lambda r: r[id_col])
+    init_rows = small[:k]
+    if len(init_rows) < k:
+        raise ValueError(f"kmeans: k={k} but only {len(init_rows)} rows")
+    cents = np.floor(
+        (np.asarray([r[vec_col] for r in init_rows], dtype=np.float64)
+         + offset) * scale).astype(np.int64)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            q = quantize_embeddings(t, vec_col, scale, offset)
+            a = _assign(q, c)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            sums = np.zeros((k, q.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, q)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": pa.array(list(sums), type=pa.list_(pa.int64())),
+            })
+
+        parts = proj.map_batches(
+            partial_sums, batch_format="pyarrow").take_all()
+        # k rows per input block — bounded by parallelism, not data
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, dim), dtype=np.int64)
+        for r in parts:
+            n[r["cluster"]] += r["n"]
+            s[r["cluster"]] += np.asarray(r["s"], dtype=np.int64)
+        nz = n > 0
+        new = cents.copy()
+        new[nz] = s[nz] // n[nz, None]  # non-negative: floor == trunc
+        cents = new
+
+    cref = ray.put(cents)
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        q = quantize_embeddings(t, vec_col, scale, offset)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(_assign(q, c)),
+        })
+
+    return proj.map_batches(final_assign, batch_format="pyarrow")

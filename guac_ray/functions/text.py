@@ -32,6 +32,8 @@ __all__ = [
     "fingerprints",
     "utf8_stats",
     "tfidf_top_terms",
+    "PII_PATTERNS",
+    "scrub_pii",
 ]
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
@@ -250,6 +252,58 @@ def lang_id(docs: Dataset, concurrency: int = 2) -> Dataset:
 
 def fingerprints(docs: Dataset, concurrency: int = 2) -> Dataset:
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=concurrency)
+
+
+# PII scrub patterns, applied in THIS insertion order (a URL is redacted
+# before the email/host inside it can match). Every pattern is plain RE2
+# so DuckDB's regexp_replace(..., 'g') produces byte-identical output —
+# the parity is pinned by tests/test_text.py::TestScrubPii.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+
+def scrub_pii(
+    docs: Dataset,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> Dataset:
+    """Redact PII-shaped spans (URLs, emails, IPv4s, phone numbers) and
+    count matches per category — the standard scrub stage of a
+    training-data curation pipeline (reference analog: the sanitize step
+    of pkg/ingestor/parser's identity handling, generalized to text).
+
+    Vectorized end to end: one ``pc.count_substring_regex`` +
+    ``pc.replace_substring_regex`` (RE2, zero-copy Arrow in/out) per
+    category per batch — no Python row loop, nothing stateful, so a
+    plain task pool streams it at any scale. Counts are measured on the
+    ORIGINAL text per category (independent, so the SQL oracle is one
+    flat ``len(regexp_extract_all(text, pat))`` per category);
+    replacement is sequential in ``PII_PATTERNS`` order on both engines.
+
+    Adds ``n_<category>`` int64 columns and writes the redacted text to
+    ``out_col`` (default: replaces ``text_col``).
+    """
+    pats = patterns or PII_PATTERNS
+    dest = out_col or text_col
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        cols = {name: t[name] for name in t.column_names}
+        red = txt
+        for cat, pat in pats.items():
+            cols[f"n_{cat}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64())
+            red = pc.replace_substring_regex(
+                red, pat, replacement=f"[{cat.upper()}]")
+        cols[dest] = red
+        return pa.table(cols)
+
+    return docs.map_batches(scrub, batch_format="pyarrow")
 
 
 def tfidf_top_terms(

@@ -2553,6 +2553,193 @@ LIMIT 20
 # registry
 # ---------------------------------------------------------------------------
 
+def doc_pii_scrub(sf_dir: str):
+    """PII redaction (functions/text.py:scrub_pii): URLs, emails, IPv4s
+    and phone numbers redacted + counted per category, all via RE2
+    kernels (``pc.count_substring_regex`` / ``replace_substring_regex``)
+    so DuckDB's identical RE2 reproduces the output byte-for-byte.
+
+    The synthetic documents carry no PII, so the query first derives a
+    deterministic contact line from (doc_id, source) — pure Arrow
+    string kernels, mirrored exactly by the oracle's ``||`` expression —
+    then scrubs the enriched text. The scrub operator itself is the
+    general-purpose stage; the enrichment exists only to give the
+    oracle real redactions to check (every row scrubs ≥4 spans)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.text import scrub_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        d = did.to_numpy(zero_copy_only=False).astype("int64")
+        s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+        txt = pc.binary_join_element_wise(
+            t["text"], " contact user", s(d), "@", t["source"],
+            ".org or +1 555-", s(1000 + d % 9000),
+            " from 10.", s(d % 256), ".0.", s((d * 7) % 256),
+            " see https://", t["source"], ".example/", s(d),
+            "")
+        return pa.table({"doc_id": did, "text": txt})
+
+    return scrub_pii(
+        ds.map_batches(enrich, batch_format="pyarrow"), text_col="text")
+
+
+def _pii_sql_exprs() -> tuple[str, str, str]:
+    from guac_ray.functions.text import PII_PATTERNS
+
+    enrich = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || "
+        "source || '.org or +1 555-' || "
+        "CAST(1000 + doc_id % 9000 AS VARCHAR) || ' from 10.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.' || "
+        "CAST((doc_id * 7) % 256 AS VARCHAR) || ' see https://' || "
+        "source || '.example/' || CAST(doc_id AS VARCHAR)"
+    )
+    red = "text"
+    for cat, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '[{cat.upper()}]', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{cat}"
+        for cat, pat in PII_PATTERNS.items())
+    return enrich, red, counts
+
+
+_PII_ENRICH, _PII_RED, _PII_COUNTS = _pii_sql_exprs()
+
+DOC_PII_SQL = f"""
+WITH enriched AS (SELECT doc_id, {_PII_ENRICH} AS text FROM documents)
+SELECT doc_id, {_PII_RED} AS text, {_PII_COUNTS}
+FROM enriched
+"""
+
+
+def kg_strip_boilerplate(sf_dir: str):
+    """Cross-conversation boilerplate turn removal
+    (functions/boilerplate.py): a turn text recurring in ≥50 DISTINCT
+    conversations is template preamble, not signal. Distinct-group
+    counting is two chained ``grouped_agg`` exchanges over md5 digests
+    (never text); the boilerplate set is bounded by turns/50 and
+    broadcasts once. Output: per-conversation kept/boiler turn counts."""
+    from guac_ray.functions.boilerplate import (
+        boilerplate_digests, flag_boilerplate)
+    from guac_ray.pipelines.kg import filter_valid, read_transcripts
+
+    c = corpus_for_sf(sf_dir)
+    ds = filter_valid(read_transcripts(
+        c["transcripts"], columns=["conv_id", "turn_idx", "role", "text"]))
+    digests = boilerplate_digests(
+        ds, "text", "conv_id", min_groups=50, num_buckets=8)
+    flagged = flag_boilerplate(ds, "text", digests)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "b": pa.compute.cast(t["is_boiler"], pa.int64()),
+        })
+
+    out = grouped_agg(
+        flagged.map_batches(to_int, batch_format="pyarrow"),
+        ["conv_id"],
+        {"n_turns": ("b", "count"), "n_boiler": ("b", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        df = df.assign(
+            n_turns=df["n_turns"].astype("int64"),
+            n_boiler=df["n_boiler"].astype("int64"),
+        )
+        df["n_kept"] = df["n_turns"] - df["n_boiler"]
+        return table_from_pandas(df, preserve_index=False)
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def KG_BOILER_SQL(sf_dir: str) -> str:
+    return f"""
+WITH t AS (SELECT conv_id, text FROM {_t(sf_dir)} WHERE {_VALID}),
+bp AS (SELECT text FROM t GROUP BY text HAVING count(DISTINCT conv_id) >= 50)
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(coalesce(sum(CASE WHEN text IN (SELECT text FROM bp)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_boiler,
+       count(*) - CAST(coalesce(sum(CASE WHEN text IN (SELECT text FROM bp)
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept
+FROM t GROUP BY conv_id
+"""
+
+
+def emb_kmeans(sf_dir: str):
+    """Fixed-point k-means over the embedding table
+    (functions/kmeans.py): k=8, 3 Lloyd iterations, init = the 8
+    smallest vec_ids. Every engine reproduces the assignment exactly —
+    quantize-to-int64 via floor, integer distances, integer-mean
+    centroids — so the oracle is the same algorithm unrolled as
+    materialized CTEs (the fixed-point-PageRank discipline)."""
+    from guac_ray.functions.kmeans import kmeans_fixed_point
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_fixed_point(
+        ds, vec_col="embedding", id_col="vec_id", k=8, iters=3)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 4096) -> str:
+    """Unrolled k-means oracle: q = quantized vectors, c0 = init
+    centroids; per iteration t: a{t} assigns under c{t-1} (ties →
+    lowest cid, the numpy argmin rule), s{t}/u{t} integer-mean update,
+    c{t} carries previous centroids for empty clusters."""
+    dist = ("list_sum(list_transform(list_zip(q.v, c.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+      x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+  FROM q ORDER BY vec_id LIMIT {k}
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN c{t - 1} AS c) WHERE rn = 1
+),
+s{t} AS (
+  SELECT cid, i, sum(x) AS sx, count(*) AS n FROM (
+    SELECT a.cid, unnest(q.v) AS x, unnest(range(len(q.v))) AS i
+    FROM q JOIN a{t} a USING (vec_id))
+  GROUP BY cid, i
+),
+u{t} AS (
+  SELECT cid, list(CAST(sx // n AS BIGINT) ORDER BY i) AS v
+  FROM s{t} GROUP BY cid
+),
+c{t} AS (
+  SELECT c{t - 1}.cid, coalesce(u{t}.v, c{t - 1}.v) AS v
+  FROM c{t - 1} LEFT JOIN u{t} USING (cid)
+)""")
+    parts.append(f"""
+SELECT vec_id, cid AS cluster FROM (
+  SELECT q.vec_id, c.cid,
+    row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {dist}, c.cid) AS rn
+  FROM q CROSS JOIN c{iters} AS c) WHERE rn = 1
+""")
+    return "".join(parts)
+
+
+EMB_KMEANS_SQL = _kmeans_sql()
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -2564,18 +2751,18 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 # name → (ray callable, oracle SQL string / builder(sf_dir) / None)
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries. The registry holds 53; it is ordered so that (a) every
-# kg_* operator — the north-star workload — leads, (b) every entry
-# with a SQL oracle sits inside the first 50, and (c) only the three
-# golden/pytest-bounded no-oracle queries (HLL sketch, heuristic
-# lang-id, media decode) sit past the cap, where the driver row would
-# have been rows-only anyway. Round 4 freed three slots by folding
-# pairs that share a driver row (knn brute+ivf-full equality fold,
-# fingerprint column into doc_quality, tumbling+hopping windows into a
-# tagged union) and spent them on three NEW oracle-backed operators:
-# kg_heavy_tools (sketch+verify exact heavy hitters),
-# events_customer_outer (full outer hash join), doc_tfidf (fixed-point
-# tf-idf top terms).
+# entries. The registry holds 56; it is ordered so that (a) every
+# kg_* operator — the north-star workload — leads, and (b) ALL 50
+# in-gate entries carry a SQL oracle (hash-exact driver rows). Round 4
+# first freed three slots by folding pairs that share a driver row
+# (knn brute+ivf-full equality fold, fingerprint column into
+# doc_quality, tumbling+hopping windows into a tagged union) for
+# kg_heavy_tools / events_customer_outer / doc_tfidf; the second wave
+# swapped the two golden-pinned no-oracle neardup queries and the
+# trivial DISTINCT out of the gate for three new oracle-backed
+# operators: kg_strip_boilerplate (cross-conversation boilerplate
+# removal), doc_pii_scrub (RE2 PII redaction), emb_kmeans (fixed-point
+# k-means). Past-cap entries are golden/pytest/locally-oracle-bounded.
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
@@ -2593,6 +2780,7 @@ SUITE: dict[str, tuple] = {
     "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
+    "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
@@ -2604,15 +2792,14 @@ SUITE: dict[str, tuple] = {
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
-    "neardup_docs_minhash": (neardup_docs_minhash, None),
-    "neardup_docs_simhash": (neardup_docs_simhash, None),
+    "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
+    "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     # --- relational core (TPC-H-ish) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
     "part_type_stats": (part_type_stats, PART_TYPE_SQL),
-    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
@@ -2631,8 +2818,16 @@ SUITE: dict[str, tuple] = {
     "events_value_quantiles": (events_value_quantiles, EVENTS_QUANTILES_SQL),
     "events_type_long": (events_type_long, EVENTS_TYPE_LONG_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
-    # --- past the driver's 50-entry cap: golden/pytest-bounded ---
+    # --- past the driver's 50-entry cap ---
+    # golden/pytest-bounded (no SQL oracle; a driver row would be
+    # rows-only anyway):
     "events_user_approx": (events_user_approx, None),
     "doc_lang_id": (doc_lang_id, None),
     "media_decode": (media_decode, None),
+    "neardup_docs_minhash": (neardup_docs_minhash, None),
+    "neardup_docs_simhash": (neardup_docs_simhash, None),
+    # oracle-backed but trivially duplicative of in-gate evidence
+    # (DISTINCT is driver-checked via exact_dedup_docs hash-exact);
+    # tools/check_oracle.py still verifies it every run:
+    "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
 }

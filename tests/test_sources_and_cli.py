@@ -281,3 +281,86 @@ class TestCliRound4Verbs:
             json.loads, capsys.readouterr().out.strip().splitlines())}
         assert rows[1]["n_contaminated"] == 1  # 'the quick brown'
         assert rows[2]["n_contaminated"] == 0
+
+
+class TestRound4CliVerbs2:
+    def test_pii_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_pii
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["mail a@b.io now", "clean"],
+        }), str(p))
+        out_dir = str(tmp_path / "out")
+
+        class A:
+            table, out = str(p), out_dir
+            id_col, text_col, num_cpus = "doc_id", "text", None
+
+        assert cmd_pii(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["scrubbed"] == 2
+        got = pq.read_table(out_dir).to_pandas().sort_values("doc_id")
+        assert got["text"].tolist() == ["mail [EMAIL] now", "clean"]
+        assert got["n_email"].tolist() == [1, 0]
+
+    def test_kmeans_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_kmeans
+
+        rng = np.random.RandomState(0)
+        vecs = np.concatenate([
+            rng.uniform(-0.4, -0.2, (20, 4)),
+            rng.uniform(0.2, 0.4, (20, 4)),
+        ]).astype(np.float32)
+        p = tmp_path / "emb.parquet"
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(40), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }), str(p))
+
+        class A:
+            table = str(p)
+            id_col, vec_col, k, iters, out, num_cpus = (
+                "vec_id", "embedding", 2, 3, None, None)
+
+        assert cmd_kmeans(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert sum(res["cluster_sizes"].values()) == 40
+
+    def test_boiler_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_boiler
+
+        p = tmp_path / "turns.parquet"
+        pq.write_table(pa.table({
+            "conv": pa.array([0, 0, 1, 1, 2, 2], type=pa.int64()),
+            "text": ["HI", "a", "HI", "b", "HI", "c"],
+        }), str(p))
+        out_dir = str(tmp_path / "out")
+
+        class A:
+            table, out = str(p), out_dir
+            group_col, text_col, min_groups, num_cpus = "conv", "text", 3, None
+
+        assert cmd_boiler(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res == {"kept": 3, "total": 6, "out": out_dir}
+        got = pq.read_table(out_dir).to_pandas()
+        assert sorted(got["text"]) == ["a", "b", "c"]

@@ -1,5 +1,5 @@
 """Driver-gate mimic inside pytest: a fast subset of the suite compared
-against its DuckDB oracle at sf0.001 (the full 53-query sweep runs via
+against its DuckDB oracle at sf0.001 (the full 56-query sweep runs via
 tools/check_oracle.py at sf0.01)."""
 
 import duckdb
@@ -22,6 +22,8 @@ FAST = [
     "doc_quality",
     "doc_tfidf",
     "knn_search",
+    "doc_pii_scrub",
+    "emb_kmeans",
     "events_user_stats",
     "events_rank_dense",
     "events_samples",

@@ -214,3 +214,72 @@ class TestUtf8StatsEdges:
              for i in range(0, 400, 23)])
         for g, w in zip(utf8_stats(ch), whole):
             assert list(g) == list(w)
+
+
+class TestScrubPii:
+    """scrub_pii (functions/text.py): RE2 parity with DuckDB's
+    regexp_replace — the oracle contract — plus redaction semantics."""
+
+    TEXTS = [
+        "mail me at john.doe+x@example.co.uk or https://ex.com/a?b=c now",
+        "server at 10.0.255.1 port 80, call +1 (555) 123-4567 or "
+        "555-123-4567",
+        "no pii here", "", None,
+        "a@b.io x 1.2.3.4 http://t.co",
+        "edge 999.999.999.999 and @not.an.email",
+        "tel: 0049 171 1234567, ip=192.168.0.1.",
+        "url with email https://a.b/c?mail=x@y.zz trailing",
+    ]
+
+    def _run(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import scrub_pii
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(self.TEXTS)), type=pa.int64()),
+            "text": pa.array(self.TEXTS, type=pa.string()),
+        }))
+        return scrub_pii(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+    def test_duckdb_parity(self, ray_session):
+        import duckdb
+
+        from guac_ray.functions.text import PII_PATTERNS
+
+        got = self._run(ray_session)
+        con = duckdb.connect()
+        red = "coalesce(t,'')"
+        for cat, pat in PII_PATTERNS.items():
+            esc = pat.replace("'", "''")
+            red = f"regexp_replace({red}, '{esc}', '[{cat.upper()}]', 'g')"
+        counts = ", ".join(
+            f"len(regexp_extract_all(coalesce(t,''), '{p}')) AS n_{c}"
+            for c, p in PII_PATTERNS.items())
+        want = con.execute(
+            f"SELECT {red} AS text, {counts} FROM (SELECT unnest(?) AS t)",
+            [list(self.TEXTS)]).df()
+        assert got["text"].tolist() == want["text"].tolist()
+        for c in PII_PATTERNS:
+            assert got[f"n_{c}"].tolist() == want[f"n_{c}"].tolist(), c
+
+    def test_redaction_semantics(self, ray_session):
+        got = self._run(ray_session)
+        # row 0: email + url both redacted
+        assert "[EMAIL]" in got.loc[0, "text"]
+        assert "[URL]" in got.loc[0, "text"]
+        assert "john.doe" not in got.loc[0, "text"]
+        # row 1: ip + two phones
+        assert got.loc[1, "n_ipv4"] == 1
+        assert got.loc[1, "n_phone"] == 2
+        # clean row untouched
+        assert got.loc[2, "text"] == "no pii here"
+        assert got.loc[2, ["n_url", "n_email", "n_ipv4", "n_phone"]].sum() == 0
+        # null → empty
+        assert got.loc[4, "text"] == ""
+        # URL containing an email: email redacted as part of the URL
+        # (sequential order), but counted independently on the raw text
+        assert got.loc[8, "text"].count("[URL]") == 1
+        assert "x@y.zz" not in got.loc[8, "text"]
+        assert got.loc[8, "n_email"] == 1
