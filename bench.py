@@ -126,8 +126,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "events_customer_outer", "kg_heavy_tools", "doc_tfidf",
             "doc_decontaminate",
             # round-4 second wave: boilerplate turn removal, RE2 PII
-            # scrub, fixed-point k-means
+            # scrub, fixed-point k-means, Gopher repetition signals
             "kg_strip_boilerplate", "doc_pii_scrub", "emb_kmeans",
+            "doc_repetition",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -34,6 +34,8 @@ __all__ = [
     "tfidf_top_terms",
     "PII_PATTERNS",
     "scrub_pii",
+    "RepetitionScorer",
+    "repetition_scores",
 ]
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
@@ -252,6 +254,56 @@ def lang_id(docs: Dataset, concurrency: int = 2) -> Dataset:
 
 def fingerprints(docs: Dataset, concurrency: int = 2) -> Dataset:
     return docs.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=concurrency)
+
+
+class RepetitionScorer:
+    """Gopher-style repetition signals per document — the quality
+    filters of Rae et al. 2021 §A1.1 (duplicate-token and repeated
+    n-gram fractions flag template/spam text): token count, distinct
+    token count, bigram count, the max bigram multiplicity, and the
+    lexicographically-smallest bigram attaining it. All counts are
+    int64 so any engine reproduces them exactly; callers derive the
+    fractions (the thresholds live with the caller, not the operator).
+
+    Tokens are ``sql_ws_tokens`` — the RE2-'\\s+' grammar shared with
+    tfidf/bigrams/decontaminate, so one DuckDB oracle checks all of
+    them.
+    """
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = t.column(0)
+        n_tok, n_dis, n_bg, max_bg, top_bg = [], [], [], [], []
+        for txt in t.column(1).to_pylist():
+            w = sql_ws_tokens(txt)
+            n_tok.append(len(w))
+            n_dis.append(len(set(w)))
+            if len(w) >= 2:
+                c = Counter(map(" ".join, zip(w, w[1:])))
+                m = max(c.values())
+                n_bg.append(len(w) - 1)
+                max_bg.append(m)
+                top_bg.append(min(b for b, n in c.items() if n == m))
+            else:
+                n_bg.append(0)
+                max_bg.append(0)
+                top_bg.append("")
+        return pa.table({
+            t.column_names[0]: ids,
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_distinct_tokens": pa.array(n_dis, type=pa.int64()),
+            "n_bigrams": pa.array(n_bg, type=pa.int64()),
+            "max_bigram_n": pa.array(max_bg, type=pa.int64()),
+            "top_bigram": pa.array(top_bg, type=pa.string()),
+        })
+
+
+def repetition_scores(
+    docs: Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> Dataset:
+    return docs.select_columns([id_col, text_col]).map_batches(
+        RepetitionScorer, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # PII scrub patterns, applied in THIS insertion order (a URL is redacted

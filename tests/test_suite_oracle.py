@@ -1,5 +1,5 @@
 """Driver-gate mimic inside pytest: a fast subset of the suite compared
-against its DuckDB oracle at sf0.001 (the full 56-query sweep runs via
+against its DuckDB oracle at sf0.001 (the full 58-query sweep runs via
 tools/check_oracle.py at sf0.01)."""
 
 import duckdb
@@ -23,6 +23,7 @@ FAST = [
     "doc_tfidf",
     "knn_search",
     "doc_pii_scrub",
+    "doc_repetition",
     "emb_kmeans",
     "events_user_stats",
     "events_rank_dense",

@@ -283,3 +283,65 @@ class TestScrubPii:
         assert got.loc[8, "text"].count("[URL]") == 1
         assert "x@y.zz" not in got.loc[8, "text"]
         assert got.loc[8, "n_email"] == 1
+
+
+class TestRepetitionScorer:
+    def test_signals_and_sql_parity(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from guac_ray.functions.text import repetition_scores
+
+        texts = [
+            "a b a b a",            # max bigram 'a b' x2 (tie with 'b a')
+            "x",                    # no bigrams
+            "",                     # empty
+            "one  two one two",     # double space collapses
+            "A\xa0B a b",      # NBSP/LS are NOT RE2 whitespace:
+                                    # one token 'a\xa0b a b'? no —
+                                    # plain space splits: 2 tokens
+            "t t t t t t",          # pathological repetition
+        ]
+        ds = rd.from_arrow(__import__("pyarrow").table({
+            "doc_id": list(range(len(texts))), "text": texts}))
+        got = repetition_scores(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+        con = duckdb.connect()
+        want = con.execute(r"""
+WITH d AS (SELECT unnest(range(len(?::VARCHAR[]))) AS doc_id,
+                  unnest(?::VARCHAR[]) AS text),
+w AS (SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+      FROM d),
+base AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         len(list_distinct(w)) AS n_distinct_tokens,
+         CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n_bigrams,
+         list_transform(range(greatest(len(w) - 1, 0)),
+                        i -> w[i+1] || ' ' || w[i+2]) AS bg
+  FROM w),
+bgc AS (SELECT doc_id, b, count(*) AS n
+        FROM (SELECT doc_id, unnest(bg) AS b FROM base) GROUP BY doc_id, b),
+top AS (SELECT doc_id, n AS max_bigram_n, b AS top_bigram FROM bgc
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, b) = 1)
+SELECT base.doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+       coalesce(top.max_bigram_n, 0) AS max_bigram_n,
+       coalesce(top.top_bigram, '') AS top_bigram
+FROM base LEFT JOIN top USING (doc_id) ORDER BY doc_id
+""", [texts, texts]).df()
+        for c in ("n_tokens", "n_distinct_tokens", "n_bigrams",
+                  "max_bigram_n", "top_bigram"):
+            assert got[c].tolist() == want[c].tolist(), c
+
+        # spot-check semantics
+        assert got.loc[0, "max_bigram_n"] == 2
+        assert got.loc[0, "top_bigram"] == "a b"   # lexicographic tie-break
+        assert got.loc[1].tolist()[1:] == [1, 1, 0, 0, ""]
+        assert got.loc[2].tolist()[1:] == [0, 0, 0, 0, ""]
+        assert got.loc[5, "n_distinct_tokens"] == 1
+        assert got.loc[5, "max_bigram_n"] == 5
+        # NBSP row: 2 tokens under the RE2 grammar (str.split() would
+        # produce 4 — the sql_ws_tokens contract is what keeps parity)
+        assert got.loc[4, "n_tokens"] == 2
