@@ -128,7 +128,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-4 second wave: boilerplate turn removal, RE2 PII
             # scrub, fixed-point k-means, Gopher repetition signals
             "kg_strip_boilerplate", "doc_pii_scrub", "emb_kmeans",
-            "doc_repetition",
+            "doc_repetition", "kg_triangles",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -8,6 +8,7 @@ code never calls ray.init.
     python -m guac_ray query  <graph_out_dir> patch <node_key> [--depth N]
     python -m guac_ray query  <graph_out_dir> neighbors <node_key> [--direction out|in|both]
     python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--iters N]
+    python -m guac_ray query  <graph_out_dir> triangles
     python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
     python -m guac_ray compact <in_dir> <out_dir> [--target-mb M] [--delete-inputs]
     python -m guac_ray curate <documents.parquet> <out_dir> [--threshold T]
@@ -72,7 +73,7 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    if args.what != "pagerank" and not args.key:
+    if args.what not in ("pagerank", "triangles") and not args.key:
         # only the whole-graph verb is keyless; a forgotten key on the
         # node verbs must not silently read as "no results"
         print(f"error: query {args.what} requires a node key", file=sys.stderr)
@@ -113,6 +114,10 @@ def cmd_query(args) -> int:
         # top-k distributedly: the full rank table never hits the driver
         out = (pr.sort(["rank", "node_key"], descending=[True, False])
                .limit(args.limit).to_pandas())
+    elif args.what == "triangles":
+        from guac_ray.functions.triangles import triangle_count
+
+        out = triangle_count(edges).to_pandas()
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.what)
     print(out.to_json(orient="records", lines=True) if hasattr(out, "to_json")
@@ -303,7 +308,8 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("query", help="read-side queries over a built graph")
     q.add_argument("graph")
     q.add_argument("what",
-                   choices=["known", "vulns", "patch", "neighbors", "pagerank"])
+                   choices=["known", "vulns", "patch", "neighbors",
+                            "pagerank", "triangles"])
     q.add_argument("key", nargs="?", default=None)
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])

@@ -1,0 +1,209 @@
+"""Exact distributed triangle counting over the assembled KG edge
+table — graph analytics beyond the reference's query set (like
+pagerank.py; GUAC's GraphQL layer has no analytics endpoints), with an
+exact 3-way self-join SQL oracle.
+
+Algorithm: degree-ordered node-iterator (the MapReduce-classic of
+Suri & Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the
+Last Reducer" — public knowledge):
+
+  1. canonicalize to DISTINCT undirected edges (u < v, loops dropped)
+     through one ``grouped_agg`` exchange, persisted once as the
+     working set;
+  2. compute degrees (one more ``grouped_agg``), attach them to both
+     endpoints via two co-partitioned ``hash_join``s;
+  3. ORIENT each edge from its (degree, key)-smaller endpoint — after
+     orientation every out-degree is O(sqrt(m)), so the hub that
+     dominates the raw degree distribution (the 40%-hot tool) cannot
+     explode the wedge stage: exactly the "curse of the last reducer"
+     fix;
+  4. per source, emit wedges (dst_i, dst_j) — fully vectorized chunked
+     numpy expansion per exchange bucket, never a Python row loop;
+  5. a LARGE-LARGE ``hash_join(how="semi")`` of wedges against the
+     edge set closes triangles; counting is FUSED into the join's
+     reduce (``partial_fn``), so only per-task count rows leave the
+     exchange.
+
+Every triangle {a,b,c} is counted exactly once: exactly one of its
+vertices precedes the other two in the (degree, key) total order, and
+only that vertex emits the closing wedge.
+
+Scale: the wedge exchange is the dominant cost at Θ(Σ d_out²) ≤
+O(m^1.5) — the known work bound for exact triangle enumeration; all
+other stages are linear exchanges. ``wedge_chunk`` bounds each
+expansion's memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from guac_ray.arrowutil import table_from_pandas
+
+__all__ = ["triangle_count"]
+
+
+def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
+                         chunk_pairs: int) -> list[tuple[np.ndarray, np.ndarray]]:
+    """All (dst[i], dst[j]) pairs with i<j inside each group, given the
+    per-row within-group position ``k`` (rows sorted by group, dst
+    ascending within group). Row r pairs dst[r] against the k[r] rows
+    before it in its group. Chunked so one expansion holds at most
+    ~``chunk_pairs`` pairs."""
+    n = len(dst)
+    if n == 0:
+        return []
+    start = np.arange(n, dtype=np.int64) - k          # group start row
+    before = np.concatenate(([0], np.cumsum(k)[:-1]))  # pairs before row
+    total = int(before[-1] + k[-1])
+    if total == 0:
+        return []
+    out = []
+    lo = 0
+    while lo < n:
+        hi = lo
+        acc = 0
+        while hi < n and (acc + k[hi] <= chunk_pairs or hi == lo):
+            acc += int(k[hi])
+            hi += 1
+        rows = np.arange(lo, hi)
+        kk = k[rows]
+        if kk.sum() > 0:
+            right = np.repeat(dst[rows], kk)
+            p = np.arange(int(kk.sum()), dtype=np.int64)
+            left_idx = (p - np.repeat(before[rows] - before[lo], kk)
+                        + np.repeat(start[rows], kk))
+            out.append((dst[left_idx], right))
+        lo = hi
+    return out
+
+
+def triangle_count(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    wedge_chunk: int = 4_000_000,
+) -> Dataset:
+    """One-row Dataset {"n_triangles": int64} for the undirected simple
+    graph induced by (a_col, b_col)."""
+    import os
+
+    from guac_ray.functions.joins import default_exchange, fresh_exchange_dir, hash_join
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.groupagg import grouped_agg
+
+    base = exchange_base or default_exchange("triangles")
+
+    # ---- 1. canonical distinct edges, persisted once
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_pandas().astype(str)
+        b = t[b_col].to_pandas().astype(str)
+        u = a.where(a < b, b)
+        v = b.where(a < b, a)
+        df = pd.DataFrame({"u": u, "v": v})
+        df = df[df["u"] != df["v"]].drop_duplicates()
+        return table_from_pandas(df, preserve_index=False)
+
+    dedup = grouped_agg(
+        edges.select_columns([a_col, b_col]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], {"_n": ("u", "count")},
+        num_buckets=num_buckets,
+    )
+    edir = fresh_exchange_dir(os.path.join(base, "canon"))
+    dedup.select_columns(["u", "v"]).write_parquet(edir)
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(edir, "*.parquet")):
+        # every input edge was a self-loop (Ray writes no files for an
+        # empty dataset) — no graph, no triangles
+        return rd.from_items([{"n_triangles": 0}])
+
+    def E() -> Dataset:
+        return rd.read_parquet(edir)
+
+    # ---- 2. degrees over the DEDUPED edge set
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.concat_arrays([
+                t["u"].combine_chunks().cast(pa.string()),
+                t["v"].combine_chunks().cast(pa.string()),
+            ]),
+        })
+
+    deg = grouped_agg(
+        E().map_batches(endpoints, batch_format="pyarrow"),
+        ["n"], {"deg": ("n", "count")}, num_buckets=num_buckets,
+    )
+
+    du = deg.map_batches(
+        lambda df: df.rename(columns={"n": "u", "deg": "du"}),
+        batch_format="pandas")
+    dv = deg.map_batches(
+        lambda df: df.rename(columns={"n": "v", "deg": "dv"}),
+        batch_format="pandas")
+    with_du = hash_join(E(), du, on="u",
+                        exchange_dir=os.path.join(base, "ju"),
+                        num_buckets=num_buckets)
+    with_deg = hash_join(with_du, dv, on="v",
+                         exchange_dir=os.path.join(base, "jv"),
+                         num_buckets=num_buckets)
+
+    # ---- 3. orient low → high in the (degree, key) total order
+    def orient(df: pd.DataFrame) -> pa.Table:
+        fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
+                                       & (df["u"] < df["v"]))
+        out = pd.DataFrame({
+            "src": df["u"].where(fwd, df["v"]),
+            "dst": df["v"].where(fwd, df["u"]),
+        })
+        out["_bucket"] = (stable_hash(out, ["src"]) % num_buckets
+                          ).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    oriented = with_deg.map_batches(orient, batch_format="pandas")
+
+    # ---- 4. wedges per source (chunked vectorized pair expansion)
+    def wedges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        dst = df["dst"].to_numpy()
+        grp_change = np.ones(len(df), dtype=bool)
+        src = df["src"].to_numpy()
+        grp_change[1:] = src[1:] != src[:-1]
+        # within-group position
+        idx = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(grp_change, idx, 0))
+        k = idx - start
+        parts = [
+            pa.table({"u": pa.array(le, type=pa.string()),
+                      "v": pa.array(ri, type=pa.string())})
+            for le, ri in _pairs_within_groups(dst, k, wedge_chunk)
+        ]
+        if not parts:
+            return pa.table({"u": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    wedge_ds = fs_exchange_reduce(
+        oriented, os.path.join(base, "wedge"), wedges)
+    if wedge_ds is None:
+        return rd.from_items([{"n_triangles": 0}])
+
+    # ---- 5. close wedges against the edge set; count fused into the
+    # semi join's reduce so only count partials leave the exchange
+    def count_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"c": pa.array([t.num_rows], type=pa.int64())})
+
+    closed = hash_join(
+        wedge_ds, E(), on=["u", "v"],
+        exchange_dir=os.path.join(base, "close"),
+        how="semi", num_buckets=num_buckets, partial_fn=count_partial)
+    total = sum(r["c"] for r in closed.take_all())
+    return rd.from_items([{"n_triangles": int(total)}])

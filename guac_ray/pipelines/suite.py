@@ -2553,6 +2553,35 @@ LIMIT 20
 # registry
 # ---------------------------------------------------------------------------
 
+def kg_triangles(sf_dir: str):
+    """Exact triangle count over the assembled KG
+    (functions/triangles.py): degree-ordered orientation keeps the
+    40%-hot tool hub from exploding the wedge stage, wedges close
+    against the canonical edge set via a large-large semi join with the
+    count fused into the join reduce. Oracle: the classic 3-way
+    self-join on the golden edge table."""
+    from guac_ray.functions.triangles import triangle_count
+
+    g = _corpus_edges(sf_dir)
+    return triangle_count(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("triangles"), num_buckets=8)
+
+
+def KG_TRIANGLES_SQL(sf_dir: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(subj_key, obj_key) AS u,
+         greatest(subj_key, obj_key) AS v
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 def doc_pii_scrub(sf_dir: str):
     """PII redaction (functions/text.py:scrub_pii): URLs, emails, IPv4s
     and phone numbers redacted + counted per category, all via RE2
@@ -2846,7 +2875,7 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 # name → (ray callable, oracle SQL string / builder(sf_dir) / None)
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries. The registry holds 58; it is ordered so that (a) every
+# entries. The registry holds 59; it is ordered so that (a) every
 # kg_* operator — the north-star workload — leads, and (b) ALL 50
 # in-gate entries carry a SQL oracle (hash-exact driver rows). Round 4
 # first freed three slots by folding pairs that share a driver row
@@ -2878,13 +2907,13 @@ SUITE: dict[str, tuple] = {
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
+    "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
-    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
@@ -2932,4 +2961,7 @@ SUITE: dict[str, tuple] = {
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "part_type_stats": (part_type_stats, PART_TYPE_SQL),
     "emb_cluster_sample": (emb_cluster_sample, EMB_CLUSTER_SAMPLE_SQL),
+    # md5-split discipline also hash-checked in-gate inside
+    # corpus_curation's oracle:
+    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
 }

@@ -188,6 +188,24 @@ class TestCliNewVerbs:
         rc = cmd_query(A())
         assert rc == 0
 
+    def test_triangles_verb(self, ray_session, cli_edges, tmp_path, capsys):
+        import json
+
+        from guac_ray.__main__ import cmd_query
+
+        gdir = tmp_path / "graph"
+        cli_edges.write_parquet(str(gdir / "edges"))
+
+        class A:
+            what, key, graph = "triangles", None, str(gdir)
+            num_cpus = None
+            depth, direction, preds = 10, "out", None
+            offset, limit, iters = 0, 3, 20
+
+        assert cmd_query(A()) == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["n_triangles"] >= 0
+
     def test_simjoin_cli_empty_result_is_clean(self, ray_session, tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq

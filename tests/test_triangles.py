@@ -1,0 +1,104 @@
+"""Degree-oriented exact triangle counting (functions/triangles.py)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from guac_ray.functions.triangles import _pairs_within_groups, triangle_count
+
+
+def _brute(edges):
+    """O(n³) reference over the undirected simple graph."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1 for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b])
+
+
+def _run(edges, tmp_path, **kw):
+    df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+    out = triangle_count(
+        rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+        exchange_base=str(tmp_path / "tri"), num_buckets=4, **kw)
+    return out.to_pandas()["n_triangles"].iloc[0]
+
+
+class TestTriangles:
+    def test_known_small_graphs(self, ray_session, tmp_path):
+        # triangle + pendant: exactly 1
+        assert _run([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+                    tmp_path / "g1") == 1
+        # K4: 4 triangles; with duplicate/reversed/self edges thrown in
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d"), ("b", "a"), ("c", "c"),
+              ("a", "b")]
+        assert _run(k4, tmp_path / "g2") == 4
+        # star (hub with 10 leaves): 0 — the orientation's raison d'être
+        star = [("hub", f"x{i}") for i in range(10)]
+        assert _run(star, tmp_path / "g3") == 0
+
+    def test_random_graph_matches_brute_force(self, ray_session, tmp_path):
+        rng = np.random.RandomState(5)
+        nodes = [f"n{i:02d}" for i in range(30)]
+        edges = [
+            (nodes[i], nodes[j])
+            for i in range(30) for j in range(i + 1, 30)
+            if rng.rand() < 0.25
+        ]
+        # add a hot hub touching everything (skew path)
+        edges += [("hub", n) for n in nodes]
+        got = _run(edges, tmp_path)
+        assert got == _brute(edges)
+        assert got > 0
+
+    def test_empty_and_no_triangles(self, ray_session, tmp_path):
+        assert _run([("a", "b")], tmp_path / "e1") == 0
+        assert _run([("a", "a")], tmp_path / "e2") == 0
+
+    def test_wedge_chunking_invariance(self, ray_session, tmp_path):
+        rng = np.random.RandomState(9)
+        nodes = [f"m{i}" for i in range(20)]
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.rand() < 0.5]
+        want = _brute(edges)
+        assert _run(edges, tmp_path / "c1", wedge_chunk=7) == want
+        assert _run(edges, tmp_path / "c2", wedge_chunk=4_000_000) == want
+
+
+class TestPairExpansion:
+    def test_matches_itertools(self):
+        rng = np.random.RandomState(3)
+        for trial in range(20):
+            sizes = rng.randint(0, 6, size=rng.randint(1, 8)) + 1
+            dst, k = [], []
+            for g, n in enumerate(sizes):
+                vals = sorted(rng.randint(0, 100, size=n))
+                dst.extend(vals)
+                k.extend(range(n))
+            dst = np.asarray(dst)
+            k = np.asarray(k, dtype=np.int64)
+            chunk = int(rng.randint(1, 10))
+            got = set()
+            for le, ri in _pairs_within_groups(dst, k, chunk):
+                got.update(zip(le.tolist(), ri.tolist()))
+            want = set()
+            pos = 0
+            for n in sizes:
+                vals = dst[pos:pos + n]
+                want.update((int(vals[i]), int(vals[j]))
+                            for i in range(n) for j in range(i + 1, n))
+                pos += n
+            # multiset vs set: duplicates collapse — compare counts too
+            total = sum(len(le) for le, _ in
+                        _pairs_within_groups(dst, k, chunk))
+            assert total == sum(n * (n - 1) // 2 for n in sizes)
+            assert got == want, (sizes, chunk)
