@@ -36,7 +36,8 @@ from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 
 __all__ = ["windowed", "keep_latest"]
 
-_OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank")
+_OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank",
+        "ntile", "percent_rank")
 
 
 def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
@@ -49,8 +50,10 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
     fields = list(zip(sch.names, sch.types))
     types = dict(fields)
     for name, spec in (ops or {}).items():
-        if spec[0] in ("row_number", "rank", "dense_rank"):
+        if spec[0] in ("row_number", "rank", "dense_rank", "ntile"):
             fields.append((name, pa.int64()))
+        elif spec[0] == "percent_rank":
+            fields.append((name, pa.float64()))
         elif spec[0] in ("lag", "lead") and pa.types.is_integer(types[spec[1]]):
             # match the non-empty path: pandas shift introduces NaN, so
             # integer sources come back as double there too
@@ -71,13 +74,17 @@ def windowed(
     """SQL-window analog: for each output column name, ``ops`` maps to
     ``("lag", col[, k])`` / ``("lead", col[, k])`` (offset k, default 1,
     NULL at the edge), ``("row_number",)`` (1-based within key, in
-    ``order``), ``("cumsum", col)`` (inclusive running sum), or
+    ``order``), ``("cumsum", col)`` (inclusive running sum),
     ``("rank",)`` / ``("dense_rank",)`` (SQL semantics over the full
     ``order`` tuple: ties share a rank; rank leaves gaps, dense_rank
     does not — both are functions of the order-key VALUE, so they are
-    deterministic even when the order tuple has ties). Rows come back
-    with all original columns plus the window columns; row order is not
-    meaningful (as after any shuffle)."""
+    deterministic even when the order tuple has ties),
+    ``("ntile", k)`` (SQL NTILE: the first n%k buckets get the extra
+    row — POSITIONAL, so only deterministic under a tie-free order),
+    or ``("percent_rank",)`` ((rank-1)/(n-1), 0.0 for a single-row
+    partition — tie-safe like rank). Rows come back with all original
+    columns plus the window columns; row order is not meaningful (as
+    after any shuffle)."""
     by = [by] if isinstance(by, str) else list(by)
     order = [order] if isinstance(order, str) else list(order)
     for name, spec in ops.items():
@@ -107,7 +114,29 @@ def windowed(
         # reads the live frame, so interleaving writes would feed one
         # op's output into another op that names the same source column
         new = {}
-        rn = tie_start = None
+        rn = tie_start = rank_s = nsz = None
+
+        def _rank() -> pd.Series:
+            nonlocal rn, tie_start, rank_s
+            if rank_s is None:
+                # a row opens a new tie-run when ANY of (key, order)
+                # differs from the previous sorted row; NULLs are
+                # PEERS (SQL ORDER BY semantics), so null == null
+                # must count as equal — bare == yields False on NaN
+                cur, prev = df[by + order], df[by + order].shift()
+                prev_eq = (cur == prev) | (cur.isna() & prev.isna())
+                tie_start = ~prev_eq.all(axis=1)
+                rn = (g.cumcount() + 1).astype("int64")
+                # rank = row_number at the tie-run start, propagated
+                rank_s = rn.where(tie_start).ffill().astype("int64")
+            return rank_s
+
+        def _nsz() -> pd.Series:
+            nonlocal nsz
+            if nsz is None:
+                nsz = g[by[0]].transform("size").astype("int64")
+            return nsz
+
         for name, spec in ops.items():
             if spec[0] == "lag":
                 new[name] = g[spec[1]].shift(spec[2] if len(spec) > 2 else 1)
@@ -117,23 +146,29 @@ def windowed(
                 new[name] = (g.cumcount() + 1).astype("int64")
             elif spec[0] == "cumsum":
                 new[name] = g[spec[1]].cumsum()
-            elif spec[0] in ("rank", "dense_rank"):
-                if tie_start is None:
-                    # a row opens a new tie-run when ANY of (key, order)
-                    # differs from the previous sorted row; NULLs are
-                    # PEERS (SQL ORDER BY semantics), so null == null
-                    # must count as equal — bare == yields False on NaN
-                    cur, prev = df[by + order], df[by + order].shift()
-                    prev_eq = (cur == prev) | (cur.isna() & prev.isna())
-                    tie_start = ~prev_eq.all(axis=1)
-                    rn = (g.cumcount() + 1).astype("int64")
-                if spec[0] == "rank":
-                    # rank = row_number at the tie-run start, propagated
-                    new[name] = rn.where(tie_start).ffill().astype("int64")
-                else:
-                    new[name] = tie_start.astype("int64").groupby(
-                        [df[c] for c in by], sort=False,
-                        dropna=False).cumsum()
+            elif spec[0] == "rank":
+                new[name] = _rank()
+            elif spec[0] == "dense_rank":
+                _rank()
+                new[name] = tie_start.astype("int64").groupby(
+                    [df[c] for c in by], sort=False,
+                    dropna=False).cumsum()
+            elif spec[0] == "ntile":
+                k = int(spec[1])
+                pos = (g.cumcount() + 1).to_numpy()  # 1-based
+                n = _nsz().to_numpy()
+                q, r = n // k, n % k
+                big = r * (q + 1)  # rows covered by the larger buckets
+                qq = np.maximum(q, 1)  # q==0 ⇒ first branch always taken
+                new[name] = pd.Series(np.where(
+                    pos <= big,
+                    (pos - 1) // (q + 1) + 1,
+                    r + (pos - 1 - big) // qq + 1,
+                ).astype("int64"), index=df.index)
+            elif spec[0] == "percent_rank":
+                n = _nsz()
+                new[name] = ((_rank() - 1) / (n - 1).clip(lower=1)
+                             ).where(n > 1, 0.0).astype("float64")
         for name, v in new.items():
             df[name] = v
         return table_from_pandas(df, preserve_index=False)

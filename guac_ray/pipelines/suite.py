@@ -1179,7 +1179,11 @@ def events_window_funcs(sf_dir: str):
                       "running_value": ("cumsum", "value"),
                       "rn": ("row_number",),
                       "l1": ("lag", "value"),
-                      "l2": ("lag", "value", 2)},
+                      "l2": ("lag", "value", 2),
+                      # positional/fractional ops are deterministic here
+                      # because (ts, event_id) is tie-free
+                      "nt4": ("ntile", 4),
+                      "prank": ("percent_rank",)},
                  exchange_base=_exchange("window_funcs"), num_buckets=8)
 
     def finish(df: pd.DataFrame) -> pa.Table:
@@ -1194,6 +1198,8 @@ def events_window_funcs(sf_dir: str):
             "running_value": pa.array(df["running_value"].to_numpy()),
             "rn": pa.array(df["rn"].to_numpy().astype("int64")),
             "mov3": pa.array(mov3),
+            "nt4": pa.array(df["nt4"].to_numpy().astype("int64")),
+            "prank": pa.array(df["prank"].to_numpy()),
         })
 
     return w.map_batches(finish, batch_format="pandas")
@@ -1209,7 +1215,11 @@ SELECT event_id,
        (value + coalesce(lag(value) OVER
            (PARTITION BY user_id ORDER BY ts, event_id), 0))
         + coalesce(lag(value, 2) OVER
-           (PARTITION BY user_id ORDER BY ts, event_id), 0) AS mov3
+           (PARTITION BY user_id ORDER BY ts, event_id), 0) AS mov3,
+       CAST(ntile(4) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS nt4,
+       percent_rank() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prank
 FROM events
 """
 

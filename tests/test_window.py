@@ -199,3 +199,52 @@ class TestNullKeys:
         assert nan_rows.rk.nunique() == 1      # all null rows share a rank
         assert nan_rows.dk.nunique() == 1
         assert out[out.u == 2].rk.tolist() == [1]
+
+
+class TestNtilePercentRank:
+    def test_against_duckdb(self, ray_session, tmp_path):
+        """ntile(k) bucket-size rule and percent_rank tie semantics vs
+        DuckDB's window functions, including n<k, n%k!=0, ties, and a
+        single-row partition."""
+        import duckdb
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({
+            "u": [1] * 7 + [2] * 3 + [3] + [4] * 2,
+            "o": [10, 20, 30, 40, 50, 60, 70,  # 7 rows, k=3 → 3/2/2
+                  5, 5, 9,                     # TIE on the order key
+                  1,
+                  2, 2],                       # all-tie partition
+            "eid": list(range(13)),
+        })
+        got = windowed(
+            rd.from_pandas(df).repartition(3), by="u", order=["o"],
+            ops={"nt": ("ntile", 3), "pr": ("percent_rank",)},
+            exchange_base=str(tmp_path / "w"), num_buckets=2,
+        ).to_pandas().sort_values(["u", "o", "eid"]).reset_index(drop=True)
+
+        con = duckdb.connect()
+        want = con.execute("""
+            SELECT u, o, eid,
+                   CAST(ntile(3) OVER (PARTITION BY u ORDER BY o)
+                        AS BIGINT) AS nt,
+                   percent_rank() OVER (PARTITION BY u ORDER BY o) AS pr
+            FROM df ORDER BY u, o, eid
+        """).df()
+        # ntile under ties is positional → compare only where order is
+        # tie-free; percent_rank is tie-safe → compare everywhere
+        assert got["pr"].tolist() == want["pr"].tolist()
+        tie_free = ~df.sort_values(["u", "o", "eid"]).duplicated(
+            ["u", "o"], keep=False).reset_index(drop=True)
+        assert (got.loc[tie_free, "nt"].tolist()
+                == want.loc[tie_free, "nt"].tolist())
+        # the all-tie partition still obeys the SIZE rule (2 rows, k=3
+        # → one per bucket regardless of which row got which)
+        u4 = got[got.u == 4]
+        assert sorted(u4["nt"]) == [1, 2]
+        assert u4["pr"].tolist() == [0.0, 0.0]  # rank ties → both 0
+        # single-row partition
+        assert got[got.u == 3]["pr"].tolist() == [0.0]
+        assert got[got.u == 3]["nt"].tolist() == [1]
