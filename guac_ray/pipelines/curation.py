@@ -256,3 +256,53 @@ def decontaminate(
         }), preserve_index=False)
 
     return out.map_batches(final, batch_format="pandas")
+
+
+def source_mixture(
+    docs: Dataset,
+    weights: dict[str, float],
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> Dataset:
+    """Domain-reweighted resampling — the mixture step of training-data
+    assembly (upsample scarce high-quality domains, downsample bulk
+    ones; the Pile / DoReMi discipline). Weight w per source means:
+    floor(w) deterministic copies of every doc, plus one more iff the
+    doc's md5 first byte < floor(frac(w)·256) — so w=2.5 yields 2 or 3
+    copies (expected 2.5), w=0.25 keeps ~a quarter of docs once. The
+    md5 rule is the repo's split discipline (``md5_first_byte``), so
+    the choice is a pure function of the data: resume-stable,
+    engine-swappable, and exactly reproducible in SQL
+    (``substr(md5(CAST(id AS VARCHAR)),1,2) < printf('%02x', thr)``).
+
+    Fractions are applied at 1/256 granularity (floor) — weights with
+    exact 1/256ths (0.25, 2.5, 1.125…) reproduce exactly; anything
+    else floors to the next 256th on BOTH engines.
+
+    Output: one row per kept copy (id_col, source_col, copy) with copy
+    = 0..n-1. Stateless vectorized map — no shuffle at any scale; the
+    weight table ships inside the closure (bounded by #sources).
+    """
+    import numpy as np
+
+    def rep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        src = pd.Series(t[source_col].to_pylist())
+        w = src.map(weights).fillna(default).to_numpy(dtype="float64")
+        base = np.floor(w).astype("int64")
+        thr = np.floor((w - np.floor(w)) * 256).astype("int64")
+        extra = (md5_first_byte(ids).astype("int64") < thr).astype("int64")
+        total = base + extra
+        csum = np.concatenate(([0], np.cumsum(total)[:-1]))
+        copy = (np.arange(int(total.sum()), dtype="int64")
+                - np.repeat(csum, total))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, total)),
+            source_col: pa.array(np.repeat(src.to_numpy(), total),
+                                 type=pa.string()),
+            "copy": pa.array(copy),
+        })
+
+    return docs.select_columns([id_col, source_col]).map_batches(
+        rep, batch_format="pyarrow")

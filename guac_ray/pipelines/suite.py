@@ -2874,6 +2874,47 @@ QUALIFY row_number() OVER (PARTITION BY cluster
 EMB_CLUSTER_SAMPLE_SQL = _cluster_sample_sql()
 
 
+# mixture weights for the doc_source_mixture query — exact 1/256ths
+# only, so floor(frac·256) is float-hazard-free on both engines
+_MIXTURE_WEIGHTS = {"src0": 2.5, "src1": 2.0, "src2": 0.25,
+                    "src3": 0.5, "src4": 0.0}
+
+
+def doc_source_mixture(sf_dir: str):
+    """Domain-reweighted resampling (pipelines/curation.py:
+    source_mixture): upsample src0/src1, downsample src2/src3, drop
+    src4, keep the rest at 1.0 — deterministic md5-byte fractions, one
+    output row per kept copy."""
+    from guac_ray.pipelines.curation import source_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return source_mixture(ds, _MIXTURE_WEIGHTS, default=1.0)
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _MIXTURE_WEIGHTS.items())
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source {cases} ELSE 1.0 END AS wt
+  FROM documents),
+tot AS (
+  SELECT doc_id, source,
+         CAST(floor(wt) AS BIGINT)
+         + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                     < printf('%02x',
+                              CAST(floor((wt - floor(wt)) * 256) AS BIGINT))
+                THEN 1 ELSE 0 END AS copies
+  FROM w)
+SELECT doc_id, source, CAST(u AS BIGINT) AS copy
+FROM (SELECT doc_id, source, unnest(range(copies)) AS u FROM tot)
+"""
+
+
+DOC_MIXTURE_SQL = _mixture_sql()
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -2885,7 +2926,7 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 # name → (ray callable, oracle SQL string / builder(sf_dir) / None)
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries. The registry holds 59; it is ordered so that (a) every
+# entries. The registry holds 60; it is ordered so that (a) every
 # kg_* operator — the north-star workload — leads, and (b) ALL 50
 # in-gate entries carry a SQL oracle (hash-exact driver rows). Round 4
 # first freed three slots by folding pairs that share a driver row
@@ -2974,4 +3015,7 @@ SUITE: dict[str, tuple] = {
     # md5-split discipline also hash-checked in-gate inside
     # corpus_curation's oracle:
     "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
+    # composition of in-gate-evidenced primitives (md5-threshold
+    # sampling + stateless map):
+    "doc_source_mixture": (doc_source_mixture, DOC_MIXTURE_SQL),
 }

@@ -137,3 +137,48 @@ class TestDecontaminate:
         got = decontaminate(train, test).to_pandas()
         assert got.n_contaminated.tolist() == [0]
         assert got.n_shingles.tolist() == [2]
+
+
+class TestSourceMixture:
+    def test_weight_semantics(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import md5_first_byte, source_mixture
+
+        n = 256
+        df = pd.DataFrame({
+            "doc_id": range(4 * n),
+            "source": ["a"] * n + ["b"] * n + ["c"] * n + ["d"] * n,
+        })
+        out = source_mixture(
+            rd.from_pandas(df).repartition(5),
+            {"a": 2.0, "b": 0.5, "c": 0.0}, default=1.0,
+        ).to_pandas()
+        by_src = out.groupby("source").size()
+        assert by_src.get("a", 0) == 2 * n          # exactly 2 copies each
+        assert by_src.get("c", 0) == 0              # dropped
+        assert by_src.get("d", 0) == n              # default 1.0
+        # b: kept iff md5 byte < 128 — exact count from the same rule
+        ids_b = df[df.source == "b"]["doc_id"].to_numpy()
+        want_b = int((md5_first_byte(ids_b) < 128).sum())
+        assert by_src.get("b", 0) == want_b
+        assert 0 < want_b < n
+        # copy indices are 0..k-1 per doc
+        a0 = out[(out.source == "a")].groupby("doc_id")["copy"].agg(list)
+        assert all(sorted(v) == [0, 1] for v in a0)
+
+    def test_batch_layout_invariance(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import source_mixture
+
+        df = pd.DataFrame({"doc_id": range(300),
+                           "source": ["x", "y", "z"] * 100})
+        w = {"x": 1.5, "y": 0.25}
+        a = source_mixture(rd.from_pandas(df).repartition(1), w).to_pandas()
+        b = source_mixture(rd.from_pandas(df).repartition(7), w).to_pandas()
+        key = ["doc_id", "source", "copy"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True))

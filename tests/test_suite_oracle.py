@@ -1,5 +1,5 @@
 """Driver-gate mimic inside pytest: a fast subset of the suite compared
-against its DuckDB oracle at sf0.001 (the full 59-query sweep runs via
+against its DuckDB oracle at sf0.001 (the full 60-query sweep runs via
 tools/check_oracle.py at sf0.01)."""
 
 import duckdb

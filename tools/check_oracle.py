@@ -1,5 +1,5 @@
 """Local stand-in for the driver's correctness gate: run every
-``queries()`` entry (59) at sf0.01 and compare row-count / schema /
+``queries()`` entry (60) at sf0.01 and compare row-count / schema /
 order-insensitive values against ``oracle_sql()`` via DuckDB.
 
 Usage: python tools/check_oracle.py [name ...]
