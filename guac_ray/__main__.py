@@ -15,6 +15,7 @@ code never calls ray.init.
     python -m guac_ray pii <table.parquet> <out_dir> [--text-col C]
     python -m guac_ray kmeans <table.parquet> [--k K] [--iters N] [--out F]
     python -m guac_ray boiler <table.parquet> <out_dir> --group-col G [--min-groups N]
+    python -m guac_ray export <table.parquet> <out_dir> [--format jsonl|csv] [--columns a,b]
 """
 
 from __future__ import annotations
@@ -282,6 +283,24 @@ def cmd_boiler(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Parquet → sharded JSONL/CSV — the handoff format most training
+    stacks ingest. Streamed: each block writes its own shard."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.table,
+                         columns=args.columns.split(",") if args.columns
+                         else None)
+    n = ds.count()
+    if args.format == "jsonl":
+        ds.write_json(args.out)
+    else:
+        ds.write_csv(args.out)
+    print(json.dumps({"rows": n, "out": args.out, "format": args.format}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -407,6 +426,16 @@ def main(argv: list[str] | None = None) -> int:
     bo.add_argument("--text-col", default="text")
     bo.add_argument("--min-groups", type=int, default=50)
     bo.set_defaults(fn=cmd_boiler)
+
+    ex = sub.add_parser("export",
+                        help="parquet → sharded jsonl/csv (streamed, one "
+                             "shard per block)")
+    ex.add_argument("table")
+    ex.add_argument("out")
+    ex.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    ex.add_argument("--columns", default=None,
+                    help="comma-separated column subset")
+    ex.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

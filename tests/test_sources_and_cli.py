@@ -382,3 +382,33 @@ class TestRound4CliVerbs2:
         assert res == {"kept": 3, "total": 6, "out": out_dir}
         got = pq.read_table(out_dir).to_pandas()
         assert sorted(got["text"]) == ["a", "b", "c"]
+
+    def test_export_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_export
+
+        p = tmp_path / "t.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["a", "b", "c"],
+            "extra": [1.0, 2.0, 3.0],
+        }), str(p))
+        out_dir = str(tmp_path / "out")
+
+        class A:
+            table, out = str(p), out_dir
+            format, columns, num_cpus = "jsonl", "doc_id,text", None
+
+        assert cmd_export(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["rows"] == 3
+        import glob
+        rows = []
+        for f in sorted(glob.glob(out_dir + "/*.json")):
+            rows += [json.loads(line) for line in open(f) if line.strip()]
+        assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+        assert all(set(r) == {"doc_id", "text"} for r in rows)
