@@ -270,8 +270,9 @@ def cmd_boiler(args) -> int:
 
     from guac_ray.functions.boilerplate import strip_boilerplate
 
-    cols = [args.group_col, args.text_col]
-    ds = rd.read_parquet(args.table, columns=cols)
+    # no column pruning: the verb's output IS the kept rows, so every
+    # payload column (ids, ordering, roles) must ride through
+    ds = rd.read_parquet(args.table)
     total = ds.count()
     kept = strip_boilerplate(
         ds, args.text_col, args.group_col,

@@ -72,11 +72,14 @@ def boilerplate_digests(
         lambda df: df[df["n_groups"] >= min_groups][["h"]],
         batch_format="pandas",
     )
-    out = hot.take_all()  # bounded: ≤ total_rows / min_groups digests
+    # limit() bounds what reaches the driver BEFORE the pull, so a
+    # degenerate threshold (min_groups=1 → every distinct text) raises
+    # instead of OOMing the driver; ≤ cap rows means limit() is a no-op
+    out = hot.limit(broadcast_cap + 1).take_all()
     if len(out) > broadcast_cap:
         raise ValueError(
-            f"boilerplate set has {len(out)} digests > broadcast_cap="
-            f"{broadcast_cap}; raise min_groups or the cap")
+            f"boilerplate set exceeds broadcast_cap={broadcast_cap} "
+            f"digests; raise min_groups or the cap")
     return {r["h"] for r in out}
 
 

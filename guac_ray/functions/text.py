@@ -300,10 +300,11 @@ class RepetitionScorer:
 
 
 def repetition_scores(
-    docs: Dataset, id_col: str = "doc_id", text_col: str = "text"
+    docs: Dataset, id_col: str = "doc_id", text_col: str = "text",
+    concurrency=(1, 4),
 ) -> Dataset:
     return docs.select_columns([id_col, text_col]).map_batches(
-        RepetitionScorer, batch_format="pyarrow", concurrency=(1, 2))
+        RepetitionScorer, batch_format="pyarrow", concurrency=concurrency)
 
 
 # PII scrub patterns, applied in THIS insertion order (a URL is redacted

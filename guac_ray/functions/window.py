@@ -90,6 +90,10 @@ def windowed(
     for name, spec in ops.items():
         if spec[0] not in _OPS:
             raise ValueError(f"windowed: unknown op {spec[0]!r} for {name!r}")
+        if spec[0] == "ntile" and (len(spec) < 2 or int(spec[1]) < 1):
+            # SQL raises on NTILE(0); silent numpy //0 garbage must not
+            # stand in for that
+            raise ValueError(f"windowed: ntile requires k >= 1 for {name!r}")
     src_cols = {spec[1] for spec in ops.values()
                 if len(spec) > 1 and spec[0] in ("lag", "lead", "cumsum")}
     shadowed = set(ops) & (src_cols | set(by) | set(order))

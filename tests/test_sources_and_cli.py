@@ -370,6 +370,8 @@ class TestRound4CliVerbs2:
         pq.write_table(pa.table({
             "conv": pa.array([0, 0, 1, 1, 2, 2], type=pa.int64()),
             "text": ["HI", "a", "HI", "b", "HI", "c"],
+            # payload column NOT named in the verb args: must survive
+            "turn_idx": pa.array([0, 1, 0, 1, 0, 1], type=pa.int64()),
         }), str(p))
         out_dir = str(tmp_path / "out")
 
@@ -382,6 +384,8 @@ class TestRound4CliVerbs2:
         assert res == {"kept": 3, "total": 6, "out": out_dir}
         got = pq.read_table(out_dir).to_pandas()
         assert sorted(got["text"]) == ["a", "b", "c"]
+        assert set(got.columns) == {"conv", "text", "turn_idx"}
+        assert got.sort_values("text")["turn_idx"].tolist() == [1, 1, 1]
 
     def test_export_verb(self, ray_session, tmp_path, capsys):
         import json

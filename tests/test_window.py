@@ -248,3 +248,14 @@ class TestNtilePercentRank:
         # single-row partition
         assert got[got.u == 3]["pr"].tolist() == [0.0]
         assert got[got.u == 3]["nt"].tolist() == [1]
+
+    def test_ntile_rejects_bad_k(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        ds = rd.from_pandas(pd.DataFrame({"u": [1], "o": [1]}))
+        for bad in (("ntile", 0), ("ntile", -3), ("ntile",)):
+            with pytest.raises(ValueError, match="ntile requires k"):
+                windowed(ds, by="u", order=["o"], ops={"nt": bad},
+                         exchange_base=str(tmp_path / "w"))
