@@ -47,7 +47,15 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 def read_transcripts(path: str | list[str], columns: list[str] | None = None) -> Dataset:
     """Parquet shard dir (or explicit file list) → Dataset, pruned at the
-    read to the requested columns."""
+    read to the requested columns. Storage-scheme URIs (s3:// gs://
+    file://) route through the object-store collector
+    (sources/cloud.py) — the S3/GCS bucket collectors of the
+    reference."""
+    first = path if isinstance(path, str) else path[0]
+    if "://" in first:
+        from guac_ray.sources.cloud import read_parquet_uri
+
+        return read_parquet_uri(path, columns=columns or TRANSCRIPT_COLUMNS)
     return rd.read_parquet(path, columns=columns or TRANSCRIPT_COLUMNS)
 
 
