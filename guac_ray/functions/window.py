@@ -37,7 +37,12 @@ from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 __all__ = ["windowed", "keep_latest"]
 
 _OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank",
-        "ntile", "percent_rank")
+        "ntile", "percent_rank",
+        "moving_sum", "moving_avg", "moving_min", "moving_max",
+        "moving_count")
+
+_MOVING = ("moving_sum", "moving_avg", "moving_min", "moving_max",
+           "moving_count")
 
 
 def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
@@ -50,9 +55,11 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
     fields = list(zip(sch.names, sch.types))
     types = dict(fields)
     for name, spec in (ops or {}).items():
-        if spec[0] in ("row_number", "rank", "dense_rank", "ntile"):
+        if spec[0] in ("row_number", "rank", "dense_rank", "ntile",
+                       "moving_count"):
             fields.append((name, pa.int64()))
-        elif spec[0] == "percent_rank":
+        elif spec[0] == "percent_rank" or spec[0] in _MOVING:
+            # pandas rolling always yields float64
             fields.append((name, pa.float64()))
         elif spec[0] in ("lag", "lead") and pa.types.is_integer(types[spec[1]]):
             # match the non-empty path: pandas shift introduces NaN, so
@@ -81,10 +88,18 @@ def windowed(
     deterministic even when the order tuple has ties),
     ``("ntile", k)`` (SQL NTILE: the first n%k buckets get the extra
     row — POSITIONAL, so only deterministic under a tie-free order),
-    or ``("percent_rank",)`` ((rank-1)/(n-1), 0.0 for a single-row
-    partition — tie-safe like rank). Rows come back with all original
-    columns plus the window columns; row order is not meaningful (as
-    after any shuffle)."""
+    ``("percent_rank",)`` ((rank-1)/(n-1), 0.0 for a single-row
+    partition — tie-safe like rank), or the rolling family
+    ``("moving_sum"|"moving_avg"|"moving_min"|"moving_max"|
+    "moving_count", col, k)`` — SQL ``agg(col) OVER (... ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW)`` over a NUMERIC column: NULLs are
+    skipped like SQL aggregates (an all-NULL window yields NULL;
+    moving_count yields 0). min/max/count are engine-exact; sum/avg
+    use pandas' sliding-window summation, which is only bit-identical
+    to a SQL oracle when the column is integer-valued (the repo's
+    integer-cents discipline) — derive a cents column first for exact
+    parity. Rows come back with all original columns plus the window
+    columns; row order is not meaningful (as after any shuffle)."""
     by = [by] if isinstance(by, str) else list(by)
     order = [order] if isinstance(order, str) else list(order)
     for name, spec in ops.items():
@@ -94,8 +109,13 @@ def windowed(
             # SQL raises on NTILE(0); silent numpy //0 garbage must not
             # stand in for that
             raise ValueError(f"windowed: ntile requires k >= 1 for {name!r}")
+        if spec[0] in _MOVING and (len(spec) < 3 or int(spec[2]) < 1):
+            raise ValueError(
+                f"windowed: {spec[0]} requires (op, col, k) with k >= 1 "
+                f"for {name!r}")
     src_cols = {spec[1] for spec in ops.values()
-                if len(spec) > 1 and spec[0] in ("lag", "lead", "cumsum")}
+                if len(spec) > 1
+                and spec[0] in ("lag", "lead", "cumsum") + _MOVING}
     shadowed = set(ops) & (src_cols | set(by) | set(order))
     if shadowed:
         # an output name equal to a column another op reads would make
@@ -173,6 +193,20 @@ def windowed(
                 n = _nsz()
                 new[name] = ((_rank() - 1) / (n - 1).clip(lower=1)
                              ).where(n > 1, 0.0).astype("float64")
+            elif spec[0] in _MOVING:
+                col, k = spec[1], int(spec[2])
+                # grouped rolling: result index is (by-levels…, orig
+                # index) — drop the group levels to align back onto df
+                r = g[col].rolling(k, min_periods=1)
+                agg = {"moving_sum": "sum", "moving_avg": "mean",
+                       "moving_min": "min", "moving_max": "max",
+                       "moving_count": "count"}[spec[0]]
+                s = getattr(r, agg)().droplevel(list(range(len(by))))
+                if spec[0] == "moving_count":
+                    # count of non-NULLs is never NaN (min_periods=1
+                    # with an all-NaN window gives 0.0, not NaN)
+                    s = s.astype("int64")
+                new[name] = s
         for name, v in new.items():
             df[name] = v
         return table_from_pandas(df, preserve_index=False)

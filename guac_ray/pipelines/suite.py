@@ -1168,12 +1168,21 @@ def events_window_funcs(sf_dir: str):
     ordered by (ts, event_id): gap to previous event (lag; -1 for the
     first event so the NULL never crosses engines), running total of
     value (cumsum — both engines add the same doubles in the same
-    order), row_number, and a 3-row moving sum expressed as
+    order), row_number, a 3-row moving sum expressed as
     value + lag1 + lag2 with explicit left-assoc float addition so the
-    doubles match the SQL bit-for-bit."""
+    doubles match the SQL bit-for-bit, and the rolling-aggregate family
+    (moving_sum/avg/min/max over ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW) on an integer-cents column so the sliding-window sums are
+    exact in both engines."""
     from guac_ray.functions.window import windowed
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_vc(df: pd.DataFrame) -> pd.DataFrame:
+        df["vc"] = cents(df["value"])
+        return df
+
+    ev = ev.map_batches(add_vc, batch_format="pandas")
     w = windowed(ev, by="user_id", order=["ts", "event_id"],
                  ops={"prev_ts": ("lag", "ts"),
                       "running_value": ("cumsum", "value"),
@@ -1183,7 +1192,11 @@ def events_window_funcs(sf_dir: str):
                       # positional/fractional ops are deterministic here
                       # because (ts, event_id) is tie-free
                       "nt4": ("ntile", 4),
-                      "prank": ("percent_rank",)},
+                      "prank": ("percent_rank",),
+                      "msum3": ("moving_sum", "vc", 3),
+                      "mavg3": ("moving_avg", "vc", 3),
+                      "mmin3": ("moving_min", "vc", 3),
+                      "mmax3": ("moving_max", "vc", 3)},
                  exchange_base=_exchange("window_funcs"), num_buckets=8)
 
     def finish(df: pd.DataFrame) -> pa.Table:
@@ -1200,6 +1213,12 @@ def events_window_funcs(sf_dir: str):
             "mov3": pa.array(mov3),
             "nt4": pa.array(df["nt4"].to_numpy().astype("int64")),
             "prank": pa.array(df["prank"].to_numpy()),
+            # rolling never sees a NULL here (vc is derived, non-null),
+            # so sum/min/max round-trip int64 exactly
+            "msum3": pa.array(df["msum3"].to_numpy().astype("int64")),
+            "mavg3": pa.array(df["mavg3"].to_numpy()),
+            "mmin3": pa.array(df["mmin3"].to_numpy().astype("int64")),
+            "mmax3": pa.array(df["mmax3"].to_numpy().astype("int64")),
         })
 
     return w.map_batches(finish, batch_format="pandas")
@@ -1219,8 +1238,15 @@ SELECT event_id,
        CAST(ntile(4) OVER
            (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS nt4,
        percent_rank() OVER
-           (PARTITION BY user_id ORDER BY ts, event_id) AS prank
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prank,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3
+            AS BIGINT) AS msum3,
+       avg(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mavg3,
+       min(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mmin3,
+       max(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mmax3
 FROM events
+WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 

@@ -259,3 +259,94 @@ class TestNtilePercentRank:
             with pytest.raises(ValueError, match="ntile requires k"):
                 windowed(ds, by="u", order=["o"], ops={"nt": bad},
                          exchange_base=str(tmp_path / "w"))
+
+
+class TestMovingAggs:
+    def test_against_duckdb_with_nulls(self, ray_session, tmp_path):
+        """moving_{sum,avg,min,max,count} vs DuckDB ROWS BETWEEN k-1
+        PRECEDING AND CURRENT ROW, incl. NULL skipping (all-NULL window
+        → NULL; count → 0), n<k partitions, and negative values."""
+        import duckdb
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        rng = np.random.default_rng(3)
+        n = 800
+        df = pd.DataFrame({
+            "u": rng.integers(0, 25, n),
+            "t": rng.permutation(n).astype("int64"),
+            "eid": np.arange(n, dtype="int64"),
+        })
+        vals = rng.integers(-500, 500, n)
+        null = rng.random(n) < 0.15
+        df["v"] = pd.array([None if m else int(x)
+                            for m, x in zip(null, vals)], dtype="Int64")
+        got = windowed(
+            rd.from_pandas(df).repartition(4), by="u", order=["t"],
+            ops={"ms": ("moving_sum", "v", 4),
+                 "ma": ("moving_avg", "v", 4),
+                 "mn": ("moving_min", "v", 4),
+                 "mx": ("moving_max", "v", 4),
+                 "mc": ("moving_count", "v", 4)},
+            exchange_base=str(tmp_path / "w"), num_buckets=3,
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+
+        con = duckdb.connect()
+        want = con.execute("""
+            SELECT eid,
+                   sum(v)   OVER w AS ms,
+                   avg(v)   OVER w AS ma,
+                   min(v)   OVER w AS mn,
+                   max(v)   OVER w AS mx,
+                   count(v) OVER w AS mc
+            FROM df
+            WINDOW w AS (PARTITION BY u ORDER BY t
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY eid
+        """).df()
+        for c in ["ms", "ma", "mn", "mx", "mc"]:
+            a = got[c].astype("float64")
+            b = want[c].astype("float64")
+            assert ((a.isna() & b.isna()) | (a == b)).all(), c
+
+    def test_k1_is_identity(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = _events(200)
+        got = windowed(
+            rd.from_pandas(df), by="u", order=["t"],
+            ops={"ms": ("moving_sum", "v", 1)},
+            exchange_base=str(tmp_path / "w1"), num_buckets=2,
+        ).to_pandas().sort_values("eid").reset_index(drop=True)
+        assert (got["ms"].to_numpy() ==
+                df.sort_values("eid")["v"].to_numpy()).all()
+
+    def test_bad_spec_rejected(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        ds = rd.from_pandas(pd.DataFrame({"u": [1], "t": [1], "v": [1.0]}))
+        for bad in (("moving_sum", "v"), ("moving_avg", "v", 0),
+                    ("moving_max", "v", -2)):
+            with pytest.raises(ValueError, match="requires .op, col, k."):
+                windowed(ds, by="u", order=["t"], ops={"m": bad},
+                         exchange_base=str(tmp_path / "w"))
+
+    def test_typed_empty(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                           "t": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+        out = windowed(rd.from_pandas(df), "u", "t",
+                       {"ms": ("moving_sum", "v", 3),
+                        "mc": ("moving_count", "v", 3)},
+                       exchange_base=str(tmp_path / "we3"))
+        sel = out.select_columns(["ms", "mc"])
+        assert sel.count() == 0
