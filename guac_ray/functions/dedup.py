@@ -404,12 +404,16 @@ def connected_components_ds(
       reduce: per bucket — min per node over the received messages,
               written as the next round's labels + a stats row.
 
-    Labels only decrease, so the per-round label SUM is a monotone
-    convergence witness — equal sum ⇒ fixpoint, stop. Rounds needed =
+    Labels only decrease, so the per-round count of CHANGED labels is a
+    convergence witness — zero changes ⇒ fixpoint, stop. Rounds needed =
     component diameter (near-dup clusters are shallow); ``max_rounds``
     bounds pathological chains. No driver-side label table, no
     union-find (the reference's single in-memory backend map —
     backend.go:77-106 — re-expressed as an external shuffle).
+
+    Keys may be int64 OR strings (KG node keys): labels are min over
+    the key's natural order either way (lexicographic for strings), and
+    the output (doc_id, root) carries the input key type.
     """
     import os
 
@@ -423,12 +427,29 @@ def connected_components_ds(
 
     from guac_ray.stages.assemble import hash_bucket
 
-    def nb(arr: np.ndarray) -> np.ndarray:
-        return hash_bucket(arr, B)
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    sch = pairs.schema()
+    key_type = dict(zip(sch.names, sch.types))["a"]
+    # pandas-backed blocks surface numpy dtypes here, arrow-backed
+    # blocks surface pa.DataType — normalize both
+    if isinstance(key_type, pa.DataType):
+        is_str = (pa.types.is_string(key_type)
+                  or pa.types.is_large_string(key_type))
+    else:
+        is_str = not np.issubdtype(np.dtype(key_type), np.integer)
+    key_type = pa.string() if is_str else pa.int64()
+
+    def nb(vals) -> np.ndarray:
+        """Bucket ids for int64 OR string key values (same fold per
+        type everywhere in this exchange — co-location invariant)."""
+        if is_str:
+            h = pd.util.hash_pandas_object(
+                pd.Series(vals), index=False, categorize=False).to_numpy()
+            return (h % np.uint64(B)).astype("int64")
+        return hash_bucket(np.asarray(vals), B)
 
     empty_out = rdata.from_arrow(pa.schema(
-        [("doc_id", pa.int64()), ("root", pa.int64())]).empty_table())
-    pairs = pairs.select_columns(["a", "b"]).materialize()
+        [("doc_id", key_type), ("root", key_type)]).empty_table())
     if pairs.count() == 0:
         return empty_out
 
@@ -437,8 +458,8 @@ def connected_components_ds(
 
     def part_by(col: str):
         def f(t: pa.Table) -> pa.Table:
-            a = t["a"].combine_chunks().cast(pa.int64())
-            b = t["b"].combine_chunks().cast(pa.int64())
+            a = t["a"].combine_chunks().cast(key_type)
+            b = t["b"].combine_chunks().cast(key_type)
             key = (a if col == "a" else b).to_numpy(zero_copy_only=False)
             return pa.table({"a": a, "b": b, "_jb": pa.array(nb(key))})
         return f
@@ -450,8 +471,8 @@ def connected_components_ds(
 
     def endpoints(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([
-            t["a"].combine_chunks().cast(pa.int64()),
-            t["b"].combine_chunks().cast(pa.int64()),
+            t["a"].combine_chunks().cast(key_type),
+            t["b"].combine_chunks().cast(key_type),
         ])
         arr = ids.to_numpy(zero_copy_only=False)
         return pa.table({"node": ids, "label": ids, "_jb": pa.array(nb(arr))})
@@ -468,7 +489,6 @@ def connected_components_ds(
             return None
         return pq.read_table(p).to_pandas()
 
-    prev_sum: int | None = None
     rnd = 0
     for rnd in range(max_rounds):
         lr, msgs, nxt = labels_dir(rnd), os.path.join(ex, f"msgs{rnd}"), labels_dir(rnd + 1)
@@ -502,8 +522,8 @@ def connected_components_ds(
         tgt_buckets = sorted(int(d.rsplit("=", 1)[1])
                              for d in os.listdir(msgs) if d.startswith("_jb="))
 
-        def reduce_(batch: pd.DataFrame, msgs=msgs, nxt=nxt) -> pa.Table:
-            sums, counts, ks = [], [], []
+        def reduce_(batch: pd.DataFrame, msgs=msgs, nxt=nxt, lr=lr) -> pa.Table:
+            changed, counts, ks = [], [], []
             for i in batch["k"]:
                 m = _read_part(msgs, int(i))
                 red = m.groupby("node", as_index=False).label.min()
@@ -512,18 +532,27 @@ def connected_components_ds(
                 pq.write_table(table_from_pandas(red, preserve_index=False),
                                os.path.join(d, "labels.parquet"))
                 ks.append(int(i))
-                sums.append(int(red.label.sum()))
+                # witness: labels only decrease, so comparing against the
+                # SAME bucket's previous (min-reduced) labels counts every
+                # change; node sets match because send always re-emits the
+                # labels themselves. Works for int AND string labels.
+                prev = _read_part(lr, int(i))
+                if prev is None:
+                    changed.append(len(red))
+                else:
+                    prev = prev.groupby("node", as_index=False).label.min()
+                    j = red.merge(prev, on="node", suffixes=("", "_prev"))
+                    changed.append(int((j.label != j.label_prev).sum())
+                                   + (len(red) - len(j)))
                 counts.append(len(red))
             return pa.table({"k": pa.array(ks, type=pa.int64()),
-                             "label_sum": pa.array(sums, type=pa.int64()),
+                             "changed": pa.array(changed, type=pa.int64()),
                              "n": pa.array(counts, type=pa.int64())})
 
         stats = rdata.from_items([{"k": k} for k in tgt_buckets]).map_batches(
             reduce_, batch_format="pandas", batch_size=1).to_pandas()
-        cur_sum = int(stats.label_sum.sum())
-        if cur_sum == prev_sum:
+        if int(stats.changed.sum()) == 0:
             break
-        prev_sum = cur_sum
 
     import glob as _glob
 
@@ -532,8 +561,8 @@ def connected_components_ds(
     final = rdata.read_parquet(sorted(
         _glob.glob(os.path.join(labels_dir(rnd + 1), "_jb=*", "*.parquet"))))
     return final.map_batches(
-        lambda t: pa.table({"doc_id": t["node"].combine_chunks().cast(pa.int64()),
-                            "root": t["label"].combine_chunks().cast(pa.int64())}),
+        lambda t: pa.table({"doc_id": t["node"].combine_chunks().cast(key_type),
+                            "root": t["label"].combine_chunks().cast(key_type)}),
         batch_format="pyarrow",
     )
 

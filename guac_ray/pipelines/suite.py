@@ -2618,6 +2618,113 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+# package-linkage predicates: the sparse identity/derivation subgraph
+# (unlike the mention/metadata hubs that fuse everything into one blob)
+_LINKAGE_PREDS = ("depends_on", "pkg_equal", "version_of",
+                  "hash_equal", "vuln_equal")
+
+
+def kg_components(sf_dir: str):
+    """Connected components over the package-LINKAGE subgraph
+    (depends_on / pkg_equal / version_of / hash_equal / vuln_equal):
+    per-node component assignment where the component id is the MIN
+    node key (lexicographic). String-keyed min-label propagation on the
+    filesystem exchange (functions/dedup.py:connected_components_ds —
+    the same exchange-native algorithm the curation pipeline runs on
+    int doc ids, reused for KG node keys). Oracle: recursive-CTE label
+    propagation over the golden edge table."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.dedup import connected_components_ds
+
+    g = _corpus_edges(sf_dir)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(t["pred"], value_set=pa.array(_LINKAGE_PREDS)),
+            pc.not_equal(t["subj_key"], t["obj_key"]))
+        f = t.filter(m)
+        return pa.table({"a": f["subj_key"].cast(pa.string()),
+                         "b": f["obj_key"].cast(pa.string())})
+
+    cc = connected_components_ds(
+        g["edges"].map_batches(pairs, batch_format="pyarrow"),
+        exchange_dir=_exchange("kg_cc"), num_buckets=8)
+    return cc.map_batches(
+        lambda t: pa.table({"node_key": t["doc_id"], "root": t["root"]}),
+        batch_format="pyarrow")
+
+
+def KG_COMPONENTS_SQL(sf_dir: str) -> str:
+    preds = ", ".join(f"'{p}'" for p in _LINKAGE_PREDS)
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT subj_key AS a, obj_key AS b
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE pred IN ({preds}) AND subj_key <> obj_key),
+e2 AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM e2),
+rr(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.b, rr.lbl FROM rr JOIN e2 ON e2.a = rr.node
+  WHERE rr.lbl < e2.b),
+roots AS (SELECT node, min(lbl) AS root FROM rr GROUP BY node)
+SELECT node AS node_key, root FROM roots
+"""
+
+
+_KCORE_K = 5
+_KCORE_ROUNDS = 8
+
+
+def kg_kcore(sf_dir: str):
+    """k-core of the full KG (k=5): iterative peeling on distributed
+    primitives — exchange dedup canonicalizes the undirected simple
+    edge set once, each round recounts degrees with the bucketed
+    two-phase aggregate and drops <k nodes via a size-guarded semi
+    join (functions/graph_algs.py:kcore). Output: surviving nodes with
+    their degree INSIDE the core. Oracle: the peel recurrence unrolled
+    to the same round cap (both engines run fixed-round semantics; the
+    sf fixture converges well inside the cap — pinned by pytest)."""
+    from guac_ray.functions.graph_algs import kcore
+
+    g = _corpus_edges(sf_dir)
+    out = kcore(g["edges"], "subj_key", "obj_key", k=_KCORE_K,
+                exchange_base=_exchange("kg_kcore"), num_buckets=8,
+                max_rounds=_KCORE_ROUNDS)
+    return out.map_batches(
+        lambda t: pa.table({"node_key": t["node"], "deg": t["deg"]}),
+        batch_format="pyarrow")
+
+
+def KG_KCORE_SQL(sf_dir: str) -> str:
+    K, R = _KCORE_K, _KCORE_ROUNDS
+    parts = [f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(subj_key, obj_key) AS a,
+         greatest(subj_key, obj_key) AS b
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key),
+e2 AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e2)"""]
+    for i in range(R):
+        parts.append(f""",
+a{i + 1} AS MATERIALIZED (
+  SELECT e2.a AS node FROM e2
+  JOIN a{i} x ON x.node = e2.a
+  JOIN a{i} y ON y.node = e2.b
+  GROUP BY e2.a HAVING count(*) >= {K})""")
+    parts.append(f"""
+SELECT e2.a AS node_key, CAST(count(*) AS BIGINT) AS deg
+FROM e2
+JOIN a{R} x ON x.node = e2.a
+JOIN a{R} y ON y.node = e2.b
+GROUP BY e2.a
+""")
+    return "".join(parts)
+
+
 def doc_pii_scrub(sf_dir: str):
     """PII redaction (functions/text.py:scrub_pii): URLs, emails, IPv4s
     and phone numbers redacted + counted per category, all via RE2
@@ -3044,4 +3151,10 @@ SUITE: dict[str, tuple] = {
     # composition of in-gate-evidenced primitives (md5-threshold
     # sampling + stateless map):
     "doc_source_mixture": (doc_source_mixture, DOC_MIXTURE_SQL),
+    # oracle-backed round-4 graph additions — the §2.12 family already
+    # holds four in-gate driver rows (degree/patch-radius/pagerank/
+    # triangles); these two extend it and are verified every
+    # tools/check_oracle.py run:
+    "kg_components": (kg_components, KG_COMPONENTS_SQL),
+    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
 }

@@ -1,0 +1,166 @@
+"""k-core peeling (functions/graph_algs.py) and string-keyed connected
+components (functions/dedup.py:connected_components_ds) vs pure-Python
+references."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _kcore_ref(edges, k):
+    """Reference peel: dict of node -> degree within the k-core."""
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive
+                if sum(m in alive for m in adj[n]) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: sum(m in alive for m in adj[n]) for n in alive}
+
+
+def _rand_edges(n_nodes=120, n_edges=700, seed=5, as_str=False):
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_nodes, n_edges)
+    v = rng.integers(0, n_nodes, n_edges)
+    if as_str:
+        return [(f"n{a:03d}", f"n{b:03d}") for a, b in zip(u, v)]
+    return list(zip(u.tolist(), v.tolist()))
+
+
+class TestKCore:
+    @pytest.mark.parametrize("as_str", [False, True])
+    def test_matches_reference(self, ray_session, tmp_path, as_str):
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import kcore
+
+        edges = _rand_edges(as_str=as_str)
+        df = pd.DataFrame(edges, columns=["s", "o"])
+        got = kcore(rd.from_pandas(df).repartition(4), "s", "o", k=3,
+                    exchange_base=str(tmp_path / "kc"), num_buckets=4
+                    ).to_pandas()
+        want = _kcore_ref(edges, 3)
+        assert dict(zip(got["node"], got["deg"])) == want
+
+    def test_large_large_regime_same_answer(self, ray_session, tmp_path):
+        """broadcast_limit=0 forces the hash-join semi path each round —
+        must equal the broadcast regime bit-for-bit."""
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import kcore
+
+        edges = _rand_edges(seed=9)
+        df = pd.DataFrame(edges, columns=["s", "o"])
+        got = kcore(rd.from_pandas(df).repartition(4), "s", "o", k=3,
+                    exchange_base=str(tmp_path / "kl"), num_buckets=4,
+                    broadcast_limit=0).to_pandas()
+        assert dict(zip(got["node"], got["deg"])) == _kcore_ref(edges, 3)
+
+    def test_deep_peel_path_graph(self, ray_session, tmp_path):
+        """A path graph 2-cores to nothing, one layer per round — the
+        multi-round loop and the all-peeled empty exit."""
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import kcore
+
+        df = pd.DataFrame({"s": list(range(9)), "o": list(range(1, 10))})
+        got = kcore(rd.from_pandas(df), "s", "o", k=2,
+                    exchange_base=str(tmp_path / "kp"), num_buckets=2)
+        assert got.count() == 0
+        # and k=1 keeps the whole path with degree 1 at the ends
+        got1 = kcore(rd.from_pandas(df), "s", "o", k=1,
+                     exchange_base=str(tmp_path / "kp1"),
+                     num_buckets=2).to_pandas()
+        want = _kcore_ref(list(zip(df.s, df.o)), 1)
+        assert dict(zip(got1["node"], got1["deg"])) == want
+
+    def test_clique_is_its_own_core(self, ray_session, tmp_path):
+        import itertools
+
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import kcore
+
+        edges = list(itertools.combinations(range(6), 2))
+        df = pd.DataFrame(edges, columns=["s", "o"])
+        got = kcore(rd.from_pandas(df), "s", "o", k=5,
+                    exchange_base=str(tmp_path / "kq"),
+                    num_buckets=2).to_pandas()
+        assert sorted(got["node"]) == list(range(6))
+        assert (got["deg"] == 5).all()
+
+    def test_empty_and_bad_k(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import kcore
+
+        df = pd.DataFrame({"s": pd.Series([], dtype="int64"),
+                           "o": pd.Series([], dtype="int64")})
+        assert kcore(rd.from_pandas(df), "s", "o", k=2,
+                     exchange_base=str(tmp_path / "ke")).count() == 0
+        with pytest.raises(ValueError, match="k must be"):
+            kcore(rd.from_pandas(df), "s", "o", k=0,
+                  exchange_base=str(tmp_path / "ke2"))
+
+    def test_fixture_converges_inside_oracle_cap(self, ray_session):
+        """kg_kcore's oracle unrolls exactly _KCORE_ROUNDS peel levels;
+        hash-equality holds only if the real peel converges inside the
+        cap — pin that here on the sf0.001 fixture."""
+        from guac_ray.pipelines.suite import _KCORE_K, _KCORE_ROUNDS, _fix
+        import pyarrow.parquet as pq
+
+        from guac_ray.synth import corpus_for_sf
+
+        corpus_for_sf("/root/testdata/sf0.001")
+        t = pq.read_table(_fix("/root/testdata/sf0.001") +
+                          "/golden/edges.parquet",
+                          columns=["subj_key", "obj_key"]).to_pandas()
+        adj = collections.defaultdict(set)
+        for u, v in zip(t.subj_key, t.obj_key):
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        alive, rounds = set(adj), 0
+        while True:
+            drop = {n for n in alive
+                    if sum(m in alive for m in adj[n]) < _KCORE_K}
+            if not drop:
+                break
+            alive -= drop
+            rounds += 1
+        assert rounds <= _KCORE_ROUNDS, (
+            f"peel needs {rounds} rounds, oracle caps at {_KCORE_ROUNDS}")
+
+
+class TestStringComponents:
+    def test_string_keys_match_reference(self, ray_session, tmp_path):
+        """Min-label propagation with lexicographic string labels: a
+        chain (multi-round), a star, an isolated pair."""
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import connected_components_ds
+
+        pairs = pd.DataFrame({
+            # chain d-c-b-a (min label 'a' must walk 3 hops)
+            "a": ["d", "c", "b", "hub", "hub", "hub", "x"],
+            "b": ["c", "b", "a", "s1", "s2", "s3", "y"],
+        })
+        got = connected_components_ds(
+            rd.from_pandas(pairs).repartition(3),
+            exchange_dir=str(tmp_path / "cc"), num_buckets=3,
+        ).to_pandas()
+        roots = dict(zip(got["doc_id"], got["root"]))
+        assert {roots[n] for n in "abcd"} == {"a"}
+        assert {roots[n] for n in ("hub", "s1", "s2", "s3")} == {"hub"}
+        assert {roots[n] for n in ("x", "y")} == {"x"}
+        assert len(got) == 10
+        # output keeps the string type
+        assert got["root"].dtype == object
