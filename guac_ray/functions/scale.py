@@ -1,0 +1,110 @@
+"""Grouped feature scaling: z-score standardization and min-max
+normalization of an integer column, per group — the feature-prep step
+in front of model training / embedding quantization.
+
+Exactness discipline: the input column is INTEGER (the repo's
+integer-cents trick), so the group statistics (sum, sum-of-squares,
+count, min, max) are exact int64; the per-row float expression is then
+evaluated in ONE fixed operation order —
+
+    z  = (v - s/n) / sqrt((q - (s*s)/n) / n)        (population std)
+    mm = (v - mn) / (mx - mn)
+
+— each IEEE op of which is deterministic, so a SQL oracle spelling the
+IDENTICAL expression tree reproduces the doubles bit-for-bit.
+Zero-variance groups (mn == mx, an exact integer test — never the
+overflow-prone n*q == s*s) yield 0.0 in both engines instead of a
+NaN/NULL divergence.
+
+Scale shape: one bucketed two-phase aggregate over the data (no sort),
+then the small per-group stats table joins back — broadcast while the
+group cardinality is under ``broadcast_limit``, else a large-large
+hash join through the filesystem exchange. The data itself is touched
+exactly twice, both times as a streaming map.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from guac_ray.arrowutil import table_from_pandas
+
+__all__ = ["feature_scale"]
+
+
+def feature_scale(
+    ds: Dataset,
+    by: list[str] | str,
+    col: str,
+    out_z: str = "z",
+    out_mm: str = "mm",
+    num_buckets: int = 16,
+    broadcast_limit: int = 100_000,
+    exchange_base: str | None = None,
+) -> Dataset:
+    """Append per-group z-score (``out_z``) and min-max (``out_mm``)
+    columns for integer column ``col``, grouped by ``by``."""
+    import ray
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    by = [by] if isinstance(by, str) else list(by)
+    clash = {out_z, out_mm} & ({col} | set(by))
+    if clash or out_z == out_mm:
+        raise ValueError(f"feature_scale: output names collide: {clash}")
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"feature_scale: {col!r} must be integer (use the cents "
+                f"trick for floats), got {v.dtype}")
+        return df.assign(_sq=v * v)
+
+    stats = grouped_agg(
+        ds.map_batches(sq, batch_format="pandas"), by,
+        {"_s": (col, "sum"), "_q": ("_sq", "sum"), "_n": (col, "count"),
+         "_mn": (col, "min"), "_mx": (col, "max")},
+        num_buckets=num_buckets).materialize()
+
+    def apply_stats(df: pd.DataFrame) -> pa.Table:
+        vf = df[col].to_numpy().astype("float64")
+        sf = df["_s"].to_numpy().astype("float64")
+        nf = df["_n"].to_numpy().astype("float64")
+        qf = df["_q"].to_numpy().astype("float64")
+        mn = df["_mn"].to_numpy()
+        mx = df["_mx"].to_numpy()
+        const = mn == mx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (vf - sf / nf) / np.sqrt((qf - (sf * sf) / nf) / nf)
+            mm = (df[col].to_numpy() - mn).astype("float64") \
+                / (mx - mn).astype("float64")
+        out = df.drop(columns=["_s", "_q", "_n", "_mn", "_mx"])
+        out[out_z] = np.where(const, 0.0, z)
+        out[out_mm] = np.where(const, 0.0, mm)
+        return table_from_pandas(out, preserve_index=False)
+
+    if stats.count() <= broadcast_limit:
+        small = stats.to_pandas()
+        ref = ray.put(small)
+
+        class Scale:
+            def __init__(self):
+                self.stats = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pa.Table:
+                return apply_stats(df.merge(self.stats, on=by, how="inner"))
+
+        return ds.map_batches(Scale, batch_format="pandas",
+                              concurrency=(1, 4))
+
+    from guac_ray.functions.joins import default_exchange, hash_join
+
+    joined = hash_join(
+        ds, stats, on=by,
+        exchange_dir=exchange_base or default_exchange("featscale"),
+        num_buckets=num_buckets)
+    return joined.map_batches(apply_stats, batch_format="pandas")

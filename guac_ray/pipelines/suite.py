@@ -1250,6 +1250,49 @@ WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def events_zscore(sf_dir: str):
+    """Grouped feature scaling (functions/scale.py): per event_type,
+    z-score + min-max of the integer-cents value — exact group stats
+    from the bucketed two-phase aggregate, per-row doubles evaluated in
+    the one fixed expression order the SQL oracle mirrors bit-for-bit.
+    Zero-variance groups pin to 0.0 in both engines."""
+    from guac_ray.functions.scale import feature_scale
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_vc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(vc=cents(df["value"]))
+
+    out = feature_scale(ev.map_batches(add_vc, batch_format="pandas"),
+                        by="event_type", col="vc",
+                        exchange_base=_exchange("zscore"), num_buckets=8)
+    return out.select_columns(["event_id", "z", "mm"])
+
+
+EVENTS_ZSCORE_SQL = """
+WITH b AS (SELECT event_id, event_type,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+           FROM events),
+g AS (SELECT event_type,
+             CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(vc*vc) AS BIGINT) AS q,
+             count(*) AS n,
+             min(vc) AS mn, max(vc) AS mx
+      FROM b GROUP BY event_type)
+SELECT b.event_id,
+  CASE WHEN g.mn = g.mx THEN 0.0
+       ELSE (CAST(b.vc AS DOUBLE) - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))
+            / sqrt((CAST(g.q AS DOUBLE)
+                    - (CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE))
+                      / CAST(g.n AS DOUBLE)) / CAST(g.n AS DOUBLE))
+  END AS z,
+  CASE WHEN g.mn = g.mx THEN 0.0
+       ELSE CAST(b.vc - g.mn AS DOUBLE) / CAST(g.mx - g.mn AS DOUBLE)
+  END AS mm
+FROM b JOIN g USING (event_type)
+"""
+
+
 def events_rank_dense(sf_dir: str):
     """rank / dense_rank with SQL tie semantics: per user, events ranked
     by event_type (a deliberately tie-rich order key — both ranks are
@@ -3157,4 +3200,5 @@ SUITE: dict[str, tuple] = {
     # tools/check_oracle.py run:
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
+    "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
 }

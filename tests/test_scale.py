@@ -1,0 +1,91 @@
+"""Grouped feature scaling (functions/scale.py) vs a pandas reference
+and its own two join regimes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _df(n=2000, seed=11, groups=6):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "g": rng.integers(0, groups, n),
+        "v": rng.integers(-5000, 5000, n).astype("int64"),
+        "i": np.arange(n, dtype="int64"),
+    })
+
+
+def _ref(df):
+    out = df.copy()
+    g = df.groupby("g")["v"]
+    s, q = g.transform("sum"), g.transform(lambda x: (x * x).sum())
+    n = g.transform("count")
+    mn, mx = g.transform("min"), g.transform("max")
+    vf, sf, qf, nf = (a.to_numpy().astype("float64")
+                      for a in (df["v"], s, q, n))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (vf - sf / nf) / np.sqrt((qf - (sf * sf) / nf) / nf)
+        mm = ((df["v"] - mn).to_numpy().astype("float64")
+              / (mx - mn).to_numpy().astype("float64"))
+    const = (mn == mx).to_numpy()
+    out["z"] = np.where(const, 0.0, z)
+    out["mm"] = np.where(const, 0.0, mm)
+    return out
+
+
+class TestFeatureScale:
+    @pytest.mark.parametrize("bl", [100_000, 0])  # broadcast vs hash join
+    def test_matches_reference_both_regimes(self, ray_session, tmp_path, bl):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import feature_scale
+
+        df = _df()
+        got = feature_scale(
+            rd.from_pandas(df).repartition(4), by="g", col="v",
+            broadcast_limit=bl, exchange_base=str(tmp_path / "fs"),
+            num_buckets=4,
+        ).to_pandas().sort_values("i").reset_index(drop=True)
+        want = _ref(df)
+        # bit-exact: the operator promises a fixed expression order
+        assert (got["z"].to_numpy() == want["z"].to_numpy()).all()
+        assert (got["mm"].to_numpy() == want["mm"].to_numpy()).all()
+
+    def test_zero_variance_group_pins_to_zero(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import feature_scale
+
+        df = pd.DataFrame({"g": [1, 1, 1, 2, 2], "v": [7, 7, 7, 1, 3],
+                           "i": range(5)})
+        df["v"] = df["v"].astype("int64")
+        got = feature_scale(
+            rd.from_pandas(df), by="g", col="v",
+            exchange_base=str(tmp_path / "z0"),
+        ).to_pandas().sort_values("i")
+        assert (got[got.g == 1][["z", "mm"]].to_numpy() == 0.0).all()
+        assert got[got.g == 2]["mm"].tolist() == [0.0, 1.0]
+
+    def test_float_column_rejected(self, ray_session, tmp_path):
+        import ray
+
+        import ray.data as rd
+
+        from guac_ray.functions.scale import feature_scale
+
+        df = pd.DataFrame({"g": [1], "v": [1.5]})
+        with pytest.raises((TypeError, ray.exceptions.RayTaskError),
+                           match="must be integer"):
+            feature_scale(rd.from_pandas(df), by="g", col="v",
+                          exchange_base=str(tmp_path / "f")).materialize()
+
+    def test_name_collision_rejected(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import feature_scale
+
+        ds = rd.from_pandas(pd.DataFrame({"g": [1], "v": [1]}))
+        with pytest.raises(ValueError, match="collide"):
+            feature_scale(ds, by="g", col="v", out_z="v")
+        with pytest.raises(ValueError, match="collide"):
+            feature_scale(ds, by="g", col="v", out_z="x", out_mm="x")
