@@ -34,7 +34,8 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["boilerplate_digests", "flag_boilerplate", "strip_boilerplate"]
+__all__ = ["boilerplate_digests", "flag_boilerplate", "strip_boilerplate",
+           "strip_boiler_lines"]
 
 
 def _digest_col(texts: list) -> list[str]:
@@ -120,3 +121,62 @@ def strip_boilerplate(
                    .drop_columns(["is_boiler"]),
         batch_format="pyarrow",
     )
+
+
+def strip_boiler_lines(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    min_docs: int,
+    num_buckets: int = 16,
+    broadcast_cap: int = 5_000_000,
+    out_dropped: str = "n_dropped",
+) -> Dataset:
+    """LINE-level boilerplate removal (the RefinedWeb/C4 cleanup step):
+    rewrite each document, dropping every '\\n'-separated line whose
+    exact text appears in ≥ ``min_docs`` DISTINCT documents — nav bars,
+    cookie banners, footers — and counting the drops per doc.
+
+    Same two-streamed-pass shape as ``strip_boilerplate``, one level
+    down: pass 1 EXPLODES lines (arrow ``split_pattern`` +
+    ``list_parent_indices`` — no Python row loop) into the same
+    digest-only distinct-count exchanges; pass 2 rewrites each doc
+    against the broadcast digest set, preserving line order. A line
+    recurring *within* one document counts that document once and, if
+    flagged, every copy is dropped. Documents are never dropped — a
+    fully-boilerplate doc comes back with empty text (filter on
+    ``n_dropped``/emptiness downstream if desired). Note empty lines
+    ("\\n\\n") are lines too: frequent enough and they are boilerplate
+    by the rule, which also collapses blank-line padding."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(
+            t[text_col].combine_chunks().cast(pa.string()), "\n")
+        idx = pc.list_parent_indices(lines)
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(idx),
+            "line": pc.list_flatten(lines),
+        })
+
+    digests = boilerplate_digests(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "line", id_col, min_docs,
+        num_buckets=num_buckets, broadcast_cap=broadcast_cap)
+    ref = ray.put(frozenset(digests))
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        bp = ray.get(ref)
+        kept, dropped = [], []
+        for s in t[text_col].to_pylist():
+            ls = (s or "").split("\n")
+            kl = [ln for ln in ls
+                  if hashlib.md5(ln.encode("utf-8")).hexdigest() not in bp]
+            kept.append("\n".join(kl))
+            dropped.append(len(ls) - len(kl))
+        i = t.schema.get_field_index(text_col)
+        out = t.set_column(i, text_col, pa.array(kept, type=pa.string()))
+        return out.append_column(out_dropped,
+                                 pa.array(dropped, type=pa.int64()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -2888,6 +2888,62 @@ FROM t GROUP BY conv_id
 """
 
 
+def doc_strip_lines(sf_dir: str):
+    """LINE-level boilerplate removal
+    (functions/boilerplate.py:strip_boiler_lines): drop every line
+    recurring in ≥20 distinct documents, rewrite the docs in place,
+    count the drops. The synthetic documents are single-line, so the
+    query first wraps each in a deterministic per-source header/footer
+    plus a unique id line — pure Arrow string kernels mirrored by the
+    oracle's ``||`` expression — giving the rule real cross-document
+    template lines to strip (header+footer recur ~50×/source; the id
+    line never does; payload only when the corpus truly duplicates
+    it)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.boilerplate import strip_boiler_lines
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def enrich(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            "== site ", t["source"], " ==\n",
+            "doc ", did, "\n",
+            t["text"],
+            "\nvisit https://", t["source"], ".example for more",
+            "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    out = strip_boiler_lines(
+        ds.map_batches(enrich, batch_format="pyarrow"),
+        "text", "doc_id", min_docs=20, num_buckets=8)
+    return out.select_columns(["doc_id", "text", "n_dropped"])
+
+
+DOC_STRIP_LINES_SQL = """
+WITH d AS (SELECT doc_id,
+                  '== site ' || source || ' ==' || chr(10) ||
+                  'doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+                  text || chr(10) ||
+                  'visit https://' || source || '.example for more' AS text
+           FROM documents),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) AS i
+      FROM s),
+b AS (SELECT line FROM l GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 20),
+lb AS (SELECT l.doc_id, l.line, l.i, (b.line IS NOT NULL) AS isb
+       FROM l LEFT JOIN b ON l.line = b.line)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT isb THEN line END,
+                           chr(10) ORDER BY i), '') AS text,
+       CAST(sum(CASE WHEN isb THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM lb GROUP BY doc_id
+"""
+
+
 def emb_kmeans(sf_dir: str):
     """Fixed-point k-means over the embedding table
     (functions/kmeans.py): k=8, 3 Lloyd iterations, init = the 8
@@ -3201,4 +3257,5 @@ SUITE: dict[str, tuple] = {
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
+    "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
 }

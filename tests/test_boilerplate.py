@@ -88,3 +88,52 @@ class TestBoilerplate:
         with pytest.raises(ValueError, match="broadcast_cap"):
             boilerplate_digests(ds, "text", "g", min_groups=1,
                                 num_buckets=4, broadcast_cap=3)
+
+
+class TestStripBoilerLines:
+    def test_line_level_rewrite(self, ray_session):
+        from guac_ray.functions.boilerplate import strip_boiler_lines
+
+        # "HDR" in 3 distinct docs (twice inside doc 0 — counted once,
+        # but BOTH copies dropped); "FTR" in 3; unique bodies kept in order
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["HDR\nbody zero\nHDR\nFTR",
+                     "HDR\nbody one\nFTR",
+                     "HDR\nbody two\nFTR",
+                     "solo line"],
+        })
+        got = (strip_boiler_lines(rd.from_pandas(df), "text", "doc_id",
+                                  min_docs=3, num_buckets=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["text"].tolist() == ["body zero", "body one",
+                                        "body two", "solo line"]
+        assert got["n_dropped"].tolist() == [3, 2, 2, 0]
+
+    def test_fully_boiler_doc_kept_empty(self, ray_session):
+        from guac_ray.functions.boilerplate import strip_boiler_lines
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["SAME", "SAME", "SAME\nextra"],
+        })
+        got = (strip_boiler_lines(rd.from_pandas(df), "text", "doc_id",
+                                  min_docs=3, num_buckets=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # no document row ever disappears; text empties instead
+        assert len(got) == 3
+        assert got["text"].tolist() == ["", "", "extra"]
+        assert got["n_dropped"].tolist() == [1, 1, 1]
+
+    def test_empty_lines_are_lines(self, ray_session):
+        from guac_ray.functions.boilerplate import strip_boiler_lines
+
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["a\n\nb", "c\n\nd", "e\n\nf"],
+        })
+        got = (strip_boiler_lines(rd.from_pandas(df), "text", "doc_id",
+                                  min_docs=3, num_buckets=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert got["text"].tolist() == ["a\nb", "c\nd", "e\nf"]
+        assert got["n_dropped"].tolist() == [1, 1, 1]
