@@ -129,6 +129,11 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # scrub, fixed-point k-means, Gopher repetition signals
             "kg_strip_boilerplate", "doc_pii_scrub", "emb_kmeans",
             "doc_repetition", "kg_triangles",
+            # round-4 third wave: k-core peel, linkage components,
+            # rolling window family (inside events_window_funcs),
+            # grouped feature scaling, line-level boilerplate
+            "kg_kcore", "kg_components", "events_zscore",
+            "doc_strip_lines",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -32,7 +32,7 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["feature_scale"]
+__all__ = ["feature_scale", "winsorize"]
 
 
 def feature_scale(
@@ -108,3 +108,60 @@ def feature_scale(
         exchange_dir=exchange_base or default_exchange("featscale"),
         num_buckets=num_buckets)
     return joined.map_batches(apply_stats, batch_format="pandas")
+
+
+def winsorize(
+    ds: Dataset,
+    col: str,
+    lo: float,
+    hi: float,
+    by: list[str] | str | None = None,
+    out: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Winsorization: clip ``col`` to its exact [lo, hi] quantiles,
+    optionally per group — the outlier-taming companion of
+    ``feature_scale``. Quantiles come from the distributed exact
+    quantile operator (functions/quantiles.py — sample → range-bucket
+    counts → one filtered refinement, ``quantile_disc`` rank rule), so
+    the clip bounds are ACTUAL data values and integer columns stay
+    integers; the per-group bounds frame is driver-sized by that
+    operator's contract and broadcasts once. One streaming pass over
+    the data after the quantile pass.
+
+    ``out`` defaults to ``{col}_w`` (the original column is kept)."""
+    import ray
+
+    from guac_ray.functions.quantiles import exact_quantiles
+
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"winsorize: need 0 <= lo <= hi <= 1, "
+                         f"got ({lo}, {hi})")
+    by = [by] if isinstance(by, str) else list(by or [])
+    out = out or f"{col}_w"
+    if out in set(by) | {col}:
+        raise ValueError(f"winsorize: output name {out!r} collides")
+
+    bounds = exact_quantiles(ds, col, {"_qlo": lo, "_qhi": hi}, by=by,
+                             num_buckets=num_buckets)
+    ref = ray.put(bounds)
+
+    class Clip:
+        def __init__(self):
+            self.bounds = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            if by:
+                m = df.merge(self.bounds, on=by, how="inner")
+            elif len(self.bounds):
+                m = df.assign(_qlo=self.bounds["_qlo"].iloc[0],
+                              _qhi=self.bounds["_qhi"].iloc[0])
+            else:  # empty input: no bounds, nothing to clip
+                m = df.assign(_qlo=np.nan, _qhi=np.nan)
+            v = m[col].to_numpy()
+            m[out] = np.minimum(np.maximum(v, m["_qlo"].to_numpy()),
+                                m["_qhi"].to_numpy()).astype(v.dtype)
+            return table_from_pandas(m.drop(columns=["_qlo", "_qhi"]),
+                                     preserve_index=False)
+
+    return ds.map_batches(Clip, batch_format="pandas", concurrency=(1, 4))

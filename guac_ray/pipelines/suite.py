@@ -1293,6 +1293,38 @@ FROM b JOIN g USING (event_type)
 """
 
 
+def events_winsorized(sf_dir: str):
+    """Winsorization (functions/scale.py:winsorize): per event_type,
+    clip the integer-cents value at its exact [p05, p95] — bounds from
+    the distributed exact-quantile operator (quantile_disc rank rule),
+    clipping integer-exact, so DuckDB's least/greatest over its own
+    quantile_disc reproduces every row."""
+    from guac_ray.functions.scale import winsorize
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_vc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(vc=cents(df["value"]))
+
+    out = winsorize(ev.map_batches(add_vc, batch_format="pandas"),
+                    "vc", 0.05, 0.95, by="event_type", out="vw",
+                    num_buckets=8)
+    return out.select_columns(["event_id", "vw"])
+
+
+EVENTS_WINSOR_SQL = """
+WITH b AS (SELECT event_id, event_type,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+           FROM events),
+g AS (SELECT event_type,
+             quantile_disc(vc, 0.05) AS qlo,
+             quantile_disc(vc, 0.95) AS qhi
+      FROM b GROUP BY event_type)
+SELECT b.event_id, least(greatest(b.vc, g.qlo), g.qhi) AS vw
+FROM b JOIN g USING (event_type)
+"""
+
+
 def events_rank_dense(sf_dir: str):
     """rank / dense_rank with SQL tie semantics: per user, events ranked
     by event_type (a deliberately tie-rich order key — both ranks are
@@ -3258,4 +3290,5 @@ SUITE: dict[str, tuple] = {
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
+    "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
 }

@@ -89,3 +89,55 @@ class TestFeatureScale:
             feature_scale(ds, by="g", col="v", out_z="v")
         with pytest.raises(ValueError, match="collide"):
             feature_scale(ds, by="g", col="v", out_z="x", out_mm="x")
+
+
+class TestWinsorize:
+    def test_matches_duckdb_grouped_and_global(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from guac_ray.functions.scale import winsorize
+
+        df = _df(1500, seed=3)
+        con = duckdb.connect()
+        # grouped
+        got = winsorize(rd.from_pandas(df).repartition(4), "v", 0.1, 0.9,
+                        by="g", out="w").to_pandas().sort_values("i")
+        want = con.execute("""
+            WITH q AS (SELECT g, quantile_disc(v, 0.1) lo,
+                              quantile_disc(v, 0.9) hi FROM df GROUP BY g)
+            SELECT i, least(greatest(v, lo), hi) AS w
+            FROM df JOIN q USING (g) ORDER BY i
+        """).df()
+        assert (got["w"].to_numpy() == want["w"].to_numpy()).all()
+        assert got["w"].dtype == df["v"].dtype  # ints stay ints
+        # global (no by)
+        got2 = winsorize(rd.from_pandas(df), "v", 0.05, 0.95,
+                         out="w").to_pandas().sort_values("i")
+        want2 = con.execute("""
+            SELECT i, least(greatest(v, (SELECT quantile_disc(v, 0.05) FROM df)),
+                            (SELECT quantile_disc(v, 0.95) FROM df)) AS w
+            FROM df ORDER BY i
+        """).df()
+        assert (got2["w"].to_numpy() == want2["w"].to_numpy()).all()
+
+    def test_bad_bounds_and_collision(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import winsorize
+
+        ds = rd.from_pandas(pd.DataFrame({"g": [1], "v": [1]}))
+        with pytest.raises(ValueError, match="lo <= hi"):
+            winsorize(ds, "v", 0.9, 0.1)
+        with pytest.raises(ValueError, match="collide"):
+            winsorize(ds, "v", 0.1, 0.9, out="v")
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import winsorize
+
+        df = pd.DataFrame({"g": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+        assert winsorize(rd.from_pandas(df), "v", 0.1, 0.9,
+                         by="g").count() == 0
