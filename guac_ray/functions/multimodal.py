@@ -42,6 +42,11 @@ __all__ = [
     "resize_images",
     "make_fake_media",
     "set_real_decoder",
+    "decode_wav",
+    "encode_wav",
+    "AudioFeatureExtractor",
+    "decode_audio",
+    "make_fake_audio",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -290,6 +295,150 @@ class FrameSampler:
                 "byte_offset": pa.array(offs, type=pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# real audio codec (RIFF/WAVE PCM — struct + numpy only, like the BMP path)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """RIFF/WAVE PCM (8- or 16-bit) → ((n_samples, n_channels) int16,
+    sample_rate); None if the payload is not one. Walks the chunk list
+    (fmt may be followed by LIST/fact before data)."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1:          # PCM only — compressed WAV → stub
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if data is None or not rate or not n_ch or bits not in (8, 16):
+        return None
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    else:                              # 8-bit WAV is unsigned, center it
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                   - 128) * 256
+    n = (len(samples) // n_ch) * n_ch
+    return samples[:n].reshape(-1, n_ch), int(rate)
+
+
+def encode_wav(arr: np.ndarray, rate: int) -> bytes:
+    """(n_samples, n_channels) int16 → 16-bit PCM WAV bytes."""
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_ch = arr.shape[1]
+    data = arr.astype("<i2").tobytes()
+    byte_rate = rate * n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, byte_rate, n_ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _stub_audio(payload: bytes) -> dict:
+    """Deterministic stand-in for compressed audio (MP3/OGG/FLAC) this
+    container cannot decode: stable pseudo-duration + hash features."""
+    h = hashlib.sha256(payload).digest()
+    return {"sample_rate": 8000 + (h[0] % 8) * 4000,
+            "n_channels": 1 + h[1] % 2,
+            "n_samples": 1000 + struct.unpack_from("<H", h, 2)[0],
+            "peak": int(struct.unpack_from("<H", h, 4)[0] // 2),
+            "energy": int(struct.unpack_from("<I", h, 6)[0] % (1 << 28)),
+            "decoded": False}
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: media batch → (media_id, sample_rate,
+    n_channels, n_samples, duration_ms, peak, energy, decoded). PCM WAV
+    decodes for real; other containers stub (or raise when ``strict``).
+    ``peak`` = max |sample|, ``energy`` = floor of the mean squared
+    sample — both integer-exact, so goldens pin them with no float
+    caveats."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def features(self, payload: bytes) -> dict:
+        got = decode_wav(payload or b"")
+        if got is not None:
+            arr, rate = got
+            x = arr.astype(np.int64)
+            n = int(arr.shape[0])
+            return {"sample_rate": rate, "n_channels": int(arr.shape[1]),
+                    "n_samples": n,
+                    "peak": int(np.abs(x).max()) if n else 0,
+                    "energy": int((x * x).sum() // x.size) if n else 0,
+                    "decoded": True}
+        if self.strict:
+            raise NotImplementedError(
+                "payload is not PCM WAV and no audio codec is installed")
+        return _stub_audio(payload or b"")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [self.features(p or b"")
+                for p in batch["payload"].to_pylist()]
+        d = {"media_id": batch["media_id"].combine_chunks().cast(pa.int64())}
+        for col, typ in [("sample_rate", pa.int32()),
+                         ("n_channels", pa.int32()),
+                         ("n_samples", pa.int64()),
+                         ("peak", pa.int64()), ("energy", pa.int64()),
+                         ("decoded", pa.bool_())]:
+            d[col] = pa.array([o[col] for o in outs], type=typ)
+        rates = np.array([o["sample_rate"] for o in outs], dtype=np.int64)
+        ns = np.array([o["n_samples"] for o in outs], dtype=np.int64)
+        d["duration_ms"] = pa.array(ns * 1000 // np.maximum(rates, 1),
+                                    type=pa.int64())
+        return pa.table(d)
+
+
+def decode_audio(media: Dataset, concurrency=2, batch_size: int = 32) -> Dataset:
+    return media.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def make_fake_audio(n: int = 64, seed: int = 11) -> pa.Table:
+    """Deterministic audio table: REAL PCM WAV payloads (sine bursts,
+    integer-sampled) with every 8th row a codec-format stand-in so the
+    stub path stays exercised."""
+    rng = np.random.default_rng(seed)
+    payloads, mimes = [], []
+    for i in range(n):
+        if i % 8 == 7:
+            payloads.append(rng.integers(0, 256, size=int(rng.integers(200, 3000)),
+                                         dtype=np.uint8).tobytes())
+            mimes.append("audio/mpeg")           # undecodable here → stub
+        else:
+            rate = int(rng.choice([8000, 16000, 44100]))
+            n_ch = int(rng.integers(1, 3))
+            n_samp = int(rng.integers(100, 2000))
+            t = np.arange(n_samp, dtype=np.int64)[:, None]
+            freq = rng.integers(100, 2000, size=(1, n_ch))
+            amp = rng.integers(1000, 20000, size=(1, n_ch))
+            # integer sawtooth — no libm, bit-stable across numpy builds
+            phase = (t * freq) % rate
+            wave = (phase * 2 * amp // rate - amp).astype(np.int16)
+            payloads.append(encode_wav(wave, rate))
+            mimes.append("audio/wav")
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["audio"] * n, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes, type=pa.string()),
+            "meta": pa.array(["{}"] * n, type=pa.string()),
+        }
+    )
 
 
 def decode_images(media: Dataset, concurrency: int = 2, batch_size: int = 32) -> Dataset:

@@ -1989,6 +1989,18 @@ def media_decode(sf_dir: str):
     return decode_images(media, concurrency=(1, 2))
 
 
+def media_audio(sf_dir: str):
+    """Audio leg of the multimodal triad: deterministic PCM-WAV table
+    (real RIFF parse — functions/multimodal.py:decode_wav) → feature
+    actor pool → integer features (duration/peak/mean-square energy).
+    No SQL oracle (DuckDB cannot parse WAV); golden-pinned with a drift
+    test like media_decode."""
+    from guac_ray.functions.multimodal import decode_audio, make_fake_audio
+
+    media = rd.from_arrow(make_fake_audio(256))
+    return decode_audio(media, concurrency=(1, 2))
+
+
 # ---------------------------------------------------------------------------
 # KG queries over the deterministic transcript fixtures
 # (oracle SQL reads the same /tmp fixture parquet via read_parquet())
@@ -3265,6 +3277,7 @@ SUITE: dict[str, tuple] = {
     "events_user_approx": (events_user_approx, None),
     "doc_lang_id": (doc_lang_id, None),
     "media_decode": (media_decode, None),
+    "media_audio": (media_audio, None),
     "neardup_docs_minhash": (neardup_docs_minhash, None),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
     # oracle-backed but trivially duplicative of in-gate evidence

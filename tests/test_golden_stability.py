@@ -40,6 +40,7 @@ class TestGoldenStability:
         "neardup_docs_simhash",
         "events_user_approx",
         "media_decode",
+        "media_audio",
     ])
     def test_no_oracle_query_matches_committed_golden(self, name, ray_session):
         """The four no-SQL-oracle queries (LSH pair lists, HLL sketch,

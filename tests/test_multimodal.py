@@ -105,3 +105,76 @@ class TestMultimodal:
         assert len(ok) == 14
         for p in ok.payload:
             assert decode_ppm(p).shape == (8, 8, 3)
+
+
+class TestWavCodec:
+    def test_roundtrip_16bit(self):
+        import numpy as np
+
+        from guac_ray.functions.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(2)
+        arr = rng.integers(-30000, 30000, size=(500, 2)).astype(np.int16)
+        got = decode_wav(encode_wav(arr, 16000))
+        assert got is not None
+        dec, rate = got
+        assert rate == 16000
+        assert dec.shape == (500, 2)
+        assert (dec == arr).all()
+
+    def test_mono_1d_and_8bit(self):
+        import struct
+
+        import numpy as np
+
+        from guac_ray.functions.multimodal import decode_wav, encode_wav
+
+        arr = np.arange(-100, 100, dtype=np.int16)
+        dec, rate = decode_wav(encode_wav(arr, 8000))
+        assert dec.shape == (200, 1)
+        assert (dec[:, 0] == arr).all()
+        # hand-build an 8-bit mono WAV: unsigned bytes center at 128
+        data = bytes([128, 255, 0, 128])
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        dec8, _ = decode_wav(wav)
+        assert dec8[:, 0].tolist() == [0, 127 * 256, -128 * 256, 0]
+
+    def test_non_wav_rejected(self):
+        from guac_ray.functions.multimodal import decode_wav
+
+        assert decode_wav(b"") is None
+        assert decode_wav(b"RIFFxxxxAVI LIST") is None
+        assert decode_wav(b"\xff\xfb" + b"\x00" * 100) is None  # MP3-ish
+
+    def test_extractor_features_and_stub(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from guac_ray.functions.multimodal import (
+            AudioFeatureExtractor, decode_audio, encode_wav, make_fake_audio)
+
+        # exact integer features for a known signal
+        arr = np.array([[3], [-4], [0]], dtype=np.int16)
+        fx = AudioFeatureExtractor().features(encode_wav(arr, 1000))
+        assert fx["decoded"] and fx["peak"] == 4
+        assert fx["energy"] == (9 + 16 + 0) // 3
+        assert fx["n_samples"] == 3 and fx["n_channels"] == 1
+        # pipeline: every 8th fake row is a stub; duration integer rule
+        out = decode_audio(rd.from_arrow(make_fake_audio(32)),
+                           concurrency=(1, 2)).to_pandas()
+        assert len(out) == 32
+        assert (~out.decoded).sum() == 4
+        real = out[out.decoded]
+        assert (real.duration_ms ==
+                real.n_samples * 1000 // real.sample_rate).all()
+
+    def test_strict_raises_on_unknown(self):
+        import pytest
+
+        from guac_ray.functions.multimodal import AudioFeatureExtractor
+
+        with pytest.raises(NotImplementedError):
+            AudioFeatureExtractor(strict=True).features(b"\xff\xfbgarbage")
