@@ -74,7 +74,8 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    if args.what not in ("pagerank", "triangles") and not args.key:
+    if args.what not in ("pagerank", "triangles", "kcore",
+                         "components") and not args.key:
         # only the whole-graph verb is keyless; a forgotten key on the
         # node verbs must not silently read as "no results"
         print(f"error: query {args.what} requires a node key", file=sys.stderr)
@@ -119,6 +120,26 @@ def cmd_query(args) -> int:
         from guac_ray.functions.triangles import triangle_count
 
         out = triangle_count(edges).to_pandas()
+    elif args.what == "kcore":
+        from guac_ray.functions.graph_algs import kcore
+        from guac_ray.functions.joins import default_exchange
+
+        out = kcore(edges, "subj_key", "obj_key", k=args.k,
+                    exchange_base=default_exchange("cli_kcore")).to_pandas()
+    elif args.what == "components":
+        from guac_ray.functions.dedup import connected_components_ds
+
+        def to_pairs(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            f = t.filter(pc.not_equal(t["subj_key"], t["obj_key"]))
+            return pa.table({"a": f["subj_key"].cast(pa.string()),
+                             "b": f["obj_key"].cast(pa.string())})
+
+        cc = connected_components_ds(
+            edges.map_batches(to_pairs, batch_format="pyarrow"))
+        out = cc.to_pandas().rename(columns={"doc_id": "node_key"})
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.what)
     print(out.to_json(orient="records", lines=True) if hasattr(out, "to_json")
@@ -284,6 +305,25 @@ def cmd_boiler(args) -> int:
     return 0
 
 
+def cmd_striplines(args) -> int:
+    """Line-level boilerplate removal: rewrite docs dropping lines that
+    recur in >= min-docs distinct documents."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.boilerplate import strip_boiler_lines
+
+    ds = rd.read_parquet(args.table)
+    out = strip_boiler_lines(
+        ds, args.text_col, args.id_col,
+        min_docs=args.min_docs).materialize()
+    out.write_parquet(args.out)
+    dropped = out.sum("n_dropped") or 0  # aggregated, not a driver pull
+    print(json.dumps({"docs": out.count(), "lines_dropped": int(dropped),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Parquet → sharded JSONL/CSV — the handoff format most training
     stacks ingest. Streamed: each block writes its own shard."""
@@ -329,7 +369,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("graph")
     q.add_argument("what",
                    choices=["known", "vulns", "patch", "neighbors",
-                            "pagerank", "triangles"])
+                            "pagerank", "triangles", "kcore", "components"])
     q.add_argument("key", nargs="?", default=None)
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])
@@ -339,6 +379,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=100)
     q.add_argument("--iters", type=int, default=20,
                    help="pagerank iterations (library default)")
+    q.add_argument("--k", type=int, default=3,
+                   help="kcore degree threshold")
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("simjoin",
@@ -427,6 +469,16 @@ def main(argv: list[str] | None = None) -> int:
     bo.add_argument("--text-col", default="text")
     bo.add_argument("--min-groups", type=int, default=50)
     bo.set_defaults(fn=cmd_boiler)
+
+    sl = sub.add_parser("striplines",
+                        help="rewrite docs dropping lines recurring in "
+                             ">= min-docs distinct documents")
+    sl.add_argument("table")
+    sl.add_argument("out")
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--text-col", default="text")
+    sl.add_argument("--min-docs", type=int, default=20)
+    sl.set_defaults(fn=cmd_striplines)
 
     ex = sub.add_parser("export",
                         help="parquet → sharded jsonl/csv (streamed, one "

@@ -416,3 +416,72 @@ class TestRound4CliVerbs2:
             rows += [json.loads(line) for line in open(f) if line.strip()]
         assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
         assert all(set(r) == {"doc_id", "text"} for r in rows)
+
+
+class TestGraphDecompositionVerbs:
+    def test_kcore_verb(self, ray_session, cli_edges, tmp_path, capsys):
+        import json
+
+        from guac_ray.__main__ import cmd_query
+
+        gdir = tmp_path / "graph"
+        cli_edges.write_parquet(str(gdir / "edges"))
+
+        class A:
+            what, key, graph = "kcore", None, str(gdir)
+            num_cpus = None
+            depth, direction, preds = 10, "out", None
+            offset, limit, iters, k = 0, 3, 20, 1
+        assert cmd_query(A()) == 0
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        # 1-core = every non-isolated node, each with degree >= 1
+        assert rows and all(r["deg"] >= 1 for r in rows)
+
+    def test_components_verb(self, ray_session, cli_edges, tmp_path, capsys):
+        import json
+
+        from guac_ray.__main__ import cmd_query
+
+        gdir = tmp_path / "graph"
+        cli_edges.write_parquet(str(gdir / "edges"))
+
+        class A:
+            what, key, graph = "components", None, str(gdir)
+            num_cpus = None
+            depth, direction, preds = 10, "out", None
+            offset, limit, iters, k = 0, 3, 20, 3
+        assert cmd_query(A()) == 0
+        rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines() if ln]
+        assert rows and {"node_key", "root"} <= set(rows[0])
+        # every root is itself a node and the min of its member keys
+        roots = {}
+        for r in rows:
+            roots.setdefault(r["root"], []).append(r["node_key"])
+        for root, members in roots.items():
+            assert root == min(members)
+
+    def test_striplines_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_striplines
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["HDR\na", "HDR\nb", "HDR\nc"]),
+        }), str(p))
+
+        class A:
+            table, out = str(p), str(tmp_path / "out")
+            id_col, text_col, min_docs = "doc_id", "text", 3
+            num_cpus = None
+        assert cmd_striplines(A()) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["docs"] == 3 and rep["lines_dropped"] == 3
+        got = pq.read_table(str(tmp_path / "out")).to_pandas()
+        assert sorted(got["text"]) == ["a", "b", "c"]
