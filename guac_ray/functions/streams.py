@@ -25,7 +25,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "coalesce_intervals"]
 
 
 def sessionize(
@@ -78,3 +78,71 @@ def sessionize(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def coalesce_intervals(
+    ds: Dataset,
+    by: list[str] | str,
+    start_col: str,
+    end_col: str,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Merge overlapping-or-touching [start, end] intervals per key —
+    the OTHER islands operator (``sessionize`` groups POINT events by
+    gap; this coalesces SPANS by overlap: availability windows, call
+    legs, maintenance intervals). Returns one row per merged island:
+    ``by…, start, end (min/max over the island), n_merged``.
+
+    Semantics match the classic SQL gaps-and-islands window idiom: rows
+    sorted by (start, end) per key; a row opens a new island iff its
+    start is STRICTLY greater than the running max of all previous
+    ends (touching intervals [1,5],[5,9] merge). Works for any ordered
+    numeric/timestamp column pair; island detection is vectorized
+    cummax/cumsum inside each hash bucket of the filesystem exchange —
+    one sort per bucket, nothing driver-sized."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    import ray.data as rd
+
+    by = [by] if isinstance(by, str) else list(by)
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[by + [start_col, end_col]].copy()
+        df["_bucket"] = (stable_hash(df, by) % num_buckets).astype("int64")
+        return table_from_pandas(df, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(by + [start_col, end_col],
+                                       kind="mergesort")
+        g = df.groupby(by, sort=False, dropna=False)
+        pmax = g[end_col].cummax()
+        df["_pmax"] = pmax
+        prev_max = df.groupby(by, sort=False, dropna=False)["_pmax"].shift()
+        new_isl = prev_max.isna() | (df[start_col] > prev_max)
+        df["_gid"] = new_isl.cumsum()  # global cumsum: unique per island
+        out = (df.groupby(by + ["_gid"], sort=False, dropna=False)
+               .agg(start=(start_col, "min"), end=(end_col, "max"),
+                    n_merged=(start_col, "size"))
+               .reset_index().drop(columns=["_gid"]))
+        out["n_merged"] = out["n_merged"].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("intervals"), reduce_fn)
+    if out is None:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+
+        def at(c, fallback):
+            ty = types.get(c)
+            return ty if isinstance(ty, pa.DataType) else fallback
+
+        return rd.from_arrow(pa.schema(
+            [(c, at(c, pa.string())) for c in by]
+            + [("start", at(start_col, pa.int64())),
+               ("end", at(end_col, pa.int64())),
+               ("n_merged", pa.int64())]).empty_table())
+    return out

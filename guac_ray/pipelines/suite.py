@@ -1325,6 +1325,51 @@ FROM b JOIN g USING (event_type)
 """
 
 
+def events_intervals(sf_dir: str):
+    """Interval coalescing (functions/streams.py:coalesce_intervals):
+    each event becomes a span [ts, ts + value-cents milliseconds]; per
+    user, overlapping-or-touching spans merge into islands (min start /
+    max end / member count) — the spans analog of sessionization.
+    Integer microsecond endpoints keep both engines exact; oracle is
+    the classic SQL gaps-and-islands window idiom."""
+    from guac_ray.functions.streams import coalesce_intervals
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def spans(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        # value-cents × 10 s ⇒ day-scale spans: ~3.5× rows merge at sf0.01
+        e = s + cents(df["value"]) * 10_000_000
+        return pd.DataFrame({"user_id": df["user_id"], "s": s, "e": e})
+
+    out = coalesce_intervals(
+        ev.map_batches(spans, batch_format="pandas"), by="user_id",
+        start_col="s", end_col="e",
+        exchange_base=_exchange("intervals"), num_buckets=8)
+    return out
+
+
+EVENTS_INTERVALS_SQL = """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts)
+                   + CAST(floor(value*100 + 0.5) AS BIGINT) * 10000000 AS e
+            FROM events),
+o AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv),
+isl AS (SELECT user_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS gid
+        FROM o)
+SELECT user_id, min(s) AS start, max(e) AS "end",
+       count(*) AS n_merged
+FROM isl GROUP BY user_id, gid
+"""
+
+
 def events_rank_dense(sf_dir: str):
     """rank / dense_rank with SQL tie semantics: per user, events ranked
     by event_type (a deliberately tie-rich order key — both ranks are
@@ -3304,4 +3349,5 @@ SUITE: dict[str, tuple] = {
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
+    "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
 }

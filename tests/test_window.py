@@ -350,3 +350,82 @@ class TestMovingAggs:
                        exchange_base=str(tmp_path / "we3"))
         sel = out.select_columns(["ms", "mc"])
         assert sel.count() == 0
+
+
+class TestCoalesceIntervals:
+    def test_matches_duckdb_islands(self, ray_session, tmp_path):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import coalesce_intervals
+
+        rng = np.random.default_rng(4)
+        n = 3000
+        s = rng.integers(0, 100_000, n)
+        df = pd.DataFrame({
+            "u": rng.integers(0, 40, n),
+            "s": s,
+            "e": s + rng.integers(0, 2000, n),
+        })
+        got = coalesce_intervals(
+            rd.from_pandas(df).repartition(4), by="u",
+            start_col="s", end_col="e",
+            exchange_base=str(tmp_path / "iv"), num_buckets=4,
+        ).to_pandas().sort_values(["u", "start"]).reset_index(drop=True)
+        want = duckdb.connect().execute("""
+            WITH o AS (SELECT u, s, e,
+                         max(e) OVER (PARTITION BY u ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pmax FROM df),
+            isl AS (SELECT u, s, e,
+                      sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY u ORDER BY s, e
+                              ROWS UNBOUNDED PRECEDING) AS gid FROM o)
+            SELECT u, min(s) AS start, max(e) AS "end",
+                   count(*) AS n_merged
+            FROM isl GROUP BY u, gid ORDER BY u, start
+        """).df()
+        assert (got["start"].to_numpy() == want["start"].to_numpy()).all()
+        assert (got["end"].to_numpy() == want["end"].to_numpy()).all()
+        assert (got["n_merged"].to_numpy() == want["n_merged"].to_numpy()).all()
+
+    def test_touching_intervals_merge_strict_gap_splits(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import coalesce_intervals
+
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 1],
+            "s": [1, 5, 20, 9],
+            "e": [5, 9, 30, 9],   # [1,5]+[5,9]+[9,9] touch; [20,30] apart
+        })
+        got = coalesce_intervals(
+            rd.from_pandas(df), by="u", start_col="s", end_col="e",
+            exchange_base=str(tmp_path / "t"),
+        ).to_pandas().sort_values("start").reset_index(drop=True)
+        assert got[["start", "end", "n_merged"]].values.tolist() == [
+            [1, 9, 3], [20, 30, 1]]
+
+    def test_contained_interval_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import coalesce_intervals
+
+        # an interval fully containing later ones (cummax, not last-end)
+        df = pd.DataFrame({"u": [1, 1, 1], "s": [0, 2, 4], "e": [100, 3, 5]})
+        got = coalesce_intervals(
+            rd.from_pandas(df), by="u", start_col="s", end_col="e",
+            exchange_base=str(tmp_path / "c")).to_pandas()
+        assert got[["start", "end", "n_merged"]].values.tolist() == [[0, 100, 3]]
+        empty = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                              "s": pd.Series([], dtype="int64"),
+                              "e": pd.Series([], dtype="int64")})
+        out = coalesce_intervals(rd.from_pandas(empty), by="u",
+                                 start_col="s", end_col="e",
+                                 exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["u", "start", "end", "n_merged"]) <= set(out.schema().names)
