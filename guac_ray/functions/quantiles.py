@@ -65,6 +65,7 @@ def exact_quantiles(
     sample_per_batch: int = 64,
     candidate_cap: int = 5_000_000,
     num_buckets: int = 16,
+    interpolate: bool = False,
 ) -> pd.DataFrame:
     """Exact discrete quantiles of ``ds[col]``, optionally per ``by``
     group. ``qs`` maps output column name → quantile in [0, 1]. Returns
@@ -72,7 +73,18 @@ def exact_quantiles(
     (the driver-sized result of a distributed computation, like every
     top-k in this engine). NaN values are excluded (SQL NULL
     semantics); rows with a null ``by`` key are excluded from the
-    output (the two-phase aggregate drops null group keys)."""
+    output (the two-phase aggregate drops null group keys).
+
+    ``interpolate=True`` switches to DuckDB ``quantile_cont``
+    semantics (empirically pinned): target rank ``h = p*(n-1)`` in
+    DOUBLE arithmetic (unlike disc's exact-decimal rank — pinned the
+    other way by a p=0.999 sweep where exact-decimal h picks a
+    different frac in the last ulp), result ``lo*(1-f) + hi*f`` as
+    DOUBLE where lo/hi are the order statistics at floor(h)/floor(h)+1
+    and ``f = h - floor(h)`` — the probe at p=0.75 over {0.1, 0.3}
+    distinguishes this lerp form (0.24999999999999997) from
+    ``lo + (hi-lo)*f`` (0.25). Same three passes; a quantile needs at
+    most one extra candidate rank."""
     by = list(by or [])
     proj = ds.select_columns(by + [col])
 
@@ -105,8 +117,10 @@ def exact_quantiles(
     def group_key(row) -> tuple:
         return tuple(row[c] for c in by)
 
-    needed: dict[tuple, list[tuple[str, int]]] = {}  # (group..., qb) -> [(qname, offset)]
+    # (group..., qb) -> [(qname, offset, part)]; part ∈ val | lo | hi
+    needed: dict[tuple, list[tuple[str, int, str]]] = {}
     group_rows: dict[tuple, dict] = {}
+    fracs: dict[tuple, dict[str, float]] = {}
     counts = counts.sort_values(by + ["_qb"]) if by else counts.sort_values("_qb")
     for g, sub in (counts.groupby(by, sort=True) if by else [((), counts)]):
         g = g if isinstance(g, tuple) else (g,)
@@ -115,7 +129,26 @@ def exact_quantiles(
         cum = np.cumsum(n_arr)
         n = int(cum[-1])
         group_rows[g] = {}
+        fracs[g] = {}
+
+        def locate(r: int) -> tuple[int, int]:
+            i = int(np.searchsorted(cum, r, side="right"))
+            return int(qb[i]), r - (int(cum[i - 1]) if i > 0 else 0)
+
         for qname, p in qs.items():
+            if interpolate:
+                # quantile_cont: h = p*(n-1) in DOUBLE; lerp the two
+                # straddling ranks with the double fractional part
+                h = float(p) * (n - 1)
+                r_lo = min(max(int(math.floor(h)), 0), n - 1)
+                frac = h - r_lo
+                fracs[g][qname] = frac
+                b, off = locate(r_lo)
+                needed.setdefault((*g, b), []).append((qname, off, "lo"))
+                if frac > 0 and r_lo + 1 <= n - 1:
+                    b2, off2 = locate(r_lo + 1)
+                    needed.setdefault((*g, b2), []).append((qname, off2, "hi"))
+                continue
             # DuckDB quantile_disc rank: ceil(p*n) - 1 computed in EXACT
             # arithmetic (a SQL literal like 0.55 is DECIMAL, not double
             # — empirically pinned: p=0.55, n=100 → index 54, while a
@@ -123,9 +156,8 @@ def exact_quantiles(
             # decimal the caller wrote from the Python float.
             r = int(math.ceil(Fraction(str(p)) * n)) - 1
             r = min(max(r, 0), n - 1)
-            i = int(np.searchsorted(cum, r, side="right"))
-            offset = r - (int(cum[i - 1]) if i > 0 else 0)
-            needed.setdefault((*g, int(qb[i])), []).append((qname, offset))
+            b, offset = locate(r)
+            needed.setdefault((*g, b), []).append((qname, offset, "val"))
 
     import ray
     need_df = pd.DataFrame(
@@ -156,11 +188,23 @@ def exact_quantiles(
     else:
         for qb, sub in cand.groupby("_qb", sort=False):
             grouped_vals[(qb,)] = np.sort(sub[col].to_numpy())
+    parts: dict[tuple, dict[str, dict[str, float]]] = {}
     for key, picks in needed.items():
         g = key[:-1]
         vals = grouped_vals[key]
-        for qname, offset in picks:
-            group_rows[g][qname] = vals[offset]
+        for qname, offset, part in picks:
+            if part == "val":
+                group_rows[g][qname] = vals[offset]
+            else:
+                parts.setdefault(g, {}).setdefault(qname, {})[part] = vals[offset]
+    for g, per_q in parts.items():
+        for qname, pr in per_q.items():
+            lo = float(pr["lo"])
+            if "hi" in pr:
+                f = fracs[g][qname]
+                group_rows[g][qname] = lo * (1 - f) + float(pr["hi"]) * f
+            else:
+                group_rows[g][qname] = lo
 
     rows = []
     for g in sorted(group_rows):

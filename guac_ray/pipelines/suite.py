@@ -1434,6 +1434,31 @@ def events_value_quantiles(sf_dir: str):
         by=["event_type"], num_range_buckets=128, num_buckets=8)
 
 
+def events_quantiles_cont(sf_dir: str):
+    """Interpolated grouped percentiles (``quantile_cont`` parity —
+    functions/quantiles.py interpolate mode): DOUBLE rank h=p(n-1)
+    (pinned empirically — cont uses double where disc uses exact
+    decimal), lerp of the two straddling order statistics in DuckDB's
+    pinned ``lo*(1-f)+hi*f`` double order. Same sortless three passes;
+    a quantile fetches at most one extra candidate rank."""
+    from guac_ray.functions.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return exact_quantiles(
+        ev, "value", {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        by=["event_type"], num_range_buckets=128, num_buckets=8,
+        interpolate=True)
+
+
+EVENTS_QUANTILES_CONT_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.75) AS p75
+FROM events GROUP BY event_type
+"""
+
+
 EVENTS_QUANTILES_SQL = """
 SELECT event_type,
        quantile_disc(value, 0.5) AS p50,
@@ -3350,4 +3375,5 @@ SUITE: dict[str, tuple] = {
     "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
+    "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
 }

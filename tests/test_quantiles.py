@@ -101,3 +101,66 @@ def test_empty_input(ray_session):
     df = pd.DataFrame({"x": pd.Series([], dtype="float64")})
     out = exact_quantiles(rd.from_pandas(df), "x", {"p50": 0.5})
     assert len(out) == 0 and list(out.columns) == ["p50"]
+
+
+class TestInterpolatedQuantiles:
+    def test_matches_duckdb_quantile_cont(self, ray_session):
+        """Randomized grouped parity with quantile_cont, incl. a tiny
+        splitter count so lo/ceil ranks straddle range buckets."""
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 7, 4000),
+            "v": rng.normal(0, 1000, 4000),
+        })
+        got = exact_quantiles(
+            rd.from_pandas(df).repartition(5), "v",
+            {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p999": 0.999},
+            by=["g"], num_range_buckets=4, num_buckets=4,
+            interpolate=True).sort_values("g").reset_index(drop=True)
+        want = duckdb.connect().execute("""
+            SELECT g, quantile_cont(v, 0.25) p25, quantile_cont(v, 0.5) p50,
+                   quantile_cont(v, 0.75) p75, quantile_cont(v, 0.999) p999
+            FROM df GROUP BY g ORDER BY g
+        """).df()
+        for c in ("p25", "p50", "p75", "p999"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    def test_pinned_lerp_form_and_integral_rank(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        # the discriminating probe: p=0.75 over {0.1, 0.3} must give the
+        # lerp-form double 0.24999999999999997, not 0.25
+        ds = rd.from_pandas(pd.DataFrame({"v": [0.1, 0.3]}))
+        r = exact_quantiles(ds, "v", {"q": 0.75}, interpolate=True)
+        assert r["q"].iloc[0] == 0.24999999999999997
+        # integral h: p=0.5 over 3 values hits rank 1 exactly, no lerp
+        ds3 = rd.from_pandas(pd.DataFrame({"v": [10, 20, 30]}))
+        r3 = exact_quantiles(ds3, "v", {"q": 0.5}, interpolate=True)
+        assert r3["q"].iloc[0] == 20.0 and isinstance(r3["q"].iloc[0], float)
+
+    def test_int_column_returns_double(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({"v": rng.integers(-10**6, 10**6, 999)})
+        got = exact_quantiles(rd.from_pandas(df), "v",
+                              {"q": 0.37}, interpolate=True)
+        want = duckdb.connect().execute(
+            "SELECT quantile_cont(v, 0.37) q FROM df").fetchone()[0]
+        assert got["q"].iloc[0] == want
