@@ -613,32 +613,87 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 
 def events_user_stats(sf_dir: str):
-    """Per-user totals via the salted two-phase combine (hot-user safe)."""
-    ds = _read(sf_dir, "events", ["user_id", "value"])
+    """Per-user aggregates incl. the ORDER-SENSITIVE family Ray Data has
+    no kernel for: exact COUNT(DISTINCT event_type), MODE (most frequent
+    type, ties → lexicographic min — a deterministic rule both engines
+    can state), and ordered STRING_AGG of the distinct types.
+
+    One exchange: per-batch partials at the (user, type) grain (≤ 5
+    types/user, so the combiner bounds shuffle volume at users×types
+    rows per block regardless of event count), bucketed by user hash so
+    ALL of one user's types land in one reduce, where count-distinct /
+    mode / ordered-concat are each a vectorized pass over the combined
+    partials. Hot users cost one partial row per (batch, type) — the
+    same skew posture as the salted combine this query previously
+    evidenced."""
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    num_buckets = 8
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = pd.DataFrame({"user_id": df.user_id, "_vc": cents(df.value)})
-        return t.groupby("user_id", sort=False).agg(
+        t = pd.DataFrame({
+            "user_id": df.user_id.to_numpy(),
+            "event_type": df.event_type.to_numpy(),
+            "_vc": cents(df.value),
+        })
+        out = t.groupby(["user_id", "event_type"], sort=False).agg(
             _vc=("_vc", "sum"), _n=("_vc", "size")).reset_index()
+        out["_bucket"] = (out.user_id.to_numpy() % num_buckets).astype("int64")
+        return out
 
-    agg = grouped_agg(
-        ds.map_batches(partial, batch_format="pandas"),
-        ["user_id"],
-        {"vc": ("_vc", "sum"), "n": ("_n", "sum")}, num_buckets=8,
-    )
-    return agg.map_batches(
-        lambda df: pd.DataFrame({
-            "user_id": df.user_id.astype("int64"),
-            "n": df.n.astype("int64"), "value_cents": df.vc,
-        }),
-        batch_format="pandas",
-    )
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        t = df.groupby(["user_id", "event_type"], sort=False).agg(
+            n=("_n", "sum"), vc=("_vc", "sum")).reset_index()
+        base = t.groupby("user_id", sort=False).agg(
+            n=("n", "sum"), value_cents=("vc", "sum"),
+            n_types=("event_type", "size")).reset_index()
+        # mode: one sort of the (user, type) grain — count desc, type asc
+        s = t.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = s.drop_duplicates("user_id")[["user_id", "event_type"]]
+        top = top.rename(columns={"event_type": "top_type"})
+        # ordered string_agg over the distinct types
+        o = t.sort_values(["user_id", "event_type"], kind="mergesort")
+        tl = o.groupby("user_id", sort=False)["event_type"].agg(
+            ",".join).reset_index().rename(columns={"event_type": "types_list"})
+        out = base.merge(top, on="user_id").merge(tl, on="user_id")
+        out = out.astype({"user_id": "int64", "n": "int64",
+                          "value_cents": "int64", "n_types": "int64"})
+        return table_from_pandas(
+            out[["user_id", "n", "value_cents", "n_types",
+                 "top_type", "types_list"]])
+
+    red = fs_exchange_reduce(ds.map_batches(partial, batch_format="pandas"),
+                             _exchange("events_user_stats"), reduce_fn)
+    if red is None:
+        return pa.schema(
+            [("user_id", pa.int64()), ("n", pa.int64()),
+             ("value_cents", pa.int64()), ("n_types", pa.int64()),
+             ("top_type", pa.string()), ("types_list", pa.string())],
+        ).empty_table()
+    return red
 
 
 EVENTS_USER_SQL = """
-SELECT user_id, count(*) AS n,
-       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY user_id
+WITH tc AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), top AS (
+  SELECT user_id, event_type AS top_type FROM tc
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY c DESC, event_type) = 1
+), base AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+         count(DISTINCT event_type) AS n_types,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS types_list
+  FROM events GROUP BY user_id
+)
+SELECT base.user_id, n, value_cents, n_types, top_type, types_list
+FROM base JOIN top USING (user_id)
 """
 
 
