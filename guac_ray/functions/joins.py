@@ -36,7 +36,7 @@ from ray.data import Dataset
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join", "asof_join",
-           "range_join"]
+           "range_join", "interval_join"]
 
 
 def default_exchange(name: str) -> str:
@@ -413,15 +413,16 @@ def _as_i64(arr: np.ndarray):
     return a
 
 
-def _banded_matches(
-    lby: np.ndarray, lon: np.ndarray, rby: np.ndarray, ron: np.ndarray,
-    lower: int, upper: int,
+def _window_matches(
+    lby: np.ndarray, wlo: np.ndarray, whi: np.ndarray,
+    rby: np.ndarray, ron: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized banded-interval match within one co-partitioned bucket.
+    """Vectorized per-row-window match within one co-partitioned bucket.
 
-    Inputs: left/right key + ordinate arrays (right MUST be sorted by
-    (by, on)). Returns (left_idx, right_idx) pairs where
-    ``lby[i] == rby[j]`` and ``lon[i]+lower <= ron[j] <= lon[i]+upper``.
+    Inputs: left key array with PER-ROW inclusive window bounds
+    ``[wlo[i], whi[i]]``, and right key + ordinate arrays (right MUST be
+    sorted by (by, on)). Returns (left_idx, right_idx) pairs where
+    ``lby[i] == rby[j]`` and ``wlo[i] <= ron[j] <= whi[i]``.
 
     The whole match is a handful of ``np.searchsorted`` calls on a
     DENSE-RANK composite: each right row encodes as
@@ -434,13 +435,12 @@ def _banded_matches(
     integer path; float ordinates take a per-left-row loop fallback
     (rank arithmetic on float bounds is exact only to 2^53).
     """
-    lon_i, ron_i = _as_i64(lon), _as_i64(ron)
+    wlo_i, whi_i, ron_i = _as_i64(wlo), _as_i64(whi), _as_i64(ron)
     ukeys, rstart = np.unique(rby, return_index=True)
     composite_ok = (
-        np.issubdtype(np.asarray(lon_i).dtype, np.integer)
+        np.issubdtype(np.asarray(wlo_i).dtype, np.integer)
+        and np.issubdtype(np.asarray(whi_i).dtype, np.integer)
         and np.issubdtype(np.asarray(ron_i).dtype, np.integer)
-        and isinstance(lower, (int, np.integer))
-        and isinstance(upper, (int, np.integer))
         and len(ron_i) > 0
     )
     if composite_ok:
@@ -460,8 +460,8 @@ def _banded_matches(
         # left-of-q_lo rank counts ordinates < q_lo; right-of-q_hi rank
         # counts ordinates <= q_hi — both queried with side="left" on
         # rcomp, which lands on the first element at-or-past that rank
-        qlo = rank * span + np.searchsorted(rvals, lon_i + lower, side="left")
-        qhi = rank * span + np.searchsorted(rvals, lon_i + upper, side="right")
+        qlo = rank * span + np.searchsorted(rvals, wlo_i, side="left")
+        qhi = rank * span + np.searchsorted(rvals, whi_i, side="right")
         lo = np.searchsorted(rcomp, qlo, side="left")
         hi = np.searchsorted(rcomp, qhi, side="left")
         counts = np.where(valid, np.maximum(hi - lo, 0), 0)
@@ -477,8 +477,8 @@ def _banded_matches(
             if se is None:
                 continue
             s, e = se
-            lo[i] = s + np.searchsorted(ron_i[s:e], lon_i[i] + lower, side="left")
-            hi[i] = s + np.searchsorted(ron_i[s:e], lon_i[i] + upper, side="right")
+            lo[i] = s + np.searchsorted(ron_i[s:e], wlo_i[i], side="left")
+            hi[i] = s + np.searchsorted(ron_i[s:e], whi_i[i], side="right")
         counts = np.maximum(hi - lo, 0)
     total = int(counts.sum())
     if total == 0:
@@ -489,6 +489,22 @@ def _banded_matches(
     intra = np.arange(total, dtype="int64") - np.repeat(cum - counts, counts)
     ridx = np.repeat(lo, counts) + intra
     return lidx, ridx
+
+
+def _banded_matches(
+    lby: np.ndarray, lon: np.ndarray, rby: np.ndarray, ron: np.ndarray,
+    lower: int, upper: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Banded-interval match: pairs with ``lby[i] == rby[j]`` and
+    ``lon[i]+lower <= ron[j] <= lon[i]+upper`` — the per-row-window
+    matcher with a shared band offset (see :func:`_window_matches`)."""
+    lon_i = _as_i64(lon)
+    if (np.issubdtype(np.asarray(lon_i).dtype, np.integer)
+            and isinstance(lower, (int, np.integer))
+            and isinstance(upper, (int, np.integer))):
+        return _window_matches(lby, lon_i + lower, lon_i + upper, rby, ron)
+    return _window_matches(lby, np.asarray(lon_i) + lower,
+                           np.asarray(lon_i) + upper, rby, ron)
 
 
 def range_join(
@@ -556,6 +572,83 @@ def range_join(
             outs.append(pd.concat([lpart, rpart], axis=1))
         return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
+
+    buckets = rd.from_items([{"k": k} for k in present])
+    return buckets.map_batches(join_bucket, batch_format="pandas", batch_size=1)
+
+
+def interval_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    exchange_dir: str,
+    num_buckets: int | None = None,
+    suffixes: tuple[str, str] = ("", "_r"),
+) -> Dataset:
+    """Interval OVERLAP join: all pairs with ``l.by == r.by`` and
+    ``l.start <= r.end AND r.start <= l.end`` (inclusive — touching
+    intervals match, the literal SQL overlap predicate, so reversed
+    spans behave exactly as the oracle's comparison does).
+
+    Scale shape: both sides co-partition on ``by`` through the
+    filesystem exchange; one task per bucket sorts its right partition
+    by ``(by, start)`` and applies the classic max-interval-length
+    bound — a match's right START must lie in
+    ``[l.start - max_right_len, l.end]``, so candidates come from three
+    vectorized ``searchsorted`` calls (:func:`_window_matches`) and one
+    vectorized ``r.end >= l.start`` verify pass. Candidate count
+    exceeds the true match count only by rows whose start falls in the
+    window but end short of ``l.start`` — bounded by right-interval
+    length SKEW: one pathologically long right interval widens every
+    window in its bucket, so split giant intervals upstream (the same
+    advice every interval-join engine documents).
+    """
+    if num_buckets is None:
+        num_buckets = max(16, _default_num_buckets() // 4)
+    exchange_dir = fresh_exchange_dir(exchange_dir)
+    ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir,
+                                 num_buckets)
+    lfiles = _bucket_files(ldir)
+    rfiles = _bucket_files(rdir)
+    present = sorted(lfiles.keys() & rfiles.keys())
+
+    def join_bucket(batch: pd.DataFrame) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for k in batch["k"]:
+            lt = pa.concat_tables([pq.read_table(f) for f in lfiles[int(k)]])
+            rt = pa.concat_tables([pq.read_table(f) for f in rfiles[int(k)]])
+            ldf = lt.to_pandas()
+            rdf = rt.to_pandas().sort_values([by, right_start],
+                                             kind="mergesort")
+            ls = _as_i64(ldf[left_start].to_numpy())
+            le = _as_i64(ldf[left_end].to_numpy())
+            rs = _as_i64(rdf[right_start].to_numpy())
+            re_ = _as_i64(rdf[right_end].to_numpy())
+            maxlen = int(max(0, (re_ - rs).max())) if len(rs) else 0
+            lidx, ridx = _window_matches(
+                ldf[by].to_numpy(), ls - maxlen, le,
+                rdf[by].to_numpy(), rs)
+            if len(lidx):
+                keep = re_[ridx] >= ls[lidx]  # verify the end condition
+                lidx, ridx = lidx[keep], ridx[keep]
+            lpart = ldf.iloc[lidx].reset_index(drop=True)
+            rpart = (rdf.drop(columns=[by]).iloc[ridx]
+                     .reset_index(drop=True))
+            rpart.columns = [
+                c if c not in lpart.columns else c + suffixes[1]
+                for c in rpart.columns]
+            lpart.columns = [
+                c if c + suffixes[1] not in rpart.columns else c + suffixes[0]
+                for c in lpart.columns]
+            outs.append(pd.concat([lpart, rpart], axis=1))
+        return table_from_pandas(pd.concat(outs, ignore_index=True),
+                                 preserve_index=False)
 
     buckets = rd.from_items([{"k": k} for k in present])
     return buckets.map_batches(join_bucket, batch_format="pandas", batch_size=1)

@@ -3355,6 +3355,62 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
 """
 
 
+def events_span_join(sf_dir: str):
+    """Interval OVERLAP join (functions/joins.py:interval_join): purchase
+    spans × error spans per user (same value-cents×10s span derivation
+    as events_intervals — integer-µs endpoints keep both engines exact),
+    plus the overlap length. Co-partitioned by user; candidates via the
+    max-right-length window bound, one vectorized verify pass."""
+    from guac_ray.functions.joins import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value",
+                                  "event_type"])
+
+    def spans(kind: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[df.event_type == kind]
+            s = m["ts"].to_numpy().astype("datetime64[us]").view("int64")
+            e = s + cents(m["value"]) * 10_000_000
+            return pd.DataFrame({"user_id": m["user_id"].to_numpy(),
+                                 "event_id": m["event_id"].to_numpy(),
+                                 "s": s, "e": e})
+        return fn
+
+    j = interval_join(
+        ev.map_batches(spans("purchase"), batch_format="pandas"),
+        ev.map_batches(spans("error"), batch_format="pandas"),
+        by="user_id", left_start="s", left_end="e",
+        right_start="s", right_end="e",
+        exchange_dir=_exchange("span_join"), num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df.user_id.astype("int64"),
+            "purchase_id": df.event_id.astype("int64"),
+            "error_id": df.event_id_r.astype("int64"),
+            "overlap_us": (np.minimum(df.e, df.e_r)
+                           - np.maximum(df.s, df.s_r)).astype("int64"),
+        })
+        return out
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_SPAN_JOIN_SQL = """
+WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+                  epoch_us(ts)
+                  + CAST(floor(value*100 + 0.5) AS BIGINT) * 10000000 AS e
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts)
+             + CAST(floor(value*100 + 0.5) AS BIGINT) * 10000000 AS e
+      FROM events WHERE event_type = 'error')
+SELECT l.user_id, l.event_id AS purchase_id, r.event_id AS error_id,
+       least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+FROM l JOIN r ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3460,6 +3516,7 @@ SUITE: dict[str, tuple] = {
     # run (the same evidence class the judge accepted for r3's
     # past-cap kg queries):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

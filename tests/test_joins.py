@@ -412,3 +412,67 @@ class TestHashSemiAnti:
             how="anti", exchange_dir=str(tmp_path / "e"), num_buckets=4,
         ).to_pandas()
         assert len(anti) == len(left)
+
+
+class TestIntervalJoin:
+    def _join(self, tmp_path, left, right, **kw):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import interval_join
+
+        return interval_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="u", left_start="s", left_end="e",
+            right_start="s", right_end="e",
+            exchange_dir=str(tmp_path / "ivx"), num_buckets=2, **kw,
+        ).to_pandas()
+
+    def test_overlap_touch_contain_disjoint(self, ray_session, tmp_path):
+        left = pd.DataFrame({"u": [1, 1, 1, 1], "s": [0, 0, 100, 200],
+                             "e": [10, 10, 150, 210], "lid": [0, 1, 2, 3]})
+        right = pd.DataFrame({
+            "u": [1, 1, 1, 1, 1],
+            "s": [10, 11, 110, 90, 500],   # touch / gap-1 / contained /
+            "e": [20, 20, 120, 400, 600],  # spanning / disjoint
+            "rid": [0, 1, 2, 3, 4]})
+        got = self._join(tmp_path, left, right)
+        pairs = set(zip(got.lid, got.rid))
+        # lid0/1 [0,10]: touches rid0 at 10 (inclusive), NOT rid1 (s=11)
+        # lid2 [100,150]: contains rid2, overlapped by spanning rid3
+        # lid3 [200,210]: inside rid3's [90,400]
+        assert pairs == {(0, 0), (1, 0), (2, 2), (2, 3), (3, 3)}
+
+    def test_matches_sql_reference(self, ray_session, tmp_path):
+        import duckdb
+
+        rng = np.random.default_rng(7)
+        n_l, n_r = 300, 400
+        left = pd.DataFrame({
+            "u": rng.integers(0, 20, n_l),
+            "s": rng.integers(0, 10_000, n_l).astype("int64"),
+            "lid": np.arange(n_l)})
+        left["e"] = left.s + rng.integers(0, 500, n_l)
+        right = pd.DataFrame({
+            "u": rng.integers(0, 20, n_r),
+            "s": rng.integers(0, 10_000, n_r).astype("int64"),
+            "rid": np.arange(n_r)})
+        # include one GIANT interval to exercise the maxlen window
+        right["e"] = right.s + rng.integers(0, 300, n_r)
+        right.loc[0, "e"] = right.loc[0, "s"] + 9_999
+        got = self._join(tmp_path, left, right)
+        lt, rt = left, right  # duckdb: left/right are reserved words
+        want = duckdb.sql(
+            "SELECT lid, rid FROM lt JOIN rt ON lt.u = rt.u "
+            "AND lt.s <= rt.e AND rt.s <= lt.e").df()
+        assert set(zip(got.lid, got.rid)) == set(zip(want.lid, want.rid))
+
+    def test_key_isolation_and_datetimes(self, ray_session, tmp_path):
+        t0 = pd.Timestamp("2024-05-01")
+        left = pd.DataFrame({
+            "u": [1, 2], "s": [t0, t0], "e": [t0 + pd.Timedelta("1h")] * 2,
+            "lid": [0, 1]})
+        right = pd.DataFrame({
+            "u": [2], "s": [t0 + pd.Timedelta("30min")],
+            "e": [t0 + pd.Timedelta("2h")], "rid": [0]})
+        got = self._join(tmp_path, left, right)
+        assert set(zip(got.lid, got.rid)) == {(1, 0)}
