@@ -3411,6 +3411,34 @@ FROM l JOIN r ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
 """
 
 
+_CHUNK_SIZE, _CHUNK_STRIDE = 200, 150
+
+
+def doc_chunks(sf_dir: str):
+    """Overlapping context-window chunking (functions/chunking.py):
+    200-codepoint windows every 150 — a pure map, no shuffle; the
+    chunk-count rule is the same DOUBLE expression in both engines."""
+    from guac_ray.functions.chunking import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, "text", _CHUNK_SIZE, _CHUNK_STRIDE)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         CASE WHEN length(text) <= {_CHUNK_SIZE} THEN 1
+              ELSE CAST(ceil((length(text) - {_CHUNK_SIZE})
+                             / CAST({_CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+         END AS nc
+  FROM documents)
+SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
+       substring(text, CAST(u AS BIGINT) * {_CHUNK_STRIDE} + 1,
+                 {_CHUNK_SIZE}) AS chunk
+FROM (SELECT doc_id, text, unnest(range(nc)) AS u FROM c)
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3517,6 +3545,7 @@ SUITE: dict[str, tuple] = {
     # past-cap kg queries):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),
