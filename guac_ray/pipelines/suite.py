@@ -3439,6 +3439,56 @@ FROM (SELECT doc_id, text, unnest(range(nc)) AS u FROM c)
 """
 
 
+def events_corr(sf_dir: str):
+    """Exact grouped Pearson correlation + population covariance
+    (functions/stats.py): value-cents vs second-of-day per event type —
+    int64 moment sums through the two-phase aggregate, one fixed double
+    expression mirrored by the oracle over HUGEINT sums."""
+    from guac_ray.functions.stats import grouped_corr
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "x": cents(df["value"]),
+            "y": (us // 1_000_000) % 86_400,
+        })
+
+    return grouped_corr(ev.map_batches(derive, batch_format="pandas"),
+                        "event_type", "x", "y", num_buckets=4)
+
+
+EVENTS_CORR_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+         (epoch_us(ts) // 1000000) % 86400 AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+  FROM t GROUP BY event_type)
+SELECT event_type, n,
+  CASE WHEN mnx = mxx OR mny = mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE)
+     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / CAST(n AS DOUBLE) END AS cov,
+  CASE WHEN mnx = mxx OR mny = mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE)
+     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (sqrt(CAST(sxx AS DOUBLE)
+            - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+       * sqrt(CAST(syy AS DOUBLE)
+              - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                / CAST(n AS DOUBLE))) END AS corr
+FROM m
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3546,6 +3596,7 @@ SUITE: dict[str, tuple] = {
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "events_corr": (events_corr, EVENTS_CORR_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

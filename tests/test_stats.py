@@ -1,0 +1,67 @@
+"""Grouped correlation/covariance: bit parity with the SQL expression,
+zero-variance pinning, numpy cross-check."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _run(df, num_buckets=2):
+    import ray.data as rd
+
+    from guac_ray.functions.stats import grouped_corr
+
+    out = grouped_corr(rd.from_pandas(df), "g", "x", "y",
+                       num_buckets=num_buckets).to_pandas()
+    return out.sort_values("g").reset_index(drop=True)
+
+
+SQL = """
+WITH m AS (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+  FROM t GROUP BY g)
+SELECT g, n,
+  CASE WHEN mnx=mxx OR mny=mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) END AS cov,
+  CASE WHEN mnx=mxx OR mny=mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))/CAST(n AS DOUBLE))
+    / (sqrt(CAST(sxx AS DOUBLE) - (CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))/CAST(n AS DOUBLE))
+       * sqrt(CAST(syy AS DOUBLE) - (CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))/CAST(n AS DOUBLE))) END AS corr
+FROM m ORDER BY g
+"""
+
+
+class TestGroupedCorr:
+    def test_bit_parity_with_sql(self, ray_session):
+        rng = np.random.default_rng(3)
+        t = pd.DataFrame({
+            "g": rng.integers(0, 7, 5000),
+            "x": rng.integers(0, 50_000, 5000).astype("int64"),
+            "y": rng.integers(0, 86_400, 5000).astype("int64")})
+        got = _run(t, num_buckets=3)
+        want = duckdb.sql(SQL).df()
+        pd.testing.assert_frame_equal(got, want, check_exact=True,
+                                      check_dtype=False)
+
+    def test_matches_numpy(self, ray_session):
+        rng = np.random.default_rng(4)
+        x = rng.integers(0, 1000, 800).astype("int64")
+        y = (3 * x + rng.integers(0, 200, 800)).astype("int64")
+        got = _run(pd.DataFrame({"g": 0, "x": x, "y": y}))
+        assert got["corr"][0] == pytest.approx(np.corrcoef(x, y)[0, 1], rel=1e-12)
+        assert got["cov"][0] == pytest.approx(np.cov(x, y, bias=True)[0, 1],
+                                           rel=1e-12)
+
+    def test_zero_variance_pins_zero(self, ray_session):
+        got = _run(pd.DataFrame({
+            "g": [1, 1, 2, 2], "x": [5, 5, 1, 2], "y": [1, 9, 3, 3]}))
+        # g=1: x constant; g=2: y constant — both pin to 0.0, not NaN
+        assert got["cov"].tolist() == [0.0, 0.0]
+        assert got["corr"].tolist() == [0.0, 0.0]
+
+    def test_float_input_rejected(self, ray_session):
+        with pytest.raises(Exception):
+            _run(pd.DataFrame({"g": [1], "x": [1.5], "y": [2]}))
