@@ -134,6 +134,11 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # grouped feature scaling, line-level boilerplate
             "kg_kcore", "kg_components", "events_zscore",
             "doc_strip_lines",
+            # round-4 fourth wave: order-sensitive aggregates (inside
+            # events_user_stats), funnel, interval overlap join,
+            # context-window chunking, exact grouped correlation
+            "events_user_stats", "events_funnel", "events_span_join",
+            "doc_chunks", "events_corr",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -324,6 +324,52 @@ def cmd_striplines(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Split documents into overlapping codepoint context windows — the
+    pre-tokenization step. Pure map: streams, no shuffle."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.chunking import chunk_documents
+
+    ds = rd.read_parquet(args.table)
+    out = chunk_documents(ds, args.text_col, args.size,
+                          args.stride).materialize()
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"chunks": n, "out": args.out,
+                      "size": args.size, "stride": args.stride}))
+    return 0
+
+
+def cmd_funnel(args) -> int:
+    """Anchored funnel over an event table: per-key furthest step and
+    step timestamps; prints the per-level completion counts."""
+    _ray_up(args.num_cpus)
+    import pandas as pd
+    import ray.data as rd
+
+    from guac_ray.functions.funnel import funnel
+
+    ds = rd.read_parquet(args.table)
+    steps = args.steps.split(",")
+    within = pd.Timedelta(args.within) if args.within else None
+    out = funnel(ds, args.key, args.order, args.step_col, steps,
+                 within=within)
+    if hasattr(out, "materialize"):
+        out = out.materialize()
+        n = out.count()
+        if n:
+            out.write_parquet(args.out)
+        levels = {str(r["funnel_level"]): int(r["count()"])
+                  for r in (out.groupby("funnel_level").count().take_all())}
+    else:  # typed empty pa.Table
+        n, levels = 0, {}
+    print(json.dumps({"keys": n, "levels": levels, "out": args.out}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Parquet → sharded JSONL/CSV — the handoff format most training
     stacks ingest. Streamed: each block writes its own shard."""
@@ -479,6 +525,28 @@ def main(argv: list[str] | None = None) -> int:
     sl.add_argument("--text-col", default="text")
     sl.add_argument("--min-docs", type=int, default=20)
     sl.set_defaults(fn=cmd_striplines)
+
+    ch = sub.add_parser("chunk",
+                        help="documents → overlapping context windows")
+    ch.add_argument("table")
+    ch.add_argument("out")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--size", type=int, default=2048)
+    ch.add_argument("--stride", type=int, default=1536)
+    ch.set_defaults(fn=cmd_chunk)
+
+    fu = sub.add_parser("funnel",
+                        help="anchored step funnel over an event table")
+    fu.add_argument("table")
+    fu.add_argument("out")
+    fu.add_argument("--key", default="user_id")
+    fu.add_argument("--order", default="ts")
+    fu.add_argument("--step-col", default="event_type")
+    fu.add_argument("--steps", required=True,
+                    help="comma-separated ordered step values")
+    fu.add_argument("--within", default=None,
+                    help="anchored horizon, e.g. '7 days' (pandas Timedelta)")
+    fu.set_defaults(fn=cmd_funnel)
 
     ex = sub.add_parser("export",
                         help="parquet → sharded jsonl/csv (streamed, one "

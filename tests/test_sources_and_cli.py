@@ -485,3 +485,56 @@ class TestGraphDecompositionVerbs:
         assert rep["docs"] == 3 and rep["lines_dropped"] == 3
         got = pq.read_table(str(tmp_path / "out")).to_pandas()
         assert sorted(got["text"]) == ["a", "b", "c"]
+
+
+class TestCliFourthWaveVerbs:
+    def test_chunk_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_chunk
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["abcdefghij", "xy"],
+        }), str(p))
+
+        class A:
+            table, out, text_col = str(p), str(tmp_path / "chunks"), "text"
+            size, stride, num_cpus = 4, 3, None
+
+        assert cmd_chunk(A()) == 0
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["chunks"] == 4  # doc1: 0,3,6 → 3 chunks; doc2: 1
+        got = pq.read_table(str(tmp_path / "chunks")).to_pandas()
+        assert sorted(got[got.doc_id == 1].chunk) == ["abcd", "defg", "ghij"]
+
+    def test_funnel_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_funnel
+
+        p = tmp_path / "ev.parquet"
+        ts = pd.to_datetime([10, 20, 30, 40], unit="s").astype("datetime64[us]")
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 1, 2, 2], type=pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": ["a", "b", "a", "x"],
+        }), str(p))
+
+        class A:
+            table, out = str(p), str(tmp_path / "fun")
+            key, order, step_col = "user_id", "ts", "event_type"
+            steps, within, num_cpus = "a,b", None, None
+
+        assert cmd_funnel(A()) == 0
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["keys"] == 2
+        assert rec["levels"] == {"1": 1, "2": 1}
