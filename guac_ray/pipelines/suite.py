@@ -3489,6 +3489,54 @@ FROM m
 """
 
 
+def events_setops(sf_dir: str):
+    """SQL INTERSECT + EXCEPT (functions/setops.py) in one result:
+    distinct (user, day-index) click days split into those that are also
+    purchase days ('both') and those that are not ('click_only') — one
+    tagged union of the two set operators, each a single tuple-hash
+    exchange with per-batch local dedup combiners."""
+    from guac_ray.functions.setops import except_distinct, intersect_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def days(kind: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[df.event_type == kind]
+            us = m["ts"].to_numpy().astype("datetime64[us]").view("int64")
+            return pd.DataFrame({"user_id": m["user_id"].to_numpy(),
+                                 "day": us // 86_400_000_000})
+        return fn
+
+    clicks = ev.map_batches(days("click"), batch_format="pandas")
+    purchases = ev.map_batches(days("purchase"), batch_format="pandas")
+    cols = ["user_id", "day"]
+    both = intersect_distinct(clicks, purchases, cols, num_buckets=4,
+                              exchange_base=_exchange("setop_i"))
+    only = except_distinct(clicks, purchases, cols, num_buckets=4,
+                           exchange_base=_exchange("setop_e"))
+
+    def tag(t: str):
+        return lambda df: df.assign(tag=t)
+
+    return both.map_batches(tag("both"), batch_format="pandas").union(
+        only.map_batches(tag("click_only"), batch_format="pandas"))
+
+
+EVENTS_SETOPS_SQL = """
+WITH c AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events WHERE event_type = 'purchase')
+SELECT user_id, day, 'both' AS tag
+FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+UNION ALL
+SELECT user_id, day, 'click_only' AS tag
+FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3597,6 +3645,7 @@ SUITE: dict[str, tuple] = {
     "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "events_corr": (events_corr, EVENTS_CORR_SQL),
+    "events_setops": (events_setops, EVENTS_SETOPS_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),
