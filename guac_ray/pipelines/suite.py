@@ -3537,6 +3537,99 @@ FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
 """
 
 
+def events_transitions(sf_dir: str):
+    """Event-sequence transition counts (Markov bigrams): lag(event_type)
+    per user under the deterministic (ts, event_id) order, then a
+    two-phase grouped count over (prev, cur) — a pure COMPOSITION of the
+    windowed-lag and bucketed-aggregate operators, no new machinery."""
+    from guac_ray.functions.window import windowed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    w = windowed(ev, by="user_id", order=["ts", "event_id"],
+                 ops={"prev_type": ("lag", "event_type")},
+                 exchange_base=_exchange("transitions"), num_buckets=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df.prev_type.notna()]
+        t = pd.DataFrame({"prev_type": m.prev_type.to_numpy(),
+                          "event_type": m.event_type.to_numpy()})
+        return t.groupby(["prev_type", "event_type"], sort=False) \
+            .size().rename("_n").reset_index()
+
+    agg = grouped_agg(w.map_batches(partial, batch_format="pandas"),
+                      ["prev_type", "event_type"], {"n": ("_n", "sum")},
+                      num_buckets=4)
+    return agg.map_batches(
+        lambda df: df.assign(n=df.n.astype("int64")),
+        batch_format="pandas")
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, count(*) AS n
+FROM t WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+def events_quantile_buckets(sf_dir: str):
+    """Equi-depth bucketing at EXACT global quartiles: the sortless
+    exact-quantile operator yields the three bounds (a scalar-sized
+    result — the one legitimate driver pull), broadcast into a bucket
+    map (1 + Σ value > bound, ties stay low), finished by the two-phase
+    grouped aggregate — quantiles ∘ map ∘ aggregate composition."""
+    from guac_ray.functions.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    q = exact_quantiles(ev, "value",
+                        {"b1": 0.25, "b2": 0.5, "b3": 0.75},
+                        num_range_buckets=64, num_buckets=4)
+    b1 = float(q["b1"].iloc[0])
+    b2 = float(q["b2"].iloc[0])
+    b3 = float(q["b3"].iloc[0])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        t = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "bucket": (1 + (v > b1).astype("int64") + (v > b2)
+                       + (v > b3)).astype("int64"),
+            "_vc": cents(v),
+        })
+        return t.groupby(["event_type", "bucket"], sort=False).agg(
+            _n=("_vc", "size"), _vc=("_vc", "sum")).reset_index()
+
+    agg = grouped_agg(ev.map_batches(bucketize, batch_format="pandas"),
+                      ["event_type", "bucket"],
+                      {"n": ("_n", "sum"), "vc": ("_vc", "sum")},
+                      num_buckets=4)
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "event_type": df.event_type, "bucket": df.bucket.astype("int64"),
+            "n": df.n.astype("int64"), "value_cents": df.vc.astype("int64")}),
+        batch_format="pandas")
+
+
+EVENTS_QBUCKETS_SQL = """
+WITH b AS (SELECT quantile_disc(value, 0.25) AS b1,
+                  quantile_disc(value, 0.5)  AS b2,
+                  quantile_disc(value, 0.75) AS b3
+           FROM events),
+t AS (SELECT event_type,
+             1 + CAST(value > b1 AS BIGINT) + CAST(value > b2 AS BIGINT)
+               + CAST(value > b3 AS BIGINT) AS bucket,
+             CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+      FROM events, b)
+SELECT event_type, bucket, count(*) AS n,
+       CAST(sum(vc) AS BIGINT) AS value_cents
+FROM t GROUP BY event_type, bucket
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3646,6 +3739,8 @@ SUITE: dict[str, tuple] = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "events_corr": (events_corr, EVENTS_CORR_SQL),
     "events_setops": (events_setops, EVENTS_SETOPS_SQL),
+    "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
+    "events_quantile_buckets": (events_quantile_buckets, EVENTS_QBUCKETS_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

@@ -29,6 +29,14 @@ FAST = [
     "events_rank_dense",
     "events_samples",
     "events_customer_outer",
+    # round-4 fourth wave
+    "events_funnel",
+    "events_span_join",
+    "doc_chunks",
+    "events_corr",
+    "events_setops",
+    "events_transitions",
+    "events_quantile_buckets",
 ]
 
 
