@@ -662,23 +662,36 @@ def asof_join(
     exchange_dir: str,
     num_buckets: int = 16,
     right_suffix: str = "_r",
+    how: str = "inner",
 ) -> Dataset:
     """As-of join (backward, inclusive): for each left row, the latest
     right row with the same ``by`` key and ``right.on <= left.on`` —
-    matching DuckDB's ``ASOF JOIN … ON l.by = r.by AND l.on >= r.on``
-    (inner semantics: unmatched left rows drop).
+    matching DuckDB's ``ASOF JOIN … ON l.by = r.by AND l.on >= r.on``.
+    ``how='inner'`` drops unmatched left rows; ``how='left'`` keeps them
+    with null right columns (DuckDB ``ASOF LEFT JOIN`` — integer right
+    columns come back as nullable doubles, the usual pandas NULL
+    upcast).
 
     Both sides co-partition on ``by`` through the filesystem exchange;
     within each bucket a sorted ``pd.merge_asof(by=…)`` does the work.
-    The partitioning assumption: all rows of one ``by`` key land in one
-    bucket (guaranteed by the hash), so no as-of pair spans buckets.
+    For ``how='left'``, left-only buckets (no right bucket at all)
+    merge against a typed empty right frame built from the right
+    Dataset's pre-exchange schema, so the output schema is identical
+    across buckets. The partitioning assumption: all rows of one ``by``
+    key land in one bucket (guaranteed by the hash), so no as-of pair
+    spans buckets.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
+    rschema = right.schema() if how == "left" else None
     exchange_dir = fresh_exchange_dir(exchange_dir)
     ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir, num_buckets)
-    present = sorted(
-        {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(ldir, "_jb=*"))}
-        & {int(p.rsplit("=", 1)[1]) for p in glob.glob(os.path.join(rdir, "_jb=*"))}
-    )
+    lpresent = {int(p.rsplit("=", 1)[1])
+                for p in glob.glob(os.path.join(ldir, "_jb=*"))}
+    rpresent = {int(p.rsplit("=", 1)[1])
+                for p in glob.glob(os.path.join(rdir, "_jb=*"))}
+    present = sorted(lpresent & rpresent) if how == "inner" \
+        else sorted(lpresent)
 
     def join_bucket(batch: pd.DataFrame) -> pa.Table:
         import pyarrow.parquet as pq
@@ -686,15 +699,20 @@ def asof_join(
         outs = []
         for k in batch["k"]:
             lt = pq.read_table(os.path.join(ldir, f"_jb={k}")).to_pandas()
-            rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
+            if int(k) in rpresent:
+                rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
+            else:  # how == "left": typed empty right side
+                rt = pa.schema(
+                    list(zip(rschema.names, rschema.types))).empty_table() \
+                    .to_pandas()
             rt["_matched"] = np.int8(1)
             lt = lt.sort_values(on, kind="mergesort")
             rt = rt.sort_values(on, kind="mergesort")
             m = pd.merge_asof(lt, rt, on=on, by=by, direction="backward",
                               allow_exact_matches=True, suffixes=("", right_suffix))
-            # inner semantics: drop lefts with no as-of match
-            m = m[m["_matched"].notna()].drop(columns=["_matched"])
-            outs.append(m)
+            if how == "inner":  # drop lefts with no as-of match
+                m = m[m["_matched"].notna()]
+            outs.append(m.drop(columns=["_matched"]))
         return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
 

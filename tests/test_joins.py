@@ -476,3 +476,54 @@ class TestIntervalJoin:
             "e": [t0 + pd.Timedelta("2h")], "rid": [0]})
         got = self._join(tmp_path, left, right)
         assert set(zip(got.lid, got.rid)) == {(1, 0)}
+
+
+class TestAsofLeftJoin:
+    def _sides(self):
+        rng = np.random.default_rng(13)
+        left = pd.DataFrame({
+            "u": rng.integers(0, 12, 200),
+            "t": rng.integers(0, 1000, 200).astype("int64"),
+            "lid": np.arange(200)})
+        right = pd.DataFrame({
+            "u": rng.integers(0, 9, 80),   # keys 9-11 left-only
+            "t": rng.integers(0, 1000, 80).astype("int64"),
+            "v": np.arange(80)})
+        return left, right
+
+    def test_left_matches_duckdb_asof_left(self, ray_session, tmp_path):
+        import duckdb
+
+        import ray.data as rd
+
+        from guac_ray.functions.joins import asof_join
+
+        lt, rt = self._sides()
+        got = asof_join(rd.from_pandas(lt), rd.from_pandas(rt),
+                        by="u", on="t",
+                        exchange_dir=str(tmp_path / "ax"),
+                        num_buckets=4, how="left").to_pandas()
+        want = duckdb.sql(
+            "SELECT lt.lid, rt.v FROM lt ASOF LEFT JOIN rt "
+            "ON lt.u = rt.u AND lt.t >= rt.t").df()
+        assert len(got) == len(lt) == len(want)
+        g = {(int(r.lid), None if pd.isna(r.v) else int(r.v))
+             for r in got.itertuples()}
+        w = {(int(r.lid), None if pd.isna(r.v) else int(r.v))
+             for r in want.itertuples()}
+        assert g == w
+
+    def test_inner_unchanged_and_validation(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import asof_join
+
+        lt, rt = self._sides()
+        inner = asof_join(rd.from_pandas(lt), rd.from_pandas(rt),
+                          by="u", on="t",
+                          exchange_dir=str(tmp_path / "ai"),
+                          num_buckets=4).to_pandas()
+        assert inner.v.notna().all() and len(inner) < len(lt)
+        with pytest.raises(ValueError):
+            asof_join(rd.from_pandas(lt), rd.from_pandas(rt), by="u",
+                      on="t", exchange_dir=str(tmp_path / "ae"), how="outer")

@@ -1,0 +1,103 @@
+"""10x stress probe for the fourth-wave operators (funnel, interval
+overlap join, set ops, grouped corr, transitions, chunking, enriched
+user stats): replicate the sf0.1 events/documents tables k times with
+shifted keys (users/docs stay distinct across copies, so group
+cardinality scales with data — the honest scaling axis for keyed
+operators), run each query over the replica dir, print one JSON line
+with wall times + the same weather stamp bench.py uses.
+
+Usage: python tools/stress_fourth_wave.py [k]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+QUERIES = [
+    "events_user_stats", "events_funnel", "events_span_join",
+    "events_corr", "events_setops", "events_transitions",
+    "events_quantile_buckets", "doc_chunks",
+]
+
+
+def build_replica(sf_dir: str, out_dir: str, k: int) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    counts = {}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    n_users = int(ev.user_id.max()) + 1
+    n_events = int(ev.event_id.max()) + 1
+    parts = []
+    for i in range(k):
+        c = ev.copy()
+        c["user_id"] = c.user_id + i * n_users
+        c["event_id"] = c.event_id + i * n_events
+        parts.append(c)
+    allev = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allev, preserve_index=False)
+                   .replace_schema_metadata(None),
+                   f"{out_dir}/events.parquet")
+    counts["events"] = len(allev)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    n_docs = int(docs.doc_id.max()) + 1
+    parts = []
+    for i in range(k):
+        c = docs.copy()
+        c["doc_id"] = c.doc_id + i * n_docs
+        parts.append(c)
+    alldocs = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(alldocs, preserve_index=False)
+                   .replace_schema_metadata(None),
+                   f"{out_dir}/documents.parquet")
+    counts["documents"] = len(alldocs)
+    return counts
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = f"/tmp/guac_ray_stress_{k}x"
+    counts = build_replica(sf_dir, out_dir, k)
+
+    import ray
+
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from bench import quick_weather
+    from guac_ray.pipelines.suite import SUITE
+
+    times = {}
+    for name in QUERIES:
+        fn, _ = SUITE[name]
+        t0 = time.time()
+        res = fn(out_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        times[name] = round(time.time() - t0, 3)
+    rec = {
+        "metric": "fourth_wave_10x",
+        "k": k,
+        "rows": counts,
+        "cpu_weather_m_md5_s": quick_weather(),
+        "times_sec": times,
+    }
+    ray.shutdown()
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
