@@ -76,6 +76,8 @@ def main() -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from bench import quick_weather
     from guac_ray.pipelines.suite import SUITE
 
