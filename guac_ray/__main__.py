@@ -126,6 +126,27 @@ def cmd_query(args) -> int:
 
         out = kcore(edges, "subj_key", "obj_key", k=args.k,
                     exchange_base=default_exchange("cli_kcore")).to_pandas()
+    elif args.what == "spath":
+        from guac_ray.functions.joins import default_exchange
+        from guac_ray.functions.paths import shortest_paths
+
+        def weighted(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            # unit weights: spath over a plain edge table = hop counts;
+            # a weight column in the graph would be passed through here
+            return pa.table({
+                "src": t["subj_key"].cast(pa.string()),
+                "dst": t["obj_key"].cast(pa.string()),
+                "w": pc.cast(pa.array([1] * t.num_rows), pa.int64()),
+            })
+
+        sp = shortest_paths(
+            edges.map_batches(weighted, batch_format="pyarrow"),
+            args.key, k=args.depth,
+            exchange_base=default_exchange("cli_spath"))
+        out = sp.to_pandas() if hasattr(sp, "to_pandas") else sp
     elif args.what == "components":
         from guac_ray.functions.dedup import connected_components_ds
 
@@ -415,7 +436,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("graph")
     q.add_argument("what",
                    choices=["known", "vulns", "patch", "neighbors",
-                            "pagerank", "triangles", "kcore", "components"])
+                            "pagerank", "triangles", "kcore", "components",
+                            "spath"])
     q.add_argument("key", nargs="?", default=None)
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])

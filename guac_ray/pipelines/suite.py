@@ -3630,6 +3630,74 @@ FROM t GROUP BY event_type, bucket
 """
 
 
+_PATCH_COST_HOPS = 4
+
+
+def kg_patch_cost(sf_dir: str):
+    """Cost-weighted patch radius: single-source WEIGHTED shortest paths
+    (functions/paths.py — k-iteration Bellman-Ford on static edge
+    buckets, only the frontier-sized dist table moves per round) over
+    the reverse depends_on graph from the same most-depended-on target
+    kg_patch_radius uses. Integer edge weights derive from key lengths
+    (1 + (|subj|+|dep|) % 7 — deterministic in both engines); dist(v) =
+    min cost over ≤4-edge paths, bit-exact vs the bounded recursive-CTE
+    oracle."""
+    from guac_ray.functions.paths import shortest_paths
+    from guac_ray.stages.assemble import dedup_exact
+
+    deps = kg_depends_on(sf_dir)
+
+    def pair(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj_key": batch["subj_key"],
+                         "obj_key": batch["dep_key"]})
+
+    pairs = dedup_exact(deps.map_batches(pair, batch_format="pyarrow"),
+                        ["subj_key", "obj_key"], num_buckets=4)
+    # name-level pair set is catalog-bounded (driver-small), the same
+    # materialization precedent as kg_patch_radius's target selection
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({"node_key": pd.Series(dtype="object"),
+                             "dist": pd.Series(dtype="int64")})
+    cnt = pdf.groupby("obj_key")["subj_key"].nunique()
+    target = cnt.sort_index().sort_values(kind="stable",
+                                          ascending=False).index[0]
+    ew = pd.DataFrame({
+        "src": pdf["obj_key"],        # reverse traversal: dependents
+        "dst": pdf["subj_key"],
+        "w": (1 + (pdf["subj_key"].str.len()
+                   + pdf["obj_key"].str.len()) % 7).astype("int64"),
+    })
+    return shortest_paths(rd.from_pandas(ew), target,
+                          k=_PATCH_COST_HOPS, num_buckets=4,
+                          exchange_base=_exchange("patch_cost"))
+
+
+def KG_PATCH_COST_SQL(sf_dir: str) -> str:
+    return f"""
+WITH RECURSIVE deps AS (
+  SELECT DISTINCT subj_key, dep_key FROM ({KG_DEPENDS_ON_SQL(sf_dir)})
+), w AS (
+  SELECT subj_key, dep_key,
+         1 + (length(subj_key) + length(dep_key)) % 7 AS w
+  FROM deps
+), target AS (
+  SELECT dep_key AS node_key
+  FROM (SELECT dep_key, count(DISTINCT subj_key) AS c
+        FROM deps GROUP BY dep_key)
+  ORDER BY c DESC, node_key ASC LIMIT 1
+), reach(node_key, dist, hops) AS (
+  SELECT node_key, 0, 0 FROM target
+  UNION ALL
+  SELECT w.subj_key, r.dist + w.w, r.hops + 1
+  FROM reach r JOIN w ON w.dep_key = r.node_key
+  WHERE r.hops < {_PATCH_COST_HOPS}
+)
+SELECT node_key, CAST(min(dist) AS BIGINT) AS dist
+FROM reach GROUP BY node_key
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3741,6 +3809,7 @@ SUITE: dict[str, tuple] = {
     "events_setops": (events_setops, EVENTS_SETOPS_SQL),
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
     "events_quantile_buckets": (events_quantile_buckets, EVENTS_QBUCKETS_SQL),
+    "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

@@ -538,3 +538,23 @@ class TestCliFourthWaveVerbs:
         rec = json.loads(capsys.readouterr().out.strip())
         assert rec["keys"] == 2
         assert rec["levels"] == {"1": 1, "2": 1}
+
+    def test_spath_verb(self, ray_session, cli_edges, tmp_path, capsys):
+        import json
+
+        from guac_ray.__main__ import cmd_query
+
+        gdir = tmp_path / "graph"
+        cli_edges.write_parquet(str(gdir / "edges"))
+
+        class A:
+            graph, what, key = str(gdir), "spath", "pkg:a"
+            depth, direction, preds = 3, "out", None
+            offset, limit, k, iters, num_cpus = 0, 100, 2, 5, None
+
+        assert cmd_query(A()) == 0
+        rows = [json.loads(l)
+                for l in capsys.readouterr().out.strip().splitlines()]
+        d = {r["node_key"]: r["dist"] for r in rows}
+        # unit weights over the fixture: pkg:a →1 hop→ {pkg:b, cve-1} …
+        assert d["pkg:a"] == 0 and d["pkg:b"] == 1 and d["pkg:c"] == 2
