@@ -3698,6 +3698,118 @@ FROM reach GROUP BY node_key
 """
 
 
+def events_mad(sf_dir: str):
+    """Grouped MEDIAN ABSOLUTE DEVIATION — the robust-statistics
+    composition: exact grouped median (sortless quantile operator) →
+    broadcast the 5-row med table → derive |v - med| in a streaming map
+    → exact grouped median of the deviations. All integer-cents, so
+    both medians are quantile_disc-exact in both engines (DuckDB's
+    builtin mad() interpolates; the oracle spells the same disc-disc
+    composition instead)."""
+    from guac_ray.functions.quantiles import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                             "vc": cents(df["value"])})
+
+    dsc = ev.map_batches(to_cents, batch_format="pandas")
+    med = exact_quantiles(dsc, "vc", {"med": 0.5}, by=["event_type"],
+                          num_range_buckets=64, num_buckets=4)
+    med_map = dict(zip(med["event_type"], med["med"].astype("int64")))
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med_map).to_numpy().astype("int64")
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "dev": np.abs(df["vc"].to_numpy() - m)})
+
+    mad = exact_quantiles(dsc.map_batches(dev, batch_format="pandas"),
+                          "dev", {"mad": 0.5}, by=["event_type"],
+                          num_range_buckets=64, num_buckets=4)
+    out = med.merge(mad, on="event_type")
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "median_cents": out["med"].astype("int64"),
+        "mad_cents": out["mad"].astype("int64")})
+
+
+EVENTS_MAD_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+m AS (
+  SELECT event_type, CAST(quantile_disc(vc, 0.5) AS BIGINT) AS med
+  FROM t GROUP BY event_type),
+d AS (
+  SELECT t.event_type, med, abs(vc - med) AS dev
+  FROM t JOIN m USING (event_type))
+SELECT event_type,
+       CAST(any_value(med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_cents
+FROM d GROUP BY event_type
+"""
+
+
+_CENTROID_Q = 1_000_000
+
+
+def emb_label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregation: per-label centroid of the embedding
+    column in fixed-point (each element quantized once with the same
+    IEEE expression in both engines, int64 sums are order-independent,
+    mean = floor(sum/n) in double — bit-exact vs the unnest-WITH-
+    ORDINALITY oracle). Per batch: one matrix stack + one wide groupby
+    melted to (label, dim) partials; the exchange moves labels×64 rows
+    per block, never vectors."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy())
+        q = np.floor(mat.astype("float64") * _CENTROID_Q + 0.5).astype("int64")
+        w = pd.DataFrame(q)
+        w["label"] = df["label"].to_numpy().astype("int64")
+        g = w.groupby("label", sort=False)
+        s = g.sum()
+        n = g.size().rename("_n")
+        long = s.reset_index().melt(id_vars="label", var_name="dim",
+                                    value_name="_s")
+        long["dim"] = long["dim"].astype("int64")
+        return long.merge(n.reset_index(), on="label")
+
+    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["label", "dim"],
+                      {"s": ("_s", "sum"), "n": ("_n", "sum")},
+                      num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": df["label"].astype("int64"),
+            "dim": df["dim"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "centroid_q": np.floor(
+                df["s"].to_numpy().astype("float64")
+                / df["n"].to_numpy().astype("float64")).astype("int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+EMB_CENTROIDS_SQL = f"""
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                    * {_CENTROID_Q} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(range(len(embedding))) AS t(i))
+SELECT label, dim, count(*) AS n,
+       CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+           AS centroid_q
+FROM e GROUP BY label, dim
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3810,6 +3922,8 @@ SUITE: dict[str, tuple] = {
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
     "events_quantile_buckets": (events_quantile_buckets, EVENTS_QBUCKETS_SQL),
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
+    "events_mad": (events_mad, EVENTS_MAD_SQL),
+    "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

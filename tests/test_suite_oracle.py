@@ -37,6 +37,10 @@ FAST = [
     "events_setops",
     "events_transitions",
     "events_quantile_buckets",
+    # round-4 fifth wave
+    "kg_patch_cost",
+    "events_mad",
+    "emb_label_centroids",
 ]
 
 
