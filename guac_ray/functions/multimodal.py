@@ -47,6 +47,11 @@ __all__ = [
     "AudioFeatureExtractor",
     "decode_audio",
     "make_fake_audio",
+    "decode_y4m",
+    "encode_y4m",
+    "VideoFeatureExtractor",
+    "decode_video",
+    "make_fake_video",
 ]
 
 MEDIA_SCHEMA = pa.schema(
@@ -434,6 +439,186 @@ def make_fake_audio(n: int = 64, seed: int = 11) -> pa.Table:
         {
             "media_id": pa.array(range(n), type=pa.int64()),
             "kind": pa.array(["audio"] * n, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "mime": pa.array(mimes, type=pa.string()),
+            "meta": pa.array(["{}"] * n, type=pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# real video codec (YUV4MPEG2 / .y4m — the uncompressed interchange format
+# every video toolchain speaks; header + raw planar frames, so a full parser
+# needs only struct-free byte walking + numpy, like the BMP/WAV paths)
+# ---------------------------------------------------------------------------
+
+def decode_y4m(payload: bytes) -> "tuple[np.ndarray, int, int] | None":
+    """YUV4MPEG2 (C420 default or C444) → ((n_frames, h, w) uint8 LUMA
+    planes, fps_num, fps_den); None if the payload is not Y4M. Chroma
+    planes are parsed (to advance correctly) but not returned — every
+    feature here is luma-based, and dropping chroma keeps the decode
+    zero-copy per frame (numpy views into the payload buffer)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = 0
+    num, den = 25, 1
+    chroma = "420"
+    for tok in payload[10:nl].split(b" "):
+        if not tok:
+            continue
+        c, v = tok[:1], tok[1:]
+        if c == b"W":
+            w = int(v)
+        elif c == b"H":
+            h = int(v)
+        elif c == b"F":
+            num, den = (int(x) for x in v.split(b":"))
+        elif c == b"C":
+            chroma = v.decode("ascii", "replace")
+    if w <= 0 or h <= 0 or den <= 0:
+        return None
+    if chroma.startswith("420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("444"):
+        fsize = 3 * w * h
+    else:
+        return None  # other samplings → stub path
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    pos = nl + 1
+    frames = []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            return None  # truncated/garbled frame header
+        start = fnl + 1
+        if start + fsize > len(payload):
+            return None  # truncated frame payload
+        frames.append(buf[start:start + w * h].reshape(h, w))
+        pos = start + fsize
+    if not frames:
+        return None
+    return np.stack(frames), num, den
+
+
+def encode_y4m(luma: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(n_frames, h, w) uint8 luma → Y4M C420 bytes (chroma mid-gray)."""
+    n, h, w = luma.shape
+    chroma = np.full(((w // 2) * (h // 2),), 128, dtype=np.uint8).tobytes()
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C420\n".encode()
+    parts = [head]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(luma[f].astype(np.uint8).tobytes())
+        parts.append(chroma)
+        parts.append(chroma)
+    return b"".join(parts)
+
+
+def _stub_video(payload: bytes) -> dict:
+    """Deterministic stand-in for compressed video (MP4/WebM) this
+    container cannot decode: stable pseudo-dimensions + hash features."""
+    h = hashlib.sha256(payload).digest()
+    return {"width": 160 + (h[0] % 8) * 80, "height": 120 + (h[1] % 8) * 60,
+            "n_frames": 10 + struct.unpack_from("<H", h, 2)[0] % 500,
+            "fps_num": 25, "fps_den": 1,
+            "n_sampled": 0,
+            "mean_luma": int(h[4]), "peak_luma": int(max(h[4], h[5])),
+            "decoded": False}
+
+
+class VideoFeatureExtractor:
+    """Actor-pool stage: media batch → (media_id, width, height,
+    n_frames, duration_ms, n_sampled, mean_luma, peak_luma, decoded).
+    Y4M decodes for real; compressed containers stub (or raise when
+    ``strict``). Frame SAMPLING happens inside the decode (every
+    ``stride``-th frame) — per-frame mean luma is an integer floor
+    (sum // pixels), ``mean_luma`` the floor-mean over sampled frames
+    and ``peak_luma`` their max, so goldens pin bit-exactly."""
+
+    def __init__(self, stride: int = 5, strict: bool = False):
+        if stride < 1:
+            raise ValueError("VideoFeatureExtractor: stride must be >= 1")
+        self.stride = stride
+        self.strict = strict
+
+    def features(self, payload: bytes) -> dict:
+        got = decode_y4m(payload or b"")
+        if got is not None:
+            luma, num, den = got
+            n, h, w = luma.shape
+            sampled = luma[::self.stride]
+            per = sampled.reshape(len(sampled), -1).astype(np.int64) \
+                .sum(axis=1) // (h * w)
+            return {"width": w, "height": h, "n_frames": n,
+                    "fps_num": num, "fps_den": den,
+                    "n_sampled": int(len(sampled)),
+                    "mean_luma": int(per.sum() // len(per)),
+                    "peak_luma": int(per.max()), "decoded": True}
+        if self.strict:
+            raise NotImplementedError(
+                "payload is not YUV4MPEG2 and no video codec is installed")
+        return _stub_video(payload or b"")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [self.features(p or b"")
+                for p in batch["payload"].to_pylist()]
+        d = {"media_id": batch["media_id"].combine_chunks().cast(pa.int64())}
+        for col, typ in [("width", pa.int32()), ("height", pa.int32()),
+                         ("n_frames", pa.int64()),
+                         ("fps_num", pa.int32()), ("fps_den", pa.int32()),
+                         ("n_sampled", pa.int64()),
+                         ("mean_luma", pa.int64()), ("peak_luma", pa.int64()),
+                         ("decoded", pa.bool_())]:
+            d[col] = pa.array([o[col] for o in outs], type=typ)
+        nf = np.array([o["n_frames"] for o in outs], dtype=np.int64)
+        num = np.array([o["fps_num"] for o in outs], dtype=np.int64)
+        den = np.array([o["fps_den"] for o in outs], dtype=np.int64)
+        d["duration_ms"] = pa.array(nf * 1000 * den // np.maximum(num, 1),
+                                    type=pa.int64())
+        return pa.table(d)
+
+
+def decode_video(media: Dataset, stride: int = 5, concurrency=2,
+                 batch_size: int = 16) -> Dataset:
+    """Small batches: raw frames × batch_size × concurrency bounds each
+    worker's heap — the same sizing rule as the image/audio pools."""
+    return media.map_batches(
+        VideoFeatureExtractor, fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def make_fake_video(n: int = 48, seed: int = 17) -> pa.Table:
+    """Deterministic video table: REAL Y4M payloads (integer gradient
+    patterns — no libm, bit-stable) with every 8th row a codec-format
+    stand-in so the stub path stays exercised."""
+    rng = np.random.default_rng(seed)
+    payloads, mimes = [], []
+    for i in range(n):
+        if i % 8 == 7:
+            payloads.append(rng.integers(
+                0, 256, size=int(rng.integers(500, 5000)),
+                dtype=np.uint8).tobytes())
+            mimes.append("video/mp4")            # undecodable here → stub
+        else:
+            w = int(rng.choice([8, 16, 24, 32]))
+            h = int(rng.choice([8, 16, 24]))
+            nf = int(rng.integers(2, 9))
+            f = np.arange(nf, dtype=np.int64)[:, None, None]
+            y = np.arange(h, dtype=np.int64)[None, :, None]
+            x = np.arange(w, dtype=np.int64)[None, None, :]
+            luma = ((x + 3 * y + 7 * f + 13 * i) % 256).astype(np.uint8)
+            fps = (int(rng.choice([24, 25, 30])), 1)
+            payloads.append(encode_y4m(luma, fps))
+            mimes.append("video/x-yuv4mpeg")
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "kind": pa.array(["video"] * n, type=pa.string()),
             "payload": pa.array(payloads, type=pa.binary()),
             "mime": pa.array(mimes, type=pa.string()),
             "meta": pa.array(["{}"] * n, type=pa.string()),

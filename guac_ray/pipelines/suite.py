@@ -2114,6 +2114,18 @@ def media_decode(sf_dir: str):
     return decode_images(media, concurrency=(1, 2))
 
 
+def media_video(sf_dir: str):
+    """Video leg of the multimodal triad: deterministic Y4M table (real
+    YUV4MPEG2 parse — functions/multimodal.py:decode_y4m) → feature
+    actor pool with in-decode frame SAMPLING (every 5th frame) →
+    integer luma features. No SQL oracle (DuckDB cannot parse Y4M);
+    golden-pinned with a drift test like media_decode/media_audio."""
+    from guac_ray.functions.multimodal import decode_video, make_fake_video
+
+    media = rd.from_arrow(make_fake_video(192))
+    return decode_video(media, stride=5, concurrency=(1, 2))
+
+
 def media_audio(sf_dir: str):
     """Audio leg of the multimodal triad: deterministic PCM-WAV table
     (real RIFF parse — functions/multimodal.py:decode_wav) → feature
@@ -3930,6 +3942,7 @@ SUITE: dict[str, tuple] = {
     "doc_lang_id": (doc_lang_id, None),
     "media_decode": (media_decode, None),
     "media_audio": (media_audio, None),
+    "media_video": (media_video, None),
     "neardup_docs_minhash": (neardup_docs_minhash, None),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
 }

@@ -41,6 +41,7 @@ class TestGoldenStability:
         "events_user_approx",
         "media_decode",
         "media_audio",
+        "media_video",
     ])
     def test_no_oracle_query_matches_committed_golden(self, name, ray_session):
         """The four no-SQL-oracle queries (LSH pair lists, HLL sketch,

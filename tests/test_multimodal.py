@@ -178,3 +178,61 @@ class TestWavCodec:
 
         with pytest.raises(NotImplementedError):
             AudioFeatureExtractor(strict=True).features(b"\xff\xfbgarbage")
+
+
+class TestVideoY4M:
+    def test_roundtrip_exact(self, ray_session):
+        import numpy as np
+
+        from guac_ray.functions.multimodal import decode_y4m, encode_y4m
+
+        luma = np.arange(2 * 8 * 16, dtype=np.uint8).reshape(2, 8, 16) % 256
+        got = decode_y4m(encode_y4m(luma, (30, 1)))
+        assert got is not None
+        frames, num, den = got
+        assert (num, den) == (30, 1)
+        assert np.array_equal(frames, luma)
+
+    def test_c444_and_garbage(self, ray_session):
+        import numpy as np
+
+        from guac_ray.functions.multimodal import decode_y4m
+
+        w, h = 4, 2
+        y = np.arange(w * h, dtype=np.uint8)
+        payload = (f"YUV4MPEG2 W{w} H{h} F25:1 C444\n".encode()
+                   + b"FRAME\n" + y.tobytes() + bytes(w * h) + bytes(w * h))
+        frames, _, _ = decode_y4m(payload)
+        assert frames.shape == (1, h, w)
+        assert decode_y4m(b"not a video") is None
+        # truncated frame → None, not garbage features
+        assert decode_y4m(payload[:-3]) is None
+
+    def test_frame_sampling_and_features(self, ray_session):
+        import numpy as np
+
+        from guac_ray.functions.multimodal import (VideoFeatureExtractor,
+                                                   encode_y4m)
+
+        # 7 frames of constant luma 10,20,...,70; stride 3 samples 0,3,6
+        luma = np.stack([np.full((4, 4), 10 * (f + 1), dtype=np.uint8)
+                         for f in range(7)])
+        fe = VideoFeatureExtractor(stride=3)
+        out = fe.features(encode_y4m(luma, (25, 1)))
+        assert out["n_frames"] == 7 and out["n_sampled"] == 3
+        assert out["peak_luma"] == 70          # frame 6
+        assert out["mean_luma"] == (10 + 40 + 70) // 3
+        assert out["decoded"]
+
+    def test_stub_and_strict(self, ray_session):
+        import pytest
+
+        from guac_ray.functions.multimodal import VideoFeatureExtractor
+
+        fe = VideoFeatureExtractor()
+        out = fe.features(b"\x00\x01\x02 compressed stuff")
+        assert out["decoded"] is False and out["n_frames"] > 0
+        with pytest.raises(NotImplementedError):
+            VideoFeatureExtractor(strict=True).features(b"junk")
+        with pytest.raises(ValueError):
+            VideoFeatureExtractor(stride=0)
