@@ -139,6 +139,11 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # context-window chunking, exact grouped correlation
             "events_user_stats", "events_funnel", "events_span_join",
             "doc_chunks", "events_corr",
+            # round-4 fifth wave: set ops, transitions, quantile
+            # bucketing, weighted shortest paths, MAD, vector centroids
+            "events_setops", "events_transitions",
+            "events_quantile_buckets", "kg_patch_cost", "events_mad",
+            "emb_label_centroids",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]
