@@ -39,7 +39,7 @@ __all__ = ["windowed", "keep_latest"]
 _OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank",
         "ntile", "percent_rank",
         "moving_sum", "moving_avg", "moving_min", "moving_max",
-        "moving_count")
+        "moving_count", "range_sum", "range_count")
 
 _MOVING = ("moving_sum", "moving_avg", "moving_min", "moving_max",
            "moving_count")
@@ -56,8 +56,10 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
     types = dict(fields)
     for name, spec in (ops or {}).items():
         if spec[0] in ("row_number", "rank", "dense_rank", "ntile",
-                       "moving_count"):
+                       "moving_count", "range_count"):
             fields.append((name, pa.int64()))
+        elif spec[0] == "range_sum":
+            fields.append((name, types[spec[1]]))
         elif spec[0] == "percent_rank" or spec[0] in _MOVING:
             # pandas rolling always yields float64
             fields.append((name, pa.float64()))
@@ -113,9 +115,20 @@ def windowed(
             raise ValueError(
                 f"windowed: {spec[0]} requires (op, col, k) with k >= 1 "
                 f"for {name!r}")
+        if spec[0] in ("range_sum", "range_count"):
+            if len(spec) < 3:
+                raise ValueError(
+                    f"windowed: {spec[0]} requires (op, col, window) "
+                    f"for {name!r}")
+            if len(order) != 1:
+                # validate EAGERLY (the reduce runs lazily in a task)
+                raise ValueError(
+                    f"windowed: {spec[0]} needs exactly one order column "
+                    f"(RANGE frames are value-defined) for {name!r}")
     src_cols = {spec[1] for spec in ops.values()
                 if len(spec) > 1
-                and spec[0] in ("lag", "lead", "cumsum") + _MOVING}
+                and spec[0] in ("lag", "lead", "cumsum", "range_sum",
+                                "range_count") + _MOVING}
     shadowed = set(ops) & (src_cols | set(by) | set(order))
     if shadowed:
         # an output name equal to a column another op reads would make
@@ -193,6 +206,54 @@ def windowed(
                 n = _nsz()
                 new[name] = ((_rank() - 1) / (n - 1).clip(lower=1)
                              ).where(n > 1, 0.0).astype("float64")
+            elif spec[0] in ("range_sum", "range_count"):
+                # SQL RANGE BETWEEN <win> PRECEDING AND CURRENT ROW over
+                # a SINGLE numeric/datetime order column: the frame is
+                # VALUE-defined, so equal-ordinate PEERS are included
+                # (even ones after the current row in sort order) —
+                # exactly three vectorized searchsorteds on the same
+                # dense-rank composite the range join uses, then
+                # prefix-sum differences. NULL values are skipped like
+                # SQL aggregates (all-NULL window ⇒ NULL sum, 0 count).
+                if len(order) != 1:
+                    raise ValueError(
+                        f"windowed: {spec[0]} needs exactly one order "
+                        f"column (RANGE frames are value-defined)")
+                col, win = spec[1], spec[2]
+                ovals = df[order[0]].to_numpy()
+                if np.issubdtype(ovals.dtype, np.datetime64):
+                    ts = ovals.astype("datetime64[ns]").view("int64")
+                    W = int(pd.Timedelta(win).value)
+                else:
+                    ts = ovals.astype("int64")
+                    W = int(win)
+                cur, prev = df[by], df[by].shift()
+                prev_eq = ((cur == prev) | (cur.isna() & prev.isna())
+                           ).all(axis=1)
+                krank = (~prev_eq).to_numpy().cumsum().astype("int64")
+                uvals = np.unique(ts)
+                span = np.int64(len(uvals) + 1)
+                rowcomp = krank * span + np.searchsorted(uvals, ts)
+                qlo = krank * span + np.searchsorted(uvals, ts - W, "left")
+                qhi = krank * span + np.searchsorted(uvals, ts, "right")
+                lo = np.searchsorted(rowcomp, qlo, side="left")
+                hi = np.searchsorted(rowcomp, qhi, side="left")
+                v = df[col].to_numpy()
+                nn = ~pd.isna(v)
+                pref_n = np.concatenate([[0], np.cumsum(nn)])
+                n_in = (pref_n[hi] - pref_n[lo]).astype("int64")
+                if spec[0] == "range_count":
+                    new[name] = pd.Series(n_in, index=df.index)
+                else:
+                    vv = np.where(nn, v, 0)
+                    pref_s = np.concatenate([[0], np.cumsum(vv)])
+                    s_in = pref_s[hi] - pref_s[lo]
+                    if (n_in == 0).any():  # SQL: all-NULL window ⇒ NULL
+                        s = s_in.astype("float64")
+                        s[n_in == 0] = np.nan
+                        new[name] = pd.Series(s, index=df.index)
+                    else:
+                        new[name] = pd.Series(s_in, index=df.index)
             elif spec[0] in _MOVING:
                 col, k = spec[1], int(spec[2])
                 # grouped rolling: result index is (by-levels…, orig

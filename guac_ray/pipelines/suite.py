@@ -3822,6 +3822,52 @@ FROM e GROUP BY label, dim
 """
 
 
+def events_range_windows(sf_dir: str):
+    """TIME-RANGE moving aggregates (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW): value-defined frames with peer
+    inclusion, computed per bucket with three vectorized searchsorteds
+    on the dense-rank composite + prefix-sum differences
+    (functions/window.py range_sum/range_count) — the variable-width
+    complement of the ROWS-based rolling family."""
+    from guac_ray.functions.window import windowed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_vc(df: pd.DataFrame) -> pd.DataFrame:
+        df["vc"] = cents(df["value"])
+        return df
+
+    w = windowed(ev.map_batches(add_vc, batch_format="pandas"),
+                 by="user_id", order="ts",
+                 ops={"w_sum": ("range_sum", "vc", pd.Timedelta(hours=1)),
+                      "w_n": ("range_count", "vc", pd.Timedelta(hours=1))},
+                 exchange_base=_exchange("range_windows"), num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy().astype("int64")),
+            # vc is derived non-null ⇒ no empty frames ⇒ exact int64
+            "w_sum": pa.array(df["w_sum"].to_numpy().astype("int64")),
+            "w_n": pa.array(df["w_n"].to_numpy().astype("int64")),
+        })
+
+    return w.map_batches(finish, batch_format="pandas")
+
+
+EVENTS_RANGE_WINDOWS_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events)
+SELECT event_id,
+       CAST(sum(vc) OVER w AS BIGINT) AS w_sum,
+       count(vc) OVER w AS w_n
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3936,6 +3982,7 @@ SUITE: dict[str, tuple] = {
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
     "events_mad": (events_mad, EVENTS_MAD_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
+    "events_range_windows": (events_range_windows, EVENTS_RANGE_WINDOWS_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

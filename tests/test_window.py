@@ -429,3 +429,76 @@ class TestCoalesceIntervals:
                                  exchange_base=str(tmp_path / "e"))
         assert out.count() == 0
         assert set(["u", "start", "end", "n_merged"]) <= set(out.schema().names)
+
+
+class TestRangeWindows:
+    """Time-RANGE frames: peer inclusion, variable width, NULL skipping."""
+
+    def _run(self, df, win, ray_session=None):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        out = windowed(rd.from_pandas(df), by="u", order="t",
+                       ops={"s": ("range_sum", "v", win),
+                            "n": ("range_count", "v", win)},
+                       num_buckets=2).to_pandas()
+        return out.sort_values(["u", "t"]).reset_index(drop=True)
+
+    def test_matches_duckdb_range(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({
+            "u": rng.integers(0, 10, 800),
+            "t": rng.integers(0, 500, 800).astype("int64"),  # ties likely
+            "v": rng.integers(0, 1000, 800).astype("int64")})
+        got = self._run(df, 50)
+        want = duckdb.sql("""
+            SELECT u, t, v,
+                   CAST(sum(v) OVER w AS BIGINT) AS s,
+                   count(v) OVER w AS n
+            FROM df WINDOW w AS (PARTITION BY u ORDER BY t
+                RANGE BETWEEN 50 PRECEDING AND CURRENT ROW)
+            ORDER BY u, t""").df()
+        # ties make row order ambiguous; compare per-(u,t) multisets
+        for key in ["s", "n"]:
+            g = got.groupby(["u", "t"])[key].apply(sorted)
+            w = want.groupby(["u", "t"])[key].apply(sorted)
+            assert g.equals(w)
+
+    def test_peers_included(self, ray_session):
+        # three rows at the SAME t: every one sees all three (RANGE is
+        # value-defined — peers after the current row still count)
+        df = pd.DataFrame({"u": [1, 1, 1], "t": [5, 5, 5],
+                           "v": [10, 20, 30]})
+        got = self._run(df, 0)
+        assert got["s"].tolist() == [60, 60, 60]
+        assert got["n"].tolist() == [3, 3, 3]
+
+    def test_null_values_skipped(self, ray_session):
+        df = pd.DataFrame({"u": [1, 1, 1], "t": [0, 1, 2],
+                           "v": [None, None, 7.0]})
+        got = self._run(df, 10)
+        assert got["n"].tolist() == [0, 0, 1]
+        assert pd.isna(got["s"][0]) and pd.isna(got["s"][1])
+        assert got["s"][2] == 7.0
+
+    def test_timestamps_and_validation(self, ray_session):
+        import pytest
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "u": [1, 1, 1],
+            "t": [t0, t0 + pd.Timedelta("30min"), t0 + pd.Timedelta("2h")],
+            "v": [1, 2, 4]})
+        got = self._run(df, pd.Timedelta(hours=1))
+        assert got["s"].tolist() == [1, 3, 4]  # 2h row: only itself
+        with pytest.raises(ValueError):
+            import ray.data as rd
+
+            from guac_ray.functions.window import windowed
+
+            windowed(rd.from_pandas(df), by="u", order=["t", "v"],
+                     ops={"s": ("range_sum", "v", 1)}, num_buckets=2)
