@@ -391,6 +391,41 @@ def cmd_funnel(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Graph snapshot diff: edges added/removed between two builds, on
+    the FULL edge identity (every payload column — the same identity
+    dedup uses). Each direction is one EXCEPT set-op exchange; output
+    is two parquet dirs + a one-line summary."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.setops import except_distinct
+
+    a = rd.read_parquet(os.path.join(args.graph_a, "edges"))
+    b = rd.read_parquet(os.path.join(args.graph_b, "edges"))
+    cols = sorted(set(a.schema().names) & set(b.schema().names))
+    if not cols:
+        print("error: graphs share no edge columns", file=sys.stderr)
+        return 2
+    added = except_distinct(b, a, cols)      # in B, not in A
+    removed = except_distinct(a, b, cols)    # in A, not in B
+
+    def emit(ds, name):
+        if hasattr(ds, "materialize"):
+            ds = ds.materialize()
+            n = ds.count()
+            if n:
+                ds.write_parquet(os.path.join(args.out, name))
+            return n
+        return ds.num_rows  # typed-empty pa.Table
+
+    n_add = emit(added, "added")
+    n_rem = emit(removed, "removed")
+    print(json.dumps({"added": n_add, "removed": n_rem,
+                      "identity_cols": cols, "out": args.out}))
+    return 0
+
+
 def cmd_export(args) -> int:
     """Parquet → sharded JSONL/CSV — the handoff format most training
     stacks ingest. Streamed: each block writes its own shard."""
@@ -569,6 +604,13 @@ def main(argv: list[str] | None = None) -> int:
     fu.add_argument("--within", default=None,
                     help="anchored horizon, e.g. '7 days' (pandas Timedelta)")
     fu.set_defaults(fn=cmd_funnel)
+
+    df_ = sub.add_parser("diff",
+                         help="edges added/removed between two graph builds")
+    df_.add_argument("graph_a")
+    df_.add_argument("graph_b")
+    df_.add_argument("out")
+    df_.set_defaults(fn=cmd_diff)
 
     ex = sub.add_parser("export",
                         help="parquet → sharded jsonl/csv (streamed, one "

@@ -558,3 +558,33 @@ class TestCliFourthWaveVerbs:
         d = {r["node_key"]: r["dist"] for r in rows}
         # unit weights over the fixture: pkg:a →1 hop→ {pkg:b, cve-1} …
         assert d["pkg:a"] == 0 and d["pkg:b"] == 1 and d["pkg:c"] == 2
+
+    def test_diff_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.__main__ import cmd_diff
+
+        ea = pd.DataFrame({
+            "subj_key": ["a", "b", "c"], "pred": ["p"] * 3,
+            "obj_key": ["x", "y", "z"]})
+        # b: drop (c,p,z), add (d,p,w), and a duplicate of (a,p,x)
+        eb = pd.DataFrame({
+            "subj_key": ["a", "a", "b", "d"], "pred": ["p"] * 4,
+            "obj_key": ["x", "x", "y", "w"]})
+        ga, gb = tmp_path / "ga", tmp_path / "gb"
+        rd.from_pandas(ea).write_parquet(str(ga / "edges"))
+        rd.from_pandas(eb).write_parquet(str(gb / "edges"))
+
+        class A:
+            graph_a, graph_b, out = str(ga), str(gb), str(tmp_path / "d")
+            num_cpus = None
+
+        assert cmd_diff(A()) == 0
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["added"] == 1 and rec["removed"] == 1
+        import pyarrow.parquet as pq
+        add = pq.read_table(str(tmp_path / "d" / "added")).to_pandas()
+        assert add.subj_key.tolist() == ["d"]
