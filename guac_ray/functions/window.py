@@ -39,7 +39,8 @@ __all__ = ["windowed", "keep_latest"]
 _OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank",
         "ntile", "percent_rank",
         "moving_sum", "moving_avg", "moving_min", "moving_max",
-        "moving_count", "range_sum", "range_count")
+        "moving_count", "range_sum", "range_count",
+        "first_value", "last_value")
 
 _MOVING = ("moving_sum", "moving_avg", "moving_min", "moving_max",
            "moving_count")
@@ -128,7 +129,8 @@ def windowed(
     src_cols = {spec[1] for spec in ops.values()
                 if len(spec) > 1
                 and spec[0] in ("lag", "lead", "cumsum", "range_sum",
-                                "range_count") + _MOVING}
+                                "range_count", "first_value",
+                                "last_value") + _MOVING}
     shadowed = set(ops) & (src_cols | set(by) | set(order))
     if shadowed:
         # an output name equal to a column another op reads would make
@@ -183,6 +185,17 @@ def windowed(
                 new[name] = (g.cumcount() + 1).astype("int64")
             elif spec[0] == "cumsum":
                 new[name] = g[spec[1]].cumsum()
+            elif spec[0] == "first_value":
+                # SQL first_value over the default frame: the partition's
+                # first row in `order` (tie-free order assumed for
+                # determinism, like ntile)
+                new[name] = g[spec[1]].transform("first")
+            elif spec[0] == "last_value":
+                # SQL last_value needs ROWS BETWEEN UNBOUNDED PRECEDING
+                # AND UNBOUNDED FOLLOWING to mean "partition last" — the
+                # default frame would make it the current row; this op
+                # implements the whole-partition form
+                new[name] = g[spec[1]].transform("last")
             elif spec[0] == "rank":
                 new[name] = _rank()
             elif spec[0] == "dense_rank":

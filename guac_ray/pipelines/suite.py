@@ -1251,7 +1251,9 @@ def events_window_funcs(sf_dir: str):
                       "msum3": ("moving_sum", "vc", 3),
                       "mavg3": ("moving_avg", "vc", 3),
                       "mmin3": ("moving_min", "vc", 3),
-                      "mmax3": ("moving_max", "vc", 3)},
+                      "mmax3": ("moving_max", "vc", 3),
+                      "first_vc": ("first_value", "vc"),
+                      "last_vc": ("last_value", "vc")},
                  exchange_base=_exchange("window_funcs"), num_buckets=8)
 
     def finish(df: pd.DataFrame) -> pa.Table:
@@ -1274,6 +1276,8 @@ def events_window_funcs(sf_dir: str):
             "mavg3": pa.array(df["mavg3"].to_numpy()),
             "mmin3": pa.array(df["mmin3"].to_numpy().astype("int64")),
             "mmax3": pa.array(df["mmax3"].to_numpy().astype("int64")),
+            "first_vc": pa.array(df["first_vc"].to_numpy().astype("int64")),
+            "last_vc": pa.array(df["last_vc"].to_numpy().astype("int64")),
         })
 
     return w.map_batches(finish, batch_format="pandas")
@@ -1298,7 +1302,13 @@ SELECT event_id,
             AS BIGINT) AS msum3,
        avg(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mavg3,
        min(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mmin3,
-       max(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mmax3
+       max(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w3 AS mmax3,
+       first_value(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS first_vc,
+       last_value(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_vc
 FROM events
 WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
