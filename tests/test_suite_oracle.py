@@ -75,3 +75,30 @@ def test_query_matches_oracle(name, con, ray_session):
     g, w = _norm(got), _norm(want)
     assert list(g.columns) == list(w.columns)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_every_registered_query_executes(ray_session):
+    """Registry-wide smoke guard: every SUITE entry must RUN at sf0.001
+    and produce a consumable result — the driver's gate calls exactly
+    these callables, so an import error, a renamed column, or a
+    scale-edge crash in ANY entry (in-gate or past-cap) fails here
+    before it fails on the driver record. Oracle VALUE comparison is
+    the FAST list above + tools/check_oracle.py; this asserts
+    executability only."""
+    import pyarrow as pa
+    from ray.data import Dataset
+
+    from guac_ray.pipelines.suite import SUITE
+
+    failures = {}
+    for name, (fn, _) in SUITE.items():
+        try:
+            res = fn(SF)
+            if isinstance(res, (Dataset,)):
+                res = res.to_pandas()
+            elif isinstance(res, pa.Table):
+                res = res.to_pandas()
+            assert res is not None
+        except Exception as e:  # collect all, report once
+            failures[name] = repr(e)[:200]
+    assert not failures, f"queries failed to execute: {failures}"
