@@ -109,8 +109,10 @@ def funnel(
     if red is None:
         # typed empty: key type from the input schema, order type for ts
         sch = ds.schema()
-        kt = dict(zip(sch.names, sch.types))
-        fields = [(key, kt[key]), ("funnel_level", pa.int64())]
-        fields += [(f"t{i}", kt[order]) for i in range(1, k + 1)]
+        kt = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        fields = [(key, kt.get(key, pa.string())),
+                  ("funnel_level", pa.int64())]
+        fields += [(f"t{i}", kt.get(order, pa.timestamp("us")))
+                   for i in range(1, k + 1)]
         return pa.schema(fields).empty_table()
     return red

@@ -701,10 +701,14 @@ def asof_join(
             lt = pq.read_table(os.path.join(ldir, f"_jb={k}")).to_pandas()
             if int(k) in rpresent:
                 rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
-            else:  # how == "left": typed empty right side
+            elif rschema is not None:  # how == "left": typed empty right
                 rt = pa.schema(
                     list(zip(rschema.names, rschema.types))).empty_table() \
                     .to_pandas()
+            else:  # right Dataset entirely empty (schema unknowable):
+                # merge against just the join columns so every left row
+                # survives with no extra right columns
+                rt = lt[[by, on]].iloc[0:0].copy()
             rt["_matched"] = np.int8(1)
             lt = lt.sort_values(on, kind="mergesort")
             rt = rt.sort_values(on, kind="mergesort")

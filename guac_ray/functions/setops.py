@@ -68,6 +68,8 @@ def _setop(
         reduce_fn)
     if red is None:
         sch = a.schema()
+        if sch is None:  # both inputs entirely empty and schema-less
+            return pa.schema([(c, pa.string()) for c in cols]).empty_table()
         kt = dict(zip(sch.names, sch.types))
         return pa.schema([(c, kt[c]) for c in cols]).empty_table()
     return red

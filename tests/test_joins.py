@@ -527,3 +527,15 @@ class TestAsofLeftJoin:
         with pytest.raises(ValueError):
             asof_join(rd.from_pandas(lt), rd.from_pandas(rt), by="u",
                       on="t", exchange_dir=str(tmp_path / "ae"), how="outer")
+
+    def test_left_with_entirely_empty_right(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import asof_join
+
+        lt, rt = self._sides()
+        got = asof_join(rd.from_pandas(lt), rd.from_pandas(rt.iloc[0:0]),
+                        by="u", on="t",
+                        exchange_dir=str(tmp_path / "ae2"),
+                        num_buckets=4, how="left").to_pandas()
+        assert len(got) == len(lt)  # every left row survives unmatched
