@@ -1,8 +1,10 @@
 """Local stand-in for the driver's correctness gate: run every
-``queries()`` entry (60) at sf0.01 and compare row-count / schema /
+``queries()`` entry at sf0.01 and compare row-count / schema /
 order-insensitive values against ``oracle_sql()`` via DuckDB.
 
-Usage: python tools/check_oracle.py [name ...]
+Usage: python tools/check_oracle.py [--gate] [--only] [name ...]
+(--gate restricts to the FIRST 50 registry entries — the exact set the
+driver's correctness gate checks)
 """
 
 from __future__ import annotations
@@ -66,9 +68,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    only = set(sys.argv[1:])
+    args = [a for a in sys.argv[1:] if a != "--only"]
+    gate_only = "--gate" in args
+    only = set(a for a in args if a != "--gate")
+    gate = set(list(qs)[:50])  # the driver checks exactly these
     fails = []
     for name, fn in qs.items():
+        if gate_only and name not in gate:
+            continue
         if only and name not in only:
             continue
         t0 = time.time()
