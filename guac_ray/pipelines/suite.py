@@ -3878,6 +3878,53 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def events_props_agg(sf_dir: str):
+    """Semi-structured field extraction: pull the integer ``k`` field
+    out of the JSON ``props`` column with ONE vectorized Arrow
+    ``extract_regex`` kernel (no per-row json.loads — flat numeric
+    fields need no parser), then the two-phase grouped aggregate.
+    Oracle uses real ``json_extract``; the regex matches it exactly on
+    flat integer fields."""
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)["k"]
+        out = g.agg(_n="count", _s="sum", _mn="min", _mx="max").reset_index()
+        return out.astype({"_n": "int64", "_s": "int64",
+                           "_mn": "int64", "_mx": "int64"})
+
+    agg = grouped_agg(
+        ev.map_batches(extract, batch_format="pyarrow")
+          .map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("_n", "sum"), "sum_k": ("_s", "sum"),
+         "min_k": ("_mn", "min"), "max_k": ("_mx", "max")},
+        num_buckets=4)
+    return agg.map_batches(
+        lambda df: df.assign(n=df.n.astype("int64"),
+                             sum_k=df.sum_k.astype("int64"),
+                             min_k=df.min_k.astype("int64"),
+                             max_k=df.max_k.astype("int64")),
+        batch_format="pandas")
+
+
+EVENTS_PROPS_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM t GROUP BY event_type
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -3993,6 +4040,7 @@ SUITE: dict[str, tuple] = {
     "events_mad": (events_mad, EVENTS_MAD_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     "events_range_windows": (events_range_windows, EVENTS_RANGE_WINDOWS_SQL),
+    "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

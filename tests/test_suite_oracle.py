@@ -41,6 +41,8 @@ FAST = [
     "kg_patch_cost",
     "events_mad",
     "emb_label_centroids",
+    "events_range_windows",
+    "events_props_agg",
 ]
 
 
