@@ -3925,6 +3925,33 @@ FROM t GROUP BY event_type
 """
 
 
+_WSAMPLE_K = 100
+
+
+def doc_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (functions/sampling.py,
+    Efraimidis–Spirakis): 100 documents weighted by length — the
+    md5-deterministic ln(u)/w key makes the sample itself
+    oracle-checkable, not just its size."""
+    from guac_ray.functions.sampling import weighted_sample_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars", "source"])
+    return weighted_sample_k(ds, _WSAMPLE_K, "n_chars", "doc_id",
+                             keep_cols=["n_chars", "source"])
+
+
+DOC_WSAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, source,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+             AS BIGINT) + 0.5) / 4503599627370496.0)
+         / CAST(n_chars AS DOUBLE) AS key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, source FROM t
+QUALIFY row_number() OVER (ORDER BY key DESC, doc_id) <= {_WSAMPLE_K}
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4041,6 +4068,7 @@ SUITE: dict[str, tuple] = {
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     "events_range_windows": (events_range_windows, EVENTS_RANGE_WINDOWS_SQL),
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

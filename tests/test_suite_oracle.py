@@ -43,6 +43,7 @@ FAST = [
     "emb_label_centroids",
     "events_range_windows",
     "events_props_agg",
+    "doc_weighted_sample",
 ]
 
 

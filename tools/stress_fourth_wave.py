@@ -25,6 +25,9 @@ QUERIES = [
     "events_user_stats", "events_funnel", "events_span_join",
     "events_corr", "events_setops", "events_transitions",
     "events_quantile_buckets", "doc_chunks",
+    # fifth wave (events/documents-fed only; kg/embeddings ops have
+    # their own corpora)
+    "events_mad", "events_range_windows", "events_props_agg",
 ]
 
 
