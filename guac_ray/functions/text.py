@@ -32,6 +32,7 @@ __all__ = [
     "fingerprints",
     "utf8_stats",
     "tfidf_top_terms",
+    "unigram_surprisal",
     "PII_PATTERNS",
     "scrub_pii",
     "RepetitionScorer",
@@ -441,6 +442,109 @@ def tfidf_top_terms(
                 "tf": pa.array(tfs, type=pa.int64()),
                 "doc_freq": pa.array(dfs, type=pa.int64()),
                 "score_fp": pa.array(scores, type=pa.int64()),
+            })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+
+def unigram_surprisal(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    vocab_cap: int = 20_000_000,
+    num_buckets: int = 8,
+    concurrency=2,
+) -> Dataset:
+    """Corpus-unigram surprisal per document — the LM-style quality
+    signal (rare-token-heavy documents score high, common-language
+    documents low; the classic cheap stand-in for model perplexity in
+    training-data curation).
+
+    Exactness: per-token surprisal is quantized ONCE per DISTINCT
+    vocabulary term to integer micro-nats,
+    ``q(t) = floor(scale*(ln(N) - ln(c_t)) + 0.5)``, evaluated in libm
+    doubles with the same expression tree DuckDB's ``ln``/``floor``
+    use — so the quantized table is bit-identical across engines — and
+    a document's score is an int64 SUM of q over its token occurrences:
+    integer addition is order-independent, so the distributed sum is
+    exact regardless of batching. ``mean_surprisal`` is the int64 floor
+    quotient (both operands positive).
+
+    Shape: pass 1 builds the vocabulary count table — per-batch Counter
+    partials (the shuffle carries vocab × blocks rows, never
+    token-scale) → ``grouped_agg`` → total N as the scalar sum of the
+    small per-term count column; the quantized q-table broadcasts once
+    via ``ray.put`` (size-guarded by ``vocab_cap``; beyond it, route
+    tokens ⋈ vocab through ``hash_join`` on term plus a doc-keyed
+    grouped sum instead). Pass 2 re-scans the docs: a document is one
+    row, so its token multiset is batch-local and the per-doc sum needs
+    NO shuffle. Zero-token documents are dropped (the SQL inner join
+    drops them too).
+    """
+    import math
+    from collections import Counter
+
+    import ray
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            c.update(sql_ws_tokens(txt))
+        return pa.table({
+            "term": pa.array(list(c.keys()), type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    vocab = grouped_agg(
+        docs.select_columns([text_col]).map_batches(
+            cnt_partial, batch_format="pyarrow"),
+        ["term"], {"c": ("cnt", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(vocab) > vocab_cap:
+        raise ValueError(
+            f"vocabulary ({len(vocab)}) exceeds vocab_cap ({vocab_cap}); "
+            "use the hash_join-on-term path for ultra-wide vocabularies")
+    if vocab.empty:
+        return pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "surprisal_micronats": pa.array([], type=pa.int64()),
+            "mean_surprisal": pa.array([], type=pa.int64()),
+        })
+    n_total = float(int(vocab["c"].sum()))
+    ln_n = math.log(n_total)
+    qtab = {
+        t: int(math.floor(scale * (ln_n - math.log(float(c))) + 0.5))
+        for t, c in zip(vocab["term"], vocab["c"].astype(int))
+    }
+    qref = ray.put(qtab)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, ntok, surp, mean = [], [], [], []
+            for did, txt in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
+                c = Counter(sql_ws_tokens(txt))
+                if not c:
+                    continue
+                n = sum(c.values())
+                s = sum(self.q[w] * k for w, k in c.items())
+                ids.append(did)
+                ntok.append(n)
+                surp.append(s)
+                mean.append(s // n)
+            return pa.table({
+                id_col: pa.array(ids, type=t.schema.field(id_col).type),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "surprisal_micronats": pa.array(surp, type=pa.int64()),
+                "mean_surprisal": pa.array(mean, type=pa.int64()),
             })
 
     return docs.select_columns([id_col, text_col]).map_batches(

@@ -3952,6 +3952,46 @@ QUALIFY row_number() OVER (ORDER BY key DESC, doc_id) <= {_WSAMPLE_K}
 """
 
 
+def doc_surprisal(sf_dir: str):
+    """Corpus-unigram surprisal per document (functions/text.py:
+    unigram_surprisal) — the LM-style quality signal training-data
+    curation uses as a cheap perplexity stand-in. Per-term micro-nat
+    quantization makes the per-doc INTEGER sums order-independent, so
+    the whole score is oracle-exact; the vocabulary count table is the
+    only shuffle (vocab × blocks rows) and the per-doc sum is
+    batch-local (a doc is one row — no token-scale data moves)."""
+    from guac_ray.functions.text import unigram_surprisal
+
+    return unigram_surprisal(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+DOC_SURPRISAL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), vocab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab
+), q AS (
+  SELECT term,
+         CAST(floor(1000000.0 * (ln(CAST(n AS DOUBLE)) -
+                                 ln(CAST(c AS DOUBLE))) + 0.5)
+              AS BIGINT) AS q
+  FROM vocab, tot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(q.q) AS BIGINT) AS surprisal_micronats,
+       CAST(sum(q.q) // count(*) AS BIGINT) AS mean_surprisal
+FROM tok2 t JOIN q USING (term)
+GROUP BY 1
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4069,6 +4109,7 @@ SUITE: dict[str, tuple] = {
     "events_range_windows": (events_range_windows, EVENTS_RANGE_WINDOWS_SQL),
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
+    "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

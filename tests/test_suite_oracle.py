@@ -44,6 +44,8 @@ FAST = [
     "events_range_windows",
     "events_props_agg",
     "doc_weighted_sample",
+    # round-4 sixth wave
+    "doc_surprisal",
 ]
 
 

@@ -345,3 +345,82 @@ FROM base LEFT JOIN top USING (doc_id) ORDER BY doc_id
         # NBSP row: 2 tokens under the RE2 grammar (str.split() would
         # produce 4 — the sql_ws_tokens contract is what keeps parity)
         assert got.loc[4, "n_tokens"] == 2
+
+
+class TestUnigramSurprisal:
+    DOCS = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cats and dogs and cats"),
+        (4, "  The THE the  unique-token  "),
+        (5, ""),            # zero tokens -> dropped
+        (6, "solo"),
+        (7, "café naïve café"),  # multibyte
+    ]
+
+    def test_matches_duckdb(self, ray_session):
+        """Bit parity with the SQL oracle expression on a corpus with
+        repeats, case folding, multibyte tokens and an empty doc."""
+        import duckdb
+        import ray.data as rd
+
+        from guac_ray.functions.text import unigram_surprisal
+
+        docs = pd.DataFrame(self.DOCS, columns=["doc_id", "text"])
+        got = unigram_surprisal(
+            rd.from_pandas(docs).repartition(3)).to_pandas()
+        want = duckdb.sql(r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM docs
+            ), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+            vocab AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok2 GROUP BY 1
+            ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+            q AS (
+              SELECT term,
+                     CAST(floor(1000000.0 * (ln(CAST(n AS DOUBLE)) -
+                                             ln(CAST(c AS DOUBLE))) + 0.5)
+                          AS BIGINT) AS q
+              FROM vocab, tot)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(q.q) AS BIGINT) AS surprisal_micronats,
+                   CAST(sum(q.q) // count(*) AS BIGINT) AS mean_surprisal
+            FROM tok2 t JOIN q USING (term) GROUP BY 1 ORDER BY 1
+        """).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert 5 not in set(got.doc_id)  # empty doc dropped like SQL
+
+    def test_rare_scores_higher(self, ray_session):
+        """A rare-token doc must out-surprise a common-token doc of the
+        same length (the property curation filters rely on)."""
+        import ray.data as rd
+
+        from guac_ray.functions.text import unigram_surprisal
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["common common common common",
+                      "common common common common",
+                      "rare1 rare2 rare3 rare4"]})
+        out = unigram_surprisal(rd.from_pandas(docs)).to_pandas()
+        out = out.set_index("doc_id")
+        assert out.loc[3, "mean_surprisal"] > out.loc[1, "mean_surprisal"]
+        assert out.loc[1, "surprisal_micronats"] == out.loc[2, "surprisal_micronats"]
+
+    def test_vocab_cap_and_empty(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.text import unigram_surprisal
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1], "text": ["a b c d e f"]}))
+        with pytest.raises(ValueError):
+            unigram_surprisal(ds, vocab_cap=3)
+        empty = unigram_surprisal(rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})))
+        assert len(empty) == 0  # typed empty table, no crash
