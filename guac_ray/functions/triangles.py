@@ -45,7 +45,7 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["triangle_count"]
+__all__ = ["triangle_count", "clustering_coefficient"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -207,3 +207,196 @@ def triangle_count(
         how="semi", num_buckets=num_buckets, partial_fn=count_partial)
     total = sum(r["c"] for r in closed.take_all())
     return rd.from_items([{"n_triangles": int(total)}])
+
+
+def clustering_coefficient(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    wedge_chunk: int = 4_000_000,
+    scale: int = 1_000_000,
+) -> Dataset:
+    """Per-node LOCAL clustering coefficient over the undirected simple
+    graph induced by (a_col, b_col): for every node with degree ≥ 2,
+    ``coeff_fp = scale * 2 * T(v) // (deg(v) * (deg(v) - 1))`` —
+    fixed-point floor division on int64, exact in every engine.
+
+    Same degree-ordered orientation as :func:`triangle_count` (the hot
+    hub cannot explode the wedge stage), but the wedge rows CARRY their
+    source, so each triangle surviving the closing semi join credits
+    all three of its vertices; per-node triangle counts are then one
+    vocabulary-scale ``grouped_agg`` and join back to the degree table
+    co-partitioned. Nothing token- or wedge-scale reaches the driver.
+    """
+    import os
+
+    from guac_ray.functions.joins import (
+        default_exchange, fresh_exchange_dir, hash_join)
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.groupagg import grouped_agg
+
+    base = exchange_base or default_exchange("clustcoef")
+    empty = pa.table({
+        "node": pa.array([], type=pa.string()),
+        "deg": pa.array([], type=pa.int64()),
+        "n_triangles": pa.array([], type=pa.int64()),
+        "coeff_fp": pa.array([], type=pa.int64()),
+    })
+
+    # ---- canonical distinct edges (u < v, loops dropped), persisted once
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_pandas().astype(str)
+        b = t[b_col].to_pandas().astype(str)
+        u = a.where(a < b, b)
+        v = b.where(a < b, a)
+        df = pd.DataFrame({"u": u, "v": v})
+        df = df[df["u"] != df["v"]].drop_duplicates()
+        return table_from_pandas(df, preserve_index=False)
+
+    dedup = grouped_agg(
+        edges.select_columns([a_col, b_col]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], {"_n": ("u", "count")}, num_buckets=num_buckets,
+    )
+    edir = fresh_exchange_dir(os.path.join(base, "canon"))
+    dedup.select_columns(["u", "v"]).write_parquet(edir)
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(edir, "*.parquet")):
+        return empty
+
+    def E() -> Dataset:
+        return rd.read_parquet(edir)
+
+    # ---- degrees over the deduped edge set
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.concat_arrays([
+                t["u"].combine_chunks().cast(pa.string()),
+                t["v"].combine_chunks().cast(pa.string()),
+            ]),
+        })
+
+    deg = grouped_agg(
+        E().map_batches(endpoints, batch_format="pyarrow"),
+        ["n"], {"deg": ("n", "count")}, num_buckets=num_buckets,
+    )
+
+    du = deg.map_batches(
+        lambda df: df.rename(columns={"n": "u", "deg": "du"}),
+        batch_format="pandas")
+    dv = deg.map_batches(
+        lambda df: df.rename(columns={"n": "v", "deg": "dv"}),
+        batch_format="pandas")
+    with_du = hash_join(E(), du, on="u",
+                        exchange_dir=os.path.join(base, "ju"),
+                        num_buckets=num_buckets)
+    with_deg = hash_join(with_du, dv, on="v",
+                         exchange_dir=os.path.join(base, "jv"),
+                         num_buckets=num_buckets)
+
+    # ---- orient low → high in the (degree, key) total order
+    def orient(df: pd.DataFrame) -> pa.Table:
+        fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
+                                       & (df["u"] < df["v"]))
+        out = pd.DataFrame({
+            "src": df["u"].where(fwd, df["v"]),
+            "dst": df["v"].where(fwd, df["u"]),
+        })
+        out["_bucket"] = (stable_hash(out, ["src"]) % num_buckets
+                          ).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    oriented = with_deg.map_batches(orient, batch_format="pandas")
+
+    # ---- wedges per source, source CARRIED (dst sorted ascending within
+    # a group, so every emitted pair already satisfies u < v — the
+    # canonical edge orientation the closing join needs)
+    def wedges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        dst = df["dst"].to_numpy()
+        src = df["src"].to_numpy()
+        grp_change = np.ones(len(df), dtype=bool)
+        grp_change[1:] = src[1:] != src[:-1]
+        idx = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(grp_change, idx, 0))
+        k = idx - start
+        # pairs are emitted row-major (k[r] pairs for row r, rows in
+        # order), so the source of pair p is src repeated k-wise — one
+        # np.repeat rebuilds the aligned source column
+        parts = _pairs_within_groups(dst, k, wedge_chunk)
+        if not parts:
+            return pa.table({"s": pa.array([], type=pa.string()),
+                             "u": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.string())})
+        srcs = np.repeat(src, k)
+        les = np.concatenate([p[0] for p in parts])
+        ris = np.concatenate([p[1] for p in parts])
+        return pa.table({"s": pa.array(srcs, type=pa.string()),
+                         "u": pa.array(les, type=pa.string()),
+                         "v": pa.array(ris, type=pa.string())})
+
+    wedge_ds = fs_exchange_reduce(
+        oriented, os.path.join(base, "wedge"), wedges)
+
+    def deg_named(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"n": "node"})
+
+    deg_nodes = deg.map_batches(deg_named, batch_format="pandas")
+
+    if wedge_ds is None:
+        tri = None
+    else:
+        # close wedges against the edge set; per-vertex credit partials
+        # fused into the join reduce — only (node, tc) rows leave it
+        def credit_partial(t: pa.Table) -> pa.Table:
+            nodes = pa.concat_arrays([
+                t["s"].combine_chunks().cast(pa.string()),
+                t["u"].combine_chunks().cast(pa.string()),
+                t["v"].combine_chunks().cast(pa.string()),
+            ])
+            vc = nodes.value_counts()
+            return pa.table({
+                "node": vc.field("values"),
+                "tc": vc.field("counts").cast(pa.int64()),
+            })
+
+        closed = hash_join(
+            wedge_ds, E(), on=["u", "v"],
+            exchange_dir=os.path.join(base, "close"),
+            how="semi", num_buckets=num_buckets,
+            partial_fn=credit_partial)
+        tri = grouped_agg(closed, ["node"], {"t": ("tc", "sum")},
+                          num_buckets=num_buckets)
+
+    if tri is None:
+        joined = deg_nodes.map_batches(
+            lambda df: df.assign(t=np.int64(0)), batch_format="pandas")
+    else:
+        joined = hash_join(deg_nodes, tri, on="node",
+                           exchange_dir=os.path.join(base, "jt"),
+                           how="left", num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        df = df[df["deg"] >= 2]
+        if df.empty:
+            return empty
+        d = df["deg"].to_numpy().astype(np.int64)
+        # a triangle-free graph leaves the semi join empty and the left
+        # join schema-less on the right: no "t" column at all
+        if "t" in df.columns:
+            t = np.nan_to_num(
+                df["t"].to_numpy().astype("float64"), nan=0.0).astype(np.int64)
+        else:
+            t = np.zeros(len(df), dtype=np.int64)
+        coeff = (scale * 2 * t) // (d * (d - 1))
+        return pa.table({
+            "node": pa.array(df["node"].astype(str), type=pa.string()),
+            "deg": pa.array(d, type=pa.int64()),
+            "n_triangles": pa.array(t, type=pa.int64()),
+            "coeff_fp": pa.array(coeff, type=pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -3992,6 +3992,50 @@ GROUP BY 1
 """
 
 
+def kg_clustering(sf_dir: str):
+    """Per-node local clustering coefficient over the assembled KG
+    (functions/triangles.py:clustering_coefficient): the triangle
+    machinery with sources carried through the closing semi join so
+    every triangle credits its three vertices; fixed-point
+    ``2e6·T // (deg·(deg−1))`` floor division keeps the coefficient
+    integer-exact against the 3-way self-join oracle."""
+    from guac_ray.functions.triangles import clustering_coefficient
+
+    g = _corpus_edges(sf_dir)
+    return clustering_coefficient(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("clustcoef"), num_buckets=8)
+
+
+def KG_CLUSTERING_SQL(sf_dir: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(subj_key, obj_key) AS u,
+         greatest(subj_key, obj_key) AS v
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1
+), tri AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS t
+  FROM (
+    SELECT unnest([e1.u, e1.v, e2.v]) AS node
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+  ) GROUP BY 1
+)
+SELECT d.n AS node, d.deg,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2000000 * coalesce(t.t, 0) // (d.deg * (d.deg - 1))
+            AS BIGINT) AS coeff_fp
+FROM deg d LEFT JOIN tri t ON t.node = d.n
+WHERE d.deg >= 2
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4110,6 +4154,7 @@ SUITE: dict[str, tuple] = {
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
     "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
+    "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

@@ -102,3 +102,62 @@ class TestPairExpansion:
                         _pairs_within_groups(dst, k, chunk))
             assert total == sum(n * (n - 1) // 2 for n in sizes)
             assert got == want, (sizes, chunk)
+
+
+class TestClusteringCoefficient:
+    def _brute_cc(self, edges, scale=1_000_000):
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = {}
+        for v, nb in adj.items():
+            d = len(nb)
+            if d < 2:
+                continue
+            t = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                    if y in adj[x])
+            out[v] = (d, t, scale * 2 * t // (d * (d - 1)))
+        return out
+
+    def _run(self, edges, base):
+        from guac_ray.functions.triangles import clustering_coefficient
+
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        out = clustering_coefficient(
+            rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+            exchange_base=str(base), num_buckets=4)
+        got = out.to_pandas() if hasattr(out, "to_pandas") else out
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        return {r.node: (r.deg, r.n_triangles, r.coeff_fp)
+                for r in got.itertuples()}
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        # triangle + pendant (c has an open wedge), duplicate/reversed/
+        # self edges thrown in
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+                 ("b", "a"), ("a", "a"), ("c", "a")]
+        assert self._run(edges, tmp_path / "g1") == self._brute_cc(edges)
+        # K4 — every coefficient exactly scale (1.0)
+        k4 = list(itertools.combinations("wxyz", 2))
+        got = self._run(k4, tmp_path / "g2")
+        assert got == self._brute_cc(k4)
+        assert all(c == 1_000_000 for _, _, c in got.values())
+
+    def test_star_and_random(self, ray_session, tmp_path):
+        # star: hub deg=5, zero triangles, coefficient 0; leaves deg=1
+        # excluded entirely
+        star = [("hub", f"l{i}") for i in range(5)]
+        got = self._run(star, tmp_path / "g3")
+        assert got == {"hub": (5, 0, 0)}
+        rng = np.random.default_rng(7)
+        edges = [tuple(sorted((f"n{rng.integers(12)}", f"n{rng.integers(12)}")))
+                 for _ in range(40)]
+        assert self._run(edges, tmp_path / "g4") == self._brute_cc(edges)
+
+    def test_empty_and_selfloops(self, ray_session, tmp_path):
+        got = self._run([("a", "a"), ("b", "b")], tmp_path / "g5")
+        assert got == {}
