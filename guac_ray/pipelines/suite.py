@@ -3992,6 +3992,87 @@ GROUP BY 1
 """
 
 
+def events_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution in
+    EXACT integer micro-nats — the behavioral-diversity signal (and the
+    same quantization contract as doc_surprisal): each (user, type)
+    term is quantized ``q = floor(1e6*(ln n − ln c) + 0.5)`` with
+    SCALAR libm logs over the handful of DISTINCT count values (numpy's
+    vectorized log may differ from DuckDB's libm in the last ulp — the
+    lookup keeps both engines on the identical double), and the user's
+    entropy is the int64 dot product ``Σ c·q // n`` — floor division,
+    order-independent, bit-exact.
+
+    Shape: per-batch (user, type) count partials (the combiner bounds
+    shuffle volume at users × types rows per block), one user-hash
+    exchange, per-bucket vectorized reduce. Nothing event-scale moves.
+    """
+    import math
+
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    num_buckets = 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "event_type"], sort=False).agg(
+            _n=("event_type", "size")).reset_index()
+        out["_bucket"] = (out.user_id.to_numpy() % num_buckets).astype("int64")
+        return out
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        t = df.groupby(["user_id", "event_type"], sort=False).agg(
+            c=("_n", "sum")).reset_index()
+        n = t.groupby("user_id", sort=False)["c"].transform("sum").to_numpy()
+        c = t["c"].to_numpy().astype("int64")
+        lut = {v: math.log(float(v)) for v in
+               np.unique(np.concatenate([n, c])).tolist()}
+        ln_n = np.array([lut[v] for v in n.tolist()])
+        ln_c = np.array([lut[v] for v in c.tolist()])
+        q = np.floor(1000000.0 * (ln_n - ln_c) + 0.5).astype("int64")
+        t["_cq"] = c * q
+        t["_n"] = n
+        out = t.groupby("user_id", sort=False).agg(
+            n_events=("c", "sum"), n_types=("c", "size"),
+            cq=("_cq", "sum"), n=("_n", "first")).reset_index()
+        out["entropy_micronats"] = (
+            out["cq"].to_numpy() // out["n"].to_numpy()).astype("int64")
+        out = out.astype({"user_id": "int64", "n_events": "int64",
+                          "n_types": "int64"})
+        return table_from_pandas(
+            out[["user_id", "n_events", "n_types", "entropy_micronats"]])
+
+    red = fs_exchange_reduce(ds.map_batches(partial, batch_format="pandas"),
+                             _exchange("events_entropy"), reduce_fn)
+    if red is None:
+        return pa.schema(
+            [("user_id", pa.int64()), ("n_events", pa.int64()),
+             ("n_types", pa.int64()), ("entropy_micronats", pa.int64())],
+        ).empty_table()
+    return red
+
+
+EVENTS_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY 1
+)
+SELECT c.user_id,
+       t.n AS n_events, t.n_types,
+       CAST(sum(c.c * CAST(floor(1000000.0 * (ln(CAST(t.n AS DOUBLE)) -
+                                              ln(CAST(c.c AS DOUBLE)))
+                                 + 0.5) AS BIGINT)) // t.n
+            AS BIGINT) AS entropy_micronats
+FROM c JOIN t USING (user_id)
+GROUP BY 1, t.n, t.n_types
+"""
+
+
 def kg_clustering(sf_dir: str):
     """Per-node local clustering coefficient over the assembled KG
     (functions/triangles.py:clustering_coefficient): the triangle
@@ -4155,6 +4236,7 @@ SUITE: dict[str, tuple] = {
     "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
     "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
+    "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

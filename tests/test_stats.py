@@ -65,3 +65,39 @@ class TestGroupedCorr:
     def test_float_input_rejected(self, ray_session):
         with pytest.raises(Exception):
             _run(pd.DataFrame({"g": [1], "x": [1.5], "y": [2]}))
+
+
+class TestEventsEntropy:
+    """events_entropy (pipelines/suite.py): micro-nat quantized Shannon
+    entropy — uniform k-type users read ln(k)·1e6 (±1 quantization),
+    single-type users exactly 0."""
+
+    def test_entropy_properties(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.pipelines.suite import events_entropy
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        rows = []
+        # user 1: uniform over 4 types, 8 each; user 2: single type;
+        # user 3: skewed 9/1
+        for t in "abcd":
+            rows += [(1, t)] * 8
+        rows += [(2, "a")] * 10
+        rows += [(3, "a")] * 9 + [(3, "b")]
+        df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+        pq.write_table(pa.Table.from_pandas(df), sf / "events.parquet")
+        out = events_entropy(str(sf))
+        got = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        got = got.set_index("user_id")
+        assert abs(got.loc[1, "entropy_micronats"]
+                   - round(math.log(4) * 1e6)) <= 1
+        assert got.loc[2, "entropy_micronats"] == 0
+        assert 0 < got.loc[3, "entropy_micronats"] < got.loc[1, "entropy_micronats"]
+        assert got.loc[1, "n_types"] == 4 and got.loc[1, "n_events"] == 32

@@ -46,6 +46,7 @@ FAST = [
     "doc_weighted_sample",
     # round-4 sixth wave
     "doc_surprisal",
+    "events_entropy",
 ]
 
 
