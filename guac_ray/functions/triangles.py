@@ -45,7 +45,8 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["triangle_count", "clustering_coefficient"]
+__all__ = ["triangle_count", "clustering_coefficient",
+           "neighbor_degree_stats"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -83,25 +84,20 @@ def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
     return out
 
 
-def triangle_count(
-    edges: Dataset,
-    a_col: str = "subj_key",
-    b_col: str = "obj_key",
-    exchange_base: str | None = None,
-    num_buckets: int = 16,
-    wedge_chunk: int = 4_000_000,
-) -> Dataset:
-    """One-row Dataset {"n_triangles": int64} for the undirected simple
-    graph induced by (a_col, b_col)."""
+def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
+               num_buckets: int):
+    """Shared prefix of every per-graph analytic here: canonicalize to
+    DISTINCT undirected edges (u < v, loops dropped) persisted once,
+    compute degrees, and attach them to both endpoints via two
+    co-partitioned hash joins. Returns ``(E, deg, with_deg)`` — E() is
+    a fresh reader over the persisted edge set, ``deg`` the (n, deg)
+    table, ``with_deg`` the (u, v, du, dv) join — or ``None`` when the
+    canonical edge set is empty (all input edges were self-loops)."""
     import os
 
-    from guac_ray.functions.joins import default_exchange, fresh_exchange_dir, hash_join
-    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.functions.joins import fresh_exchange_dir, hash_join
     from guac_ray.stages.groupagg import grouped_agg
 
-    base = exchange_base or default_exchange("triangles")
-
-    # ---- 1. canonical distinct edges, persisted once
     def canon(t: pa.Table) -> pa.Table:
         a = t[a_col].to_pandas().astype(str)
         b = t[b_col].to_pandas().astype(str)
@@ -122,14 +118,11 @@ def triangle_count(
     import glob as _glob
 
     if not _glob.glob(os.path.join(edir, "*.parquet")):
-        # every input edge was a self-loop (Ray writes no files for an
-        # empty dataset) — no graph, no triangles
-        return rd.from_items([{"n_triangles": 0}])
+        return None
 
     def E() -> Dataset:
         return rd.read_parquet(edir)
 
-    # ---- 2. degrees over the DEDUPED edge set
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table({
             "n": pa.concat_arrays([
@@ -155,8 +148,32 @@ def triangle_count(
     with_deg = hash_join(with_du, dv, on="v",
                          exchange_dir=os.path.join(base, "jv"),
                          num_buckets=num_buckets)
+    return E, deg, with_deg
 
-    # ---- 3. orient low → high in the (degree, key) total order
+
+def triangle_count(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    wedge_chunk: int = 4_000_000,
+) -> Dataset:
+    """One-row Dataset {"n_triangles": int64} for the undirected simple
+    graph induced by (a_col, b_col)."""
+    import os
+
+    from guac_ray.functions.joins import default_exchange, hash_join
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    base = exchange_base or default_exchange("triangles")
+    cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
+    if cd is None:
+        # every input edge was a self-loop — no graph, no triangles
+        return rd.from_items([{"n_triangles": 0}])
+    E, _deg, with_deg = cd
+
+    # ---- orient low → high in the (degree, key) total order
     def orient(df: pd.DataFrame) -> pa.Table:
         fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
                                        & (df["u"] < df["v"]))
@@ -232,8 +249,7 @@ def clustering_coefficient(
     """
     import os
 
-    from guac_ray.functions.joins import (
-        default_exchange, fresh_exchange_dir, hash_join)
+    from guac_ray.functions.joins import default_exchange, hash_join
     from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
     from guac_ray.stages.groupagg import grouped_agg
 
@@ -245,57 +261,10 @@ def clustering_coefficient(
         "coeff_fp": pa.array([], type=pa.int64()),
     })
 
-    # ---- canonical distinct edges (u < v, loops dropped), persisted once
-    def canon(t: pa.Table) -> pa.Table:
-        a = t[a_col].to_pandas().astype(str)
-        b = t[b_col].to_pandas().astype(str)
-        u = a.where(a < b, b)
-        v = b.where(a < b, a)
-        df = pd.DataFrame({"u": u, "v": v})
-        df = df[df["u"] != df["v"]].drop_duplicates()
-        return table_from_pandas(df, preserve_index=False)
-
-    dedup = grouped_agg(
-        edges.select_columns([a_col, b_col]).map_batches(
-            canon, batch_format="pyarrow"),
-        ["u", "v"], {"_n": ("u", "count")}, num_buckets=num_buckets,
-    )
-    edir = fresh_exchange_dir(os.path.join(base, "canon"))
-    dedup.select_columns(["u", "v"]).write_parquet(edir)
-    import glob as _glob
-
-    if not _glob.glob(os.path.join(edir, "*.parquet")):
+    cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
+    if cd is None:
         return empty
-
-    def E() -> Dataset:
-        return rd.read_parquet(edir)
-
-    # ---- degrees over the deduped edge set
-    def endpoints(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "n": pa.concat_arrays([
-                t["u"].combine_chunks().cast(pa.string()),
-                t["v"].combine_chunks().cast(pa.string()),
-            ]),
-        })
-
-    deg = grouped_agg(
-        E().map_batches(endpoints, batch_format="pyarrow"),
-        ["n"], {"deg": ("n", "count")}, num_buckets=num_buckets,
-    )
-
-    du = deg.map_batches(
-        lambda df: df.rename(columns={"n": "u", "deg": "du"}),
-        batch_format="pandas")
-    dv = deg.map_batches(
-        lambda df: df.rename(columns={"n": "v", "deg": "dv"}),
-        batch_format="pandas")
-    with_du = hash_join(E(), du, on="u",
-                        exchange_dir=os.path.join(base, "ju"),
-                        num_buckets=num_buckets)
-    with_deg = hash_join(with_du, dv, on="v",
-                         exchange_dir=os.path.join(base, "jv"),
-                         num_buckets=num_buckets)
+    E, deg, with_deg = cd
 
     # ---- orient low → high in the (degree, key) total order
     def orient(df: pd.DataFrame) -> pa.Table:
@@ -400,3 +369,74 @@ def clustering_coefficient(
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def neighbor_degree_stats(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    scale: int = 1_000_000,
+) -> Dataset:
+    """Per-node NEIGHBOR-degree statistics over the undirected simple
+    graph — the local assortativity signal (is this node attached to
+    hubs or to leaves?): ``(node, deg, sum_nbr_deg, max_nbr_deg,
+    mean_nbr_deg_fp)`` with the mean as fixed-point floor division
+    (``scale·Σ // deg``), integer-exact in every engine.
+
+    Shape: the shared :func:`_canon_deg` prefix (canonical edge set +
+    degrees attached via two co-partitioned hash joins), then one
+    vectorized explode of each edge into its two (node, neighbor-deg)
+    rows and a single ``grouped_agg``. Everything is linear exchanges —
+    no wedge-scale expansion anywhere."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.groupagg import grouped_agg
+
+    base = exchange_base or default_exchange("nbrdeg")
+    empty = pa.table({
+        "node": pa.array([], type=pa.string()),
+        "deg": pa.array([], type=pa.int64()),
+        "sum_nbr_deg": pa.array([], type=pa.int64()),
+        "max_nbr_deg": pa.array([], type=pa.int64()),
+        "mean_nbr_deg_fp": pa.array([], type=pa.int64()),
+    })
+    cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
+    if cd is None:
+        return empty
+    _E, _deg, with_deg = cd
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "node": pa.array(
+                np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                type=pa.string()),
+            "nd": pa.array(
+                np.concatenate([df["dv"].to_numpy(), df["du"].to_numpy()])
+                .astype("int64"), type=pa.int64()),
+        })
+
+    agg = grouped_agg(
+        with_deg.map_batches(explode, batch_format="pandas"),
+        ["node"],
+        {"deg": ("nd", "count"), "sum_nbr_deg": ("nd", "sum"),
+         "max_nbr_deg": ("nd", "max")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return empty
+        d = df["deg"].to_numpy().astype(np.int64)
+        s = df["sum_nbr_deg"].to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(df["node"].astype(str), type=pa.string()),
+            "deg": pa.array(d, type=pa.int64()),
+            "sum_nbr_deg": pa.array(s, type=pa.int64()),
+            "max_nbr_deg": pa.array(
+                df["max_nbr_deg"].to_numpy().astype(np.int64),
+                type=pa.int64()),
+            "mean_nbr_deg_fp": pa.array((scale * s) // d, type=pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -4117,6 +4117,44 @@ WHERE d.deg >= 2
 """
 
 
+def kg_neighbor_deg(sf_dir: str):
+    """Per-node neighbor-degree statistics over the assembled KG
+    (functions/triangles.py:neighbor_degree_stats) — the local
+    assortativity signal: is a node attached to hubs or leaves? All
+    linear exchanges (no wedge expansion); the fixed-point mean keeps
+    it integer-exact."""
+    from guac_ray.functions.triangles import neighbor_degree_stats
+
+    g = _corpus_edges(sf_dir)
+    return neighbor_degree_stats(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("nbrdeg"), num_buckets=8)
+
+
+def KG_NEIGHBOR_DEG_SQL(sf_dir: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(subj_key, obj_key) AS u,
+         greatest(subj_key, obj_key) AS v
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1
+), nbr AS (
+  SELECT e.u AS node, d.deg AS nd FROM e JOIN deg d ON d.n = e.v
+  UNION ALL
+  SELECT e.v AS node, d.deg AS nd FROM e JOIN deg d ON d.n = e.u
+)
+SELECT node, CAST(count(*) AS BIGINT) AS deg,
+       CAST(sum(nd) AS BIGINT) AS sum_nbr_deg,
+       CAST(max(nd) AS BIGINT) AS max_nbr_deg,
+       CAST(1000000 * sum(nd) // count(*) AS BIGINT) AS mean_nbr_deg_fp
+FROM nbr GROUP BY 1
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4237,6 +4275,7 @@ SUITE: dict[str, tuple] = {
     "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
     "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
+    "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

@@ -161,3 +161,46 @@ class TestClusteringCoefficient:
     def test_empty_and_selfloops(self, ray_session, tmp_path):
         got = self._run([("a", "a"), ("b", "b")], tmp_path / "g5")
         assert got == {}
+
+
+class TestNeighborDegreeStats:
+    def _brute(self, edges, scale=1_000_000):
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = {}
+        for v, nb in adj.items():
+            nds = [len(adj[x]) for x in nb]
+            out[v] = (len(nds), sum(nds), max(nds),
+                      scale * sum(nds) // len(nds))
+        return out
+
+    def _run(self, edges, base):
+        from guac_ray.functions.triangles import neighbor_degree_stats
+
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        out = neighbor_degree_stats(
+            rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+            exchange_base=str(base), num_buckets=4)
+        got = out.to_pandas() if hasattr(out, "to_pandas") else out
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        return {r.node: (r.deg, r.sum_nbr_deg, r.max_nbr_deg,
+                         r.mean_nbr_deg_fp) for r in got.itertuples()}
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        # star + triangle + duplicates/self-loops
+        edges = [("hub", f"l{i}") for i in range(4)] + [
+            ("a", "b"), ("b", "c"), ("c", "a"), ("a", "hub"),
+            ("b", "a"), ("hub", "hub")]
+        assert self._run(edges, tmp_path / "g1") == self._brute(edges)
+        rng = np.random.default_rng(11)
+        rand = [tuple(sorted((f"n{rng.integers(10)}", f"n{rng.integers(10)}")))
+                for _ in range(30)]
+        assert self._run(rand, tmp_path / "g2") == self._brute(rand)
+
+    def test_empty(self, ray_session, tmp_path):
+        assert self._run([("x", "x")], tmp_path / "g3") == {}
