@@ -145,8 +145,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "events_quantile_buckets", "kg_patch_cost", "events_mad",
             "emb_label_centroids",
             # round-4 sixth wave: corpus-unigram surprisal scoring,
-            # per-node local clustering coefficient
-            "doc_surprisal", "kg_clustering",
+            # per-node clustering coefficient, grouped entropy,
+            # neighbor-degree assortativity
+            "doc_surprisal", "kg_clustering", "events_entropy",
+            "kg_neighbor_deg",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]
