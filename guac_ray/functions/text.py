@@ -360,6 +360,57 @@ def scrub_pii(
     return docs.map_batches(scrub, batch_format="pyarrow")
 
 
+def _vocab_counts(docs: Dataset, text_col: str, per_doc_distinct: bool,
+                  num_buckets: int, vocab_cap: int, out_col: str):
+    """Pass-1 vocabulary table shared by tfidf_top_terms and
+    unigram_surprisal: per-batch Counter partials over the SQL-parity
+    token stream (distinct-per-doc for document frequency, full
+    occurrence counts otherwise) → ``grouped_agg`` → one driver pandas
+    frame (term, out_col). The cap check necessarily runs after
+    materialization — the vocabulary IS the driver-side product here;
+    beyond ``vocab_cap`` callers must route tokens ⋈ vocab through
+    ``hash_join`` on term instead."""
+    from collections import Counter
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            toks = sql_ws_tokens(txt)
+            c.update(set(toks) if per_doc_distinct else toks)
+        return pa.table({
+            "term": pa.array(list(c.keys()), type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    tab = grouped_agg(
+        docs.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["term"], {out_col: ("cnt", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(tab) > vocab_cap:
+        raise ValueError(
+            f"vocabulary ({len(tab)}) exceeds vocab_cap ({vocab_cap}); "
+            "use the hash_join-on-term path for ultra-wide vocabularies")
+    return tab
+
+
+def _require_known_tokens(counter, vocab, what: str) -> None:
+    """Both scoring passes re-scan the docs AFTER the vocabulary pass;
+    a token absent from the vocabulary means the input re-executed
+    non-deterministically between the two scans (non-replay-stable
+    lineage). Fail with the contract named instead of a bare KeyError
+    deep in a Ray worker."""
+    missing = counter.keys() - vocab.keys()
+    if missing:
+        raise ValueError(
+            f"{what}: token {next(iter(missing))!r} absent from the "
+            "vocabulary pass — the input Dataset must be replay-stable "
+            "between the vocabulary scan and the scoring scan")
+
+
+
 def tfidf_top_terms(
     docs: Dataset,
     id_col: str = "doc_id",
@@ -392,28 +443,11 @@ def tfidf_top_terms(
     import heapq
     from collections import Counter
 
-    import pandas as pd
     import ray
 
-    from guac_ray.stages.groupagg import grouped_agg
-
-    def df_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t[text_col].to_pylist():
-            c.update(set(sql_ws_tokens(txt)))
-        return pa.table({
-            "term": pa.array(list(c.keys()), type=pa.string()),
-            "cnt": pa.array(list(c.values()), type=pa.int64()),
-        })
-
-    df_tab = grouped_agg(
-        docs.select_columns([text_col]).map_batches(df_partial, batch_format="pyarrow"),
-        ["term"], {"df": ("cnt", "sum")}, num_buckets=num_buckets,
-    ).to_pandas()
-    if len(df_tab) > vocab_cap:
-        raise ValueError(
-            f"vocabulary ({len(df_tab)}) exceeds vocab_cap ({vocab_cap}); "
-            "use the hash_join-on-term path for ultra-wide vocabularies")
+    df_tab = _vocab_counts(docs, text_col, per_doc_distinct=True,
+                           num_buckets=num_buckets, vocab_cap=vocab_cap,
+                           out_col="df")
     dref = ray.put(dict(zip(df_tab["term"], df_tab["df"].astype(int))))
 
     class Scorer:
@@ -426,6 +460,7 @@ def tfidf_top_terms(
                 c = Counter(sql_ws_tokens(txt))
                 if not c:
                     continue
+                _require_known_tokens(c, self.df, "tfidf_top_terms")
                 best = heapq.nsmallest(
                     top_k,
                     ((-(tf * scale // self.df[w]), w, tf) for w, tf in c.items()),
@@ -488,26 +523,9 @@ def unigram_surprisal(
 
     import ray
 
-    from guac_ray.stages.groupagg import grouped_agg
-
-    def cnt_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for txt in t[text_col].to_pylist():
-            c.update(sql_ws_tokens(txt))
-        return pa.table({
-            "term": pa.array(list(c.keys()), type=pa.string()),
-            "cnt": pa.array(list(c.values()), type=pa.int64()),
-        })
-
-    vocab = grouped_agg(
-        docs.select_columns([text_col]).map_batches(
-            cnt_partial, batch_format="pyarrow"),
-        ["term"], {"c": ("cnt", "sum")}, num_buckets=num_buckets,
-    ).to_pandas()
-    if len(vocab) > vocab_cap:
-        raise ValueError(
-            f"vocabulary ({len(vocab)}) exceeds vocab_cap ({vocab_cap}); "
-            "use the hash_join-on-term path for ultra-wide vocabularies")
+    vocab = _vocab_counts(docs, text_col, per_doc_distinct=False,
+                          num_buckets=num_buckets, vocab_cap=vocab_cap,
+                          out_col="c")
     if vocab.empty:
         return pa.table({
             id_col: pa.array([], type=pa.int64()),
@@ -534,6 +552,7 @@ def unigram_surprisal(
                 c = Counter(sql_ws_tokens(txt))
                 if not c:
                     continue
+                _require_known_tokens(c, self.q, "unigram_surprisal")
                 n = sum(c.values())
                 s = sum(self.q[w] * k for w, k in c.items())
                 ids.append(did)

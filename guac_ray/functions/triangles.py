@@ -151,6 +151,65 @@ def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
     return E, deg, with_deg
 
 
+def _orient_fn(num_buckets: int):
+    """Orient each (u, v, du, dv) edge from its (degree, key)-smaller
+    endpoint and attach the source-hash bucket — THE shared tie-break
+    of every wedge-based analytic here (a divergence between two copies
+    would make triangle_count and clustering_coefficient disagree on
+    the same graph)."""
+    from guac_ray.stages.assemble import stable_hash
+
+    def orient(df: pd.DataFrame) -> pa.Table:
+        fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
+                                       & (df["u"] < df["v"]))
+        out = pd.DataFrame({
+            "src": df["u"].where(fwd, df["v"]),
+            "dst": df["v"].where(fwd, df["u"]),
+        })
+        out["_bucket"] = (stable_hash(out, ["src"]) % num_buckets
+                          ).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    return orient
+
+
+def _wedges_fn(wedge_chunk: int, carry_source: bool):
+    """Per-bucket wedge emitter: all (dst_i, dst_j) pairs per source via
+    the chunked vectorized expansion. dst is sorted ascending within a
+    group, so every emitted pair already satisfies u < v — the
+    canonical edge orientation the closing join needs. With
+    ``carry_source`` the (s, u, v) rows keep their source: pairs are
+    emitted row-major (k[r] pairs for row r, rows in order), so one
+    ``np.repeat(src, k)`` rebuilds the aligned source column."""
+
+    def wedges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
+        dst = df["dst"].to_numpy()
+        src = df["src"].to_numpy()
+        grp_change = np.ones(len(df), dtype=bool)
+        grp_change[1:] = src[1:] != src[:-1]
+        idx = np.arange(len(df), dtype=np.int64)
+        start = np.maximum.accumulate(np.where(grp_change, idx, 0))
+        k = idx - start
+        parts = _pairs_within_groups(dst, k, wedge_chunk)
+        cols = {}
+        if not parts:
+            if carry_source:
+                cols["s"] = pa.array([], type=pa.string())
+            cols["u"] = pa.array([], type=pa.string())
+            cols["v"] = pa.array([], type=pa.string())
+            return pa.table(cols)
+        if carry_source:
+            cols["s"] = pa.array(np.repeat(src, k), type=pa.string())
+        cols["u"] = pa.array(np.concatenate([p[0] for p in parts]),
+                             type=pa.string())
+        cols["v"] = pa.array(np.concatenate([p[1] for p in parts]),
+                             type=pa.string())
+        return pa.table(cols)
+
+    return wedges
+
+
 def triangle_count(
     edges: Dataset,
     a_col: str = "subj_key",
@@ -164,7 +223,7 @@ def triangle_count(
     import os
 
     from guac_ray.functions.joins import default_exchange, hash_join
-    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.assemble import fs_exchange_reduce
 
     base = exchange_base or default_exchange("triangles")
     cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
@@ -173,43 +232,11 @@ def triangle_count(
         return rd.from_items([{"n_triangles": 0}])
     E, _deg, with_deg = cd
 
-    # ---- orient low → high in the (degree, key) total order
-    def orient(df: pd.DataFrame) -> pa.Table:
-        fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
-                                       & (df["u"] < df["v"]))
-        out = pd.DataFrame({
-            "src": df["u"].where(fwd, df["v"]),
-            "dst": df["v"].where(fwd, df["u"]),
-        })
-        out["_bucket"] = (stable_hash(out, ["src"]) % num_buckets
-                          ).astype("int64")
-        return table_from_pandas(out, preserve_index=False)
-
-    oriented = with_deg.map_batches(orient, batch_format="pandas")
-
-    # ---- 4. wedges per source (chunked vectorized pair expansion)
-    def wedges(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
-        dst = df["dst"].to_numpy()
-        grp_change = np.ones(len(df), dtype=bool)
-        src = df["src"].to_numpy()
-        grp_change[1:] = src[1:] != src[:-1]
-        # within-group position
-        idx = np.arange(len(df), dtype=np.int64)
-        start = np.maximum.accumulate(np.where(grp_change, idx, 0))
-        k = idx - start
-        parts = [
-            pa.table({"u": pa.array(le, type=pa.string()),
-                      "v": pa.array(ri, type=pa.string())})
-            for le, ri in _pairs_within_groups(dst, k, wedge_chunk)
-        ]
-        if not parts:
-            return pa.table({"u": pa.array([], type=pa.string()),
-                             "v": pa.array([], type=pa.string())})
-        return pa.concat_tables(parts)
-
+    oriented = with_deg.map_batches(_orient_fn(num_buckets),
+                                    batch_format="pandas")
     wedge_ds = fs_exchange_reduce(
-        oriented, os.path.join(base, "wedge"), wedges)
+        oriented, os.path.join(base, "wedge"),
+        _wedges_fn(wedge_chunk, carry_source=False))
     if wedge_ds is None:
         return rd.from_items([{"n_triangles": 0}])
 
@@ -250,7 +277,7 @@ def clustering_coefficient(
     import os
 
     from guac_ray.functions.joins import default_exchange, hash_join
-    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.assemble import fs_exchange_reduce
     from guac_ray.stages.groupagg import grouped_agg
 
     base = exchange_base or default_exchange("clustcoef")
@@ -266,49 +293,11 @@ def clustering_coefficient(
         return empty
     E, deg, with_deg = cd
 
-    # ---- orient low → high in the (degree, key) total order
-    def orient(df: pd.DataFrame) -> pa.Table:
-        fwd = (df["du"] < df["dv"]) | ((df["du"] == df["dv"])
-                                       & (df["u"] < df["v"]))
-        out = pd.DataFrame({
-            "src": df["u"].where(fwd, df["v"]),
-            "dst": df["v"].where(fwd, df["u"]),
-        })
-        out["_bucket"] = (stable_hash(out, ["src"]) % num_buckets
-                          ).astype("int64")
-        return table_from_pandas(out, preserve_index=False)
-
-    oriented = with_deg.map_batches(orient, batch_format="pandas")
-
-    # ---- wedges per source, source CARRIED (dst sorted ascending within
-    # a group, so every emitted pair already satisfies u < v — the
-    # canonical edge orientation the closing join needs)
-    def wedges(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(["src", "dst"], kind="mergesort")
-        dst = df["dst"].to_numpy()
-        src = df["src"].to_numpy()
-        grp_change = np.ones(len(df), dtype=bool)
-        grp_change[1:] = src[1:] != src[:-1]
-        idx = np.arange(len(df), dtype=np.int64)
-        start = np.maximum.accumulate(np.where(grp_change, idx, 0))
-        k = idx - start
-        # pairs are emitted row-major (k[r] pairs for row r, rows in
-        # order), so the source of pair p is src repeated k-wise — one
-        # np.repeat rebuilds the aligned source column
-        parts = _pairs_within_groups(dst, k, wedge_chunk)
-        if not parts:
-            return pa.table({"s": pa.array([], type=pa.string()),
-                             "u": pa.array([], type=pa.string()),
-                             "v": pa.array([], type=pa.string())})
-        srcs = np.repeat(src, k)
-        les = np.concatenate([p[0] for p in parts])
-        ris = np.concatenate([p[1] for p in parts])
-        return pa.table({"s": pa.array(srcs, type=pa.string()),
-                         "u": pa.array(les, type=pa.string()),
-                         "v": pa.array(ris, type=pa.string())})
-
+    oriented = with_deg.map_batches(_orient_fn(num_buckets),
+                                    batch_format="pandas")
     wedge_ds = fs_exchange_reduce(
-        oriented, os.path.join(base, "wedge"), wedges)
+        oriented, os.path.join(base, "wedge"),
+        _wedges_fn(wedge_chunk, carry_source=True))
 
     def deg_named(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"n": "node"})

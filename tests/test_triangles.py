@@ -147,6 +147,31 @@ class TestClusteringCoefficient:
         assert got == self._brute_cc(k4)
         assert all(c == 1_000_000 for _, _, c in got.values())
 
+    def test_chunked_wedge_source_alignment(self, ray_session, tmp_path):
+        """wedge_chunk small enough to force MULTI-CHUNK pair expansion
+        per bucket: pins the row-major np.repeat(src, k) alignment
+        between the globally-built source column and the per-chunk
+        concatenated pair arrays (a mis-alignment mis-credits triangles
+        only when _pairs_within_groups actually chunks)."""
+        from guac_ray.functions.triangles import clustering_coefficient
+
+        rng = np.random.default_rng(23)
+        edges = sorted({tuple(sorted((f"n{rng.integers(9)}",
+                                      f"n{rng.integers(9)}")))
+                        for _ in range(28)})
+        want = self._brute_cc(edges)
+        for chunk in (1, 2, 3):
+            df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+            out = clustering_coefficient(
+                rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+                exchange_base=str(tmp_path / f"c{chunk}"), num_buckets=4,
+                wedge_chunk=chunk)
+            got = out.to_pandas() if hasattr(out, "to_pandas") else out
+            if not isinstance(got, pd.DataFrame):
+                got = got.to_pandas()
+            assert {r.node: (r.deg, r.n_triangles, r.coeff_fp)
+                    for r in got.itertuples()} == want, chunk
+
     def test_star_and_random(self, ray_session, tmp_path):
         # star: hub deg=5, zero triangles, coefficient 0; leaves deg=1
         # excluded entirely

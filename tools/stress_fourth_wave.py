@@ -28,6 +28,8 @@ QUERIES = [
     # fifth wave (events/documents-fed only; kg/embeddings ops have
     # their own corpora)
     "events_mad", "events_range_windows", "events_props_agg",
+    # sixth wave
+    "events_entropy", "doc_surprisal",
 ]
 
 
