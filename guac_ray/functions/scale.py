@@ -32,7 +32,7 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["feature_scale", "winsorize"]
+__all__ = ["feature_scale", "winsorize", "percentile_rank"]
 
 
 def feature_scale(
@@ -165,3 +165,76 @@ def winsorize(
                                      preserve_index=False)
 
     return ds.map_batches(Clip, batch_format="pandas", concurrency=(1, 4))
+
+
+def percentile_rank(
+    ds: "Dataset",
+    value_col: str,
+    keep_cols: list[str] | None = None,
+    scale: int = 1_000_000,
+    num_buckets: int = 16,
+    distinct_cap: int = 20_000_000,
+) -> "Dataset":
+    """GLOBAL percent-rank of an integer column WITHOUT a global sort —
+    the scale path for whole-dataset ranking: ``pr_fp = scale ·
+    (#rows strictly below) // (n − 1)``, fixed-point floor division on
+    int64 so every engine reproduces it bit-for-bit (ties share a rank
+    exactly as SQL ``percent_rank`` does, since #strictly-below equals
+    ``rank() − 1``).
+
+    Shape: one bucketed two-phase count per DISTINCT value (the
+    exchange carries distinct-value × blocks partial rows, never the
+    data), the small value histogram sorts on the driver
+    (size-guarded by ``distinct_cap`` — beyond it, range-bucket the
+    histogram like quantiles.py instead), cumulative counts broadcast
+    once via ``ray.put``, and pass 2 is a pure vectorized map. The
+    data is touched exactly twice, both as streaming maps; nothing
+    data-scale moves or sorts. Single-row inputs get ``pr_fp = 0``
+    (SQL's percent_rank would divide by zero there).
+    """
+    import ray
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def cnt(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby(value_col, sort=False).size().reset_index(name="c")
+        return table_from_pandas(out, preserve_index=False)
+
+    hist = grouped_agg(
+        ds.select_columns([value_col]).map_batches(cnt, batch_format="pandas"),
+        [value_col], {"n": ("c", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    if len(hist) > distinct_cap:
+        raise ValueError(
+            f"distinct values ({len(hist)}) exceed distinct_cap "
+            f"({distinct_cap}); range-bucket the histogram (quantiles.py "
+            "pattern) for ultra-wide domains")
+    if hist.empty:
+        cols = keep_cols or []
+        return pa.table(
+            {**{c: pa.array([], type=pa.int64()) for c in cols},
+             value_col: pa.array([], type=pa.int64()),
+             "pr_fp": pa.array([], type=pa.int64())})
+    hist = hist.sort_values(value_col)
+    counts = hist["n"].to_numpy().astype(np.int64)
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    bref = ray.put(dict(zip(hist[value_col].astype(int), below.tolist())))
+
+    class Ranker:
+        def __init__(self):
+            self.below = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            v = df[value_col].astype("int64")
+            cb = v.map(self.below).to_numpy().astype(np.int64)
+            pr = ((scale * cb) // (n_total - 1) if n_total > 1
+                  else np.zeros(len(df), dtype=np.int64))
+            cols = {c: df[c] for c in (keep_cols or [])}
+            cols[value_col] = v
+            cols["pr_fp"] = pr.astype("int64") if n_total > 1 else pr
+            return table_from_pandas(pd.DataFrame(cols),
+                                     preserve_index=False)
+
+    return ds.map_batches(Ranker, batch_format="pandas",
+                          concurrency=(1, 4))

@@ -4155,6 +4155,41 @@ FROM nbr GROUP BY 1
 """
 
 
+def events_percentile(sf_dir: str):
+    """GLOBAL percent-rank of event value WITHOUT a global sort
+    (functions/scale.py:percentile_rank): distinct-value histogram
+    through the two-phase exchange, cumulative counts broadcast once,
+    pure map second pass — the scale path for whole-dataset ranking.
+    Fixed-point ``1e6·(#below) // (n−1)`` matches SQL percent_rank's
+    tie behavior exactly (#strictly-below == rank()−1)."""
+    from guac_ray.functions.scale import percentile_rank
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "value_cents": cents(df["value"]),
+        })
+
+    return percentile_rank(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        "value_cents", keep_cols=["event_id"])
+
+
+EVENTS_PERCENTILE_SQL = """
+WITH v AS (
+  SELECT event_id,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT event_id, value_cents,
+       CAST((1000000 * (rank() OVER (ORDER BY value_cents) - 1))
+            // (count(*) OVER () - 1) AS BIGINT) AS pr_fp
+FROM v
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4276,6 +4311,7 @@ SUITE: dict[str, tuple] = {
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
     "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
     "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
+    "events_percentile": (events_percentile, EVENTS_PERCENTILE_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

@@ -141,3 +141,50 @@ class TestWinsorize:
                            "v": pd.Series([], dtype="int64")})
         assert winsorize(rd.from_pandas(df), "v", 0.1, 0.9,
                          by="g").count() == 0
+
+
+class TestPercentileRank:
+    def test_matches_sql_percent_rank(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from guac_ray.functions.scale import percentile_rank
+
+        vals = pd.DataFrame({
+            "id": range(12),
+            "v": [5, -3, 5, 0, 7, 7, 7, -3, 100, 0, 5, 1]})
+        out = percentile_rank(rd.from_pandas(vals).repartition(3), "v",
+                              keep_cols=["id"])
+        got = out.to_pandas() if hasattr(out, "to_pandas") else out
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        want = duckdb.sql("""
+            SELECT id, v,
+                   CAST((1000000 * (rank() OVER (ORDER BY v) - 1))
+                        // (count(*) OVER () - 1) AS BIGINT) AS pr_fp
+            FROM vals
+        """).df()
+        g = got.sort_values("id").reset_index(drop=True)
+        w = want.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+    def test_edges(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.scale import percentile_rank
+
+        one = percentile_rank(
+            rd.from_pandas(pd.DataFrame({"v": [42]})), "v")
+        df = one.to_pandas() if hasattr(one, "to_pandas") else one
+        if not isinstance(df, pd.DataFrame):
+            df = df.to_pandas()
+        assert df["pr_fp"].tolist() == [0]  # single row: no div-by-zero
+        empty = percentile_rank(
+            rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")})),
+            "v")
+        assert len(empty) == 0
+        with pytest.raises(ValueError):
+            percentile_rank(
+                rd.from_pandas(pd.DataFrame({"v": [1, 2, 3, 4]})), "v",
+                distinct_cap=2)

@@ -47,6 +47,7 @@ FAST = [
     # round-4 sixth wave
     "doc_surprisal",
     "events_entropy",
+    "events_percentile",
 ]
 
 
