@@ -219,15 +219,20 @@ def percentile_rank(
     counts = hist["n"].to_numpy().astype(np.int64)
     below = np.concatenate(([0], np.cumsum(counts)[:-1]))
     n_total = int(counts.sum())
-    bref = ray.put(dict(zip(hist[value_col].astype(int), below.tolist())))
+    # two sorted int64 arrays, not a dict: the histogram can approach
+    # data-cardinality (near-unique values), and searchsorted keeps the
+    # broadcast compact and the per-batch lookup one vectorized pass
+    bref = ray.put((hist[value_col].to_numpy().astype(np.int64), below))
 
     class Ranker:
         def __init__(self):
-            self.below = ray.get(bref)
+            self.vals, self.below_arr = ray.get(bref)
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
             v = df[value_col].astype("int64")
-            cb = v.map(self.below).to_numpy().astype(np.int64)
+            # every input value exists in the histogram by construction
+            idx = np.searchsorted(self.vals, v.to_numpy())
+            cb = self.below_arr[idx]
             pr = ((scale * cb) // (n_total - 1) if n_total > 1
                   else np.zeros(len(df), dtype=np.int64))
             cols = {c: df[c] for c in (keep_cols or [])}

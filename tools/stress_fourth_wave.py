@@ -29,7 +29,7 @@ QUERIES = [
     # their own corpora)
     "events_mad", "events_range_windows", "events_props_agg",
     # sixth wave
-    "events_entropy", "doc_surprisal",
+    "events_entropy", "doc_surprisal", "events_percentile",
 ]
 
 
