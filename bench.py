@@ -148,7 +148,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # per-node clustering coefficient, grouped entropy,
             # neighbor-degree assortativity
             "doc_surprisal", "kg_clustering", "events_entropy",
-            "kg_neighbor_deg", "events_percentile",
+            "kg_neighbor_deg", "events_percentile", "doc_entropy",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -33,6 +33,7 @@ __all__ = [
     "utf8_stats",
     "tfidf_top_terms",
     "unigram_surprisal",
+    "doc_token_entropy",
     "PII_PATTERNS",
     "scrub_pii",
     "RepetitionScorer",
@@ -568,3 +569,58 @@ def unigram_surprisal(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+
+def doc_token_entropy(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    concurrency=2,
+) -> Dataset:
+    """Per-document Shannon entropy of the token distribution in exact
+    integer micro-nats — the repetitiveness signal (a doc that repeats
+    one token reads 0; a doc of all-distinct tokens reads ln(n)·scale):
+    ``H_fp = Σ c_t·q_t // n`` with ``q_t = floor(scale·(ln n − ln c_t)
+    + 0.5)`` over SCALAR libm logs (one dict LUT per batch over the
+    distinct integer counts — numpy's vectorized log can differ from
+    the oracle's libm in the last ulp).
+
+    Entirely BATCH-LOCAL: a document is one row, so there is no
+    vocabulary pass, no broadcast and no shuffle — the cheapest member
+    of the quantized-entropy family (cf. unigram_surprisal, which needs
+    the corpus vocabulary). Zero-token documents are dropped (the SQL
+    inner join drops them too)."""
+    import math
+    from collections import Counter
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, ntok, ndis, ent = [], [], [], []
+        docs_counts = []
+        distinct_ints: set[int] = set()
+        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            c = Counter(sql_ws_tokens(txt))
+            if not c:
+                continue
+            n = sum(c.values())
+            docs_counts.append((did, n, c))
+            distinct_ints.add(n)
+            distinct_ints.update(c.values())
+        lut = {v: math.log(float(v)) for v in distinct_ints}
+        for did, n, c in docs_counts:
+            ln_n = lut[n]
+            s = sum(k * int(math.floor(scale * (ln_n - lut[k]) + 0.5))
+                    for k in c.values())
+            ids.append(did)
+            ntok.append(n)
+            ndis.append(len(c))
+            ent.append(s // n)
+        return pa.table({
+            id_col: pa.array(ids, type=t.schema.field(id_col).type),
+            "n_tokens": pa.array(ntok, type=pa.int64()),
+            "n_distinct": pa.array(ndis, type=pa.int64()),
+            "entropy_micronats": pa.array(ent, type=pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", concurrency=concurrency)

@@ -4190,6 +4190,42 @@ FROM v
 """
 
 
+def doc_entropy(sf_dir: str):
+    """Per-doc token-distribution entropy
+    (functions/text.py:doc_token_entropy) — the repetitiveness signal,
+    entirely batch-local (a doc is one row: no vocabulary pass, no
+    broadcast, no shuffle). Same micro-nat quantization contract as
+    doc_surprisal/events_entropy, so the score is oracle-exact."""
+    from guac_ray.functions.text import doc_token_entropy
+
+    return doc_token_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+DOC_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), c AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+  FROM tok2 GROUP BY 1, 2
+), t AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_distinct
+  FROM c GROUP BY 1
+)
+SELECT c.doc_id, t.n AS n_tokens, t.n_distinct,
+       CAST(sum(c.c * CAST(floor(1000000.0 * (ln(CAST(t.n AS DOUBLE)) -
+                                              ln(CAST(c.c AS DOUBLE)))
+                                 + 0.5) AS BIGINT)) // t.n
+            AS BIGINT) AS entropy_micronats
+FROM c JOIN t USING (doc_id)
+GROUP BY 1, t.n, t.n_distinct
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4312,6 +4348,7 @@ SUITE: dict[str, tuple] = {
     "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
     "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
     "events_percentile": (events_percentile, EVENTS_PERCENTILE_SQL),
+    "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

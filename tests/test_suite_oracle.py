@@ -48,6 +48,7 @@ FAST = [
     "doc_surprisal",
     "events_entropy",
     "events_percentile",
+    "doc_entropy",
 ]
 
 

@@ -424,3 +424,49 @@ class TestUnigramSurprisal:
         empty = unigram_surprisal(rd.from_pandas(
             pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})))
         assert len(empty) == 0  # typed empty table, no crash
+
+
+class TestDocTokenEntropy:
+    def test_matches_duckdb_and_properties(self, ray_session):
+        import duckdb
+        import math
+        import ray.data as rd
+
+        from guac_ray.functions.text import doc_token_entropy
+
+        docs = pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4, 5],
+             "text": ["same same same same",          # repetitive -> 0
+                      "all four tokens differ",        # ln(4)*1e6
+                      "café naïve café  NAÏVE",        # multibyte + case fold
+                      "",                               # dropped
+                      "x"]})
+        got = doc_token_entropy(
+            rd.from_pandas(docs).repartition(2)).to_pandas()
+        want = duckdb.sql(r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+              FROM docs
+            ), tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+            c AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+                  FROM tok2 GROUP BY 1, 2),
+            t AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                         CAST(count(*) AS BIGINT) AS n_distinct
+                  FROM c GROUP BY 1)
+            SELECT c.doc_id, t.n AS n_tokens, t.n_distinct,
+                   CAST(sum(c.c * CAST(floor(1000000.0 *
+                        (ln(CAST(t.n AS DOUBLE)) - ln(CAST(c.c AS DOUBLE)))
+                        + 0.5) AS BIGINT)) // t.n AS BIGINT)
+                       AS entropy_micronats
+            FROM c JOIN t USING (doc_id) GROUP BY 1, t.n, t.n_distinct
+        """).df()
+        g = got.sort_values("doc_id").reset_index(drop=True)
+        w = want.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        g = g.set_index("doc_id")
+        assert g.loc[1, "entropy_micronats"] == 0          # pure repetition
+        assert abs(g.loc[2, "entropy_micronats"]
+                   - round(math.log(4) * 1e6)) <= 1        # uniform 4
+        assert 4 not in g.index                            # empty dropped
+        assert g.loc[5, "entropy_micronats"] == 0          # single token

@@ -30,6 +30,7 @@ QUERIES = [
     "events_mad", "events_range_windows", "events_props_agg",
     # sixth wave
     "events_entropy", "doc_surprisal", "events_percentile",
+    "doc_entropy",
 ]
 
 
