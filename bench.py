@@ -149,6 +149,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # neighbor-degree assortativity
             "doc_surprisal", "kg_clustering", "events_entropy",
             "kg_neighbor_deg", "events_percentile", "doc_entropy",
+            "kg_link_predict",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

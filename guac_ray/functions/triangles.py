@@ -46,7 +46,7 @@ from ray.data import Dataset
 from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["triangle_count", "clustering_coefficient",
-           "neighbor_degree_stats"]
+           "neighbor_degree_stats", "common_neighbors"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -429,3 +429,105 @@ def neighbor_degree_stats(
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def common_neighbors(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    wedge_chunk: int = 4_000_000,
+    max_center_degree: int = 64,
+    min_common: int = 2,
+    scale: int = 1_000_000,
+) -> Dataset:
+    """Common-neighbor counts + Jaccard score for node PAIRS — the
+    classic link-prediction signal: pairs that share many neighbors but
+    may not be adjacent. ``jaccard_fp = scale·common //
+    (deg_x + deg_y − common)`` (|N(x) ∩ N(y)| over |N(x) ∪ N(y)|),
+    fixed-point floor division, integer-exact.
+
+    Unlike triangle counting, common-neighbor enumeration needs wedges
+    from EVERY center in BOTH directions — orientation cannot save the
+    hub (a degree-d center inherently contributes d²/2 candidate
+    pairs). The scale control is therefore explicit and semantic:
+    centers with degree > ``max_center_degree`` are EXCLUDED (standard
+    link-prediction practice — a neighbor shared via a super-hub is
+    weak evidence anyway), and the SQL oracle mirrors the same cap, so
+    the operator stays exact AND bounded: wedge volume ≤
+    Σ_{deg≤cap} deg² ≤ cap·2m. ``min_common`` prunes the output to
+    pairs with real signal before anything leaves the reduce."""
+    import os
+
+    from guac_ray.functions.joins import default_exchange, hash_join
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.groupagg import grouped_agg
+
+    base = exchange_base or default_exchange("commnbr")
+    empty = pa.table({
+        "x": pa.array([], type=pa.string()),
+        "y": pa.array([], type=pa.string()),
+        "common": pa.array([], type=pa.int64()),
+        "deg_x": pa.array([], type=pa.int64()),
+        "deg_y": pa.array([], type=pa.int64()),
+        "jaccard_fp": pa.array([], type=pa.int64()),
+    })
+    cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
+    if cd is None:
+        return empty
+    _E, deg, with_deg = cd
+
+    # both directions, center-degree cap applied where the center's own
+    # degree is already attached (no extra join)
+    def centers(df: pd.DataFrame) -> pa.Table:
+        a = pd.DataFrame({"src": df["u"], "dst": df["v"], "cd": df["du"]})
+        b = pd.DataFrame({"src": df["v"], "dst": df["u"], "cd": df["dv"]})
+        out = pd.concat([a, b], ignore_index=True)
+        out = out[out["cd"] <= max_center_degree][["src", "dst"]]
+        out["_bucket"] = (stable_hash(out, ["src"]) % num_buckets
+                          ).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    adj = with_deg.map_batches(centers, batch_format="pandas")
+    pair_ds = fs_exchange_reduce(
+        adj, os.path.join(base, "wedge"),
+        _wedges_fn(wedge_chunk, carry_source=False))
+    if pair_ds is None:
+        return empty
+
+    cn = grouped_agg(pair_ds, ["u", "v"], {"common": ("u", "count")},
+                     num_buckets=num_buckets)
+    cn = cn.map_batches(
+        lambda df: df[df["common"] >= min_common].rename(
+            columns={"u": "x", "v": "y"}),
+        batch_format="pandas")
+
+    dx = deg.map_batches(
+        lambda df: df.rename(columns={"n": "x", "deg": "deg_x"}),
+        batch_format="pandas")
+    dy = deg.map_batches(
+        lambda df: df.rename(columns={"n": "y", "deg": "deg_y"}),
+        batch_format="pandas")
+    j1 = hash_join(cn, dx, on="x", exchange_dir=os.path.join(base, "jx"),
+                   num_buckets=num_buckets)
+    j2 = hash_join(j1, dy, on="y", exchange_dir=os.path.join(base, "jy"),
+                   num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return empty
+        c = df["common"].to_numpy().astype(np.int64)
+        dxv = df["deg_x"].to_numpy().astype(np.int64)
+        dyv = df["deg_y"].to_numpy().astype(np.int64)
+        return pa.table({
+            "x": pa.array(df["x"].astype(str), type=pa.string()),
+            "y": pa.array(df["y"].astype(str), type=pa.string()),
+            "common": pa.array(c, type=pa.int64()),
+            "deg_x": pa.array(dxv, type=pa.int64()),
+            "deg_y": pa.array(dyv, type=pa.int64()),
+            "jaccard_fp": pa.array((scale * c) // (dxv + dyv - c),
+                                   type=pa.int64()),
+        })
+
+    return j2.map_batches(finish, batch_format="pandas")

@@ -4226,6 +4226,53 @@ GROUP BY 1, t.n, t.n_distinct
 """
 
 
+def kg_link_predict(sf_dir: str):
+    """Common-neighbor / Jaccard link prediction over the assembled KG
+    (functions/triangles.py:common_neighbors): node pairs sharing ≥ 2
+    neighbors via centers of degree ≤ 64 (the cap is the semantic AND
+    the scale control — hub-mediated common neighbors carry little
+    signal, and it bounds wedge volume at cap·2m), fixed-point Jaccard
+    over the FULL degrees."""
+    from guac_ray.functions.triangles import common_neighbors
+
+    g = _corpus_edges(sf_dir)
+    return common_neighbors(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("linkpred"), num_buckets=8,
+        max_center_degree=64, min_common=2)
+
+
+def KG_LINK_PREDICT_SQL(sf_dir: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(subj_key, obj_key) AS u,
+         greatest(subj_key, obj_key) AS v
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1
+), nb AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e
+), nbc AS (
+  SELECT nb.a, nb.b FROM nb JOIN deg ON deg.n = nb.a
+  WHERE deg.deg <= 64
+), cn AS (
+  SELECT n1.b AS x, n2.b AS y, CAST(count(*) AS BIGINT) AS common
+  FROM nbc n1 JOIN nbc n2 ON n1.a = n2.a AND n1.b < n2.b
+  GROUP BY 1, 2
+)
+SELECT cn.x, cn.y, cn.common, d1.deg AS deg_x, d2.deg AS deg_y,
+       CAST(1000000 * cn.common // (d1.deg + d2.deg - cn.common)
+            AS BIGINT) AS jaccard_fp
+FROM cn
+JOIN deg d1 ON d1.n = cn.x
+JOIN deg d2 ON d2.n = cn.y
+WHERE cn.common >= 2
+"""
+
+
 def resolve_sql(sql, sf_dir: str) -> str | None:
     """SUITE oracle entries are either literal SQL (relational queries —
     table views are pre-registered by the driver) or builders of
@@ -4349,6 +4396,7 @@ SUITE: dict[str, tuple] = {
     "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
     "events_percentile": (events_percentile, EVENTS_PERCENTILE_SQL),
     "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
+    "kg_link_predict": (kg_link_predict, KG_LINK_PREDICT_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

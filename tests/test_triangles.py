@@ -229,3 +229,61 @@ class TestNeighborDegreeStats:
 
     def test_empty(self, ray_session, tmp_path):
         assert self._run([("x", "x")], tmp_path / "g3") == {}
+
+
+class TestCommonNeighbors:
+    def _brute(self, edges, cap, min_common, scale=1_000_000):
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        from collections import Counter
+        cn = Counter()
+        for center, nb in adj.items():
+            if len(adj[center]) > cap:
+                continue
+            for x, y in itertools.combinations(sorted(nb), 2):
+                cn[(x, y)] += 1
+        out = {}
+        for (x, y), c in cn.items():
+            if c < min_common:
+                continue
+            dx, dy = len(adj[x]), len(adj[y])
+            out[(x, y)] = (c, dx, dy, scale * c // (dx + dy - c))
+        return out
+
+    def _run(self, edges, base, cap=64, min_common=2):
+        from guac_ray.functions.triangles import common_neighbors
+
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        out = common_neighbors(
+            rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+            exchange_base=str(base), num_buckets=4,
+            max_center_degree=cap, min_common=min_common)
+        got = out.to_pandas() if hasattr(out, "to_pandas") else out
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        return {(r.x, r.y): (r.common, r.deg_x, r.deg_y, r.jaccard_fp)
+                for r in got.itertuples()}
+
+    def test_matches_bruteforce(self, ray_session, tmp_path):
+        rng = np.random.default_rng(31)
+        edges = sorted({tuple(sorted((f"n{rng.integers(10)}",
+                                      f"n{rng.integers(10)}")))
+                        for _ in range(35)})
+        assert (self._run(edges, tmp_path / "g1")
+                == self._brute(edges, 64, 2))
+        # min_common=1 keeps single-wedge pairs too
+        assert (self._run(edges, tmp_path / "g2", min_common=1)
+                == self._brute(edges, 64, 1))
+
+    def test_center_degree_cap(self, ray_session, tmp_path):
+        # star hub (deg 5 > cap 3): excluded as center, so leaf pairs
+        # lose their only common neighbor -> empty result
+        star = [("hub", f"l{i}") for i in range(5)]
+        assert self._run(star, tmp_path / "g3", cap=3, min_common=1) == {}
+        # with the cap raised the hub mediates all C(5,2) leaf pairs
+        got = self._run(star, tmp_path / "g4", cap=5, min_common=1)
+        assert got == self._brute(star, 5, 1) and len(got) == 10
