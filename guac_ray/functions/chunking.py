@@ -61,6 +61,12 @@ def chunk_documents(
     def explode(batch: pa.Table) -> pa.Table:
         ids = id_cols if id_cols is not None else [
             c for c in batch.column_names if c != text_col]
+        # Drop null-text rows BEFORE computing lengths: a null length is
+        # NaN after to_numpy and its int64 cast is undefined (observed:
+        # min-int64 chunk counts), and an ALL-null batch would otherwise
+        # leave ``outs`` empty. The SQL oracle drops null text the same
+        # way (length(NULL) joins nothing).
+        batch = batch.filter(pc.is_valid(batch.column(text_col)))
         text = batch.column(text_col)
         lens = pc.utf8_length(text).to_numpy(zero_copy_only=False)
         # the SAME double expression the SQL oracle evaluates

@@ -167,6 +167,26 @@ def winsorize(
     return ds.map_batches(Clip, batch_format="pandas", concurrency=(1, 4))
 
 
+def _lookup_below(vals: np.ndarray, below: np.ndarray,
+                  vn: np.ndarray) -> np.ndarray:
+    """Map each value to its #strictly-below count via the sorted
+    pass-1 histogram. Every input value must EXIST in that histogram; a
+    miss means the input re-executed non-deterministically between the
+    two scans (non-replay-stable lineage — the same contract text.py's
+    ``_require_known_tokens`` enforces). Without the check a novel
+    value silently takes a NEIGHBOR's below-count (wrong rank), and a
+    value above the histogram max indexes past the array end."""
+    idx = np.minimum(np.searchsorted(vals, vn), len(vals) - 1)
+    bad = vals[idx] != vn
+    if bad.any():
+        raise ValueError(
+            f"percentile_rank: value {vn[bad.argmax()]!r} absent from "
+            "the histogram pass — the input Dataset must be "
+            "replay-stable between the histogram scan and the ranking "
+            "scan")
+    return below[idx]
+
+
 def percentile_rank(
     ds: "Dataset",
     value_col: str,
@@ -230,9 +250,7 @@ def percentile_rank(
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
             v = df[value_col].astype("int64")
-            # every input value exists in the histogram by construction
-            idx = np.searchsorted(self.vals, v.to_numpy())
-            cb = self.below_arr[idx]
+            cb = _lookup_below(self.vals, self.below_arr, v.to_numpy())
             pr = ((scale * cb) // (n_total - 1) if n_total > 1
                   else np.zeros(len(df), dtype=np.int64))
             cols = {c: df[c] for c in (keep_cols or [])}

@@ -60,7 +60,10 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
                        "moving_count", "range_count"):
             fields.append((name, pa.int64()))
         elif spec[0] == "range_sum":
-            fields.append((name, types[spec[1]]))
+            # always float64, matching the non-empty path (which must
+            # be able to represent an all-NULL frame as NaN): empty and
+            # populated buckets may never disagree on schema
+            fields.append((name, pa.float64()))
         elif spec[0] == "percent_rank" or spec[0] in _MOVING:
             # pandas rolling always yields float64
             fields.append((name, pa.float64()))
@@ -260,13 +263,13 @@ def windowed(
                 else:
                     vv = np.where(nn, v, 0)
                     pref_s = np.concatenate([[0], np.cumsum(vv)])
-                    s_in = pref_s[hi] - pref_s[lo]
-                    if (n_in == 0).any():  # SQL: all-NULL window ⇒ NULL
-                        s = s_in.astype("float64")
-                        s[n_in == 0] = np.nan
-                        new[name] = pd.Series(s, index=df.index)
-                    else:
-                        new[name] = pd.Series(s_in, index=df.index)
+                    # ALWAYS float64 (all-NULL frames are NaN), so the
+                    # output schema never depends on which bucket a row
+                    # landed in; exact for integer sums up to 2^53 —
+                    # same contract as the ROWS-based moving family
+                    s = (pref_s[hi] - pref_s[lo]).astype("float64")
+                    s[n_in == 0] = np.nan  # SQL: all-NULL window ⇒ NULL
+                    new[name] = pd.Series(s, index=df.index)
             elif spec[0] in _MOVING:
                 col, k = spec[1], int(spec[2])
                 # grouped rolling: result index is (by-levels…, orig

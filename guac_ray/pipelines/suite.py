@@ -4284,43 +4284,42 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 # name → (ray callable, oracle SQL string / builder(sf_dir) / None)
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries. The registry holds 68; the in-gate 50 all carry a SQL
-# oracle (hash-exact driver rows). Rotation policy (round 4, final
-# form): a gate slot goes to an operator that has NEVER had a
-# driver-green row; operators already hash-exact on a prior round's
-# driver record (CORRECTNESS_r01–r03) and UNCHANGED since rotate past
-# the cap, where their old record plus every-run tools/check_oracle.py
-# verification stands as evidence. Ten r3-green unchanged queries
-# (q5/top_customers/top_orders/asof/anti-join/profile/sessions/
-# keep-latest/quantiles-disc/unpivot) ceded their slots to the ten
-# round-4 operators introduced after the first gate fit: k-core +
-# string components, z-score scaling, line-level boilerplate,
-# winsorize, interval coalescing, interpolated quantiles,
-# cluster-balanced sampling, train/test split, domain mixture.
-# Earlier round-4 folds (knn brute+ivf-full, fingerprints→doc_quality,
-# tumbling+hopping→tagged union) and golden-pinned no-oracle swaps
-# (neardup pair lists, DISTINCT) are retained.
+# entries. The registry holds 89; the in-gate 50 all carry a SQL
+# oracle (hash-exact driver rows). Rotation policy (committed round 4,
+# applied again here at round-5 start): a gate slot goes to an
+# operator that has NEVER had a driver-green row; operators already
+# hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
+# and UNCHANGED since rotate past the cap, where their old record plus
+# every-run tools/check_oracle.py verification stands as evidence.
+# Round-5 rotation: the 20 round-4 wave-4/5/6/7 operators that were
+# introduced after the gate was already 50/50 never-checked
+# (events_funnel … kg_link_predict) move INTO the gate; 20 r4-driver-
+# green stable entries (kg_mentions/certify/version/pkg_equal/
+# pred_counts/conv_stats, the stateless doc scans, orders_cube and the
+# r2/r3-era window-function queries) cede their slots and stand on
+# CORRECTNESS_r04 + check_oracle. Kept in-gate through the rotation:
+# the KG flagship core, every exchange-routed workhorse (dedup, hash
+# join, grouped agg, curation) and doc_decontaminate — the operators
+# round 5 modifies (pyarrow.fs-pluggable exchange, vectorized
+# shingling), so the driver re-verifies the NEW code paths.
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
-    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
-    "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
-    "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),
-    "kg_certify_legal": (kg_certify_legal, KG_CERTIFY_LEGAL_SQL),
-    "kg_version_of": (kg_version_of, KG_VERSION_OF_SQL),
-    "kg_version_range": (kg_version_range, KG_VERSION_RANGE_SQL),
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
-    "kg_pkg_equal": (kg_pkg_equal, KG_PKG_EQUAL_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
-    "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
+    # never-driver-checked graph analytics (round-4 waves 5–7):
+    "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
+    "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
+    "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
+    "kg_link_predict": (kg_link_predict, KG_LINK_PREDICT_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
@@ -4328,39 +4327,66 @@ SUITE: dict[str, tuple] = {
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
-    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
-    "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
-    "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
-    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
-    "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
-    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
-    "doc_source_mixture": (doc_source_mixture, DOC_MIXTURE_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
-    "emb_cluster_sample": (emb_cluster_sample, EMB_CLUSTER_SAMPLE_SQL),
+    # never-driver-checked doc/embedding operators (waves 4–7):
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
+    "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
+    "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
+    "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     # --- relational core (TPC-H-ish) ---
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
-    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
-    "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
-    "events_window_funcs": (events_window_funcs, EVENTS_WINDOW_SQL),
-    "events_rank_dense": (events_rank_dense, EVENTS_RANK_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
+    # never-driver-checked event-stream operators (waves 4–6):
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
+    "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
+    "events_corr": (events_corr, EVENTS_CORR_SQL),
+    "events_setops": (events_setops, EVENTS_SETOPS_SQL),
+    "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
+    "events_quantile_buckets": (events_quantile_buckets, EVENTS_QBUCKETS_SQL),
+    "events_mad": (events_mad, EVENTS_MAD_SQL),
+    "events_range_windows": (events_range_windows, EVENTS_RANGE_WINDOWS_SQL),
+    "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
+    "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
+    "events_percentile": (events_percentile, EVENTS_PERCENTILE_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
-    # r3 driver-green (CORRECTNESS_r03), unchanged in round 4:
+    # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
+    "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),
+    "kg_certify_legal": (kg_certify_legal, KG_CERTIFY_LEGAL_SQL),
+    "kg_version_of": (kg_version_of, KG_VERSION_OF_SQL),
+    "kg_version_range": (kg_version_range, KG_VERSION_RANGE_SQL),
+    "kg_pkg_equal": (kg_pkg_equal, KG_PKG_EQUAL_SQL),
+    "kg_edge_pred_counts": (kg_edge_pred_counts, KG_PRED_COUNTS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
+    "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
+    "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),
+    "doc_source_mixture": (doc_source_mixture, DOC_MIXTURE_SQL),
+    "emb_cluster_sample": (emb_cluster_sample, EMB_CLUSTER_SAMPLE_SQL),
+    "orders_cube": (orders_cube, ORDERS_CUBE_SQL),
+    "events_user_stats": (events_user_stats, EVENTS_USER_SQL),
+    "events_window_funcs": (events_window_funcs, EVENTS_WINDOW_SQL),
+    "events_rank_dense": (events_rank_dense, EVENTS_RANK_SQL),
+    # r3 driver-green (CORRECTNESS_r03), unchanged since:
     "q5_region_revenue": (q5_region_revenue, Q5_SQL),
     "top_customers": (top_customers, TOP_CUSTOMERS_SQL),
     "top_orders_per_status": (top_orders_per_status, TOP_ORDERS_SQL),
@@ -4373,30 +4399,6 @@ SUITE: dict[str, tuple] = {
     "events_type_long": (events_type_long, EVENTS_TYPE_LONG_SQL),
     "distinct_segments": (distinct_segments, DISTINCT_SEGMENTS_SQL),
     "part_type_stats": (part_type_stats, PART_TYPE_SQL),
-    # round-4 fourth wave: oracle-backed, introduced after the gate was
-    # already 50/50 never-checked — verified every tools/check_oracle.py
-    # run (the same evidence class the judge accepted for r3's
-    # past-cap kg queries):
-    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
-    "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
-    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
-    "events_corr": (events_corr, EVENTS_CORR_SQL),
-    "events_setops": (events_setops, EVENTS_SETOPS_SQL),
-    "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
-    "events_quantile_buckets": (events_quantile_buckets, EVENTS_QBUCKETS_SQL),
-    "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
-    "events_mad": (events_mad, EVENTS_MAD_SQL),
-    "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
-    "events_range_windows": (events_range_windows, EVENTS_RANGE_WINDOWS_SQL),
-    "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
-    "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
-    "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
-    "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
-    "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
-    "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
-    "events_percentile": (events_percentile, EVENTS_PERCENTILE_SQL),
-    "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
-    "kg_link_predict": (kg_link_predict, KG_LINK_PREDICT_SQL),
     # golden/pytest-bounded (no SQL oracle; a driver row would be
     # rows-only anyway):
     "events_user_approx": (events_user_approx, None),

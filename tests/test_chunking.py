@@ -50,3 +50,30 @@ class TestChunking:
             _run(["x"], 0, 1)
         with pytest.raises(ValueError):
             _run(["x"], 4, 5)  # stride > size drops codepoints
+
+
+class TestNullText:
+    """ADVICE r4: null text rows must be DROPPED (matching the SQL
+    oracle), never flow through an undefined NaN→int64 chunk-count
+    cast — and an ALL-null batch must not raise on empty concat."""
+
+    def test_mixed_nulls_dropped(self, ray_session):
+        out = _run(["abcdefgh", None, "xy"], 4, 4)
+        assert sorted(out.doc_id.unique().tolist()) == [0, 2]
+        assert out[out.doc_id == 0].chunk.tolist() == ["abcd", "efgh"]
+
+    def test_all_null_batch(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.chunking import chunk_documents
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([None, None], pa.string())}))
+        out = chunk_documents(ds, "text", 4, 4)
+        tbl = out.to_arrow_refs()
+        import ray as _r
+        t = pa.concat_tables([_r.get(r) for r in tbl])
+        assert t.num_rows == 0
+        assert t.schema.field("chunk_idx").type == pa.int64()
+        assert t.schema.field("chunk").type == pa.string()

@@ -188,3 +188,41 @@ class TestPercentileRank:
             percentile_rank(
                 rd.from_pandas(pd.DataFrame({"v": [1, 2, 3, 4]})), "v",
                 distinct_cap=2)
+
+
+class TestLookupBelowContract:
+    """ADVICE r4: a pass-2 value absent from the pass-1 histogram must
+    raise the replay-stability contract error, not silently misrank or
+    IndexError past the histogram end."""
+
+    def test_known_values(self):
+        import numpy as np
+
+        from guac_ray.functions.scale import _lookup_below
+
+        vals = np.array([2, 5, 9], dtype=np.int64)
+        below = np.array([0, 3, 7], dtype=np.int64)
+        got = _lookup_below(vals, below, np.array([5, 2, 9, 9]))
+        assert got.tolist() == [3, 0, 7, 7]
+
+    def test_unknown_value_raises(self):
+        import numpy as np
+        import pytest
+
+        from guac_ray.functions.scale import _lookup_below
+
+        vals = np.array([2, 5, 9], dtype=np.int64)
+        below = np.array([0, 3, 7], dtype=np.int64)
+        for v in (4, 1, 11):  # mid-gap, below min, above max
+            with pytest.raises(ValueError, match="replay-stable"):
+                _lookup_below(vals, below, np.array([v], dtype=np.int64))
+
+    def test_empty_batch_ok(self):
+        import numpy as np
+
+        from guac_ray.functions.scale import _lookup_below
+
+        vals = np.array([2], dtype=np.int64)
+        below = np.array([0], dtype=np.int64)
+        assert _lookup_below(vals, below,
+                             np.array([], dtype=np.int64)).size == 0

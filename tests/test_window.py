@@ -502,3 +502,44 @@ class TestRangeWindows:
 
             windowed(rd.from_pandas(df), by="u", order=["t", "v"],
                      ops={"s": ("range_sum", "v", 1)}, num_buckets=2)
+
+
+class TestRangeSumSchemaStability:
+    """ADVICE r4: range_sum must emit ONE schema (float64) regardless
+    of which bucket a row lands in — previously an int64-source bucket
+    with no all-NULL frames emitted int64 while a bucket containing an
+    all-NULL frame emitted float64, and _typed_empty disagreed with
+    both on nullable-int sources."""
+
+    def test_int_bucket_and_null_bucket_agree(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        t = pa.table({
+            "u": pa.array([1, 1, 2, 2], pa.int64()),
+            "t": pa.array([0, 1, 0, 1], pa.int64()),
+            "v": pa.array([1, 2, None, None], pa.int64())})
+        out = windowed(rd.from_arrow(t), by="u", order="t",
+                       ops={"s": ("range_sum", "v", 10)},
+                       num_buckets=2)
+        df = out.to_pandas().sort_values(["u", "t"]).reset_index(drop=True)
+        assert str(df["s"].dtype) == "float64"
+        assert df["s"].tolist()[:2] == [1.0, 3.0]
+        assert pd.isna(df["s"][2]) and pd.isna(df["s"][3])
+
+    def test_typed_empty_matches(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        t = pa.table({
+            "u": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "v": pa.array([], pa.int64())})
+        out = windowed(rd.from_arrow(t), by="u", order="t",
+                       ops={"s": ("range_sum", "v", 10)}, num_buckets=2)
+        sch = out.schema()
+        assert dict(zip(sch.names, sch.types))["s"] == pa.float64()

@@ -2,9 +2,11 @@
 ``queries()`` entry at sf0.01 and compare row-count / schema /
 order-insensitive values against ``oracle_sql()`` via DuckDB.
 
-Usage: python tools/check_oracle.py [--gate] [--only] [name ...]
+Usage: python tools/check_oracle.py [--gate] [--rotation] [--only] [name ...]
 (--gate restricts to the FIRST 50 registry entries — the exact set the
-driver's correctness gate checks)
+driver's correctness gate checks; --rotation prints the gate/past-cap
+split — which oracle-backed green entries sit OUTSIDE the gate and
+stand on a prior round's driver record — then exits)
 """
 
 from __future__ import annotations
@@ -70,8 +72,26 @@ def main() -> int:
 
     args = [a for a in sys.argv[1:] if a != "--only"]
     gate_only = "--gate" in args
-    only = set(a for a in args if a != "--gate")
+    rotation = "--rotation" in args
+    only = set(a for a in args if a not in ("--gate", "--rotation"))
     gate = set(list(qs)[:50])  # the driver checks exactly these
+    if rotation:
+        names = list(qs)
+        in_gate = names[:50]
+        past = names[50:]
+        print(f"registry: {len(names)} entries "
+              f"({sum(1 for n in names if n in sqls)} oracle-backed, "
+              f"{sum(1 for n in names if n not in sqls)} golden-pinned)")
+        print(f"IN GATE (driver-checked, first 50): {len(in_gate)}")
+        for n in in_gate:
+            print(f"  {n}")
+        print(f"PAST CAP (green via check_oracle + prior driver record): "
+              f"{len(past)}")
+        for n in past:
+            kind = "oracle" if n in sqls else "golden-pinned"
+            print(f"  {n} [{kind}]")
+        ray.shutdown()
+        return 0
     fails = []
     for name, fn in qs.items():
         if gate_only and name not in gate:
