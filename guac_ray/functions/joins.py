@@ -26,6 +26,7 @@ import uuid
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from guac_ray.arrowutil import table_from_pandas
 
@@ -268,7 +269,12 @@ def hash_join(
     joins (left rows with / without a key match; no right columns in
     the output) — the distributed counterpart of the broadcast-set
     ``semi_join`` / ``anti_join`` helpers. Only the right KEY columns
-    enter the exchange, pre-deduped per batch.
+    enter the exchange, pre-deduped per batch. ``how="mark"`` is the
+    membership PROBE (SQL ``EXISTS`` as a column): every left row comes
+    back with an int8 ``_mark`` ∈ {0, 1} instead of being filtered —
+    one exchange answers "which rows match AND which don't", where a
+    semi + anti pair would pay it twice. Same right-key shipping and
+    probe-splitting rules as semi (the flag is row-local).
       - ``partial_fn`` (pa.Table → pa.Table) runs inside each reduce
         task on its join output — fuse the downstream per-batch PARTIAL
         aggregate here so the join payload never re-enters the object
@@ -288,9 +294,9 @@ def hash_join(
     to the (exact) Arrow join, so the result is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if how not in ("inner", "left", "outer", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti", "mark"):
         raise NotImplementedError(
-            "hash_join implements inner/left/outer/semi/anti; use "
+            "hash_join implements inner/left/outer/semi/anti/mark; use "
             "broadcast_join (or the set-based semi_join/anti_join) for "
             "small right sides")
     if num_buckets is None:
@@ -298,7 +304,7 @@ def hash_join(
     if bloom_prune and how not in ("inner", "semi"):
         raise ValueError("bloom_prune only applies to inner/semi joins — "
                          "left/outer/anti must keep unmatched rows")
-    if how in ("semi", "anti"):
+    if how in ("semi", "anti", "mark"):
         # only membership matters: ship nothing but (deduped) right keys
         # through the exchange
         right = right.select_columns(keys).map_batches(
@@ -330,7 +336,7 @@ def hash_join(
     # outer: every bucket on EITHER side emits rows.
     if how in ("inner", "semi"):
         present = sorted(lfiles.keys() & rfiles.keys())
-    elif how in ("left", "anti"):
+    elif how in ("left", "anti", "mark"):
         present = sorted(lfiles.keys())
     else:  # outer
         present = sorted(lfiles.keys() | rfiles.keys())
@@ -369,7 +375,7 @@ def hash_join(
 
     join_type = {"inner": "inner", "left": "left outer",
                  "outer": "full outer", "semi": "left semi",
-                 "anti": "left anti"}[how]
+                 "anti": "left anti", "mark": "left outer"}[how]
 
     def join_task(batch: pd.DataFrame) -> pa.Table:
         outs = []
@@ -385,6 +391,27 @@ def hash_join(
             else:  # left side entirely empty + schema-less: keys from right
                 lt = pa.schema(
                     [(c, rt.schema.field(c).type) for c in keys]).empty_table()
+            if how == "mark":
+                # EXISTS flag per left row: re-dedup the right keys
+                # WITHIN the bucket (the pre-exchange dedup is only
+                # per-batch, and a duplicate key would multiply rows
+                # under left-outer), then mark = matched ? 1 : 0
+                if rt is not None and rt.num_rows:
+                    rtd = rt.group_by(keys).aggregate([])
+                    rtd = rtd.append_column("_mark", pa.array(
+                        np.ones(rtd.num_rows, dtype=np.int8)))
+                    j = lt.join(rtd, keys=keys, join_type="left outer",
+                                left_suffix=suffixes[0],
+                                right_suffix=suffixes[1], use_threads=False)
+                    mi = j.schema.get_field_index("_mark")
+                    j = j.set_column(mi, "_mark",
+                                     pc.fill_null(j.column("_mark"),
+                                                  np.int8(0)))
+                else:
+                    j = lt.append_column("_mark", pa.array(
+                        np.zeros(lt.num_rows, dtype=np.int8)))
+                outs.append(partial_fn(j) if partial_fn is not None else j)
+                continue
             if rt is None:
                 if right_schema is not None:
                     rt = right_schema.empty_table()

@@ -57,6 +57,54 @@ def sql_ws_tokens(text: str | None) -> list[str]:
     produces."""
     return [t for t in _SQL_WS_RE.split((text or "").lower()) if t]
 
+
+def ws_shingles(col, ngram: int) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized word-``ngram`` shingling over an Arrow string column —
+    the whole batch runs through three Arrow kernels plus numpy index
+    arithmetic, with NO per-row Python (the r4 verdict's fix for the
+    decontamination shingle loop): one ``split_pattern_regex`` pass
+    (the explicit ``[\\t\\n\\f\\r ]+`` class — RE2's ``\\s`` would also
+    split on ``\\v``, which neither ``sql_ws_tokens`` nor DuckDB's
+    ``regexp_split_to_array('\\s+')`` does), numpy window-start
+    assembly, ``ngram`` zero-copy takes, and one
+    ``binary_join_element_wise`` to build the space-joined shingle
+    strings. Token grammar is byte-identical to ``sql_ws_tokens``.
+
+    Returns ``(row_idx, shingles)``: for every token window, the
+    0-based batch row it came from and the joined shingle string —
+    NOT deduped (callers dedup with an Arrow ``group_by``, per doc or
+    per batch as their semantics need). Null text = no tokens.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), pattern=r"[\t\n\f\r ]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    # drop the empty tokens a leading/trailing separator produces, via a
+    # cumulative-sum segment count (reduceat misbehaves on empty docs)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    kn = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(kn)])
+    cnt = csum[off[1:]] - csum[off[:-1]]  # tokens per row
+    ft = flat.filter(keep)
+    w = np.maximum(cnt - ngram + 1, 0)  # windows per row
+    total = int(w.sum())
+    if total == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    row_idx = np.repeat(np.arange(len(w), dtype=np.int64), w)
+    fstart = np.concatenate([[0], np.cumsum(cnt)])[:-1]  # row starts in ft
+    cw = np.concatenate([[0], np.cumsum(w)])[:-1]
+    starts = np.repeat(fstart, w) + (
+        np.arange(total, dtype=np.int64) - np.repeat(cw, w))
+    parts = [ft.take(pa.array(starts + j)) for j in range(ngram)]
+    sh = (pc.binary_join_element_wise(*parts, " ")
+          if ngram > 1 else parts[0])
+    return row_idx, sh
+
+
 # byte-class lookup tables for the zero-copy text scanner below
 _WORD_LUT = np.zeros(256, dtype=bool)
 for _c in (b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"

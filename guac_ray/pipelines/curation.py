@@ -174,85 +174,66 @@ def decontaminate(
     splits; shingles are space-joined token windows, both
     SQL-expressible so the whole operator has an exact DuckDB oracle.
 
-    Scale shape: shingling is batch-local on BOTH sides (a doc is one
-    row, so per-doc distinctness needs no shuffle); the train side
-    ships only per-batch-DEDUPED shingles; the overlap test is the
-    LARGE-LARGE ``hash_join(how="semi")`` on the shingle itself; the
-    per-doc contaminated counts come out of a partial-combine
-    ``grouped_agg``; totals re-attach through a left hash join on the
-    doc id, never a driver merge. Shingles travel as STRINGS for
-    oracle-exactness — at 100-TB scale hash them to u64 first
-    (collision risk ~1e-19/pair) and drop the oracle claim to
-    rows-only.
+    Scale shape (r4-verdict rewrite): the test corpus is shingled
+    EXACTLY ONCE, fully vectorized — ``ws_shingles`` runs the whole
+    batch through Arrow kernels (regex split → numpy window assembly →
+    element-wise join), per-doc distinctness is one batch-local Arrow
+    ``group_by`` (a doc is one row, so no shuffle); the train side
+    ships only per-batch-deduped shingles; the overlap test is ONE
+    LARGE-LARGE ``hash_join(how="mark")`` on the shingle itself — every
+    test-shingle row comes back with an EXISTS flag, so ``n_shingles``
+    (count) and ``n_contaminated`` (sum of marks) fall out of a single
+    partial aggregate FUSED into the join's reduce tasks; the former
+    second shingle pass and the doc-id re-attach join are gone. No
+    per-row Python anywhere; nothing materializes on the driver.
+    Shingles travel as STRINGS for oracle-exactness — at 100-TB scale
+    hash them to u64 first (collision risk ~1e-19/pair) and drop the
+    oracle claim to rows-only.
     """
     from guac_ray.functions.joins import default_exchange, hash_join
+    from guac_ray.functions.text import ws_shingles
     from guac_ray.stages.groupagg import grouped_agg
 
     ex = exchange_dir or default_exchange("decontaminate")
 
-    def _shingles(txt: str) -> set:
-        from guac_ray.functions.text import sql_ws_tokens
-
-        w = sql_ws_tokens(txt)
-        return {" ".join(w[j:j + ngram]) for j in range(len(w) - ngram + 1)}
-
     def test_shingles(t: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            for s in _shingles(txt):
-                ids.append(did)
-                shs.append(s)
-        return pa.table({
-            id_col: pa.array(ids, type=t.schema.field(id_col).type),
-            "s": pa.array(shs, type=pa.string()),
-        })
+        ridx, sh = ws_shingles(t[text_col], ngram)
+        ids = t[id_col].combine_chunks().take(pa.array(ridx))
+        return pa.table({id_col: ids, "s": sh}).group_by(
+            [id_col, "s"]).aggregate([])  # per-doc DISTINCT, batch-local
 
     def train_shingles(t: pa.Table) -> pa.Table:
-        acc: set = set()
-        for txt in t[text_col].to_pylist():
-            acc |= _shingles(txt)
-        return pa.table({"s": pa.array(sorted(acc), type=pa.string())})
+        _, sh = ws_shingles(t[text_col], ngram)
+        return pa.table({"s": sh}).group_by(["s"]).aggregate([])
 
-    def totals(t: pa.Table) -> pa.Table:
-        ids, ns = [], []
-        for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-            n = len(_shingles(txt))
-            if n:
-                ids.append(did)
-                ns.append(n)
+    def mark_partial(j: pa.Table) -> pa.Table:
+        # inside each join reduce task: (id, s, _mark) → per-doc partial
+        # (rows, marked) counts; a doc may span probe chunks, so these
+        # are partials for grouped_agg to finalize
+        g = j.group_by([id_col]).aggregate(
+            [("_mark", "sum"), ("_mark", "count")])
         return pa.table({
-            id_col: pa.array(ids, type=t.schema.field(id_col).type),
-            "n_shingles": pa.array(ns, type=pa.int64()),
+            id_col: g[id_col],
+            "_c": g["_mark_sum"],
+            "_n": g["_mark_count"],
         })
 
     te_sh = test.select_columns([id_col, text_col]).map_batches(
         test_shingles, batch_format="pyarrow")
     tr_sh = train.select_columns([text_col]).map_batches(
         train_shingles, batch_format="pyarrow")
-    hit = hash_join(te_sh, tr_sh, on="s", how="semi",
-                    exchange_dir=f"{ex}/semi", num_buckets=num_buckets)
-
-    def cont_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(id_col, sort=False).size().reset_index(name="_c")
-        return g
-
-    cont = grouped_agg(
-        hit.map_batches(cont_partial, batch_format="pandas"),
-        [id_col], {"c": ("_c", "sum")}, num_buckets=8,
-    )
-    tot = test.select_columns([id_col, text_col]).map_batches(
-        totals, batch_format="pyarrow")
-    out = hash_join(tot, cont, on=id_col, how="left",
-                    exchange_dir=f"{ex}/attach", num_buckets=8)
+    marked = hash_join(te_sh, tr_sh, on="s", how="mark",
+                       exchange_dir=f"{ex}/mark", num_buckets=num_buckets,
+                       partial_fn=mark_partial)
+    out = grouped_agg(marked, [id_col],
+                      {"n_contaminated": ("_c", "sum"),
+                       "n_shingles": ("_n", "sum")}, num_buckets=8)
 
     def final(df: pd.DataFrame) -> pa.Table:
-        # an entirely-empty train side can leave the join with no "c"
-        # column at all (no right schema to carry) — everything is clean
-        c = df["c"] if "c" in df.columns else pd.Series(0, index=df.index)
         return table_from_pandas(pd.DataFrame({
             id_col: df[id_col],
             "n_shingles": df["n_shingles"].astype("int64"),
-            "n_contaminated": c.fillna(0).astype("int64"),
+            "n_contaminated": df["n_contaminated"].astype("int64"),
         }), preserve_index=False)
 
     return out.map_batches(final, batch_format="pandas")

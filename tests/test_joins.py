@@ -414,6 +414,65 @@ class TestHashSemiAnti:
         assert len(anti) == len(left)
 
 
+class TestHashMark:
+    """how="mark": EXISTS flag per left row — one exchange answers both
+    the semi and anti questions; duplicate right keys never multiply."""
+
+    def test_mark_matches_membership(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(500)
+        right = right[right.k % 3 == 0]
+        lds = rd.from_pandas(left).repartition(4)
+        # duplicate right rows on purpose: per-bucket re-dedup must keep
+        # left row counts intact under the left-outer implementation
+        rds = rd.from_pandas(pd.concat([right, right])).repartition(3)
+        got = hash_join(lds, rds, on="k", how="mark",
+                        exchange_dir=str(tmp_path / "m"),
+                        num_buckets=8).to_pandas()
+        assert len(got) == len(left)
+        assert set(got.columns) == {"k", "x", "_mark"}
+        member = got.k.isin(set(right.k))
+        assert (got["_mark"].astype(bool) == member).all()
+        assert got["_mark"].sum() > 0 and (got["_mark"] == 0).sum() > 0
+
+    def test_mark_empty_right(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left, right = _sides(100)
+        got = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right.iloc[:0]), on="k",
+            how="mark", exchange_dir=str(tmp_path / "e"), num_buckets=4,
+        ).to_pandas()
+        assert len(got) == len(left)
+        assert (got["_mark"] == 0).all()
+
+    def test_mark_partial_fn_fused(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        left = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3], "g": list("aabbcc")})
+        right = pd.DataFrame({"k": [1, 3]})
+
+        def part(j: pa.Table) -> pa.Table:
+            g = j.group_by(["g"]).aggregate([("_mark", "sum")])
+            return pa.table({"g": g["g"], "m": g["_mark_sum"]})
+
+        got = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", how="mark",
+                        exchange_dir=str(tmp_path / "p"), num_buckets=4,
+                        partial_fn=part).to_pandas()
+        agg = got.groupby("g")["m"].sum()
+        # rows: (1,a)(1,a)(2,b)(3,b)(3,c)(3,c); k∈{1,3} marked
+        assert agg.to_dict() == {"a": 2, "b": 1, "c": 2}
+
+
 class TestIntervalJoin:
     def _join(self, tmp_path, left, right, **kw):
         import ray.data as rd

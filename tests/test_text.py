@@ -470,3 +470,35 @@ class TestDocTokenEntropy:
                    - round(math.log(4) * 1e6)) <= 1        # uniform 4
         assert 4 not in g.index                            # empty dropped
         assert g.loc[5, "entropy_micronats"] == 0          # single token
+
+
+class TestWsShingles:
+    """Vectorized shingler parity with the sql_ws_tokens loop grammar."""
+
+    def test_parity_with_token_loop(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from guac_ray.functions.text import sql_ws_tokens, ws_shingles
+
+        texts = ["the quick brown fox", "  a  b ", "", None, "one two",
+                 "x y z x y z", "Hé LLO wörld Hé LLO", "a\vb c d"]
+        for ngram in (1, 2, 3, 5):
+            ridx, sh = ws_shingles(pa.array(texts), ngram)
+            got: dict[int, list] = {}
+            for r, s in zip(ridx.tolist(), sh.to_pylist()):
+                got.setdefault(r, []).append(s)
+            for i, t in enumerate(texts):
+                w = sql_ws_tokens(t)
+                want = [" ".join(w[j:j + ngram])
+                        for j in range(len(w) - ngram + 1)]
+                assert got.get(i, []) == want, (ngram, i)
+
+    def test_all_short_batch(self):
+        import pyarrow as pa
+
+        from guac_ray.functions.text import ws_shingles
+
+        ridx, sh = ws_shingles(pa.array([None, "", "one two"]), 3)
+        assert len(sh) == 0 and len(ridx) == 0
+        assert sh.type == pa.string()

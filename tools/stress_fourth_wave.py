@@ -31,6 +31,8 @@ QUERIES = [
     # sixth wave
     "events_entropy", "doc_surprisal", "events_percentile",
     "doc_entropy",
+    # round 5: vectorized single-pass decontamination (mark join)
+    "doc_decontaminate",
 ]
 
 
