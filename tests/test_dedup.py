@@ -194,3 +194,59 @@ class TestSimhash:
         gset = {(int(a), int(b)) for a, b in zip(got.a, got.b)}
         assert gset == truth
         assert len(got) == len(gset)
+
+
+class TestBatchedSignatureIdentity:
+    """r5: the across-doc batched MinHash/SimHash paths must be
+    bit-identical to the per-doc reference implementations."""
+
+    def test_minhash_matrix_matches_reference(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from guac_ray.functions.dedup import MinHasher
+
+        mh = MinHasher(num_perm=32, shingle_n=5)
+        texts = ["The quick  brown FOX jumps", "", None, "ab", "abcde",
+                 "  spaced   out ", "repeat repeat repeat",
+                 "unicode héllo wörld test", "a" * 500 + " tail"]
+        mat = mh._signatures(pa.array(texts))
+        for i, t in enumerate(texts):
+            assert np.array_equal(mat[i], mh.signature(t or "")), (i, t)
+
+    def test_minhash_blob_column(self):
+        import pyarrow as pa
+
+        from guac_ray.functions.dedup import MinHasher
+
+        mh = MinHasher(num_perm=16, shingle_n=3)
+        texts = ["alpha beta gamma", "x", ""]
+        tbl = mh(pa.table({"doc_id": pa.array([5, 6, 7], pa.int64()),
+                           "text": pa.array(texts)}))
+        assert tbl.schema.field("sig").type == pa.binary()
+        for blob, t in zip(tbl["sig"].to_pylist(), texts):
+            assert blob == mh.signature(t).tobytes()
+
+    def test_simhash_arrow_tokenize_matches_python_split(self):
+        import pyarrow as pa
+
+        from guac_ray.functions.dedup import SimHasher
+
+        sh = SimHasher()
+        texts = ["The quick  brown FOX", "", None, "  edge  spaces  ",
+                 "a\xa0b nbsp", "one", "repeat repeat xyz"]
+        got = sh._batch_simhash(pa.array(texts))
+        # reference: per-doc python tokenization through the same vote
+        import hashlib
+
+        import numpy as np
+        for g, t in zip(got, texts):
+            toks = (t or "").lower().split()
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big")
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            want = sum(1 << b for b in range(64) if votes[b] > 0)
+            assert int(g) == want, t
