@@ -63,6 +63,20 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
             rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
 
+    # warm the WORKER pool (untimed): first-trial spikes (r4:
+    # kg_pagerank_top [10.23, 3.99]) were cold worker processes paying
+    # guac_ray/pandas/numpy imports inside the first timed query. One
+    # 1-row task per CPU forces every worker to pre-import the library;
+    # Ray reuses those processes for all later task stages.
+    def _warm_worker(batch):
+        import guac_ray.pipelines.suite  # noqa: F401 (heavy import tree)
+        import guac_ray.functions.joins  # noqa: F401
+
+        return batch
+
+    (rd.range(num_cpus * 2, override_num_blocks=num_cpus * 2)
+        .map_batches(_warm_worker, batch_size=1).materialize())
+
     # ---- headline: full KG construction (extract→link→dedup→write) ----
     from guac_ray.pipelines.kg import build_graph
 

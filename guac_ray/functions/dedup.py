@@ -531,13 +531,14 @@ def connected_components_ds(
     the key's natural order either way (lexicographic for strings), and
     the output (doc_id, root) carries the input key type.
     """
-    import os
-
     import pyarrow.parquet as pq
     import ray.data as rdata
 
-    from guac_ray.functions.joins import fresh_exchange_dir
+    from guac_ray.exfs import (exchange_fs, fresh_exchange_dir,
+                               fs_bucket_ids, fs_list_files, fs_mkdirs,
+                               fs_read_table)
 
+    fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_dir or _default_exchange("concomp"))
     B = num_buckets
 
@@ -569,8 +570,8 @@ def connected_components_ds(
     if pairs.count() == 0:
         return empty_out
 
-    pa_dir = os.path.join(ex, "pairs_a")
-    pb_dir = os.path.join(ex, "pairs_b")
+    pa_dir = f"{ex}/pairs_a"
+    pb_dir = f"{ex}/pairs_b"
 
     def part_by(col: str):
         def f(t: pa.Table) -> pa.Table:
@@ -581,9 +582,9 @@ def connected_components_ds(
         return f
 
     pairs.map_batches(part_by("a"), batch_format="pyarrow").write_parquet(
-        pa_dir, partition_cols=["_jb"])
+        pa_dir, partition_cols=["_jb"], filesystem=fsys)
     pairs.map_batches(part_by("b"), batch_format="pyarrow").write_parquet(
-        pb_dir, partition_cols=["_jb"])
+        pb_dir, partition_cols=["_jb"], filesystem=fsys)
 
     def endpoints(t: pa.Table) -> pa.Table:
         ids = pa.concat_arrays([
@@ -594,22 +595,22 @@ def connected_components_ds(
         return pa.table({"node": ids, "label": ids, "_jb": pa.array(nb(arr))})
 
     def labels_dir(r: int) -> str:
-        return os.path.join(ex, f"labels_r{r}")
+        return f"{ex}/labels_r{r}"
 
     pairs.map_batches(endpoints, batch_format="pyarrow").write_parquet(
-        labels_dir(0), partition_cols=["_jb"])
+        labels_dir(0), partition_cols=["_jb"], filesystem=fsys)
 
     def _read_part(root: str, i: int) -> pd.DataFrame | None:
-        p = os.path.join(root, f"_jb={i}")
-        if not os.path.isdir(p):
+        fls = fs_list_files(fsys, f"{root}/_jb={i}")
+        if not fls:
             return None
-        return pq.read_table(p).to_pandas()
+        return pa.concat_tables(
+            [fs_read_table(fsys, f) for f in fls]).to_pandas()
 
     rnd = 0
     for rnd in range(max_rounds):
-        lr, msgs, nxt = labels_dir(rnd), os.path.join(ex, f"msgs{rnd}"), labels_dir(rnd + 1)
-        buckets = sorted(int(d.rsplit("=", 1)[1])
-                         for d in os.listdir(lr) if d.startswith("_jb="))
+        lr, msgs, nxt = labels_dir(rnd), f"{ex}/msgs{rnd}", labels_dir(rnd + 1)
+        buckets = fs_bucket_ids(fsys, lr, "_jb")
 
         def send(batch: pd.DataFrame, lr=lr, msgs=msgs) -> pa.Table:
             for i in batch["k"]:
@@ -624,29 +625,28 @@ def connected_components_ds(
                 allm = pd.concat(outs, ignore_index=True)
                 allm["_tb"] = nb(allm.node.to_numpy())
                 for j, sub in allm.groupby("_tb", sort=False):
-                    d = os.path.join(msgs, f"_jb={j}")
-                    os.makedirs(d, exist_ok=True)
+                    d = f"{msgs}/_jb={j}"
+                    fs_mkdirs(fsys, d)
                     pq.write_table(
                         table_from_pandas(sub[["node", "label"]],
                                              preserve_index=False),
-                        os.path.join(d, f"from-{int(i):04d}.parquet"))
+                        f"{d}/from-{int(i):04d}.parquet", filesystem=fsys)
             return pa.table({"k": batch["k"].astype("int64")})
 
         rdata.from_items([{"k": k} for k in buckets]).map_batches(
             send, batch_format="pandas", batch_size=1).count()
 
-        tgt_buckets = sorted(int(d.rsplit("=", 1)[1])
-                             for d in os.listdir(msgs) if d.startswith("_jb="))
+        tgt_buckets = fs_bucket_ids(fsys, msgs, "_jb")
 
         def reduce_(batch: pd.DataFrame, msgs=msgs, nxt=nxt, lr=lr) -> pa.Table:
             changed, counts, ks = [], [], []
             for i in batch["k"]:
                 m = _read_part(msgs, int(i))
                 red = m.groupby("node", as_index=False).label.min()
-                d = os.path.join(nxt, f"_jb={int(i)}")
-                os.makedirs(d, exist_ok=True)
+                d = f"{nxt}/_jb={int(i)}"
+                fs_mkdirs(fsys, d)
                 pq.write_table(table_from_pandas(red, preserve_index=False),
-                               os.path.join(d, "labels.parquet"))
+                               f"{d}/labels.parquet", filesystem=fsys)
                 ks.append(int(i))
                 # witness: labels only decrease, so comparing against the
                 # SAME bucket's previous (min-reduced) labels counts every
@@ -670,12 +670,13 @@ def connected_components_ds(
         if int(stats.changed.sum()) == 0:
             break
 
-    import glob as _glob
-
     # explicit file list: dataset discovery IGNORES underscore-prefixed
     # paths ("_jb=*" partition dirs look like _metadata-style sidecars)
-    final = rdata.read_parquet(sorted(
-        _glob.glob(os.path.join(labels_dir(rnd + 1), "_jb=*", "*.parquet"))))
+    fdir = labels_dir(rnd + 1)
+    final = rdata.read_parquet(
+        [f for b in fs_bucket_ids(fsys, fdir, "_jb")
+         for f in fs_list_files(fsys, f"{fdir}/_jb={b}")],
+        filesystem=fsys)
     return final.map_batches(
         lambda t: pa.table({"doc_id": t["node"].combine_chunks().cast(key_type),
                             "root": t["label"].combine_chunks().cast(key_type)}),

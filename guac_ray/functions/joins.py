@@ -18,11 +18,6 @@ Three tiers, chosen by side sizes:
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-import uuid
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -34,51 +29,22 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
+# the exchange filesystem plumbing lives in guac_ray.exfs; re-exported
+# here because every exchange consumer historically imports it from
+# this module
+from guac_ray.exfs import (  # noqa: F401  (re-exports)
+    default_exchange,
+    exchange_fs,
+    fresh_exchange_dir,
+    fs_list_files,
+    fs_listdir,
+    fs_num_rows,
+    fs_read_table,
+)
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join", "asof_join",
            "range_join", "interval_join"]
-
-
-def default_exchange(name: str) -> str:
-    """Default exchange base: RAM-backed when available. ALL exchange
-    users resolve through here so the base-dir policy lives once."""
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    return f"{base}/guac_ray_exchange/{name}"
-
-
-# every exchange dir handed out by THIS process: a lazy Dataset returned
-# hours ago still re-reads its files on each consumption, so dirs this
-# process created are never pruned, no matter their age — only leftovers
-# from DEAD processes (not in the registry) age out.
-_LIVE_EXCHANGE_DIRS: set[str] = set()
-
-
-def fresh_exchange_dir(base: str) -> str:
-    """A unique subdirectory per exchange use. Callers pass a stable base
-    path (e.g. ``/dev/shm/guac_ray_exchange/priority_join``); each call
-    gets its own subdir so a previously returned lazy Dataset — which
-    re-reads its exchange files on every consumption — is never silently
-    repointed at newer data by a later call with the same base. Siblings
-    registered by this process are live (they may back a lazy Dataset)
-    and are never pruned; unregistered siblings from dead processes are
-    pruned once older than one hour."""
-    os.makedirs(base, exist_ok=True)
-    import time as _time
-
-    now = _time.time()
-    for d in os.listdir(base):
-        p = os.path.join(base, d)
-        if p in _LIVE_EXCHANGE_DIRS:
-            continue
-        try:
-            if now - os.path.getmtime(p) > 3600:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    p = os.path.join(base, uuid.uuid4().hex[:12])
-    _LIVE_EXCHANGE_DIRS.add(p)
-    return p
 
 
 def broadcast_join(
@@ -141,7 +107,7 @@ def _default_num_buckets() -> int:
 
 def _partition_both(
     left: Dataset, right: Dataset, lkeys: list[str], rkeys: list[str],
-    exchange_dir: str, num_buckets: int,
+    exchange_dir: str, num_buckets: int, filesystem=None,
 ) -> tuple[str, str]:
     """Hash-partition both join inputs into ``exchange_dir/{left,right}``
     CONCURRENTLY: each side is an independent pure-map pipeline, and two
@@ -161,36 +127,39 @@ def _partition_both(
             return table_from_pandas(df, preserve_index=False)
         return part
 
-    ldir = os.path.join(exchange_dir, "left")
-    rdir = os.path.join(exchange_dir, "right")
+    ldir = f"{exchange_dir}/left"
+    rdir = f"{exchange_dir}/right"
     errs: list[BaseException] = []
 
     def write_right():
         try:
             right.map_batches(part_fn(rkeys), batch_format="pandas").write_parquet(
-                rdir, partition_cols=["_jb"])
+                rdir, partition_cols=["_jb"], filesystem=filesystem)
         except BaseException as ex:  # propagate to the driver thread
             errs.append(ex)
 
     t = threading.Thread(target=write_right, daemon=True)
     t.start()
     left.map_batches(part_fn(lkeys), batch_format="pandas").write_parquet(
-        ldir, partition_cols=["_jb"])
+        ldir, partition_cols=["_jb"], filesystem=filesystem)
     t.join()
     if errs:
         raise errs[0]
     return ldir, rdir
 
 
-def _bucket_files(side_dir: str) -> dict[int, list[str]]:
+def _bucket_files(fsys, side_dir: str) -> dict[int, list[str]]:
     """bucket id → parquet files (reading FILES, not the hive dirs, keeps
     the synthetic ``_jb`` column out of the join output)."""
+    import pyarrow.fs as pafs
+
     out: dict[int, list[str]] = {}
-    for p in glob.glob(os.path.join(side_dir, "_jb=*", "*.parquet")):
-        k = int(p.split("_jb=")[1].split(os.sep)[0])
-        out.setdefault(k, []).append(p)
-    for v in out.values():
-        v.sort()
+    for info in fs_listdir(fsys, side_dir):
+        name = info.path.rsplit("/", 1)[-1]
+        if info.type == pafs.FileType.Directory and name.startswith("_jb="):
+            files = fs_list_files(fsys, info.path)
+            if files:
+                out[int(name[4:])] = files
     return out
 
 
@@ -323,13 +292,15 @@ def hash_join(
             return table_from_pandas(df[ok], preserve_index=False)
 
         left = left.map_batches(prune, batch_format="pandas")
+    fsys, _ = exchange_fs()  # resolved ONCE, captured by task closures
     exchange_dir = fresh_exchange_dir(exchange_dir)
-    ldir, rdir = _partition_both(left, right, keys, keys, exchange_dir, num_buckets)
+    ldir, rdir = _partition_both(left, right, keys, keys, exchange_dir,
+                                 num_buckets, filesystem=fsys)
 
     import pyarrow.parquet as pq
 
-    lfiles = _bucket_files(ldir)
-    rfiles = _bucket_files(rdir)
+    lfiles = _bucket_files(fsys, ldir)
+    rfiles = _bucket_files(fsys, rdir)
     # inner: only buckets present on BOTH sides can produce rows — pruning
     # also keeps every output block non-empty (no schema-less placeholders).
     # left: every left bucket must emit its rows, matched or not.
@@ -345,7 +316,8 @@ def hash_join(
         """Schema for a side that may be empty in some (or all) buckets,
         so empty placeholders keep the column dtypes."""
         if files:
-            return pq.read_schema(next(iter(files.values()))[0])
+            return pq.read_schema(next(iter(files.values()))[0],
+                                  filesystem=fsys)
         sch = ds.schema()
         if sch is not None:
             return pa.schema(
@@ -366,7 +338,7 @@ def hash_join(
         rows = 0
         for f in lfiles[k]:
             chunk.append(f)
-            rows += pq.ParquetFile(f).metadata.num_rows
+            rows += fs_num_rows(fsys, f)
             if rows >= probe_rows_per_task:
                 tasks.append({"k": k, "lfiles": chunk})
                 chunk, rows = [], 0
@@ -382,10 +354,10 @@ def hash_join(
         for k, lspec in zip(batch["k"], batch["lfiles"]):
             files = lspec.split("\n") if lspec else []
             rfs = rfiles.get(int(k))
-            rt = (pa.concat_tables([pq.read_table(f) for f in rfs])
+            rt = (pa.concat_tables([fs_read_table(fsys, f) for f in rfs])
                   if rfs else None)
             if len(files):
-                lt = pa.concat_tables([pq.read_table(f) for f in files])
+                lt = pa.concat_tables([fs_read_table(fsys, f) for f in files])
             elif left_schema is not None:  # outer, right-only bucket
                 lt = left_schema.empty_table()
             else:  # left side entirely empty + schema-less: keys from right
@@ -565,10 +537,12 @@ def range_join(
     """
     if num_buckets is None:
         num_buckets = max(16, _default_num_buckets() // 4)
+    fsys, _ = exchange_fs()
     exchange_dir = fresh_exchange_dir(exchange_dir)
-    ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir, num_buckets)
-    lfiles = _bucket_files(ldir)
-    rfiles = _bucket_files(rdir)
+    ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir,
+                                 num_buckets, filesystem=fsys)
+    lfiles = _bucket_files(fsys, ldir)
+    rfiles = _bucket_files(fsys, rdir)
     present = sorted(lfiles.keys() & rfiles.keys())
 
     lower_i = int(pd.Timedelta(lower).value) if isinstance(lower, (pd.Timedelta, str)) else lower
@@ -579,8 +553,10 @@ def range_join(
 
         outs = []
         for k in batch["k"]:
-            lt = pa.concat_tables([pq.read_table(f) for f in lfiles[int(k)]])
-            rt = pa.concat_tables([pq.read_table(f) for f in rfiles[int(k)]])
+            lt = pa.concat_tables([fs_read_table(fsys, f)
+                                   for f in lfiles[int(k)]])
+            rt = pa.concat_tables([fs_read_table(fsys, f)
+                                   for f in rfiles[int(k)]])
             ldf = lt.to_pandas()
             rdf = rt.to_pandas().sort_values([by, on], kind="mergesort")
             lidx, ridx = _banded_matches(
@@ -636,11 +612,12 @@ def interval_join(
     """
     if num_buckets is None:
         num_buckets = max(16, _default_num_buckets() // 4)
+    fsys, _ = exchange_fs()
     exchange_dir = fresh_exchange_dir(exchange_dir)
     ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir,
-                                 num_buckets)
-    lfiles = _bucket_files(ldir)
-    rfiles = _bucket_files(rdir)
+                                 num_buckets, filesystem=fsys)
+    lfiles = _bucket_files(fsys, ldir)
+    rfiles = _bucket_files(fsys, rdir)
     present = sorted(lfiles.keys() & rfiles.keys())
 
     def join_bucket(batch: pd.DataFrame) -> pa.Table:
@@ -648,8 +625,10 @@ def interval_join(
 
         outs = []
         for k in batch["k"]:
-            lt = pa.concat_tables([pq.read_table(f) for f in lfiles[int(k)]])
-            rt = pa.concat_tables([pq.read_table(f) for f in rfiles[int(k)]])
+            lt = pa.concat_tables([fs_read_table(fsys, f)
+                                   for f in lfiles[int(k)]])
+            rt = pa.concat_tables([fs_read_table(fsys, f)
+                                   for f in rfiles[int(k)]])
             ldf = lt.to_pandas()
             rdf = rt.to_pandas().sort_values([by, right_start],
                                              kind="mergesort")
@@ -711,12 +690,12 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
     rschema = right.schema() if how == "left" else None
+    fsys, _ = exchange_fs()
     exchange_dir = fresh_exchange_dir(exchange_dir)
-    ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir, num_buckets)
-    lpresent = {int(p.rsplit("=", 1)[1])
-                for p in glob.glob(os.path.join(ldir, "_jb=*"))}
-    rpresent = {int(p.rsplit("=", 1)[1])
-                for p in glob.glob(os.path.join(rdir, "_jb=*"))}
+    ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir,
+                                 num_buckets, filesystem=fsys)
+    lpresent = set(_bucket_files(fsys, ldir))
+    rpresent = set(_bucket_files(fsys, rdir))
     present = sorted(lpresent & rpresent) if how == "inner" \
         else sorted(lpresent)
 
@@ -725,9 +704,9 @@ def asof_join(
 
         outs = []
         for k in batch["k"]:
-            lt = pq.read_table(os.path.join(ldir, f"_jb={k}")).to_pandas()
+            lt = fs_read_table(fsys, f"{ldir}/_jb={k}").to_pandas()
             if int(k) in rpresent:
-                rt = pq.read_table(os.path.join(rdir, f"_jb={k}")).to_pandas()
+                rt = fs_read_table(fsys, f"{rdir}/_jb={k}").to_pandas()
             elif rschema is not None:  # how == "left": typed empty right
                 rt = pa.schema(
                     list(zip(rschema.names, rschema.types))).empty_table() \

@@ -44,9 +44,6 @@ stress test for the engine.
 
 from __future__ import annotations
 
-import glob
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -57,7 +54,9 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data import Dataset
 
-from guac_ray.functions.joins import default_exchange, fresh_exchange_dir
+from guac_ray.exfs import (default_exchange, exchange_fs, fresh_exchange_dir,
+                           fs_bucket_ids, fs_list_files, fs_mkdirs,
+                           fs_num_rows, fs_read_table)
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["pagerank"]
@@ -69,17 +68,12 @@ def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
     return (stable_hash(keys.to_frame("k"), ["k"]) % num_buckets).astype("int64")
 
 
-def _files(d: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(d, "*.parquet")))
-
-
-def _read_bucket(root: str, k: int, columns=None) -> pd.DataFrame | None:
-    d = os.path.join(root, f"_bucket={k}")
-    fs = _files(d)
-    if not fs:
+def _read_bucket(fsys, root: str, k: int, columns=None) -> pd.DataFrame | None:
+    fls = fs_list_files(fsys, f"{root}/_bucket={k}")
+    if not fls:
         return None
     return pa.concat_tables(
-        [pq.read_table(f, columns=columns) for f in fs]).to_pandas()
+        [fs_read_table(fsys, f, columns=columns) for f in fls]).to_pandas()
 
 
 def pagerank(
@@ -102,6 +96,7 @@ def pagerank(
     deltas make ``tol`` an exact-fixpoint early-stop (delta < 1 ⟺ 0),
     so extra iterations past convergence are no-ops on both the engine
     and the SQL-oracle side."""
+    fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_base or default_exchange("pagerank"))
     B = num_buckets
     Q = quantize_scale
@@ -118,33 +113,32 @@ def pagerank(
         out["_bucket"] = _bucket_of(out["src"], B)
         return table_from_pandas(out, preserve_index=False)
 
-    e0 = os.path.join(ex, "edges0")
+    e0 = f"{ex}/edges0"
     edges.select_columns([src_col, dst_col]).map_batches(
         part_edges, batch_format="pandas").write_parquet(
-        e0, partition_cols=["_bucket"])
+        e0, partition_cols=["_bucket"], filesystem=fsys)
 
     # ---- setup job 2: per-bucket dedup + outdeg attach (local: all of a
     # source's edges are in its bucket) + node emission ----
-    eadj = os.path.join(ex, "edges")
-    os.makedirs(eadj, exist_ok=True)
+    eadj = f"{ex}/edges"
+    fs_mkdirs(fsys, eadj)
 
     def build_adj(batch: pd.DataFrame) -> pa.Table:
         nodes = []
         for k in batch["k"]:
-            df = _read_bucket(e0, int(k))
+            df = _read_bucket(fsys, e0, int(k))
             df = df.drop_duplicates(["src", "dst"])
             df["outdeg"] = df.groupby("src", sort=False)["src"].transform("size")
-            d = os.path.join(eadj, f"_bucket={k}")
-            os.makedirs(d, exist_ok=True)
+            d = f"{eadj}/_bucket={k}"
+            fs_mkdirs(fsys, d)
             pq.write_table(table_from_pandas(df, preserve_index=False),
-                           os.path.join(d, "part.parquet"))
+                           f"{d}/part.parquet", filesystem=fsys)
             nodes.append(pd.DataFrame({
                 "node_key": pd.unique(pd.concat([df["src"], df["dst"]]))}))
         return table_from_pandas(pd.concat(nodes, ignore_index=True),
                                     preserve_index=False)
 
-    ebuckets = sorted(int(p.rsplit("=", 1)[1])
-                      for p in glob.glob(os.path.join(e0, "_bucket=*")))
+    ebuckets = fs_bucket_ids(fsys, e0)
     if not ebuckets:
         return rd.from_arrow(pa.schema(
             [("node_key", pa.string()),
@@ -161,27 +155,27 @@ def pagerank(
         df["_bucket"] = _bucket_of(df["node_key"], B)
         return table_from_pandas(df, preserve_index=False)
 
-    nodes_dir = os.path.join(ex, "nodes")
+    nodes_dir = f"{ex}/nodes"
     dedup_exact(nodes_ds, ["node_key"], num_buckets=B).map_batches(
         part_nodes, batch_format="pandas").write_parquet(
-        nodes_dir, partition_cols=["_bucket"])
-    nbuckets = sorted(int(p.rsplit("=", 1)[1])
-                      for p in glob.glob(os.path.join(nodes_dir, "_bucket=*")))
+        nodes_dir, partition_cols=["_bucket"], filesystem=fsys)
+    nbuckets = fs_bucket_ids(fsys, nodes_dir)
     n_total = sum(
-        pq.ParquetFile(f).metadata.num_rows
-        for k in nbuckets for f in _files(os.path.join(nodes_dir, f"_bucket={k}")))
+        fs_num_rows(fsys, f)
+        for k in nbuckets
+        for f in fs_list_files(fsys, f"{nodes_dir}/_bucket={k}"))
 
-    rank_dir = os.path.join(ex, "ranks_0")
+    rank_dir = f"{ex}/ranks_0"
 
     def init_ranks(batch: pd.DataFrame) -> pa.Table:
         for k in batch["k"]:
-            df = _read_bucket(nodes_dir, int(k), columns=["node_key"])
+            df = _read_bucket(fsys, nodes_dir, int(k), columns=["node_key"])
             df["rank"] = (np.int64(Q // n_total) if Q is not None
                           else 1.0 / n_total)
-            d = os.path.join(rank_dir, f"_bucket={k}")
-            os.makedirs(d, exist_ok=True)
+            d = f"{rank_dir}/_bucket={k}"
+            fs_mkdirs(fsys, d)
             pq.write_table(table_from_pandas(df, preserve_index=False),
-                           os.path.join(d, "part.parquet"))
+                           f"{d}/part.parquet", filesystem=fsys)
         return pa.table({"k": pa.array(batch["k"], type=pa.int64())})
 
     rd.from_items([{"k": k} for k in nbuckets]).map_batches(
@@ -189,16 +183,16 @@ def pagerank(
 
     cur = rank_dir
     for it in range(max_iters):
-        cdir = os.path.join(ex, f"c_{it}")
-        ndir = os.path.join(ex, f"ranks_{it + 1}")
+        cdir = f"{ex}/c_{it}"
+        ndir = f"{ex}/ranks_{it + 1}"
 
         # contribution job: edge bucket k ⋈ rank bucket k (node buckets
         # use node-hash == src-hash, so the co-partition is free)
         def contrib(batch: pd.DataFrame, cur=cur) -> pa.Table:
             outs = []
             for k in batch["k"]:
-                e = _read_bucket(eadj, int(k))
-                r = _read_bucket(cur, int(k))
+                e = _read_bucket(fsys, eadj, int(k))
+                r = _read_bucket(fsys, cur, int(k))
                 if e is None and r is None:
                     continue
                 if e is not None and r is not None:
@@ -245,11 +239,11 @@ def pagerank(
         all_k = sorted(set(ebuckets) | set(nbuckets))
         rd.from_items([{"k": k} for k in all_k]).map_batches(
             contrib, batch_format="pandas", batch_size=1).write_parquet(
-            cdir, partition_cols=["_bucket"])
+            cdir, partition_cols=["_bucket"], filesystem=fsys)
 
         # dangling scalar: the sentinel bucket holds ONLY sentinel rows
         # (one per contributing task) — a driver read of a few scalars
-        b0 = _read_bucket(cdir, B, columns=["dst", "c"])
+        b0 = _read_bucket(fsys, cdir, B, columns=["dst", "c"])
         if Q is not None:
             dangling = 0 if b0 is None else int(b0["c"].sum())
         else:
@@ -261,9 +255,10 @@ def pagerank(
                       dangling=dangling) -> pa.Table:
             deltas = []
             for k in batch["k"]:
-                nodes = _read_bucket(nodes_dir, int(k), columns=["node_key"])
-                old = _read_bucket(cur, int(k))
-                c = _read_bucket(cdir, int(k), columns=["dst", "c"])
+                nodes = _read_bucket(fsys, nodes_dir, int(k),
+                                     columns=["node_key"])
+                old = _read_bucket(fsys, cur, int(k))
+                c = _read_bucket(fsys, cdir, int(k), columns=["dst", "c"])
                 if c is not None:
                     c = c[c["dst"] != _DANGLING]
                     agg = c.groupby("dst", sort=False)["c"].sum()
@@ -283,10 +278,10 @@ def pagerank(
                                          + dangling / n_total))
                 out = pd.DataFrame({"node_key": nodes["node_key"],
                                     "rank": rank})
-                d = os.path.join(ndir, f"_bucket={k}")
-                os.makedirs(d, exist_ok=True)
+                d = f"{ndir}/_bucket={k}"
+                fs_mkdirs(fsys, d)
                 pq.write_table(table_from_pandas(out, preserve_index=False),
-                               os.path.join(d, "part.parquet"))
+                               f"{d}/part.parquet", filesystem=fsys)
                 prev = old.set_index("node_key")["rank"]
                 delta = float(np.abs(
                     out.set_index("node_key")["rank"] - prev).sum())
@@ -307,5 +302,5 @@ def pagerank(
     # columns= also drops the hive-inferred _bucket partition column
     return rd.read_parquet(
         [f for k in nbuckets
-         for f in _files(os.path.join(cur, f"_bucket={k}"))],
-        columns=["node_key", "rank"])
+         for f in fs_list_files(fsys, f"{cur}/_bucket={k}")],
+        columns=["node_key", "rank"], filesystem=fsys)

@@ -35,9 +35,6 @@ relaxation on this machinery.
 
 from __future__ import annotations
 
-import glob
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -47,7 +44,8 @@ import ray.data as rd
 from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
-from guac_ray.functions.joins import default_exchange, fresh_exchange_dir
+from guac_ray.exfs import (default_exchange, exchange_fs, fresh_exchange_dir,
+                           fs_bucket_ids, fs_list_files, fs_mkdirs)
 from guac_ray.functions.pagerank import _bucket_of, _read_bucket
 
 __all__ = ["shortest_paths"]
@@ -69,6 +67,7 @@ def shortest_paths(
     weights make "shortest" depend on k — refuse them)."""
     if k < 1:
         raise ValueError("shortest_paths: k must be >= 1")
+    fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_base or default_exchange("spaths"))
     B = num_buckets
 
@@ -85,25 +84,24 @@ def shortest_paths(
         out["_bucket"] = _bucket_of(out["src"], B)
         return table_from_pandas(out, preserve_index=False)
 
-    e0 = os.path.join(ex, "edges0")
+    e0 = f"{ex}/edges0"
     edges.select_columns([src_col, dst_col, weight_col]).map_batches(
         part_edges, batch_format="pandas").write_parquet(
-        e0, partition_cols=["_bucket"])
+        e0, partition_cols=["_bucket"], filesystem=fsys)
 
-    eadj = os.path.join(ex, "edges")
+    eadj = f"{ex}/edges"
 
     def build_adj(batch: pd.DataFrame) -> pa.Table:
         for kk in batch["k"]:
-            df = _read_bucket(e0, int(kk))
+            df = _read_bucket(fsys, e0, int(kk))
             df = df.groupby(["src", "dst"], sort=False)["w"].min().reset_index()
-            d = os.path.join(eadj, f"_bucket={kk}")
-            os.makedirs(d, exist_ok=True)
+            d = f"{eadj}/_bucket={kk}"
+            fs_mkdirs(fsys, d)
             pq.write_table(table_from_pandas(df, preserve_index=False),
-                           os.path.join(d, "part.parquet"))
+                           f"{d}/part.parquet", filesystem=fsys)
         return pa.table({"k": pa.array(batch["k"], type=pa.int64())})
 
-    ebuckets = sorted(int(p.rsplit("=", 1)[1])
-                      for p in glob.glob(os.path.join(e0, "_bucket=*")))
+    ebuckets = fs_bucket_ids(fsys, e0)
     empty = pa.schema(
         [("node_key", pa.string()), ("dist", pa.int64())]).empty_table()
     if not ebuckets:
@@ -112,23 +110,23 @@ def shortest_paths(
         build_adj, batch_format="pandas", batch_size=1).materialize()
 
     # ---- dist_0: the source at distance 0, in its node-hash bucket ----
-    cur = os.path.join(ex, "dist_0")
+    cur = f"{ex}/dist_0"
     sb = int(_bucket_of(pd.Series([source]), B)[0])
-    d = os.path.join(cur, f"_bucket={sb}")
-    os.makedirs(d, exist_ok=True)
+    d = f"{cur}/_bucket={sb}"
+    fs_mkdirs(fsys, d)
     pq.write_table(table_from_pandas(pd.DataFrame(
         {"node_key": [source], "dist": np.array([0], dtype="int64")}),
-        preserve_index=False), os.path.join(d, "part.parquet"))
+        preserve_index=False), f"{d}/part.parquet", filesystem=fsys)
 
     for it in range(k):
-        cdir = os.path.join(ex, f"cand_{it}")
-        ndir = os.path.join(ex, f"dist_{it + 1}")
+        cdir = f"{ex}/cand_{it}"
+        ndir = f"{ex}/dist_{it + 1}"
 
         def relax(batch: pd.DataFrame, cur=cur) -> pa.Table:
             outs = []
             for kk in batch["k"]:
-                e = _read_bucket(eadj, int(kk))
-                r = _read_bucket(cur, int(kk))
+                e = _read_bucket(fsys, eadj, int(kk))
+                r = _read_bucket(fsys, cur, int(kk))
                 if e is None or r is None:
                     continue
                 m = e.merge(r, left_on="src", right_on="node_key",
@@ -151,14 +149,15 @@ def shortest_paths(
 
         rd.from_items([{"k": kk} for kk in ebuckets]).map_batches(
             relax, batch_format="pandas", batch_size=1).write_parquet(
-            cdir, partition_cols=["_bucket"])
+            cdir, partition_cols=["_bucket"], filesystem=fsys)
 
         def merge(batch: pd.DataFrame, cur=cur, cdir=cdir,
                   ndir=ndir) -> pa.Table:
             improved = []
             for kk in batch["k"]:
-                old = _read_bucket(cur, int(kk), columns=["node_key", "dist"])
-                cand = _read_bucket(cdir, int(kk),
+                old = _read_bucket(fsys, cur, int(kk),
+                                    columns=["node_key", "dist"])
+                cand = _read_bucket(fsys, cdir, int(kk),
                                     columns=["node_key", "dist"])
                 parts = [p for p in (old, cand) if p is not None]
                 if not parts:
@@ -173,10 +172,10 @@ def shortest_paths(
                     common = got.index.intersection(prev.index)
                     n_impr = int((got.loc[common] < prev.loc[common]).sum()) \
                         + len(got.index.difference(prev.index))
-                dd = os.path.join(ndir, f"_bucket={kk}")
-                os.makedirs(dd, exist_ok=True)
+                dd = f"{ndir}/_bucket={kk}"
+                fs_mkdirs(fsys, dd)
                 pq.write_table(table_from_pandas(new, preserve_index=False),
-                               os.path.join(dd, "part.parquet"))
+                               f"{dd}/part.parquet", filesystem=fsys)
                 improved.append(n_impr)
             return pa.table({"improved": pa.array(
                 [int(sum(improved))], type=pa.int64())})
@@ -188,8 +187,10 @@ def shortest_paths(
         if int(impr["improved"].sum()) == 0:
             break  # exact fixpoint: further rounds are no-ops
 
-    files = sorted(glob.glob(os.path.join(cur, "_bucket=*", "*.parquet")))
+    files = [f for b in fs_bucket_ids(fsys, cur)
+             for f in fs_list_files(fsys, f"{cur}/_bucket={b}")]
     if not files:
         return empty
     # columns= also drops the hive-inferred _bucket partition column
-    return rd.read_parquet(files, columns=["node_key", "dist"])
+    return rd.read_parquet(files, columns=["node_key", "dist"],
+                           filesystem=fsys)

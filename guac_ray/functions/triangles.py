@@ -93,9 +93,9 @@ def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
     a fresh reader over the persisted edge set, ``deg`` the (n, deg)
     table, ``with_deg`` the (u, v, du, dv) join — or ``None`` when the
     canonical edge set is empty (all input edges were self-loops)."""
-    import os
-
-    from guac_ray.functions.joins import fresh_exchange_dir, hash_join
+    from guac_ray.exfs import (exchange_fs, fresh_exchange_dir,
+                               fs_list_files)
+    from guac_ray.functions.joins import hash_join
     from guac_ray.stages.groupagg import grouped_agg
 
     def canon(t: pa.Table) -> pa.Table:
@@ -113,15 +113,15 @@ def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
         ["u", "v"], {"_n": ("u", "count")},
         num_buckets=num_buckets,
     )
-    edir = fresh_exchange_dir(os.path.join(base, "canon"))
-    dedup.select_columns(["u", "v"]).write_parquet(edir)
-    import glob as _glob
-
-    if not _glob.glob(os.path.join(edir, "*.parquet")):
+    fsys, _ = exchange_fs()  # resolved ONCE; closures capture it
+    edir = fresh_exchange_dir(f"{base}/canon")
+    dedup.select_columns(["u", "v"]).write_parquet(edir, filesystem=fsys)
+    efiles = fs_list_files(fsys, edir)
+    if not efiles:
         return None
 
     def E() -> Dataset:
-        return rd.read_parquet(edir)
+        return rd.read_parquet(efiles, filesystem=fsys)
 
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -143,10 +143,10 @@ def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
         lambda df: df.rename(columns={"n": "v", "deg": "dv"}),
         batch_format="pandas")
     with_du = hash_join(E(), du, on="u",
-                        exchange_dir=os.path.join(base, "ju"),
+                        exchange_dir=f"{base}/ju",
                         num_buckets=num_buckets)
     with_deg = hash_join(with_du, dv, on="v",
-                         exchange_dir=os.path.join(base, "jv"),
+                         exchange_dir=f"{base}/jv",
                          num_buckets=num_buckets)
     return E, deg, with_deg
 
@@ -235,7 +235,7 @@ def triangle_count(
     oriented = with_deg.map_batches(_orient_fn(num_buckets),
                                     batch_format="pandas")
     wedge_ds = fs_exchange_reduce(
-        oriented, os.path.join(base, "wedge"),
+        oriented, f"{base}/wedge",
         _wedges_fn(wedge_chunk, carry_source=False))
     if wedge_ds is None:
         return rd.from_items([{"n_triangles": 0}])
@@ -247,7 +247,7 @@ def triangle_count(
 
     closed = hash_join(
         wedge_ds, E(), on=["u", "v"],
-        exchange_dir=os.path.join(base, "close"),
+        exchange_dir=f"{base}/close",
         how="semi", num_buckets=num_buckets, partial_fn=count_partial)
     total = sum(r["c"] for r in closed.take_all())
     return rd.from_items([{"n_triangles": int(total)}])
@@ -296,7 +296,7 @@ def clustering_coefficient(
     oriented = with_deg.map_batches(_orient_fn(num_buckets),
                                     batch_format="pandas")
     wedge_ds = fs_exchange_reduce(
-        oriented, os.path.join(base, "wedge"),
+        oriented, f"{base}/wedge",
         _wedges_fn(wedge_chunk, carry_source=True))
 
     def deg_named(df: pd.DataFrame) -> pd.DataFrame:
@@ -323,7 +323,7 @@ def clustering_coefficient(
 
         closed = hash_join(
             wedge_ds, E(), on=["u", "v"],
-            exchange_dir=os.path.join(base, "close"),
+            exchange_dir=f"{base}/close",
             how="semi", num_buckets=num_buckets,
             partial_fn=credit_partial)
         tri = grouped_agg(closed, ["node"], {"t": ("tc", "sum")},
@@ -334,7 +334,7 @@ def clustering_coefficient(
             lambda df: df.assign(t=np.int64(0)), batch_format="pandas")
     else:
         joined = hash_join(deg_nodes, tri, on="node",
-                           exchange_dir=os.path.join(base, "jt"),
+                           exchange_dir=f"{base}/jt",
                            how="left", num_buckets=num_buckets)
 
     def finish(df: pd.DataFrame) -> pa.Table:
@@ -491,7 +491,7 @@ def common_neighbors(
 
     adj = with_deg.map_batches(centers, batch_format="pandas")
     pair_ds = fs_exchange_reduce(
-        adj, os.path.join(base, "wedge"),
+        adj, f"{base}/wedge",
         _wedges_fn(wedge_chunk, carry_source=False))
     if pair_ds is None:
         return empty
@@ -509,9 +509,9 @@ def common_neighbors(
     dy = deg.map_batches(
         lambda df: df.rename(columns={"n": "y", "deg": "deg_y"}),
         batch_format="pandas")
-    j1 = hash_join(cn, dx, on="x", exchange_dir=os.path.join(base, "jx"),
+    j1 = hash_join(cn, dx, on="x", exchange_dir=f"{base}/jx",
                    num_buckets=num_buckets)
-    j2 = hash_join(j1, dy, on="y", exchange_dir=os.path.join(base, "jy"),
+    j2 = hash_join(j1, dy, on="y", exchange_dir=f"{base}/jy",
                    num_buckets=num_buckets)
 
     def finish(df: pd.DataFrame) -> pa.Table:

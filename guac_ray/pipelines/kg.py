@@ -84,14 +84,13 @@ def cluster_by_conversation(
     clustered layout delivers the invariant with two pure map phases that
     scale with workers — the same trade Hive/Spark ``CLUSTER BY`` makes.
     """
-    import glob as _glob
-    import shutil as _shutil
-
     import pandas as pd
 
+    from guac_ray.exfs import exchange_fs, fs_bucket_ids, fs_rmtree
     from guac_ray.stages.assemble import stable_hash
 
-    _shutil.rmtree(exchange_dir, ignore_errors=True)
+    fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
+    fs_rmtree(fsys, exchange_dir)
 
     def part(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -99,16 +98,18 @@ def cluster_by_conversation(
         return table_from_pandas(df, preserve_index=False)
 
     ds.map_batches(part, batch_format="pandas").write_parquet(
-        exchange_dir, partition_cols=["_cb"]
+        exchange_dir, partition_cols=["_cb"], filesystem=fsys
     )
-    bucket_dirs = sorted(_glob.glob(os.path.join(exchange_dir, "_cb=*")))
+    bucket_dirs = [f"{exchange_dir}/_cb={b}"
+                   for b in fs_bucket_ids(fsys, exchange_dir, "_cb")]
 
     def sorted_bucket(batch: pd.DataFrame) -> pa.Table:
-        import pyarrow.parquet as pq
+        from guac_ray.exfs import fs_read_table
 
         outs = []
         for bdir in batch["bdir"]:
-            df = pq.read_table(bdir, columns=TRANSCRIPT_COLUMNS).to_pandas()
+            df = fs_read_table(fsys, bdir,
+                               columns=TRANSCRIPT_COLUMNS).to_pandas()
             outs.append(df.sort_values(["conv_id", "turn_idx"], kind="mergesort"))
         return table_from_pandas(
             pd.concat(outs, ignore_index=True), preserve_index=False

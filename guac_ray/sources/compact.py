@@ -25,6 +25,13 @@ member skips the delete, and the next run plans the recreated file as
 a fresh group. New files that appear under ``in_dir`` between runs are
 planned as additional groups appended to the manifest (incremental
 compaction).
+
+Deliberately LOCAL-filesystem only (unlike the exchange, which is
+pyarrow.fs-pluggable via guac_ray/exfs.py): the crash-safety contract
+leans on atomic rename (``os.replace``) and ``mtime_ns`` stats, which
+object stores don't provide — compaction of an object-store table needs
+a manifest-swap design (Iceberg-style) instead, not a lying port of
+this one.
 """
 
 from __future__ import annotations

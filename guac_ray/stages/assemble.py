@@ -20,7 +20,6 @@ the salted two-phase combine the north rule requires.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import pandas as pd
@@ -136,6 +135,20 @@ def dedup_exact(
     )
 
 
+def _list_bucket_dirs(fsys, ex: str, bucket_col: str) -> list[str]:
+    """Hive bucket directories (``<ex>/<bucket_col>=K``) on the exchange
+    filesystem — the ``glob`` replacement that works on any
+    ``pyarrow.fs`` backend."""
+    import pyarrow.fs as pafs
+
+    from guac_ray.exfs import fs_listdir
+
+    pre = f"{bucket_col}="
+    return [i.path for i in fs_listdir(fsys, ex)
+            if i.type == pafs.FileType.Directory
+            and i.path.rsplit("/", 1)[-1].startswith(pre)]
+
+
 def fs_exchange_reduce(
     ds: Dataset,
     exchange_base: str,
@@ -151,25 +164,23 @@ def fs_exchange_reduce(
     empty placeholder blocks from unpopulated sort partitions. Returns
     ``None`` when the input wrote zero rows (caller picks its own
     empty-shape fallback)."""
-    import glob as _glob
-
     import ray.data as rd
 
-    from guac_ray.functions.joins import fresh_exchange_dir
+    from guac_ray.exfs import (exchange_fs, fresh_exchange_dir,
+                               fs_list_files, fs_read_table)
 
+    fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_base)
-    ds.write_parquet(ex, partition_cols=[bucket_col])
-    bucket_dirs = sorted(_glob.glob(os.path.join(ex, f"{bucket_col}=*")))
+    ds.write_parquet(ex, partition_cols=[bucket_col], filesystem=fsys)
+    bucket_dirs = sorted(_list_bucket_dirs(fsys, ex, bucket_col))
     if not bucket_dirs:
         return None
 
     def task(batch: pd.DataFrame) -> pa.Table:
-        import pyarrow.parquet as pq
-
         outs = []
         for bdir in batch["bdir"]:
-            files = sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
-            t = pa.concat_tables([pq.read_table(f, columns=columns)
+            files = fs_list_files(fsys, bdir)
+            t = pa.concat_tables([fs_read_table(fsys, f, columns=columns)
                                   for f in files])
             outs.append(reduce_fn(t))
         return pa.concat_tables(outs)
@@ -201,11 +212,11 @@ def dedup_exact_fs(
     store, and the per-bucket files double as a resumable checkpoint of
     the exchange.
     """
-    import glob as _glob
-
-    from guac_ray.functions.joins import fresh_exchange_dir
+    from guac_ray.exfs import (exchange_fs, fresh_exchange_dir,
+                               fs_read_table)
 
     keep = keep_cols or cols
+    fsys, _ = exchange_fs()
     # unique per-call subdir: a lazy Dataset returned earlier keeps
     # re-reading ITS files; a later call must never repoint them
     exchange_dir = fresh_exchange_dir(exchange_dir)
@@ -218,16 +229,14 @@ def dedup_exact_fs(
     # NOTE: this write executes EAGERLY (phase 1 materializes to the
     # exchange before the returned Dataset is built)
     ds.map_batches(local, batch_format="pandas").write_parquet(
-        exchange_dir, partition_cols=["_bucket"]
+        exchange_dir, partition_cols=["_bucket"], filesystem=fsys
     )
-    bucket_dirs = sorted(_glob.glob(os.path.join(exchange_dir, "_bucket=*")))
+    bucket_dirs = sorted(_list_bucket_dirs(fsys, exchange_dir, "_bucket"))
 
     def dedup_bucket(batch: pd.DataFrame) -> pa.Table:
-        import pyarrow.parquet as pq
-
         outs = []
         for bdir in batch["bdir"]:
-            t = pq.read_table(bdir, columns=keep)
+            t = fs_read_table(fsys, bdir, columns=keep)
             outs.append(t.to_pandas().drop_duplicates(subset=cols)[keep])
         return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
