@@ -85,10 +85,17 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     # writing the bench output through the VM's lone blockdev would
     # measure that disk, not the engine
     out_root = "/dev/shm/guac_ray_bench" if os.path.isdir("/dev/shm") else "/tmp/guac_ray_bench"
+    # $GRAFT_EXCHANGE_ROOT reroutes ONLY the dedup exchange off
+    # /dev/shm — the shared-mount dry run (BASELINE.md "cluster
+    # story"): on a real multi-node cluster the exchange lives on the
+    # shared filesystem, so the disk-backed number is the honest
+    # multi-node floor; the output sink stays put so the delta
+    # isolates the exchange.
+    exch_root = os.environ.get("GRAFT_EXCHANGE_ROOT", out_root)
     # a FRESH process owns no live Datasets over the exchange, so clear
     # the whole base eagerly — fresh_exchange_dir's unique subdirs
     # otherwise accumulate RAM-backed copies across scaling trials
-    shutil.rmtree(f"{out_root}/_exchange", ignore_errors=True)
+    shutil.rmtree(f"{exch_root}/_exchange", ignore_errors=True)
     out_dir = f"{out_root}/{os.path.basename(os.path.normpath(sf_dir))}"
     # actor-pool floor sized to the node so the pool is warm before the
     # post-sort burst; ceiling leaves CPUs for shuffle tasks
@@ -102,7 +109,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
         g = build_graph(
             corpus["transcripts"], catalog_path=corpus["catalog"],
             num_buckets=64, extract_concurrency=conc,
-            exchange_dir=f"{out_root}/_exchange",
+            exchange_dir=f"{exch_root}/_exchange",
         )
         # headline = read→sort→extract→link→global dedup, consumed (the
         # BASELINE metric is triple-extraction throughput); the output
