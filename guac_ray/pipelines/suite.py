@@ -4287,6 +4287,184 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 # entries. The registry holds 89; the in-gate 50 all carry a SQL
 # oracle (hash-exact driver rows). Rotation policy (committed round 4,
 # applied again here at round-5 start): a gate slot goes to an
+# --------------------------------------------------------------------------
+# SPDX-JSON SBOM ingest parity (sources/spdx.py vs parse_spdx.go)
+# --------------------------------------------------------------------------
+
+def _spdx_fleet_for_sf(sf_dir: str) -> str:
+    """Deterministic SPDX-2.2 JSON fleet synthesized FROM the ``part``
+    table (one document per ``p_brand``, 25 at any sf) — a pure string
+    function of the rows, so the DuckDB oracle reconstructs the exact
+    same triples straight from ``part`` with string algebra and the
+    comparison is a real independent derivation, not a pinned golden.
+    Exercises: purl external refs, package checksums, DEPENDS_ON vs
+    CONTAINED_BY direction spellings, CONTAINS→file edges with the
+    file-purl canonical escaping, license expressions (MIT /
+    "Apache-2.0 AND MIT"), SECURITY cpe refs, topLevelPackage metadata.
+    Cached under /tmp per sf; regeneration is atomic per file."""
+    import hashlib as _hl
+    import json as _json
+
+    out = f"/tmp/guac_ray_spdx/{os.path.basename(os.path.normpath(sf_dir))}"
+    done = f"{out}/_done"
+    if os.path.exists(done):
+        return out
+    import pyarrow.parquet as _pq
+
+    df = _pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_size"],
+    ).to_pandas().sort_values("p_partkey")
+    os.makedirs(out, exist_ok=True)
+    for brand, g in df.groupby("p_brand", sort=True):
+        slug = brand.lower().replace("#", "-")
+        pkgs = [{"SPDXID": "SPDXRef-TOP", "name": slug, "versionInfo": "1",
+                 "externalRefs": [{"referenceCategory": "PACKAGE_MANAGER",
+                                   "referenceType": "purl",
+                                   "referenceLocator": f"pkg:generic/{slug}"}]}]
+        rels = [{"spdxElementId": "SPDXRef-DOCUMENT",
+                 "relationshipType": "DESCRIBES",
+                 "relatedSpdxElement": "SPDXRef-TOP"}]
+        files = []
+        for r in g.itertuples():
+            k, name, size = int(r.p_partkey), r.p_name, int(r.p_size)
+            purl = f"pkg:generic/{name.replace(' ', '-')}-{k}@{size}"
+            digest = _hl.md5(f"{name}-{k}".encode()).hexdigest()
+            pac = {"SPDXID": f"SPDXRef-P{k}", "name": name,
+                   "versionInfo": str(size),
+                   "checksums": [{"algorithm": "SHA256",
+                                  "checksumValue": digest}],
+                   "externalRefs": [{"referenceCategory": "PACKAGE_MANAGER",
+                                     "referenceType": "purl",
+                                     "referenceLocator": purl}]}
+            if size % 3 == 0:
+                pac["licenseConcluded"] = "MIT"
+            elif size % 3 == 1:
+                pac["licenseConcluded"] = "Apache-2.0 AND MIT"
+            if size % 4 == 0:
+                pac["externalRefs"].append(
+                    {"referenceCategory": "SECURITY",
+                     "referenceType": "cpe23Type",
+                     "referenceLocator": f"cpe:2.3:a:corp:part-{k}:{size}"})
+            pkgs.append(pac)
+            # both direction spellings of "top depends on part"
+            if k % 2 == 0:
+                rels.append({"spdxElementId": "SPDXRef-TOP",
+                             "relationshipType": "DEPENDS_ON",
+                             "relatedSpdxElement": f"SPDXRef-P{k}"})
+            else:
+                rels.append({"spdxElementId": f"SPDXRef-P{k}",
+                             "relationshipType": "CONTAINED_BY",
+                             "relatedSpdxElement": "SPDXRef-TOP"})
+            if k % 5 == 0:
+                files.append({"SPDXID": f"SPDXRef-F{k}",
+                              "fileName": f"lib/part-{k}.so",
+                              "checksums": [{"algorithm": "SHA1",
+                                             "checksumValue":
+                                                 _hl.md5(name.encode()).hexdigest()}]})
+                rels.append({"spdxElementId": f"SPDXRef-P{k}",
+                             "relationshipType": "CONTAINS",
+                             "relatedSpdxElement": f"SPDXRef-F{k}"})
+        doc = {"SPDXID": "SPDXRef-DOCUMENT", "name": slug,
+               "spdxVersion": "SPDX-2.2",
+               "creationInfo": {"created": "2024-01-01T00:00:00Z",
+                                "licenseListVersion": "3.18"},
+               "documentNamespace": f"https://sbom.test/spdx/{slug}",
+               "packages": pkgs, "files": files, "relationships": rels}
+        tmp = f"{out}/{slug}.json.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(doc, f, sort_keys=True)
+        os.replace(tmp, f"{out}/{slug}.json")
+    open(done, "w").close()
+    return out
+
+
+_SPDX_COLS = ["subj_type", "subj_key", "pred", "obj_type", "obj_key",
+              "justification"]
+
+
+def kg_spdx_ingest(sf_dir: str):
+    """Real-format SBOM ingestion: the SPDX-JSON reader plugin
+    (sources/spdx.py, field-level parse_spdx.go parity — verified
+    against the reference's own alpine golden, counts exact) over the
+    deterministic per-brand fleet → distinct edge rows. props/origin
+    are excluded here only because the has_sbom digest is a sha256 of
+    the raw blob (not SQL-derivable); the full payload is covered by
+    tests/test_spdx.py."""
+    from guac_ray.sources.spdx import read_spdx
+    from guac_ray.stages.assemble import dedup_exact
+
+    fleet = _spdx_fleet_for_sf(sf_dir)
+    edges = read_spdx(fleet).map_batches(
+        lambda t: t.select(_SPDX_COLS), batch_format="pyarrow")
+    return dedup_exact(edges, _SPDX_COLS, num_buckets=8)
+
+
+def KG_SPDX_INGEST_SQL(sf_dir: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT p_partkey AS k, p_name AS name, p_size AS size,
+         lower(replace(p_brand, '#', '-')) AS slug,
+         'pkg:generic/' || replace(p_name, ' ', '-') || '-' || p_partkey
+             || '@' || p_size AS purl,
+         'pkg:generic/' || lower(replace(p_brand, '#', '-')) AS top
+  FROM part
+), docs AS (
+  SELECT DISTINCT slug, top FROM p
+), fpurl AS (
+  SELECT k, name, purl,
+         'pkg:guac/files/sha1%3A' || md5(name) || '#lib%2Fpart-' || k
+             || '.so' AS fp
+  FROM p WHERE k % 5 = 0
+)
+SELECT DISTINCT * FROM (
+  SELECT 'package' AS subj_type, top AS subj_key, 'has_sbom' AS pred,
+         'manifest' AS obj_type, 'https://sbom.test/spdx/' || slug AS obj_key,
+         'spdx document manifest' AS justification
+  FROM docs
+  UNION ALL
+  SELECT 'package', top, 'depends_on', 'package', purl,
+         CASE WHEN k % 2 = 0
+              THEN 'Derived from SPDX DEPENDS_ON relationship'
+              ELSE 'Derived from SPDX CONTAINED_BY relationship' END
+  FROM p
+  UNION ALL
+  SELECT 'package', purl, 'depends_on', 'package', fp,
+         'Derived from SPDX CONTAINS relationship'
+  FROM fpurl
+  UNION ALL
+  SELECT 'package', purl, 'is_occurrence', 'artifact',
+         'sha256:' || md5(name || '-' || k), 'spdx package with checksum'
+  FROM p
+  UNION ALL
+  SELECT 'package', fp, 'is_occurrence', 'artifact', 'sha1:' || md5(name),
+         'spdx file with checksum'
+  FROM fpurl
+  UNION ALL
+  SELECT 'package', purl, 'certify_legal', 'license', 'license:MIT:3.18',
+         'Found in SPDX document.'
+  FROM p WHERE size % 3 IN (0, 1)
+  UNION ALL
+  SELECT 'package', purl, 'certify_legal', 'license',
+         'license:Apache-2.0:3.18', 'Found in SPDX document.'
+  FROM p WHERE size % 3 = 1
+  UNION ALL
+  SELECT 'package', purl, 'has_metadata', 'metadata',
+         'cpe:cpe:2.3:a:corp:part-' || k || ':' || size,
+         'spdx cpe external reference'
+  FROM p WHERE size % 4 = 0
+  UNION ALL
+  SELECT 'package', purl, 'has_metadata', 'metadata',
+         'topLevelPackage:' || top, 'spdx top level package reference'
+  FROM p
+  UNION ALL
+  SELECT 'package', top, 'has_metadata', 'metadata',
+         'topLevelPackage:' || top, 'spdx top level package reference'
+  FROM docs
+)
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -4320,6 +4498,9 @@ SUITE: dict[str, tuple] = {
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
     "kg_neighbor_deg": (kg_neighbor_deg, KG_NEIGHBOR_DEG_SQL),
     "kg_link_predict": (kg_link_predict, KG_LINK_PREDICT_SQL),
+    # round-5 addition, never driver-checked → straight into the gate
+    # (events_intervals, r4-driver-green and unchanged, cedes its slot):
+    "kg_spdx_ingest": (kg_spdx_ingest, KG_SPDX_INGEST_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
@@ -4346,7 +4527,6 @@ SUITE: dict[str, tuple] = {
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
-    "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -4366,6 +4546,7 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
     "kg_conv_stats": (kg_conv_stats, KG_CONV_STATS_SQL),

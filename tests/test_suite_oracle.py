@@ -49,6 +49,8 @@ FAST = [
     "events_entropy",
     "events_percentile",
     "doc_entropy",
+    # round 5: real-format SPDX-JSON SBOM ingest
+    "kg_spdx_ingest",
 ]
 
 
