@@ -4465,6 +4465,164 @@ SELECT DISTINCT * FROM (
 """
 
 
+def _cdx_fleet_for_sf(sf_dir: str) -> str:
+    """Deterministic CycloneDX-JSON fleet from the ``part`` table (one
+    BOM per ``p_brand``) — the CycloneDX sibling of
+    :func:`_spdx_fleet_for_sf`, same pure-string-function-of-the-rows
+    oracle discipline. Exercises: container top-level purl synthesis
+    (registry/name:tag → ?tag qualifier), the unconditional top-level
+    fan-out, SHA-256 hash occurrences, the explicit dependencies graph
+    (top→evens metadata-only + a per-brand chain of CDX BOM Dependency
+    edges), and one VEX vulnerability per BOM (exploitable on even
+    brand index → certify_vuln, not_affected on odd) with a CVSSv31
+    rating."""
+    import hashlib as _hl
+    import json as _json
+
+    out = f"/tmp/guac_ray_cdx/{os.path.basename(os.path.normpath(sf_dir))}"
+    done = f"{out}/_done"
+    if os.path.exists(done):
+        return out
+    import pyarrow.parquet as _pq
+
+    df = _pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_size"],
+    ).to_pandas().sort_values("p_partkey")
+    os.makedirs(out, exist_ok=True)
+    for brand, g in df.groupby("p_brand", sort=True):
+        slug = brand.lower().replace("#", "-")
+        idx = int(brand.split("#")[1])
+        comps, deps, evens, prev = [], [], [], None
+        for r in g.itertuples():
+            k, name, size = int(r.p_partkey), r.p_name, int(r.p_size)
+            purl = f"pkg:generic/{name.replace(' ', '-')}-{k}@{size}"
+            comps.append({
+                "bom-ref": f"P{k}", "type": "library", "name": name,
+                "version": str(size), "purl": purl,
+                "hashes": [{"alg": "SHA-256",
+                            "content": _hl.md5(f"{name}-{k}".encode()).hexdigest()}],
+            })
+            if k % 2 == 0:
+                evens.append(f"P{k}")
+            if prev is not None:
+                deps.append({"ref": prev, "dependsOn": [f"P{k}"]})
+            prev = f"P{k}"
+        deps.insert(0, {"ref": "top", "dependsOn": evens})
+        first_purl = comps[0]["purl"]
+        vuln = {
+            "id": f"CVE-2024-{1000 + idx}",
+            "analysis": ({"state": "exploitable"} if idx % 2 == 0 else
+                         {"state": "not_affected",
+                          "justification": "code_not_present"}),
+            "published": "2024-02-02T00:00:00Z",
+            "affects": [{"ref": f"urn:sbom:cdx:{slug}#{first_purl}"}],
+            "ratings": [{"method": "CVSSv31", "score": float(idx)}],
+        }
+        doc = {
+            "bomFormat": "CycloneDX", "specVersion": "1.4",
+            "serialNumber": f"urn:sbom:cdx:{slug}",
+            "metadata": {"timestamp": "2024-02-02T00:00:00Z",
+                         "component": {"bom-ref": "top", "type": "container",
+                                       "name": f"registry.test/{slug}:v1",
+                                       "version": "1"}},
+            "components": comps, "dependencies": deps,
+            "vulnerabilities": [vuln],
+        }
+        tmp = f"{out}/{slug}.json.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(doc, f, sort_keys=True)
+        os.replace(tmp, f"{out}/{slug}.json")
+    open(done, "w").close()
+    return out
+
+
+def kg_cdx_ingest(sf_dir: str):
+    """CycloneDX SBOM ingestion parity (sources/cyclonedx.py,
+    parser_cyclonedx.go semantics — verified against the reference's
+    own alpine/distroless/quarkus/VEX fixtures): the per-brand BOM
+    fleet → distinct edge rows; props/origin excluded for the same
+    blob-sha256 reason as kg_spdx_ingest (payloads covered by
+    tests/test_cyclonedx.py)."""
+    from guac_ray.sources.cyclonedx import read_cyclonedx
+    from guac_ray.stages.assemble import dedup_exact
+
+    fleet = _cdx_fleet_for_sf(sf_dir)
+    edges = read_cyclonedx(fleet).map_batches(
+        lambda t: t.select(_SPDX_COLS), batch_format="pyarrow")
+    return dedup_exact(edges, _SPDX_COLS, num_buckets=8)
+
+
+def KG_CDX_INGEST_SQL(sf_dir: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT p_partkey AS k, p_name AS name, p_size AS size,
+         lower(replace(p_brand, '#', '-')) AS slug,
+         CAST(replace(p_brand, 'Brand#', '') AS INT) AS idx,
+         'pkg:generic/' || replace(p_name, ' ', '-') || '-' || p_partkey
+             || '@' || p_size AS purl,
+         'pkg:guac/cdx/registry.test/' || lower(replace(p_brand, '#', '-'))
+             || '@1?tag=v1' AS top
+  FROM part
+), chain AS (
+  SELECT slug, purl,
+         lead(purl) OVER (PARTITION BY slug ORDER BY k) AS nxt
+  FROM p
+), docs AS (
+  SELECT slug, any_value(top) AS top, any_value(idx) AS idx,
+         'vuln://cve/cve-2024-' || (1000 + any_value(idx)) AS vkey,
+         arg_min(purl, k) AS fpurl
+  FROM p GROUP BY slug
+)
+SELECT DISTINCT * FROM (
+  SELECT 'package' AS subj_type, top AS subj_key, 'has_sbom' AS pred,
+         'manifest' AS obj_type, 'urn:sbom:cdx:' || slug AS obj_key,
+         'cdx document manifest' AS justification
+  FROM docs
+  UNION ALL
+  SELECT 'package', top, 'has_metadata', 'metadata',
+         'topLevelPackage:' || top,
+         'CycloneDX top level package self reference'
+  FROM docs
+  UNION ALL
+  SELECT 'package', top, 'depends_on', 'package', purl,
+         'top-level package GUAC heuristic connecting to each file/package'
+  FROM p
+  UNION ALL
+  SELECT 'package', purl, 'is_occurrence', 'artifact',
+         'sha-256:' || md5(name || '-' || k), 'cdx package with checksum'
+  FROM p
+  UNION ALL
+  SELECT 'package', purl, 'depends_on', 'package', nxt,
+         'CDX BOM Dependency'
+  FROM chain WHERE nxt IS NOT NULL
+  UNION ALL
+  -- topLevelPackage reference rows: deps of top (even k) ∪ chain
+  -- dependents (every non-first part of the brand); DISTINCT merges
+  SELECT 'package', purl, 'has_metadata', 'metadata',
+         'topLevelPackage:' || top, 'CycloneDX top level package reference'
+  FROM p WHERE k % 2 = 0
+  UNION ALL
+  SELECT 'package', c.nxt, 'has_metadata', 'metadata',
+         'topLevelPackage:' || d.top,
+         'CycloneDX top level package reference'
+  FROM chain c JOIN docs d USING (slug) WHERE c.nxt IS NOT NULL
+  UNION ALL
+  SELECT 'package', fpurl, 'affected_by', 'vulnerability', vkey,
+         'cdx vulnerability analysis'
+  FROM docs
+  UNION ALL
+  SELECT 'package', fpurl, 'certify_vuln', 'vulnerability', vkey,
+         'cdx vulnerability scan'
+  FROM docs WHERE idx % 2 = 0
+  UNION ALL
+  SELECT 'vulnerability', vkey, 'vuln_metadata', 'metric',
+         'ent:metric/cvssv31', 'cdx vulnerability rating'
+  FROM docs
+)
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -4501,6 +4659,7 @@ SUITE: dict[str, tuple] = {
     # round-5 addition, never driver-checked → straight into the gate
     # (events_intervals, r4-driver-green and unchanged, cedes its slot):
     "kg_spdx_ingest": (kg_spdx_ingest, KG_SPDX_INGEST_SQL),
+    "kg_cdx_ingest": (kg_cdx_ingest, KG_CDX_INGEST_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
@@ -4526,7 +4685,6 @@ SUITE: dict[str, tuple] = {
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
-    "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -4546,6 +4704,7 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
