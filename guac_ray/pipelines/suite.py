@@ -4623,6 +4623,128 @@ SELECT DISTINCT * FROM (
 """
 
 
+def _vex_fleet_for_sf(sf_dir: str) -> tuple[str, str]:
+    """Deterministic OpenVEX + CSAF fleets from the ``supplier`` table
+    (one document of each format per nation) — same pure-string oracle
+    discipline as the SBOM fleets. OpenVEX: one statement per supplier,
+    status cycling by suppkey%4 (affected / not_affected+justification /
+    fixed / under_investigation). CSAF: one vulnerability per nation
+    whose product tree resolves per-supplier two-hop (relationship →
+    branch purl helper); evens known_affected with a remediation, odds
+    fixed."""
+    import json as _json
+
+    base = f"/tmp/guac_ray_vex/{os.path.basename(os.path.normpath(sf_dir))}"
+    ov_dir, cs_dir = f"{base}/openvex", f"{base}/csaf"
+    done = f"{base}/_done"
+    if os.path.exists(done):
+        return ov_dir, cs_dir
+    import pyarrow.parquet as _pq
+
+    df = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]
+                        ).to_pandas().sort_values("s_suppkey")
+    os.makedirs(ov_dir, exist_ok=True)
+    os.makedirs(cs_dir, exist_ok=True)
+    ts = "2024-03-03T00:00:00Z"
+    for nat, g in df.groupby("s_nationkey", sort=True):
+        nat = int(nat)
+        stmts, branches, rels, affected, fixed = [], [], [], [], []
+        for r in g.itertuples():
+            k = int(r.s_suppkey)
+            purl = f"pkg:generic/supplier-{k}@1"
+            m = k % 4
+            stmt = {"vulnerability": {"name": f"CVE-2024-{2000 + k}"},
+                    "products": [{"@id": purl}]}
+            if m == 0:
+                stmt["status"] = "affected"
+                stmt["action_statement"] = f"upgrade supplier-{k}"
+            elif m == 1:
+                stmt["status"] = "not_affected"
+                stmt["justification"] = "vulnerable_code_not_present"
+                stmt["impact_statement"] = "code not reachable"
+            elif m == 2:
+                stmt["status"] = "fixed"
+            else:
+                stmt["status"] = "under_investigation"
+            stmts.append(stmt)
+            branches.append({"name": f"SUP{k}",
+                             "product": {"product_id": f"SUP{k}",
+                                         "product_identification_helper":
+                                             {"purl": purl}}})
+            rels.append({"product_reference": f"SUP{k}",
+                         "full_product_name":
+                             {"product_id": f"SUP{k}-on-plat"}})
+            (affected if k % 2 == 0 else fixed).append(f"SUP{k}-on-plat")
+        ov = {"@context": "https://openvex.dev/ns/v0.2.0",
+              "@id": f"https://vex.test/openvex/{nat}",
+              "timestamp": ts, "statements": stmts}
+        cs = {"document": {"tracking": {
+                  "id": f"CSAF-2024:{nat}",
+                  "current_release_date": ts}},
+              "product_tree": {"branches": [{"name": "vendor",
+                                             "branches": branches}],
+                               "relationships": rels},
+              "vulnerabilities": [{
+                  "cve": f"CVE-2024-{3000 + nat}",
+                  "product_status": {"known_affected": affected,
+                                     "fixed": fixed},
+                  "remediations": [{"details": "apply patch",
+                                    "product_ids": affected}]}]}
+        for d, path in ((ov, f"{ov_dir}/n{nat}.json"),
+                        (cs, f"{cs_dir}/n{nat}.json")):
+            with open(path + ".tmp", "w") as f:
+                _json.dump(d, f, sort_keys=True)
+            os.replace(path + ".tmp", path)
+    open(done, "w").close()
+    return ov_dir, cs_dir
+
+
+def kg_vex_ingest(sf_dir: str):
+    """VEX-family ingestion parity: the OpenVEX reader
+    (parser_open_vex.go semantics — verified against the reference's
+    affected/not-affected fixtures) UNION the CSAF reader
+    (parser_csaf.go — exactly the 3-entry CsafVexIngest golden on the
+    reference's rhsa fixture) over the per-nation fleets → distinct
+    edge rows (same 6-col discipline as the SBOM ingest queries)."""
+    from guac_ray.sources.csaf import read_csaf
+    from guac_ray.sources.openvex import read_openvex
+    from guac_ray.stages.assemble import dedup_exact
+
+    ov_dir, cs_dir = _vex_fleet_for_sf(sf_dir)
+    edges = read_openvex(ov_dir).union(read_csaf(cs_dir)).map_batches(
+        lambda t: t.select(_SPDX_COLS), batch_format="pyarrow")
+    return dedup_exact(edges, _SPDX_COLS, num_buckets=8)
+
+
+def KG_VEX_INGEST_SQL(sf_dir: str) -> str:
+    return f"""
+WITH s AS (
+  SELECT s_suppkey AS k, s_nationkey AS nat,
+         'pkg:generic/supplier-' || s_suppkey || '@1' AS purl
+  FROM supplier
+)
+SELECT DISTINCT * FROM (
+  -- OpenVEX: one statement per supplier
+  SELECT 'package' AS subj_type, purl AS subj_key,
+         'affected_by' AS pred, 'vulnerability' AS obj_type,
+         'vuln://cve/cve-2024-' || (2000 + k) AS obj_key,
+         'openvex statement' AS justification
+  FROM s
+  UNION ALL
+  SELECT 'package', purl, 'certify_vuln', 'vulnerability',
+         'vuln://cve/cve-2024-' || (2000 + k),
+         'openvex vulnerability scan'
+  FROM s WHERE k % 4 IN (0, 3)  -- affected / under_investigation
+  UNION ALL
+  -- CSAF: one vulnerability per nation over its suppliers
+  SELECT 'package', purl, 'affected_by', 'vulnerability',
+         'vuln://cve/cve-2024-' || (3000 + nat), 'csaf vex statement'
+  FROM s
+)
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -4660,6 +4782,7 @@ SUITE: dict[str, tuple] = {
     # (events_intervals, r4-driver-green and unchanged, cedes its slot):
     "kg_spdx_ingest": (kg_spdx_ingest, KG_SPDX_INGEST_SQL),
     "kg_cdx_ingest": (kg_cdx_ingest, KG_CDX_INGEST_SQL),
+    "kg_vex_ingest": (kg_vex_ingest, KG_VEX_INGEST_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
@@ -4684,7 +4807,6 @@ SUITE: dict[str, tuple] = {
     # --- event streams: windows, samples, quantiles, reshape ---
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
-    "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -4704,6 +4826,7 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),

@@ -49,8 +49,10 @@ FAST = [
     "events_entropy",
     "events_percentile",
     "doc_entropy",
-    # round 5: real-format SPDX-JSON SBOM ingest
+    # round 5: real-format SBOM / VEX document ingest
     "kg_spdx_ingest",
+    "kg_cdx_ingest",
+    "kg_vex_ingest",
 ]
 
 
