@@ -196,6 +196,32 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_sbom(args) -> int:
+    """Mixed SBOM/VEX directory → nodes/edges Parquet graph: documents
+    are content-sniffed (SPDX / CycloneDX / OpenVEX / CSAF) and routed
+    through the parser registry, then the standard full-identity
+    assemble dedup — the real-format ingest path (the reference's
+    collect→process→parse→assemble chain for files)."""
+    _ray_up(args.num_cpus)
+    from guac_ray.sources.spdx import read_documents_any
+    from guac_ray.stages.assemble import assemble_edges, nodes_from_edges
+
+    edges = assemble_edges(read_documents_any(args.in_dir,
+                                              strict=args.strict),
+                           num_buckets=args.num_buckets)
+    os.makedirs(args.out_dir, exist_ok=True)
+    edges.write_parquet(os.path.join(args.out_dir, "edges"))
+    import ray.data as rd
+
+    edges_w = rd.read_parquet(os.path.join(args.out_dir, "edges"))
+    nodes = nodes_from_edges(edges_w, num_buckets=max(8, args.num_buckets // 2))
+    nodes.write_parquet(os.path.join(args.out_dir, "nodes"))
+    n_e = rd.read_parquet(os.path.join(args.out_dir, "edges")).count()
+    n_n = rd.read_parquet(os.path.join(args.out_dir, "nodes")).count()
+    print(json.dumps({"edges": n_e, "nodes": n_n, "out": args.out_dir}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     _ray_up(args.num_cpus)
     import ray.data as rd
@@ -495,6 +521,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--threshold", type=float, default=0.8)
     s.add_argument("--ngram", type=int, default=10)
     s.set_defaults(fn=cmd_simjoin)
+
+    sb = sub.add_parser("sbom", help="SBOM/VEX documents (SPDX / "
+                        "CycloneDX / OpenVEX / CSAF, content-sniffed) → "
+                        "nodes/edges Parquet graph")
+    sb.add_argument("in_dir")
+    sb.add_argument("out_dir")
+    sb.add_argument("--num-buckets", type=int, default=16)
+    sb.add_argument("--strict", action="store_true",
+                    help="fail on unrecognized/malformed documents "
+                         "instead of reject-routing them")
+    sb.set_defaults(fn=cmd_sbom)
 
     c = sub.add_parser("compact",
                        help="bin-pack small parquet files into ~target-MB "

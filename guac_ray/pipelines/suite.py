@@ -4759,7 +4759,11 @@ SELECT DISTINCT * FROM (
 # the KG flagship core, every exchange-routed workhorse (dedup, hash
 # join, grouped agg, curation) and doc_decontaminate — the operators
 # round 5 modifies (pyarrow.fs-pluggable exchange, vectorized
-# shingling), so the driver re-verifies the NEW code paths.
+# shingling), so the driver re-verifies the NEW code paths. Mid-round
+# additions kg_spdx_ingest / kg_cdx_ingest / kg_vex_ingest (real-format
+# document parsers, never driver-checked) also enter the gate;
+# events_intervals / events_winsorized / events_zscore (r4-driver-green,
+# unchanged) cede their slots.
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),

@@ -34,10 +34,7 @@ from __future__ import annotations
 
 import json
 
-import pyarrow as pa
-
 from guac_ray.canonical import package_key, vuln_key
-from guac_ray.schemas import EDGE_IDENTITY
 
 __all__ = ["CsafError", "parse_csaf_document", "read_csaf"]
 
@@ -176,43 +173,10 @@ from guac_ray.sources.spdx import register_document_parser  # noqa: E402
 register_document_parser("csaf", parse_csaf_document)
 
 
-def _edges_table(rows: list[tuple]) -> pa.Table:
-    cols = list(zip(*rows)) if rows else [[] for _ in EDGE_IDENTITY]
-    return pa.table({n: pa.array(list(c), type=pa.string())
-                     for n, c in zip(EDGE_IDENTITY, cols)})
-
-
 def read_csaf(paths: str | list[str], strict: bool = False):
-    """CSAF JSON files → Dataset of EDGE_IDENTITY rows (same flat-map
-    shape as the SPDX/CycloneDX/OpenVEX readers)."""
-    import os
+    """CSAF JSON files → Dataset of EDGE_IDENTITY rows (shared
+    flat-map reader — sources/docreader.py)."""
+    from guac_ray.sources.docreader import read_edge_documents
 
-    import ray.data as rd
-
-    if isinstance(paths, str):
-        if os.path.isdir(paths):
-            paths = sorted(
-                os.path.join(paths, f) for f in os.listdir(paths)
-                if f.endswith((".json", ".json.gz")))
-        else:
-            paths = [paths]
-    if not paths:
-        return rd.from_arrow(_edges_table([]))
-
-    def parse_paths(batch: pa.Table) -> pa.Table:
-        import gzip
-
-        rows: list[tuple] = []
-        for p in batch["path"].to_pylist():
-            op = gzip.open if p.endswith(".gz") else open
-            with op(p, "rb") as f:
-                blob = f.read()
-            try:
-                rows.extend(parse_csaf_document(blob, source=p))
-            except CsafError:
-                if strict:
-                    raise
-        return _edges_table(rows)
-
-    return rd.from_items([{"path": p} for p in paths]).map_batches(
-        parse_paths, batch_format="pyarrow", batch_size=16)
+    return read_edge_documents(paths, parse_csaf_document, CsafError,
+                               strict=strict, batch_size=16)

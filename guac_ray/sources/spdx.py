@@ -59,12 +59,9 @@ from __future__ import annotations
 import hashlib
 import json
 
-import pyarrow as pa
-
 from guac_ray.canonical import (artifact_key, hash_license, license_key,
                                 package_key, parse_license_expression,
                                 sanitize)
-from guac_ray.schemas import EDGE_IDENTITY
 
 __all__ = ["SpdxError", "parse_spdx_document", "read_spdx", "spdx_ingest",
            "register_document_parser", "DOCUMENT_PARSERS",
@@ -397,91 +394,32 @@ def read_documents_any(paths: str | list[str], strict: bool = False):
     formats. Unrecognized or malformed documents are skipped
     (``strict=True`` raises). One flat-map over the path table, no
     shuffle; importing the sibling parser modules here registers them."""
-    import os
-
-    import ray.data as rd
-
     # importing registers cyclonedx/openvex/csaf in DOCUMENT_PARSERS
     import guac_ray.sources.csaf  # noqa: F401
     import guac_ray.sources.cyclonedx  # noqa: F401
     import guac_ray.sources.openvex  # noqa: F401
 
-    if isinstance(paths, str):
-        if os.path.isdir(paths):
-            paths = sorted(
-                os.path.join(paths, f) for f in os.listdir(paths)
-                if f.endswith((".json", ".json.gz")))
-        else:
-            paths = [paths]
-    if not paths:
-        return rd.from_arrow(_edges_table([]))
+    from guac_ray.sources.docreader import read_edge_documents
 
-    def parse_paths(batch: pa.Table) -> pa.Table:
-        import gzip
+    def parse_any(blob, source=""):
+        dt = guess_document_type(blob)
+        if dt is None:
+            raise SpdxError(f"unrecognized document type: {source}")
+        try:
+            return DOCUMENT_PARSERS[dt](blob, source=source)
+        except ValueError as ex:  # any family's parse error
+            raise SpdxError(str(ex)) from ex
 
-        rows: list[tuple] = []
-        for p in batch["path"].to_pylist():
-            op = gzip.open if p.endswith(".gz") else open
-            with op(p, "rb") as f:
-                blob = f.read()
-            dt = guess_document_type(blob)
-            if dt is None:
-                if strict:
-                    raise SpdxError(f"unrecognized document type: {p}")
-                continue
-            try:
-                rows.extend(DOCUMENT_PARSERS[dt](blob, source=p))
-            except ValueError:
-                if strict:
-                    raise
-        return _edges_table(rows)
-
-    return rd.from_items([{"path": p} for p in paths]).map_batches(
-        parse_paths, batch_format="pyarrow", batch_size=8)
-
-
-def _edges_table(rows: list[tuple]) -> pa.Table:
-    cols = list(zip(*rows)) if rows else [[] for _ in EDGE_IDENTITY]
-    return pa.table({n: pa.array(list(c), type=pa.string())
-                     for n, c in zip(EDGE_IDENTITY, cols)})
+    return read_edge_documents(paths, parse_any, SpdxError, strict=strict)
 
 
 def read_spdx(paths: str | list[str], strict: bool = False):
-    """SPDX-JSON files → Dataset of EDGE_IDENTITY rows. Pure flat-map
-    over a path table (one task per path group, no shuffle); gzip'd
-    ``.json.gz`` shards decode inline. ``strict=False`` skips malformed
-    documents (the reject route); ``strict=True`` raises."""
-    import os
+    """SPDX-JSON files → Dataset of EDGE_IDENTITY rows (shared
+    flat-map reader — see sources/docreader.py for the scale shape)."""
+    from guac_ray.sources.docreader import read_edge_documents
 
-    import ray.data as rd
-
-    if isinstance(paths, str):
-        if os.path.isdir(paths):
-            paths = sorted(
-                os.path.join(paths, f) for f in os.listdir(paths)
-                if f.endswith((".json", ".json.gz")))
-        else:
-            paths = [paths]
-    if not paths:
-        return rd.from_arrow(_edges_table([]))
-
-    def parse_paths(batch: pa.Table) -> pa.Table:
-        import gzip
-
-        rows: list[tuple] = []
-        for p in batch["path"].to_pylist():
-            op = gzip.open if p.endswith(".gz") else open
-            with op(p, "rb") as f:
-                blob = f.read()
-            try:
-                rows.extend(parse_spdx_document(blob, source=p))
-            except SpdxError:
-                if strict:
-                    raise
-        return _edges_table(rows)
-
-    return rd.from_items([{"path": p} for p in paths]).map_batches(
-        parse_paths, batch_format="pyarrow", batch_size=8)
+    return read_edge_documents(paths, parse_spdx_document, SpdxError,
+                               strict=strict)
 
 
 def spdx_ingest(paths: str | list[str], num_buckets: int = 16) -> dict:

@@ -266,3 +266,38 @@ class TestDocumentGuesser:
         with pytest.raises(Exception):
             read_documents_any([str(tmp_path / "c.json")],
                                strict=True).to_pandas()
+
+
+class TestSbomCliVerb:
+    def test_sbom_verb_builds_graph(self, ray_session, tmp_path, capsys):
+        from guac_ray.__main__ import cmd_sbom
+
+        spdx = {"SPDXID": "SPDXRef-DOCUMENT", "name": "img",
+                "spdxVersion": "SPDX-2.2",
+                "creationInfo": {"created": "2023-01-02T03:04:05Z"},
+                "documentNamespace": "ns",
+                "packages": [{"SPDXID": "SPDXRef-A", "name": "a",
+                              "versionInfo": "1"}],
+                "files": [], "relationships": []}
+        ov = _ov(statements=[{"vulnerability": "CVE-2014-1",
+                              "products": ["pkg:npm/a@1"],
+                              "status": "affected"}])
+        src = tmp_path / "docs"
+        src.mkdir()
+        (src / "a.json").write_text(json.dumps(spdx))
+        (src / "b.json").write_text(json.dumps(ov))
+        (src / "junk.json").write_text("{}")
+
+        class A:
+            in_dir, out_dir = str(src), str(tmp_path / "graph")
+            num_buckets, strict, num_cpus = 8, False, None
+        assert cmd_sbom(A()) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        # spdx: has_sbom + heuristic dep + topLevel metadata (2 pkgs);
+        # openvex: affected_by + certify_vuln; junk skipped
+        assert out["edges"] >= 5 and out["nodes"] >= 4
+        import pyarrow.parquet as pq
+
+        preds = set(pq.read_table(
+            str(tmp_path / "graph" / "edges"))["pred"].to_pylist())
+        assert {"has_sbom", "affected_by", "certify_vuln"} <= preds
