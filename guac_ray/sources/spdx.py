@@ -378,6 +378,17 @@ def guess_document_type(blob: bytes) -> str | None:
         return "spdx-json"
     if doc.get("bomFormat") == "CycloneDX":
         return "cyclonedx-json"
+    if doc.get("payload") and doc.get("payloadType") \
+            and doc.get("signatures"):
+        return "dsse"  # guesser/type_dsse.go:42-49
+    if str(doc.get("_type", "")).startswith("https://in-toto.io/Statement"):
+        return "ite6"  # guesser/type_ite6.go:30-47
+    if isinstance(doc.get("CurrentPackage"), dict):
+        return "deps-dev"  # guesser/type_deps_dev.go:25-31
+    if isinstance(doc.get("scorecard"), dict) and (
+            doc["scorecard"].get("version")
+            or doc["scorecard"].get("commit")):
+        return "scorecard"  # guesser/type_scorecard.go:25-31
     if "statements" in doc and ("@context" in doc or "@id" in doc):
         return "open-vex"  # self-identifying JSON-LD envelope
     if (doc.get("document") or {}).get("csaf_version") or (
@@ -394,9 +405,11 @@ def read_documents_any(paths: str | list[str], strict: bool = False):
     formats. Unrecognized or malformed documents are skipped
     (``strict=True`` raises). One flat-map over the path table, no
     shuffle; importing the sibling parser modules here registers them."""
-    # importing registers cyclonedx/openvex/csaf in DOCUMENT_PARSERS
+    # importing registers the sibling families in DOCUMENT_PARSERS
     import guac_ray.sources.csaf  # noqa: F401
     import guac_ray.sources.cyclonedx  # noqa: F401
+    import guac_ray.sources.depsdev  # noqa: F401
+    import guac_ray.sources.ite6  # noqa: F401
     import guac_ray.sources.openvex  # noqa: F401
 
     from guac_ray.sources.docreader import read_edge_documents
