@@ -172,8 +172,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "kg_neighbor_deg", "events_percentile", "doc_entropy",
             "kg_link_predict",
             # round-5: real-format document parsers (SPDX / CycloneDX /
-            # OpenVEX+CSAF fleets synthesized from part/supplier)
+            # OpenVEX+CSAF fleets synthesized from part/supplier, plus
+            # ITE-6 vuln/SLSA+DSSE and scorecard/deps.dev fleets)
             "kg_spdx_ingest", "kg_cdx_ingest", "kg_vex_ingest",
+            "kg_ite6_ingest", "kg_depsdev_ingest",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

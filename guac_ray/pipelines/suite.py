@@ -4745,6 +4745,280 @@ SELECT DISTINCT * FROM (
 """
 
 
+def _ite6_fleet_for_sf(sf_dir: str) -> str:
+    """Deterministic ITE-6 fleet from the ``part`` table, one PAIR of
+    documents per brand: a vuln attestation (subjects = the brand's
+    part purls, one brand-level CVE result) and a DSSE-wrapped SLSA
+    v0.2 provenance (subjects = per-part generic names with
+    md5-derived digests, one brand-level VCS material + builder) —
+    mixed in ONE directory so the query exercises the content-sniffing
+    fan-in including the DSSE unwrap."""
+    import base64 as _b64
+    import hashlib as _hl
+    import json as _json
+
+    base = f"/tmp/guac_ray_ite6/{os.path.basename(os.path.normpath(sf_dir))}"
+    done = f"{base}/_done"
+    if os.path.exists(done):
+        return base
+    import pyarrow.parquet as _pq
+
+    df = _pq.read_table(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"]
+                        ).to_pandas().sort_values("p_partkey")
+    os.makedirs(base, exist_ok=True)
+    md5 = lambda s: _hl.md5(s.encode()).hexdigest()  # noqa: E731
+    for brand, g in df.groupby("p_brand", sort=True):
+        b = brand.lower().replace("brand#", "")       # 'Brand#13' → '13'
+        keys = [int(r.p_partkey) for r in g.itertuples()]
+        vuln = {
+            "_type": "https://in-toto.io/Statement/v0.1",
+            "predicateType": "https://in-toto.io/attestation/vuln/v0.1",
+            "subject": [{"name": f"pkg:generic/part-{k}@1"} for k in keys],
+            "predicate": {
+                "scanner": {"uri": "osv.test", "version": "1.0",
+                            "result": [{"vulnerability_id":
+                                        f"CVE-2025-{b}"}]},
+                "metadata": {"scannedOn": "2025-06-06T00:00:00Z"},
+            },
+        }
+        slsa = {
+            "_type": "https://in-toto.io/Statement/v0.1",
+            "predicateType": "https://slsa.dev/provenance/v0.2",
+            "subject": [{"name": f"part-{k}",
+                         "digest": {"sha256": md5(f"part-{k}")}}
+                        for k in keys],
+            "predicate": {
+                "builder": {"id": f"https://builders.test/brand-{b}"},
+                "buildType": "https://build.test/parts@v1",
+                "metadata": {"buildStartedOn": "2025-06-06T00:00:00Z"},
+                "materials": [
+                    {"uri": f"git+https://github.com/parts/brand-{b}@v1",
+                     "digest": {"sha1": md5(f"brand-{b}")}}],
+            },
+        }
+        dsse = {"payloadType": "application/vnd.in-toto+json",
+                "payload": _b64.standard_b64encode(
+                    _json.dumps(slsa, sort_keys=True).encode()).decode(),
+                "signatures": [{"keyid": f"brand-{b}", "sig": "unverified"}]}
+        for d, path in ((vuln, f"{base}/b{b}-vuln.json"),
+                        (dsse, f"{base}/b{b}-dsse.json")):
+            with open(path + ".tmp", "w") as f:
+                _json.dump(d, f, sort_keys=True)
+            os.replace(path + ".tmp", path)
+    open(done, "w").close()
+    return base
+
+
+def kg_ite6_ingest(sf_dir: str):
+    """Attestation-family ingestion parity: the per-brand ITE-6 fleet
+    (vuln attestations + DSSE-wrapped SLSA provenance) through the
+    mixed-directory content-sniffing reader — the DSSE docs exercise
+    the envelope unwrap + re-guess chain (processor/dsse/dsse.go) and
+    the SLSA docs the getSlsaEntity purl/VCS/generic fallback. props
+    excluded as in kg_spdx_ingest (the flattened SLSA predicate is not
+    SQL-derivable; payloads are covered by tests/test_ite6_parsers.py)."""
+    from guac_ray.sources.spdx import read_documents_any
+    from guac_ray.stages.assemble import dedup_exact
+
+    fleet = _ite6_fleet_for_sf(sf_dir)
+    edges = read_documents_any(fleet).map_batches(
+        lambda t: t.select(_SPDX_COLS), batch_format="pyarrow")
+    return dedup_exact(edges, _SPDX_COLS, num_buckets=8)
+
+
+def KG_ITE6_INGEST_SQL(sf_dir: str) -> str:
+    return """
+WITH p AS (
+  SELECT p_partkey AS k,
+         replace(lower(p_brand), 'brand#', '') AS b
+  FROM part
+), brands AS (
+  SELECT DISTINCT b FROM p
+)
+SELECT DISTINCT * FROM (
+  -- vuln attestation: one OSV↔CVE equivalence per brand
+  SELECT 'vulnerability' AS subj_type,
+         'vuln://osv/cve-2025-' || b AS subj_key,
+         'vuln_equal' AS pred, 'vulnerability' AS obj_type,
+         'vuln://cve/cve-2025-' || b AS obj_key,
+         'Decoded OSV data' AS justification
+  FROM brands
+  UNION ALL
+  -- ... and one certify_vuln per subject part
+  SELECT 'package', 'pkg:generic/part-' || k || '@1', 'certify_vuln',
+         'vulnerability', 'vuln://osv/cve-2025-' || b,
+         'ite6 vulnerability attestation'
+  FROM p
+  UNION ALL
+  -- SLSA: per-part subject occurrence (generic purl → md5 digest)
+  SELECT 'package', 'pkg:guac/generic/part-' || k, 'is_occurrence',
+         'artifact', 'sha256:' || md5('part-' || k),
+         'from SLSA definition of checksums for subject/materials'
+  FROM p
+  UNION ALL
+  -- ... the brand material occurrence (VCS source → sha1 artifact)
+  SELECT 'source', 'src:git/github.com/parts/brand-' || b || '/tag=v1',
+         'is_occurrence', 'artifact', 'sha1:' || md5('brand-' || b),
+         'from SLSA definition of checksums for subject/materials'
+  FROM brands
+  UNION ALL
+  -- ... and has_slsa from every subject artifact to the brand builder
+  SELECT 'artifact', 'sha256:' || md5('part-' || k), 'has_slsa',
+         'builder',
+         'ent:builder/https%3A%2F%2Fbuilders.test%2Fbrand-' || b,
+         'ite6 slsa provenance'
+  FROM p
+)
+"""
+
+
+def _depsdev_fleet_for_sf(sf_dir: str) -> str:
+    """Deterministic scorecard + deps.dev fleet from the ``customer``
+    table, one pair per nation: an ossf-scorecard result for the
+    nation repo (date-only timestamp exercising the parser's midnight
+    fallback) and a deps.dev PackageComponent whose DepPackages are
+    the nation's customers (sources only for even custkeys, scorecards
+    only for custkey%4==0) with one IsDepPackages edge per customer."""
+    import json as _json
+
+    base = f"/tmp/guac_ray_depsdev/{os.path.basename(os.path.normpath(sf_dir))}"
+    done = f"{base}/_done"
+    if os.path.exists(done):
+        return base
+    import hashlib as _hl
+
+    import pyarrow.parquet as _pq
+
+    df = _pq.read_table(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]
+                        ).to_pandas().sort_values("c_custkey")
+    os.makedirs(base, exist_ok=True)
+    md5 = lambda s: _hl.md5(s.encode()).hexdigest()  # noqa: E731
+    pkg = lambda name, ver: {"type": "generic", "namespace": "",  # noqa: E731
+                             "name": name, "version": ver,
+                             "qualifiers": None, "subpath": ""}
+    for nat, g in df.groupby("c_nationkey", sort=True):
+        n = int(nat)
+        h = md5(f"nation-{n}")
+        sc = {"date": "2025-06-06",
+              "repo": {"name": f"github.com/nations/nation-{n}",
+                       "commit": h + h[:8]},
+              "scorecard": {"version": "v5.0.0", "commit": "ab" * 20},
+              "score": (n % 10) + 0.5,
+              "checks": [{"name": "Maintained", "score": n % 11},
+                         {"name": "License", "score": 10}]}
+        deps, isdeps = [], []
+        for r in g.itertuples():
+            k = int(r.c_custkey)
+            comp = {"CurrentPackage": pkg(f"customer-{k}", "1"),
+                    "Source": ({"type": "git",
+                                "namespace": "github.com/custs",
+                                "name": f"cust-{k}", "tag": None,
+                                "commit": None} if k % 2 == 0 else None),
+                    "Scorecard": ({"checks": [{"check": "CI-Tests",
+                                               "score": k % 11}],
+                                   "aggregateScore": float(k % 10),
+                                   "timeScanned": "2025-06-06T00:00:00Z",
+                                   "scorecardVersion": "v5.0.0",
+                                   "scorecardCommit": "cd" * 20}
+                                  if k % 4 == 0 else None),
+                    "DepPackages": None, "IsDepPackages": None,
+                    "UpdateTime": "2025-06-06T01:00:00Z"}
+            deps.append(comp)
+            isdeps.append({"CurrentPackageInput": pkg(f"nation-{n}", "1"),
+                           "DepPackageInput": pkg(f"customer-{k}", "1"),
+                           "IsDependency": {"versionRange": "^1",
+                                            "dependencyType": "DIRECT",
+                                            "justification": "",
+                                            "origin": "", "collector": ""}})
+        dd = {"CurrentPackage": pkg(f"nation-{n}", "1"),
+              "Source": {"type": "git", "namespace": "github.com/nations",
+                         "name": f"nation-{n}", "tag": None, "commit": None},
+              "Scorecard": {"checks": [{"check": "Maintained", "score": 7}],
+                            "aggregateScore": 5.5,
+                            "timeScanned": "2025-06-06T00:00:00Z",
+                            "scorecardVersion": "v5.0.0",
+                            "scorecardCommit": "ab" * 20},
+              "DepPackages": deps, "IsDepPackages": isdeps,
+              "UpdateTime": "2025-06-06T02:00:00Z"}
+        for d, path in ((sc, f"{base}/n{n}-scorecard.json"),
+                        (dd, f"{base}/n{n}-depsdev.json")):
+            with open(path + ".tmp", "w") as f:
+                _json.dump(d, f, sort_keys=True)
+            os.replace(path + ".tmp", path)
+    open(done, "w").close()
+    return base
+
+
+def kg_depsdev_ingest(sf_dir: str):
+    """Scorecard + deps.dev ingestion parity over the per-nation
+    fleet through the mixed-directory content-sniffing reader
+    (parser_scorecard.go / deps_dev.go semantics; props excluded as in
+    kg_spdx_ingest — scorecard check payloads are covered by
+    tests/test_ite6_parsers.py)."""
+    from guac_ray.sources.spdx import read_documents_any
+    from guac_ray.stages.assemble import dedup_exact
+
+    fleet = _depsdev_fleet_for_sf(sf_dir)
+    edges = read_documents_any(fleet).map_batches(
+        lambda t: t.select(_SPDX_COLS), batch_format="pyarrow")
+    return dedup_exact(edges, _SPDX_COLS, num_buckets=8)
+
+
+def KG_DEPSDEV_INGEST_SQL(sf_dir: str) -> str:
+    return """
+WITH c AS (
+  SELECT c_custkey AS k, c_nationkey AS n FROM customer
+), nations AS (
+  SELECT DISTINCT n, md5('nation-' || n) AS h FROM c
+)
+SELECT DISTINCT * FROM (
+  -- scorecard document: nation repo with commit
+  SELECT 'source' AS subj_type,
+         'src:git/github.com/nations/nation-' || n || '/commit=' || h
+             || substr(h, 1, 8) AS subj_key,
+         'certify_scorecard' AS pred, 'scorecard' AS obj_type,
+         'scorecard:src:git/github.com/nations/nation-' || n
+             || '/commit=' || h || substr(h, 1, 8) AS obj_key,
+         'ossf scorecard' AS justification
+  FROM nations
+  UNION ALL
+  -- deps.dev: nation package → nation source
+  SELECT 'package', 'pkg:generic/nation-' || n || '@1', 'has_source_at',
+         'source', 'src:git/github.com/nations/nation-' || n,
+         'collected via deps.dev'
+  FROM nations
+  UNION ALL
+  -- ... nation source scorecard
+  SELECT 'source', 'src:git/github.com/nations/nation-' || n,
+         'certify_scorecard', 'scorecard',
+         'scorecard:src:git/github.com/nations/nation-' || n,
+         'collected via deps.dev'
+  FROM nations
+  UNION ALL
+  -- ... even customers carry sources
+  SELECT 'package', 'pkg:generic/customer-' || k || '@1', 'has_source_at',
+         'source', 'src:git/github.com/custs/cust-' || k,
+         'collected via deps.dev'
+  FROM c WHERE k % 2 = 0
+  UNION ALL
+  -- ... every fourth customer also a scorecard
+  SELECT 'source', 'src:git/github.com/custs/cust-' || k,
+         'certify_scorecard', 'scorecard',
+         'scorecard:src:git/github.com/custs/cust-' || k,
+         'collected via deps.dev'
+  FROM c WHERE k % 4 = 0
+  UNION ALL
+  -- ... one depends_on per customer
+  SELECT 'package', 'pkg:generic/nation-' || n || '@1', 'depends_on',
+         'package', 'pkg:generic/customer-' || k || '@1',
+         'dependency collected via deps.dev'
+  FROM c
+)
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -4787,12 +5061,16 @@ SUITE: dict[str, tuple] = {
     "kg_spdx_ingest": (kg_spdx_ingest, KG_SPDX_INGEST_SQL),
     "kg_cdx_ingest": (kg_cdx_ingest, KG_CDX_INGEST_SQL),
     "kg_vex_ingest": (kg_vex_ingest, KG_VEX_INGEST_SQL),
+    # round-5 attestation/metadata parser families, never driver-
+    # checked → into the gate (knn_search and events_samples —
+    # r4-driver-green, unchanged, NOT exchange-routed — cede slots):
+    "kg_ite6_ingest": (kg_ite6_ingest, KG_ITE6_INGEST_SQL),
+    "kg_depsdev_ingest": (kg_depsdev_ingest, KG_DEPSDEV_INGEST_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
-    "knn_search": (knn_search_q0, KNN_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
@@ -4810,7 +5088,6 @@ SUITE: dict[str, tuple] = {
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
-    "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -4830,6 +5107,8 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "knn_search": (knn_search_q0, KNN_SQL),
+    "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),

@@ -53,6 +53,9 @@ FAST = [
     "kg_spdx_ingest",
     "kg_cdx_ingest",
     "kg_vex_ingest",
+    # round 5: attestation / metadata document ingest
+    "kg_ite6_ingest",
+    "kg_depsdev_ingest",
 ]
 
 
