@@ -389,6 +389,12 @@ def guess_document_type(blob: bytes) -> str | None:
             doc["scorecard"].get("version")
             or doc["scorecard"].get("commit")):
         return "scorecard"  # guesser/type_scorecard.go:25-31
+    if any(doc.get(f) for f in (
+            "certifyScorecard", "isDependency", "isOccurrence", "hasSlsa",
+            "certifyVuln", "vulnEqual", "hasSourceAt", "certifyBad",
+            "certifyGood", "hasSBOM", "hashEqual", "pkgEqual", "vex",
+            "contact", "vulnMetadata", "hasMetadata", "certifyLegal")):
+        return "ingest-predicates"  # guesser/type_ingest_predicates.go
     if "statements" in doc and ("@context" in doc or "@id" in doc):
         return "open-vex"  # self-identifying JSON-LD envelope
     if (doc.get("document") or {}).get("csaf_version") or (
@@ -409,6 +415,7 @@ def read_documents_any(paths: str | list[str], strict: bool = False):
     import guac_ray.sources.csaf  # noqa: F401
     import guac_ray.sources.cyclonedx  # noqa: F401
     import guac_ray.sources.depsdev  # noqa: F401
+    import guac_ray.sources.ingestpreds  # noqa: F401
     import guac_ray.sources.ite6  # noqa: F401
     import guac_ray.sources.openvex  # noqa: F401
 
