@@ -164,17 +164,141 @@ def _timestamp(doc: dict) -> str:
     return ts
 
 
+def _lname(el) -> str:
+    return el.tag.rsplit("}", 1)[-1]
+
+
+def _xml_text(el, name: str) -> str:
+    for ch in el:
+        if _lname(ch) == name:
+            return (ch.text or "").strip()
+    return ""
+
+
+def _xml_child(el, name: str):
+    for ch in el:
+        if _lname(ch) == name:
+            return ch
+    return None
+
+
+def _xml_comp(el) -> dict:
+    comp = {"bom-ref": el.get("bom-ref", ""), "type": el.get("type", "")}
+    for f in ("name", "version", "purl"):
+        v = _xml_text(el, f)
+        if v:
+            comp[f] = v
+    hs = _xml_child(el, "hashes")
+    if hs is not None:
+        comp["hashes"] = [{"alg": h.get("alg", ""),
+                           "content": (h.text or "").strip()}
+                          for h in hs if _lname(h) == "hash"]
+    return comp
+
+
+def cyclonedx_xml_to_dict(raw: bytes) -> dict:
+    """CycloneDX XML → the JSON BOM dict shape ``parse_cyclonedx_document``
+    consumes (the reference routes FormatXML through the same cyclonedx-go
+    BOM struct — parser_cyclonedx.go:219-230; this converter covers the
+    fields the parser reads: metadata.component / components / hashes /
+    dependencies / vulnerabilities incl. analysis, affects targets,
+    versions and ratings). Namespace-agnostic across schema versions."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError as ex:
+        raise CdxError(f"not valid XML: {ex}") from ex
+    if _lname(root) != "bom":
+        raise CdxError(f"not a CycloneDX BOM element: {root.tag!r}")
+    doc: dict = {"bomFormat": "CycloneDX"}
+    if root.get("serialNumber"):
+        doc["serialNumber"] = root.get("serialNumber")
+    md = _xml_child(root, "metadata")
+    if md is not None:
+        meta: dict = {}
+        if _xml_text(md, "timestamp"):
+            meta["timestamp"] = _xml_text(md, "timestamp")
+        tc = _xml_child(md, "component")
+        if tc is not None:
+            meta["component"] = _xml_comp(tc)
+        doc["metadata"] = meta
+    comps = _xml_child(root, "components")
+    if comps is not None:
+        doc["components"] = [_xml_comp(c) for c in comps
+                             if _lname(c) == "component"]
+    deps = _xml_child(root, "dependencies")
+    if deps is not None:
+        doc["dependencies"] = [
+            {"ref": d.get("ref", ""),
+             "dependsOn": [x.get("ref", "") for x in d
+                           if _lname(x) == "dependency"]}
+            for d in deps if _lname(d) == "dependency"]
+    vulns = _xml_child(root, "vulnerabilities")
+    if vulns is not None:
+        out = []
+        for v in vulns:
+            if _lname(v) != "vulnerability":
+                continue
+            jv: dict = {"id": _xml_text(v, "id")}
+            if _xml_text(v, "published"):
+                jv["published"] = _xml_text(v, "published")
+            an = _xml_child(v, "analysis")
+            if an is not None:
+                ja = {"state": _xml_text(an, "state"),
+                      "justification": _xml_text(an, "justification"),
+                      "detail": _xml_text(an, "detail")}
+                resp = _xml_child(an, "responses")
+                if resp is not None:
+                    ja["response"] = [(r.text or "").strip() for r in resp
+                                      if _lname(r) == "response"]
+                jv["analysis"] = ja
+            aff = _xml_child(v, "affects")
+            if aff is not None:
+                ta = []
+                for t in aff:
+                    if _lname(t) != "target":
+                        continue
+                    entry: dict = {"ref": _xml_text(t, "ref")}
+                    vers = _xml_child(t, "versions")
+                    if vers is not None:
+                        entry["versions"] = [
+                            {"version": _xml_text(w, "version"),
+                             "range": _xml_text(w, "range")}
+                            for w in vers if _lname(w) == "version"]
+                    ta.append(entry)
+                jv["affects"] = ta
+            rats = _xml_child(v, "ratings")
+            if rats is not None:
+                jr = []
+                for r in rats:
+                    if _lname(r) != "rating":
+                        continue
+                    entry = {"method": _xml_text(r, "method")}
+                    if _xml_text(r, "score"):
+                        entry["score"] = float(_xml_text(r, "score"))
+                    jr.append(entry)
+                jv["ratings"] = jr
+            out.append(jv)
+        doc["vulnerabilities"] = out
+    return doc
+
+
 def parse_cyclonedx_document(
     blob: bytes | str,
     source: str = "",
     collector: str = COLLECTOR,
 ) -> list[tuple]:
-    """One CycloneDX-JSON blob → EDGE_IDENTITY 9-tuples."""
+    """One CycloneDX blob (JSON, or XML via the same field mapping) →
+    EDGE_IDENTITY 9-tuples."""
     raw = blob.encode() if isinstance(blob, str) else blob
-    try:
-        doc = json.loads(raw)
-    except json.JSONDecodeError as ex:
-        raise CdxError(f"not valid JSON: {ex}") from ex
+    if raw.lstrip()[:1] == b"<":
+        doc = cyclonedx_xml_to_dict(raw)
+    else:
+        try:
+            doc = json.loads(raw)
+        except json.JSONDecodeError as ex:
+            raise CdxError(f"not valid JSON: {ex}") from ex
     # metadata ABSENT → a VEX-only BOM with no top-level package (the
     # reference's unaffected-vex fixture parses fine —
     # getTopLevelPackage:106-108 returns early); metadata PRESENT but

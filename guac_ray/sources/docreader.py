@@ -40,23 +40,26 @@ def read_edge_documents(
 
     import ray.data as rd
 
+    _DOC_EXTS = (".json", ".xml", ".jsonl", ".ndjson")
+    _COMP = (".gz", ".zst", ".zstd", ".bz2")
     if isinstance(paths, str):
         if os.path.isdir(paths):
             paths = sorted(
                 os.path.join(paths, f) for f in os.listdir(paths)
-                if f.endswith((".json", ".json.gz")))
+                if f.endswith(_DOC_EXTS)
+                or (f.endswith(_COMP)
+                    and f.rsplit(".", 1)[0].endswith(_DOC_EXTS)))
         else:
             paths = [paths]
     if not paths:
         return rd.from_arrow(edges_table([]))
 
     def parse_paths(batch: pa.Table) -> pa.Table:
-        import gzip
+        from guac_ray.sources.readers import open_maybe_compressed
 
         rows: list[tuple] = []
         for p in batch["path"].to_pylist():
-            op = gzip.open if p.endswith(".gz") else open
-            with op(p, "rb") as f:
+            with open_maybe_compressed(p) as f:
                 blob = f.read()
             try:
                 rows.extend(parse_fn(blob, source=p))

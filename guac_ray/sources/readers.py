@@ -50,6 +50,18 @@ def sniff_compression(path: str) -> str | None:
     return None
 
 
+def open_maybe_compressed(path: str):
+    """Binary reader with the compression suffix transparently decoded
+    through Arrow's codec layer (gzip/zstd/bz2 — the same Encoding set
+    process.go:217-253 dispatches). Plain files open directly."""
+    import pyarrow as pa
+
+    codec = sniff_compression(path)
+    if codec is None:
+        return open(path, "rb")
+    return pa.CompressedInputStream(pa.OSFile(path, "rb"), codec)
+
+
 def sniff_format(path: str) -> str:
     """Extension-first format guess with a content peek fallback
     (guesser chain analog — first match wins). Compression suffixes

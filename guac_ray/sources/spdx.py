@@ -362,6 +362,45 @@ def register_document_parser(doc_type: str, fn) -> None:
 register_document_parser("spdx-json", parse_spdx_document)
 
 
+def parse_jsonlines_document(
+    blob: bytes | str,
+    source: str = "",
+    collector: str = "",
+) -> list[tuple]:
+    """JSON Lines document → each line re-enters the content guesser
+    and routes to its own parser (the reference's JsonLinesProcessor
+    unpacks every line into an unknown-typed sub-document —
+    processor/jsonlines/jsonlines.go:45-66). Any unroutable or
+    malformed line fails the WHOLE document (line granularity is the
+    reject unit upstream, document granularity here)."""
+    _register_all_parsers()
+    raw = blob.encode() if isinstance(blob, str) else blob
+    edges: list[tuple] = []
+    for i, ln in enumerate(raw.splitlines()):
+        if not ln.strip():
+            continue
+        dt = guess_document_type(ln)
+        if dt is None or dt == "json-lines":
+            raise SpdxError(f"jsonlines: unroutable line {i} in {source}")
+        edges.extend(DOCUMENT_PARSERS[dt](ln, source=source))
+    return edges
+
+
+def _register_all_parsers() -> None:
+    """Importing the sibling modules registers every family in
+    DOCUMENT_PARSERS (the reference's RegisterDocumentParser init chain
+    — parser.go:44-54)."""
+    import guac_ray.sources.csaf  # noqa: F401
+    import guac_ray.sources.cyclonedx  # noqa: F401
+    import guac_ray.sources.depsdev  # noqa: F401
+    import guac_ray.sources.ingestpreds  # noqa: F401
+    import guac_ray.sources.ite6  # noqa: F401
+    import guac_ray.sources.openvex  # noqa: F401
+
+
+register_document_parser("json-lines", parse_jsonlines_document)
+
+
 def guess_document_type(blob: bytes) -> str | None:
     """Content-based document-type guess, first-match-wins — the
     reference's guesser chain for these formats
@@ -371,6 +410,28 @@ def guess_document_type(blob: bytes) -> str | None:
     try:
         doc = json.loads(blob)
     except (json.JSONDecodeError, UnicodeDecodeError):
+        if blob.lstrip()[:1] == b"<":
+            # XML: CycloneDX is the only XML family the reference
+            # parses (guesser/type_cyclonedx.go FormatXML branch)
+            try:
+                import xml.etree.ElementTree as ET
+
+                root = ET.fromstring(blob)
+                if root.tag.rsplit("}", 1)[-1] == "bom":
+                    return "cyclonedx-json"  # same parser, XML branch
+            except ET.ParseError:
+                return None
+            return None
+        # JSON Lines: every non-empty line is itself valid JSON
+        # (processor/guesser/format_jsonlines.go) — each line re-enters
+        # this guesser via the json-lines parser
+        lines = [ln for ln in blob.splitlines() if ln.strip()]
+        if len(lines) > 1:
+            try:
+                if all(isinstance(json.loads(ln), dict) for ln in lines):
+                    return "json-lines"
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                return None
         return None
     if not isinstance(doc, dict):
         return None
@@ -411,13 +472,7 @@ def read_documents_any(paths: str | list[str], strict: bool = False):
     formats. Unrecognized or malformed documents are skipped
     (``strict=True`` raises). One flat-map over the path table, no
     shuffle; importing the sibling parser modules here registers them."""
-    # importing registers the sibling families in DOCUMENT_PARSERS
-    import guac_ray.sources.csaf  # noqa: F401
-    import guac_ray.sources.cyclonedx  # noqa: F401
-    import guac_ray.sources.depsdev  # noqa: F401
-    import guac_ray.sources.ingestpreds  # noqa: F401
-    import guac_ray.sources.ite6  # noqa: F401
-    import guac_ray.sources.openvex  # noqa: F401
+    _register_all_parsers()
 
     from guac_ray.sources.docreader import read_edge_documents
 
