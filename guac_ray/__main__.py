@@ -197,8 +197,10 @@ def cmd_compact(args) -> int:
 
 
 def cmd_sbom(args) -> int:
-    """Mixed SBOM/VEX directory → nodes/edges Parquet graph: documents
-    are content-sniffed (SPDX / CycloneDX / OpenVEX / CSAF) and routed
+    """Mixed SBOM/VEX/attestation directory → nodes/edges Parquet
+    graph: documents are content-sniffed (SPDX / CycloneDX JSON+XML /
+    OpenVEX / CSAF / ITE-6 vuln+SLSA / DSSE / scorecard / deps.dev /
+    IngestPredicates / JSON-Lines, gz/zst/bz2 transparent) and routed
     through the parser registry, then the standard full-identity
     assemble dedup — the real-format ingest path (the reference's
     collect→process→parse→assemble chain for files)."""
