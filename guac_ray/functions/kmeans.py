@@ -40,7 +40,8 @@ import ray
 
 from ray.data import Dataset
 
-__all__ = ["quantize_embeddings", "kmeans_fixed_point"]
+__all__ = ["quantize_embeddings", "kmeans_fixed_point",
+           "semdedup_embeddings"]
 
 
 def quantize_embeddings(
@@ -73,26 +74,22 @@ def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d, axis=1).astype(np.int64)
 
 
-def kmeans_fixed_point(
-    ds: Dataset,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 8,
-    iters: int = 3,
-    scale: int = 4096,
-    offset: float = 1.0,
-) -> Dataset:
-    """Lloyd's iterations under the fixed-point contract above.
-
-    Init: the embeddings of the k SMALLEST ids (deterministic, no RNG).
-    Loop ``iters`` times: assign → integer-mean update. Returns the
-    final assignment as a Dataset (id_col, cluster) streamed by one
-    more pass.
+def _lloyd_centroids(
+    proj: Dataset,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    scale: int,
+    offset: float,
+) -> np.ndarray:
+    """The Lloyd loop under the fixed-point contract above; returns the
+    final (k × dim) int64 centroid matrix. Init: the embeddings of the
+    k SMALLEST ids (deterministic, no RNG); loop ``iters`` times:
+    assign → integer-mean update.
     """
-    proj = ds.select_columns([id_col, vec_col])
-
-    # ---- init: k smallest ids; per-batch top-k keeps the driver pull
-    # bounded at k × num_blocks rows, never the table
+    # init pull: per-batch top-k keeps the driver pull bounded at
+    # k × num_blocks rows, never the table
     def topk_partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -137,7 +134,23 @@ def kmeans_fixed_point(
         new = cents.copy()
         new[nz] = s[nz] // n[nz, None]  # non-negative: floor == trunc
         cents = new
+    return cents
 
+
+def kmeans_fixed_point(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 4096,
+    offset: float = 1.0,
+) -> Dataset:
+    """Lloyd's iterations under the fixed-point contract above; returns
+    the final assignment as a Dataset (id_col, cluster) streamed by one
+    more pass over the input."""
+    proj = ds.select_columns([id_col, vec_col])
+    cents = _lloyd_centroids(proj, vec_col, id_col, k, iters, scale, offset)
     cref = ray.put(cents)
 
     def final_assign(t: pa.Table) -> pa.Table:
@@ -149,3 +162,118 @@ def kmeans_fixed_point(
         })
 
     return proj.map_batches(final_assign, batch_format="pyarrow")
+
+
+def semdedup_embeddings(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 4096,
+    offset: float = 1.0,
+    dist2_max: int = 1_700_000,
+    exchange_base: str | None = None,
+    num_buckets: int = 8,
+    max_cluster_rows: int = 2_000_000,
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    near-duplicates WITHIN each cluster — the clustering bounds the
+    pairwise work to per-cluster blocks instead of the corpus square.
+    Beyond-reference operator (GUAC has no embedding ops); complements
+    ``functions.ann.embedding_neardup`` (LSH buckets) with the
+    cluster-bucketed regime the paper uses at web scale.
+
+    Returns (id_col, cluster, kept) with kept ∈ {0, 1} int64: a row is
+    kept unless SOME lower-id row in ITS cluster lies within
+    ``dist2_max`` quantized squared L2. For unit-norm embeddings
+    cos(a,b) ≥ τ  ⟺  ‖a−b‖² ≤ 2(1−τ), so the default 1_700_000 at
+    scale=4096 ≈ cosine 0.9493 (2·(1−τ)·4096² = 1.7e6). The drop rule
+    is the pair-graph "any lower-id witness" variant, NOT the
+    sequential greedy (a dropped row still witnesses): that makes the
+    result independent of partitioning/visit order and expressible as
+    one SQL self-join (suite.EMB_SEMDEDUP_SQL) for the oracle gate.
+
+    Determinism: distances are exact int64 arithmetic over the same
+    fixed-point quantization as the clustering (module contract above)
+    — any engine reproduces kept bit-for-bit.
+
+    Scale shape (100 TB posture): the Lloyd loop is the streaming
+    kmeans above; one more pass emits (id, cluster, qvec) partitioned
+    by cluster hash into the filesystem exchange; each bucket task
+    segments its clusters and runs a CHUNKED int64 matmul per cluster
+    (O(c²·dim) — at web scale k grows with the corpus precisely so c
+    stays ~constant, the paper's regime; ``max_cluster_rows`` guards
+    the quadratic block instead of degrading silently).
+    """
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    proj = ds.select_columns([id_col, vec_col])
+    cents = _lloyd_centroids(proj, vec_col, id_col, k, iters, scale, offset)
+    cref = ray.put(cents)
+
+    def assign_q(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        q = quantize_embeddings(t, vec_col, scale, offset)
+        a = _assign(q, c)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(a),
+            "q": pa.array(list(q), type=pa.list_(pa.int64())),
+            "_bucket": pa.array(a % num_buckets),
+        })
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("cluster", "ascending"), (id_col, "ascending")])
+        clus = t["cluster"].to_numpy(zero_copy_only=False)
+        nrows = len(clus)
+        qcol = t["q"]
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        q = qcol.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64).reshape(nrows, -1)
+        kept = np.ones(nrows, dtype=bool)
+        bounds = np.flatnonzero(np.r_[True, clus[1:] != clus[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            c = e - s
+            if c > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup: cluster of {c} rows exceeds "
+                    f"max_cluster_rows={max_cluster_rows}; raise k so "
+                    f"clusters stay pairwise-tractable (the SemDeDup "
+                    f"regime) or raise the guard")
+            if c < 2:
+                continue
+            blk = q[s:e]
+            n2 = (blk * blk).sum(axis=1)
+            # chunk rows j so the (chunk × c) distance block bounds
+            # memory; exact int64 throughout
+            step = max(1, 4_194_304 // c)  # ≈4M-element distance blocks
+            for js in range(1, c, step):
+                je = min(js + step, c)
+                cross = blk[js:je] @ blk[:je].T
+                d2 = (n2[js:je, None] + n2[None, :je] - 2 * cross)
+                lt = np.arange(je)[None, :] < np.arange(js, je)[:, None]
+                kept[s + js:s + je] &= ~(
+                    (d2 <= dist2_max) & lt).any(axis=1)
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "cluster": t["cluster"].combine_chunks(),
+            "kept": pa.array(kept.astype(np.int64)),
+        })
+
+    from guac_ray.exfs import default_exchange
+
+    ex = exchange_base or default_exchange("semdedup")
+    out = fs_exchange_reduce(
+        proj.map_batches(assign_q, batch_format="pyarrow"), ex, prune,
+        bucket_col="_bucket")
+    if out is None:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "kept": pa.array([], pa.int64())}))
+    return out

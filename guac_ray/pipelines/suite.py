@@ -3206,6 +3206,59 @@ def _kmeans_full_sql(**kw) -> str:
 EMB_KMEANS_SQL = _kmeans_full_sql()
 
 
+def emb_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (functions/kmeans.py): k-means
+    buckets (k=8, 3 iterations — the exact emb_kmeans assignment) then
+    within-cluster near-dup pruning on quantized int64 L2. kept=0 rows
+    are the semantic duplicates a curation pipeline would drop. The
+    radius here is 23.5e6 ≈ cosine 0.30: the synthetic embeddings are
+    near-orthogonal (max pairwise cosine 0.6 — no pairs exist at the
+    paper's 0.95, the function's default), so the gate radius sits
+    where BOTH branches are exercised (~40% of rows drop at every sf).
+    The oracle unrolls the SAME kmeans CTEs as EMB_KMEANS_SQL plus one
+    within-cluster self-join — so this query transitively re-verifies
+    the kmeans assignment too."""
+    from guac_ray.functions.kmeans import semdedup_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup_embeddings(
+        ds, k=8, iters=3, dist2_max=23_500_000,
+        exchange_base=_exchange("semdedup"))
+
+
+def _semdedup_sql(k: int = 8, iters: int = 3, d2: int = 23_500_000) -> str:
+    """EMB_KMEANS_SQL's unrolled CTEs + final assignment as a CTE + one
+    within-cluster lower-id pair join: j is dropped iff SOME i<j in its
+    cluster has quantized ‖qi−qj‖² ≤ d2 (all-integer arithmetic)."""
+    with_parts, _ = _kmeans_sql(k=k, iters=iters)
+    dist = ("list_sum(list_transform(list_zip(q.v, c.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    pair = ("list_sum(list_transform(list_zip(qa.v, qb.v), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))")
+    return with_parts + f""",
+fin AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN c{iters} AS c) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id AS j
+  FROM fin a JOIN fin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id
+  WHERE {pair} <= {d2}
+)
+SELECT f.vec_id, f.cid AS cluster,
+       CAST(CASE WHEN d.j IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM fin f LEFT JOIN dup d ON f.vec_id = d.j
+"""
+
+
+EMB_SEMDEDUP_SQL = _semdedup_sql()
+
+
 def doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals
     (functions/text.py:RepetitionScorer): per-doc token/distinct/bigram
@@ -5073,7 +5126,11 @@ SUITE: dict[str, tuple] = {
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
-    "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
+    # round-5 addition, never driver-checked → into the gate. Its
+    # oracle embeds the FULL kmeans unroll plus the pair join, so
+    # emb_kmeans (r4-driver-green, unchanged) cedes its slot and is
+    # re-verified transitively on every semdedup check:
+    "emb_semdedup": (emb_semdedup, EMB_SEMDEDUP_SQL),
     # never-driver-checked doc/embedding operators (waves 4–7):
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "doc_weighted_sample": (doc_weighted_sample, DOC_WSAMPLE_SQL),
@@ -5107,6 +5164,7 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),

@@ -1,6 +1,6 @@
-"""Fixed-point k-means (functions/kmeans.py): parity with a naive
-single-process reference, batch-layout invariance, tie + empty-cluster
-rules."""
+"""Fixed-point k-means + SemDeDup-style semantic dedup
+(functions/kmeans.py): parity with naive single-process references,
+batch-layout invariance, tie + empty-cluster + witness rules."""
 
 import numpy as np
 import pandas as pd
@@ -9,7 +9,8 @@ import pytest
 
 import ray.data as rd
 
-from guac_ray.functions.kmeans import kmeans_fixed_point
+from guac_ray.functions.kmeans import (kmeans_fixed_point,
+                                       semdedup_embeddings)
 
 
 def _naive(ids, X, k, iters, scale=4096, offset=1.0):
@@ -71,6 +72,66 @@ class TestKmeans:
         ids = np.arange(3, dtype=np.int64)
         with pytest.raises(ValueError, match="k=5"):
             kmeans_fixed_point(_ds(ids, X, blocks=1), k=5, iters=1)
+
+    def test_semdedup_matches_naive(self, ray_session):
+        """Cluster with _naive, then the any-lower-id-witness drop rule
+        written as the obvious O(n²) loop."""
+        rng = np.random.RandomState(3)
+        X = rng.uniform(-0.9, 0.9, size=(150, 6)).astype(np.float32)
+        ids = np.arange(150, dtype=np.int64)
+        rng.shuffle(ids)
+        k, iters, d2 = 4, 2, 3_000_000
+        got = semdedup_embeddings(
+            _ds(ids, X, blocks=4), k=k, iters=iters, dist2_max=d2,
+        ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+        a = _naive(ids, X, k=k, iters=iters)
+        q = np.floor((X.astype(np.float64) + 1.0) * 4096).astype(np.int64)
+        order = np.argsort(ids)  # rows sorted by vec_id
+        qs, cs = q[order], a[order]
+        kept = np.ones(len(ids), dtype=np.int64)
+        for j in range(len(ids)):
+            for i in range(j):
+                if cs[i] == cs[j] and ((qs[i] - qs[j]) ** 2).sum() <= d2:
+                    kept[j] = 0
+                    break
+        np.testing.assert_array_equal(got["cluster"].to_numpy(), cs)
+        np.testing.assert_array_equal(got["kept"].to_numpy(), kept)
+        assert 0 < kept.sum() < len(ids)  # both branches exercised
+
+    def test_semdedup_dropped_row_still_witnesses(self, ray_session):
+        """Chain a–b–c with d(a,b)≤D, d(b,c)≤D, d(a,c)>D: the pair-graph
+        rule drops BOTH b and c (b witnesses c even though b is itself
+        dropped) — unlike the sequential greedy, which would keep c."""
+        X = np.array([[0.0, 0.0], [0.012, 0.0], [0.024, 0.0],
+                      [0.9, 0.9]], dtype=np.float32)
+        ids = np.array([0, 1, 2, 3], dtype=np.int64)
+        # quantized gaps: 0.012*4096 ≈ 49 → d²(a,b)=d²(b,c)≈2401,
+        # d²(a,c)≈9604 — pick D between them
+        got = semdedup_embeddings(
+            _ds(ids, X, blocks=1), k=2, iters=1, dist2_max=4000,
+        ).to_pandas().sort_values("vec_id")
+        assert got["kept"].tolist() == [1, 0, 0, 1]
+
+    def test_semdedup_layout_invariance_and_empty(self, ray_session):
+        rng = np.random.RandomState(5)
+        X = rng.uniform(-0.5, 0.5, size=(80, 4)).astype(np.float32)
+        ids = np.arange(80, dtype=np.int64)
+        a = semdedup_embeddings(_ds(ids, X, blocks=1), k=3, iters=2,
+                                dist2_max=2_000_000).to_pandas()
+        b = semdedup_embeddings(_ds(ids, X, blocks=9), k=3, iters=2,
+                                dist2_max=2_000_000).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("vec_id").reset_index(drop=True),
+            b.sort_values("vec_id").reset_index(drop=True))
+
+    def test_semdedup_cluster_guard_raises(self, ray_session):
+        X = np.zeros((30, 2), dtype=np.float32)  # one giant cluster
+        ids = np.arange(30, dtype=np.int64)
+        with pytest.raises(Exception, match="max_cluster_rows"):
+            semdedup_embeddings(_ds(ids, X, blocks=1), k=2, iters=1,
+                                dist2_max=10, max_cluster_rows=5
+                                ).to_pandas()
 
     def test_quantize_floor_parity_with_duckdb(self, ray_session):
         """floor((float32→float64 + 1.0) * 4096) must be the identical

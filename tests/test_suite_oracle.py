@@ -56,6 +56,8 @@ FAST = [
     # round 5: attestation / metadata document ingest
     "kg_ite6_ingest",
     "kg_depsdev_ingest",
+    # round 5: SemDeDup-style cluster-bucketed semantic dedup
+    "emb_semdedup",
 ]
 
 
