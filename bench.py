@@ -176,8 +176,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # ITE-6 vuln/SLSA+DSSE and scorecard/deps.dev fleets)
             "kg_spdx_ingest", "kg_cdx_ingest", "kg_vex_ingest",
             "kg_ite6_ingest", "kg_depsdev_ingest",
-            # round-5: SemDeDup-style cluster-bucketed semantic dedup
-            "emb_semdedup",
+            # round-5: SemDeDup-style cluster-bucketed semantic dedup +
+            # ExactSubstr repeated-passage coverage
+            "emb_semdedup", "doc_dup_passages",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

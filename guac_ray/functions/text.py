@@ -58,7 +58,7 @@ def sql_ws_tokens(text: str | None) -> list[str]:
     return [t for t in _SQL_WS_RE.split((text or "").lower()) if t]
 
 
-def ws_shingles(col, ngram: int) -> tuple[np.ndarray, pa.Array]:
+def ws_shingles(col, ngram: int, with_pos: bool = False):
     """Vectorized word-``ngram`` shingling over an Arrow string column —
     the whole batch runs through three Arrow kernels plus numpy index
     arithmetic, with NO per-row Python (the r4 verdict's fix for the
@@ -74,6 +74,10 @@ def ws_shingles(col, ngram: int) -> tuple[np.ndarray, pa.Array]:
     0-based batch row it came from and the joined shingle string —
     NOT deduped (callers dedup with an Arrow ``group_by``, per doc or
     per batch as their semantics need). Null text = no tokens.
+    With ``with_pos=True`` returns ``(row_idx, pos, shingles)`` where
+    ``pos`` is the window's 0-based starting TOKEN index within its row
+    (after empty-token dropping) — the coordinate passage-level ops
+    need to turn flagged windows back into token coverage.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -93,15 +97,20 @@ def ws_shingles(col, ngram: int) -> tuple[np.ndarray, pa.Array]:
     w = np.maximum(cnt - ngram + 1, 0)  # windows per row
     total = int(w.sum())
     if total == 0:
+        if with_pos:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    pa.array([], pa.string()))
         return np.empty(0, np.int64), pa.array([], pa.string())
     row_idx = np.repeat(np.arange(len(w), dtype=np.int64), w)
     fstart = np.concatenate([[0], np.cumsum(cnt)])[:-1]  # row starts in ft
     cw = np.concatenate([[0], np.cumsum(w)])[:-1]
-    starts = np.repeat(fstart, w) + (
-        np.arange(total, dtype=np.int64) - np.repeat(cw, w))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cw, w)
+    starts = np.repeat(fstart, w) + pos
     parts = [ft.take(pa.array(starts + j)) for j in range(ngram)]
     sh = (pc.binary_join_element_wise(*parts, " ")
           if ngram > 1 else parts[0])
+    if with_pos:
+        return row_idx, pos, sh
     return row_idx, sh
 
 

@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["curate", "md5_first_byte", "decontaminate"]
+__all__ = ["curate", "md5_first_byte", "decontaminate",
+           "dup_passage_stats"]
 
 
 def md5_first_byte(ids) -> "np.ndarray":
@@ -237,6 +238,136 @@ def decontaminate(
         }), preserve_index=False)
 
     return out.map_batches(final, batch_format="pandas")
+
+
+def dup_passage_stats(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    min_count: int = 2,
+    exchange_dir: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Repeated-passage coverage — the ExactSubstr measurement of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) at token-window granularity: for each
+    document, how many of its tokens sit inside at least one
+    ``window``-token passage that occurs ≥ ``min_count`` times ANYWHERE
+    in the corpus (within-doc repeats count, like their suffix-array
+    rule; unlike ``decontaminate``, which tests distinct shingles
+    against a separate train corpus).
+
+    Returns (id_col, n_tokens, dup_tokens) per document with ≥ 1
+    window (docs shorter than ``window`` tokens emit no row). Tokens
+    are the ``ws_shingles`` grammar (lowercased whitespace splits,
+    empties dropped) — SQL-expressible, so the operator carries an
+    exact DuckDB oracle (suite.DOC_DUP_PASSAGES_SQL).
+
+    Scale shape: one vectorized shingle pass (Arrow kernels + numpy
+    window assembly, ``with_pos=True``) emits thin (id, pos, passage)
+    rows; TWO filesystem exchanges and nothing else — (1) partition by
+    passage hash, so each bucket holds every copy of its passages and
+    flags duplicates with a dictionary-encode + bincount (in-bucket
+    count IS the global count); (2) partition flagged rows by doc hash
+    and resolve token coverage per doc as a vectorized
+    interval-union over sorted window starts (equal-length intervals:
+    first start contributes ``window``, each next start min(gap,
+    window) — one ``np.add.reduceat``). No per-row Python, no
+    broadcast of a data-sized dup set, nothing on the driver. Passages
+    travel as STRINGS for oracle-exactness — at 100-TB hash to u64
+    first (the ``decontaminate`` caveat) and drop the oracle claim to
+    rows-only.
+    """
+    import numpy as np
+
+    from guac_ray.exfs import default_exchange
+    from guac_ray.functions.text import ws_shingles
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    ex = exchange_dir or default_exchange("passages")
+
+    def emit(t: pa.Table) -> pa.Table:
+        ridx, pos, sh = ws_shingles(t[text_col], window, with_pos=True)
+        ids = t[id_col].combine_chunks().take(pa.array(ridx))
+        bucket = stable_hash(
+            pd.DataFrame({"s": sh.to_pandas()}), ["s"]) % num_buckets
+        return pa.table({
+            id_col: ids, "pos": pa.array(pos), "s": sh,
+            "_bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    def flag_dups(t: pa.Table) -> pa.Table:
+        # all copies of a passage are in THIS bucket: dictionary-encode
+        # the strings, count codes, flag rows whose passage recurs
+        s = t["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        codes = pc.dictionary_encode(s).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes)
+        flag = counts[codes] >= min_count
+        bucket = stable_hash(
+            pd.DataFrame({"i": t[id_col].to_pandas()}), ["i"]) % num_buckets
+        return pa.table({
+            id_col: t[id_col],
+            "pos": t["pos"],
+            "flag": pa.array(flag),
+            "_bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    def coverage(t: pa.Table) -> pa.Table:
+        st = t.sort_by([(id_col, "ascending"), ("pos", "ascending")])
+        ids = st[id_col].to_numpy(zero_copy_only=False)
+        pos = st["pos"].to_numpy(zero_copy_only=False)
+        flg = st["flag"].to_numpy(zero_copy_only=False).astype(bool)
+        n = len(ids)
+        b = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])  # doc starts
+        ends = np.r_[b[1:], n]
+        # windows cover pos .. pos+window-1 and exist for every start
+        # 0..cnt-window, so the doc's token count is last start + window
+        n_tokens = pos[ends - 1] + window
+        dup = np.zeros(len(b), dtype=np.int64)
+        if flg.any():
+            fids, fpos = ids[flg], pos[flg]
+            fb = np.flatnonzero(np.r_[True, fids[1:] != fids[:-1]])
+            contrib = np.empty(len(fpos), dtype=np.int64)
+            contrib[0] = window
+            contrib[1:] = np.minimum(fpos[1:] - fpos[:-1], window)
+            contrib[fb] = window  # first flagged window of each doc
+            cov = np.add.reduceat(contrib, fb)
+            # map flagged-doc coverage onto the (sorted) full doc list
+            idx = np.searchsorted(ids[b], fids[fb])
+            dup[idx] = cov
+        return pa.table({
+            id_col: st[id_col].take(pa.array(b)),
+            "n_tokens": pa.array(n_tokens.astype(np.int64)),
+            "dup_tokens": pa.array(dup),
+        })
+
+    rows = docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow")
+    flagged = fs_exchange_reduce(rows, f"{ex}/byshingle", flag_dups,
+                                 bucket_col="_bucket")
+    if flagged is None:
+        return _empty_passage_stats(docs, id_col)
+    out = fs_exchange_reduce(flagged, f"{ex}/bydoc", coverage,
+                             bucket_col="_bucket")
+    if out is None:
+        return _empty_passage_stats(docs, id_col)
+    return out
+
+
+def _empty_passage_stats(docs: Dataset, id_col: str) -> Dataset:
+    import ray.data as rd
+
+    sch = docs.schema()
+    id_type = (dict(zip(sch.names, sch.types)).get(id_col, pa.int64())
+               if sch is not None else pa.int64())
+    return rd.from_arrow(pa.table({
+        id_col: pa.array([], id_type),
+        "n_tokens": pa.array([], pa.int64()),
+        "dup_tokens": pa.array([], pa.int64())}))
 
 
 def source_mixture(

@@ -2016,6 +2016,40 @@ def doc_decontaminate(sf_dir: str):
     return decontaminate(side(True), side(False))
 
 
+def doc_dup_passages(sf_dir: str):
+    """Repeated-passage coverage (pipelines/curation.py
+    ``dup_passage_stats``): per document, tokens covered by any
+    10-token passage occurring ≥ 2 times anywhere in the corpus — the
+    Lee et al. 2022 ExactSubstr measurement at token-window grain.
+    Two fs exchanges (by passage, then by doc), vectorized
+    interval-union coverage; exact DuckDB oracle."""
+    from guac_ray.pipelines.curation import dup_passage_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_passage_stats(
+        docs, window=10, min_count=2, exchange_dir=_exchange("passages"))
+
+
+DOC_DUP_PASSAGES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+t AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) >= 10),
+w AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 9), ' ') AS w
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n - 9)) AS i) g),
+dup AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+f AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (w)),
+cov AS (SELECT doc_id, count(DISTINCT j) AS dup_tokens
+        FROM f, LATERAL (SELECT unnest(generate_series(i, i + 9)) AS j) gg
+        GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM t LEFT JOIN cov USING (doc_id)
+"""
+
+
 DOC_DECONTAMINATE_SQL = r"""
 WITH lab AS (
   SELECT doc_id, lower(text) AS txt,
@@ -5125,6 +5159,9 @@ SUITE: dict[str, tuple] = {
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (events_windows — r4-driver-green, window code unchanged — cedes):
+    "doc_dup_passages": (doc_dup_passages, DOC_DUP_PASSAGES_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
@@ -5144,7 +5181,6 @@ SUITE: dict[str, tuple] = {
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
-    "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -5165,6 +5201,7 @@ SUITE: dict[str, tuple] = {
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
+    "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),

@@ -139,6 +139,83 @@ class TestDecontaminate:
         assert got.n_shingles.tolist() == [2]
 
 
+class TestDupPassages:
+    def _ref(self, docs, L=3, min_count=2):
+        """The obvious loop: global window counts, then per-doc
+        interval-union coverage of flagged windows."""
+        toks = {i: (t or "").lower().split() for i, t in docs}
+        from collections import Counter
+
+        cnt = Counter(" ".join(w[j:j + L])
+                      for w in toks.values()
+                      for j in range(len(w) - L + 1))
+        out = {}
+        for i, w in toks.items():
+            starts = [j for j in range(len(w) - L + 1)
+                      if cnt[" ".join(w[j:j + L])] >= min_count]
+            if len(w) >= L:
+                covered = set()
+                for j in starts:
+                    covered.update(range(j, j + L))
+                out[i] = (len(w), len(covered))
+        return out
+
+    DOCS = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "prefix words alpha beta gamma delta other stuff"),  # shared 4-run
+        (3, "totally unique content with no repeats anywhere"),
+        (4, "loop loop loop loop loop loop"),     # within-doc repeats count
+        (5, "hi there"),                          # < L tokens: no row
+        (6, "alpha beta gamma delta epsilon zeta"),  # exact dup of doc 1
+    ]
+
+    def test_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import dup_passage_stats
+
+        docs = rd.from_pandas(pd.DataFrame(
+            self.DOCS, columns=["doc_id", "text"]))
+        got = dup_passage_stats(docs, window=3).to_pandas().set_index(
+            "doc_id")
+        want = self._ref(self.DOCS, L=3)
+        assert set(got.index) == set(want)
+        for i, (nt, dt) in want.items():
+            assert (got.loc[i].n_tokens, got.loc[i].dup_tokens) == (nt, dt), i
+        # the rule's semantics, asserted explicitly:
+        assert got.loc[4].dup_tokens == got.loc[4].n_tokens  # within-doc
+        assert got.loc[1].dup_tokens == got.loc[1].n_tokens  # exact pair
+        assert got.loc[3].dup_tokens == 0
+        assert 5 not in got.index
+
+    def test_layout_invariance(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import dup_passage_stats
+
+        df = pd.DataFrame(self.DOCS, columns=["doc_id", "text"])
+        a = dup_passage_stats(rd.from_pandas(df).repartition(1),
+                              window=3).to_pandas()
+        b = dup_passage_stats(rd.from_pandas(df).repartition(5),
+                              window=3).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("doc_id").reset_index(drop=True),
+            b.sort_values("doc_id").reset_index(drop=True))
+
+    def test_all_short_docs_empty_output(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import dup_passage_stats
+
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["one two", "three"]}))
+        got = dup_passage_stats(docs, window=5)
+        assert got.count() == 0
+        # typed empty shape survives (Ray's to_pandas drops columns on a
+        # fully-empty Dataset, so assert on the Dataset schema)
+        assert got.schema().names == ["doc_id", "n_tokens", "dup_tokens"]
+
+
 class TestSourceMixture:
     def test_weight_semantics(self, ray_session):
         import numpy as np

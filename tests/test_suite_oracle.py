@@ -56,8 +56,10 @@ FAST = [
     # round 5: attestation / metadata document ingest
     "kg_ite6_ingest",
     "kg_depsdev_ingest",
-    # round 5: SemDeDup-style cluster-bucketed semantic dedup
+    # round 5: SemDeDup-style cluster-bucketed semantic dedup +
+    # ExactSubstr repeated-passage coverage
     "emb_semdedup",
+    "doc_dup_passages",
 ]
 
 
