@@ -334,6 +334,57 @@ def cmd_kmeans(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.kmeans import semdedup_embeddings
+
+    ds = rd.read_parquet(args.table, columns=[args.id_col, args.vec_col])
+    out = semdedup_embeddings(
+        ds, vec_col=args.vec_col, id_col=args.id_col,
+        k=args.k, iters=args.iters, dist2_max=args.dist2).to_pandas()
+    print(json.dumps({
+        "rows": int(len(out)),
+        "kept": int(out["kept"].sum()),
+        "dropped": int((out["kept"] == 0).sum()),
+    }))
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False), args.out)
+    return 0
+
+
+def cmd_passages(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.pipelines.curation import dup_passage_stats
+
+    ds = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
+    out = dup_passage_stats(
+        ds, id_col=args.id_col, text_col=args.text_col,
+        window=args.window, min_count=args.min_count).to_pandas()
+    tot = int(out["n_tokens"].sum()) if len(out) else 0
+    dup = int(out["dup_tokens"].sum()) if len(out) else 0
+    print(json.dumps({
+        "docs": int(len(out)),
+        "docs_with_dup": int((out["dup_tokens"] > 0).sum()) if len(out) else 0,
+        "tokens": tot, "dup_tokens": dup,
+        "dup_frac": round(dup / tot, 4) if tot else 0.0,
+    }))
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False), args.out)
+    return 0
+
+
 def cmd_boiler(args) -> int:
     _ray_up(args.num_cpus)
     import ray.data as rd
@@ -601,6 +652,33 @@ def main(argv: list[str] | None = None) -> int:
     km.add_argument("--iters", type=int, default=3)
     km.add_argument("--out", default=None)
     km.set_defaults(fn=cmd_kmeans)
+
+    sd = sub.add_parser("semdedup",
+                        help="SemDeDup-style semantic dedup: k-means "
+                             "buckets + within-cluster near-dup pruning "
+                             "(exact int64 distances)")
+    sd.add_argument("table")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--k", type=int, default=8)
+    sd.add_argument("--iters", type=int, default=3)
+    sd.add_argument("--dist2", type=int, default=1_700_000,
+                    help="quantized squared-L2 radius (default ≈ cosine "
+                         "0.95 on unit-norm vectors at scale 4096)")
+    sd.add_argument("--out", default=None)
+    sd.set_defaults(fn=cmd_semdedup)
+
+    pg = sub.add_parser("passages",
+                        help="repeated-passage coverage (ExactSubstr "
+                             "measurement): tokens inside any window-token "
+                             "passage occurring >= min-count times")
+    pg.add_argument("table")
+    pg.add_argument("--id-col", default="doc_id")
+    pg.add_argument("--text-col", default="text")
+    pg.add_argument("--window", type=int, default=10)
+    pg.add_argument("--min-count", type=int, default=2)
+    pg.add_argument("--out", default=None)
+    pg.set_defaults(fn=cmd_passages)
 
     bo = sub.add_parser("boiler",
                         help="drop rows whose text recurs in >= min-groups "

@@ -358,6 +358,62 @@ class TestRound4CliVerbs2:
         res = json.loads(capsys.readouterr().out.strip())
         assert sum(res["cluster_sizes"].values()) == 40
 
+    def test_semdedup_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_semdedup
+
+        rng = np.random.RandomState(1)
+        base = rng.uniform(-0.4, 0.4, (10, 4)).astype(np.float32)
+        vecs = np.concatenate([base, base + 1e-4])  # 10 near-dup pairs
+        p = tmp_path / "emb.parquet"
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(20), type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }), str(p))
+
+        class A:
+            table = str(p)
+            id_col, vec_col, k, iters = "vec_id", "embedding", 2, 2
+            dist2, out, num_cpus = 100, None, None
+
+        assert cmd_semdedup(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["rows"] == 20
+        assert res["dropped"] == 10  # each jittered copy has a witness
+
+    def test_passages_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_passages
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["alpha beta gamma delta shared tail",
+                     "other intro alpha beta gamma delta shared tail",
+                     "nothing repeated in this document at all"],
+        }), str(p))
+
+        class A:
+            table = str(p)
+            id_col, text_col = "doc_id", "text"
+            window, min_count, out, num_cpus = 3, 2, None, None
+
+        assert cmd_passages(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["docs"] == 3
+        assert res["docs_with_dup"] == 2
+        assert res["dup_tokens"] > 0
+
     def test_boiler_verb(self, ray_session, tmp_path, capsys):
         import json
 
