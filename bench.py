@@ -177,8 +177,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "kg_spdx_ingest", "kg_cdx_ingest", "kg_vex_ingest",
             "kg_ite6_ingest", "kg_depsdev_ingest",
             # round-5: SemDeDup-style cluster-bucketed semantic dedup +
-            # ExactSubstr repeated-passage coverage
-            "emb_semdedup", "doc_dup_passages",
+            # ExactSubstr repeated-passage coverage and removal
+            "emb_semdedup", "doc_dup_passages", "doc_remove_passages",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

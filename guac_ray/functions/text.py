@@ -58,6 +58,29 @@ def sql_ws_tokens(text: str | None) -> list[str]:
     return [t for t in _SQL_WS_RE.split((text or "").lower()) if t]
 
 
+def ws_token_stream(col) -> tuple[pa.Array, np.ndarray]:
+    """The ``sql_ws_tokens`` grammar over a whole Arrow string column:
+    returns ``(flat_tokens, counts)`` — one flat token array for the
+    batch plus per-row token counts — via one ``split_pattern_regex``
+    pass and numpy segment arithmetic, no per-row Python. The shared
+    tokenizer under ``ws_shingles`` and the passage-rewrite ops."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(col, "")), pattern=r"[\t\n\f\r ]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    # drop the empty tokens a leading/trailing separator produces, via a
+    # cumulative-sum segment count (reduceat misbehaves on empty docs)
+    keep = pc.greater(pc.binary_length(flat), 0)
+    kn = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(kn)])
+    cnt = csum[off[1:]] - csum[off[:-1]]  # tokens per row
+    return flat.filter(keep), cnt
+
+
 def ws_shingles(col, ngram: int, with_pos: bool = False):
     """Vectorized word-``ngram`` shingling over an Arrow string column —
     the whole batch runs through three Arrow kernels plus numpy index
@@ -79,21 +102,7 @@ def ws_shingles(col, ngram: int, with_pos: bool = False):
     (after empty-token dropping) — the coordinate passage-level ops
     need to turn flagged windows back into token coverage.
     """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(pc.fill_null(col, "")), pattern=r"[\t\n\f\r ]+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()
-    off = toks.offsets.to_numpy().astype(np.int64)
-    # drop the empty tokens a leading/trailing separator produces, via a
-    # cumulative-sum segment count (reduceat misbehaves on empty docs)
-    keep = pc.greater(pc.binary_length(flat), 0)
-    kn = keep.to_numpy(zero_copy_only=False).astype(np.int64)
-    csum = np.concatenate([[0], np.cumsum(kn)])
-    cnt = csum[off[1:]] - csum[off[:-1]]  # tokens per row
-    ft = flat.filter(keep)
+    ft, cnt = ws_token_stream(col)
     w = np.maximum(cnt - ngram + 1, 0)  # windows per row
     total = int(w.sum())
     if total == 0:

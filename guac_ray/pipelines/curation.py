@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["curate", "md5_first_byte", "decontaminate",
-           "dup_passage_stats"]
+           "dup_passage_stats", "remove_dup_passages"]
 
 
 def md5_first_byte(ids) -> "np.ndarray":
@@ -282,39 +282,9 @@ def dup_passage_stats(
     import numpy as np
 
     from guac_ray.exfs import default_exchange
-    from guac_ray.functions.text import ws_shingles
-    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.assemble import fs_exchange_reduce
 
     ex = exchange_dir or default_exchange("passages")
-
-    def emit(t: pa.Table) -> pa.Table:
-        ridx, pos, sh = ws_shingles(t[text_col], window, with_pos=True)
-        ids = t[id_col].combine_chunks().take(pa.array(ridx))
-        bucket = stable_hash(
-            pd.DataFrame({"s": sh.to_pandas()}), ["s"]) % num_buckets
-        return pa.table({
-            id_col: ids, "pos": pa.array(pos), "s": sh,
-            "_bucket": pa.array(bucket.astype(np.int64)),
-        })
-
-    def flag_dups(t: pa.Table) -> pa.Table:
-        # all copies of a passage are in THIS bucket: dictionary-encode
-        # the strings, count codes, flag rows whose passage recurs
-        s = t["s"]
-        if isinstance(s, pa.ChunkedArray):
-            s = s.combine_chunks()
-        codes = pc.dictionary_encode(s).indices.to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        counts = np.bincount(codes)
-        flag = counts[codes] >= min_count
-        bucket = stable_hash(
-            pd.DataFrame({"i": t[id_col].to_pandas()}), ["i"]) % num_buckets
-        return pa.table({
-            id_col: t[id_col],
-            "pos": t["pos"],
-            "flag": pa.array(flag),
-            "_bucket": pa.array(bucket.astype(np.int64)),
-        })
 
     def coverage(t: pa.Table) -> pa.Table:
         st = t.sort_by([(id_col, "ascending"), ("pos", "ascending")])
@@ -345,10 +315,8 @@ def dup_passage_stats(
             "dup_tokens": pa.array(dup),
         })
 
-    rows = docs.select_columns([id_col, text_col]).map_batches(
-        emit, batch_format="pyarrow")
-    flagged = fs_exchange_reduce(rows, f"{ex}/byshingle", flag_dups,
-                                 bucket_col="_bucket")
+    flagged = _flagged_windows(
+        docs, id_col, text_col, window, min_count, ex, num_buckets)
     if flagged is None:
         return _empty_passage_stats(docs, id_col)
     out = fs_exchange_reduce(flagged, f"{ex}/bydoc", coverage,
@@ -356,6 +324,184 @@ def dup_passage_stats(
     if out is None:
         return _empty_passage_stats(docs, id_col)
     return out
+
+
+def _flagged_windows(
+    docs: Dataset,
+    id_col: str,
+    text_col: str,
+    window: int,
+    min_count: int,
+    ex: str,
+    num_buckets: int,
+) -> "Dataset | None":
+    """Shared first half of the passage ops: one vectorized shingle
+    pass emits (id, pos, passage) rows; the by-passage fs exchange
+    flags windows whose passage recurs ≥ ``min_count`` times globally
+    (all copies of a passage co-locate, so the in-bucket count IS the
+    global count). Returns (id_col, pos, flag, _bucket-by-doc-hash)
+    rows — every window of every doc — or None when no doc has a
+    window."""
+    import numpy as np
+
+    from guac_ray.functions.text import ws_shingles
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    def emit(t: pa.Table) -> pa.Table:
+        ridx, pos, sh = ws_shingles(t[text_col], window, with_pos=True)
+        ids = t[id_col].combine_chunks().take(pa.array(ridx))
+        bucket = stable_hash(
+            pd.DataFrame({"s": sh.to_pandas()}), ["s"]) % num_buckets
+        return pa.table({
+            id_col: ids, "pos": pa.array(pos), "s": sh,
+            "_bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    def flag_dups(t: pa.Table) -> pa.Table:
+        # all copies of a passage are in THIS bucket: dictionary-encode
+        # the strings, count codes, flag rows whose passage recurs
+        s = t["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        codes = pc.dictionary_encode(s).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(codes)
+        flag = counts[codes] >= min_count
+        bucket = stable_hash(
+            pd.DataFrame({"i": t[id_col].to_pandas()}), ["i"]) % num_buckets
+        return pa.table({
+            id_col: t[id_col],
+            "pos": t["pos"],
+            "flag": pa.array(flag),
+            "_bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    rows = docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow")
+    return fs_exchange_reduce(rows, f"{ex}/byshingle", flag_dups,
+                              bucket_col="_bucket")
+
+
+def remove_dup_passages(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    min_count: int = 2,
+    exchange_dir: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Repeated-passage REMOVAL — the dedup action of Lee et al. 2022
+    (``dup_passage_stats`` is the measurement): rewrite every document
+    dropping each token covered by any ``window``-token passage that
+    occurs ≥ ``min_count`` times in the corpus. ALL occurrences drop
+    (the pair-graph rule again — keep-one-occurrence needs a global
+    tiebreak that serializes; the all-drop rule is order-free,
+    partition-independent and the usual practical choice for
+    boilerplate-heavy web text, cf. the C4/RefinedWeb line filters).
+
+    Returns (id_col, clean_text, n_removed) for EVERY input document —
+    docs with no duplicated passage (or fewer than ``window`` tokens)
+    come back intact. ``clean_text`` is over the normalized token
+    stream (lowercased, whitespace-collapsed — the ``ws_shingles``
+    grammar), so the op is exactly SQL-reproducible
+    (suite.DOC_REMOVE_PASSAGES_SQL).
+
+    Scale shape: the two ``_flagged_windows`` exchanges, then the
+    flagged starts compact per doc into ONE comma-joined string (an
+    Arrow ``binary_join`` over a list rebuild — no per-doc Python) and
+    flow through the partitioned LEFT ``hash_join`` back to the text;
+    the rewrite is one vectorized pass: token stream + numpy
+    interval-expansion mask + Arrow list rebuild + ``binary_join``.
+    Covered-token dedup (overlapping windows) is ``np.unique`` on the
+    expanded indices. Nothing data-sized touches the driver.
+    """
+    import numpy as np
+
+    from guac_ray.exfs import default_exchange
+    from guac_ray.functions.joins import hash_join
+    from guac_ray.functions.text import ws_token_stream
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    ex = exchange_dir or default_exchange("passages_rm")
+    proj = docs.select_columns([id_col, text_col])
+
+    def starts_per_doc(t: pa.Table) -> pa.Table:
+        st = t.filter(t["flag"]).sort_by(
+            [(id_col, "ascending"), ("pos", "ascending")])
+        ids = st[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table({
+                id_col: st[id_col],
+                "starts": pa.array([], pa.string())})
+        b = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offs = np.r_[b, n].astype(np.int32)
+        pos_str = pc.cast(st["pos"].combine_chunks(), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offs), pos_str)
+        return pa.table({
+            id_col: st[id_col].take(pa.array(b)),
+            "starts": pc.binary_join(lists, ","),
+        })
+
+    flagged = _flagged_windows(
+        proj, id_col, text_col, window, min_count, ex, num_buckets)
+    if flagged is not None:
+        starts = fs_exchange_reduce(flagged, f"{ex}/bydoc", starts_per_doc,
+                                    bucket_col="_bucket")
+    else:
+        starts = None
+
+    if starts is not None:
+        joined = hash_join(proj, starts, on=id_col, how="left",
+                           exchange_dir=f"{ex}/join",
+                           num_buckets=num_buckets)
+    else:
+        joined = proj.map_batches(
+            lambda t: t.append_column(
+                "starts", pa.array([None] * t.num_rows, pa.string())),
+            batch_format="pyarrow")
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        ft, cnt = ws_token_stream(t[text_col])
+        doc_off = np.concatenate([[0], np.cumsum(cnt)])
+        total = int(doc_off[-1])
+        scol = t["starts"]
+        if isinstance(scol, pa.ChunkedArray):
+            scol = scol.combine_chunks()
+        slists = pc.split_pattern(pc.fill_null(scol, ""), ",")
+        svals = slists.flatten()
+        nonempty = pc.greater(pc.binary_length(svals), 0)
+        soff = slists.offsets.to_numpy().astype(np.int64)
+        ks = nonempty.to_numpy(zero_copy_only=False).astype(np.int64)
+        kcs = np.concatenate([[0], np.cumsum(ks)])
+        per_row = kcs[soff[1:]] - kcs[soff[:-1]]  # flagged starts per row
+        fs = svals.filter(nonempty)
+        fstarts = (pc.cast(fs, pa.int64()).to_numpy(zero_copy_only=False)
+                   if len(fs) else np.empty(0, np.int64))
+        rs = np.repeat(np.arange(t.num_rows, dtype=np.int64), per_row)
+        # expand each start into its window's token indices, then dedup
+        # overlaps — flat indices into the batch token stream
+        covered = np.unique(
+            np.repeat(doc_off[rs] + fstarts, window)
+            + np.tile(np.arange(window, dtype=np.int64), len(fstarts))
+        ) if len(fstarts) else np.empty(0, np.int64)
+        mask = np.ones(total, dtype=bool)
+        mask[covered] = False
+        kept = ft.filter(pa.array(mask))
+        crow = np.searchsorted(doc_off[1:], covered, side="right")
+        removed = np.bincount(crow, minlength=t.num_rows).astype(np.int64)
+        kept_cnt = cnt - removed
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(kept_cnt)]),
+                     type=pa.int32()), kept)
+        return pa.table({
+            id_col: t[id_col],
+            "clean_text": pc.binary_join(lists, " "),
+            "n_removed": pa.array(removed),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")
 
 
 def _empty_passage_stats(docs: Dataset, id_col: str) -> Dataset:

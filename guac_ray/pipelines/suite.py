@@ -2050,6 +2050,50 @@ FROM t LEFT JOIN cov USING (doc_id)
 """
 
 
+def doc_remove_passages(sf_dir: str):
+    """Repeated-passage REMOVAL (pipelines/curation.py
+    ``remove_dup_passages``): rewrite every document dropping tokens
+    covered by any 10-token passage occurring ≥ 2 times in the corpus
+    — the dedup ACTION paired with ``doc_dup_passages``'s measurement.
+    Exchanges + left hash join + one vectorized rewrite pass; exact
+    DuckDB oracle over the normalized token stream."""
+    from guac_ray.pipelines.curation import remove_dup_passages
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_passages(
+        docs, window=10, min_count=2,
+        exchange_dir=_exchange("passages_rm"))
+
+
+DOC_REMOVE_PASSAGES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents),
+t AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) >= 10),
+w AS (SELECT doc_id, i, array_to_string(list_slice(ts, i, i + 9), ' ') AS w
+      FROM t, LATERAL (SELECT unnest(generate_series(1, n - 9)) AS i) g),
+dup AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+f AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (w)),
+cov AS (SELECT doc_id, j
+        FROM f, LATERAL (SELECT unnest(generate_series(i, i + 9)) AS j) gg
+        GROUP BY doc_id, j),
+tok AS (SELECT doc_id, j, ts[j] AS tk
+        FROM d, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS j) g),
+agg AS (SELECT tok.doc_id,
+               coalesce(string_agg(CASE WHEN cov.j IS NULL THEN tok.tk END,
+                                   ' ' ORDER BY tok.j), '') AS clean_text,
+               CAST(count(cov.j) AS BIGINT) AS n_removed
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+        GROUP BY tok.doc_id)
+SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
 DOC_DECONTAMINATE_SQL = r"""
 WITH lab AS (
   SELECT doc_id, lower(text) AS txt,
@@ -5157,11 +5201,14 @@ SUITE: dict[str, tuple] = {
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
-    "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
-    # round-5 addition, never driver-checked → into the gate
-    # (events_windows — r4-driver-green, window code unchanged — cedes):
+    # round-5 additions, never driver-checked → into the gate
+    # (events_windows — r4-driver-green, window code unchanged — and
+    # neardup_embeddings — r4-green but a CONSTANT-EMPTY row on these
+    # near-orthogonal embeddings, now superseded in-gate by
+    # emb_semdedup's non-trivial split — cede):
     "doc_dup_passages": (doc_dup_passages, DOC_DUP_PASSAGES_SQL),
+    "doc_remove_passages": (doc_remove_passages, DOC_REMOVE_PASSAGES_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
@@ -5202,6 +5249,7 @@ SUITE: dict[str, tuple] = {
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
+    "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),

@@ -216,6 +216,60 @@ class TestDupPassages:
         assert got.schema().names == ["doc_id", "n_tokens", "dup_tokens"]
 
 
+class TestRemoveDupPassages:
+    def test_removes_all_occurrences(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import remove_dup_passages
+
+        docs = rd.from_pandas(pd.DataFrame(
+            TestDupPassages.DOCS, columns=["doc_id", "text"])
+        ).repartition(3)
+        got = remove_dup_passages(docs, window=3).to_pandas().set_index(
+            "doc_id")
+        assert len(got) == 6  # EVERY doc comes back, incl. short ones
+        # exact-dup pair: both fully removed (all-drop rule)
+        assert got.loc[1].clean_text == "" and got.loc[6].clean_text == ""
+        # partial overlap: shared 4-token run gone, unique flanks kept
+        assert got.loc[2].clean_text == "prefix words other stuff"
+        assert got.loc[2].n_removed == 4
+        # within-doc repeats removed entirely
+        assert got.loc[4].clean_text == "" and got.loc[4].n_removed == 6
+        # clean + short docs intact (normalized token stream)
+        assert got.loc[3].n_removed == 0
+        assert got.loc[5].clean_text == "hi there"
+
+    def test_consistent_with_stats(self, ray_session):
+        """n_removed must equal dup_passage_stats' dup_tokens on every
+        doc the stats op covers."""
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import (dup_passage_stats,
+                                                 remove_dup_passages)
+
+        df = pd.DataFrame(TestDupPassages.DOCS, columns=["doc_id", "text"])
+        stats = dup_passage_stats(
+            rd.from_pandas(df), window=3).to_pandas().set_index("doc_id")
+        rem = remove_dup_passages(
+            rd.from_pandas(df), window=3).to_pandas().set_index("doc_id")
+        for i in stats.index:
+            assert rem.loc[i].n_removed == stats.loc[i].dup_tokens, i
+
+    def test_no_duplicates_is_identity(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import remove_dup_passages
+
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["Each Document Totally unique words",
+                     "another set of different tokens here"]}))
+        got = remove_dup_passages(docs, window=3).to_pandas().set_index(
+            "doc_id")
+        assert got.loc[1].clean_text == "each document totally unique words"
+        assert got.n_removed.sum() == 0
+
+
 class TestSourceMixture:
     def test_weight_semantics(self, ray_session):
         import numpy as np

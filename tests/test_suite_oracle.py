@@ -57,9 +57,10 @@ FAST = [
     "kg_ite6_ingest",
     "kg_depsdev_ingest",
     # round 5: SemDeDup-style cluster-bucketed semantic dedup +
-    # ExactSubstr repeated-passage coverage
+    # ExactSubstr repeated-passage coverage and removal
     "emb_semdedup",
     "doc_dup_passages",
+    "doc_remove_passages",
 ]
 
 
