@@ -217,10 +217,19 @@ def semdedup_embeddings(
         c = ray.get(cref)
         q = quantize_embeddings(t, vec_col, scale, offset)
         a = _assign(q, c)
+        # exchange payload is int32: quantized values are bounded by
+        # ~2·scale (≪ 2³¹), so the shuffle moves half the bytes of the
+        # original float payload; the prune upcasts to int64 to compute
+        if q.size and (q.max() > 2**31 - 1 or q.min() < -(2**31)):
+            raise ValueError(
+                "semdedup: quantized embedding exceeds int32 — lower "
+                "`scale` (or normalize the vectors) so the exchange "
+                "payload stays 4-byte")
         return pa.table({
             id_col: t[id_col],
             "cluster": pa.array(a),
-            "q": pa.array(list(q), type=pa.list_(pa.int64())),
+            "q": pa.array(list(q.astype(np.int32)),
+                          type=pa.list_(pa.int32())),
             "_bucket": pa.array(a % num_buckets),
         })
 
