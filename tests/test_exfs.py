@@ -174,6 +174,42 @@ class TestExchangeReduceInjected:
         assert sorted(dd["user"]) == sorted(df["user"].unique())
 
 
+class TestRound5OpsInjected:
+    def test_semdedup(self, ray_session, injected_exchange):
+        tmp_path = injected_exchange
+        from guac_ray.functions.kmeans import semdedup_embeddings
+
+        rng = np.random.RandomState(2)
+        base = rng.uniform(-0.4, 0.4, (12, 4)).astype(np.float32)
+        X = np.concatenate([base, base + 1e-4])
+        ds = rd.from_pandas(pd.DataFrame({
+            "vec_id": np.arange(24, dtype=np.int64),
+            "embedding": list(X)})).repartition(3)
+        out = semdedup_embeddings(ds, k=2, iters=2,
+                                  dist2_max=100).to_pandas()
+        assert int((out["kept"] == 0).sum()) == 12
+        assert _subtree_has_exchange(tmp_path, "semdedup")
+
+    def test_passage_stats_and_removal(self, ray_session,
+                                       injected_exchange):
+        tmp_path = injected_exchange
+        from guac_ray.pipelines.curation import (dup_passage_stats,
+                                                 remove_dup_passages)
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e", "x a b c d y", "unique words only here"],
+        })
+        st = dup_passage_stats(rd.from_pandas(df).repartition(2),
+                               window=3).to_pandas().set_index("doc_id")
+        assert st.loc[1].dup_tokens == 4 and st.loc[3].dup_tokens == 0
+        assert _subtree_has_exchange(tmp_path, "passages")
+        rm = remove_dup_passages(rd.from_pandas(df).repartition(2),
+                                 window=3).to_pandas().set_index("doc_id")
+        assert rm.loc[1].clean_text == "e" and rm.loc[2].clean_text == "x y"
+        assert _subtree_has_exchange(tmp_path, "passages_rm")
+
+
 class TestIterativeInjected:
     def test_connected_components(self, ray_session, injected_exchange):
         from guac_ray.functions.dedup import connected_components_ds
