@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["curate", "md5_first_byte", "decontaminate",
-           "dup_passage_stats", "remove_dup_passages"]
+           "dup_passage_stats", "remove_dup_passages", "dsir_importance"]
 
 
 def md5_first_byte(ids) -> "np.ndarray":
@@ -238,6 +238,105 @@ def decontaminate(
         }), preserve_index=False)
 
     return out.map_batches(final, batch_format="pandas")
+
+
+def dsir_importance(
+    target: Dataset,
+    raw: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    vocab_cap: int = 20_000_000,
+    num_buckets: int = 8,
+    concurrency=2,
+) -> Dataset:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.
+    2023, arXiv:2302.03169): score every RAW-pool document by the
+    log-likelihood ratio of a target-domain unigram LM over a raw-pool
+    unigram LM — the standard cheap "does this web page look like my
+    target distribution" selector (select the top-weighted docs, or
+    Gumbel-resample on the weights, downstream).
+
+    log w(d) = Σ_tokens [ln p_target(t) − ln p_raw(t)] with add-one
+    (Laplace) smoothing over the UNION vocabulary. Exactness: each
+    side's per-term log-prob is quantized to integer micro-nats with
+    the ``unigram_surprisal`` discipline — ``q_side(t) =
+    floor(scale·(ln(N_side+V) − ln(c_side(t)+1)) + 0.5)`` evaluated in
+    libm doubles of exact integers, bit-identical in DuckDB — and a
+    document's weight is the int64 SUM of ``q_raw(t) − q_target(t)``
+    over token occurrences, so the distributed sum is exact under any
+    batching. (DSIR proper uses hashed n-gram buckets to bound the
+    feature space; at 100-TB vocabulary route the token⋈weight lookup
+    through ``hash_join`` on term and hash terms into buckets first —
+    the ``vocab_cap`` guard names the switch, same as tf-idf.)
+
+    Returns (id_col, n_tokens, logw_micronats) for every raw doc with
+    ≥ 1 token. Positive = more target-like than raw-average.
+    """
+    import math
+
+    import ray
+
+    from guac_ray.functions.text import (_require_known_tokens,
+                                         _vocab_counts, sql_ws_tokens)
+
+    vt = _vocab_counts(target, text_col, per_doc_distinct=False,
+                       num_buckets=num_buckets, vocab_cap=vocab_cap,
+                       out_col="c")
+    vr = _vocab_counts(raw, text_col, per_doc_distinct=False,
+                       num_buckets=num_buckets, vocab_cap=vocab_cap,
+                       out_col="c")
+    ct = dict(zip(vt["term"], vt["c"].astype(int))) if len(vt) else {}
+    cr = dict(zip(vr["term"], vr["c"].astype(int))) if len(vr) else {}
+    union = set(ct) | set(cr)
+    V = len(union)
+    if V == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "logw_micronats": pa.array([], pa.int64())}))
+    nt = float(sum(ct.values()) + V)
+    nr = float(sum(cr.values()) + V)
+    ln_nt, ln_nr = math.log(nt), math.log(nr)
+    # the proven two-ln / one-subtract / floor(+0.5) expression, per side
+    w = {
+        t: (int(math.floor(scale * (ln_nr - math.log(float(cr.get(t, 0) + 1)))
+                           + 0.5))
+            - int(math.floor(scale * (ln_nt - math.log(float(ct.get(t, 0) + 1)))
+                             + 0.5)))
+        for t in union
+    }
+    wref = ray.put(w)
+
+    class Scorer:
+        def __init__(self):
+            from collections import Counter  # noqa: F401 (per-actor)
+
+            self.w = ray.get(wref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            ids, ntok, lw = [], [], []
+            for did, txt in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
+                c = Counter(sql_ws_tokens(txt))
+                if not c:
+                    continue
+                _require_known_tokens(c, self.w, "dsir_importance")
+                ids.append(did)
+                ntok.append(sum(c.values()))
+                lw.append(sum(self.w[tk] * n for tk, n in c.items()))
+            return pa.table({
+                id_col: pa.array(ids, type=t.schema.field(id_col).type),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "logw_micronats": pa.array(lw, type=pa.int64()),
+            })
+
+    return raw.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency)
 
 
 def dup_passage_stats(

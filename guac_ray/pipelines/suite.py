@@ -2016,6 +2016,71 @@ def doc_decontaminate(sf_dir: str):
     return decontaminate(side(True), side(False))
 
 
+def doc_dsir(sf_dir: str):
+    """DSIR importance weights (pipelines/curation.py
+    ``dsir_importance``): the md5-split minority side (≥ 0xCC, ~20%)
+    plays the TARGET domain, the rest is the raw pool being selected
+    from; every raw doc gets the exact micro-nat log-likelihood ratio
+    of the two Laplace-smoothed unigram LMs. The corpus's planted
+    duplicates and per-source templates make both LMs non-degenerate
+    at every sf."""
+    from guac_ray.pipelines.curation import dsir_importance, md5_first_byte
+
+    def side(want_target: bool):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+            keep = (md5_first_byte(ids) >= 0xCC) == want_target
+            return t.filter(pa.array(keep))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    return dsir_importance(side(True), side(False))
+
+
+DOC_DSIR_SQL = r"""
+WITH lab AS (
+  SELECT doc_id, lower(text) AS txt,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc'
+              THEN 'target' ELSE 'raw' END AS side
+  FROM documents
+), tok AS (
+  SELECT doc_id, side,
+         unnest(regexp_split_to_array(txt, '\s+')) AS term
+  FROM lab
+), tok2 AS (
+  SELECT doc_id, side, term FROM tok WHERE term <> ''
+), vocab AS (
+  SELECT term,
+         CAST(sum(CASE WHEN side = 'target' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN side = 'raw' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cr
+  FROM tok2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) + CAST(count(*) AS BIGINT) AS nt,
+         CAST(sum(cr) AS BIGINT) + CAST(count(*) AS BIGINT) AS nr
+  FROM vocab
+), w AS (
+  SELECT term,
+         CAST(floor(1000000.0 * (ln(CAST(nr AS DOUBLE)) -
+                                 ln(CAST(cr + 1 AS DOUBLE))) + 0.5)
+              AS BIGINT)
+         - CAST(floor(1000000.0 * (ln(CAST(nt AS DOUBLE)) -
+                                   ln(CAST(ct + 1 AS DOUBLE))) + 0.5)
+                AS BIGINT) AS w
+  FROM vocab, tot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(w.w) AS BIGINT) AS logw_micronats
+FROM tok2 t JOIN w USING (term)
+WHERE t.side = 'raw'
+GROUP BY 1
+"""
+
+
 def doc_dup_passages(sf_dir: str):
     """Repeated-passage coverage (pipelines/curation.py
     ``dup_passage_stats``): per document, tokens covered by any
@@ -5209,6 +5274,11 @@ SUITE: dict[str, tuple] = {
     # emb_semdedup's non-trivial split — cede):
     "doc_dup_passages": (doc_dup_passages, DOC_DUP_PASSAGES_SQL),
     "doc_remove_passages": (doc_remove_passages, DOC_REMOVE_PASSAGES_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (purchase_click_window — r4-driver-green, banded-join code
+    # unchanged, and the same join family is gate-covered by the
+    # never-checked events_span_join — cedes):
+    "doc_dsir": (doc_dsir, DOC_DSIR_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
@@ -5226,7 +5296,6 @@ SUITE: dict[str, tuple] = {
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
-    "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
@@ -5250,6 +5319,7 @@ SUITE: dict[str, tuple] = {
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
+    "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),

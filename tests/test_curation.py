@@ -270,6 +270,65 @@ class TestRemoveDupPassages:
         assert got.n_removed.sum() == 0
 
 
+class TestDsirImportance:
+    def _ref(self, target_texts, raw_docs, scale=1_000_000):
+        """The contract as the obvious loop: Laplace-smoothed unigram
+        LMs over the union vocab, per-side micro-nat quantization,
+        int sum over token occurrences."""
+        import math
+        from collections import Counter
+
+        ct, cr = Counter(), Counter()
+        for t in target_texts:
+            ct.update((t or "").lower().split())
+        for _, t in raw_docs:
+            cr.update((t or "").lower().split())
+        union = set(ct) | set(cr)
+        nt, nr = float(sum(ct.values()) + len(union)), \
+            float(sum(cr.values()) + len(union))
+        w = {t: (math.floor(scale * (math.log(nr)
+                                     - math.log(cr.get(t, 0) + 1)) + 0.5)
+                 - math.floor(scale * (math.log(nt)
+                                       - math.log(ct.get(t, 0) + 1)) + 0.5))
+             for t in union}
+        out = {}
+        for i, t in raw_docs:
+            toks = (t or "").lower().split()
+            if toks:
+                out[i] = (len(toks), int(sum(w[tk] for tk in toks)))
+        return out
+
+    def test_matches_reference_and_ranks_target_like_docs(
+            self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import dsir_importance
+
+        target_texts = ["medical trial results for the new drug",
+                        "clinical drug dosage and trial outcomes"]
+        raw_docs = [
+            (1, "drug trial outcomes in the clinical setting"),  # target-y
+            (2, "cheap flights hotel deals book now"),           # spammy
+            (3, "the results for the new schedule"),             # middling
+            (4, ""),                                             # no tokens
+        ]
+        target = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [100, 101], "text": target_texts}))
+        raw = rd.from_pandas(pd.DataFrame(
+            raw_docs, columns=["doc_id", "text"]))
+        got = dsir_importance(target, raw).to_pandas().set_index("doc_id")
+        want = self._ref(target_texts, raw_docs)
+        assert set(got.index) == set(want)
+        for i, (nt, lw) in want.items():
+            assert (got.loc[i].n_tokens, got.loc[i].logw_micronats) \
+                == (nt, lw), i
+        # the semantics: the target-like doc outranks the spam
+        per_tok = {i: got.loc[i].logw_micronats / got.loc[i].n_tokens
+                   for i in (1, 2)}
+        assert per_tok[1] > per_tok[2]
+        assert 4 not in got.index
+
+
 class TestSourceMixture:
     def test_weight_semantics(self, ray_session):
         import numpy as np

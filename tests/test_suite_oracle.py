@@ -61,6 +61,8 @@ FAST = [
     "emb_semdedup",
     "doc_dup_passages",
     "doc_remove_passages",
+    # round 5: DSIR importance weights
+    "doc_dsir",
 ]
 
 
