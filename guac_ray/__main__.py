@@ -362,19 +362,58 @@ def cmd_passages(args) -> int:
     _ray_up(args.num_cpus)
     import ray.data as rd
 
-    from guac_ray.pipelines.curation import dup_passage_stats
+    from guac_ray.pipelines.curation import (dup_passage_stats,
+                                             remove_dup_passages)
 
     ds = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
-    out = dup_passage_stats(
-        ds, id_col=args.id_col, text_col=args.text_col,
-        window=args.window, min_count=args.min_count).to_pandas()
-    tot = int(out["n_tokens"].sum()) if len(out) else 0
-    dup = int(out["dup_tokens"].sum()) if len(out) else 0
+    if args.remove:
+        out = remove_dup_passages(
+            ds, id_col=args.id_col, text_col=args.text_col,
+            window=args.window, min_count=args.min_count).to_pandas()
+        print(json.dumps({
+            "docs": int(len(out)),
+            "docs_rewritten": int((out["n_removed"] > 0).sum())
+            if len(out) else 0,
+            "tokens_removed": int(out["n_removed"].sum())
+            if len(out) else 0,
+        }))
+    else:
+        out = dup_passage_stats(
+            ds, id_col=args.id_col, text_col=args.text_col,
+            window=args.window, min_count=args.min_count).to_pandas()
+        tot = int(out["n_tokens"].sum()) if len(out) else 0
+        dup = int(out["dup_tokens"].sum()) if len(out) else 0
+        print(json.dumps({
+            "docs": int(len(out)),
+            "docs_with_dup": int((out["dup_tokens"] > 0).sum())
+            if len(out) else 0,
+            "tokens": tot, "dup_tokens": dup,
+            "dup_frac": round(dup / tot, 4) if tot else 0.0,
+        }))
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False), args.out)
+    return 0
+
+
+def cmd_dsir(args) -> int:
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.pipelines.curation import dsir_importance
+
+    target = rd.read_parquet(args.target, columns=[args.id_col,
+                                                   args.text_col])
+    raw = rd.read_parquet(args.raw, columns=[args.id_col, args.text_col])
+    out = dsir_importance(
+        target, raw, id_col=args.id_col, text_col=args.text_col
+    ).to_pandas()
+    pos = int((out["logw_micronats"] > 0).sum()) if len(out) else 0
     print(json.dumps({
-        "docs": int(len(out)),
-        "docs_with_dup": int((out["dup_tokens"] > 0).sum()) if len(out) else 0,
-        "tokens": tot, "dup_tokens": dup,
-        "dup_frac": round(dup / tot, 4) if tot else 0.0,
+        "raw_docs": int(len(out)), "target_like": pos,
     }))
     if args.out:
         import pyarrow as pa
@@ -677,8 +716,23 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--text-col", default="text")
     pg.add_argument("--window", type=int, default=10)
     pg.add_argument("--min-count", type=int, default=2)
+    pg.add_argument("--remove", action="store_true",
+                    help="rewrite docs dropping covered tokens "
+                         "(clean_text parquet) instead of reporting "
+                         "coverage stats")
     pg.add_argument("--out", default=None)
     pg.set_defaults(fn=cmd_passages)
+
+    dr = sub.add_parser("dsir",
+                        help="DSIR importance weights: score raw-pool "
+                             "docs by the target-vs-raw unigram-LM "
+                             "log-likelihood ratio (exact micro-nats)")
+    dr.add_argument("target", help="target-domain documents parquet")
+    dr.add_argument("raw", help="raw-pool documents parquet")
+    dr.add_argument("--id-col", default="doc_id")
+    dr.add_argument("--text-col", default="text")
+    dr.add_argument("--out", default=None)
+    dr.set_defaults(fn=cmd_dsir)
 
     bo = sub.add_parser("boiler",
                         help="drop rows whose text recurs in >= min-groups "

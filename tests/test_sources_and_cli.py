@@ -414,6 +414,59 @@ class TestRound4CliVerbs2:
         assert res["docs_with_dup"] == 2
         assert res["dup_tokens"] > 0
 
+    def test_passages_remove_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_passages
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["one two three tail", "zero one two three end"],
+        }), str(p))
+
+        class A:
+            table = str(p)
+            id_col, text_col = "doc_id", "text"
+            window, min_count, out, num_cpus = 3, 2, None, None
+            remove = True
+
+        assert cmd_passages(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["docs"] == 2 and res["docs_rewritten"] == 2
+        assert res["tokens_removed"] == 6  # "one two three" gone twice
+
+    def test_dsir_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_dsir
+
+        tp = tmp_path / "target.parquet"
+        rp = tmp_path / "raw.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([100], type=pa.int64()),
+            "text": ["clinical drug trial outcomes"]}), str(tp))
+        # doc 1 is fully target-covered (every token in the target LM →
+        # all per-token ratios positive); doc 2 shares nothing
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["drug trial outcomes clinical",
+                     "cheap flights hotel deals"]}), str(rp))
+
+        class A:
+            target, raw = str(tp), str(rp)
+            id_col, text_col, out, num_cpus = "doc_id", "text", None, None
+
+        assert cmd_dsir(A()) == 0
+        res = json.loads(capsys.readouterr().out.strip())
+        assert res["raw_docs"] == 2 and res["target_like"] == 1
+
     def test_boiler_verb(self, ray_session, tmp_path, capsys):
         import json
 
