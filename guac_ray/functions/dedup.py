@@ -47,6 +47,7 @@ __all__ = [
     "minhash_dedup",
     "SimHasher",
     "simhash_pairs",
+    "hamming64_pairs",
     "ngram_set",
     "jaccard",
     "verify_pairs_exact",
@@ -824,6 +825,29 @@ def simhash_pairs(
     16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), bucket
     on (chunk_id, chunk_value), verify hamming within buckets."""
     sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency)
+    return hamming64_pairs(sigs, max_hamming=max_hamming)
+
+
+def hamming64_pairs(
+    sigs: Dataset,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    exchange_name: str = "simhash_bands",
+) -> Dataset:
+    """Generic 64-bit-fingerprint near-dup pair finder (the banded half
+    of :func:`simhash_pairs`, factored out so image dHash / any 64-bit
+    sketch reuses it): 4 × 16-bit chunk pigeonhole banding (hamming ≤ 3
+    ⇒ ≥ 1 identical chunk; a larger ``max_hamming`` weakens the
+    completeness guarantee, same caveat as SimHash), fs-exchange
+    buckets on (chunk, value), exact hamming verify within buckets,
+    canonical (a < b) pair dedup. Input: any Dataset with an int64 id
+    column and a uint64 fingerprint column."""
+    if (id_col, hash_col) != ("doc_id", "simhash"):
+        def canon(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t[id_col], "simhash": t[hash_col]})
+
+        sigs = sigs.map_batches(canon, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
@@ -893,7 +917,7 @@ def simhash_pairs(
 
     banded = (sigs.map_batches(explode, batch_format="pyarrow")
               .map_batches(coarse, batch_format="pyarrow"))
-    pairs = fs_exchange_reduce(banded, _default_exchange("simhash_bands"),
+    pairs = fs_exchange_reduce(banded, _default_exchange(exchange_name),
                                per_coarse, bucket_col="_cb")
     if pairs is None:
         pairs = rd.from_arrow(_pairs_schema.empty_table())

@@ -36,6 +36,11 @@ __all__ = [
     "decode_any",
     "resize_nearest",
     "ImageDecoder",
+    "ImageHasher",
+    "dhash64",
+    "image_dhash",
+    "image_neardup_pairs",
+    "make_fake_media_with_neardups",
     "ImageResizer",
     "FrameSampler",
     "decode_images",
@@ -633,6 +638,125 @@ def decode_images(media: Dataset, concurrency: int = 2, batch_size: int = 32) ->
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def dhash64(rgb: np.ndarray) -> int:
+    """Difference hash (dHash) of an (H, W, 3) uint8 image as a 64-bit
+    int — the classic perceptual fingerprint for image near-dup
+    detection. Fully integer and deterministic: BT.601 integer luma
+    ``(299·R + 587·G + 114·B) // 1000``, 8×9 AREA-MEAN downsample with
+    contiguous integer band bounds (``(i·H)//8``) and floor-div means
+    (robust to small pixel noise, unlike nearest sampling), then one
+    horizontal-gradient sign bit per adjacent cell pair."""
+    h, w, _ = rgb.shape
+    px = rgb.astype(np.int64)
+    luma = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
+    yb = (np.arange(9, dtype=np.int64) * h) // 8   # 8 row bands
+    xb = (np.arange(10, dtype=np.int64) * w) // 9  # 9 col bands
+    # integer area means via 2-D prefix sums
+    ps = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ps[1:, 1:] = luma.cumsum(0).cumsum(1)
+    ys, ye = yb[:-1], np.maximum(yb[1:], yb[:-1] + 1)  # ≥1 row/col per band
+    xs, xe = xb[:-1], np.maximum(xb[1:], xb[:-1] + 1)
+    ye, xe = np.minimum(ye, h), np.minimum(xe, w)
+    sums = (ps[ye][:, xe] - ps[ye][:, xs] - ps[ys][:, xe] + ps[ys][:, xs])
+    area = ((ye - ys)[:, None] * (xe - xs)[None, :])
+    cells = sums // area                           # (8, 9) integer means
+    bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+class ImageHasher:
+    """Actor-pool stage: media batch → (media_id, dhash) for every
+    DECODABLE image (BMP/PPM, or the installed ``real_decoder``);
+    undecodable payloads emit no row — a perceptual hash of random
+    codec bytes would be noise, not a fingerprint."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            rgb = decode_any(p or b"")
+            if rgb is None and ImageDecoder.real_decoder is not None:
+                out = ImageDecoder.real_decoder(p)
+                rgb = out.get("rgb") if isinstance(out, dict) else None
+            if rgb is None or rgb.shape[0] < 1 or rgb.shape[1] < 1:
+                continue
+            ids.append(mid)
+            hashes.append(dhash64(rgb))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "dhash": pa.array(hashes, type=pa.uint64()),
+        })
+
+
+def image_dhash(media: Dataset, concurrency=2, batch_size: int = 32) -> Dataset:
+    """(media_id, dhash) over a media table — small batches bound the
+    per-worker heap like ``decode_images``."""
+    return media.map_batches(
+        ImageHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_neardup_pairs(
+    media: Dataset, max_hamming: int = 3, concurrency=2,
+    batch_size: int = 32,
+) -> Dataset:
+    """Image near-duplicate pairs: dHash fingerprints → the generic
+    64-bit hamming pair finder (``functions.dedup.hamming64_pairs`` —
+    the SAME 4×16-bit pigeonhole banding, fs-exchange buckets and exact
+    verify the SimHash text path uses). Returns (a, b, hamming) with
+    a < b. The multimodal member of the dedup family: exact byte dedup
+    catches re-uploads, dHash catches re-encodes/crops-with-noise."""
+    from guac_ray.functions.dedup import hamming64_pairs
+
+    sigs = image_dhash(media, concurrency=concurrency,
+                       batch_size=batch_size)
+    return hamming64_pairs(sigs, id_col="media_id", hash_col="dhash",
+                           max_hamming=max_hamming,
+                           exchange_name="imgdhash_bands")
+
+
+def make_fake_media_with_neardups(
+    n: int = 64, dups: int = 6, seed: int = 7
+) -> pa.Table:
+    """``make_fake_media`` plus ``dups`` planted near-duplicates:
+    structured gradient images (dHash-stable under noise) re-encoded
+    with ±1 pixel jitter under fresh ids ≥ 10_000 — deterministic, so
+    the pair list golden-pins like the text near-dup queries."""
+    base = make_fake_media(n, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    payloads, ids = [], []
+    levels = np.array([16, 128, 240], dtype=np.int64)
+    for d in range(dups):
+        # 8×9 block grid from 3 high-contrast levels with no equal
+        # horizontal neighbors (adjacent-cell gaps ≥ 112, so the dHash
+        # gradient bits cannot flip under ±1 jitter), upscaled by
+        # integer factors so the hash's area-mean bands align with
+        # blocks EXACTLY; grayscale (r=g=b) so integer luma == value
+        grid = np.empty((8, 9), dtype=np.int64)
+        grid[:, 0] = levels[rng.integers(0, 3, size=8)]
+        for j in range(1, 9):
+            for i in range(8):
+                others = levels[levels != grid[i, j - 1]]
+                grid[i, j] = others[rng.integers(0, 2)]
+        arr = np.repeat(np.repeat(grid, 4, axis=0), 5, axis=1)  # 32×45
+        img = np.stack([arr] * 3, axis=2).astype(np.uint8)
+        ids.append(10_000 + 2 * d)
+        payloads.append(encode_bmp(img))
+        noise = rng.integers(-1, 2, size=img.shape)
+        jit = np.clip(img.astype(np.int64) + noise, 0, 255).astype(np.uint8)
+        ids.append(10_000 + 2 * d + 1)
+        payloads.append(encode_bmp(jit))
+    extra = pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "kind": pa.array(["image"] * len(ids), type=pa.string()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "mime": pa.array(["image/bmp"] * len(ids), type=pa.string()),
+        "meta": pa.array(["{}"] * len(ids), type=pa.string()),
+    })
+    return pa.concat_tables([base, extra])
 
 
 def resize_images(media: Dataset, out_w: int = 64, out_h: int = 64,

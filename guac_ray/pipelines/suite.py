@@ -2279,6 +2279,22 @@ def media_video(sf_dir: str):
     return decode_video(media, stride=5, concurrency=(1, 2))
 
 
+def media_neardup(sf_dir: str):
+    """Image near-duplicate pairs — the MULTIMODAL member of the dedup
+    family: deterministic BMP fleet with 6 planted (clean, ±1-jittered)
+    near-dup pairs → integer dHash fingerprints (real decode, area-mean
+    8×9 grid, gradient-sign bits) → the SAME 4×16-bit pigeonhole
+    banding + fs-exchange verify the text SimHash path uses
+    (functions/dedup.py:hamming64_pairs). No SQL oracle (DuckDB cannot
+    decode BMP); golden-pinned with a drift test — the expected answer
+    is exactly the 6 planted pairs at hamming 0."""
+    from guac_ray.functions.multimodal import (image_neardup_pairs,
+                                               make_fake_media_with_neardups)
+
+    media = rd.from_arrow(make_fake_media_with_neardups(256, dups=6))
+    return image_neardup_pairs(media, max_hamming=3, concurrency=(1, 2))
+
+
 def media_audio(sf_dir: str):
     """Audio leg of the multimodal triad: deterministic PCM-WAV table
     (real RIFF parse — functions/multimodal.py:decode_wav) → feature
@@ -5363,6 +5379,7 @@ SUITE: dict[str, tuple] = {
     "events_user_approx": (events_user_approx, None),
     "doc_lang_id": (doc_lang_id, None),
     "media_decode": (media_decode, None),
+    "media_neardup": (media_neardup, None),
     "media_audio": (media_audio, None),
     "media_video": (media_video, None),
     "neardup_docs_minhash": (neardup_docs_minhash, None),

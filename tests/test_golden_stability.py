@@ -40,6 +40,7 @@ class TestGoldenStability:
         "neardup_docs_simhash",
         "events_user_approx",
         "media_decode",
+        "media_neardup",
         "media_audio",
         "media_video",
     ])

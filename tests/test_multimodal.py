@@ -107,6 +107,58 @@ class TestMultimodal:
             assert decode_ppm(p).shape == (8, 8, 3)
 
 
+class TestImageDhash:
+    def test_identical_images_identical_hash(self):
+        import numpy as np
+
+        from guac_ray.functions.multimodal import dhash64
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(30, 40, 3), dtype=np.uint8)
+        assert dhash64(img) == dhash64(img.copy())
+
+    def test_jitter_invariance_on_block_images(self):
+        """±1 pixel jitter cannot flip a gradient bit when adjacent
+        dHash cells differ by ≥112 (the planted-fixture contract)."""
+        import numpy as np
+
+        from guac_ray.functions.multimodal import (
+            dhash64, make_fake_media_with_neardups, decode_bmp)
+
+        t = make_fake_media_with_neardups(8, dups=4)
+        ids = t["media_id"].to_pylist()
+        pls = t["payload"].to_pylist()
+        planted = {i: p for i, p in zip(ids, pls) if i >= 10_000}
+        hashes = {}
+        for i, p in planted.items():
+            rgb = decode_bmp(p)
+            assert rgb is not None
+            hashes[i] = dhash64(rgb)
+        for d in range(4):
+            assert hashes[10_000 + 2 * d] == hashes[10_000 + 2 * d + 1], d
+        # distinct grids → distinct hashes (seeded random 3-level grids)
+        clean = [hashes[10_000 + 2 * d] for d in range(4)]
+        assert len(set(clean)) == 4
+
+    def test_tiny_image_defined(self):
+        import numpy as np
+
+        from guac_ray.functions.multimodal import dhash64
+
+        img = np.full((2, 3, 3), 7, dtype=np.uint8)  # smaller than 8×9
+        assert isinstance(dhash64(img), int)
+
+    def test_random_images_produce_no_pairs(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.multimodal import (image_neardup_pairs,
+                                                   make_fake_media)
+
+        media = rd.from_arrow(make_fake_media(64))
+        out = image_neardup_pairs(media, max_hamming=3).to_pandas()
+        assert len(out) == 0
+
+
 class TestWavCodec:
     def test_roundtrip_16bit(self):
         import numpy as np

@@ -407,6 +407,7 @@ class TestRound4CliVerbs2:
             table = str(p)
             id_col, text_col = "doc_id", "text"
             window, min_count, out, num_cpus = 3, 2, None, None
+            remove = False
 
         assert cmd_passages(A()) == 0
         res = json.loads(capsys.readouterr().out.strip())
