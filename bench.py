@@ -179,8 +179,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-5: SemDeDup-style cluster-bucketed semantic dedup +
             # ExactSubstr repeated-passage coverage and removal
             "emb_semdedup", "doc_dup_passages", "doc_remove_passages",
-            # round-5: DSIR importance weights (target vs raw LMs)
-            "doc_dsir",
+            # round-5: DSIR importance weights (target vs raw LMs),
+            # edit-distance-1 entity join, image dHash near-dup
+            "doc_dsir", "supplier_name_matches", "media_neardup",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

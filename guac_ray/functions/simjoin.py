@@ -50,7 +50,135 @@ from guac_ray.functions.joins import default_exchange, hash_join
 from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 from guac_ray.stages.groupagg import grouped_agg
 
-__all__ = ["shingle_strings", "jaccard_similarity_join"]
+__all__ = ["shingle_strings", "jaccard_similarity_join", "edit1_join"]
+
+
+def _lev_le1(x: str, y: str) -> bool:
+    """Exact Levenshtein(x, y) ≤ 1 in one O(len) two-pointer pass."""
+    if x == y:
+        return True
+    lx, ly = len(x), len(y)
+    if abs(lx - ly) > 1:
+        return False
+    if lx == ly:
+        return sum(a != b for a, b in zip(x, y)) == 1
+    if lx > ly:
+        x, y, lx, ly = y, x, ly, lx
+    i = j = 0
+    skipped = False
+    while i < lx:
+        if x[i] == y[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def edit1_join(
+    ds: Dataset,
+    col: str,
+    id_col: str,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    max_len: int = 512,
+) -> Dataset:
+    """EXACT edit-distance-≤1 self-join on a string column — the
+    entity-resolution / typo-dedup primitive (FastSS deletion
+    neighborhoods, Bocek et al. 2007, public): two strings are within
+    one edit iff their {self} ∪ {one-char-deletions} neighborhoods
+    intersect... as a CANDIDATE condition (sharing a deletion is
+    necessary but admits some distance-2 pairs, e.g. "ab"/"ba"), so
+    every candidate is verified with an exact O(len) distance check.
+    Returns (a, b, d) with a < b by id and d ∈ {0, 1}.
+
+    Scale shape: variant generation is VECTORIZED — one
+    ``utf8_slice_codeunits`` + ``binary_join_element_wise`` pass per
+    deletion position (max_len bounds the loop; entity strings are
+    short by contract and longer rows raise); variants hash-partition
+    into the fs exchange so all strings sharing a neighborhood
+    co-locate; per-bucket candidate pairs group on the variant and
+    verify with the two-pointer check (bounded by the neighborhood
+    structure — a variant's group is the strings one edit apart at
+    that position, not the corpus); canonical (a < b) pairs dedup
+    exactly across variants via ``dedup_exact``.
+    """
+    import pyarrow.compute as pc
+
+    from guac_ray.stages.assemble import dedup_exact
+
+    ex = exchange_base or default_exchange("edit1")
+
+    def variants(t: pa.Table) -> pa.Table:
+        s = t[col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.fill_null(s.cast(pa.string()), "")
+        lens = pc.utf8_length(s).to_numpy(zero_copy_only=False)
+        if lens.size and int(lens.max()) > max_len:
+            raise ValueError(
+                f"edit1_join: string longer than max_len={max_len}; "
+                "this operator targets short entity strings — raise "
+                "max_len deliberately if that is the data")
+        ids = t[id_col]
+        outs = [pa.table({id_col: ids, "s": s, "v": s})]  # identity
+        for i in range(int(lens.max()) if lens.size else 0):
+            mask = pa.array(lens > i)
+            sub_s = s.filter(mask)
+            sub_id = ids.filter(mask)
+            head = pc.utf8_slice_codeunits(sub_s, start=0, stop=i)
+            tail = pc.utf8_slice_codeunits(sub_s, start=i + 1,
+                                           stop=2_147_483_647)
+            outs.append(pa.table({
+                id_col: sub_id, "s": sub_s,
+                "v": pc.binary_join_element_wise(head, tail, ""),
+            }))
+        out = pa.concat_tables(outs)
+        bucket = stable_hash(
+            pd.DataFrame({"v": out["v"].to_pandas()}), ["v"]) % num_buckets
+        return out.append_column(
+            "_bucket", pa.array(bucket.astype(np.int64)))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates([id_col, "v"])
+        ra, rb, rd_ = [], [], []
+        for _, g in df.groupby("v", sort=False):
+            if len(g) < 2:
+                continue
+            if len(g) > 100_000:
+                raise ValueError(
+                    "edit1_join: a deletion-neighborhood group exceeds "
+                    "100k strings (mass-duplicate key) — exact-dedup "
+                    "the column first; the pair set itself would be "
+                    "quadratic in the duplicates")
+            g = g.drop_duplicates(id_col).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            ss = g["s"].to_numpy()
+            for ii in range(len(ids)):
+                for jj in range(ii + 1, len(ids)):
+                    if _lev_le1(ss[ii], ss[jj]):
+                        ra.append(ids[ii])
+                        rb.append(ids[jj])
+                        rd_.append(0 if ss[ii] == ss[jj] else 1)
+        return pa.table({
+            "a": pa.array(ra, type=pa.int64()),
+            "b": pa.array(rb, type=pa.int64()),
+            "d": pa.array(rd_, type=pa.int64()),
+        })
+
+    rows = ds.select_columns([id_col, col]).map_batches(
+        variants, batch_format="pyarrow")
+    pairs = fs_exchange_reduce(rows, ex, per_bucket, bucket_col="_bucket")
+    if pairs is None:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "d": pa.array([], pa.int64())}))
+    return dedup_exact(pairs, ["a", "b"], num_buckets=8,
+                       keep_cols=["a", "b", "d"])
 
 
 def shingle_strings(text: str, n: int = 5) -> list[str]:

@@ -1911,6 +1911,29 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 """
 
 
+def supplier_name_matches(sf_dir: str):
+    """EXACT edit-distance-≤1 entity self-join (functions/simjoin.py
+    ``edit1_join`` — FastSS deletion neighborhoods + exact verify):
+    supplier names within one typo of each other. The sequentially
+    numbered names make the answer dense and position-structured
+    (digit substitutions), exercising both the candidate banding and
+    the distance-2 rejections; DuckDB's ``levenshtein`` is the
+    brute-force oracle."""
+    from guac_ray.functions.simjoin import edit1_join
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return edit1_join(ds, col="s_name", id_col="s_suppkey",
+                      exchange_base=_exchange("edit1"))
+
+
+SUPPLIER_NAME_MATCHES_SQL = """
+SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS d
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 def corpus_curation(sf_dir: str):
     """The flagship TRAINING-DATA pipeline: quality filter → exact
     dedup → EXACT near-dup removal (prefix-filtered Jaccard join +
@@ -5295,6 +5318,13 @@ SUITE: dict[str, tuple] = {
     # unchanged, and the same join family is gate-covered by the
     # never-checked events_span_join — cedes):
     "doc_dsir": (doc_dsir, DOC_DSIR_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (events_quantiles_cont — r4-driver-green; the exact-quantile /
+    # histogram-exchange family stays gate-covered by the
+    # never-checked events_percentile, events_mad and
+    # events_quantile_buckets — cedes):
+    "supplier_name_matches": (supplier_name_matches,
+                              SUPPLIER_NAME_MATCHES_SQL),
     "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
@@ -5313,7 +5343,6 @@ SUITE: dict[str, tuple] = {
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
-    "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
@@ -5336,6 +5365,7 @@ SUITE: dict[str, tuple] = {
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
+    "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),

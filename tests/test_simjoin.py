@@ -96,3 +96,55 @@ def test_empty_corpus(ray_session, tmp_path):
     # a fully-empty Dataset, so assert on the Dataset itself)
     assert out.count() == 0
     assert out.schema().names == ["da", "db", "j"]
+
+
+class TestEdit1Join:
+    def test_lev_le1_cases(self):
+        from guac_ray.functions.simjoin import _lev_le1
+
+        assert _lev_le1("abc", "abc")          # d = 0
+        assert _lev_le1("abc", "abd")          # substitution
+        assert _lev_le1("abc", "ab")           # deletion
+        assert _lev_le1("abc", "xabc")         # insertion
+        assert not _lev_le1("ab", "ba")        # transposition = 2 edits
+        assert not _lev_le1("abc", "adc" "x")  # sub + insert
+        assert not _lev_le1("abcd", "ab")      # length gap 2
+
+    def test_matches_brute_force(self, ray_session):
+        import itertools
+
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.simjoin import _lev_le1, edit1_join
+
+        names = ["node-001", "node-002", "node-01", "node-001",  # dup
+                 "gateway", "gateway2", "gatway", "unrelated",
+                 "ab", "ba", "a", ""]
+        df = pd.DataFrame({"id": range(len(names)), "s": names})
+        got = edit1_join(rd.from_pandas(df).repartition(3),
+                         col="s", id_col="id").to_pandas()
+        got_pairs = set(zip(got["a"], got["b"]))
+        want = set()
+        for (i, x), (j, y) in itertools.combinations(
+                enumerate(names), 2):
+            if _lev_le1(x, y):
+                want.add((i, j))
+        assert got_pairs == want
+        # the transposition pair must NOT appear (candidate but d=2)
+        assert (8, 9) not in got_pairs
+        # the exact-dup pair carries d = 0
+        d0 = got[(got["a"] == 0) & (got["b"] == 3)]["d"]
+        assert d0.tolist() == [0]
+
+    def test_long_string_guard(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        import pytest
+
+        from guac_ray.functions.simjoin import edit1_join
+
+        df = pd.DataFrame({"id": [1], "s": ["x" * 600]})
+        with pytest.raises(Exception, match="max_len"):
+            edit1_join(rd.from_pandas(df), col="s",
+                       id_col="id").to_pandas()

@@ -61,8 +61,9 @@ FAST = [
     "emb_semdedup",
     "doc_dup_passages",
     "doc_remove_passages",
-    # round 5: DSIR importance weights
+    # round 5: DSIR importance weights + edit-distance entity join
     "doc_dsir",
+    "supplier_name_matches",
 ]
 
 
