@@ -180,8 +180,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # ExactSubstr repeated-passage coverage and removal
             "emb_semdedup", "doc_dup_passages", "doc_remove_passages",
             # round-5: DSIR importance weights (target vs raw LMs),
-            # edit-distance-1 entity join, image dHash near-dup
+            # edit-distance-1 entity join, image dHash near-dup,
+            # fixed-point BM25 retrieval
             "doc_dsir", "supplier_name_matches", "media_neardup",
+            "doc_bm25",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

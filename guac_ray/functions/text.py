@@ -32,6 +32,7 @@ __all__ = [
     "fingerprints",
     "utf8_stats",
     "tfidf_top_terms",
+    "bm25_topk",
     "unigram_surprisal",
     "doc_token_entropy",
     "PII_PATTERNS",
@@ -548,6 +549,155 @@ def tfidf_top_terms(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+
+def bm25_topk(
+    docs: Dataset,
+    queries: dict[int, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    scale: int = 1_000_000,
+    concurrency=2,
+) -> pa.Table:
+    """FIXED-POINT BM25 top-k retrieval (Robertson/Spärck Jones; k1=1.2,
+    b=0.75) — the lexical-search complement of the vector k-NN family:
+    for each query (a bag of terms) return the ``k`` highest-scoring
+    documents. Every quantity is integer-exact so any engine reproduces
+    the ranking bit-for-bit:
+
+      idf_unt(t) = floor(scale·ln((2(N−df)+1)/(2df+1) + 1) + 0.5)
+                   (one double division + ln, the surprisal discipline)
+      u_d  = (750·dl·N) // total          (b/avgdl in 1/1000 units)
+      k_d  = (1200·(250 + u_d)) // 1000   (k1·(1−b+b·dl/avgdl) ×1000)
+      s(q,d) = Σ_t (idf_unt(t)·tf·2200) // (tf·1000 + k_d)
+
+    ties break (score DESC, id ASC). N counts docs with ≥ 1 token.
+
+    Shape: pass 1 is one streamed scan emitting ≤ (2+|terms|) stat
+    partials per batch (df per QUERY term only, N, total) — the driver
+    reduce is bounded by parallelism, never data; the tiny idf table
+    broadcasts via ``ray.put``; pass 2 re-scans docs (a doc is one
+    row → scoring is batch-local) and emits ≤ k rows per query per
+    batch; the final top-k merges k·|Q|·blocks rows. Returns an
+    in-memory ``pa.Table`` (qid, doc_id, score_fp, rank) — top-k
+    results are driver-sized by definition.
+    """
+    import heapq
+    import math
+    from collections import Counter
+
+    import ray
+
+    terms = sorted({t for ts in queries.values() for t in ts})
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        kinds, keys, vals = [], [], []
+        n = tot = 0
+        dfc: Counter = Counter()
+        for txt in t[text_col].to_pylist():
+            toks = sql_ws_tokens(txt)
+            if not toks:
+                continue
+            n += 1
+            tot += len(toks)
+            st = set(toks)
+            for q in terms:
+                if q in st:
+                    dfc[q] += 1
+        kinds += ["n", "tot"]
+        keys += ["", ""]
+        vals += [n, tot]
+        for q, c in dfc.items():
+            kinds.append("df")
+            keys.append(q)
+            vals.append(c)
+        return pa.table({
+            "kind": pa.array(kinds, type=pa.string()),
+            "key": pa.array(keys, type=pa.string()),
+            "val": pa.array(vals, type=pa.int64()),
+        })
+
+    parts = docs.select_columns([text_col]).map_batches(
+        stat_partial, batch_format="pyarrow").take_all()
+    N = sum(r["val"] for r in parts if r["kind"] == "n")
+    total = sum(r["val"] for r in parts if r["kind"] == "tot")
+    df: Counter = Counter()
+    for r in parts:
+        if r["kind"] == "df":
+            df[r["key"]] += r["val"]
+    if N == 0:
+        return pa.table({
+            "qid": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score_fp": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64())})
+    idf = {
+        t: int(math.floor(scale * math.log(
+            float(2 * (N - df[t]) + 1) / float(2 * df[t] + 1) + 1.0) + 0.5))
+        for t in terms if df[t] > 0
+    }
+    sref = ray.put((idf, N, total, {int(q): list(ts)
+                                    for q, ts in queries.items()}))
+
+    class Scorer:
+        def __init__(self):
+            self.idf, self.N, self.total, self.queries = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tops: dict[int, list] = {q: [] for q in self.queries}
+            for did, txt in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
+                c = Counter(sql_ws_tokens(txt))
+                dl = sum(c.values())
+                if not dl:
+                    continue
+                u = (750 * dl * self.N) // self.total
+                kd = (1200 * (250 + u)) // 1000
+                for q, ts in self.queries.items():
+                    s = 0
+                    for tk in ts:
+                        tf = c.get(tk, 0)
+                        if tf and tk in self.idf:
+                            s += (self.idf[tk] * tf * 2200) // (
+                                tf * 1000 + kd)
+                    if s > 0:
+                        # heap on (score, -id): keeps the k best under
+                        # the (score DESC, id ASC) order
+                        heapq.heappush(tops[q], (s, -did))
+                        if len(tops[q]) > k:
+                            heapq.heappop(tops[q])
+            qs, ids, ss = [], [], []
+            for q, h in tops.items():
+                for s, nid in h:
+                    qs.append(q)
+                    ids.append(-nid)
+                    ss.append(s)
+            return pa.table({
+                "qid": pa.array(qs, type=pa.int64()),
+                id_col: pa.array(ids, type=pa.int64()),
+                "score_fp": pa.array(ss, type=pa.int64()),
+            })
+
+    rows = docs.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency).take_all()
+    out = {"qid": [], id_col: [], "score_fp": [], "rank": []}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["score_fp"], r[id_col]))
+    for q in sorted(by_q):
+        ranked = sorted(by_q[q], key=lambda x: (-x[0], x[1]))[:k]
+        for i, (s, d) in enumerate(ranked, 1):
+            out["qid"].append(q)
+            out[id_col].append(d)
+            out["score_fp"].append(s)
+            out["rank"].append(i)
+    return pa.table({
+        "qid": pa.array(out["qid"], type=pa.int64()),
+        id_col: pa.array(out[id_col], type=pa.int64()),
+        "score_fp": pa.array(out["score_fp"], type=pa.int64()),
+        "rank": pa.array(out["rank"], type=pa.int64()),
+    })
 
 
 def unigram_surprisal(

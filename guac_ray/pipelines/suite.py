@@ -2039,6 +2039,81 @@ def doc_decontaminate(sf_dir: str):
     return decontaminate(side(True), side(False))
 
 
+_BM25_QUERIES = {
+    1: ["hash", "join", "batch"],
+    2: ["window", "stream", "filter"],
+    3: ["vector", "column", "scan", "nonexistenttermxyz"],
+}
+
+
+def doc_bm25(sf_dir: str):
+    """Fixed-point BM25 top-10 retrieval (functions/text.py
+    ``bm25_topk``) for three fixed term queries over the documents
+    table — the lexical-search complement of knn_search. Query 3
+    carries a term absent from every corpus (contributes nothing on
+    both engines). Integer-exact scoring; the oracle evaluates the
+    SAME quantized recurrence with window-function top-k."""
+    from guac_ray.functions.text import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, _BM25_QUERIES, k=10)
+
+
+def _bm25_sql(queries: dict, k: int = 10, scale: int = 1_000_000) -> str:
+    qvals = ", ".join(f"({q}, '{t}')"
+                      for q, ts in sorted(queries.items()) for t in ts)
+    return f"""
+WITH q(qid, term) AS (VALUES {qvals}),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, term FROM tok WHERE term <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total
+  FROM dl
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok2 WHERE term IN (SELECT term FROM q) GROUP BY 1
+), idf AS (
+  SELECT term,
+         CAST(floor({scale}.0 * ln(CAST(2 * (n - df) + 1 AS DOUBLE) /
+                                   CAST(2 * df + 1 AS DOUBLE) + 1.0)
+                    + 0.5) AS BIGINT) AS idf
+  FROM df, stats
+), tf AS (
+  SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 t JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+  GROUP BY 1, 2
+), kd AS (
+  SELECT dl.doc_id,
+         (1200 * (250 + (750 * dl.dl * s.n) // s.total)) // 1000 AS kd
+  FROM dl, stats s
+), scores AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(sum((idf.idf * tf.tf * 2200) // (tf.tf * 1000 + kd.kd))
+              AS BIGINT) AS score_fp
+  FROM q JOIN tf USING (term)
+  JOIN idf USING (term)
+  JOIN kd ON kd.doc_id = tf.doc_id
+  GROUP BY 1, 2
+  HAVING sum((idf.idf * tf.tf * 2200) // (tf.tf * 1000 + kd.kd)) > 0
+)
+SELECT qid, doc_id, score_fp,
+       CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY score_fp DESC, doc_id) AS BIGINT)
+           AS rank
+FROM scores
+QUALIFY rank <= {k}
+"""
+
+
+DOC_BM25_SQL = _bm25_sql(_BM25_QUERIES)
+
+
 def doc_dsir(sf_dir: str):
     """DSIR importance weights (pipelines/curation.py
     ``dsir_importance``): the md5-split minority side (≥ 0xCC, ~20%)
@@ -5325,7 +5400,11 @@ SUITE: dict[str, tuple] = {
     # events_quantile_buckets — cedes):
     "supplier_name_matches": (supplier_name_matches,
                               SUPPLIER_NAME_MATCHES_SQL),
-    "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (doc_tfidf — r4-driver-green; the fixed-point text-scoring
+    # family stays gate-covered by the never-checked doc_surprisal,
+    # doc_entropy, doc_dsir and doc_bm25 itself — cedes):
+    "doc_bm25": (doc_bm25, DOC_BM25_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
     # emb_kmeans (r4-driver-green, unchanged) cedes its slot and is
@@ -5366,6 +5445,7 @@ SUITE: dict[str, tuple] = {
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),
     "purchase_click_window": (purchase_click_window, PURCHASE_CLICK_WINDOW_SQL),
     "events_quantiles_cont": (events_quantiles_cont, EVENTS_QUANTILES_CONT_SQL),
+    "doc_tfidf": (doc_tfidf, DOC_TFIDF_SQL),
     "knn_search": (knn_search_q0, KNN_SQL),
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),

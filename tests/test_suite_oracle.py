@@ -61,9 +61,11 @@ FAST = [
     "emb_semdedup",
     "doc_dup_passages",
     "doc_remove_passages",
-    # round 5: DSIR importance weights + edit-distance entity join
+    # round 5: DSIR importance weights + edit-distance entity join +
+    # fixed-point BM25 retrieval
     "doc_dsir",
     "supplier_name_matches",
+    "doc_bm25",
 ]
 
 

@@ -124,6 +124,74 @@ class TestUtf8Stats:
             round(a / c, 4) if c else 0.0 for a, c in zip(want[1], want[2])]
 
 
+class TestBm25:
+    def test_matches_naive_and_ranks_sensibly(self, ray_session):
+        """The fixed-point contract written as the obvious loop, plus
+        the semantic check: the doc where the query terms are dense
+        outranks the doc where they are diluted."""
+        import math
+        from collections import Counter
+
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.text import bm25_topk, sql_ws_tokens
+
+        texts = [
+            "hash join hash join probe",                      # dense
+            "hash join appears once in a long long long long "
+            "long long long long long document body here",    # diluted
+            "no relevant terms at all whatsoever",
+            "join",                                           # short hit
+            "",                                               # empty
+        ]
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts})).repartition(2)
+        queries = {7: ["hash", "join"]}
+        got = bm25_topk(docs, queries, k=3).to_pandas()
+
+        toks = [sql_ws_tokens(t) for t in texts]
+        dls = [len(t) for t in toks if t]
+        N, total = len(dls), sum(dls)
+        dfs = {q: sum(1 for t in toks if q in t) for q in ("hash", "join")}
+        idf = {q: math.floor(1e6 * math.log(
+            (2 * (N - d) + 1) / (2 * d + 1) + 1.0) + 0.5)
+            for q, d in dfs.items()}
+        scores = {}
+        for i, tk in enumerate(toks):
+            c = Counter(tk)
+            dl = len(tk)
+            if not dl:
+                continue
+            kd = (1200 * (250 + (750 * dl * N) // total)) // 1000
+            s = sum((idf[q] * c[q] * 2200) // (c[q] * 1000 + kd)
+                    for q in ("hash", "join") if c[q])
+            if s > 0:
+                scores[i] = s
+        want = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:3]
+        assert list(zip(got["doc_id"], got["score_fp"])) == want
+        assert got["rank"].tolist() == [1, 2, 3]
+        # dense doc beats the diluted one
+        r = dict(zip(got["doc_id"], got["rank"]))
+        assert r[0] < r[1]
+
+    def test_unknown_terms_and_empty_corpus(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.text import bm25_topk
+
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1], "text": ["alpha beta"]}))
+        out = bm25_topk(docs, {1: ["zzz_notthere"]}, k=5).to_pandas()
+        assert len(out) == 0
+        empty = rd.from_pandas(pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "text": pd.Series(dtype="object")}))
+        out2 = bm25_topk(empty, {1: ["alpha"]}, k=5).to_pandas()
+        assert len(out2) == 0
+
+
 class TestTfidf:
     def _reference(self, docs):
         """Plain-Python tf-idf reference: score = tf*1e6 // df, top-3 by
