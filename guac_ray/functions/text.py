@@ -840,3 +840,129 @@ def doc_token_entropy(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", concurrency=concurrency)
+
+
+def pmi_bigrams(
+    docs: Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+    scale: int = 1_000_000,
+    vocab_cap: int = 20_000_000,
+    num_buckets: int = 8,
+):
+    """Top-``top_k`` word-bigram collocations by FIXED-POINT pointwise
+    mutual information — the classic collocation-mining statistic
+    (Church & Hanks 1990) a corpus-analysis pipeline runs to surface
+    multi-word expressions before tokenizer training or phrase mining.
+
+    Exactness: PMI is quantized to integer micro-nats with the proven
+    surprisal expression-tree discipline —
+    ``pmi_fp = floor(scale*(ln(c_xy) + ln(N) - ln(c_x) - ln(c_y)) + 0.5)``
+    with every ``ln`` a SCALAR libm log over an exact-integer-valued
+    double (vectorized numpy logs can differ from DuckDB's libm in the
+    last ulp), the additions left-associated exactly as the SQL oracle
+    writes them, and N = total token occurrences. Ranking is
+    (pmi_fp DESC, bigram ASC) — bigram strings are unique, so the
+    top-k cut is deterministic on any engine.
+
+    Shape: pass 1 is the shared unigram vocabulary table
+    (``_vocab_counts`` — vocab × blocks partials, never token-scale);
+    pass 2 shingle-counts bigrams fully vectorized (``ws_token_stream``
+    + numpy window arithmetic + one Arrow ``group_by`` per batch) into
+    ``grouped_agg``, so the exchange carries bigram-vocab × blocks
+    partial rows; scoring maps over the aggregated bigram table with
+    the unigram counts broadcast ONCE as two sorted parallel arrays
+    (the searchsorted discipline — the lookup table is vocabulary-
+    sized, same order as the data). Each scoring batch emits only its
+    own top-k, so the driver merges ≤ k × blocks rows. At 100 TB the
+    only driver-side product is the vocabulary itself (size-guarded by
+    ``vocab_cap``; beyond it, route bigrams ⋈ unigrams through
+    ``hash_join`` on the word instead)."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from guac_ray.stages.groupagg import grouped_agg
+
+    empty = pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                          "cnt": pd.Series(dtype="int64"),
+                          "pmi_fp": pd.Series(dtype="int64")})
+
+    vocab = _vocab_counts(docs, text_col, per_doc_distinct=False,
+                          num_buckets=num_buckets, vocab_cap=vocab_cap,
+                          out_col="c")
+    if vocab.empty:
+        return empty
+    ln_n = math.log(float(int(vocab["c"].sum())))
+    order = np.argsort(vocab["term"].to_numpy())
+    terms = vocab["term"].to_numpy()[order]
+    counts = vocab["c"].to_numpy().astype("int64")[order]
+    bref = ray.put((terms, counts))
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        ft, cnt = ws_token_stream(t[text_col])
+        w = np.maximum(cnt - 1, 0)
+        total = int(w.sum())
+        if total == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        fstart = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        cw = np.concatenate([[0], np.cumsum(w)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(cw, w)
+        starts = np.repeat(fstart, w) + pos
+        g = pa.table({"w1": ft.take(pa.array(starts)),
+                      "w2": ft.take(pa.array(starts + 1))}
+                     ).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    big = grouped_agg(
+        docs.select_columns([text_col]).map_batches(
+            bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+
+    class Scorer:
+        def __init__(self):
+            self.terms, self.counts = ray.get(bref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["cnt"].to_numpy() >= min_count]
+            if df.empty:
+                return empty
+            w1 = df["w1"].to_numpy()
+            w2 = df["w2"].to_numpy()
+            i1 = np.searchsorted(self.terms, w1)
+            i2 = np.searchsorted(self.terms, w2)
+            if (not np.array_equal(self.terms[np.clip(i1, 0, len(self.terms) - 1)], w1)
+                    or not np.array_equal(self.terms[np.clip(i2, 0, len(self.terms) - 1)], w2)):
+                raise ValueError(
+                    "pmi_bigrams: bigram word absent from the unigram "
+                    "vocabulary pass — the input Dataset must be "
+                    "replay-stable between the two scans")
+            cxy = df["cnt"].to_numpy().astype("int64")
+            c1 = self.counts[i1]
+            c2 = self.counts[i2]
+            # scalar libm logs over the DISTINCT count values only
+            lut = {int(v): math.log(float(v))
+                   for v in np.unique(np.concatenate([cxy, c1, c2]))}
+            lg = np.vectorize(lut.__getitem__, otypes=[np.float64])
+            expr = ((lg(cxy) + ln_n) - lg(c1)) - lg(c2)
+            pmi = np.floor(scale * expr + 0.5).astype("int64")
+            out = pd.DataFrame({
+                "bigram": pd.Series(w1, dtype="object") + " " + pd.Series(w2, dtype="object"),
+                "cnt": cxy,
+                "pmi_fp": pmi,
+            })
+            return out.sort_values(["pmi_fp", "bigram"],
+                                   ascending=[False, True]).head(top_k)
+
+    cand = big.map_batches(Scorer, batch_format="pandas",
+                           concurrency=2).to_pandas()
+    if cand.empty:
+        return empty
+    return (cand.sort_values(["pmi_fp", "bigram"], ascending=[False, True])
+            .head(top_k).reset_index(drop=True)
+            .astype({"cnt": "int64", "pmi_fp": "int64"}))

@@ -2114,6 +2114,52 @@ QUALIFY rank <= {k}
 DOC_BM25_SQL = _bm25_sql(_BM25_QUERIES)
 
 
+def doc_pmi_collocations(sf_dir: str):
+    """Top-30 bigram collocations by fixed-point PMI
+    (functions/text.py ``pmi_bigrams``) — the Church-&-Hanks
+    collocation statistic a corpus pipeline mines multi-word
+    expressions with before tokenizer training. Micro-nat ``ln``
+    quantization (the surprisal expression-tree discipline) keeps the
+    score integer-exact on any engine; ranking is (pmi_fp DESC,
+    bigram ASC) over bigrams with count ≥ 5."""
+    from guac_ray.functions.text import pmi_bigrams
+
+    return pmi_bigrams(_read(sf_dir, "documents", ["text"]),
+                       min_count=5, top_k=30)
+
+
+DOC_PMI_SQL = r"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT unnest(w) AS term FROM t
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM uni
+), b AS (
+  SELECT w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2
+  FROM t, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) li
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM b GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT big.w1 || ' ' || big.w2 AS bigram, big.c_xy AS cnt,
+       CAST(floor(1000000.0 * (ln(CAST(big.c_xy AS DOUBLE)) +
+                               ln(CAST(tot.n AS DOUBLE)) -
+                               ln(CAST(u1.c AS DOUBLE)) -
+                               ln(CAST(u2.c AS DOUBLE))) + 0.5)
+            AS BIGINT) AS pmi_fp
+FROM big
+JOIN uni u1 ON u1.term = big.w1
+JOIN uni u2 ON u2.term = big.w2
+CROSS JOIN tot
+ORDER BY pmi_fp DESC, bigram LIMIT 30
+"""
+
+
 def doc_dsir(sf_dir: str):
     """DSIR importance weights (pipelines/curation.py
     ``dsir_importance``): the md5-split minority side (≥ 0xCC, ~20%)
@@ -5405,6 +5451,11 @@ SUITE: dict[str, tuple] = {
     # family stays gate-covered by the never-checked doc_surprisal,
     # doc_entropy, doc_dsir and doc_bm25 itself — cedes):
     "doc_bm25": (doc_bm25, DOC_BM25_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (events_customer_outer — r4-driver-green, join code unchanged;
+    # the partitioned-hash-join family stays gate-covered by
+    # priority_revenue_hashjoin — cedes):
+    "doc_pmi_collocations": (doc_pmi_collocations, DOC_PMI_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
     # emb_kmeans (r4-driver-green, unchanged) cedes its slot and is
@@ -5420,7 +5471,6 @@ SUITE: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
-    "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
@@ -5440,6 +5490,7 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),
     "neardup_embeddings": (neardup_embeddings, NEARDUP_EMB_SQL),

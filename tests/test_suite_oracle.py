@@ -66,6 +66,8 @@ FAST = [
     "doc_dsir",
     "supplier_name_matches",
     "doc_bm25",
+    # round 5, session 4: corpus-statistics / retrieval wave
+    "doc_pmi_collocations",
 ]
 
 

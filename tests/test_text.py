@@ -570,3 +570,81 @@ class TestWsShingles:
         ridx, sh = ws_shingles(pa.array([None, "", "one two"]), 3)
         assert len(sh) == 0 and len(ridx) == 0
         assert sh.type == pa.string()
+
+
+class TestPmiBigrams:
+    def test_matches_naive_reference(self, ray_session):
+        """Parity with a direct Counter-based PMI computation (same
+        quantization expression) on a mixed fixture, across a 3-block
+        partitioning."""
+        import math
+        from collections import Counter
+
+        import ray.data as rd
+
+        from guac_ray.functions.text import pmi_bigrams, sql_ws_tokens
+
+        texts = [
+            "strong coffee strong coffee strong coffee strong coffee",
+            "strong tea weak tea strong coffee weak coffee",
+            "new york new york new york stock exchange",
+            "the the the the the the the the",
+            "  spaced   out  tokens ",
+            "",
+        ] * 3
+        got = pmi_bigrams(
+            rd.from_pandas(pd.DataFrame({"text": texts})).repartition(3),
+            min_count=3, top_k=10)
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for txt in texts:
+            w = sql_ws_tokens(txt)
+            uni.update(w)
+            big.update(zip(w, w[1:]))
+        n = sum(uni.values())
+        rows = []
+        for (w1, w2), cxy in big.items():
+            if cxy < 3:
+                continue
+            pmi = math.floor(1_000_000 * (
+                math.log(float(cxy)) + math.log(float(n))
+                - math.log(float(uni[w1])) - math.log(float(uni[w2]))) + 0.5)
+            rows.append((f"{w1} {w2}", cxy, pmi))
+        want = pd.DataFrame(rows, columns=["bigram", "cnt", "pmi_fp"])
+        want = (want.sort_values(["pmi_fp", "bigram"],
+                                 ascending=[False, True])
+                .head(10).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_collocation_beats_frequent_pair(self, ray_session):
+        """PMI must rank an exclusive pair above a merely frequent pair
+        of promiscuous words — the property that distinguishes it from
+        raw bigram counts (doc_top_bigrams)."""
+        import ray.data as rd
+
+        from guac_ray.functions.text import pmi_bigrams
+
+        texts = (
+            # 'hong kong': exclusive collocation, 5 occurrences
+            ["hong kong"] * 5
+            # 'the cat' is frequent (8x) but both words roam widely
+            + ["the cat"] * 8
+            + ["the dog", "the fish", "a cat", "my cat"] * 6
+        )
+        out = pmi_bigrams(rd.from_pandas(pd.DataFrame({"text": texts})),
+                          min_count=5, top_k=10).set_index("bigram")
+        assert out.loc["hong kong", "pmi_fp"] > out.loc["the cat", "pmi_fp"]
+
+    def test_min_count_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import pmi_bigrams
+
+        out = pmi_bigrams(rd.from_pandas(
+            pd.DataFrame({"text": ["a b", "a b", "c d"]})), min_count=2)
+        assert out.bigram.tolist() == ["a b"]  # 'c d' below min_count
+        empty = pmi_bigrams(rd.from_pandas(
+            pd.DataFrame({"text": ["", "   "]})))
+        assert len(empty) == 0 and list(empty.columns) == [
+            "bigram", "cnt", "pmi_fp"]
