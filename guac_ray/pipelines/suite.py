@@ -4281,6 +4281,55 @@ FROM t GROUP BY event_type
 """
 
 
+def events_ohlc(sf_dir: str):
+    """Per-(user, hour) OHLC bars — open/high/low/close/count over the
+    event value stream, the time-series resample every metrics store
+    runs. Exercises the ARGMIN/ARGMAX aggregate kernel
+    (stages/groupagg.py ``grouped_first_last``): open/close are the
+    values at the lexicographic min/max of (ts, event_id) — event_id
+    makes the order tuple unique, so the merge is deterministic under
+    any partitioning — combined with plain min/max/count partials in
+    ONE two-phase exchange (cardinality × blocks rows, never the event
+    stream). high/low/open/close are untouched copies of input doubles,
+    so the hash compare is exact."""
+    from guac_ray.stages.groupagg import grouped_first_last
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = (us // 3_600_000_000) * 3_600_000_000
+        return pa.table({
+            "user_id": t["user_id"], "hr": pa.array(hr).cast(pa.timestamp("us")),
+            "ts": t["ts"], "event_id": t["event_id"], "value": t["value"],
+        })
+
+    return grouped_first_last(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["user_id", "hr"], order_cols=["ts", "event_id"],
+        spec={"open": ("value", "first"), "high": ("value", "max"),
+              "low": ("value", "min"), "close": ("value", "last"),
+              "n": ("value", "count")},
+        num_buckets=8)
+
+
+EVENTS_OHLC_SQL = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events)
+SELECT user_id, hr,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
 _WSAMPLE_K = 100
 
 
@@ -5468,7 +5517,6 @@ SUITE: dict[str, tuple] = {
     "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     # --- relational core (TPC-H-ish) ---
-    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
@@ -5484,12 +5532,18 @@ SUITE: dict[str, tuple] = {
     "events_props_agg": (events_props_agg, EVENTS_PROPS_SQL),
     "events_entropy": (events_entropy, EVENTS_ENTROPY_SQL),
     "events_percentile": (events_percentile, EVENTS_PERCENTILE_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (q1_pricing_summary — r4-driver-green, plain grouped-agg family
+    # stays gate-covered by events_props_agg and every kg aggregate —
+    # cedes):
+    "events_ohlc": (events_ohlc, EVENTS_OHLC_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),

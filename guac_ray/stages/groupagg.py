@@ -29,7 +29,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["grouped_agg"]
+__all__ = ["grouped_agg", "grouped_first_last"]
 
 _PARTIAL = {
     "sum": "sum",
@@ -129,3 +129,121 @@ def grouped_agg(
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_first_last(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    spec: dict[str, tuple[str, str]],
+    num_buckets: int = 32,
+) -> Dataset:
+    """Distributed grouped aggregation with ARGMIN/ARGMAX members —
+    the ``min_by``/``max_by`` (a.k.a. first/last-value) aggregate
+    family ``grouped_agg`` cannot express: ``spec`` maps
+    {out_col: (value_col, fn)} with fn ∈ first|last|min|max|sum|count,
+    where ``first``/``last`` return the value at the lexicographic
+    MIN/MAX of the ``order_cols`` tuple within the group. Callers make
+    the order tuple unique (e.g. append the row's primary key) and the
+    result is deterministic under ANY partitioning — the merge of two
+    partial firsts is the one with the smaller order tuple, which is an
+    associative/commutative combine, exactly like sum.
+
+    Shape: same two-phase discipline as ``grouped_agg`` — the per-batch
+    partial compacts each group to ONE row (its first/last candidates
+    carry their order tuples alongside, the plain aggs combine as
+    usual), so the exchange ships cardinality × blocks rows, never the
+    fact table; the per-bucket finalize re-runs the identical
+    keep-first / keep-last merge over the partial candidates. Both
+    phases are vectorized pandas (one stable sort + ``drop_duplicates``
+    per phase)."""
+    import pyarrow as pa
+
+    firsts_spec = {o: c for o, (c, f) in spec.items() if f == "first"}
+    lasts_spec = {o: c for o, (c, f) in spec.items() if f == "last"}
+    plain = {o: (c, f) for o, (c, f) in spec.items()
+             if f not in ("first", "last")}
+    fo = [f"_fo_{c}" for c in order_cols]
+    lo = [f"_lo_{c}" for c in order_cols]
+    need_first = bool(firsts_spec)
+    need_last = bool(lasts_spec)
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        if df.empty:
+            # column ORDER must mirror the non-empty path exactly —
+            # Arrow schema unification at the exchange is positional-
+            # name-sensitive across blocks
+            def _dt(c):
+                return df[c].dtype if c in df else "float64"
+
+            cols = {k: pd.Series([], dtype=df[k].dtype if k in df
+                                 else "object") for k in keys}
+            if need_first:
+                for oc, name in zip(order_cols, fo):
+                    cols[name] = pd.Series([], dtype=_dt(oc))
+                for o, c in firsts_spec.items():
+                    cols[o] = pd.Series([], dtype=_dt(c))
+            if need_last:
+                for oc, name in zip(order_cols, lo):
+                    cols[name] = pd.Series([], dtype=_dt(oc))
+                for o, c in lasts_spec.items():
+                    cols[o] = pd.Series([], dtype=_dt(c))
+            for o, (c, f) in plain.items():
+                cols[o] = pd.Series([], dtype="int64" if f == "count"
+                                    else _dt(c))
+            out = pd.DataFrame(cols)
+        else:
+            srt = df.sort_values(keys + order_cols, kind="mergesort")
+            f1 = srt.drop_duplicates(subset=keys, keep="first")
+            l1 = srt.drop_duplicates(subset=keys, keep="last")
+            # f1/l1/groupby(sort=False) all walk groups in the same
+            # key-sorted order srt established
+            out = f1[keys].reset_index(drop=True)
+            if need_first:
+                for oc, name in zip(order_cols, fo):
+                    out[name] = f1[oc].to_numpy()
+                for o, c in firsts_spec.items():
+                    out[o] = f1[c].to_numpy()
+            if need_last:
+                for oc, name in zip(order_cols, lo):
+                    out[name] = l1[oc].to_numpy()
+                for o, c in lasts_spec.items():
+                    out[o] = l1[c].to_numpy()
+            if plain:
+                g = srt.groupby(keys, sort=False, dropna=False)
+                for o, (c, f) in plain.items():
+                    out[o] = g[c].agg(_PARTIAL[f]).to_numpy()
+        out["_bucket"] = (stable_hash(out, keys) % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def final(t: "pa.Table") -> "pa.Table":
+        g = t.to_pandas()
+        parts = []
+        if need_first:
+            f1 = (g.sort_values(keys + fo, kind="mergesort")
+                  .drop_duplicates(subset=keys, keep="first")
+                  .set_index(keys))
+            parts.append(f1[list(firsts_spec)])
+        if need_last:
+            l1 = (g.sort_values(keys + lo, kind="mergesort")
+                  .drop_duplicates(subset=keys, keep="last")
+                  .set_index(keys))
+            parts.append(l1[list(lasts_spec)])
+        if plain:
+            gg = g.groupby(keys, sort=True, dropna=False)
+            parts.append(pd.DataFrame(
+                {o: gg[o].agg(_FINAL[f]) for o, (c, f) in plain.items()}))
+        out = pd.concat(parts, axis=1)[list(spec)].reset_index()
+        return table_from_pandas(out, preserve_index=False)
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = fs_exchange_reduce(partials, default_exchange("firstlast"), final)
+    if out is not None:
+        return out
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(
+        lambda df: final(table_from_pandas(df, preserve_index=False)),
+        batch_format="pandas")

@@ -100,3 +100,87 @@ class TestUserStatsOrderSensitive:
         assert len(df) == 0
         assert list(df.columns) == ["user_id", "n", "value_cents",
                                     "n_types", "top_type", "types_list"]
+
+
+class TestGroupedFirstLast:
+    def _ref(self, df: pd.DataFrame) -> pd.DataFrame:
+        srt = df.sort_values(["k", "ts", "rid"], kind="mergesort")
+        g = srt.groupby("k", sort=True)
+        return pd.DataFrame({
+            "open": g["v"].first(), "high": g["v"].max(),
+            "low": g["v"].min(), "close": g["v"].last(),
+            "n": g["v"].size().astype("int64"),
+        }).reset_index()
+
+    def _mk(self, seed=7, n=200, nk=9):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "k": rng.integers(0, nk, n),
+            # heavy tie mass on ts so rid must break the order
+            "ts": rng.integers(0, 5, n),
+            "rid": np.arange(n, dtype="int64"),
+            "v": rng.normal(size=n),
+        })
+
+    def test_matches_pandas_reference_any_partitioning(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_first_last
+
+        df = self._mk()
+        want = self._ref(df)
+        for parts in (1, 3, 17):
+            got = grouped_first_last(
+                rd.from_pandas(df).repartition(parts),
+                keys=["k"], order_cols=["ts", "rid"],
+                spec={"open": ("v", "first"), "high": ("v", "max"),
+                      "low": ("v", "min"), "close": ("v", "last"),
+                      "n": ("v", "count")},
+                num_buckets=4,
+            ).to_pandas().sort_values("k").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_first_only_and_plain_only(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_first_last
+
+        df = self._mk(seed=11)
+        got = grouped_first_last(
+            rd.from_pandas(df).repartition(5), keys=["k"],
+            order_cols=["ts", "rid"], spec={"open": ("v", "first")},
+            num_buckets=4).to_pandas().sort_values("k").reset_index(drop=True)
+        want = self._ref(df)[["k", "open"]]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        got2 = grouped_first_last(
+            rd.from_pandas(df).repartition(5), keys=["k"],
+            order_cols=["ts", "rid"], spec={"s": ("v", "sum")},
+            num_buckets=4).to_pandas().sort_values("k").reset_index(drop=True)
+        want2 = (df.groupby("k", sort=True)["v"].sum()
+                 .rename("s").reset_index())
+        pd.testing.assert_frame_equal(got2, want2, check_dtype=False,
+                                      check_exact=False)
+
+    def test_multi_key_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_first_last
+
+        df = self._mk(seed=3)
+        df["k2"] = (df.rid % 2).astype("int64")
+        got = grouped_first_last(
+            rd.from_pandas(df).repartition(4), keys=["k", "k2"],
+            order_cols=["ts", "rid"],
+            spec={"close": ("v", "last"), "n": ("v", "count")},
+            num_buckets=4).to_pandas().sort_values(["k", "k2"]).reset_index(drop=True)
+        srt = df.sort_values(["k", "k2", "ts", "rid"], kind="mergesort")
+        g = srt.groupby(["k", "k2"], sort=True)
+        want = pd.DataFrame({"close": g["v"].last(),
+                             "n": g["v"].size().astype("int64")}).reset_index()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        empty = grouped_first_last(
+            rd.from_pandas(df.head(0)), keys=["k"], order_cols=["ts", "rid"],
+            spec={"open": ("v", "first"), "n": ("v", "count")},
+            num_buckets=2).to_pandas()
+        assert len(empty) == 0

@@ -68,6 +68,7 @@ FAST = [
     "doc_bm25",
     # round 5, session 4: corpus-statistics / retrieval wave
     "doc_pmi_collocations",
+    "events_ohlc",
 ]
 
 
