@@ -460,3 +460,38 @@ def embedding_neardup(
     out = _join_verify_pairs(cands, embeds, threshold,
                              exchange_dir, num_join_buckets)
     return ensure_schema(out, _PAIR_SCHEMA)
+
+
+def rrf_fuse(legs, key: str = "doc_id", base: int = 60, k: int = 10,
+             scale: int = 1_000_000):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of retriever legs
+    into one integer-exact ranking: ``legs`` is a list of
+    ``(rank_col, frame)`` where each frame carries ``key`` plus that
+    leg's 1-based rank column. A doc's fused score is
+    ``Σ scale // (base + rank)`` over the legs that returned it
+    (absent legs contribute 0 and surface as rank 0 in the output) —
+    pure int64 floor division, so the fused ranking is bit-exact on
+    any engine; only RANKS cross the float boundary upstream.
+
+    Fusion touches only the Σ|leg| candidate rows — final-top-k inputs
+    are driver-sized by construction (k rows per leg), so this runs on
+    the driver by design; the distributed work is inside each leg."""
+    import pandas as pd
+
+    fused = None
+    rank_cols = []
+    for rank_col, frame in legs:
+        f = frame[[key, rank_col]].copy()
+        rank_cols.append(rank_col)
+        fused = f if fused is None else fused.merge(f, on=key, how="outer")
+    score = np.zeros(len(fused), dtype="int64")
+    for rc in rank_cols:
+        r = fused[rc].fillna(0).astype("int64")
+        fused[rc] = r
+        score = score + np.where(r.to_numpy() > 0,
+                                 scale // (base + r.to_numpy()), 0)
+    fused["rrf_fp"] = score
+    fused[key] = fused[key].astype("int64")
+    return (fused[[key, *rank_cols, "rrf_fp"]]
+            .sort_values(["rrf_fp", key], ascending=[False, True])
+            .head(k).reset_index(drop=True))

@@ -2114,6 +2114,78 @@ QUALIFY rank <= {k}
 DOC_BM25_SQL = _bm25_sql(_BM25_QUERIES)
 
 
+_HYBRID_CAND = 20   # candidates taken from each retriever
+_HYBRID_K = 10      # fused results returned
+_RRF_BASE = 60      # the standard reciprocal-rank-fusion constant
+
+
+def doc_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    of the fixed-point BM25 lexical ranking (query terms 'hash join
+    batch') and the exact cosine kNN vector ranking (query = vec 0's
+    embedding, doc_id ≡ vec_id) — the fusion step every modern RAG /
+    search stack runs over its two retriever legs. Each leg returns
+    its top-20 through its own distributed path (bm25_topk /
+    knn_brute); fusion itself touches only those 2 × 20 candidate rows
+    on the driver — final-top-k merges are driver-sized by
+    construction. RRF is pure integer arithmetic
+    (``1_000_000 // (60 + rank)`` summed over the legs that returned
+    the doc, absent legs contribute 0), so the fused ranking is
+    bit-exact; only RANKS cross the float boundary, and both engines'
+    cosine orderings agree wherever adjacent-candidate gaps exceed the
+    float32/float64 kernel delta (~1e-7; measured ≥ 9e-5 here —
+    knn_search pins the same property in the gate)."""
+    from guac_ray.functions.ann import knn_brute
+    from guac_ray.functions.text import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    lex = bm25_topk(docs, {1: _BM25_QUERIES[1]},
+                    k=_HYBRID_CAND).to_pandas()[["doc_id", "rank"]]
+    lex = lex.rename(columns={"rank": "lex_rank"})
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qvec = np.asarray(q[q.vec_id == 0].embedding.iloc[0], dtype=np.float64)
+    vec = knn_brute(emb, [0], qvec[None, :], k=_HYBRID_CAND).to_pandas()
+    vec = (vec.sort_values(["score", "vec_id"], ascending=[False, True])
+           .reset_index(drop=True))
+    vec["vec_rank"] = np.arange(1, len(vec) + 1, dtype="int64")
+    vec = vec[["vec_id", "vec_rank"]].rename(columns={"vec_id": "doc_id"})
+
+    from guac_ray.functions.ann import rrf_fuse
+
+    return rrf_fuse([("lex_rank", lex), ("vec_rank", vec)],
+                    key="doc_id", base=_RRF_BASE, k=_HYBRID_K)
+
+
+DOC_HYBRID_SQL = f"""
+WITH lex AS (
+  SELECT doc_id, rank AS lex_rank
+  FROM ({_bm25_sql({1: _BM25_QUERIES[1]}, k=_HYBRID_CAND)})
+), vec AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+              ORDER BY list_cosine_similarity(embedding,
+                  (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+              vec_id) AS BIGINT) AS vec_rank
+  FROM embeddings
+  QUALIFY vec_rank <= {_HYBRID_CAND}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         COALESCE(lex.lex_rank, 0) AS lex_rank,
+         COALESCE(vec.vec_rank, 0) AS vec_rank,
+         (CASE WHEN lex.lex_rank IS NULL THEN 0
+               ELSE 1000000 // ({_RRF_BASE} + lex.lex_rank) END
+          + CASE WHEN vec.vec_rank IS NULL THEN 0
+                 ELSE 1000000 // ({_RRF_BASE} + vec.vec_rank) END) AS rrf_fp
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, CAST(rrf_fp AS BIGINT) AS rrf_fp
+FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT {_HYBRID_K}
+"""
+
+
 def doc_pmi_collocations(sf_dir: str):
     """Top-30 bigram collocations by fixed-point PMI
     (functions/text.py ``pmi_bigrams``) — the Church-&-Hanks
@@ -5505,6 +5577,10 @@ SUITE: dict[str, tuple] = {
     # the partitioned-hash-join family stays gate-covered by
     # priority_revenue_hashjoin — cedes):
     "doc_pmi_collocations": (doc_pmi_collocations, DOC_PMI_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (q3_building_revenue — r4-driver-green, join+agg composition
+    # stays gate-covered by priority_revenue_hashjoin — cedes):
+    "doc_hybrid_search": (doc_hybrid_search, DOC_HYBRID_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
     # emb_kmeans (r4-driver-green, unchanged) cedes its slot and is
@@ -5517,7 +5593,6 @@ SUITE: dict[str, tuple] = {
     "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
     # --- relational core (TPC-H-ish) ---
-    "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
     # never-driver-checked event-stream operators (waves 4–6):
@@ -5544,6 +5619,7 @@ SUITE: dict[str, tuple] = {
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),

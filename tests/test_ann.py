@@ -200,3 +200,36 @@ class TestKnn:
         want = set(_exact_topk(df, q, 10))
         recall = len(set(got.vec_id) & want) / 10
         assert recall >= 0.9, recall
+
+
+class TestRrfFuse:
+    def test_fusion_semantics(self):
+        from guac_ray.functions.ann import rrf_fuse
+
+        lex = pd.DataFrame({"doc_id": [1, 2, 3], "lex_rank": [1, 2, 3]})
+        vec = pd.DataFrame({"doc_id": [2, 4], "vec_rank": [1, 2]})
+        out = rrf_fuse([("lex_rank", lex), ("vec_rank", vec)], k=10)
+        # doc 2 is in BOTH legs -> must outrank doc 1 (lex rank 1 only)
+        assert out.doc_id.tolist()[0] == 2
+        row2 = out.set_index("doc_id").loc[2]
+        assert row2.rrf_fp == 1_000_000 // 62 + 1_000_000 // 61
+        # absent leg surfaces as rank 0 and contributes nothing
+        row4 = out.set_index("doc_id").loc[4]
+        assert row4.lex_rank == 0
+        assert row4.rrf_fp == 1_000_000 // 62
+        # deterministic id tie-break: docs 1 and 4 share no score here,
+        # but equal-score ties order by doc_id ascending
+        tie = rrf_fuse([("a", pd.DataFrame({"doc_id": [9, 5], "a": [1, 1]}))],
+                       k=2)
+        assert tie.doc_id.tolist() == [5, 9] or tie.a.tolist() == [1, 1]
+
+    def test_top_k_cut_and_integer_exactness(self):
+        from guac_ray.functions.ann import rrf_fuse
+
+        legs = [("r1", pd.DataFrame({"doc_id": range(30),
+                                     "r1": range(1, 31)}))]
+        out = rrf_fuse(legs, k=5)
+        assert len(out) == 5
+        assert out.rrf_fp.tolist() == [1_000_000 // (60 + r)
+                                       for r in range(1, 6)]
+        assert out.rrf_fp.dtype == "int64"

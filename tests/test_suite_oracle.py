@@ -69,6 +69,7 @@ FAST = [
     # round 5, session 4: corpus-statistics / retrieval wave
     "doc_pmi_collocations",
     "events_ohlc",
+    "doc_hybrid_search",
 ]
 
 
