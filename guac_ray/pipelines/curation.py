@@ -663,3 +663,93 @@ def source_mixture(
 
     return docs.select_columns([id_col, source_col]).map_batches(
         rep, batch_format="pyarrow")
+
+
+def ngram_novelty(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    scale: int = 1_000_000,
+    num_buckets: int = 8,
+) -> "Dataset | pa.Table":
+    """Per-document n-gram NOVELTY under first-occurrence attribution:
+    of a document's distinct word ``ngram``-shingles, the fraction
+    whose global FIRST owner (minimum ``id_col`` over the corpus) is
+    the document itself — the keep-first complement of
+    ``dup_passage_stats``'s order-free coverage measure, and the
+    per-doc "how much does this doc add" signal dedup-aware data
+    valuation uses (a perfect duplicate of an earlier doc scores 0).
+
+    Exactness: pure integer counting; ``novelty_fp = scale * n_novel
+    // n_shingles`` is int64 floor division. Deterministic because the
+    owner is a MIN, not an arrival order.
+
+    Shape: one vectorized shingle pass (``ws_shingles``) with per-doc
+    dedup batch-local (a doc is one row, so in-batch distinct IS
+    global distinct); ONE by-shingle fs exchange where all copies of a
+    shingle co-locate, so the in-bucket min-owner is the global owner
+    (dictionary-encode + ``np.minimum.at`` — no per-row Python); each
+    bucket emits per-doc partial counts (≤ docs × buckets rows) into
+    the standard ``grouped_agg`` combine. Nothing token-scale leaves
+    the shingle exchange; zero-window docs drop (SQL-join parity)."""
+    import numpy as np
+
+    from guac_ray.functions.text import ws_shingles
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def emit(t: pa.Table) -> pa.Table:
+        ridx, sh = ws_shingles(t[text_col], ngram)
+        ids = t[id_col].combine_chunks().take(pa.array(ridx))
+        pairs = pa.table({id_col: ids, "s": sh}).group_by(
+            [id_col, "s"]).aggregate([])
+        bucket = stable_hash(
+            pd.DataFrame({"s": pairs["s"].to_pandas()}), ["s"]) % num_buckets
+        return pairs.append_column(
+            "_bucket", pa.array(bucket.astype(np.int64)))
+
+    def min_owner(t: pa.Table) -> pa.Table:
+        s = t["s"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        codes = pc.dictionary_encode(s).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        owner = np.full(int(codes.max()) + 1, np.iinfo(np.int64).max)
+        np.minimum.at(owner, codes, ids)
+        novel = (ids == owner[codes]).astype(np.int64)
+        part = pd.DataFrame({id_col: ids, "one": np.ones_like(ids),
+                             "novel": novel}).groupby(
+            id_col, sort=False).sum().reset_index()
+        return table_from_pandas(part, preserve_index=False)
+
+    rows = docs.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow")
+    from guac_ray.functions.joins import default_exchange
+
+    partials = fs_exchange_reduce(
+        rows, default_exchange("novelty"), min_owner)
+    if partials is None:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_shingles": pa.array([], pa.int64()),
+            "n_novel": pa.array([], pa.int64()),
+            "novelty_fp": pa.array([], pa.int64()),
+        })
+    agg = grouped_agg(partials, [id_col],
+                      {"n_shingles": ("one", "sum"),
+                       "n_novel": ("novel", "sum")},
+                      num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_shingles"].to_numpy(zero_copy_only=False).astype("int64")
+        nov = t["n_novel"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "n_shingles": pa.array(n),
+            "n_novel": pa.array(nov),
+            "novelty_fp": pa.array(scale * nov // n),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2114,6 +2114,45 @@ QUALIFY rank <= {k}
 DOC_BM25_SQL = _bm25_sql(_BM25_QUERIES)
 
 
+def doc_ngram_novelty(sf_dir: str):
+    """Per-doc 5-gram novelty under first-occurrence (min doc_id)
+    attribution (pipelines/curation.py ``ngram_novelty``): the
+    keep-first complement of doc_dup_passages' order-free coverage —
+    planted duplicates score 0 on their later copies. One by-shingle
+    exchange (in-bucket min IS the global owner) + the grouped_agg
+    combine; novelty_fp is int64 floor division."""
+    from guac_ray.pipelines.curation import ngram_novelty
+
+    return ngram_novelty(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         ngram=5)
+
+
+DOC_NOVELTY_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), w AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ts, i, i + 4), ' ') AS s
+  FROM (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 5) tt,
+       LATERAL (SELECT unnest(generate_series(1, n - 4)) AS i) g
+), own AS (
+  SELECT s, min(doc_id) AS owner FROM w GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN w.doc_id = own.owner THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(1000000 * sum(CASE WHEN w.doc_id = own.owner
+                               THEN 1 ELSE 0 END) // count(*)
+            AS BIGINT) AS novelty_fp
+FROM w JOIN own USING (s)
+GROUP BY 1
+"""
+
+
 _HYBRID_CAND = 20   # candidates taken from each retriever
 _HYBRID_K = 10      # fused results returned
 _RRF_BASE = 60      # the standard reciprocal-rank-fusion constant
@@ -5546,7 +5585,6 @@ SUITE: dict[str, tuple] = {
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
-    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     # round-5 additions, never driver-checked → into the gate
     # (events_windows — r4-driver-green, window code unchanged — and
@@ -5555,6 +5593,12 @@ SUITE: dict[str, tuple] = {
     # emb_semdedup's non-trivial split — cede):
     "doc_dup_passages": (doc_dup_passages, DOC_DUP_PASSAGES_SQL),
     "doc_remove_passages": (doc_remove_passages, DOC_REMOVE_PASSAGES_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (exact_dedup_docs — r4-driver-green; the dedup family stays
+    # gate-covered by doc_dup_passages/doc_remove_passages/
+    # emb_semdedup and corpus_curation's embedded exact dedup —
+    # cedes):
+    "doc_ngram_novelty": (doc_ngram_novelty, DOC_NOVELTY_SQL),
     # round-5 addition, never driver-checked → into the gate
     # (purchase_click_window — r4-driver-green, banded-join code
     # unchanged, and the same join family is gate-covered by the
@@ -5620,6 +5664,7 @@ SUITE: dict[str, tuple] = {
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
+    "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),
     "events_windows": (events_windows, EVENTS_WINDOWS_SQL),

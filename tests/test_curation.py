@@ -372,3 +372,52 @@ class TestSourceMixture:
         pd.testing.assert_frame_equal(
             a.sort_values(key).reset_index(drop=True),
             b.sort_values(key).reset_index(drop=True))
+
+
+class TestNgramNovelty:
+    def test_duplicate_scores_zero_and_orderfree_owner(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import ngram_novelty
+
+        base = "a b c d e f g h"          # 4 distinct 5-gram shingles
+        df = pd.DataFrame({
+            "doc_id": [10, 20, 30],
+            "text": [base,                  # owner of all its shingles
+                     base,                  # exact dup -> novelty 0
+                     base + " x y z"],      # adds 3 novel windows
+        })
+        out = ngram_novelty(rd.from_pandas(df).repartition(3), ngram=5
+                            ).to_pandas().set_index("doc_id")
+        assert out.loc[10, "novelty_fp"] == 1_000_000
+        assert out.loc[20, "novelty_fp"] == 0
+        # doc 30: 7 windows, 3 novel ('d e f g x' ... 'f g x y z'
+        # overlap the added tail)
+        assert out.loc[30, "n_shingles"] == 7
+        assert out.loc[30, "n_novel"] == 3
+        assert out.loc[30, "novelty_fp"] == 1_000_000 * 3 // 7
+
+    def test_within_doc_repeat_counts_once(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import ngram_novelty
+
+        # the same shingle twice in ONE doc: distinct-per-doc -> one row
+        df = pd.DataFrame({"doc_id": [1],
+                           "text": ["p q r s t p q r s t"]})
+        out = ngram_novelty(rd.from_pandas(df), ngram=5).to_pandas()
+        # windows: 6 total, distinct = 5 ('p q r s t' repeats)
+        assert out.n_shingles.tolist() == [5]
+        assert out.novelty_fp.tolist() == [1_000_000]
+
+    def test_short_docs_drop_typed(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.pipelines.curation import ngram_novelty
+
+        import pyarrow as pa
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["too short", ""]})
+        out = ngram_novelty(rd.from_pandas(df), ngram=5)
+        tbl = out if isinstance(out, pa.Table) else out.to_pandas()
+        assert len(tbl) == 0

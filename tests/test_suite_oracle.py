@@ -70,6 +70,7 @@ FAST = [
     "doc_pmi_collocations",
     "events_ohlc",
     "doc_hybrid_search",
+    "doc_ngram_novelty",
 ]
 
 
