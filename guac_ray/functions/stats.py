@@ -94,3 +94,107 @@ def grouped_corr(
         return table_from_pandas(out, preserve_index=False)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def basket_pair_rules(
+    items,  # Dataset of (basket_col, item_col) rows, possibly duplicated
+    basket_col: str,
+    item_col: str,
+    min_support: int = 5,
+    scale: int = 1_000_000,
+    num_buckets: int = 8,
+    max_items_per_basket: int = 10_000,
+):
+    """Exact 2-itemset association rules (the Apriori/market-basket
+    primitive): for every unordered item pair {x, y} co-occurring in
+    ≥ ``min_support`` baskets, the support count plus FIXED-POINT
+    confidence both ways and lift —
+
+        conf(x→y)_fp = scale·s_xy // s_x          (int64 floor div)
+        lift_fp      = scale·N·s_xy // (s_x·s_y)
+
+    — pure integer arithmetic over exact counts, so any engine
+    reproduces the table bit-for-bit.
+
+    Shape: one by-basket fs exchange co-locates each basket's items
+    (dedup in-bucket IS global dedup — a basket lives in one bucket),
+    then pairs expand with a vectorized self-merge per bucket — the
+    in-document-join discipline; baskets are small (order lines), and
+    a basket exceeding ``max_items_per_basket`` distinct items raises
+    rather than going quadratic. The SAME reduce emits item supports
+    and the basket-count partial as sentinel rows (item2 = ''), so one
+    exchange + one ``grouped_agg`` combine carries all three count
+    families; the final rule table is (item-vocab)²-bounded — the only
+    driver-side product, exactly like the vocabulary ops."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from guac_ray.arrowutil import table_from_pandas
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+    from guac_ray.stages.groupagg import grouped_agg
+
+    empty = pd.DataFrame({
+        "item1": pd.Series(dtype="object"), "item2": pd.Series(dtype="object"),
+        "support": pd.Series(dtype="int64"),
+        "conf12_fp": pd.Series(dtype="int64"),
+        "conf21_fp": pd.Series(dtype="int64"),
+        "lift_fp": pd.Series(dtype="int64"),
+    })
+
+    def emit(df: pd.DataFrame) -> "pa.Table":
+        out = df[[basket_col, item_col]].drop_duplicates()
+        out = out.rename(columns={basket_col: "o", item_col: "b"})
+        out["_bucket"] = (stable_hash(out, ["o"]) % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: "pa.Table") -> "pa.Table":
+        df = t.to_pandas().drop_duplicates()  # basket-local => global
+        sizes = df.groupby("o", sort=False)["b"].size()
+        if len(sizes) and int(sizes.max()) > max_items_per_basket:
+            raise ValueError(
+                f"basket with {int(sizes.max())} distinct items exceeds "
+                f"max_items_per_basket={max_items_per_basket}; pair "
+                "expansion would be quadratic — raise the cap only with "
+                "a matching pair-volume budget")
+        pairs = df.merge(df, on="o")
+        pairs = pairs[pairs["b_x"] < pairs["b_y"]]
+        pc_ = (pairs.groupby(["b_x", "b_y"], sort=False).size()
+               .rename("cnt").reset_index()
+               .rename(columns={"b_x": "item1", "b_y": "item2"}))
+        supp = (df.groupby("b", sort=False).size().rename("cnt")
+                .reset_index().rename(columns={"b": "item1"}))
+        supp["item2"] = ""
+        nrow = pd.DataFrame({"item1": [""], "item2": [""],
+                             "cnt": [df["o"].nunique()]})
+        out = pd.concat([pc_, supp[["item1", "item2", "cnt"]], nrow],
+                        ignore_index=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    rows = items.map_batches(emit, batch_format="pandas")
+    reduced = fs_exchange_reduce(rows, default_exchange("basket"), reduce_fn)
+    if reduced is None:
+        return empty
+    agg = grouped_agg(reduced, ["item1", "item2"], {"cnt": ("cnt", "sum")},
+                      num_buckets=num_buckets).to_pandas()
+    n_baskets = int(agg.loc[(agg.item1 == "") & (agg.item2 == ""), "cnt"].sum())
+    supp = dict(zip(agg.loc[(agg.item2 == "") & (agg.item1 != ""), "item1"],
+                    agg.loc[(agg.item2 == "") & (agg.item1 != ""), "cnt"]))
+    pairs = agg[(agg.item1 != "") & (agg.item2 != "")].copy()
+    pairs = pairs[pairs["cnt"] >= min_support]
+    if pairs.empty:
+        return empty
+    sxy = pairs["cnt"].to_numpy().astype("int64")
+    s1 = pairs["item1"].map(supp).to_numpy().astype("int64")
+    s2 = pairs["item2"].map(supp).to_numpy().astype("int64")
+    out = pd.DataFrame({
+        "item1": pairs["item1"].to_numpy(),
+        "item2": pairs["item2"].to_numpy(),
+        "support": sxy,
+        "conf12_fp": scale * sxy // s1,
+        "conf21_fp": scale * sxy // s2,
+        "lift_fp": scale * n_baskets * sxy // (s1 * s2),
+    })
+    return (out.sort_values(["item1", "item2"]).reset_index(drop=True))

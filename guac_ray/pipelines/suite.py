@@ -560,6 +560,59 @@ FROM part GROUP BY p_type
 """
 
 
+def basket_pairs(sf_dir: str):
+    """2-itemset association rules over order baskets (functions/
+    stats.py ``basket_pair_rules``): brands co-purchased in ≥ 5
+    orders, with integer fixed-point confidence both ways and lift —
+    the Apriori/market-basket primitive. The part dimension broadcasts
+    once (sorted-array searchsorted lookup — dimension-sized at any
+    scale); baskets co-locate through ONE by-order fs exchange; the
+    rule table is brand²-bounded. All-int arithmetic ⇒ hash-exact."""
+    from guac_ray.functions.stats import basket_pair_rules
+
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    class BrandMap:
+        def __init__(self):
+            part = ray.get(pref).sort_values("p_partkey")
+            self.keys = part.p_partkey.to_numpy()
+            self.brands = part.p_brand.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.keys, df.l_partkey.to_numpy())
+            return pd.DataFrame({"o": df.l_orderkey.to_numpy(),
+                                 "b": self.brands[idx]})
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = ds.map_batches(BrandMap, batch_format="pandas",
+                           concurrency=(1, 4))
+    return basket_pair_rules(items, "o", "b", min_support=5)
+
+
+BASKET_PAIRS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), nb AS (
+  SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM ob
+), supp AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS s FROM ob GROUP BY 1
+), pairs AS (
+  SELECT a.b AS item1, c.b AS item2, CAST(count(*) AS BIGINT) AS support
+  FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.item1, p.item2, p.support,
+       1000000 * p.support // s1.s AS conf12_fp,
+       1000000 * p.support // s2.s AS conf21_fp,
+       1000000 * nb.n * p.support // (s1.s * s2.s) AS lift_fp
+FROM pairs p
+JOIN supp s1 ON s1.b = p.item1
+JOIN supp s2 ON s2.b = p.item2
+CROSS JOIN nb
+"""
+
+
 # orders_per_status retired from the registry in round 4: its rows are a
 # strict subset of orders_cube's (status, ALL) level — the freed gate
 # slot went to doc_decontaminate.
@@ -5561,7 +5614,6 @@ SUITE: dict[str, tuple] = {
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
-    "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
@@ -5599,6 +5651,11 @@ SUITE: dict[str, tuple] = {
     # emb_semdedup and corpus_curation's embedded exact dedup —
     # cedes):
     "doc_ngram_novelty": (doc_ngram_novelty, DOC_NOVELTY_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_degree_top — r4-driver-green; the degree/hot-key count
+    # family stays gate-covered by kg_neighbor_deg (never-checked)
+    # and kg_heavy_tools — cedes):
+    "basket_pairs": (basket_pairs, BASKET_PAIRS_SQL),
     # round-5 addition, never driver-checked → into the gate
     # (purchase_click_window — r4-driver-green, banded-join code
     # unchanged, and the same join family is gate-covered by the
@@ -5664,6 +5721,7 @@ SUITE: dict[str, tuple] = {
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
+    "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),
     "exact_dedup_docs": (exact_dedup_docs, EXACT_DEDUP_SQL),
     "events_customer_outer": (events_customer_outer, EVENTS_CUST_OUTER_SQL),
     "emb_kmeans": (emb_kmeans, EMB_KMEANS_SQL),

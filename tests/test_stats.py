@@ -101,3 +101,53 @@ class TestEventsEntropy:
         assert got.loc[2, "entropy_micronats"] == 0
         assert 0 < got.loc[3, "entropy_micronats"] < got.loc[1, "entropy_micronats"]
         assert got.loc[1, "n_types"] == 4 and got.loc[1, "n_events"] == 32
+
+
+class TestBasketPairRules:
+    def test_hand_computed_rules(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import basket_pair_rules
+
+        # baskets: {A,B} x3, {A,C} x2, {B,C} x1, {A} x2  (N=8)
+        rows = []
+        bid = 0
+        for combo, times in ((["A", "B"], 3), (["A", "C"], 2),
+                             (["B", "C"], 1), (["A"], 2)):
+            for _ in range(times):
+                rows += [(bid, it) for it in combo]
+                bid += 1
+        df = pd.DataFrame(rows, columns=["o", "b"])
+        out = basket_pair_rules(
+            rd.from_pandas(df).repartition(3), "o", "b", min_support=2
+        ).set_index(["item1", "item2"])
+        # s_A=7, s_B=4, s_C=3, N=8
+        ab = out.loc[("A", "B")]
+        assert ab.support == 3
+        assert ab.conf12_fp == 1_000_000 * 3 // 7
+        assert ab.conf21_fp == 1_000_000 * 3 // 4
+        assert ab.lift_fp == 1_000_000 * 8 * 3 // (7 * 4)
+        # {B,C} support 1 < min_support -> filtered
+        assert ("B", "C") not in out.index
+        # duplicate (basket, item) rows must not inflate support
+        df2 = pd.concat([df, df], ignore_index=True)
+        out2 = basket_pair_rules(rd.from_pandas(df2).repartition(5),
+                                 "o", "b", min_support=2)
+        pd.testing.assert_frame_equal(
+            out.reset_index(), out2, check_dtype=False)
+
+    def test_giant_basket_guard_and_empty(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.stats import basket_pair_rules
+
+        big = pd.DataFrame({"o": 0, "b": [f"i{k}" for k in range(50)]})
+        with pytest.raises(Exception, match="max_items_per_basket"):
+            basket_pair_rules(rd.from_pandas(big), "o", "b",
+                              max_items_per_basket=10)
+        empty = basket_pair_rules(
+            rd.from_pandas(pd.DataFrame({"o": pd.Series(dtype="int64"),
+                                         "b": pd.Series(dtype="object")})),
+            "o", "b")
+        assert len(empty) == 0 and "lift_fp" in empty.columns

@@ -71,6 +71,7 @@ FAST = [
     "events_ohlc",
     "doc_hybrid_search",
     "doc_ngram_novelty",
+    "basket_pairs",
 ]
 
 
