@@ -184,6 +184,14 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # fixed-point BM25 retrieval
             "doc_dsir", "supplier_name_matches", "media_neardup",
             "doc_bm25",
+            # round-5 session 4: PMI collocations, OHLC resample
+            # (grouped argmin/argmax), RRF hybrid retrieval, first-owner
+            # n-gram novelty, association-rule mining
+            "doc_pmi_collocations", "events_ohlc", "doc_hybrid_search",
+            "doc_ngram_novelty", "basket_pairs",
+            # round-5 session 5: bigram-LM cross-entropy (perplexity
+            # filter)
+            "doc_lm_xent",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

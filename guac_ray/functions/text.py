@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_topk",
     "unigram_surprisal",
+    "bigram_lm_xent",
     "doc_token_entropy",
     "PII_PATTERNS",
     "scrub_pii",
@@ -842,6 +843,39 @@ def doc_token_entropy(
         score, batch_format="pyarrow", concurrency=concurrency)
 
 
+def _bigram_counts(docs: Dataset, text_col: str, num_buckets: int):
+    """Distributed word-bigram occurrence table ``(w1, w2, cnt)`` over
+    the SQL-parity token stream — the shared pass-2 of ``pmi_bigrams``
+    and ``bigram_lm_xent``. Fully vectorized per batch
+    (``ws_token_stream`` + numpy window arithmetic + one Arrow
+    ``group_by``), so the ``grouped_agg`` exchange carries
+    bigram-vocab × blocks partial rows, never token-scale."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        ft, cnt = ws_token_stream(t[text_col])
+        w = np.maximum(cnt - 1, 0)
+        total = int(w.sum())
+        if total == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        fstart = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        cw = np.concatenate([[0], np.cumsum(w)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(cw, w)
+        starts = np.repeat(fstart, w) + pos
+        g = pa.table({"w1": ft.take(pa.array(starts)),
+                      "w2": ft.take(pa.array(starts + 1))}
+                     ).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    return grouped_agg(
+        docs.select_columns([text_col]).map_batches(
+            bigram_partial, batch_format="pyarrow"),
+        ["w1", "w2"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+
+
 def pmi_bigrams(
     docs: Dataset,
     text_col: str = "text",
@@ -884,8 +918,6 @@ def pmi_bigrams(
     import pandas as pd
     import ray
 
-    from guac_ray.stages.groupagg import grouped_agg
-
     empty = pd.DataFrame({"bigram": pd.Series(dtype="object"),
                           "cnt": pd.Series(dtype="int64"),
                           "pmi_fp": pd.Series(dtype="int64")})
@@ -901,28 +933,7 @@ def pmi_bigrams(
     counts = vocab["c"].to_numpy().astype("int64")[order]
     bref = ray.put((terms, counts))
 
-    def bigram_partial(t: pa.Table) -> pa.Table:
-        ft, cnt = ws_token_stream(t[text_col])
-        w = np.maximum(cnt - 1, 0)
-        total = int(w.sum())
-        if total == 0:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        fstart = np.concatenate([[0], np.cumsum(cnt)])[:-1]
-        cw = np.concatenate([[0], np.cumsum(w)])[:-1]
-        pos = np.arange(total, dtype=np.int64) - np.repeat(cw, w)
-        starts = np.repeat(fstart, w) + pos
-        g = pa.table({"w1": ft.take(pa.array(starts)),
-                      "w2": ft.take(pa.array(starts + 1))}
-                     ).group_by(["w1", "w2"]).aggregate([([], "count_all")])
-        return pa.table({"w1": g["w1"], "w2": g["w2"],
-                         "cnt": g["count_all"].cast(pa.int64())})
-
-    big = grouped_agg(
-        docs.select_columns([text_col]).map_batches(
-            bigram_partial, batch_format="pyarrow"),
-        ["w1", "w2"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+    big = _bigram_counts(docs, text_col, num_buckets)
 
     class Scorer:
         def __init__(self):
@@ -966,3 +977,134 @@ def pmi_bigrams(
     return (cand.sort_values(["pmi_fp", "bigram"], ascending=[False, True])
             .head(top_k).reset_index(drop=True)
             .astype({"cnt": "int64", "pmi_fp": "int64"}))
+
+
+def bigram_lm_xent(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+    vocab_cap: int = 20_000_000,
+    num_buckets: int = 8,
+    concurrency=2,
+):
+    """Per-document bigram-LM cross-entropy in exact integer
+    micro-nats — the CCNet/KenLM-style perplexity quality filter
+    (Wenzek et al. 2020) that training-data curation ranks crawl text
+    with: a Laplace-smoothed bigram language model is trained on the
+    corpus and every document is scored by its total/mean conditional
+    surprisal under it (perplexity = exp(mean) is monotone in
+    ``mean_xent``, so filtering on the integer column IS the
+    perplexity filter).
+
+    Exactness: each DISTINCT bigram's conditional surprisal is
+    quantized ONCE with the proven expression-tree discipline —
+    ``q(w1 w2) = floor(scale·(ln(c(w1)+V) − ln(c(w1 w2)+1)) + 0.5)``
+    (V = unigram vocabulary size; every ``ln`` a SCALAR libm log over
+    an exact-integer-valued double, the subtraction/multiply/floor
+    associated exactly as the SQL oracle writes them) — and a
+    document's score is an int64 SUM of q over its bigram occurrences,
+    order-independent under any batching. ``mean_xent`` is the int64
+    floor quotient (both operands positive).
+
+    Shape: pass 1a is the shared unigram vocabulary table
+    (``_vocab_counts``); pass 1b the shared distributed bigram count
+    table (``_bigram_counts`` — the exchange carries bigram-vocab ×
+    blocks partials, never token-scale). The q-table is materialized
+    once (the vocabulary IS the driver-side product here, size-guarded
+    by ``vocab_cap``; beyond it, route doc-bigrams ⋈ q through
+    ``hash_join`` on the bigram plus a doc-keyed grouped sum instead)
+    and broadcast as two sorted parallel arrays (the searchsorted
+    discipline). Pass 2 re-scans the docs fully vectorized: one
+    ``ws_shingles`` pass per batch, one searchsorted, one
+    ``np.add.at`` per-row sum — a document is one row, so the per-doc
+    sum is batch-local and NO token-scale data moves. Documents with
+    fewer than 2 tokens are dropped (no bigram events — the SQL inner
+    join drops them too).
+    """
+    import math
+
+    import ray
+
+    empty = pa.table({
+        id_col: pa.array([], type=pa.int64()),
+        "n_bigrams": pa.array([], type=pa.int64()),
+        "xent_micronats": pa.array([], type=pa.int64()),
+        "mean_xent": pa.array([], type=pa.int64()),
+    })
+
+    vocab = _vocab_counts(docs, text_col, per_doc_distinct=False,
+                          num_buckets=num_buckets, vocab_cap=vocab_cap,
+                          out_col="c")
+    if vocab.empty:
+        return empty
+    v_size = int(len(vocab))
+    big = _bigram_counts(docs, text_col, num_buckets).to_pandas()
+    if len(big) > vocab_cap:
+        raise ValueError(
+            f"bigram vocabulary ({len(big)}) exceeds vocab_cap "
+            f"({vocab_cap}); route doc-bigrams ⋈ q through hash_join "
+            "on the bigram plus a doc-keyed grouped sum instead")
+    if big.empty:
+        return empty
+
+    # q per distinct bigram: c(w1) via searchsorted into the sorted
+    # unigram table; scalar libm logs over DISTINCT operand values only
+    uorder = np.argsort(vocab["term"].to_numpy())
+    uterms = vocab["term"].to_numpy()[uorder]
+    ucounts = vocab["c"].to_numpy().astype("int64")[uorder]
+    w1 = big["w1"].to_numpy()
+    i1 = np.searchsorted(uterms, w1)
+    if not np.array_equal(uterms[np.clip(i1, 0, len(uterms) - 1)], w1):
+        raise ValueError(
+            "bigram_lm_xent: bigram word absent from the unigram "
+            "vocabulary pass — the input Dataset must be replay-stable "
+            "between the two scans")
+    c1v = ucounts[i1] + v_size          # ln(c(w1) + V)
+    cxy1 = big["cnt"].to_numpy().astype("int64") + 1  # ln(c_xy + 1)
+    lut = {int(v): math.log(float(v))
+           for v in np.unique(np.concatenate([c1v, cxy1]))}
+    lg = np.vectorize(lut.__getitem__, otypes=[np.float64])
+    q = np.floor(scale * (lg(c1v) - lg(cxy1)) + 0.5).astype("int64")
+
+    bgrams = (big["w1"].astype("object") + " "
+              + big["w2"].astype("object")).to_numpy()
+    border = np.argsort(bgrams)
+    bref = ray.put((bgrams[border], q[border]))
+
+    class Scorer:
+        def __init__(self):
+            self.bgrams, self.q = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            row_idx, sh = ws_shingles(t[text_col], 2)
+            if len(row_idx) == 0:
+                return empty.cast(pa.schema([
+                    (id_col, t.schema.field(id_col).type),
+                    ("n_bigrams", pa.int64()),
+                    ("xent_micronats", pa.int64()),
+                    ("mean_xent", pa.int64()),
+                ]))
+            shv = sh.to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.bgrams, shv)
+            if not np.array_equal(
+                    self.bgrams[np.clip(idx, 0, len(self.bgrams) - 1)], shv):
+                raise ValueError(
+                    "bigram_lm_xent: document bigram absent from the "
+                    "count pass — the input Dataset must be "
+                    "replay-stable between the two scans")
+            n_rows = t.num_rows
+            sums = np.zeros(n_rows, dtype=np.int64)
+            np.add.at(sums, row_idx, self.q[idx])
+            nb = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+            keep = nb > 0
+            return pa.table({
+                id_col: t[id_col].filter(pa.array(keep)),
+                "n_bigrams": pa.array(nb[keep], type=pa.int64()),
+                "xent_micronats": pa.array(sums[keep], type=pa.int64()),
+                "mean_xent": pa.array(sums[keep] // nb[keep],
+                                      type=pa.int64()),
+            })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=concurrency)

@@ -2324,6 +2324,55 @@ ORDER BY pmi_fp DESC, bigram LIMIT 30
 """
 
 
+def doc_lm_xent(sf_dir: str):
+    """Bigram-LM cross-entropy per document (functions/text.py
+    ``bigram_lm_xent``) — the CCNet/KenLM-style perplexity quality
+    filter (Wenzek et al. 2020): a Laplace-smoothed bigram LM trained
+    on the corpus scores every document's total/mean conditional
+    surprisal in exact integer micro-nats (perplexity = exp(mean) is
+    monotone in ``mean_xent``, so ranking on the integer column IS the
+    perplexity filter). Shares ``_vocab_counts`` + ``_bigram_counts``
+    with tfidf/surprisal/PMI; the per-doc sum is one vectorized
+    ``ws_shingles`` + searchsorted + ``np.add.at`` pass per batch —
+    batch-local, no token-scale shuffle."""
+    from guac_ray.functions.text import bigram_lm_xent
+
+    return bigram_lm_xent(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+DOC_LM_XENT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT unnest(w) AS term FROM t
+), uni AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+), vsz AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+), b AS (
+  SELECT doc_id, w[CAST(i AS INT) + 1] AS w1, w[CAST(i AS INT) + 2] AS w2
+  FROM t, LATERAL (SELECT unnest(range(len(w) - 1)) AS i) li
+), big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy FROM b GROUP BY 1, 2
+), q AS (
+  SELECT w1, w2,
+         CAST(floor(1000000.0 * (ln(CAST(u.c + vsz.v AS DOUBLE)) -
+                                 ln(CAST(big.cxy + 1 AS DOUBLE))) + 0.5)
+              AS BIGINT) AS q
+  FROM big JOIN uni u ON u.term = big.w1 CROSS JOIN vsz
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(q.q) AS BIGINT) AS xent_micronats,
+       CAST(sum(q.q) // count(*) AS BIGINT) AS mean_xent
+FROM b JOIN q USING (w1, w2)
+GROUP BY 1
+"""
+
+
 def doc_dsir(sf_dir: str):
     """DSIR importance weights (pipelines/curation.py
     ``dsir_importance``): the md5-split minority side (≥ 0xCC, ~20%)
@@ -5618,7 +5667,6 @@ SUITE: dict[str, tuple] = {
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
-    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
@@ -5682,6 +5730,11 @@ SUITE: dict[str, tuple] = {
     # (q3_building_revenue — r4-driver-green, join+agg composition
     # stays gate-covered by priority_revenue_hashjoin — cedes):
     "doc_hybrid_search": (doc_hybrid_search, DOC_HYBRID_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_kcore — r4-driver-green, unchanged; the iterative-graph
+    # exchange family stays gate-covered by kg_pagerank_top,
+    # kg_components and the never-checked kg_patch_cost — cedes):
+    "doc_lm_xent": (doc_lm_xent, DOC_LM_XENT_SQL),
     # round-5 addition, never driver-checked → into the gate. Its
     # oracle embeds the FULL kmeans unroll plus the pair join, so
     # emb_kmeans (r4-driver-green, unchanged) cedes its slot and is
@@ -5719,6 +5772,7 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),
     "kg_degree_top": (kg_degree_top, KG_DEGREE_TOP_SQL),

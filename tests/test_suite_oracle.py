@@ -72,6 +72,8 @@ FAST = [
     "doc_hybrid_search",
     "doc_ngram_novelty",
     "basket_pairs",
+    # round 5, session 5: LM scoring / analytics wave
+    "doc_lm_xent",
 ]
 
 

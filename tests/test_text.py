@@ -648,3 +648,89 @@ class TestPmiBigrams:
             pd.DataFrame({"text": ["", "   "]})))
         assert len(empty) == 0 and list(empty.columns) == [
             "bigram", "cnt", "pmi_fp"]
+
+
+class TestBigramLmXent:
+    def test_matches_naive_reference(self, ray_session):
+        """Bit parity with a Counter-based reference of the exact
+        quantization rule on a corpus with repeats, multibyte tokens,
+        an empty doc and a one-token doc (no bigram events)."""
+        import math
+        from collections import Counter
+
+        import ray.data as rd
+
+        from guac_ray.functions.text import bigram_lm_xent, sql_ws_tokens
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the mat",
+                "café naïve café naïve café",
+                "one two three four five six seven",
+                "solo",          # 1 token → dropped
+                "",              # empty → dropped
+            ]})
+        got = (bigram_lm_xent(rd.from_pandas(docs).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        toks = {}
+        for did, txt in zip(docs.doc_id, docs.text):
+            w = sql_ws_tokens(txt)
+            toks[did] = w
+            uni.update(w)
+            big.update(zip(w, w[1:]))
+        v = len(uni)
+        q = {bg: math.floor(1_000_000 * (
+                math.log(float(uni[bg[0]] + v))
+                - math.log(float(c + 1))) + 0.5)
+             for bg, c in big.items()}
+        rows = []
+        for did, w in toks.items():
+            bgs = list(zip(w, w[1:]))
+            if not bgs:
+                continue
+            s = sum(q[bg] for bg in bgs)
+            rows.append((did, len(bgs), s, s // len(bgs)))
+        want = pd.DataFrame(
+            rows, columns=["doc_id", "n_bigrams",
+                           "xent_micronats", "mean_xent"]
+        ).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert set(got.doc_id) == {1, 2, 3, 4}
+
+    def test_repetition_scores_lower(self, ray_session):
+        """A doc whose bigrams the LM has seen many times must score
+        lower mean cross-entropy than a doc of corpus-unique bigrams —
+        the fluency/perplexity-filter property."""
+        import ray.data as rd
+
+        from guac_ray.functions.text import bigram_lm_xent
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": (["the quick brown fox jumps"] * 4
+                     + ["zebra quantum mango violin cactus"])})
+        out = (bigram_lm_xent(rd.from_pandas(docs))
+               .to_pandas().set_index("doc_id"))
+        assert out.loc[5, "mean_xent"] > out.loc[1, "mean_xent"]
+        # the four identical docs score identically
+        assert out.loc[1, "xent_micronats"] == out.loc[4, "xent_micronats"]
+
+    def test_empty_corpus_and_cap(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.text import bigram_lm_xent
+
+        empty = bigram_lm_xent(rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["", "  "]})))
+        assert len(empty) == 0
+        assert [f.name for f in empty.schema] == [
+            "doc_id", "n_bigrams", "xent_micronats", "mean_xent"]
+        with pytest.raises(ValueError):
+            bigram_lm_xent(rd.from_pandas(pd.DataFrame(
+                {"doc_id": [1], "text": ["a b c d e f g"]})), vocab_cap=3)
