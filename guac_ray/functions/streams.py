@@ -25,7 +25,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["sessionize", "coalesce_intervals"]
+__all__ = ["sessionize", "coalesce_intervals", "daily_streaks"]
 
 
 def sessionize(
@@ -145,4 +145,79 @@ def coalesce_intervals(
             + [("start", at(start_col, pa.int64())),
                ("end", at(end_col, pa.int64())),
                ("n_merged", pa.int64())]).empty_table())
+    return out
+
+
+def daily_streaks(
+    events: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Consecutive-active-day streaks per user — the THIRD islands
+    operator (``sessionize`` gap-groups point events, ``coalesce_
+    intervals`` merges spans; this runs the calendar-day variant
+    engagement/retention analytics call "streaks"): one row per user
+    with ``active_days`` (distinct calendar days with ≥1 event),
+    ``longest_streak`` (max run of consecutive days) and ``n_streaks``
+    (number of maximal runs). All int64 counts — exact on any engine.
+
+    Semantics match the classic SQL gaps-and-islands idiom: distinct
+    (user, day) rows ranked by day per user; ``day − row_number`` is
+    constant exactly within a consecutive run, so island = GROUP BY
+    that anchor. Shape: batches project to (user, epoch-day) pairs and
+    pre-dedup IN-BATCH (the classic combiner — the exchange ships at
+    most one row per user-day per batch, never event-scale); ONE
+    user-hash fs exchange co-locates each user, where the in-bucket
+    distinct IS the global distinct and one vectorized
+    sort + cumcount + two groupbys emit the per-user row. Nothing
+    driver-sized; buckets scale with the cluster."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    import ray.data as rd
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            user_col: df[user_col],
+            # epoch-day floor; matches DuckDB CAST(ts AS DATE) for any
+            # post-1970 timestamp (both floor toward -inf)
+            "_day": df[ts_col].to_numpy().astype("datetime64[D]")
+                              .astype("int64"),
+        }).drop_duplicates()
+        out["_bucket"] = (stable_hash(out, [user_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()[[user_col, "_day"]]
+              .drop_duplicates()
+              .sort_values([user_col, "_day"], kind="mergesort"))
+        rn = df.groupby(user_col, sort=False).cumcount()
+        df["_anchor"] = df["_day"].to_numpy() - rn.to_numpy()
+        isl = (df.groupby([user_col, "_anchor"], sort=False)
+               .size().rename("len").reset_index())
+        out = (isl.groupby(user_col, sort=False)
+               .agg(active_days=("len", "sum"),
+                    longest_streak=("len", "max"),
+                    n_streaks=("len", "size"))
+               .reset_index())
+        for c in ("active_days", "longest_streak", "n_streaks"):
+            out[c] = out[c].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        events.select_columns([user_col, ts_col]).map_batches(
+            add_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("streaks"), reduce_fn)
+    if out is None:
+        sch = events.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        uty = types.get(user_col)
+        uty = uty if isinstance(uty, pa.DataType) else pa.int64()
+        return rd.from_arrow(pa.schema(
+            [(user_col, uty), ("active_days", pa.int64()),
+             ("longest_streak", pa.int64()),
+             ("n_streaks", pa.int64())]).empty_table())
     return out

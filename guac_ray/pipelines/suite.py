@@ -4543,6 +4543,39 @@ FROM r GROUP BY 1, 2
 """
 
 
+def user_streaks(sf_dir: str):
+    """Consecutive-active-day streaks per user (functions/streams.py
+    ``daily_streaks``) — the calendar-day gaps-and-islands operator
+    engagement/retention analytics runs: distinct active days, longest
+    consecutive-day run and run count per user, all exact int64. One
+    user-hash fs exchange after an in-batch (user, day) combiner; the
+    islands math is one vectorized sort + cumcount per bucket."""
+    from guac_ray.functions.streams import daily_streaks
+
+    return daily_streaks(_read(sf_dir, "events", ["user_id", "ts"]),
+                         exchange_base=_exchange("streaks"))
+
+
+USER_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+              AS INT) AS rn
+  FROM d
+), i AS (
+  SELECT user_id, day - rn AS anchor, CAST(count(*) AS BIGINT) AS len
+  FROM r GROUP BY user_id, day - rn
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM i GROUP BY user_id
+"""
+
+
 _WSAMPLE_K = 100
 
 
@@ -5665,7 +5698,6 @@ SUITE: dict[str, tuple] = {
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
-    "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
@@ -5766,12 +5798,18 @@ SUITE: dict[str, tuple] = {
     # stays gate-covered by events_props_agg and every kg aggregate —
     # cedes):
     "events_ohlc": (events_ohlc, EVENTS_OHLC_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_triangles — r4-driver-green, unchanged; the wedge/triangle
+    # machinery stays gate-covered by the never-checked kg_clustering
+    # and kg_link_predict, which share _wedges_fn — cedes):
+    "user_streaks": (user_streaks, USER_STREAKS_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_building_revenue": (q3_building_revenue, Q3_SQL),

@@ -74,6 +74,7 @@ FAST = [
     "basket_pairs",
     # round 5, session 5: LM scoring / analytics wave
     "doc_lm_xent",
+    "user_streaks",
 ]
 
 

@@ -431,6 +431,64 @@ class TestCoalesceIntervals:
         assert set(["u", "start", "end", "n_merged"]) <= set(out.schema().names)
 
 
+class TestDailyStreaks:
+    """Calendar-day gaps-and-islands: consecutive-active-day streaks."""
+
+    def test_hand_computed_streaks(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import daily_streaks
+
+        base = pd.Timestamp("2024-03-01")
+        # u=1 active days {0,1,2, 5,6, 10}: 3 streaks, longest 3.
+        # Day 1 has THREE events (incl. different times of day) — the
+        # (user, day) dedup must count it once. u=2 single day.
+        rows = []
+        for d, hrs in [(0, [9]), (1, [1, 12, 23]), (2, [5]),
+                       (5, [8]), (6, [8]), (10, [0])]:
+            for h in hrs:
+                rows.append({"user_id": 1,
+                             "ts": base + pd.Timedelta(days=d, hours=h)})
+        rows.append({"user_id": 2, "ts": base})
+        df = pd.DataFrame(rows)
+        got = daily_streaks(
+            rd.from_pandas(df).repartition(3),
+            exchange_base=str(tmp_path / "st"), num_buckets=4,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got[["user_id", "active_days", "longest_streak",
+                    "n_streaks"]].values.tolist() == [
+            [1, 6, 3, 3], [2, 1, 1, 1]]
+
+    def test_cross_partition_run_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import daily_streaks
+
+        # one user, 30 consecutive days scattered over 6 blocks: the
+        # per-batch combiner only dedups locally; the exchange must
+        # still assemble ONE 30-day run (not per-partition fragments).
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "user_id": [7] * 30,
+            "ts": [base + pd.Timedelta(days=d) for d in range(30)],
+        }).sample(frac=1.0, random_state=0)
+        got = daily_streaks(
+            rd.from_pandas(df).repartition(6),
+            exchange_base=str(tmp_path / "x"), num_buckets=2).to_pandas()
+        assert got[["active_days", "longest_streak",
+                    "n_streaks"]].values.tolist() == [[30, 30, 1]]
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]")})
+        out = daily_streaks(rd.from_pandas(empty),
+                            exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "active_days", "longest_streak",
+                    "n_streaks"]) <= set(out.schema().names)
+
+
 class TestRangeWindows:
     """Time-RANGE frames: peer inclusion, variable width, NULL skipping."""
 
