@@ -190,8 +190,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "doc_pmi_collocations", "events_ohlc", "doc_hybrid_search",
             "doc_ngram_novelty", "basket_pairs",
             # round-5 session 5: bigram-LM cross-entropy (perplexity
-            # filter), calendar-day streaks (gaps-and-islands)
-            "doc_lm_xent", "user_streaks",
+            # filter), calendar-day streaks (gaps-and-islands),
+            # daily-cohort retention matrix
+            "doc_lm_xent", "user_streaks", "events_cohort_retention",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -25,7 +25,8 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["sessionize", "coalesce_intervals", "daily_streaks"]
+__all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
+           "cohort_retention"]
 
 
 def sessionize(
@@ -221,3 +222,72 @@ def daily_streaks(
              ("longest_streak", pa.int64()),
              ("n_streaks", pa.int64())]).empty_table())
     return out
+
+
+def cohort_retention(
+    events: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 1,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Cohort retention matrix — the cohort analysis every engagement
+    dashboard runs: users are cohorted by their FIRST active period
+    (``cohort_week`` = min epoch-day // period_days over all their
+    activity; period_days=7 for weekly, 1 for daily cohorts), and each
+    cell counts how many of that cohort were active ``week_offset``
+    periods later. All int64 — exact on any engine; offset 0 row =
+    cohort size, so retention % is a downstream division the caller
+    owns.
+
+    Shape: batches project to distinct (user, epoch-week) pairs
+    IN-BATCH (the combiner — the exchange ships at most one row per
+    user-week per block, never event-scale); ONE user-hash fs exchange
+    co-locates each user's full history, so the in-bucket min IS the
+    global cohort week and each bucket emits exact PARTIAL cell counts
+    (a user lives in exactly one bucket, so partials are disjoint user
+    sets); the cross-bucket combine is the standard ``grouped_agg``
+    over a cells × buckets table — driver never touches user-scale
+    data. Matrix cells are bounded by weeks², independent of users."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+    from guac_ray.stages.groupagg import grouped_agg
+
+    import ray.data as rd
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            user_col: df[user_col],
+            # epoch-week floor; int64 // floors, matching the SQL
+            # datediff-from-1970 // 7 for any post-1970 timestamp
+            "_week": df[ts_col].to_numpy().astype("datetime64[D]")
+                               .astype("int64") // period_days,
+        }).drop_duplicates()
+        out["_bucket"] = (stable_hash(out, [user_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[[user_col, "_week"]].drop_duplicates()
+        coh = df.groupby(user_col, sort=False)["_week"].transform("min")
+        cells = (pd.DataFrame({
+            "cohort_week": coh.to_numpy(),
+            "week_offset": df["_week"].to_numpy() - coh.to_numpy(),
+        }).groupby(["cohort_week", "week_offset"], sort=False)
+          .size().rename("_n").reset_index())
+        cells["_n"] = cells["_n"].astype("int64")
+        return table_from_pandas(cells, preserve_index=False)
+
+    base = exchange_base or default_exchange("cohort")
+    partials = fs_exchange_reduce(
+        events.select_columns([user_col, ts_col]).map_batches(
+            add_bucket, batch_format="pandas"),
+        base + "_p1", reduce_fn)
+    if partials is None:
+        return rd.from_arrow(pa.schema(
+            [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+             ("n_users", pa.int64())]).empty_table())
+    return grouped_agg(partials, ["cohort_week", "week_offset"],
+                       {"n_users": ("_n", "sum")},
+                       num_buckets=max(4, num_buckets // 4))

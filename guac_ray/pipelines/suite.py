@@ -4576,6 +4576,39 @@ FROM i GROUP BY user_id
 """
 
 
+def events_cohort_retention(sf_dir: str):
+    """Daily cohort retention matrix (functions/streams.py
+    ``cohort_retention``, period_days=1 — the events table spans one
+    month, so daily cohorts give a non-degenerate matrix) — users
+    cohorted by FIRST active epoch-day, each (cohort, offset) cell
+    counting distinct users of that cohort active that many days
+    later; all int64. ONE user-hash fs exchange after an in-batch
+    (user, day) combiner (a user lives in exactly one bucket, so
+    per-bucket cell counts are exact disjoint partials), then the
+    standard grouped_agg combine over a cells × buckets table."""
+    from guac_ray.functions.streams import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]),
+                            period_days=1,
+                            exchange_base=_exchange("cohort"))
+
+
+EVENTS_COHORT_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS week
+  FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort_week FROM d GROUP BY user_id
+)
+SELECT c.cohort_week, d.week - c.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 _WSAMPLE_K = 100
 
 
@@ -5694,7 +5727,6 @@ SUITE: dict[str, tuple] = {
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
-    "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
@@ -5803,12 +5835,19 @@ SUITE: dict[str, tuple] = {
     # machinery stays gate-covered by the never-checked kg_clustering
     # and kg_link_predict, which share _wedges_fn — cedes):
     "user_streaks": (user_streaks, USER_STREAKS_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_patch_radius — r4-driver-green, unchanged; the BFS/path
+    # family stays gate-covered by the never-checked kg_patch_cost,
+    # which shares the query/graph traversal machinery — cedes):
+    "events_cohort_retention": (events_cohort_retention,
+                                EVENTS_COHORT_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

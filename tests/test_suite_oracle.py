@@ -75,6 +75,7 @@ FAST = [
     # round 5, session 5: LM scoring / analytics wave
     "doc_lm_xent",
     "user_streaks",
+    "events_cohort_retention",
 ]
 
 

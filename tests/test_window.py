@@ -489,6 +489,65 @@ class TestDailyStreaks:
                     "n_streaks"]) <= set(out.schema().names)
 
 
+class TestCohortRetention:
+    """First-active-period cohorts × offset retention cells."""
+
+    def test_hand_computed_cells(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import cohort_retention
+
+        base = pd.Timestamp("2024-03-04")  # a Monday
+        # u1 active days {0,1,3} (day 0 TWICE — same-day dedup),
+        # u2 days {0,2}, u3 days {1}: cohorts u1=u2=0, u3=1.
+        rows = []
+        for u, days in [(1, [0, 0, 1, 3]), (2, [0, 2]), (3, [1])]:
+            for d in days:
+                rows.append({"user_id": u,
+                             "ts": base + pd.Timedelta(days=d, hours=u)})
+        got = cohort_retention(
+            rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+            exchange_base=str(tmp_path / "c"), num_buckets=4,
+        ).to_pandas().sort_values(["cohort_week", "week_offset"])
+        assert got[["cohort_week", "week_offset", "n_users"]] \
+            .values.tolist() == [
+            [19786, 0, 2], [19786, 1, 1], [19786, 2, 1], [19786, 3, 1],
+            [19787, 0, 1]]
+
+    def test_cross_partition_cohort_min_weekly_and_empty(
+            self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import cohort_retention
+
+        # one user: earliest activity (week 0) lands in a DIFFERENT
+        # block than the week-3 activity — the per-bucket min must
+        # still be the global cohort (user-hash co-location).
+        base = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "user_id": [5, 5, 5],
+            "ts": [base + pd.Timedelta(days=d) for d in (21, 22, 0)],
+        })
+        got = cohort_retention(
+            rd.from_pandas(df).repartition(3), period_days=7,
+            exchange_base=str(tmp_path / "w"), num_buckets=2,
+        ).to_pandas().sort_values("week_offset")
+        w0 = (base.to_datetime64().astype("datetime64[D]")
+              .astype("int64")) // 7
+        assert got[["cohort_week", "week_offset", "n_users"]] \
+            .values.tolist() == [[w0, 0, 1], [w0, 3, 1]]
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]")})
+        out = cohort_retention(rd.from_pandas(empty),
+                               exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["cohort_week", "week_offset", "n_users"]) \
+            <= set(out.schema().names)
+
+
 class TestRangeWindows:
     """Time-RANGE frames: peer inclusion, variable width, NULL skipping."""
 
