@@ -26,7 +26,7 @@ from ray.data import Dataset
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
-           "cohort_retention"]
+           "cohort_retention", "rolling_active_users"]
 
 
 def sessionize(
@@ -291,3 +291,99 @@ def cohort_retention(
     return grouped_agg(partials, ["cohort_week", "week_offset"],
                        {"n_users": ("_n", "sum")},
                        num_buckets=max(4, num_buckets // 4))
+
+
+def rolling_active_users(
+    events: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """DAU + trailing-window distinct active users per day — the
+    DAU/WAU dashboard pair, and the engine's windowed COUNT(DISTINCT)
+    operator (plain windows can't express it: distinct is not
+    decomposable over frames). One row per OBSERVED day (≥1 event)
+    with ``dau`` (distinct users that day) and ``wau`` (distinct users
+    active in the trailing ``window_days`` window ending that day),
+    both exact int64.
+
+    Distribution: a user is active-in-window on day e iff e lies in
+    the union of [d, d+window−1] over their active days — so per user
+    the answer is INTERVAL COVERAGE, which distributes where
+    per-day distinct does not. Batches emit distinct (user, epoch-day)
+    pairs in-batch (combiner); ONE user-hash fs exchange co-locates
+    each user, where the in-bucket gap≤window−1 islands pass merges
+    coverage intervals and vectorized repeat/arange expansion emits
+    per-day PARTIAL counts (≤ window × user-day pairs rows, never
+    event-scale; disjoint across buckets since a user lives in one);
+    the standard ``grouped_agg`` sums partials per day (calendar-day
+    cardinality) and a final filter keeps observed days. No driver
+    pass anywhere."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+    from guac_ray.stages.groupagg import grouped_agg
+
+    import ray.data as rd
+
+    w = int(window_days)
+    if w < 1:
+        raise ValueError("window_days must be >= 1")
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            user_col: df[user_col],
+            "_day": df[ts_col].to_numpy().astype("datetime64[D]")
+                              .astype("int64"),
+        }).drop_duplicates()
+        out["_bucket"] = (stable_hash(out, [user_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas()[[user_col, "_day"]]
+              .drop_duplicates()
+              .sort_values([user_col, "_day"], kind="mergesort"))
+        day = df["_day"].to_numpy()
+        prev = df.groupby(user_col, sort=False)["_day"].shift()
+        # coverage islands: [d, d+w-1] unions merge iff gap <= w-1
+        new_iv = (prev.isna() | ((df["_day"] - prev) > (w - 1))).to_numpy()
+        gid = np.cumsum(new_iv)  # unique island id across users
+        # per-island [start, end+w-1] coverage span
+        starts = df.groupby(gid, sort=True)["_day"].min().to_numpy()
+        ends = df.groupby(gid, sort=True)["_day"].max().to_numpy() + (w - 1)
+        lens = ends - starts + 1
+        # vectorized expansion: every covered day of every island
+        offs = np.arange(lens.sum()) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        cov_days = np.repeat(starts, lens) + offs
+        cov = np.unique(cov_days, return_counts=True)
+        act = np.unique(day, return_counts=True)
+        out = (pd.DataFrame({"epoch_day": cov[0], "_wau": cov[1]})
+               .merge(pd.DataFrame({"epoch_day": act[0], "_dau": act[1]}),
+                      on="epoch_day", how="outer")
+               .fillna(0))
+        for c in ("_wau", "_dau"):
+            out[c] = out[c].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    base = exchange_base or default_exchange("rollact")
+    partials = fs_exchange_reduce(
+        events.select_columns([user_col, ts_col]).map_batches(
+            add_bucket, batch_format="pandas"),
+        base + "_p1", reduce_fn)
+    empty = pa.schema([("epoch_day", pa.int64()), ("dau", pa.int64()),
+                       ("wau", pa.int64())]).empty_table()
+    if partials is None:
+        return rd.from_arrow(empty)
+    agg = grouped_agg(partials, ["epoch_day"],
+                      {"dau": ("_dau", "sum"), "wau": ("_wau", "sum")},
+                      num_buckets=max(4, num_buckets // 4))
+
+    def observed_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = t.filter(pc.greater(t["dau"], 0))
+        return kept.select(["epoch_day", "dau", "wau"]) if kept.num_rows \
+            else empty
+    return agg.map_batches(observed_only, batch_format="pyarrow")

@@ -4609,6 +4609,41 @@ GROUP BY 1, 2
 """
 
 
+def events_dau_wau(sf_dir: str):
+    """DAU + trailing-7-day distinct active users per observed day
+    (functions/streams.py ``rolling_active_users``) — the windowed
+    COUNT(DISTINCT) no plain window op can express, distributed as
+    per-user interval COVERAGE: gap≤6 islands merge [d, d+6] unions
+    inside ONE user-hash fs exchange, vectorized repeat/arange
+    expansion emits per-day disjoint partials (≤7× the user-day pairs,
+    never event-scale), grouped_agg sums per day. Both counts exact
+    int64."""
+    from guac_ray.functions.streams import rolling_active_users
+
+    return rolling_active_users(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        window_days=7, exchange_base=_exchange("rollact"))
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS epoch_day
+  FROM events
+), days AS (
+  SELECT DISTINCT epoch_day FROM d
+)
+SELECT days.epoch_day,
+       CAST(count(DISTINCT CASE WHEN dd.epoch_day = days.epoch_day
+                            THEN dd.user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT dd.user_id) AS BIGINT) AS wau
+FROM days JOIN d dd
+  ON dd.epoch_day BETWEEN days.epoch_day - 6 AND days.epoch_day
+GROUP BY 1
+"""
+
+
 _WSAMPLE_K = 100
 
 
@@ -5729,7 +5764,6 @@ SUITE: dict[str, tuple] = {
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
-    "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
@@ -5841,6 +5875,12 @@ SUITE: dict[str, tuple] = {
     # which shares the query/graph traversal machinery — cedes):
     "events_cohort_retention": (events_cohort_retention,
                                 EVENTS_COHORT_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_strip_boilerplate — r4-driver-green, unchanged; the
+    # vectorized text-scan family stays gate-covered by the
+    # never-checked doc_lm_xent / doc_pmi_collocations /
+    # doc_ngram_novelty — cedes):
+    "events_dau_wau": (events_dau_wau, EVENTS_DAU_WAU_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
@@ -5848,6 +5888,7 @@ SUITE: dict[str, tuple] = {
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
+    "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

@@ -76,6 +76,7 @@ FAST = [
     "doc_lm_xent",
     "user_streaks",
     "events_cohort_retention",
+    "events_dau_wau",
 ]
 
 

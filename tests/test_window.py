@@ -548,6 +548,67 @@ class TestCohortRetention:
             <= set(out.schema().names)
 
 
+class TestRollingActiveUsers:
+    """Windowed COUNT(DISTINCT) via per-user interval coverage."""
+
+    @staticmethod
+    def _run(df, tmp_path, tag, w=7, parts=3):
+        import ray.data as rd
+
+        from guac_ray.functions.streams import rolling_active_users
+
+        return rolling_active_users(
+            rd.from_pandas(df).repartition(parts), window_days=w,
+            exchange_base=str(tmp_path / tag), num_buckets=4,
+        ).to_pandas().sort_values("epoch_day").reset_index(drop=True)
+
+    def test_hand_computed_dau_wau(self, ray_session, tmp_path):
+        import pandas as pd
+
+        base = pd.Timestamp("2024-01-01")
+        d0 = base.to_datetime64().astype("datetime64[D]").astype("int64")
+        rows = [(1, 0), (1, 0), (1, 10), (2, 0), (2, 1), (3, 3)]
+        df = pd.DataFrame({
+            "user_id": [u for u, _ in rows],
+            "ts": [base + pd.Timedelta(days=d, hours=u)
+                   for u, d in rows]})
+        got = self._run(df, tmp_path, "h")
+        # day 0: dau {1,2}; day 1: dau {2}, wau {1,2}; day 3: dau {3},
+        # wau {1,2,3}; day 10: dau {1}, wau {1} (u3's day 3 < 10-6).
+        assert got[["epoch_day", "dau", "wau"]].values.tolist() == [
+            [d0 + 0, 2, 2], [d0 + 1, 1, 2],
+            [d0 + 3, 1, 3], [d0 + 10, 1, 1]]
+
+    def test_island_merge_vs_gap_and_window1(self, ray_session, tmp_path):
+        import pandas as pd
+
+        base = pd.Timestamp("2024-01-01")
+        d0 = base.to_datetime64().astype("datetime64[D]").astype("int64")
+        # u_a days {0, 8}: gap 8 > 6 → two coverage islands [0,6],[8,14]
+        # — day 7 must NOT count u_a. u_b day {7} makes day 7 observed.
+        df = pd.DataFrame({
+            "user_id": [10, 10, 11],
+            "ts": [base, base + pd.Timedelta(days=8),
+                   base + pd.Timedelta(days=7)]})
+        got = self._run(df, tmp_path, "g")
+        assert got[["epoch_day", "dau", "wau"]].values.tolist() == [
+            [d0 + 0, 1, 1], [d0 + 7, 1, 1], [d0 + 8, 1, 2]]
+        # window_days=1 degenerates to DAU == WAU
+        got1 = self._run(df, tmp_path, "w1", w=1)
+        assert (got1["dau"] == got1["wau"]).all()
+        import ray.data as rd
+
+        from guac_ray.functions.streams import rolling_active_users
+
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]")})
+        out = rolling_active_users(rd.from_pandas(empty),
+                                   exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["epoch_day", "dau", "wau"]) <= set(out.schema().names)
+
+
 class TestRangeWindows:
     """Time-RANGE frames: peer inclusion, variable width, NULL skipping."""
 
