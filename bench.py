@@ -191,9 +191,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "doc_ngram_novelty", "basket_pairs",
             # round-5 session 5: bigram-LM cross-entropy (perplexity
             # filter), calendar-day streaks (gaps-and-islands),
-            # daily-cohort retention matrix, rolling DAU/WAU
+            # daily-cohort retention matrix, rolling DAU/WAU,
+            # degree assortativity
             "doc_lm_xent", "user_streaks", "events_cohort_retention",
-            "events_dau_wau",
+            "events_dau_wau", "kg_assortativity",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -46,7 +46,8 @@ from ray.data import Dataset
 from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["triangle_count", "clustering_coefficient",
-           "neighbor_degree_stats", "common_neighbors"]
+           "neighbor_degree_stats", "common_neighbors",
+           "degree_assortativity"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -531,3 +532,54 @@ def common_neighbors(
         })
 
     return j2.map_batches(finish, batch_format="pandas")
+
+
+def degree_assortativity(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Degree assortativity of the undirected simple graph (Newman
+    2002): the Pearson correlation of endpoint degrees over DIRECTED
+    STUBS — every canonical edge contributes both (du, dv) and
+    (dv, du), the standard symmetrization, so the statistic is
+    orientation-free. Returns one row ``(graph='all', n=2m, cov,
+    corr)``; assortative graphs (hubs link hubs) score > 0,
+    disassortative (hub-and-spoke) < 0.
+
+    Shape: the shared :func:`_canon_deg` prefix (canonical edge set +
+    degrees attached via two co-partitioned hash joins), one
+    vectorized stub explode, and :func:`~guac_ray.functions.stats.
+    grouped_corr`'s int64 moment sums under a constant group key —
+    the same two-phase exchange and the same fixed double expression
+    every corr oracle replays. All linear exchanges; nothing
+    wedge-scale, nothing driver-sized."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.functions.stats import grouped_corr
+
+    base = exchange_base or default_exchange("assort")
+    empty = pa.table({
+        "graph": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "cov": pa.array([], type=pa.float64()),
+        "corr": pa.array([], type=pa.float64()),
+    })
+    cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
+    if cd is None:
+        return empty
+    _E, _deg, with_deg = cd
+
+    def stubs(df: pd.DataFrame) -> pd.DataFrame:
+        du = df["du"].to_numpy().astype("int64")
+        dv = df["dv"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "graph": np.repeat("all", 2 * len(df)),
+            "x": np.concatenate([du, dv]),
+            "y": np.concatenate([dv, du]),
+        })
+
+    return grouped_corr(
+        with_deg.map_batches(stubs, batch_format="pandas"),
+        "graph", "x", "y", num_buckets=4)

@@ -4874,6 +4874,62 @@ FROM nbr GROUP BY 1
 """
 
 
+def kg_assortativity(sf_dir: str):
+    """Degree assortativity of the KG (functions/triangles.py
+    ``degree_assortativity``) — Newman's hubs-link-hubs statistic:
+    Pearson correlation of endpoint degrees over directed stubs (both
+    orientations of every canonical edge). Shares _canon_deg with the
+    triangle family and grouped_corr's int64 moment sums + fixed
+    double expression with events_corr, so the oracle replays it
+    exactly."""
+    from guac_ray.functions.triangles import degree_assortativity
+
+    g = _corpus_edges(sf_dir)
+    return degree_assortativity(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("assort"), num_buckets=8)
+
+
+def KG_ASSORTATIVITY_SQL(sf_dir: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(subj_key, obj_key) AS u,
+         greatest(subj_key, obj_key) AS v
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1
+), stubs AS (
+  SELECT du.deg AS x, dv.deg AS y
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+  UNION ALL
+  SELECT dv.deg AS x, du.deg AS y
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+), m AS (
+  SELECT 'all' AS graph, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+  FROM stubs)
+SELECT graph, CAST(n AS BIGINT) AS n,
+  CASE WHEN mnx = mxx OR mny = mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE)
+     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / CAST(n AS DOUBLE) END AS cov,
+  CASE WHEN mnx = mxx OR mny = mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE)
+     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (sqrt(CAST(sxx AS DOUBLE)
+            - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+       * sqrt(CAST(syy AS DOUBLE)
+              - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                / CAST(n AS DOUBLE))) END AS corr
+FROM m
+"""
+
+
 def events_percentile(sf_dir: str):
     """GLOBAL percent-rank of event value WITHOUT a global sort
     (functions/scale.py:percentile_rank): distinct-value histogram
@@ -5764,7 +5820,6 @@ SUITE: dict[str, tuple] = {
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
-    "kg_components": (kg_components, KG_COMPONENTS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
@@ -5881,6 +5936,13 @@ SUITE: dict[str, tuple] = {
     # never-checked doc_lm_xent / doc_pmi_collocations /
     # doc_ngram_novelty — cedes):
     "events_dau_wau": (events_dau_wau, EVENTS_DAU_WAU_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_components — r4-driver-green, unchanged; the min-label
+    # propagation machinery stays exercised in-gate through
+    # corpus_curation's embedded connected components, and the
+    # iterative-exchange family by kg_pagerank_top + the
+    # never-checked kg_patch_cost — cedes):
+    "kg_assortativity": (kg_assortativity, KG_ASSORTATIVITY_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
@@ -5889,6 +5951,7 @@ SUITE: dict[str, tuple] = {
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
+    "kg_components": (kg_components, KG_COMPONENTS_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),
     "kg_kcore": (kg_kcore, KG_KCORE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

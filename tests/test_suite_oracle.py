@@ -77,6 +77,7 @@ FAST = [
     "user_streaks",
     "events_cohort_retention",
     "events_dau_wau",
+    "kg_assortativity",
 ]
 
 

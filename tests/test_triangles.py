@@ -287,3 +287,54 @@ class TestCommonNeighbors:
         # with the cap raised the hub mediates all C(5,2) leaf pairs
         got = self._run(star, tmp_path / "g4", cap=5, min_common=1)
         assert got == self._brute(star, 5, 1) and len(got) == 10
+
+
+class TestDegreeAssortativity:
+    """Newman degree assortativity over directed stubs."""
+
+    @staticmethod
+    def _assort(edges, tmp_path, tag):
+        from guac_ray.functions.triangles import degree_assortativity
+
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        out = degree_assortativity(
+            rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+            exchange_base=str(tmp_path / tag), num_buckets=4).to_pandas()
+        assert out["graph"].tolist() == ["all"]
+        return out.iloc[0]
+
+    def test_known_graphs(self, ray_session, tmp_path):
+        # path a-b-c-d: the textbook r = -0.5 graph (n = 2m = 6 stubs)
+        row = self._assort([("a", "b"), ("b", "c"), ("c", "d")],
+                           tmp_path, "p4")
+        assert row["n"] == 6
+        assert row["corr"] == pytest.approx(-0.5)
+        # star: maximally disassortative, r = -1 (hub deg 5, leaves 1)
+        star = [("hub", f"x{i}") for i in range(5)]
+        assert self._assort(star, tmp_path, "star")["corr"] \
+            == pytest.approx(-1.0)
+        # cycle: every degree 2 → zero variance → 0.0 by the const rule
+        cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        assert self._assort(cyc, tmp_path, "cyc")["corr"] == 0.0
+
+    def test_matches_numpy_and_dedup(self, ray_session, tmp_path):
+        rng = np.random.RandomState(11)
+        nodes = [f"n{i:02d}" for i in range(25)]
+        edges = [(nodes[i], nodes[j])
+                 for i in range(25) for j in range(i + 1, 25)
+                 if rng.rand() < 0.2]
+        # duplicates, reversals, self-loops must not move the answer
+        noisy = edges + [(b, a) for a, b in edges[:7]] \
+            + [("n00", "n00")] + edges[:3]
+        row = self._assort(noisy, tmp_path, "rnd")
+        # naive stub corr over the clean simple graph
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        x = np.array([deg[a] for a, b in edges]
+                     + [deg[b] for a, b in edges], dtype=float)
+        y = np.array([deg[b] for a, b in edges]
+                     + [deg[a] for a, b in edges], dtype=float)
+        assert row["n"] == 2 * len(edges)
+        assert row["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1])
