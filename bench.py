@@ -192,9 +192,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-5 session 5: bigram-LM cross-entropy (perplexity
             # filter), calendar-day streaks (gaps-and-islands),
             # daily-cohort retention matrix, rolling DAU/WAU,
-            # degree assortativity
+            # degree assortativity, inverted-index build
             "doc_lm_xent", "user_streaks", "events_cohort_retention",
-            "events_dau_wau", "kg_assortativity",
+            "events_dau_wau", "kg_assortativity", "doc_postings",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

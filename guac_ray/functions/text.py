@@ -1108,3 +1108,64 @@ def bigram_lm_xent(
 
     return docs.select_columns([id_col, text_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=concurrency)
+
+
+def build_postings(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Inverted-index BUILD — the materialized artifact a retrieval
+    stack serves BM25/boolean queries from: one posting row per
+    distinct (term, doc) pair carrying the within-doc term frequency
+    and the term's document frequency, ``(term, doc_id, tf,
+    doc_freq)``, all exact int64 counts under the ``sql_ws_tokens``
+    grammar. ``tfidf_top_terms``/``bm25_topk`` recompute df per run
+    and keep only top-k; this op emits the full index as data, the
+    write-once path when the index itself is the product.
+
+    Shape: the tf pass is BATCH-LOCAL (a doc is one row, so the
+    in-batch (term, doc) Arrow group_by IS the global tf — one
+    vectorized ``ws_token_stream`` + ``group_by`` per batch, no
+    token-scale shuffle); df is the standard vocabulary-scale
+    ``grouped_agg`` (term × blocks partials); df attaches back by the
+    co-partitioned ``hash_join`` on term — the honest scale path when
+    the vocabulary exceeds broadcast budget (contrast tfidf's
+    broadcast df, fine for top-k but not for a full-index emit).
+    Ray's lazy plan re-tokenizes for the df pass; at 100 TB you'd
+    point both consumers at the join's own left partition files —
+    the partition write IS the materialization."""
+    from guac_ray.functions.joins import default_exchange, hash_join
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def tf_fn(t: pa.Table) -> pa.Table:
+        flat, cnt = ws_token_stream(t[text_col])
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), cnt)
+        if len(ids) == 0:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                id_col: pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+            })
+        g = (pa.table({"term": flat.cast(pa.string()),
+                       id_col: pa.array(ids, type=pa.int64())})
+             .group_by(["term", id_col])
+             .aggregate([(id_col, "count")]))
+        return pa.table({
+            "term": g["term"],
+            id_col: g[id_col],
+            "tf": g[f"{id_col}_count"].cast(pa.int64()),
+        })
+
+    base = exchange_base or default_exchange("postings")
+    postings = docs.select_columns([id_col, text_col]).map_batches(
+        tf_fn, batch_format="pyarrow")
+    df = grouped_agg(postings, ["term"],
+                     {"doc_freq": ("tf", "count")},
+                     num_buckets=num_buckets)
+    return hash_join(postings, df, on="term",
+                     exchange_dir=f"{base}_join",
+                     how="inner", num_buckets=num_buckets)

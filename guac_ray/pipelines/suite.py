@@ -1772,6 +1772,34 @@ SELECT doc_id, term, tf, doc_freq, score_fp FROM scored WHERE rn <= 3
 """
 
 
+def doc_postings(sf_dir: str):
+    """Full inverted-index build (functions/text.py
+    ``build_postings``): one row per distinct (term, doc) with tf and
+    doc_freq — the materialized retrieval artifact, emitted through
+    the co-partitioned term hash join rather than a broadcast so the
+    path holds when the vocabulary exceeds broadcast budget. The tf
+    pass is batch-local; df is the vocabulary-scale grouped_agg."""
+    from guac_ray.functions.text import build_postings
+
+    return build_postings(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          exchange_base=_exchange("postings"))
+
+
+DOC_POSTINGS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), dfr AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+)
+SELECT tf.term, tf.doc_id, tf.tf, dfr.doc_freq
+FROM tf JOIN dfr USING (term)
+"""
+
+
 def doc_quality(sf_dir: str):
     """Per-doc quality metrics + whitespace-normalized md5 fingerprint in
     ONE pass (the former separate doc_fingerprints query is folded in —
@@ -5817,7 +5845,6 @@ SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
-    "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
@@ -5943,6 +5970,12 @@ SUITE: dict[str, tuple] = {
     # iterative-exchange family by kg_pagerank_top + the
     # never-checked kg_patch_cost — cedes):
     "kg_assortativity": (kg_assortativity, KG_ASSORTATIVITY_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_depends_on — r4-driver-green, unchanged; the dependency-edge
+    # family stays gate-covered by the never-checked
+    # kg_depsdev_ingest, whose IsDepPackages rows ARE depends_on
+    # edges, plus kg_version_range — cedes):
+    "doc_postings": (doc_postings, DOC_POSTINGS_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
@@ -5950,6 +5983,7 @@ SUITE: dict[str, tuple] = {
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
+    "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_components": (kg_components, KG_COMPONENTS_SQL),
     "kg_triangles": (kg_triangles, KG_TRIANGLES_SQL),

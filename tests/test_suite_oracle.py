@@ -78,6 +78,7 @@ FAST = [
     "events_cohort_retention",
     "events_dau_wau",
     "kg_assortativity",
+    "doc_postings",
 ]
 
 

@@ -734,3 +734,56 @@ class TestBigramLmXent:
         with pytest.raises(ValueError):
             bigram_lm_xent(rd.from_pandas(pd.DataFrame(
                 {"doc_id": [1], "text": ["a b c d e f g"]})), vocab_cap=3)
+
+
+class TestBuildPostings:
+    """Inverted-index build: exact (term, doc, tf, df) postings."""
+
+    def test_hand_computed_index(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.text import build_postings
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["the cat sat\tthe  cat", "the dog", "", "naïve cat"],
+        })
+        got = build_postings(
+            rd.from_pandas(docs).repartition(3),
+            exchange_base=str(tmp_path / "px"), num_buckets=4,
+        ).to_pandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+        # tf: within-doc counts; doc_freq: docs containing the term.
+        assert got[["term", "doc_id", "tf", "doc_freq"]].values.tolist() == [
+            ["cat", 1, 2, 2], ["cat", 4, 1, 2],
+            ["dog", 2, 1, 1],
+            ["naïve", 4, 1, 1],
+            ["sat", 1, 1, 1],
+            ["the", 1, 2, 2], ["the", 2, 1, 2],
+        ]
+
+    def test_df_consistency_random(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.text import build_postings
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = pd.DataFrame({
+            "doc_id": range(60),
+            "text": [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+                     for _ in range(60)],
+        })
+        got = build_postings(
+            rd.from_pandas(docs).repartition(5),
+            exchange_base=str(tmp_path / "pr"), num_buckets=4).to_pandas()
+        # (term, doc) unique; df == number of postings rows per term;
+        # per-doc tf sums == doc token counts
+        assert not got.duplicated(["term", "doc_id"]).any()
+        per_term = got.groupby("term").agg(n=("doc_id", "size"),
+                                           df=("doc_freq", "first"))
+        assert (per_term["n"] == per_term["df"]).all()
+        toks = docs.set_index("doc_id")["text"].str.split().map(len)
+        sums = got.groupby("doc_id")["tf"].sum()
+        assert (sums == toks.loc[sums.index]).all()

@@ -33,6 +33,11 @@ QUERIES = [
     "doc_entropy",
     # round 5: vectorized single-pass decontamination (mark join)
     "doc_decontaminate",
+    # round 5, sessions 4-5 (events/documents-fed members; kg /
+    # embeddings / orders ops have their own corpora or dims):
+    "events_ohlc", "doc_pmi_collocations", "doc_ngram_novelty",
+    "doc_lm_xent", "user_streaks", "events_cohort_retention",
+    "events_dau_wau",
 ]
 
 
