@@ -192,9 +192,11 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-5 session 5: bigram-LM cross-entropy (perplexity
             # filter), calendar-day streaks (gaps-and-islands),
             # daily-cohort retention matrix, rolling DAU/WAU,
-            # degree assortativity, inverted-index build
+            # degree assortativity, inverted-index build,
+            # domain-discriminative terms
             "doc_lm_xent", "user_streaks", "events_cohort_retention",
             "events_dau_wau", "kg_assortativity", "doc_postings",
+            "doc_domain_terms",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -1169,3 +1169,76 @@ def build_postings(
     return hash_join(postings, df, on="term",
                      exchange_dir=f"{base}_join",
                      how="inner", num_buckets=num_buckets)
+
+
+def domain_log_odds(
+    target_docs: Dataset,
+    raw_docs: Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 30,
+    scale: int = 1_000_000,
+    vocab_cap: int = 20_000_000,
+    num_buckets: int = 8,
+):
+    """Top-``top_k`` domain-DISCRIMINATIVE terms by fixed-point
+    smoothed log-odds ratio (the Monroe et al. 2008 "fightin' words"
+    statistic with a +1 Laplace prior) — the feature-selection step
+    quality-classifier pipelines (fastText-style CCNet filters) run
+    to learn what separates a target domain from the raw pool. DSIR
+    weights score DOCUMENTS with these per-term quantities; this op
+    emits the per-TERM table itself.
+
+    Exactness: ``score_fp = floor(scale·(((ln(ct+1) − ln(Nt−ct+1))
+    − ln(cr+1)) + ln(Nr−cr+1)) + 0.5)`` with every ``ln`` a SCALAR
+    libm log over an exact-integer-valued double (the proven
+    surprisal expression-tree discipline, associated exactly as the
+    SQL oracle writes it). Ranking is (score_fp DESC, term ASC) over
+    terms with ``ct ≥ min_count`` — deterministic on any engine.
+
+    Shape: two ``_vocab_counts`` passes (each a vocab × blocks
+    exchange over its side — together ONE scan of the corpus, never
+    token-scale in the exchange); the scoring itself runs over the
+    union vocabulary, the engine's one accepted driver-side product
+    (size-guarded by ``vocab_cap``; beyond it route the two vocab
+    tables through ``hash_join`` on term and per-block top-k heaps
+    instead). Returns a ``top_k``-row pandas DataFrame
+    (term, ct, cr, score_fp)."""
+    import math
+
+    import pandas as pd
+
+    empty = pd.DataFrame({"term": pd.Series(dtype="object"),
+                          "ct": pd.Series(dtype="int64"),
+                          "cr": pd.Series(dtype="int64"),
+                          "score_fp": pd.Series(dtype="int64")})
+    vt = _vocab_counts(target_docs, text_col, per_doc_distinct=False,
+                       num_buckets=num_buckets, vocab_cap=vocab_cap,
+                       out_col="ct")
+    vr = _vocab_counts(raw_docs, text_col, per_doc_distinct=False,
+                       num_buckets=num_buckets, vocab_cap=vocab_cap,
+                       out_col="cr")
+    if vt.empty:
+        return empty
+    both = vt.merge(vr, on="term", how="outer")
+    for c in ("ct", "cr"):
+        both[c] = both[c].fillna(0).astype("int64")
+    nt = int(both["ct"].sum())
+    nr = int(both["cr"].sum())
+    both = both[both["ct"].to_numpy() >= min_count]
+    if both.empty:
+        return empty
+    ct1 = both["ct"].to_numpy() + 1
+    dt1 = nt - both["ct"].to_numpy() + 1
+    cr1 = both["cr"].to_numpy() + 1
+    dr1 = nr - both["cr"].to_numpy() + 1
+    lut = {int(v): math.log(float(v))
+           for v in np.unique(np.concatenate([ct1, dt1, cr1, dr1]))}
+    lg = np.vectorize(lut.__getitem__, otypes=[np.float64])
+    expr = ((lg(ct1) - lg(dt1)) - lg(cr1)) + lg(dr1)
+    both = both.assign(
+        score_fp=np.floor(scale * expr + 0.5).astype("int64"))
+    return (both.sort_values(["score_fp", "term"],
+                             ascending=[False, True])
+            .head(top_k)[["term", "ct", "cr", "score_fp"]]
+            .reset_index(drop=True))

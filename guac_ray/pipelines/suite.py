@@ -1800,6 +1800,63 @@ FROM tf JOIN dfr USING (term)
 """
 
 
+def doc_domain_terms(sf_dir: str):
+    """Top-30 domain-discriminative terms (functions/text.py
+    ``domain_log_odds``): smoothed log-odds ratio between the md5-split
+    target side (≥ 0xCC, the doc_dsir split) and the raw pool, in
+    exact integer micro-nats with ct ≥ 5 — the per-TERM feature table
+    the doc_dsir per-DOC weights derive from. Two vocab-scale
+    exchanges (one corpus scan total); scoring over the union
+    vocabulary, the engine's accepted size-guarded driver product."""
+    from guac_ray.functions.text import domain_log_odds
+    from guac_ray.pipelines.curation import md5_first_byte
+
+    def side(want_target: bool):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+            keep = (md5_first_byte(ids) >= 0xCC) == want_target
+            return t.filter(pa.array(keep))
+
+        return ds.map_batches(pick, batch_format="pyarrow")
+
+    return domain_log_odds(side(True), side(False))
+
+
+DOC_DOMAIN_TERMS_SQL = r"""
+WITH lab AS (
+  SELECT doc_id, lower(text) AS txt,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'cc'
+              THEN 'target' ELSE 'raw' END AS side
+  FROM documents
+), tok AS (
+  SELECT side, unnest(regexp_split_to_array(txt, '\s+')) AS term
+  FROM lab
+), tok2 AS (
+  SELECT side, term FROM tok WHERE term <> ''
+), vocab AS (
+  SELECT term,
+         CAST(sum(CASE WHEN side = 'target' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN side = 'raw' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cr
+  FROM tok2 GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM vocab
+)
+SELECT term, ct, cr,
+       CAST(floor(1000000 * (((ln(ct + 1) - ln(nt - ct + 1))
+                              - ln(cr + 1)) + ln(nr - cr + 1))
+                  + 0.5) AS BIGINT) AS score_fp
+FROM vocab, tot
+WHERE ct >= 5
+ORDER BY score_fp DESC, term
+LIMIT 30
+"""
+
+
 def doc_quality(sf_dir: str):
     """Per-doc quality metrics + whitespace-normalized md5 fingerprint in
     ONE pass (the former separate doc_fingerprints query is folded in —
@@ -5844,7 +5901,6 @@ SELECT DISTINCT * FROM (
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
-    "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
@@ -5976,6 +6032,12 @@ SUITE: dict[str, tuple] = {
     # kg_depsdev_ingest, whose IsDepPackages rows ARE depends_on
     # edges, plus kg_version_range — cedes):
     "doc_postings": (doc_postings, DOC_POSTINGS_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_tool_usage — r4-driver-green, unchanged; the hot-key /
+    # salted-count family stays gate-covered by kg_heavy_tools on the
+    # same 40%-hot key, and the fused broadcast-linking path feeds
+    # every in-gate kg query — cedes):
+    "doc_domain_terms": (doc_domain_terms, DOC_DOMAIN_TERMS_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
@@ -5983,6 +6045,7 @@ SUITE: dict[str, tuple] = {
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
+    "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),
     "kg_strip_boilerplate": (kg_strip_boilerplate, KG_BOILER_SQL),
     "kg_components": (kg_components, KG_COMPONENTS_SQL),

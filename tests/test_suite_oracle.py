@@ -79,6 +79,7 @@ FAST = [
     "events_dau_wau",
     "kg_assortativity",
     "doc_postings",
+    "doc_domain_terms",
 ]
 
 

@@ -787,3 +787,63 @@ class TestBuildPostings:
         toks = docs.set_index("doc_id")["text"].str.split().map(len)
         sums = got.groupby("doc_id")["tf"].sum()
         assert (sums == toks.loc[sums.index]).all()
+
+
+class TestDomainLogOdds:
+    """Monroe-style smoothed log-odds discriminative terms."""
+
+    def test_matches_naive_reference(self, ray_session):
+        import math
+        from collections import Counter
+
+        import ray.data as rd
+
+        from guac_ray.functions.text import domain_log_odds
+
+        tgt_texts = ["quantum flux capacitor " * 3 + "the and of"] * 4 \
+            + ["quantum entanglement the"] * 3
+        raw_texts = ["the and of stock market report"] * 6 \
+            + ["weather report the and"] * 5
+        tgt = pd.DataFrame({"doc_id": range(len(tgt_texts)),
+                            "text": tgt_texts})
+        raw = pd.DataFrame({"doc_id": range(len(raw_texts)),
+                            "text": raw_texts})
+        got = domain_log_odds(
+            rd.from_pandas(tgt).repartition(2),
+            rd.from_pandas(raw).repartition(3), min_count=2, top_k=10)
+        # naive reference
+        ct = Counter(w for t in tgt_texts for w in t.lower().split())
+        cr = Counter(w for t in raw_texts for w in t.lower().split())
+        nt, nr = sum(ct.values()), sum(cr.values())
+        rows = []
+        for term, c in ct.items():
+            if c < 2:
+                continue
+            e = ((math.log(c + 1) - math.log(nt - c + 1))
+                 - math.log(cr.get(term, 0) + 1)) \
+                + math.log(nr - cr.get(term, 0) + 1)
+            rows.append((term, c, cr.get(term, 0),
+                         math.floor(1e6 * e + 0.5)))
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        assert got[["term", "ct", "cr", "score_fp"]].values.tolist() \
+            == [list(r) for r in rows[:10]]
+        # the target-exclusive content word outranks shared stopwords
+        assert got["term"].iloc[0] in ("quantum", "flux", "capacitor")
+        assert got[got["term"] == "the"].index[0] > 0
+
+    def test_min_count_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import domain_log_odds
+
+        tgt = pd.DataFrame({"doc_id": [1], "text": ["rare rare"]})
+        raw = pd.DataFrame({"doc_id": [1], "text": ["common words here"]})
+        got = domain_log_odds(rd.from_pandas(tgt), rd.from_pandas(raw),
+                              min_count=5, top_k=10)
+        assert len(got) == 0
+        assert list(got.columns) == ["term", "ct", "cr", "score_fp"]
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "text": pd.Series([], dtype="object")})
+        got2 = domain_log_odds(rd.from_pandas(empty),
+                               rd.from_pandas(raw), top_k=5)
+        assert len(got2) == 0
