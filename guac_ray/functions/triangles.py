@@ -47,7 +47,7 @@ from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["triangle_count", "clustering_coefficient",
            "neighbor_degree_stats", "common_neighbors",
-           "degree_assortativity"]
+           "degree_assortativity", "degree_histogram"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -583,3 +583,65 @@ def degree_assortativity(
     return grouped_corr(
         with_deg.map_batches(stubs, batch_format="pandas"),
         "graph", "x", "y", num_buckets=4)
+
+
+def degree_histogram(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Degree distribution of the undirected simple graph — the
+    first diagnostic a graph pipeline plots (power-law tail? hub
+    count? isolated pairs?): one row per distinct degree value with
+    the number of nodes holding it, both exact int64.
+
+    Shape: canonical-edge dedup (the standard in-batch canon map +
+    ``grouped_agg`` on (u, v)), a vectorized two-endpoint explode,
+    one ``grouped_agg`` per node (its degree), then one more keyed by
+    the degree VALUE — each exchange strictly smaller than the last
+    (edges → nodes → distinct degrees). Nothing driver-sized; the
+    histogram itself is ≤ max-degree rows."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.groupagg import grouped_agg
+
+    base = exchange_base or default_exchange("deghist")
+    empty = pa.table({
+        "deg": pa.array([], type=pa.int64()),
+        "n_nodes": pa.array([], type=pa.int64()),
+    })
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_pandas().astype(str)
+        b = t[b_col].to_pandas().astype(str)
+        u = a.where(a < b, b)
+        v = b.where(a < b, a)
+        df = pd.DataFrame({"u": u, "v": v})
+        df = df[df["u"] != df["v"]].drop_duplicates()
+        return table_from_pandas(df, preserve_index=False)
+
+    dedup = grouped_agg(
+        edges.select_columns([a_col, b_col]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["u", "v"], {"_n": ("u", "count")}, num_buckets=num_buckets)
+
+    def explode(df: pd.DataFrame) -> pa.Table:
+        return pa.table({"node": pa.array(np.concatenate(
+            [df["u"].to_numpy(), df["v"].to_numpy()]), type=pa.string())})
+
+    deg = grouped_agg(
+        dedup.map_batches(explode, batch_format="pandas"),
+        ["node"], {"deg": ("node", "count")}, num_buckets=num_buckets)
+    hist = grouped_agg(
+        deg.select_columns(["deg"]), ["deg"],
+        {"n_nodes": ("deg", "count")},
+        num_buckets=max(4, num_buckets // 4))
+
+    def typed(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        return pa.table({"deg": t["deg"].cast(pa.int64()),
+                         "n_nodes": t["n_nodes"].cast(pa.int64())})
+
+    return hist.map_batches(typed, batch_format="pyarrow")

@@ -5015,6 +5015,37 @@ FROM m
 """
 
 
+def kg_degree_hist(sf_dir: str):
+    """Degree distribution of the KG's undirected simple graph
+    (functions/triangles.py ``degree_histogram``): one row per
+    distinct degree value with its node count — the power-law-tail /
+    hub-count diagnostic. Three strictly-shrinking exchanges
+    (edges → nodes → distinct degrees); all int64."""
+    from guac_ray.functions.triangles import degree_histogram
+
+    g = _corpus_edges(sf_dir)
+    return degree_histogram(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("deghist"), num_buckets=8)
+
+
+def KG_DEGREE_HIST_SQL(sf_dir: str) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT least(subj_key, obj_key) AS u,
+         greatest(subj_key, obj_key) AS v
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY 1
+)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
 def events_percentile(sf_dir: str):
     """GLOBAL percent-rank of event value WITHOUT a global sort
     (functions/scale.py:percentile_rank): distinct-value histogram
@@ -5900,7 +5931,6 @@ SELECT DISTINCT * FROM (
 # unchanged) cede their slots.
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
-    "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
@@ -6038,12 +6068,19 @@ SUITE: dict[str, tuple] = {
     # same 40%-hot key, and the fused broadcast-linking path feeds
     # every in-gate kg query — cedes):
     "doc_domain_terms": (doc_domain_terms, DOC_DOMAIN_TERMS_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (kg_turn_text — r4-driver-green, unchanged; the transcript
+    # extraction surface stays exercised by EVERY in-gate kg_* query,
+    # which all consume its output, and the five real-format ingest
+    # queries cover document→triple parity end-to-end — cedes):
+    "kg_degree_hist": (kg_degree_hist, KG_DEGREE_HIST_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),

@@ -80,6 +80,7 @@ FAST = [
     "kg_assortativity",
     "doc_postings",
     "doc_domain_terms",
+    "kg_degree_hist",
 ]
 
 

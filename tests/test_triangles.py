@@ -338,3 +338,44 @@ class TestDegreeAssortativity:
                      + [deg[a] for a, b in edges], dtype=float)
         assert row["n"] == 2 * len(edges)
         assert row["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1])
+
+
+class TestDegreeHistogram:
+    """Degree-distribution counts over the canonical simple graph."""
+
+    def test_hand_computed_and_noise_immune(self, ray_session, tmp_path):
+        from collections import Counter
+
+        from guac_ray.functions.triangles import degree_histogram
+
+        # star(4 leaves) + a disjoint triangle: degs hub=4, leaves=1×4,
+        # triangle=2×3 → hist {1:4, 2:3, 4:1}; dup/rev/self edges noise
+        edges = [("hub", f"l{i}") for i in range(4)] \
+            + [("a", "b"), ("b", "c"), ("c", "a")] \
+            + [("l0", "hub"), ("hub", "l1"), ("x", "x")]
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        got = degree_histogram(
+            rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+            exchange_base=str(tmp_path / "dh"), num_buckets=4,
+        ).to_pandas().sort_values("deg").reset_index(drop=True)
+        assert got[["deg", "n_nodes"]].values.tolist() == [
+            [1, 4], [2, 3], [4, 1]]
+        # invariants on a random graph: Σ n_nodes = |V|, Σ deg·n = 2|E|
+        rng = np.random.RandomState(2)
+        nodes = [f"n{i}" for i in range(40)]
+        redges = [(nodes[i], nodes[j])
+                  for i in range(40) for j in range(i + 1, 40)
+                  if rng.rand() < 0.1]
+        rdf = pd.DataFrame(redges, columns=["subj_key", "obj_key"])
+        h = degree_histogram(
+            rd.from_pandas(rdf).repartition(4), "subj_key", "obj_key",
+            exchange_base=str(tmp_path / "dr"), num_buckets=4).to_pandas()
+        deg = Counter()
+        for a, b in redges:
+            deg[a] += 1
+            deg[b] += 1
+        assert int(h["n_nodes"].sum()) == len(deg)
+        assert int((h["deg"] * h["n_nodes"]).sum()) == 2 * len(redges)
+        want = Counter(deg.values())
+        assert {int(d): int(n) for d, n in zip(h["deg"], h["n_nodes"])} \
+            == dict(want)
