@@ -509,6 +509,55 @@ def cmd_funnel(args) -> int:
     return 0
 
 
+def cmd_engagement(args) -> int:
+    """Engagement analytics over an events parquet: per-user
+    consecutive-day streaks, first-active cohort retention matrix, or
+    rolling DAU/WAU — one islands-family op per invocation."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.streams import (cohort_retention,
+                                            daily_streaks,
+                                            rolling_active_users)
+
+    ds = rd.read_parquet(args.table, columns=[args.user_col, args.ts_col])
+    if args.op == "streaks":
+        out = daily_streaks(ds, user_col=args.user_col,
+                            ts_col=args.ts_col)
+    elif args.op == "cohort":
+        out = cohort_retention(ds, user_col=args.user_col,
+                               ts_col=args.ts_col,
+                               period_days=args.period_days)
+    else:
+        out = rolling_active_users(ds, user_col=args.user_col,
+                                   ts_col=args.ts_col,
+                                   window_days=args.window_days)
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"op": args.op, "rows": int(n), "out": args.out}))
+    return 0
+
+
+def cmd_index(args) -> int:
+    """Build the full inverted index (term, doc_id, tf, doc_freq) from
+    a documents parquet and write it as the partitioned artifact."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.text import build_postings
+
+    docs = rd.read_parquet(args.documents,
+                           columns=[args.id_col, args.text_col])
+    out = build_postings(docs, id_col=args.id_col,
+                         text_col=args.text_col)
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"postings": int(n), "out": args.out}))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Graph snapshot diff: edges added/removed between two builds, on
     the FULL edge identity (every payload column — the same identity
@@ -775,6 +824,30 @@ def main(argv: list[str] | None = None) -> int:
     fu.add_argument("--within", default=None,
                     help="anchored horizon, e.g. '7 days' (pandas Timedelta)")
     fu.set_defaults(fn=cmd_funnel)
+
+    en = sub.add_parser("engagement",
+                        help="streaks / cohort retention / rolling "
+                             "DAU-WAU over an events parquet")
+    en.add_argument("table")
+    en.add_argument("out")
+    en.add_argument("--op", choices=["streaks", "cohort", "dauwau"],
+                    default="streaks")
+    en.add_argument("--user-col", default="user_id")
+    en.add_argument("--ts-col", default="ts")
+    en.add_argument("--period-days", type=int, default=1,
+                    help="cohort period (1=daily, 7=weekly)")
+    en.add_argument("--window-days", type=int, default=7,
+                    help="dauwau trailing window")
+    en.set_defaults(fn=cmd_engagement)
+
+    ix = sub.add_parser("index",
+                        help="build the full inverted index (term, doc, "
+                             "tf, df) from a documents parquet")
+    ix.add_argument("documents")
+    ix.add_argument("out")
+    ix.add_argument("--id-col", default="doc_id")
+    ix.add_argument("--text-col", default="text")
+    ix.set_defaults(fn=cmd_index)
 
     df_ = sub.add_parser("diff",
                          help="edges added/removed between two graph builds")

@@ -698,3 +698,73 @@ class TestCliFourthWaveVerbs:
         import pyarrow.parquet as pq
         add = pq.read_table(str(tmp_path / "d" / "added")).to_pandas()
         assert add.subj_key.tolist() == ["d"]
+
+
+class TestCliSession5Verbs:
+    """engagement (streaks/cohort/dauwau) + index verbs."""
+
+    def test_engagement_verb_all_ops(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_engagement
+
+        p = tmp_path / "ev.parquet"
+        base = pd.Timestamp("2024-05-01")
+        ts = pd.Series([base, base + pd.Timedelta(days=1),
+                        base + pd.Timedelta(days=5),
+                        base]).astype("datetime64[us]")
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "ts": pa.array(ts),
+        }), str(p))
+
+        class A:
+            table = str(p)
+            user_col, ts_col, num_cpus = "user_id", "ts", None
+            period_days, window_days = 1, 7
+
+        for op, nrows in (("streaks", 2), ("cohort", 3), ("dauwau", 3)):
+            A.op, A.out = op, str(tmp_path / op)
+            assert cmd_engagement(A()) == 0
+            rec = json.loads(capsys.readouterr().out.strip())
+            assert rec["rows"] == nrows
+        st = pq.read_table(str(tmp_path / "streaks")).to_pandas() \
+            .set_index("user_id")
+        # u1 days {0,1,5}: 2 streaks, longest 2; u2 one day
+        assert st.loc[1, ["active_days", "longest_streak", "n_streaks"]] \
+            .tolist() == [3, 2, 2]
+        dw = pq.read_table(str(tmp_path / "dauwau")).to_pandas() \
+            .sort_values("epoch_day")
+        assert dw["dau"].tolist() == [2, 1, 1]
+        assert dw["wau"].tolist() == [2, 2, 2]  # day5: u1 covers via day1+6
+
+    def test_index_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_index
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": ["the cat the", "the dog"],
+        }), str(p))
+
+        class A:
+            documents, out = str(p), str(tmp_path / "ix")
+            id_col, text_col, num_cpus = "doc_id", "text", None
+
+        assert cmd_index(A()) == 0
+        rec = json.loads(capsys.readouterr().out.strip())
+        assert rec["postings"] == 4
+        got = pq.read_table(str(tmp_path / "ix")).to_pandas() \
+            .sort_values(["term", "doc_id"])
+        assert got[["term", "doc_id", "tf", "doc_freq"]].values.tolist() \
+            == [["cat", 1, 1, 1], ["dog", 2, 1, 1],
+                ["the", 1, 2, 2], ["the", 2, 1, 2]]
