@@ -196,7 +196,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # domain-discriminative terms
             "doc_lm_xent", "user_streaks", "events_cohort_retention",
             "events_dau_wau", "kg_assortativity", "doc_postings",
-            "doc_domain_terms", "kg_degree_hist",
+            "doc_domain_terms", "kg_degree_hist", "kg_reciprocity",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -47,7 +47,7 @@ from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["triangle_count", "clustering_coefficient",
            "neighbor_degree_stats", "common_neighbors",
-           "degree_assortativity", "degree_histogram"]
+           "degree_assortativity", "degree_histogram", "reciprocity"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -645,3 +645,80 @@ def degree_histogram(
                          "n_nodes": t["n_nodes"].cast(pa.int64())})
 
     return hist.map_batches(typed, batch_format="pyarrow")
+
+
+def reciprocity(
+    edges: Dataset,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Reciprocity of the DIRECTED simple graph — the fraction of
+    distinct directed edges whose reverse edge also exists (the only
+    graph statistic here that does NOT canonicalize away direction):
+    one row ``(graph='all', n_directed, n_mutual, reciprocity_fp)``
+    with ``reciprocity_fp = 1e6·n_mutual // n_directed`` in pure
+    int64 floor division — exact on any engine.
+
+    Shape: batches emit distinct directed (a, b) pairs bucketed by the
+    CANONICAL (unordered) pair hash, so both orientations of a pair —
+    and all duplicates of each — land in one bucket; the in-bucket
+    pass dedups directed pairs globally and counts 2 mutual edges per
+    both-orientations group, emitting one (n_directed, n_mutual)
+    partial row per bucket; the driver folds ≤ num_buckets partial
+    rows. Nothing driver-sized beyond that fold."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    empty = pa.table({
+        "graph": pa.array([], type=pa.string()),
+        "n_directed": pa.array([], type=pa.int64()),
+        "n_mutual": pa.array([], type=pa.int64()),
+        "reciprocity_fp": pa.array([], type=pa.int64()),
+    })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_pandas().astype(str)
+        b = t[b_col].to_pandas().astype(str)
+        df = pd.DataFrame({"a": a, "b": b})
+        df = df[df["a"] != df["b"]].drop_duplicates()
+        u = df["a"].where(df["a"] < df["b"], df["b"])
+        v = df["b"].where(df["a"] < df["b"], df["a"])
+        key = pd.DataFrame({"u": u, "v": v})
+        df["_bucket"] = (stable_hash(key, ["u", "v"])
+                         % num_buckets).astype("int64")
+        return table_from_pandas(df, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()[["a", "b"]].drop_duplicates()
+        u = df["a"].where(df["a"] < df["b"], df["b"])
+        v = df["b"].where(df["a"] < df["b"], df["a"])
+        sizes = pd.DataFrame({"u": u, "v": v}).groupby(
+            ["u", "v"], sort=False).size()
+        n_mutual = int(2 * (sizes == 2).sum())
+        return pa.table({
+            "n_directed": pa.array([len(df)], type=pa.int64()),
+            "n_mutual": pa.array([n_mutual], type=pa.int64()),
+        })
+
+    parts = fs_exchange_reduce(
+        edges.select_columns([a_col, b_col]).map_batches(
+            add_bucket, batch_format="pyarrow"),
+        exchange_base or default_exchange("recip"), reduce_fn)
+    if parts is None:
+        return empty
+    # ≤ num_buckets one-row partials: the driver fold is bounded by
+    # cluster parallelism, not data
+    pf = parts.to_pandas()
+    nd = int(pf["n_directed"].sum())
+    nm = int(pf["n_mutual"].sum())
+    if nd == 0:
+        return empty
+    return pa.table({
+        "graph": pa.array(["all"], type=pa.string()),
+        "n_directed": pa.array([nd], type=pa.int64()),
+        "n_mutual": pa.array([nm], type=pa.int64()),
+        "reciprocity_fp": pa.array([1_000_000 * nm // nd],
+                                   type=pa.int64()),
+    })

@@ -5046,6 +5046,39 @@ FROM deg GROUP BY 1
 """
 
 
+def kg_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the KG (functions/triangles.py
+    ``reciprocity``): the fraction of distinct directed edges whose
+    reverse also exists — the one graph statistic here that keeps
+    direction (~40% on this corpus: version_of/pkg_equal families are
+    symmetric, mentions/has_metadata are not). Pure int64 floor
+    division; ONE canonical-pair exchange."""
+    from guac_ray.functions.triangles import reciprocity
+
+    g = _corpus_edges(sf_dir)
+    return reciprocity(
+        g["edges"], "subj_key", "obj_key",
+        exchange_base=_exchange("recip"), num_buckets=8)
+
+
+def KG_RECIPROCITY_SQL(sf_dir: str) -> str:
+    return f"""
+WITH d AS (
+  SELECT DISTINCT subj_key AS a, obj_key AS b
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key <> obj_key
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_directed,
+         CAST((SELECT count(*) FROM d
+               JOIN d d2 ON d2.a = d.b AND d2.b = d.a)
+              AS BIGINT) AS n_mutual
+  FROM d)
+SELECT 'all' AS graph, n_directed, n_mutual,
+       CAST(1000000 * n_mutual // n_directed AS BIGINT) AS reciprocity_fp
+FROM m
+"""
+
+
 def events_percentile(sf_dir: str):
     """GLOBAL percent-rank of event value WITHOUT a global sort
     (functions/scale.py:percentile_rank): distinct-value histogram
@@ -5950,7 +5983,6 @@ SUITE: dict[str, tuple] = {
     "kg_depsdev_ingest": (kg_depsdev_ingest, KG_DEPSDEV_INGEST_SQL),
     # --- training-data / LLM pipeline operators ---
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
-    "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "doc_decontaminate": (doc_decontaminate, DOC_DECONTAMINATE_SQL),
     # round-5 additions, never driver-checked → into the gate
     # (events_windows — r4-driver-green, window code unchanged — and
@@ -6074,6 +6106,12 @@ SUITE: dict[str, tuple] = {
     # which all consume its output, and the five real-format ingest
     # queries cover document→triple parity end-to-end — cedes):
     "kg_degree_hist": (kg_degree_hist, KG_DEGREE_HIST_SQL),
+    # round-5 addition, never driver-checked → into the gate
+    # (simjoin_docs — r4-driver-green, PPJoin code unchanged; the
+    # similarity-join family stays gate-covered by the never-checked
+    # supplier_name_matches, and exact set-similarity semantics by
+    # doc_dup_passages/doc_ngram_novelty's shingle exchanges — cedes):
+    "kg_reciprocity": (kg_reciprocity, KG_RECIPROCITY_SQL),
     # --- past the driver's 50-entry cap ---
     # Every entry below is STILL verified on every tools/check_oracle.py
     # run. Oracle-backed entries here are hash-exact on a prior round's
@@ -6081,6 +6119,7 @@ SUITE: dict[str, tuple] = {
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
+    "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),
     "kg_tool_usage": (kg_tool_usage, KG_TOOL_USAGE_SQL),
     "kg_depends_on": (kg_depends_on, KG_DEPENDS_ON_SQL),

@@ -81,6 +81,7 @@ FAST = [
     "doc_postings",
     "doc_domain_terms",
     "kg_degree_hist",
+    "kg_reciprocity",
 ]
 
 

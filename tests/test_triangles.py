@@ -379,3 +379,44 @@ class TestDegreeHistogram:
         want = Counter(deg.values())
         assert {int(d): int(n) for d, n in zip(h["deg"], h["n_nodes"])} \
             == dict(want)
+
+
+class TestReciprocity:
+    """Directed-edge mutuality with canonical-pair co-location."""
+
+    def test_hand_computed_and_noise(self, ray_session, tmp_path):
+        from guac_ray.functions.triangles import reciprocity
+
+        # a<->b mutual (2 mutual edges), a->c, c->d one-way, x->x loop,
+        # duplicates of a->b: distinct directed = 4, mutual = 2
+        edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+                 ("x", "x"), ("a", "b"), ("a", "b")]
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        got = reciprocity(
+            rd.from_pandas(df).repartition(3), "subj_key", "obj_key",
+            exchange_base=str(tmp_path / "rc"), num_buckets=4)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        assert got[["graph", "n_directed", "n_mutual",
+                    "reciprocity_fp"]].values.tolist() == [
+            ["all", 4, 2, 500000]]
+
+    def test_cross_partition_orientations_and_empty(
+            self, ray_session, tmp_path):
+        from guac_ray.functions.triangles import reciprocity
+
+        # the two orientations live in DIFFERENT input blocks — the
+        # canonical-pair bucket must still see both
+        df = pd.DataFrame(
+            [("p", "q")] * 5 + [("q", "p")] * 5 + [("p", "r")],
+            columns=["subj_key", "obj_key"])
+        got = reciprocity(
+            rd.from_pandas(df).repartition(6), "subj_key", "obj_key",
+            exchange_base=str(tmp_path / "x"), num_buckets=2)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        assert got[["n_directed", "n_mutual"]].values.tolist() == [[3, 2]]
+        empty = pd.DataFrame({"subj_key": pd.Series([], dtype="object"),
+                              "obj_key": pd.Series([], dtype="object")})
+        out = reciprocity(rd.from_pandas(empty),
+                          exchange_base=str(tmp_path / "e"))
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(out) == 0
