@@ -197,6 +197,9 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "doc_lm_xent", "user_streaks", "events_cohort_retention",
             "events_dau_wau", "kg_assortativity", "doc_postings",
             "doc_domain_terms", "kg_degree_hist", "kg_reciprocity",
+            # round-5 session 6: per-user gap quantiles (high-
+            # cardinality grouped exact quantile), per-user TWAP
+            "events_user_gaps", "events_twap",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

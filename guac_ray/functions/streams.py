@@ -26,7 +26,8 @@ from ray.data import Dataset
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
-           "cohort_retention", "rolling_active_users"]
+           "cohort_retention", "rolling_active_users",
+           "gap_quantiles", "time_weighted_mean"]
 
 
 def sessionize(
@@ -387,3 +388,194 @@ def rolling_active_users(
         return kept.select(["epoch_day", "dau", "wau"]) if kept.num_rows \
             else empty
     return agg.map_batches(observed_only, batch_format="pyarrow")
+
+def _per_user_stream(
+    events: Dataset,
+    user_col: str,
+    ts_col: str,
+    order_col: str,
+    extra_cols: list[str],
+    exchange_base: str,
+    num_buckets: int,
+    reduce_fn,
+):
+    """Shared shell for the ordered per-user stream reductions below:
+    project the narrow (user, ts_us, order, *extra) columns, hash-bucket
+    by user (a user lives in exactly ONE bucket, so in-bucket order IS
+    the user's global order), run ``reduce_fn`` per bucket. The exchange
+    ships event-scale rows — unavoidable for order-sensitive reductions
+    (same contract as ``sessionize``) — but only 3–4 int64 columns of
+    them; buckets scale with the cluster, nothing is driver-sized."""
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            user_col: df[user_col],
+            "_ts": df[ts_col].to_numpy().astype("datetime64[us]")
+                             .astype("int64"),
+            "_ord": df[order_col].to_numpy().astype("int64"),
+        })
+        for c in extra_cols:
+            out[c] = df[c].to_numpy()
+        out["_bucket"] = (stable_hash(out, [user_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    cols = [user_col, ts_col, order_col] + extra_cols
+    return fs_exchange_reduce(
+        events.select_columns(cols).map_batches(
+            add_bucket, batch_format="pandas"),
+        exchange_base, reduce_fn)
+
+
+def _disc_rank_idx(cnt: np.ndarray, num: int, den: int) -> np.ndarray:
+    """0-based per-group element index of the exact discrete quantile
+    p = num/den over a group of ``cnt`` sorted values — DuckDB
+    ``quantile_disc`` semantics (rank ``ceil(p*n) - 1``) computed in
+    EXACT integer arithmetic: ceil(num*n/den) - 1 = (num*n + den-1)//den
+    - 1, no float rounding anywhere."""
+    return (num * cnt + den - 1) // den - 1
+
+
+def gap_quantiles(
+    events: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Per-user inter-arrival-gap distribution — the engagement-cadence
+    operator (how often does each user come back), and the engine's
+    HIGH-CARDINALITY grouped EXACT quantile: one row per user with ≥2
+    events carrying ``n_gaps``, exact discrete p50/p90 of the gap (µs,
+    DuckDB ``quantile_disc`` rank semantics) and ``max_gap_us`` — all
+    int64, exact on any engine. The existing quantile operators
+    (``exact_quantiles``, events_mad) group by LOW-cardinality keys and
+    route a value histogram through the exchange; that shape is wrong
+    when groups ≈ users, so this one hash-clusters users instead and
+    computes each user's quantile from its own sorted gap array.
+
+    Order is (ts, ``order_col``) — the unique tie-break makes the gap
+    multiset deterministic under any partitioning. Shape: ONE user-hash
+    fs exchange of 3 int64 columns (event-scale, as any order-sensitive
+    reduction must be — the ``sessionize`` contract); per bucket one
+    lexsort + diff + np.unique group-offset pass computes every user's
+    quantiles with NO per-user Python loop. Buckets scale with the
+    cluster; the driver never touches event-scale data."""
+    from guac_ray.functions.joins import default_exchange
+
+    import ray.data as rd
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((od, ts, u))
+        u, ts = u[o], ts[o]
+        same = u[1:] == u[:-1]
+        gu, gv = u[1:][same], (ts[1:] - ts[:-1])[same]
+        if gu.size == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "n_gaps": pa.array([], pa.int64()),
+                             "p50_gap_us": pa.array([], pa.int64()),
+                             "p90_gap_us": pa.array([], pa.int64()),
+                             "max_gap_us": pa.array([], pa.int64())})
+        # sort gaps by (user, value); group offsets give exact
+        # per-user discrete quantiles as pure indexing
+        o2 = np.lexsort((gv, gu))
+        gu, gv = gu[o2], gv[o2]
+        uniq, start, cnt = np.unique(gu, return_index=True,
+                                     return_counts=True)
+        return pa.table({
+            user_col: uniq,
+            "n_gaps": cnt.astype("int64"),
+            "p50_gap_us": gv[start + _disc_rank_idx(cnt, 1, 2)],
+            "p90_gap_us": gv[start + _disc_rank_idx(cnt, 9, 10)],
+            "max_gap_us": gv[start + cnt - 1],
+        })
+
+    out = _per_user_stream(
+        events, user_col, ts_col, order_col, [],
+        exchange_base or default_exchange("gapq"), num_buckets, reduce_fn)
+    if out is None:
+        return rd.from_arrow(pa.schema(
+            [(user_col, pa.int64()), ("n_gaps", pa.int64()),
+             ("p50_gap_us", pa.int64()), ("p90_gap_us", pa.int64()),
+             ("max_gap_us", pa.int64())]).empty_table())
+    return out
+
+
+def time_weighted_mean(
+    events: Dataset,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Per-user TIME-weighted average value (TWAP) — each event's value
+    held until the user's next event; the metric every pricing/telemetry
+    store resamples by. Values enter as exact cents
+    (``floor(value*100 + 0.5)``, the house fixed-point convention) and
+    every output is int64: ``n_spans`` (weighted events — the last event
+    per user carries no span and is excluded, so single-event users emit
+    nothing), ``dur_us`` (Σ span), ``vw_sum`` (Σ cents × span-µs) and
+    ``twap_cents = vw_sum // dur_us`` — pure int64 floor division, exact
+    on any engine; ``vw_sum % dur_us`` is recoverable from the two
+    columns so no precision is lost. int64 bound: vw_sum ≤ max-cents ×
+    total-span-µs per user (~1.5e17 on this corpus); corpora with
+    larger value × span products need the cents scale dropped to
+    units — the overflow is loud (numpy RuntimeWarning), not silent.
+
+    Same shape as ``gap_quantiles``: one user-hash fs exchange of 4
+    int64 columns, per-bucket lexsort + shifted-difference, no per-user
+    Python loop."""
+    from guac_ray.functions.joins import default_exchange
+
+    import ray.data as rd
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        vc = t["_vc"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((od, ts, u))
+        u, ts, vc = u[o], ts[o], vc[o]
+        same = u[1:] == u[:-1]
+        su, dt, sv = u[:-1][same], (ts[1:] - ts[:-1])[same], vc[:-1][same]
+        if su.size == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "n_spans": pa.array([], pa.int64()),
+                             "dur_us": pa.array([], pa.int64()),
+                             "vw_sum": pa.array([], pa.int64()),
+                             "twap_cents": pa.array([], pa.int64())})
+        df = pd.DataFrame({user_col: su, "_dt": dt, "_vd": sv * dt})
+        g = (df.groupby(user_col, sort=False)
+             .agg(n_spans=("_dt", "size"), dur_us=("_dt", "sum"),
+                  vw_sum=("_vd", "sum")).reset_index())
+        g["twap_cents"] = g["vw_sum"].to_numpy() // g["dur_us"].to_numpy()
+        for c in ("n_spans", "dur_us", "vw_sum", "twap_cents"):
+            g[c] = g[c].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    def with_cents(events: Dataset) -> Dataset:
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_vc"] = np.floor(
+                df[value_col].to_numpy() * 100 + 0.5).astype("int64")
+            return df
+        return events.map_batches(add, batch_format="pandas")
+
+    out = _per_user_stream(
+        with_cents(events.select_columns(
+            [user_col, ts_col, order_col, value_col])),
+        user_col, ts_col, order_col, ["_vc"],
+        exchange_base or default_exchange("twap"), num_buckets, reduce_fn)
+    if out is None:
+        return rd.from_arrow(pa.schema(
+            [(user_col, pa.int64()), ("n_spans", pa.int64()),
+             ("dur_us", pa.int64()), ("vw_sum", pa.int64()),
+             ("twap_cents", pa.int64())]).empty_table())
+    return out

@@ -5079,6 +5079,76 @@ FROM m
 """
 
 
+def events_user_gaps(sf_dir: str):
+    """Per-user inter-arrival-gap distribution (functions/streams.py
+    ``gap_quantiles``) — the engagement-cadence operator, and the
+    engine's HIGH-cardinality grouped EXACT quantile: groups ≈ users,
+    so the low-cardinality histogram-exchange shape (events_mad,
+    events_value_quantiles) is wrong here; instead ONE user-hash fs
+    exchange of 3 int64 columns co-locates each user's stream and a
+    single lexsort + diff + np.unique offset pass computes every
+    user's exact disc-rank p50/p90/max gap with no per-user Python
+    loop. Order is (ts, event_id) — the deterministic tie-break —
+    and all outputs are int64 µs, exact on any engine."""
+    from guac_ray.functions.streams import gap_quantiles
+
+    return gap_quantiles(_read(sf_dir, "events",
+                               ["event_id", "ts", "user_id"]),
+                         exchange_base=_exchange("gapq"))
+
+
+EVENTS_USER_GAPS_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS ptu
+  FROM events
+), g AS (
+  SELECT user_id, tu - ptu AS gap_us FROM o WHERE ptu IS NOT NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS p50_gap_us,
+       CAST(quantile_disc(gap_us, 0.9) AS BIGINT) AS p90_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+def events_twap(sf_dir: str):
+    """Per-user TIME-weighted average value (functions/streams.py
+    ``time_weighted_mean``) — each value held until the user's next
+    event, the resample every pricing/telemetry store runs and a
+    weighted mean NO plain GROUP BY can express (the weight is a
+    window function of the neighbor row). Values enter as exact cents;
+    ``twap_cents = vw_sum // dur_us`` is pure int64 floor division —
+    with the remainder recoverable from the emitted (vw_sum, dur_us)
+    pair, so nothing is lost to rounding. Same one-exchange per-user
+    stream shape as events_user_gaps."""
+    from guac_ray.functions.streams import time_weighted_mean
+
+    return time_weighted_mean(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]),
+        exchange_base=_exchange("twap"))
+
+
+EVENTS_TWAP_SQL = """
+WITH o AS (
+  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc,
+         epoch_us(ts) AS tu,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS ntu
+  FROM events
+), g AS (
+  SELECT user_id, vc, ntu - tu AS dt FROM o WHERE ntu IS NOT NULL
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(dt) AS BIGINT) AS dur_us,
+       CAST(sum(vc * dt) AS BIGINT) AS vw_sum,
+       CAST(sum(vc * dt) // sum(dt) AS BIGINT) AS twap_cents
+FROM g GROUP BY user_id
+"""
+
+
 def events_percentile(sf_dir: str):
     """GLOBAL percent-rank of event value WITHOUT a global sort
     (functions/scale.py:percentile_rank): distinct-value histogram
@@ -5965,7 +6035,6 @@ SELECT DISTINCT * FROM (
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
-    "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
@@ -6044,9 +6113,16 @@ SUITE: dict[str, tuple] = {
     "doc_surprisal": (doc_surprisal, DOC_SURPRISAL_SQL),
     "doc_entropy": (doc_entropy, DOC_ENTROPY_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_CENTROIDS_SQL),
-    # --- relational core (TPC-H-ish) ---
-    "priority_revenue_hashjoin": (priority_revenue_hashjoin, PRIORITY_REVENUE_SQL),
     # --- event streams: windows, samples, quantiles, reshape ---
+    # round-5 session-6 additions, never driver-checked → into the
+    # gate. Ceding: priority_revenue_hashjoin and kg_heavy_tools —
+    # both r4-driver-green; the partitioned-hash-join family stays
+    # gate-covered by doc_decontaminate's large-large semi join and
+    # doc_hybrid_search's fusion join, the hot-key/salted-count
+    # family by every kg_* grouped aggregate in-gate, and BOTH ceded
+    # entries keep every-run check_oracle verification past the cap:
+    "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
+    "events_twap": (events_twap, EVENTS_TWAP_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
@@ -6117,7 +6193,13 @@ SUITE: dict[str, tuple] = {
     # run. Oracle-backed entries here are hash-exact on a prior round's
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
-    # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start:
+    # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start
+    # (kg_heavy_tools + priority_revenue_hashjoin rotated out
+    # mid-round-5 for the session-6 stream reductions — see the gate
+    # comment above):
+    "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
+    "priority_revenue_hashjoin": (priority_revenue_hashjoin,
+                                  PRIORITY_REVENUE_SQL),
     "kg_turn_text": (kg_turn_text, KG_TURN_TEXT_SQL),
     "simjoin_docs": (simjoin_docs, SIMJOIN_SQL),
     "kg_patch_radius": (kg_patch_radius, KG_PATCH_RADIUS_SQL),

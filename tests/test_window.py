@@ -721,3 +721,135 @@ class TestRangeSumSchemaStability:
                        ops={"s": ("range_sum", "v", 10)}, num_buckets=2)
         sch = out.schema()
         assert dict(zip(sch.names, sch.types))["s"] == pa.float64()
+
+
+class TestGapQuantiles:
+    """Per-user exact inter-arrival-gap quantiles (high-cardinality
+    grouped quantile_disc)."""
+
+    def test_hand_computed_gaps(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import gap_quantiles
+
+        base = pd.Timestamp("2024-06-01")
+        us = pd.Timedelta(microseconds=1)
+        rows = []
+        # u=1 at µs offsets [0, 10, 10, 40, 100] — the tied ts pair is
+        # ordered by event_id, gaps (sorted-by-order) = [10, 0, 30, 60]:
+        # n=4, sorted [0,10,30,60], p50 = idx ceil(4/2)-1=1 → 10,
+        # p90 = idx ceil(3.6)-1=3 → 60, max 60.
+        for i, off in enumerate([0, 10, 10, 40, 100]):
+            rows.append({"event_id": i + 1, "user_id": 1,
+                         "ts": base + off * us})
+        # u=2: single event → no gaps → no output row.
+        rows.append({"event_id": 10, "user_id": 2, "ts": base})
+        # u=3: one gap of 5 → p50 = p90 = max = 5.
+        rows.append({"event_id": 20, "user_id": 3, "ts": base})
+        rows.append({"event_id": 21, "user_id": 3, "ts": base + 5 * us})
+        got = gap_quantiles(
+            rd.from_pandas(pd.DataFrame(rows)).repartition(4),
+            exchange_base=str(tmp_path / "g"), num_buckets=4,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got[["user_id", "n_gaps", "p50_gap_us", "p90_gap_us",
+                    "max_gap_us"]].values.tolist() == [
+            [1, 4, 10, 60, 60], [3, 1, 5, 5, 5]]
+
+    def test_cross_partition_order_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import gap_quantiles
+
+        # one user, 11 events at quadratic offsets scattered over 5
+        # blocks: gaps [1,3,5,...,19]; p50 = idx ceil(5)-1=4 → 9,
+        # p90 = idx 9 → 17, max 19. The exchange must reassemble the
+        # global order — per-block diffs would be wrong.
+        base = pd.Timestamp("2024-06-01")
+        df = pd.DataFrame({
+            "event_id": range(11), "user_id": [9] * 11,
+            "ts": [base + pd.Timedelta(microseconds=i * i)
+                   for i in range(11)],
+        }).sample(frac=1.0, random_state=1)
+        got = gap_quantiles(
+            rd.from_pandas(df).repartition(5),
+            exchange_base=str(tmp_path / "x"), num_buckets=2).to_pandas()
+        assert got[["n_gaps", "p50_gap_us", "p90_gap_us",
+                    "max_gap_us"]].values.tolist() == [[10, 9, 17, 19]]
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]")})
+        out = gap_quantiles(rd.from_pandas(empty),
+                            exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "n_gaps", "p50_gap_us", "p90_gap_us",
+                    "max_gap_us"]) <= set(out.schema().names)
+
+
+class TestTimeWeightedMean:
+    """Per-user TWAP: value held to the next event, exact int64."""
+
+    def test_hand_computed_twap(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import time_weighted_mean
+
+        base = pd.Timestamp("2024-06-01")
+        us = pd.Timedelta(microseconds=1)
+        rows = [
+            # u=1: (t=0, 1.00), (t=10, 3.00), (t=30, 2.00) → spans
+            # (100¢×10µs)+(300¢×20µs) = 7000, dur 30, twap 7000//30=233
+            {"event_id": 1, "user_id": 1, "ts": base + 0 * us, "value": 1.0},
+            {"event_id": 2, "user_id": 1, "ts": base + 10 * us, "value": 3.0},
+            {"event_id": 3, "user_id": 1, "ts": base + 30 * us, "value": 2.0},
+            # u=2: single event → no spans → no row
+            {"event_id": 9, "user_id": 2, "ts": base, "value": 99.0},
+            # u=5: tied ts pair ordered by event_id — the dt=0 middle
+            # span contributes nothing: (100×10)+(200×0)+(400×10)=5000,
+            # dur 20, twap 250, n_spans 3
+            {"event_id": 11, "user_id": 5, "ts": base + 0 * us, "value": 1.0},
+            {"event_id": 12, "user_id": 5, "ts": base + 10 * us, "value": 2.0},
+            {"event_id": 13, "user_id": 5, "ts": base + 10 * us, "value": 4.0},
+            {"event_id": 14, "user_id": 5, "ts": base + 20 * us, "value": 8.0},
+        ]
+        got = time_weighted_mean(
+            rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+            exchange_base=str(tmp_path / "t"), num_buckets=4,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got[["user_id", "n_spans", "dur_us", "vw_sum",
+                    "twap_cents"]].values.tolist() == [
+            [1, 2, 30, 7000, 233], [5, 3, 20, 5000, 250]]
+
+    def test_cross_partition_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import time_weighted_mean
+
+        # constant value across scattered blocks → twap == that value
+        # in cents exactly, any partitioning.
+        base = pd.Timestamp("2024-06-01")
+        df = pd.DataFrame({
+            "event_id": range(20), "user_id": [3] * 20,
+            "ts": [base + pd.Timedelta(microseconds=7 * i)
+                   for i in range(20)],
+            "value": [4.56] * 20,
+        }).sample(frac=1.0, random_state=2)
+        got = time_weighted_mean(
+            rd.from_pandas(df).repartition(6),
+            exchange_base=str(tmp_path / "x"), num_buckets=2).to_pandas()
+        assert got[["n_spans", "dur_us", "twap_cents"]] \
+            .values.tolist() == [[19, 133, 456]]
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]"),
+            "value": pd.Series([], dtype="float64")})
+        out = time_weighted_mean(rd.from_pandas(empty),
+                                 exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "n_spans", "dur_us", "vw_sum",
+                    "twap_cents"]) <= set(out.schema().names)
