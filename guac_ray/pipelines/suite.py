@@ -5149,6 +5149,51 @@ FROM g GROUP BY user_id
 """
 
 
+def orders_basket_sig(sf_dir: str):
+    """Canonical per-order basket signature (stages/groupagg.py
+    ``grouped_sorted_concat``) — the ORDER-SENSITIVE list aggregate
+    (``string_agg(v, '|' ORDER BY v)`` / sorted ``collect_list``) the
+    partial-agg workhorse cannot express, because a concatenation does
+    not commute. One row per order with its distinct part brands sorted
+    ASC and joined — the signature entity-resolution and
+    basket-clustering pipelines key on. The part dimension broadcasts
+    once (searchsorted lookup); baskets co-locate through ONE
+    by-order fs exchange; the join itself is ``pc.binary_join`` over
+    group-offset ListArrays — no per-group Python call anywhere."""
+    from guac_ray.stages.groupagg import grouped_sorted_concat
+
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    class BrandMap:
+        def __init__(self):
+            part = ray.get(pref).sort_values("p_partkey")
+            self.keys = part.p_partkey.to_numpy()
+            self.brands = part.p_brand.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.keys, df.l_partkey.to_numpy())
+            return pd.DataFrame({"o_orderkey": df.l_orderkey.to_numpy(),
+                                 "b": self.brands[idx]})
+
+    items = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]) \
+        .map_batches(BrandMap, batch_format="pandas", concurrency=(1, 4))
+    return grouped_sorted_concat(
+        items, keys=["o_orderkey"], val_col="b", sep="|",
+        out_col="basket_sig", distinct=True,
+        exchange_base=_exchange("bsig"))
+
+
+ORDERS_BASKET_SIG_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o_orderkey, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+       string_agg(b, '|' ORDER BY b) AS basket_sig
+FROM ob GROUP BY o_orderkey
+"""
+
+
 def events_percentile(sf_dir: str):
     """GLOBAL percent-rank of event value WITHOUT a global sort
     (functions/scale.py:percentile_rank): distinct-value histogram
@@ -6034,7 +6079,6 @@ SELECT DISTINCT * FROM (
 # unchanged) cede their slots.
 SUITE: dict[str, tuple] = {
     # --- knowledge-graph construction (the BASELINE.json workload) ---
-    "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     # never-driver-checked graph analytics (round-4 waves 5–7):
     "kg_patch_cost": (kg_patch_cost, KG_PATCH_COST_SQL),
     "kg_clustering": (kg_clustering, KG_CLUSTERING_SQL),
@@ -6123,6 +6167,13 @@ SUITE: dict[str, tuple] = {
     # entries keep every-run check_oracle verification past the cap:
     "events_user_gaps": (events_user_gaps, EVENTS_USER_GAPS_SQL),
     "events_twap": (events_twap, EVENTS_TWAP_SQL),
+    # round-5 session-6 addition, never driver-checked → into the gate
+    # (kg_pagerank_top cedes: r4-driver-green with the fixed-point
+    # oracle; the iterative-bucket-IO family it represented stays
+    # gate-covered by kg_patch_cost and the exchange machinery by
+    # every grouped/joined entry in-gate; it keeps every-run
+    # check_oracle verification past the cap):
+    "orders_basket_sig": (orders_basket_sig, ORDERS_BASKET_SIG_SQL),
     # never-driver-checked event-stream operators (waves 4–6):
     "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     "events_span_join": (events_span_join, EVENTS_SPAN_JOIN_SQL),
@@ -6194,9 +6245,10 @@ SUITE: dict[str, tuple] = {
     # driver record (named below) and unchanged since; no-oracle entries
     # are golden-pinned with drift tests.
     # r4 driver-green (CORRECTNESS_r04), rotated out at round-5 start
-    # (kg_heavy_tools + priority_revenue_hashjoin rotated out
-    # mid-round-5 for the session-6 stream reductions — see the gate
-    # comment above):
+    # (kg_heavy_tools + priority_revenue_hashjoin + kg_pagerank_top
+    # rotated out mid-round-5 for the session-6 additions — see the
+    # gate comments above):
+    "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin,
                                   PRIORITY_REVENUE_SQL),

@@ -29,7 +29,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["grouped_agg", "grouped_first_last"]
+__all__ = ["grouped_agg", "grouped_first_last", "grouped_sorted_concat"]
 
 _PARTIAL = {
     "sum": "sum",
@@ -247,3 +247,83 @@ def grouped_first_last(
     return partials.groupby("_bucket").map_groups(
         lambda df: final(table_from_pandas(df, preserve_index=False)),
         batch_format="pandas")
+
+
+def grouped_sorted_concat(
+    ds: Dataset,
+    keys: list[str],
+    val_col: str,
+    sep: str = "|",
+    out_col: str = "concat",
+    distinct: bool = True,
+    num_buckets: int = 32,
+    exchange_base: str | None = None,
+) -> Dataset:
+    """ORDER-SENSITIVE list/string aggregate — the ``string_agg(v, sep
+    ORDER BY v)`` / sorted ``collect_list`` family the partial-agg
+    machinery above cannot express (sum/min/max partials commute;
+    a concatenation does not). One row per key group with ``n_items``
+    and ``out_col`` = the group's values sorted ASC joined by ``sep`` —
+    a canonical group signature, identical on any engine.
+
+    Shape: batches project to (keys, val) and pre-dedup IN-BATCH when
+    ``distinct`` (the combiner — the exchange ships at most one row per
+    (key, val) per block, never the fact table); ONE key-hash fs
+    exchange co-locates each group, where the in-bucket distinct IS the
+    global distinct; the join itself is ``pyarrow.compute.binary_join``
+    over group-offset ListArrays — C++ vectorized, NO per-group Python
+    call. Buckets scale with the cluster. int32 list offsets bound one
+    bucket's value bytes at 2 GiB — raise ``num_buckets`` for wider
+    groups (the same contract as every exchange op here)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    def add_bucket(df: pd.DataFrame) -> "pa.Table":
+        out = df[keys + [val_col]]
+        if distinct:
+            out = out.drop_duplicates()
+        out = out.copy()
+        out["_bucket"] = (stable_hash(out, keys)
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: "pa.Table") -> "pa.Table":
+        df = t.to_pandas()[keys + [val_col]]
+        if distinct:
+            df = df.drop_duplicates()
+        df = df.sort_values(keys + [val_col], kind="mergesort")
+        n = len(df)
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for k in keys:
+            a = df[k].to_numpy()
+            new[1:] |= a[1:] != a[:-1]
+        starts = np.flatnonzero(new)
+        offsets = np.append(starts, n).astype("int32")
+        vals = pa.array(df[val_col].astype(str).to_numpy(), pa.string())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals),
+            sep)
+        cols = {k: pa.array(df[k].to_numpy()[starts]) for k in keys}
+        cols["n_items"] = pa.array(np.diff(offsets).astype("int64"))
+        cols[out_col] = joined
+        return pa.table(cols)
+
+    out = fs_exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("sconcat"), reduce_fn)
+    if out is None:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        fields = [(k, types.get(k) if isinstance(types.get(k), pa.DataType)
+                   else pa.string()) for k in keys]
+        return rd.from_arrow(pa.schema(
+            fields + [("n_items", pa.int64()),
+                      (out_col, pa.string())]).empty_table())
+    return out

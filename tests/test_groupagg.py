@@ -184,3 +184,71 @@ class TestGroupedFirstLast:
             spec={"open": ("v", "first"), "n": ("v", "count")},
             num_buckets=2).to_pandas()
         assert len(empty) == 0
+
+
+class TestGroupedSortedConcat:
+    """Order-sensitive string_agg / sorted collect_list."""
+
+    def test_hand_computed_signatures(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_sorted_concat
+
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 2, 2, 3],
+            "v": ["b", "a", "b", "z", "a", "m"],  # k=1 has dup 'b'
+        })
+        got = grouped_sorted_concat(
+            rd.from_pandas(df).repartition(3), keys=["k"], val_col="v",
+            out_col="sig", exchange_base=str(tmp_path / "s"),
+            num_buckets=4,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got[["k", "n_items", "sig"]].values.tolist() == [
+            [1, 2, "a|b"], [2, 2, "a|z"], [3, 1, "m"]]
+
+    def test_non_distinct_keeps_duplicates(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_sorted_concat
+
+        df = pd.DataFrame({"k": [7, 7, 7], "v": ["x", "x", "a"]})
+        got = grouped_sorted_concat(
+            rd.from_pandas(df), keys=["k"], val_col="v",
+            distinct=False, exchange_base=str(tmp_path / "d"),
+        ).to_pandas()
+        assert got[["k", "n_items", "concat"]].values.tolist() == [
+            [7, 3, "a|x|x"]]
+
+    def test_multikey_cross_partition_and_empty(self, ray_session,
+                                                tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_sorted_concat
+
+        # values for one (k1, k2) group scattered over 6 blocks must
+        # assemble into ONE sorted signature — per-block concat would
+        # fragment it.
+        df = pd.DataFrame({
+            "k1": [1] * 10 + [2] * 2,
+            "k2": ["a"] * 10 + ["a", "b"],
+            "v": [f"v{i:02d}" for i in range(9, -1, -1)] + ["q", "q"],
+        }).sample(frac=1.0, random_state=3)
+        got = grouped_sorted_concat(
+            rd.from_pandas(df).repartition(6), keys=["k1", "k2"],
+            val_col="v", exchange_base=str(tmp_path / "m"),
+            num_buckets=2,
+        ).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+        assert got.loc[0, "concat"] == "|".join(
+            f"v{i:02d}" for i in range(10))
+        assert got[["k1", "k2", "n_items"]].values.tolist() == [
+            [1, "a", 10], [2, "a", 1], [2, "b", 1]]
+        empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="object")})
+        out = grouped_sorted_concat(
+            rd.from_pandas(empty), keys=["k"], val_col="v",
+            exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["k", "n_items", "concat"]) <= set(out.schema().names)
