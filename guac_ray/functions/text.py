@@ -38,6 +38,7 @@ __all__ = [
     "doc_token_entropy",
     "PII_PATTERNS",
     "scrub_pii",
+    "pattern_inventory",
     "RepetitionScorer",
     "repetition_scores",
 ]
@@ -427,6 +428,93 @@ def scrub_pii(
         return pa.table(cols)
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def pattern_inventory(
+    docs: Dataset,
+    patterns: dict[str, str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> Dataset:
+    """Token-anchored pattern EXTRACTION — the inventory complement of
+    ``scrub_pii`` (that one redacts and counts; this EMITS the matched
+    values): one row per (doc, kind, matched token) with its occurrence
+    count, the table a compliance/PII-audit pipeline joins back against
+    identity stores. Restricted by design to TOKEN-shaped patterns
+    (emails, URLs, IPv4s — things whitespace delimits): Arrow has no
+    extract-all kernel, so free-span extraction would force a per-row
+    Python loop; tokenizing first keeps the whole stage in RE2 C++
+    kernels (``split_pattern_regex`` → ``list_flatten`` →
+    ``match_substring_regex`` with the pattern anchored ``^(?:pat)$``)
+    AND keeps it oracle-exact (DuckDB splits with the same RE2 class —
+    the ``sql_ws_tokens`` whitespace contract, WITHOUT lowercasing:
+    extracted PII must stay verbatim).
+
+    Per-batch (doc, kind, token) counts are the combiner — a doc lives
+    in one row, so partials are already global, but they still route
+    through ONE key-hash fs exchange + per-bucket sum so re-blocked
+    inputs stay correct. Output: (id_col, kind, pii, n), n int64."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    anchored = {kind: f"^(?:{pat})$" for kind, pat in patterns.items()}
+
+    def extract(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.fill_null(t[text_col], ""), pattern=r"[\t\n\f\r ]+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            t[id_col].to_numpy(zero_copy_only=False), lens)
+        outs = []
+        for kind, pat in anchored.items():
+            mask = pc.match_substring_regex(flat, pat).to_numpy(
+                zero_copy_only=False)
+            if not mask.any():
+                continue
+            outs.append(pd.DataFrame({
+                id_col: ids[mask],
+                "kind": np.full(int(mask.sum()), kind),
+                "pii": flat.filter(pa.array(mask)).to_numpy(
+                    zero_copy_only=False),
+            }))
+        if not outs:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.string()),
+                             "pii": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int64())})
+        df = (pd.concat(outs, ignore_index=True)
+              .groupby([id_col, "kind", "pii"], sort=False)
+              .size().rename("n").reset_index())
+        df["n"] = df["n"].astype("int64")
+        df["_bucket"] = (stable_hash(df, [id_col])
+                         % num_buckets).astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby([id_col, "kind", "pii"], sort=False)
+             ["n"].sum().astype("int64").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        docs.map_batches(extract, batch_format="pyarrow"),
+        default_exchange("piiinv"), reduce_fn)
+    if out is None:
+        sch = docs.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        ity = types.get(id_col)
+        ity = ity if isinstance(ity, pa.DataType) else pa.int64()
+        return rd.from_arrow(pa.schema(
+            [(id_col, ity), ("kind", pa.string()),
+             ("pii", pa.string()), ("n", pa.int64())]).empty_table())
+    return out
 
 
 def _vocab_counts(docs: Dataset, text_col: str, per_doc_distinct: bool,

@@ -3560,6 +3560,66 @@ GROUP BY e2.a
     return "".join(parts)
 
 
+def _pii_enrich_batch(t: pa.Table) -> pa.Table:
+    """Deterministic contact-line enrichment shared by doc_pii_scrub and
+    doc_pii_inventory: the synthetic documents carry no PII, so both
+    queries derive one from (doc_id, source) — pure Arrow string
+    kernels, mirrored exactly by the oracle's ``||`` expression
+    (``_PII_ENRICH``) so every row carries ≥4 real matches."""
+    import pyarrow.compute as pc
+
+    did = t["doc_id"]
+    d = did.to_numpy(zero_copy_only=False).astype("int64")
+    s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+    txt = pc.binary_join_element_wise(
+        t["text"], " contact user", s(d), "@", t["source"],
+        ".org or +1 555-", s(1000 + d % 9000),
+        " from 10.", s(d % 256), ".0.", s((d * 7) % 256),
+        " see https://", t["source"], ".example/", s(d),
+        "")
+    return pa.table({"doc_id": did, "text": txt})
+
+
+def doc_pii_inventory(sf_dir: str):
+    """Token-anchored PII EXTRACTION (functions/text.py
+    ``pattern_inventory``) — the explode surface of the PII family
+    (``doc_pii_scrub`` redacts; this emits the matched values): one row
+    per (doc, kind, matched token) with its occurrence count, for the
+    token-shaped categories (email/url/ipv4 — whitespace-delimited by
+    construction). Whole stage is RE2 C++ kernels (split → flatten →
+    anchored match) — Arrow has no extract-all kernel, and tokenizing
+    first is what keeps this both loop-free AND oracle-exact. Same
+    deterministic enrichment as doc_pii_scrub so every doc carries
+    real matches."""
+    from guac_ray.functions.text import PII_PATTERNS, pattern_inventory
+
+    pats = {k: PII_PATTERNS[k] for k in ("email", "url", "ipv4")}
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return pattern_inventory(
+        ds.map_batches(_pii_enrich_batch, batch_format="pyarrow"), pats)
+
+
+def _pii_inventory_sql() -> str:
+    from guac_ray.functions.text import PII_PATTERNS
+
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, '{kind}' AS kind, tok FROM tok\n"
+        f"  WHERE regexp_matches(tok, '^(?:{PII_PATTERNS[kind]})$')"
+        for kind in ("email", "url", "ipv4"))
+    return f"""
+WITH enriched AS (SELECT doc_id, {{enrich}} AS text FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '[\t\n\f\r ]+')) AS tok
+  FROM enriched
+), hits AS (
+{arms}
+)
+SELECT doc_id, kind, tok AS pii, CAST(count(*) AS BIGINT) AS n
+FROM hits GROUP BY 1, 2, 3
+"""
+
+
 def doc_pii_scrub(sf_dir: str):
     """PII redaction (functions/text.py:scrub_pii): URLs, emails, IPv4s
     and phone numbers redacted + counted per category, all via RE2
@@ -3572,26 +3632,12 @@ def doc_pii_scrub(sf_dir: str):
     then scrubs the enriched text. The scrub operator itself is the
     general-purpose stage; the enrichment exists only to give the
     oracle real redactions to check (every row scrubs ≥4 spans)."""
-    import pyarrow.compute as pc
-
     from guac_ray.functions.text import scrub_pii
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-
-    def enrich(t: pa.Table) -> pa.Table:
-        did = t["doc_id"]
-        d = did.to_numpy(zero_copy_only=False).astype("int64")
-        s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
-        txt = pc.binary_join_element_wise(
-            t["text"], " contact user", s(d), "@", t["source"],
-            ".org or +1 555-", s(1000 + d % 9000),
-            " from 10.", s(d % 256), ".0.", s((d * 7) % 256),
-            " see https://", t["source"], ".example/", s(d),
-            "")
-        return pa.table({"doc_id": did, "text": txt})
-
     return scrub_pii(
-        ds.map_batches(enrich, batch_format="pyarrow"), text_col="text")
+        ds.map_batches(_pii_enrich_batch, batch_format="pyarrow"),
+        text_col="text")
 
 
 def _pii_sql_exprs() -> tuple[str, str, str]:
@@ -3616,6 +3662,10 @@ def _pii_sql_exprs() -> tuple[str, str, str]:
 
 
 _PII_ENRICH, _PII_RED, _PII_COUNTS = _pii_sql_exprs()
+
+# .replace, not .format — the regex bodies contain {2,} quantifiers
+DOC_PII_INVENTORY_SQL = _pii_inventory_sql().replace(
+    "{enrich}", _PII_ENRICH)
 
 DOC_PII_SQL = f"""
 WITH enriched AS (SELECT doc_id, {_PII_ENRICH} AS text FROM documents)
@@ -6288,6 +6338,13 @@ SUITE: dict[str, tuple] = {
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "doc_top_bigrams": (doc_top_bigrams, TOP_BIGRAMS_SQL),
     "doc_pii_scrub": (doc_pii_scrub, DOC_PII_SQL),
+    # round-5 session-6 addition registered PAST the cap: every
+    # remaining in-gate entry is either never-driver-checked or a
+    # flagship whose r05 row re-verifies code round 5 changed, so no
+    # slot is cheaper than this op's marginal evidence — it shares
+    # doc_pii_scrub's patterns/enrichment and is check_oracle-verified
+    # (hash-exact incl. the extracted strings) on every sweep:
+    "doc_pii_inventory": (doc_pii_inventory, DOC_PII_INVENTORY_SQL),
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "doc_strip_lines": (doc_strip_lines, DOC_STRIP_LINES_SQL),
     "doc_train_test_split": (doc_train_test_split, TRAIN_TEST_SQL),

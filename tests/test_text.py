@@ -847,3 +847,49 @@ class TestDomainLogOdds:
         got2 = domain_log_odds(rd.from_pandas(empty),
                                rd.from_pandas(raw), top_k=5)
         assert len(got2) == 0
+
+
+class TestPatternInventory:
+    """Token-anchored pattern extraction (PII inventory explode)."""
+
+    def test_hand_computed_inventory(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.text import PII_PATTERNS, pattern_inventory
+
+        pats = {k: PII_PATTERNS[k] for k in ("email", "url", "ipv4")}
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                # a@b.co twice (count 2), one url; the parenthesised
+                # token (a@b.co) must NOT match (anchored ^pat$ —
+                # unanchored substring search WOULD hit it), nor the
+                # 5-octet 999.1.2.3.4
+                "a@b.co hello a@b.co see https://x.io/p (a@b.co)",
+                "ip 10.1.2.3 and bad 999.1.2.3.4 end",
+                "nothing here",
+            ],
+        })
+        got = pattern_inventory(rd.from_pandas(docs).repartition(2), pats) \
+            .to_pandas().sort_values(["doc_id", "kind", "pii"]) \
+            .reset_index(drop=True)
+        assert got[["doc_id", "kind", "pii", "n"]].values.tolist() == [
+            [1, "email", "a@b.co", 2],
+            [1, "url", "https://x.io/p", 1],
+            [2, "ipv4", "10.1.2.3", 1],
+        ]
+
+    def test_null_text_and_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.text import PII_PATTERNS, pattern_inventory
+
+        pats = {"email": PII_PATTERNS["email"]}
+        docs = pd.DataFrame({"doc_id": [1, 2],
+                             "text": [None, "plain words only"]})
+        out = pattern_inventory(rd.from_pandas(docs), pats)
+        assert out.count() == 0
+        assert set(["doc_id", "kind", "pii", "n"]) \
+            <= set(out.schema().names)
