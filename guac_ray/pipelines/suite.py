@@ -5199,6 +5199,24 @@ FROM g GROUP BY user_id
 """
 
 
+def doc_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (functions/bpe.py ``bpe_train_merges``):
+    learn the first 40 merge rules over the documents corpus — the
+    vocabulary-learning step every LLM data stack runs before token
+    counting/packing/perplexity exist, and the engine's only iterative
+    vocabulary-building operator. Corpus-scale work is exactly ONE
+    distributed word-count pass (the tf-idf exchange); the merge loop
+    iterates over the top-50k distinct-word table (the documented
+    size-guarded driver product — how production trainers cap it) in
+    vectorized numpy. No SQL form (40 chained recounts); correctness
+    is pinned by the committed sf0.001 golden + bit-parity tests
+    against the pure-Python Sennrich reference."""
+    from guac_ray.functions.bpe import bpe_train_merges
+
+    return bpe_train_merges(
+        _read(sf_dir, "documents", ["text"]), n_merges=40)
+
+
 def orders_basket_sig(sf_dir: str):
     """Canonical per-order basket signature (stages/groupagg.py
     ``grouped_sorted_concat``) — the ORDER-SENSITIVE list aggregate
@@ -6377,4 +6395,7 @@ SUITE: dict[str, tuple] = {
     "media_video": (media_video, None),
     "neardup_docs_minhash": (neardup_docs_minhash, None),
     "neardup_docs_simhash": (neardup_docs_simhash, None),
+    # round-5 session 6: iterative vocabulary learning — no SQL form
+    # (40 chained pair-recounts); golden-pinned + naive-parity tests:
+    "doc_bpe_merges": (doc_bpe_merges, None),
 }

@@ -43,6 +43,7 @@ class TestGoldenStability:
         "media_neardup",
         "media_audio",
         "media_video",
+        "doc_bpe_merges",
     ])
     def test_no_oracle_query_matches_committed_golden(self, name, ray_session):
         """The four no-SQL-oracle queries (LSH pair lists, HLL sketch,
