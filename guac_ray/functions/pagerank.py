@@ -86,6 +86,7 @@ def pagerank(
     exchange_base: str | None = None,
     num_buckets: int = 16,
     quantize_scale: int | None = None,
+    seed_prefix: str | None = None,
 ) -> Dataset:
     """PageRank of the (deduplicated) directed graph in ``edges`` →
     Dataset(node_key, rank). The returned Dataset reads the FINAL rank
@@ -95,7 +96,17 @@ def pagerank(
     ranks are exact int64 fixed-point (see module docstring); integer
     deltas make ``tol`` an exact-fixpoint early-stop (delta < 1 ⟺ 0),
     so extra iterations past convergence are no-ops on both the engine
-    and the SQL-oracle side."""
+    and the SQL-oracle side.
+
+    ``seed_prefix`` switches to PERSONALIZED PageRank (random walk
+    with restart): teleport AND dangling mass go only to the nodes
+    whose key starts with the prefix (r_0 = 1/|S| on seeds, 0
+    elsewhere) — proximity-to-the-seed-set scoring (e.g. 'vuln:' =
+    vulnerability exposure). A string prefix rather than a seed list
+    keeps the predicate vectorized per bucket and SQL-expressible
+    (``LIKE 'pfx%'``) with NO driver-resident seed set at any scale;
+    the seed count is one scalar-per-bucket distributed pass, exactly
+    like the dangling read."""
     fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_base or default_exchange("pagerank"))
     B = num_buckets
@@ -165,13 +176,43 @@ def pagerank(
         for k in nbuckets
         for f in fs_list_files(fsys, f"{nodes_dir}/_bucket={k}"))
 
+    if seed_prefix is not None:
+        # |S| via one scalar-per-bucket pass (the dangling-read shape)
+        def count_seeds(batch: pd.DataFrame) -> pa.Table:
+            tot = 0
+            for k in batch["k"]:
+                df = _read_bucket(fsys, nodes_dir, int(k),
+                                  columns=["node_key"])
+                if df is not None:
+                    tot += int(df["node_key"].str.startswith(
+                        seed_prefix).sum())
+            return pa.table({"c": pa.array([tot], pa.int64())})
+
+        n_seeds = int(rd.from_items([{"k": k} for k in nbuckets])
+                      .map_batches(count_seeds, batch_format="pandas",
+                                   batch_size=1).to_pandas()["c"].sum())
+        if n_seeds == 0:
+            raise ValueError(
+                f"personalized pagerank: no node matches seed prefix "
+                f"{seed_prefix!r}")
+    else:
+        n_seeds = 0  # unused
+
     rank_dir = f"{ex}/ranks_0"
 
     def init_ranks(batch: pd.DataFrame) -> pa.Table:
         for k in batch["k"]:
             df = _read_bucket(fsys, nodes_dir, int(k), columns=["node_key"])
-            df["rank"] = (np.int64(Q // n_total) if Q is not None
-                          else 1.0 / n_total)
+            if seed_prefix is not None:
+                seed = df["node_key"].str.startswith(
+                    seed_prefix).to_numpy()
+                df["rank"] = (np.where(seed, np.int64(Q // n_seeds),
+                                       np.int64(0))
+                              if Q is not None
+                              else np.where(seed, 1.0 / n_seeds, 0.0))
+            else:
+                df["rank"] = (np.int64(Q // n_total) if Q is not None
+                              else 1.0 / n_total)
             d = f"{rank_dir}/_bucket={k}"
             fs_mkdirs(fsys, d)
             pq.write_table(table_from_pandas(df, preserve_index=False),
@@ -265,13 +306,35 @@ def pagerank(
                     contrib_v = nodes["node_key"].map(agg).fillna(0)
                 else:
                     contrib_v = np.zeros(len(nodes))
+                if seed_prefix is not None:
+                    seed = nodes["node_key"].str.startswith(
+                        seed_prefix).to_numpy()
                 if Q is not None:
                     # integer recurrence — mirrored exactly by the SQL
-                    # oracle: tele + (num*(contrib + dangling//N)) // den
+                    # oracle: tele + (num*(contrib + dangling//N)) // den;
+                    # personalized: tele and the dangling share land on
+                    # seeds only, N → |S|
                     contrib_i = np.asarray(contrib_v, dtype="int64")
-                    tele = ((d_den - d_num) * Q) // (d_den * n_total)
-                    rank = tele + (
-                        d_num * (contrib_i + dangling // n_total)) // d_den
+                    if seed_prefix is not None:
+                        tele_s = ((d_den - d_num) * Q) // (d_den * n_seeds)
+                        rank = (np.where(seed, np.int64(tele_s),
+                                         np.int64(0))
+                                + (d_num * (contrib_i + np.where(
+                                    seed,
+                                    np.int64(dangling // n_seeds),
+                                    np.int64(0)))) // d_den)
+                    else:
+                        tele = ((d_den - d_num) * Q) // (d_den * n_total)
+                        rank = tele + (
+                            d_num * (contrib_i
+                                     + dangling // n_total)) // d_den
+                elif seed_prefix is not None:
+                    rank = (np.where(seed, (1.0 - damping) / n_seeds, 0.0)
+                            + damping * (np.asarray(contrib_v,
+                                                    dtype="float64")
+                                         + np.where(seed,
+                                                    dangling / n_seeds,
+                                                    0.0)))
                 else:
                     rank = ((1.0 - damping) / n_total
                             + damping * (np.asarray(contrib_v, dtype="float64")

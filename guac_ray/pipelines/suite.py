@@ -3376,6 +3376,82 @@ ORDER BY rank DESC, node_key LIMIT 20""")
     return "".join(parts)
 
 
+def kg_ppr_vuln(sf_dir: str):
+    """PERSONALIZED PageRank (random walk with restart) seeded on the
+    vulnerability nodes — "which entities sit closest to vulns", the
+    proximity query a security KG consumer asks right after plain
+    PageRank. Same quantized fixed-point machinery (functions/
+    pagerank.py, seed_prefix='vuln:'): teleport and dangling mass
+    restart ONLY to seeds (r_0 = Q//|S| on seeds, 0 elsewhere); the
+    seed predicate is a vectorized string prefix — SQL-expressible and
+    never a driver-resident list. Top-20 non-seed nodes by rank (seeds
+    themselves trivially dominate), bit-exact vs the unrolled seeded
+    integer recurrence in the oracle."""
+    from guac_ray.functions.pagerank import pagerank
+
+    g = _corpus_edges(sf_dir)
+    pr = pagerank(g["edges"], exchange_base=_exchange("ppr"),
+                  num_buckets=8, max_iters=_PAGERANK_ITERS,
+                  quantize_scale=_PAGERANK_SCALE, seed_prefix="vuln:")
+
+    def non_seed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.invert(
+            pc.starts_with(t["node_key"], "vuln:")))
+
+    return (pr.map_batches(non_seed, batch_format="pyarrow")
+            .sort(["rank", "node_key"], descending=[True, False])
+            .limit(20))
+
+
+def KG_PPR_SQL(sf_dir: str) -> str:
+    """Seeded fixed-point recurrence unrolled: rank_0 = Q//|S| on
+    seeds else 0; rank_{i+1} = seed*(3Q)//(20|S|)
+    + (17*(Σ_in rank_i//outdeg + seed*(dang_i//|S|)))//20 — matches
+    pagerank(quantize_scale=Q, seed_prefix='vuln:') exactly."""
+    Q, K = _PAGERANK_SCALE, _PAGERANK_ITERS
+    parts = [f"""
+WITH edges0 AS MATERIALIZED (
+  SELECT DISTINCT subj_key AS src, obj_key AS dst
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+edges AS MATERIALIZED (
+  SELECT e.src, e.dst, d.outdeg FROM edges0 e JOIN deg d USING (src)),
+nodes AS MATERIALIZED (
+  SELECT src AS node_key FROM edges0 UNION SELECT dst FROM edges0),
+ns AS MATERIALIZED (
+  SELECT count(*) AS n FROM nodes WHERE node_key LIKE 'vuln:%'),
+r0 AS MATERIALIZED (
+  SELECT node_key,
+         CASE WHEN node_key LIKE 'vuln:%' THEN {Q} // ns.n ELSE 0 END
+             AS rank
+  FROM nodes, ns)"""]
+    for i in range(K):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0) // (SELECT n FROM ns) AS m
+  FROM r{i} WHERE node_key NOT IN (SELECT src FROM deg)),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.node_key,
+         CASE WHEN n.node_key LIKE 'vuln:%'
+              THEN (3 * {Q}) // (20 * (SELECT n FROM ns)) ELSE 0 END
+         + (17 * (COALESCE(s.c, 0)
+                  + CASE WHEN n.node_key LIKE 'vuln:%'
+                         THEN d{i}.m ELSE 0 END)) // 20 AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst, SUM(r.rank // e.outdeg) AS c
+             FROM edges e JOIN r{i} r ON r.node_key = e.src
+             GROUP BY e.dst) s ON s.dst = n.node_key
+  CROSS JOIN d{i}
+)""")
+    parts.append(f"""
+SELECT node_key, CAST(rank AS BIGINT) AS rank FROM r{K}
+WHERE node_key NOT LIKE 'vuln:%'
+ORDER BY rank DESC, node_key LIMIT 20""")
+    return "".join(parts)
+
+
 def kg_edge_pred_counts(sf_dir: str):
     """Distinct-edge count per predicate from the full pipeline. Oracle:
     the fixture's GOLDEN edge table — derived at generation time from the
@@ -6317,6 +6393,10 @@ SUITE: dict[str, tuple] = {
     # rotated out mid-round-5 for the session-6 additions — see the
     # gate comments above):
     "kg_pagerank_top": (kg_pagerank_top, KG_PAGERANK_SQL),
+    # round-5 session-6 addition (past the cap, same rationale as
+    # doc_pii_inventory): personalized PageRank shares kg_pagerank_top's
+    # machinery and oracle discipline, hash-exact on every sweep:
+    "kg_ppr_vuln": (kg_ppr_vuln, KG_PPR_SQL),
     "kg_heavy_tools": (kg_heavy_tools, KG_HEAVY_TOOLS_SQL),
     "priority_revenue_hashjoin": (priority_revenue_hashjoin,
                                   PRIORITY_REVENUE_SQL),
