@@ -302,14 +302,64 @@ def cmd_pii(args) -> int:
     _ray_up(args.num_cpus)
     import ray.data as rd
 
-    from guac_ray.functions.text import scrub_pii
+    from guac_ray.functions.text import (PII_PATTERNS, pattern_inventory,
+                                         scrub_pii)
 
     ds = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
+    if args.inventory:
+        pats = {k: PII_PATTERNS[k] for k in ("email", "url", "ipv4")}
+        out = pattern_inventory(ds, pats, id_col=args.id_col,
+                                text_col=args.text_col)
+        n = out.count()
+        if n:
+            out.write_parquet(args.out)
+        print(json.dumps({"inventory_rows": int(n), "out": args.out}))
+        return 0
     out = scrub_pii(ds, text_col=args.text_col).materialize()
     n = out.count()
     if n:
         out.write_parquet(args.out)
     print(json.dumps({"scrubbed": n, "out": args.out}))
+    return 0
+
+
+def cmd_bpe(args) -> int:
+    """Train BPE merges over a documents parquet and write the merge
+    table (rank, left, right, merged, pair_count)."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.bpe import bpe_train_merges
+
+    docs = rd.read_parquet(args.documents, columns=[args.text_col])
+    out = bpe_train_merges(docs, n_merges=args.merges,
+                           max_words=args.max_words,
+                           min_pair_count=args.min_pair_count,
+                           text_col=args.text_col)
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"merges": int(n), "out": args.out}))
+    return 0
+
+
+def cmd_concat(args) -> int:
+    """Ordered string_agg: per-key sorted concat signature of a value
+    column (string_agg(v, sep ORDER BY v) semantics)."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.stages.groupagg import grouped_sorted_concat
+
+    keys = args.keys.split(",")
+    ds = rd.read_parquet(args.table, columns=keys + [args.val])
+    out = grouped_sorted_concat(ds, keys=keys, val_col=args.val,
+                                sep=args.sep,
+                                distinct=not args.keep_dups)
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"groups": int(n), "out": args.out}))
     return 0
 
 
@@ -520,7 +570,15 @@ def cmd_engagement(args) -> int:
                                             daily_streaks,
                                             rolling_active_users)
 
-    ds = rd.read_parquet(args.table, columns=[args.user_col, args.ts_col])
+    from guac_ray.functions.streams import (gap_quantiles,
+                                            time_weighted_mean)
+
+    cols = [args.user_col, args.ts_col]
+    if args.op in ("gaps", "twap"):
+        cols.append(args.order_col)
+    if args.op == "twap":
+        cols.append(args.value_col)
+    ds = rd.read_parquet(args.table, columns=cols)
     if args.op == "streaks":
         out = daily_streaks(ds, user_col=args.user_col,
                             ts_col=args.ts_col)
@@ -528,6 +586,15 @@ def cmd_engagement(args) -> int:
         out = cohort_retention(ds, user_col=args.user_col,
                                ts_col=args.ts_col,
                                period_days=args.period_days)
+    elif args.op == "gaps":
+        out = gap_quantiles(ds, user_col=args.user_col,
+                            ts_col=args.ts_col,
+                            order_col=args.order_col)
+    elif args.op == "twap":
+        out = time_weighted_mean(ds, value_col=args.value_col,
+                                 user_col=args.user_col,
+                                 ts_col=args.ts_col,
+                                 order_col=args.order_col)
     else:
         out = rolling_active_users(ds, user_col=args.user_col,
                                    ts_col=args.ts_col,
@@ -727,7 +794,35 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("out")
     pi.add_argument("--id-col", default="doc_id")
     pi.add_argument("--text-col", default="text")
+    pi.add_argument("--inventory", action="store_true",
+                    help="emit the (id, kind, pii, n) extraction table "
+                         "for the token-shaped kinds instead of "
+                         "redacting")
     pi.set_defaults(fn=cmd_pii)
+
+    bp = sub.add_parser("bpe",
+                        help="train BPE merges over a documents parquet "
+                             "→ merge-table parquet")
+    bp.add_argument("documents")
+    bp.add_argument("out")
+    bp.add_argument("--merges", type=int, default=50)
+    bp.add_argument("--max-words", type=int, default=50_000)
+    bp.add_argument("--min-pair-count", type=int, default=2)
+    bp.add_argument("--text-col", default="text")
+    bp.set_defaults(fn=cmd_bpe)
+
+    cc = sub.add_parser("concat",
+                        help="ordered string_agg: per-key sorted "
+                             "value-concat signatures")
+    cc.add_argument("table")
+    cc.add_argument("out")
+    cc.add_argument("--keys", required=True,
+                    help="comma-separated key columns")
+    cc.add_argument("--val", required=True)
+    cc.add_argument("--sep", default="|")
+    cc.add_argument("--keep-dups", action="store_true",
+                    help="keep duplicate (key, val) rows in the concat")
+    cc.set_defaults(fn=cmd_concat)
 
     km = sub.add_parser("kmeans",
                         help="fixed-point k-means over an embedding column "
@@ -830,7 +925,8 @@ def main(argv: list[str] | None = None) -> int:
                              "DAU-WAU over an events parquet")
     en.add_argument("table")
     en.add_argument("out")
-    en.add_argument("--op", choices=["streaks", "cohort", "dauwau"],
+    en.add_argument("--op", choices=["streaks", "cohort", "dauwau",
+                                     "gaps", "twap"],
                     default="streaks")
     en.add_argument("--user-col", default="user_id")
     en.add_argument("--ts-col", default="ts")
@@ -838,6 +934,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="cohort period (1=daily, 7=weekly)")
     en.add_argument("--window-days", type=int, default=7,
                     help="dauwau trailing window")
+    en.add_argument("--order-col", default="event_id",
+                    help="gaps/twap tie-break column")
+    en.add_argument("--value-col", default="value",
+                    help="twap value column")
     en.set_defaults(fn=cmd_engagement)
 
     ix = sub.add_parser("index",

@@ -768,3 +768,122 @@ class TestCliSession5Verbs:
         assert got[["term", "doc_id", "tf", "doc_freq"]].values.tolist() \
             == [["cat", 1, 1, 1], ["dog", 2, 1, 1],
                 ["the", 1, 2, 2], ["the", 2, 1, 2]]
+
+
+class TestCliSession6Verbs:
+    """engagement gaps/twap ops, pii --inventory, bpe, concat verbs."""
+
+    def test_engagement_gaps_and_twap(self, ray_session, tmp_path,
+                                      capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_engagement
+
+        p = tmp_path / "ev.parquet"
+        base = pd.Timestamp("2024-05-01")
+        us = pd.Timedelta(microseconds=1)
+        ts = pd.Series([base, base + 10 * us, base + 30 * us]) \
+            .astype("datetime64[us]")
+        pq.write_table(pa.table({
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1], type=pa.int64()),
+            "ts": pa.array(ts),
+            "value": pa.array([1.0, 3.0, 2.0]),
+        }), str(p))
+
+        class A:
+            table = str(p)
+            user_col, ts_col, num_cpus = "user_id", "ts", None
+            order_col, value_col = "event_id", "value"
+            period_days, window_days = 1, 7
+
+        A.op, A.out = "gaps", str(tmp_path / "gaps")
+        assert cmd_engagement(A()) == 0
+        assert json.loads(capsys.readouterr().out.strip())["rows"] == 1
+        g = pq.read_table(str(tmp_path / "gaps")).to_pandas()
+        # gaps [10, 20]: p50=10 (ceil(1)-1=0? n=2: ceil(2/2)-1=0 → 10),
+        # p90 = idx ceil(1.8)-1=1 → 20
+        assert g[["n_gaps", "p50_gap_us", "p90_gap_us", "max_gap_us"]] \
+            .values.tolist() == [[2, 10, 20, 20]]
+        A.op, A.out = "twap", str(tmp_path / "twap")
+        assert cmd_engagement(A()) == 0
+        assert json.loads(capsys.readouterr().out.strip())["rows"] == 1
+        t = pq.read_table(str(tmp_path / "twap")).to_pandas()
+        # (100¢×10)+(300¢×20)=7000 over 30µs → 233
+        assert t[["n_spans", "dur_us", "vw_sum", "twap_cents"]] \
+            .values.tolist() == [[2, 30, 7000, 233]]
+
+    def test_pii_inventory_flag(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_pii
+
+        p = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1], type=pa.int64()),
+            "text": ["mail a@b.co twice a@b.co and 10.0.0.1"],
+        }), str(p))
+
+        class A:
+            table, out = str(p), str(tmp_path / "inv")
+            id_col, text_col, num_cpus = "doc_id", "text", None
+            inventory = True
+
+        assert cmd_pii(A()) == 0
+        assert json.loads(
+            capsys.readouterr().out.strip())["inventory_rows"] == 2
+        got = pq.read_table(str(tmp_path / "inv")).to_pandas() \
+            .sort_values("kind")
+        assert got[["kind", "pii", "n"]].values.tolist() == [
+            ["email", "a@b.co", 2], ["ipv4", "10.0.0.1", 1]]
+
+    def test_bpe_and_concat_verbs(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_bpe, cmd_concat
+        from guac_ray.functions.bpe import bpe_merges_naive
+
+        docs = tmp_path / "docs.parquet"
+        pq.write_table(pa.table({
+            "text": ["low low lower newest newest newest"]}), str(docs))
+
+        class B:
+            documents, out = str(docs), str(tmp_path / "merges")
+            merges, max_words, min_pair_count = 6, 100, 2
+            text_col, num_cpus = "text", None
+
+        assert cmd_bpe(B()) == 0
+        n = json.loads(capsys.readouterr().out.strip())["merges"]
+        want = bpe_merges_naive({"low": 2, "lower": 1, "newest": 3}, 6)
+        got = pq.read_table(str(tmp_path / "merges")).to_pandas() \
+            .sort_values("rank")
+        assert n == len(want)
+        assert list(got.itertuples(index=False, name=None)) == want
+
+        tab = tmp_path / "li.parquet"
+        pq.write_table(pa.table({
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "v": ["b", "a", "b", "c"],
+        }), str(tab))
+
+        class C:
+            table, out = str(tab), str(tmp_path / "sig")
+            keys, val, sep = "k", "v", "|"
+            keep_dups, num_cpus = False, None
+
+        assert cmd_concat(C()) == 0
+        assert json.loads(capsys.readouterr().out.strip())["groups"] == 2
+        got = pq.read_table(str(tmp_path / "sig")).to_pandas() \
+            .sort_values("k")
+        assert got[["k", "n_items", "concat"]].values.tolist() == [
+            [1, 2, "a|b"], [2, 1, "c"]]
