@@ -38,6 +38,9 @@ QUERIES = [
     "events_ohlc", "doc_pmi_collocations", "doc_ngram_novelty",
     "doc_lm_xent", "user_streaks", "events_cohort_retention",
     "events_dau_wau",
+    # round 5, session 6 (events/documents-fed members):
+    "events_user_gaps", "events_twap", "doc_pii_inventory",
+    "doc_bpe_merges",
 ]
 
 
