@@ -47,7 +47,8 @@ from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["triangle_count", "clustering_coefficient",
            "neighbor_degree_stats", "common_neighbors",
-           "degree_assortativity", "degree_histogram", "reciprocity"]
+           "degree_assortativity", "degree_histogram", "reciprocity",
+           "k_truss", "k_truss_naive"]
 
 
 def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
@@ -722,3 +723,128 @@ def reciprocity(
         "reciprocity_fp": pa.array([1_000_000 * nm // nd],
                                    type=pa.int64()),
     })
+
+
+def k_truss(
+    edges: Dataset,
+    k: int,
+    a_col: str = "subj_key",
+    b_col: str = "obj_key",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    wedge_chunk: int = 4_000_000,
+    max_rounds: int = 50,
+) -> Dataset:
+    """The k-truss of the canonical undirected simple graph — the
+    triangle-support peeling that extracts the cohesive core community
+    detection actually uses (every k-truss edge sits in ≥ k−2
+    triangles WITHIN the truss; stricter than k-core's degree
+    condition, cheaper than cliques). Returns Dataset(u, v, support)
+    of surviving edges with their converged support, all int64/string.
+
+    Iterative dataflow in the PageRank discipline: each peel round is
+    the triangle family's existing shape — ``_canon_deg`` (degrees must
+    be recomputed on the shrinking graph) → degree-ordered orientation
+    → wedge emission → closing SEMI join against the edge set, with the
+    per-triangle 3-edge CREDIT fused into the join's reduce
+    (``partial_fn``), so only (edge, count) partials ever leave it —
+    then one vocabulary-scale ``grouped_agg``. Edges in zero triangles
+    never appear in the support table and are dropped implicitly
+    (k ≥ 3 ⟹ threshold ≥ 1). Convergence = a round that removes
+    nothing; its support table IS the final answer. The driver sees
+    one edge-count scalar per round. ``max_rounds`` exhaustion raises —
+    never a silently-partial truss."""
+    from guac_ray.functions.joins import default_exchange, hash_join
+    from guac_ray.stages.assemble import fs_exchange_reduce
+    from guac_ray.stages.groupagg import grouped_agg
+
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3 (k-2 triangle support)")
+    base = exchange_base or default_exchange("ktruss")
+    thresh = k - 2
+    empty = pa.schema([("u", pa.string()), ("v", pa.string()),
+                       ("support", pa.int64())]).empty_table()
+
+    def credit_partial(t: pa.Table) -> pa.Table:
+        """(s, u, v) triangles → per-canonical-edge credit partials:
+        the closing edge (u, v) plus canon(s, u) and canon(s, v)."""
+        s = t["s"].to_pandas().astype(str)
+        u = t["u"].to_pandas().astype(str)
+        v = t["v"].to_pandas().astype(str)
+        a = pd.concat([u, np.minimum(s, u), np.minimum(s, v)],
+                      ignore_index=True)
+        b = pd.concat([v, np.maximum(s, u), np.maximum(s, v)],
+                      ignore_index=True)
+        g = (pd.DataFrame({"u": a, "v": b})
+             .groupby(["u", "v"], sort=False).size()
+             .rename("c").reset_index())
+        g["c"] = g["c"].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    cur = edges.select_columns([a_col, b_col])
+    ca, cb = a_col, b_col
+    n_cur = None  # unknown until the first canon pass
+    for rnd in range(max_rounds):
+        rb = f"{base}/r{rnd}"
+        cd = _canon_deg(cur, ca, cb, rb, num_buckets)
+        if cd is None:
+            return rd.from_arrow(empty)
+        E, _deg, with_deg = cd
+        if n_cur is None:
+            n_cur = E().count()
+        oriented = with_deg.map_batches(_orient_fn(num_buckets),
+                                        batch_format="pandas")
+        wedge_ds = fs_exchange_reduce(
+            oriented, f"{rb}/wedge",
+            _wedges_fn(wedge_chunk, carry_source=True))
+        if wedge_ds is None:
+            return rd.from_arrow(empty)
+        credits = hash_join(
+            wedge_ds, E(), on=["u", "v"], exchange_dir=f"{rb}/close",
+            how="semi", num_buckets=num_buckets,
+            partial_fn=credit_partial)
+        supports = grouped_agg(credits, ["u", "v"],
+                               {"support": ("c", "sum")},
+                               num_buckets=num_buckets)
+
+        def keep(t: pa.Table, thresh=thresh) -> pa.Table:
+            import pyarrow.compute as pc
+            kept = t.filter(pc.greater_equal(
+                pc.cast(t["support"], pa.int64()), thresh))
+            return pa.table({"u": kept["u"], "v": kept["v"],
+                             "support": kept["support"].cast(pa.int64())})
+
+        surv = supports.map_batches(keep, batch_format="pyarrow")
+        n_next = surv.count()
+        if n_next == 0:
+            return rd.from_arrow(empty)
+        if n_next == n_cur:
+            return surv
+        cur, ca, cb, n_cur = surv.select_columns(["u", "v"]), "u", "v", \
+            n_next
+    raise ValueError(
+        f"k_truss did not converge within max_rounds={max_rounds}; "
+        "raise max_rounds (peeling cascades once per round)")
+
+
+def k_truss_naive(edge_pairs, k: int) -> dict:
+    """Pure-Python k-truss reference (set-adjacency peeling) — the
+    parity witness for :func:`k_truss` in tests. Takes (a, b) pairs,
+    returns {(u, v): support} over the converged truss."""
+    E = set()
+    for a, b in edge_pairs:
+        a, b = str(a), str(b)
+        if a != b:
+            E.add((min(a, b), max(a, b)))
+    while True:
+        adj: dict[str, set] = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        support = {(u, v): len(adj[u] & adj[v]) for u, v in E}
+        drop = {e for e, s in support.items() if s < k - 2}
+        if not drop:
+            return support
+        E -= drop
+        if not E:
+            return {}

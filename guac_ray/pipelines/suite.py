@@ -3452,6 +3452,24 @@ ORDER BY rank DESC, node_key LIMIT 20""")
     return "".join(parts)
 
 
+def kg_ktruss(sf_dir: str):
+    """4-truss of the KG (functions/triangles.py ``k_truss``): the
+    triangle-support peel that extracts the cohesive core — every
+    surviving edge sits in ≥ 2 triangles WITHIN the truss (stricter
+    than kg_kcore's degree condition, cheaper than cliques). Iterative
+    dataflow: each peel round reuses the triangle family's
+    wedge + closing-semi-join shape with the per-triangle 3-edge credit
+    fused into the join's reduce; the driver sees one edge-count scalar
+    per round. No SQL form (peeling cascades); correctness is pinned by
+    bit-parity tests against the pure-Python reference and the
+    committed sf0.001 golden."""
+    from guac_ray.functions.triangles import k_truss
+
+    g = _corpus_edges(sf_dir)
+    return k_truss(g["edges"], 4, exchange_base=_exchange("ktruss"),
+                   num_buckets=8)
+
+
 def kg_edge_pred_counts(sf_dir: str):
     """Distinct-edge count per predicate from the full pipeline. Oracle:
     the fixture's GOLDEN edge table — derived at generation time from the
@@ -6478,4 +6496,7 @@ SUITE: dict[str, tuple] = {
     # round-5 session 6: iterative vocabulary learning — no SQL form
     # (40 chained pair-recounts); golden-pinned + naive-parity tests:
     "doc_bpe_merges": (doc_bpe_merges, None),
+    # round-5 session 6: triangle-support peeling — no SQL form
+    # (cascading rounds); golden-pinned + naive-parity tests:
+    "kg_ktruss": (kg_ktruss, None),
 }

@@ -44,6 +44,7 @@ class TestGoldenStability:
         "media_audio",
         "media_video",
         "doc_bpe_merges",
+        "kg_ktruss",
     ])
     def test_no_oracle_query_matches_committed_golden(self, name, ray_session):
         """The four no-SQL-oracle queries (LSH pair lists, HLL sketch,

@@ -420,3 +420,59 @@ class TestReciprocity:
                           exchange_base=str(tmp_path / "e"))
         out = out.to_pandas() if hasattr(out, "to_pandas") else out
         assert len(out) == 0
+
+
+class TestKTruss:
+    """Triangle-support peeling vs the pure-Python reference."""
+
+    def test_hand_graphs(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.triangles import k_truss
+
+        # K4: every edge in exactly 2 triangles → 4-truss keeps all 6
+        k4 = [(a, b) for i, a in enumerate("abcd")
+              for b in "abcd"[i + 1:]]
+        df = pd.DataFrame(k4, columns=["subj_key", "obj_key"])
+        got = k_truss(rd.from_pandas(df), 4,
+                      exchange_base=str(tmp_path / "k4")).to_pandas()
+        assert len(got) == 6 and set(got.support) == {2}
+        # K4 plus a pendant triangle sharing one vertex: the pendant
+        # (support-1 edges) peels away at k=4, K4 survives intact
+        df2 = pd.DataFrame(k4 + [("d", "x"), ("d", "y"), ("x", "y")],
+                           columns=["subj_key", "obj_key"])
+        got2 = k_truss(rd.from_pandas(df2).repartition(3), 4,
+                       exchange_base=str(tmp_path / "kp")).to_pandas()
+        assert sorted(map(tuple, got2[["u", "v"]].values.tolist())) == \
+            sorted(k4)
+        # triangle-free path → typed empty; k<3 refused
+        path = pd.DataFrame({"subj_key": ["a", "b", "c"],
+                             "obj_key": ["b", "c", "d"]})
+        out = k_truss(rd.from_pandas(path), 3,
+                      exchange_base=str(tmp_path / "pe"))
+        assert out.count() == 0
+        assert set(["u", "v", "support"]) <= set(out.schema().names)
+        import pytest as _pt
+        with _pt.raises(ValueError, match="k >= 3"):
+            k_truss(rd.from_pandas(path), 2)
+
+    def test_random_graph_parity_with_naive(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.triangles import k_truss, k_truss_naive
+
+        rng = np.random.default_rng(9)
+        n, m = 24, 160
+        df = pd.DataFrame({
+            "subj_key": [f"n{i}" for i in rng.integers(0, n, m)],
+            "obj_key": [f"n{i}" for i in rng.integers(0, n, m)],
+        })
+        for k in (3, 5):
+            got = k_truss(rd.from_pandas(df).repartition(4), k,
+                          exchange_base=str(tmp_path / f"r{k}"),
+                          num_buckets=4).to_pandas()
+            gd = {(r.u, r.v): r.support for r in got.itertuples()}
+            assert gd == k_truss_naive(df.values.tolist(), k)
