@@ -75,7 +75,7 @@ def cmd_build(args) -> int:
 
 def cmd_query(args) -> int:
     if args.what not in ("pagerank", "triangles", "kcore",
-                         "components") and not args.key:
+                         "components", "truss") and not args.key:
         # only the whole-graph verb is keyless; a forgotten key on the
         # node verbs must not silently read as "no results"
         print(f"error: query {args.what} requires a node key", file=sys.stderr)
@@ -126,6 +126,13 @@ def cmd_query(args) -> int:
 
         out = kcore(edges, "subj_key", "obj_key", k=args.k,
                     exchange_base=default_exchange("cli_kcore")).to_pandas()
+    elif args.what == "truss":
+        from guac_ray.functions.joins import default_exchange
+        from guac_ray.functions.triangles import k_truss
+
+        out = k_truss(edges, k=args.k,  # k<3 raises loudly in k_truss
+                      exchange_base=default_exchange("cli_truss")
+                      ).to_pandas()
     elif args.what == "spath":
         from guac_ray.functions.joins import default_exchange
         from guac_ray.functions.paths import shortest_paths
@@ -306,7 +313,7 @@ def cmd_pii(args) -> int:
                                          scrub_pii)
 
     ds = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
-    if args.inventory:
+    if getattr(args, "inventory", False):
         pats = {k: PII_PATTERNS[k] for k in ("email", "url", "ipv4")}
         out = pattern_inventory(ds, pats, id_col=args.id_col,
                                 text_col=args.text_col)
@@ -706,7 +713,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("what",
                    choices=["known", "vulns", "patch", "neighbors",
                             "pagerank", "triangles", "kcore", "components",
-                            "spath"])
+                            "spath", "truss"])
     q.add_argument("key", nargs="?", default=None)
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])
