@@ -27,7 +27,7 @@ from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
            "cohort_retention", "rolling_active_users",
-           "gap_quantiles", "time_weighted_mean"]
+           "gap_quantiles", "time_weighted_mean", "running_distinct"]
 
 
 def sessionize(
@@ -578,4 +578,80 @@ def time_weighted_mean(
             [(user_col, pa.int64()), ("n_spans", pa.int64()),
              ("dur_us", pa.int64()), ("vw_sum", pa.int64()),
              ("twap_cents", pa.int64())]).empty_table())
+    return out
+
+
+def running_distinct(
+    events: Dataset,
+    value_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """RUNNING distinct-value count per user — after each event, how
+    many distinct ``value_col`` values has this user produced so far
+    (the "features adopted by now" curve every activation funnel
+    plots). A windowed COUNT(DISTINCT) that plain window frames cannot
+    express (distinct is not frame-decomposable — the same reason
+    ``rolling_active_users`` exists); it distributes because
+    first-occurrence flags CAN: flag each (user, value)'s first event
+    (one extra lexsort), then the running count is a per-user cumsum
+    of flags in (ts, order) order. One row per event:
+    (user, order_col, n_distinct), all int64, exact on any engine.
+
+    Same one-exchange per-user stream shape as ``gap_quantiles``; both
+    passes are vectorized lexsorts + cumsum, no per-user Python."""
+    from guac_ray.functions.joins import default_exchange
+
+    import ray.data as rd
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        val = t["_val"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             order_col: pa.array([], pa.int64()),
+                             "n_distinct": pa.array([], pa.int64())})
+        # pass 1: first occurrence of each (user, value), by event time
+        o2 = np.lexsort((od, ts, val, u))
+        first_sorted = np.ones(n, dtype=np.int64)
+        first_sorted[1:] = ~((u[o2][1:] == u[o2][:-1])
+                             & (val[o2][1:] == val[o2][:-1]))
+        flag = np.empty(n, dtype=np.int64)
+        flag[o2] = first_sorted
+        # pass 2: per-user cumsum of flags in stream order
+        o1 = np.lexsort((od, ts, u))
+        f1, u1, od1 = flag[o1], u[o1], od[o1]
+        cs = np.cumsum(f1)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u1[1:] != u1[:-1]
+        # cumsum value just BEFORE each user's first row, spread to rows
+        base = np.where(new_user, cs - f1, 0)
+        running = cs - np.maximum.accumulate(base)
+        return pa.table({user_col: pa.array(u1),
+                         order_col: pa.array(od1),
+                         "n_distinct": pa.array(running)})
+
+    def add_val(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_val"] = df[value_col]
+        return df
+
+    out = _per_user_stream(
+        events.select_columns(
+            [user_col, ts_col, order_col, value_col]).map_batches(
+            add_val, batch_format="pandas"),
+        user_col, ts_col, order_col, ["_val"],
+        exchange_base or default_exchange("rundist"), num_buckets,
+        reduce_fn)
+    if out is None:
+        return rd.from_arrow(pa.schema(
+            [(user_col, pa.int64()), (order_col, pa.int64()),
+             ("n_distinct", pa.int64())]).empty_table())
     return out

@@ -5311,6 +5311,39 @@ def doc_bpe_merges(sf_dir: str):
         _read(sf_dir, "documents", ["text"]), n_merges=40)
 
 
+def events_running_distinct(sf_dir: str):
+    """Running distinct-event-type count per user (functions/streams.py
+    ``running_distinct``) — after each event, how many distinct types
+    the user has produced so far: the activation-funnel curve, and a
+    windowed COUNT(DISTINCT) plain frames cannot express (distinct is
+    not frame-decomposable — the rolling_active_users argument, here in
+    its RUNNING form). Distributes because first-occurrence FLAGS are
+    decomposable: one extra lexsort flags each (user, type)'s earliest
+    event, the running count is a per-user cumsum in (ts, event_id)
+    order. Event-scale output, all int64, exact on any engine."""
+    from guac_ray.functions.streams import running_distinct
+
+    return running_distinct(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                 "event_type"]),
+        exchange_base=_exchange("rundist"))
+
+
+EVENTS_RUNNING_DISTINCT_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct
+FROM r
+"""
+
+
 def orders_basket_sig(sf_dir: str):
     """Canonical per-order basket signature (stages/groupagg.py
     ``grouped_sorted_concat``) — the ORDER-SENSITIVE list aggregate
@@ -6442,6 +6475,14 @@ SUITE: dict[str, tuple] = {
     "events_samples": (events_samples, EVENTS_SAMPLES_SQL),
     "events_zscore": (events_zscore, EVENTS_ZSCORE_SQL),
     "events_winsorized": (events_winsorized, EVENTS_WINSOR_SQL),
+    # round-5 session-6 addition registered PAST the cap (same
+    # rationale as doc_pii_inventory: the remaining three r4-green gate
+    # keepers — corpus_curation, doc_decontaminate, and the flagship
+    # composition slots — all carry round-5-rewritten code paths the
+    # driver must re-verify; this op is check_oracle-verified
+    # hash-exact on every sweep):
+    "events_running_distinct": (events_running_distinct,
+                                EVENTS_RUNNING_DISTINCT_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

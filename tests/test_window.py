@@ -853,3 +853,69 @@ class TestTimeWeightedMean:
         assert out.count() == 0
         assert set(["user_id", "n_spans", "dur_us", "vw_sum",
                     "twap_cents"]) <= set(out.schema().names)
+
+
+class TestRunningDistinct:
+    """Per-user running distinct-value count (windowed COUNT(DISTINCT)
+    in its running form)."""
+
+    def test_hand_computed_running(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import running_distinct
+
+        base = pd.Timestamp("2024-06-01")
+        us = pd.Timedelta(microseconds=1)
+        rows = []
+        # u=1 types a,b,a,c at t=0,1,2,3 → running 1,2,2,3
+        for i, ty in enumerate("abac"):
+            rows.append({"event_id": i, "user_id": 1,
+                         "ts": base + i * us, "event_type": ty})
+        # u=2: tied ts pair ordered by event_id: types b,a at the SAME
+        # ts → running 1 (for id 10), 2 (for id 11)
+        rows.append({"event_id": 10, "user_id": 2, "ts": base,
+                     "event_type": "b"})
+        rows.append({"event_id": 11, "user_id": 2, "ts": base,
+                     "event_type": "a"})
+        got = running_distinct(
+            rd.from_pandas(pd.DataFrame(rows)).repartition(3),
+            exchange_base=str(tmp_path / "r"), num_buckets=4,
+        ).to_pandas().sort_values(["user_id", "event_id"])
+        assert got[["user_id", "event_id", "n_distinct"]] \
+            .values.tolist() == [
+            [1, 0, 1], [1, 1, 2], [1, 2, 2], [1, 3, 3],
+            [2, 10, 1], [2, 11, 2]]
+
+    def test_cross_partition_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import running_distinct
+
+        # one user, 26 events with 5 distinct types scattered over 6
+        # blocks: final running value must be 5, prefix non-decreasing
+        base = pd.Timestamp("2024-06-01")
+        df = pd.DataFrame({
+            "event_id": range(26), "user_id": [4] * 26,
+            "ts": [base + pd.Timedelta(microseconds=i)
+                   for i in range(26)],
+            "event_type": [("xyzuv")[i % 5] for i in range(26)],
+        }).sample(frac=1.0, random_state=5)
+        got = running_distinct(
+            rd.from_pandas(df).repartition(6),
+            exchange_base=str(tmp_path / "x"), num_buckets=2,
+        ).to_pandas().sort_values("event_id")
+        v = got["n_distinct"].tolist()
+        assert v[:5] == [1, 2, 3, 4, 5] and v[-1] == 5
+        assert all(a <= b for a, b in zip(v, v[1:]))
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]"),
+            "event_type": pd.Series([], dtype="object")})
+        out = running_distinct(rd.from_pandas(empty),
+                               exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "event_id", "n_distinct"]) \
+            <= set(out.schema().names)
