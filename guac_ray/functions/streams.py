@@ -525,9 +525,10 @@ def time_weighted_mean(
     ``twap_cents = vw_sum // dur_us`` — pure int64 floor division, exact
     on any engine; ``vw_sum % dur_us`` is recoverable from the two
     columns so no precision is lost. int64 bound: vw_sum ≤ max-cents ×
-    total-span-µs per user (~1.5e17 on this corpus); corpora with
-    larger value × span products need the cents scale dropped to
-    units — the overflow is loud (numpy RuntimeWarning), not silent.
+    total-span-µs per user (~1.5e17 on this corpus); numpy int64
+    multiplication WRAPS silently, so the per-bucket bound is checked
+    explicitly and raises — corpora with larger value × span products
+    drop the cents scale to units.
 
     Same shape as ``gap_quantiles``: one user-hash fs exchange of 4
     int64 columns, per-bucket lexsort + shifted-difference, no per-user
@@ -551,6 +552,15 @@ def time_weighted_mean(
                              "dur_us": pa.array([], pa.int64()),
                              "vw_sum": pa.array([], pa.int64()),
                              "twap_cents": pa.array([], pa.int64())})
+        # numpy int64 multiply (and the later per-user sum) wrap
+        # SILENTLY — enforce the documented bound loudly first. The
+        # float64 estimate of the bucket-wide Σ|cents·span| dominates
+        # every per-user sum, so one comparison covers both hazards.
+        if float(np.abs(sv.astype(np.float64) * dt).sum()) >= 2.0 ** 62:
+            raise ValueError(
+                "time_weighted_mean: cents x span-µs sums would "
+                "overflow int64; rescale the value column (cents → "
+                "units) or split the time range")
         df = pd.DataFrame({user_col: su, "_dt": dt, "_vd": sv * dt})
         g = (df.groupby(user_col, sort=False)
              .agg(n_spans=("_dt", "size"), dur_us=("_dt", "sum"),
