@@ -87,14 +87,19 @@ def _pairs_within_groups(dst: np.ndarray, k: np.ndarray,
 
 
 def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
-               num_buckets: int):
+               num_buckets: int, assume_canonical: bool = False):
     """Shared prefix of every per-graph analytic here: canonicalize to
     DISTINCT undirected edges (u < v, loops dropped) persisted once,
     compute degrees, and attach them to both endpoints via two
     co-partitioned hash joins. Returns ``(E, deg, with_deg)`` — E() is
     a fresh reader over the persisted edge set, ``deg`` the (n, deg)
     table, ``with_deg`` the (u, v, du, dv) join — or ``None`` when the
-    canonical edge set is empty (all input edges were self-loops)."""
+    canonical edge set is empty (all input edges were self-loops).
+
+    ``assume_canonical`` skips the dedup exchange when the caller
+    GUARANTEES the input is already distinct canonical (u < v, no
+    loops) — k_truss peel rounds ≥ 1 feed back their own output, so
+    re-deduping it would waste one full exchange per round."""
     from guac_ray.exfs import (exchange_fs, fresh_exchange_dir,
                                fs_list_files)
     from guac_ray.functions.joins import hash_join
@@ -109,12 +114,17 @@ def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
         df = df[df["u"] != df["v"]].drop_duplicates()
         return table_from_pandas(df, preserve_index=False)
 
-    dedup = grouped_agg(
-        edges.select_columns([a_col, b_col]).map_batches(
-            canon, batch_format="pyarrow"),
-        ["u", "v"], {"_n": ("u", "count")},
-        num_buckets=num_buckets,
-    )
+    if assume_canonical:
+        dedup = edges.select_columns([a_col, b_col]).map_batches(
+            lambda df: df.rename(columns={a_col: "u", b_col: "v"}),
+            batch_format="pandas")
+    else:
+        dedup = grouped_agg(
+            edges.select_columns([a_col, b_col]).map_batches(
+                canon, batch_format="pyarrow"),
+            ["u", "v"], {"_n": ("u", "count")},
+            num_buckets=num_buckets,
+        )
     fsys, _ = exchange_fs()  # resolved ONCE; closures capture it
     edir = fresh_exchange_dir(f"{base}/canon")
     dedup.select_columns(["u", "v"]).write_parquet(edir, filesystem=fsys)
@@ -786,7 +796,10 @@ def k_truss(
     n_cur = None  # unknown until the first canon pass
     for rnd in range(max_rounds):
         rb = f"{base}/r{rnd}"
-        cd = _canon_deg(cur, ca, cb, rb, num_buckets)
+        # rounds >= 1 feed back the previous round's survivors, which
+        # are distinct canonical by construction — skip their re-dedup
+        cd = _canon_deg(cur, ca, cb, rb, num_buckets,
+                        assume_canonical=(rnd > 0))
         if cd is None:
             return rd.from_arrow(empty)
         E, _deg, with_deg = cd
