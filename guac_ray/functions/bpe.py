@@ -171,7 +171,9 @@ def bpe_train_merges(
     if df.empty:
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow(
-        pa.Table.from_pandas(df, schema=schema, preserve_index=False))
+        pa.Table.from_pandas(df, schema=schema,
+                             preserve_index=False)
+        .replace_schema_metadata(None))
 
 
 def bpe_merges_naive(word_counts: dict[str, int], n_merges: int,

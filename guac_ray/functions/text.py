@@ -460,6 +460,7 @@ def pattern_inventory(
 
     import ray.data as rd
 
+    from guac_ray.arrowutil import table_from_pandas
     from guac_ray.functions.joins import default_exchange
     from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 
@@ -496,12 +497,12 @@ def pattern_inventory(
         df["n"] = df["n"].astype("int64")
         df["_bucket"] = (stable_hash(df, [id_col])
                          % num_buckets).astype("int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return table_from_pandas(df, preserve_index=False)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         g = (t.to_pandas().groupby([id_col, "kind", "pii"], sort=False)
              ["n"].sum().astype("int64").reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return table_from_pandas(g, preserve_index=False)
 
     out = fs_exchange_reduce(
         docs.map_batches(extract, batch_format="pyarrow"),
