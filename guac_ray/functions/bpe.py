@@ -37,7 +37,8 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-__all__ = ["bpe_train_merges", "bpe_merges_naive"]
+__all__ = ["bpe_train_merges", "bpe_merges_naive",
+           "bpe_encode_word", "bpe_token_counts", "BpeTokenCounter"]
 
 END_OF_WORD = "</w>"
 
@@ -210,3 +211,91 @@ def bpe_merges_naive(word_counts: dict[str, int], n_merges: int,
         vocab = new_vocab
         merges.append((rank, bl, br, bl + br, best_cnt))
     return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode ONE word with a trained merge table — the reference
+    algorithm (apply the lowest-rank merge present, all its occurrences
+    left-to-right, until none applies). Used per DISTINCT word only;
+    the engine memoizes around it."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if (i < len(syms) - 1
+                    and ranks.get((syms[i], syms[i + 1])) == best):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: per-doc token counts under a TRAINED merge
+    table — the budget signal sequence packing and context-window
+    planning consume, now under the corpus's own learned vocabulary
+    instead of a fixed grammar (text.py's TokenCounter). The merge
+    table is tiny and ships once per actor (__init__); encoding is
+    MEMOIZED per distinct word, so per batch only never-seen words run
+    the per-word reference encode — work is bounded by vocabulary
+    growth (Heaps' law), not token count, the same argument that makes
+    BPE training word-table-bounded. Token-count arithmetic per doc is
+    one np.unique + segment-sum, no per-row Python."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self.memo: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from guac_ray.functions.text import ws_token_stream
+
+        flat, cnt = ws_token_stream(t["text"])
+        words = flat.to_numpy(zero_copy_only=False)
+        if len(words) == 0:
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(np.zeros(t.num_rows, np.int64)),
+                "n_bpe_tokens": pa.array(np.zeros(t.num_rows, np.int64)),
+            })
+        uniq, inv = np.unique(words, return_inverse=True)
+        for w in uniq:  # only NEVER-SEEN words encode (memoized)
+            if w not in self.memo:
+                self.memo[w] = len(bpe_encode_word(w, self.ranks))
+        per_word = np.asarray([self.memo[w] for w in uniq],
+                              dtype=np.int64)
+        tok_per_occurrence = per_word[inv]
+        # segment sums per doc via the token-count offsets
+        csum = np.concatenate([[0], np.cumsum(tok_per_occurrence)])
+        ends = np.cumsum(cnt)
+        starts = ends - cnt
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(cnt.astype(np.int64)),
+            "n_bpe_tokens": pa.array(csum[ends] - csum[starts]),
+        })
+
+
+def bpe_token_counts(
+    docs: Dataset,
+    merges: list[tuple[str, str]],
+    concurrency=(1, 4),
+) -> Dataset:
+    """Per-doc (n_words, n_bpe_tokens) under a trained merge table —
+    the apply side of ``bpe_train_merges``. Stateless-input actor pool;
+    the memo warms per actor across batches."""
+    return docs.map_batches(
+        BpeTokenCounter, batch_format="pyarrow",
+        fn_constructor_kwargs={"merges": merges},
+        concurrency=concurrency)

@@ -5344,6 +5344,25 @@ FROM r
 """
 
 
+def doc_bpe_tokens(sf_dir: str):
+    """APPLY side of the trained tokenizer (functions/bpe.py
+    ``bpe_token_counts``): per-doc token counts under the corpus's OWN
+    learned 40-merge BPE vocabulary — the budget signal packing and
+    context-window planning consume, completing the train→apply loop
+    doc_bpe_merges opens. The merge table is tiny and ships once per
+    actor; encoding is memoized per DISTINCT word (work bounded by
+    vocabulary growth, never token count) and the per-doc arithmetic is
+    one np.unique + segment sum. Deterministic; golden-pinned (the
+    trained vocabulary itself has no SQL form)."""
+    from guac_ray.functions.bpe import bpe_token_counts, bpe_train_merges
+
+    merges_df = bpe_train_merges(
+        _read(sf_dir, "documents", ["text"]), n_merges=40).to_pandas()
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    return bpe_token_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"]), merges)
+
+
 def orders_basket_sig(sf_dir: str):
     """Canonical per-order basket signature (stages/groupagg.py
     ``grouped_sorted_concat``) — the ORDER-SENSITIVE list aggregate
@@ -6540,4 +6559,8 @@ SUITE: dict[str, tuple] = {
     # round-5 session 6: triangle-support peeling — no SQL form
     # (cascading rounds); golden-pinned + naive-parity tests:
     "kg_ktruss": (kg_ktruss, None),
+    # round-5 session 6: trained-vocab token counting (apply side of
+    # doc_bpe_merges) — the learned vocabulary has no SQL form;
+    # golden-pinned + reference-encode parity tests:
+    "doc_bpe_tokens": (doc_bpe_tokens, None),
 }

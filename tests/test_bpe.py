@@ -98,3 +98,59 @@ class TestBpeDataset:
         assert out.count() == 0
         assert set(["rank", "left", "right", "merged", "pair_count"]) \
             <= set(out.schema().names)
+
+
+class TestBpeEncode:
+    """Apply side: reference encode parity + memoized actor counting."""
+
+    def test_encode_word_reference_semantics(self):
+        from guac_ray.functions.bpe import bpe_encode_word, bpe_merges_naive
+
+        wc = {"lower": 4, "low": 5, "newest": 6, "wider": 3, "aaaa": 2}
+        merges = [(l, r) for _, l, r, _, _ in
+                  bpe_merges_naive(wc, 10, min_pair_count=1)]
+        ranks = {m: i for i, m in enumerate(merges)}
+        for w in list(wc) + ["unseen", "aaa", "aaaaa"]:
+            toks = bpe_encode_word(w, ranks)
+            # lossless segmentation, end marker preserved
+            assert "".join(toks) == w + "</w>"
+            # re-encoding any produced token decomposes no further when
+            # encoded in isolation is NOT required (context-free BPE),
+            # but no adjacent pair in the output may still be mergeable:
+            for a, b in zip(toks, toks[1:]):
+                assert (a, b) not in ranks
+        assert bpe_encode_word("low", ranks) != ["l", "o", "w", "</w>"]
+
+    def test_token_counts_dataset(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from collections import Counter
+
+        from guac_ray.functions.bpe import (bpe_encode_word,
+                                            bpe_merges_naive,
+                                            bpe_token_counts)
+        from guac_ray.functions.text import sql_ws_tokens
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the cat sat on the mat",
+                     "lower and lower the newest cat",
+                     None],
+        })
+        wc = Counter()
+        for t in docs.text:
+            wc.update(sql_ws_tokens(t))
+        merges = [(l, r) for _, l, r, _, _ in
+                  bpe_merges_naive(dict(wc), 12, min_pair_count=1)]
+        ranks = {m: i for i, m in enumerate(merges)}
+        want = {}
+        for did, t in zip(docs.doc_id, docs.text):
+            toks = sql_ws_tokens(t)
+            want[did] = (len(toks), sum(
+                len(bpe_encode_word(w, ranks)) for w in toks))
+        got = bpe_token_counts(
+            rd.from_pandas(docs).repartition(2), merges
+        ).to_pandas().sort_values("doc_id")
+        assert {r.doc_id: (r.n_words, r.n_bpe_tokens)
+                for r in got.itertuples()} == want

@@ -45,6 +45,7 @@ class TestGoldenStability:
         "media_video",
         "doc_bpe_merges",
         "kg_ktruss",
+        "doc_bpe_tokens",
     ])
     def test_no_oracle_query_matches_committed_golden(self, name, ray_session):
         """The four no-SQL-oracle queries (LSH pair lists, HLL sketch,

@@ -40,7 +40,7 @@ QUERIES = [
     "events_dau_wau",
     # round 5, session 6 (events/documents-fed members):
     "events_user_gaps", "events_twap", "doc_pii_inventory",
-    "doc_bpe_merges", "events_running_distinct",
+    "doc_bpe_merges", "events_running_distinct", "doc_bpe_tokens",
 ]
 
 
