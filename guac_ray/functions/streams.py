@@ -553,18 +553,26 @@ def time_weighted_mean(
                              "vw_sum": pa.array([], pa.int64()),
                              "twap_cents": pa.array([], pa.int64())})
         # numpy int64 multiply (and the later per-user sum) wrap
-        # SILENTLY — enforce the documented bound loudly first. The
-        # float64 estimate of the bucket-wide Σ|cents·span| dominates
-        # every per-user sum, so one comparison covers both hazards.
-        if float(np.abs(sv.astype(np.float64) * dt).sum()) >= 2.0 ** 62:
-            raise ValueError(
-                "time_weighted_mean: cents x span-µs sums would "
-                "overflow int64; rescale the value column (cents → "
-                "units) or split the time range")
-        df = pd.DataFrame({user_col: su, "_dt": dt, "_vd": sv * dt})
+        # SILENTLY — enforce the documented bound loudly. The hazard is
+        # PER USER (vw_sum is a per-user output): the float64 estimate
+        # of each user's Σ|cents·span| dominates both every product in
+        # it and the signed sum, so one per-user comparison covers both.
+        # (A bucket-wide bound would false-positive: a bucket holds many
+        # users, each individually in range.)
+        df = pd.DataFrame({
+            user_col: su, "_dt": dt, "_vd": sv * dt,
+            "_va": np.abs(sv.astype(np.float64) * dt.astype(np.float64)),
+        })
         g = (df.groupby(user_col, sort=False)
              .agg(n_spans=("_dt", "size"), dur_us=("_dt", "sum"),
-                  vw_sum=("_vd", "sum")).reset_index())
+                  vw_sum=("_vd", "sum"), _va=("_va", "sum"))
+             .reset_index())
+        if float(g["_va"].max()) >= 2.0 ** 62:
+            raise ValueError(
+                "time_weighted_mean: a user's cents x span-µs sum "
+                "would overflow int64; rescale the value column "
+                "(cents → units) or split the time range")
+        g = g.drop(columns=["_va"])
         g["twap_cents"] = g["vw_sum"].to_numpy() // g["dur_us"].to_numpy()
         for c in ("n_spans", "dur_us", "vw_sum", "twap_cents"):
             g[c] = g[c].astype("int64")
