@@ -9,6 +9,10 @@ code never calls ray.init.
     python -m guac_ray query  <graph_out_dir> neighbors <node_key> [--direction out|in|both]
     python -m guac_ray query  <graph_out_dir> pagerank [--limit K] [--iters N]
     python -m guac_ray query  <graph_out_dir> triangles
+    python -m guac_ray query  <graph_out_dir> truss [--k K]
+    python -m guac_ray engagement <events.parquet> <out> --op streaks|cohort|dauwau|gaps|twap
+    python -m guac_ray bpe    <documents.parquet> <out> [--merges N]
+    python -m guac_ray concat <table.parquet> <out> --keys a,b --val v
     python -m guac_ray simjoin <documents.parquet> [--threshold T] [--ngram N]
     python -m guac_ray compact <in_dir> <out_dir> [--target-mb M] [--delete-inputs]
     python -m guac_ray curate <documents.parquet> <out_dir> [--threshold T]
