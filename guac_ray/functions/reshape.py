@@ -28,7 +28,8 @@ from ray.data import Dataset
 
 from guac_ray.stages.groupagg import grouped_agg
 
-__all__ = ["pivot_counts", "rollup_agg", "cube_agg", "unpivot"]
+__all__ = ["pivot_counts", "rollup_agg", "cube_agg", "unpivot",
+           "grouping_sets_agg"]
 
 _REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
@@ -186,6 +187,52 @@ def cube_agg(
     for size in range(len(keys) - 1, -1, -1):
         for gset in combinations(keys, size):
             levels.append(_derive_level(finest, keys, spec, gset, fill))
+    out = pd.concat(levels, ignore_index=True)
+    for c in spec:
+        out[c] = out[c].astype(finest[c].dtype)
+    return out
+
+
+def grouping_sets_agg(
+    ds: Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    spec: dict[str, tuple[str, str]],
+    fill: str = "ALL",
+    num_buckets: int = 16,
+) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS (arbitrary lattice selection) — the
+    general form ROLLUP (prefix sets) and CUBE (all subsets) are
+    special cases of: emit exactly the requested grouping sets, each a
+    subset of ``keys``, dropped key columns filled with ``fill``. Same
+    discipline as ``rollup_agg``: the distributed two-phase aggregate
+    runs ONCE at the finest level; every requested set re-aggregates
+    the finest pandas frame on the driver — bounded by finest-group
+    cardinality, never input size. Duplicate sets are emitted
+    duplicate, exactly as SQL does. Same re-aggregability rules
+    (sum|count|min|max)."""
+    for out, (_c, fn) in spec.items():
+        if fn not in _REAGG:
+            raise ValueError(
+                f"grouping_sets_agg: unsupported fn {fn!r} for {out!r}")
+    norm = []
+    for gset in sets:
+        gs = tuple(gset)
+        extra = set(gs) - set(keys)
+        if extra:
+            raise ValueError(
+                f"grouping_sets_agg: set {gs} references non-key "
+                f"columns {sorted(extra)}")
+        norm.append(gs)
+    finest = grouped_agg(ds, keys, spec, num_buckets=num_buckets).to_pandas()
+    if finest.empty:
+        return finest.reindex(columns=keys + list(spec))
+    finest[keys] = finest[keys].astype(str)
+    levels = [(_derive_level(finest, keys, spec, gs, fill)
+               if set(gs) != set(keys)
+               # the full key set IS the finest frame (column order kept)
+               else finest[keys + list(spec)])
+              for gs in norm]
     out = pd.concat(levels, ignore_index=True)
     for c in spec:
         out[c] = out[c].astype(finest[c].dtype)

@@ -5344,6 +5344,59 @@ FROM r
 """
 
 
+def events_grouping_sets(sf_dir: str):
+    """Arbitrary GROUPING SETS (functions/reshape.py
+    ``grouping_sets_agg``) — the general lattice selection ROLLUP
+    (orders_cube's prefix sets) and CUBE (all subsets) are special
+    cases of: here a 4-set selection over (event_type, weekday,
+    value-tier) that is neither a rollup nor a cube. Weekday is
+    computed as ``(epoch_day + 4) % 7`` on BOTH engines (1970-01-01
+    was a Thursday) so no calendar-function dialect leaks in. One
+    distributed finest-level aggregate; each requested set derives
+    from the finest frame (bounded by group cardinality, never input
+    size)."""
+    from guac_ray.functions.reshape import grouping_sets_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "dow": ((day + 4) % 7).astype(str),
+            "tier": np.where(df["value"].to_numpy() >= 100.0,
+                             "hi", "lo"),
+            "vc": cents(df["value"]),
+        })
+
+    out = grouping_sets_agg(
+        ds.map_batches(prep, batch_format="pandas"),
+        keys=["event_type", "dow", "tier"],
+        sets=[("event_type", "dow"), ("event_type", "tier"),
+              ("dow",), ()],
+        spec={"n": ("vc", "count"), "value_cents": ("vc", "sum")})
+    return rd.from_pandas(out)
+
+
+EVENTS_GROUPING_SETS_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS VARCHAR) AS dow,
+         CASE WHEN value >= 100.0 THEN 'hi' ELSE 'lo' END AS tier,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, 'ALL') AS dow,
+       coalesce(tier, 'ALL') AS tier,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(vc) AS BIGINT) AS value_cents
+FROM t
+GROUP BY GROUPING SETS ((event_type, dow), (event_type, tier),
+                        (dow), ())
+"""
+
+
 def doc_bpe_tokens(sf_dir: str):
     """APPLY side of the trained tokenizer (functions/bpe.py
     ``bpe_token_counts``): per-doc token counts under the corpus's OWN
@@ -6502,6 +6555,10 @@ SUITE: dict[str, tuple] = {
     # hash-exact on every sweep):
     "events_running_distinct": (events_running_distinct,
                                 EVENTS_RUNNING_DISTINCT_SQL),
+    # round-5 session-6 addition, past the cap (same rationale) —
+    # GROUPING SETS generalizes the r3/r4 rollup/cube machinery:
+    "events_grouping_sets": (events_grouping_sets,
+                             EVENTS_GROUPING_SETS_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

@@ -165,3 +165,54 @@ class TestCubeAgg:
         got = cube_agg(rd.from_pandas(_events(50).iloc[:0]), ["kind"],
                        {"n": ("v", "count")})
         assert len(got) == 0 and list(got.columns) == ["kind", "n"]
+
+
+class TestGroupingSetsAgg:
+    """Arbitrary GROUPING SETS lattice selections."""
+
+    def test_hand_computed_sets(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import grouping_sets_agg
+
+        df = pd.DataFrame({
+            "a": ["x", "x", "y", "y"],
+            "b": ["1", "2", "1", "1"],
+            "v": [10, 20, 30, 40],
+        })
+        out = grouping_sets_agg(
+            rd.from_pandas(df).repartition(2), keys=["a", "b"],
+            sets=[("a",), (), ("a", "b")],
+            spec={"n": ("v", "count"), "s": ("v", "sum")})
+        got = out.sort_values(["a", "b"]).reset_index(drop=True)
+        assert got.values.tolist() == sorted([
+            # set (a,):
+            ["x", "ALL", 2, 30], ["y", "ALL", 2, 70],
+            # set ():
+            ["ALL", "ALL", 4, 100],
+            # full set (a, b) = the finest frame itself:
+            ["x", "1", 1, 10], ["x", "2", 1, 20], ["y", "1", 2, 70],
+        ])
+
+    def test_duplicate_set_and_validation_and_empty(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import grouping_sets_agg
+
+        df = pd.DataFrame({"a": ["x"], "v": [7]})
+        out = grouping_sets_agg(
+            rd.from_pandas(df), keys=["a"], sets=[(), ()],
+            spec={"s": ("v", "sum")})
+        # duplicate sets emit duplicate rows, exactly as SQL does
+        assert out.values.tolist() == [["ALL", 7], ["ALL", 7]]
+        with pytest.raises(ValueError, match="non-key"):
+            grouping_sets_agg(rd.from_pandas(df), keys=["a"],
+                              sets=[("nope",)], spec={"s": ("v", "sum")})
+        empty = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                              "v": pd.Series([], dtype="int64")})
+        out = grouping_sets_agg(rd.from_pandas(empty), keys=["a"],
+                                sets=[()], spec={"s": ("v", "sum")})
+        assert len(out) == 0 and list(out.columns) == ["a", "s"]
