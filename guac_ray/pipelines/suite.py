@@ -5344,6 +5344,86 @@ FROM r
 """
 
 
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): HAVING-gated
+    aggregate → partitioned hash join → broadcast dimension → top-k.
+    The per-order quantity aggregate (two-phase, cents-exact) gates at
+    > 200 units BEFORE any join, so the join probe side is the ~6% of
+    orders that survive — the aggregate-then-join plan every optimizer
+    picks for Q18; customer is the broadcast dimension (searchsorted
+    lookup); top-100 by (o_totalprice DESC, o_orderkey) is a
+    distributed sort+limit over the joined survivors."""
+    from guac_ray.functions.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"orderkey": df["l_orderkey"],
+                             "qc": cents(df["l_quantity"])})
+
+    per_order = grouped_agg(
+        li.map_batches(qty_cents, batch_format="pandas"),
+        ["orderkey"], {"qty_cents": ("qc", "sum")}, num_buckets=8)
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = t.filter(pc.greater(
+            pc.cast(t["qty_cents"], pa.int64()), 20000))
+        return pa.table({"orderkey": kept["orderkey"],
+                         "qty_cents": kept["qty_cents"].cast(pa.int64())})
+
+    big = per_order.map_batches(keep_big, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(
+            ["orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, big, on="orderkey",
+                       exchange_dir=_exchange("q18"), num_buckets=8)
+
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    class CustName:
+        def __init__(self):
+            c = ray.get(cref).sort_values("c_custkey")
+            self.keys = c.c_custkey.to_numpy()
+            self.names = c.c_name.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            idx = np.searchsorted(self.keys, df.o_custkey.to_numpy())
+            return pd.DataFrame({
+                "c_custkey": df.o_custkey.astype("int64"),
+                "c_name": self.names[idx],
+                "o_orderkey": df.orderkey.astype("int64"),
+                "o_orderdate": df.o_orderdate,
+                "o_totalprice": df.o_totalprice,
+                "qty_cents": df.qty_cents.astype("int64"),
+            })
+
+    return (joined.map_batches(CustName, batch_format="pandas",
+                               concurrency=(1, 4))
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(100))
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS qty_cents
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 20000
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.qty_cents
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+"""
+
+
 def events_grouping_sets(sf_dir: str):
     """Arbitrary GROUPING SETS (functions/reshape.py
     ``grouping_sets_agg``) — the general lattice selection ROLLUP
@@ -6559,6 +6639,9 @@ SUITE: dict[str, tuple] = {
     # GROUPING SETS generalizes the r3/r4 rollup/cube machinery:
     "events_grouping_sets": (events_grouping_sets,
                              EVENTS_GROUPING_SETS_SQL),
+    # round-5 session-6 addition, past the cap (same rationale) — the
+    # Q18 aggregate-then-join composite over existing machinery:
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
