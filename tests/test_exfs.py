@@ -274,3 +274,59 @@ class TestKgBuildInjected:
             idx = g.index.to_numpy()
             assert (np.diff(idx) == 1).all()
             assert list(g["turn_idx"]) == sorted(g["turn_idx"])
+
+
+class TestSession6OpsInjected:
+    """Every session-6 exchange consumer routes through the injected
+    filesystem — the cluster-portability contract, CI-locked."""
+
+    def test_stream_reductions(self, ray_session, injected_exchange):
+        tmp_path = injected_exchange
+        from guac_ray.functions.streams import (gap_quantiles,
+                                                running_distinct,
+                                                time_weighted_mean)
+
+        base = pd.Timestamp("2024-06-01")
+        us = pd.Timedelta(microseconds=1)
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3], "user_id": [1, 1, 1],
+            "ts": [base, base + 10 * us, base + 30 * us],
+            "value": [1.0, 3.0, 2.0],
+            "event_type": ["a", "b", "a"],
+        })
+        g = gap_quantiles(rd.from_pandas(df)).to_pandas()
+        assert g[["n_gaps", "p50_gap_us"]].values.tolist() == [[2, 10]]
+        assert _subtree_has_exchange(tmp_path, "gapq")
+        t = time_weighted_mean(rd.from_pandas(df)).to_pandas()
+        assert t["twap_cents"].tolist() == [233]
+        assert _subtree_has_exchange(tmp_path, "twap")
+        r = running_distinct(rd.from_pandas(df)).to_pandas() \
+            .sort_values("event_id")
+        assert r["n_distinct"].tolist() == [1, 2, 2]
+        assert _subtree_has_exchange(tmp_path, "rundist")
+
+    def test_concat_inventory_truss(self, ray_session, injected_exchange):
+        tmp_path = injected_exchange
+        from guac_ray.functions.text import PII_PATTERNS, pattern_inventory
+        from guac_ray.functions.triangles import k_truss
+        from guac_ray.stages.groupagg import grouped_sorted_concat
+
+        sig = grouped_sorted_concat(
+            rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": ["b", "a"]})),
+            keys=["k"], val_col="v").to_pandas()
+        assert sig["concat"].tolist() == ["a|b"]
+        assert _subtree_has_exchange(tmp_path, "sconcat")
+
+        inv = pattern_inventory(
+            rd.from_pandas(pd.DataFrame(
+                {"doc_id": [1], "text": ["mail a@b.co end"]})),
+            {"email": PII_PATTERNS["email"]}).to_pandas()
+        assert inv[["pii", "n"]].values.tolist() == [["a@b.co", 1]]
+        assert _subtree_has_exchange(tmp_path, "piiinv")
+
+        k4 = pd.DataFrame(
+            [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]],
+            columns=["subj_key", "obj_key"])
+        tr = k_truss(rd.from_pandas(k4), 4).to_pandas()
+        assert len(tr) == 6 and set(tr.support) == {2}
+        assert _subtree_has_exchange(tmp_path, "ktruss")
