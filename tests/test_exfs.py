@@ -235,6 +235,14 @@ class TestIterativeInjected:
         assert set(pr["node_key"]) == {"a", "b", "c"}
         assert pr["rank"].min() > 0
 
+        # the seeded (personalized) path shares the bucket IO but adds
+        # the |S| scalar pass — route it through the injection too
+        ppr = pagerank(rd.from_pandas(edges), max_iters=5,
+                       num_buckets=4, quantize_scale=10**12,
+                       seed_prefix="a").to_pandas()
+        assert set(ppr["node_key"]) == {"a", "b", "c"}
+        assert int(ppr.set_index("node_key").loc["a", "rank"]) > 0
+
         we = edges.assign(w=np.array([1, 5, 1, 1], dtype="int64"))
         sp = shortest_paths(rd.from_pandas(we), "a",
                             src_col="subj_key", dst_col="obj_key",
