@@ -46,7 +46,7 @@ from ray.data import Dataset
 
 from guac_ray.stages.groupagg import grouped_agg
 
-__all__ = ["exact_quantiles"]
+__all__ = ["exact_quantiles", "grouped_robust_stats"]
 
 
 def _strided_sample(v: np.ndarray, k: int) -> np.ndarray:
@@ -212,3 +212,72 @@ def exact_quantiles(
         row.update({qname: group_rows[g].get(qname) for qname in qs})
         rows.append(row)
     return pd.DataFrame(rows, columns=by + list(qs))
+
+
+def grouped_robust_stats(
+    ds,
+    key_col: str,
+    val_col: str,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+):
+    """HIGH-cardinality grouped robust statistics — exact per-key
+    median and MAD (median absolute deviation) when groups ≈ keys
+    (users), where :func:`exact_quantiles`' histogram-exchange shape
+    (built for FEW groups over MANY values) is wrong by design — the
+    same argument as streams.gap_quantiles, here for value
+    distributions rather than inter-arrival gaps. One key-hash fs
+    exchange of 2 int64 columns co-locates each key's values; per
+    bucket TWO vectorized sort + np.unique offset passes (median, then
+    deviation median) compute every key's exact DuckDB
+    ``quantile_disc`` ranks with no per-key Python loop. Output:
+    (key_col, n, median, mad), all int64 — exact on any engine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from guac_ray.arrowutil import table_from_pandas
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            key_col: df[key_col].to_numpy().astype("int64"),
+            "_v": df[val_col].to_numpy().astype("int64"),
+        })
+        out["_bucket"] = (stable_hash(out, [key_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t["_v"].to_numpy(zero_copy_only=False)
+        # pass 1: per-key exact disc median (rank ceil(n/2)-1, pure
+        # integer arithmetic)
+        o = np.lexsort((vals, keys))
+        k, v = keys[o], vals[o]
+        uniq, start, cnt = np.unique(k, return_index=True,
+                                     return_counts=True)
+        med = v[start + (cnt + 1) // 2 - 1]
+        # pass 2: per-key disc median of |v - key's median|; re-sorting
+        # by (key, dev) keeps the same key order and counts, so the
+        # pass-1 group offsets stay valid
+        dev = np.abs(v - np.repeat(med, cnt))
+        d = dev[np.lexsort((dev, k))]
+        mad = d[start + (cnt + 1) // 2 - 1]
+        return pa.table({key_col: pa.array(uniq),
+                         "n": pa.array(cnt.astype("int64")),
+                         "median_cents": pa.array(med),
+                         "mad_cents": pa.array(mad)})
+
+    out = fs_exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("grobust"), reduce_fn)
+    if out is None:
+        return rd.from_arrow(pa.schema(
+            [(key_col, pa.int64()), ("n", pa.int64()),
+             ("median_cents", pa.int64()),
+             ("mad_cents", pa.int64())]).empty_table())
+    return out

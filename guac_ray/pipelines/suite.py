@@ -5344,6 +5344,47 @@ FROM r
 """
 
 
+def events_user_mad(sf_dir: str):
+    """Per-user exact median + MAD of event value (functions/
+    quantiles.py ``grouped_robust_stats``) — HIGH-cardinality grouped
+    robust statistics, the per-user complement of events_mad (whose
+    histogram-exchange shape is built for FEW groups): the per-user
+    outlier-threshold table anomaly pipelines join events back against.
+    One user-hash fs exchange of 2 int64 columns; per bucket two
+    vectorized sort+offset passes (median, then deviation median) with
+    DuckDB quantile_disc rank semantics — no per-user Python loop.
+    All int64 cents, exact on any engine."""
+    from guac_ray.functions.quantiles import grouped_robust_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "vc": cents(df["value"])})
+
+    return grouped_robust_stats(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        key_col="user_id", val_col="vc",
+        exchange_base=_exchange("umad"))
+
+
+EVENTS_USER_MAD_SQL = """
+WITH t AS (
+  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(quantile_disc(vc, 0.5) AS BIGINT) AS median_cents
+  FROM t GROUP BY user_id
+)
+SELECT m.user_id, m.n, m.median_cents,
+       CAST(quantile_disc(abs(t.vc - m.median_cents), 0.5) AS BIGINT)
+           AS mad_cents
+FROM t JOIN m USING (user_id)
+GROUP BY m.user_id, m.n, m.median_cents
+"""
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape (large-volume customers): HAVING-gated
     aggregate → partitioned hash join → broadcast dimension → top-k.
@@ -6642,6 +6683,10 @@ SUITE: dict[str, tuple] = {
     # round-5 session-6 addition, past the cap (same rationale) — the
     # Q18 aggregate-then-join composite over existing machinery:
     "q18_large_orders": (q18_large_orders, Q18_SQL),
+    # round-5 session-6 addition, past the cap (same rationale) —
+    # high-cardinality grouped robust stats, sibling of
+    # events_user_gaps' per-user quantile shape:
+    "events_user_mad": (events_user_mad, EVENTS_USER_MAD_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

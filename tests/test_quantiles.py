@@ -164,3 +164,49 @@ class TestInterpolatedQuantiles:
         want = duckdb.connect().execute(
             "SELECT quantile_cont(v, 0.37) q FROM df").fetchone()[0]
         assert got["q"].iloc[0] == want
+
+
+class TestGroupedRobustStats:
+    """High-cardinality per-key exact median + MAD."""
+
+    def test_hand_computed(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import grouped_robust_stats
+
+        # u=1 values [1,2,3,4,100]: median=3 (disc), devs [2,1,0,1,97]
+        # sorted [0,1,1,2,97] -> MAD = 1. u=2 single value: MAD 0.
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 1, 1, 2],
+            "v": [1, 2, 3, 4, 100, 7],
+        })
+        got = grouped_robust_stats(
+            rd.from_pandas(df).repartition(3), "k", "v",
+            exchange_base=str(tmp_path / "r"), num_buckets=4,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got[["k", "n", "median_cents", "mad_cents"]] \
+            .values.tolist() == [[1, 5, 3, 1], [2, 1, 7, 0]]
+
+    def test_even_count_disc_rank_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import grouped_robust_stats
+
+        # n=4: disc rank ceil(2)-1 = 1 -> the LOWER middle (20);
+        # devs |10-20|,|20-20|,|30-20|,|40-20| = [10,0,10,20] sorted
+        # [0,10,10,20] -> MAD = disc idx 1 = 10
+        df = pd.DataFrame({"k": [9] * 4, "v": [10, 20, 30, 40]})
+        got = grouped_robust_stats(
+            rd.from_pandas(df).repartition(2), "k", "v",
+            exchange_base=str(tmp_path / "e2"), num_buckets=2).to_pandas()
+        assert got[["n", "median_cents", "mad_cents"]] \
+            .values.tolist() == [[4, 20, 10]]
+        empty = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="int64")})
+        out = grouped_robust_stats(rd.from_pandas(empty), "k", "v",
+                                   exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["k", "n", "median_cents", "mad_cents"]) \
+            <= set(out.schema().names)
