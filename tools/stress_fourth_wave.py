@@ -41,7 +41,7 @@ QUERIES = [
     # round 5, session 6 (events/documents-fed members):
     "events_user_gaps", "events_twap", "doc_pii_inventory",
     "doc_bpe_merges", "events_running_distinct", "doc_bpe_tokens",
-    "events_user_mad",
+    "events_user_mad", "events_grouping_sets",
 ]
 
 
