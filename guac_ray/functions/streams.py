@@ -27,7 +27,8 @@ from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
            "cohort_retention", "rolling_active_users",
-           "gap_quantiles", "time_weighted_mean", "running_distinct"]
+           "gap_quantiles", "time_weighted_mean", "running_distinct",
+           "scd2_intervals"]
 
 
 def sessionize(
@@ -672,4 +673,99 @@ def running_distinct(
         return rd.from_arrow(pa.schema(
             [(user_col, pa.int64()), (order_col, pa.int64()),
              ("n_distinct", pa.int64())]).empty_table())
+    return out
+
+
+def scd2_intervals(
+    events: Dataset,
+    value_col: str = "value_cents",
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """SCD-Type-2 validity intervals from a change log — the
+    gaps-and-islands build every warehouse runs to turn an event
+    stream into a slowly-changing dimension: per (user, type) key,
+    consecutive runs of the SAME value compress into one row with
+    ``valid_from_us`` (first observation), ``valid_to_us`` (start of
+    the NEXT run, NULL while current — the half-open [from, to)
+    convention) and ``n_obs`` (observations inside the run). A value
+    that reverts to an earlier one opens a NEW interval — history is
+    preserved, which is exactly what separates SCD2 from
+    latest-per-key compaction (events_latest_per_user).
+
+    ``value_col`` must already be int64 (the house cents convention —
+    exact run-equality on doubles is not a cross-engine contract).
+    Shape: the ``gap_quantiles`` contract — ONE user-hash fs exchange
+    (a user lives in one bucket, so both its key groups and their
+    global order are bucket-local) of 4 int64 columns + the type
+    string; per bucket one lexsort, run starts from two shifted
+    compares, every output column pure indexing off the start
+    positions. No per-key Python loop; nothing driver-sized."""
+    from guac_ray.functions.joins import default_exchange
+
+    import ray.data as rd
+
+    user_col, type_col = key_cols
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        et = t["_et"].to_numpy(zero_copy_only=False)
+        vc = t["_vc"].to_numpy(zero_copy_only=False).astype("int64")
+        n = len(u)
+        if n == 0:
+            return _scd2_empty(user_col, type_col)
+        o = np.lexsort((od, ts, et, u))
+        u, ts, et, vc = u[o], ts[o], et[o], vc[o]
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        chg = new_grp.copy()
+        chg[1:] |= vc[1:] != vc[:-1]
+        starts = np.flatnonzero(chg)
+        n_obs = np.diff(np.append(starts, n)).astype("int64")
+        # valid_to = next run's first ts, when that run is in the SAME
+        # key group (its start is not a group start); else open/NULL
+        nxt = np.append(starts[1:], 0)
+        closed = np.zeros(len(starts), dtype=bool)
+        closed[:-1] = ~new_grp[starts[1:]]
+        vto = np.where(closed, ts[nxt], 0).astype("int64")
+        return pa.table({
+            user_col: pa.array(u[starts]),
+            type_col: pa.array(et[starts].astype(object), pa.string()),
+            "value_cents": pa.array(vc[starts]),
+            "valid_from_us": pa.array(ts[starts].astype("int64")),
+            "valid_to_us": pa.array(vto, mask=~closed),
+            "n_obs": pa.array(n_obs),
+        })
+
+    def _scd2_empty(ucol, tcol):
+        return pa.schema(
+            [(ucol, pa.int64()), (tcol, pa.string()),
+             ("value_cents", pa.int64()), ("valid_from_us", pa.int64()),
+             ("valid_to_us", pa.int64()), ("n_obs", pa.int64())]
+        ).empty_table()
+
+    def add_cols(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_et"] = df[type_col]
+        df["_vc"] = df[value_col].to_numpy().astype("int64")
+        return df
+
+    out = _per_user_stream(
+        events.select_columns(
+            [user_col, type_col, ts_col, order_col, value_col]
+        ).map_batches(add_cols, batch_format="pandas"),
+        user_col, ts_col, order_col, ["_et", "_vc"],
+        exchange_base or default_exchange("scd2"), num_buckets,
+        reduce_fn)
+    if out is None:
+        return rd.from_arrow(pa.schema(
+            [(user_col, pa.int64()), (type_col, pa.string()),
+             ("value_cents", pa.int64()), ("valid_from_us", pa.int64()),
+             ("valid_to_us", pa.int64()), ("n_obs", pa.int64())]
+        ).empty_table())
     return out

@@ -5385,6 +5385,63 @@ GROUP BY m.user_id, m.n, m.median_cents
 """
 
 
+def events_scd2(sf_dir: str):
+    """SCD-Type-2 validity intervals (functions/streams.py
+    ``scd2_intervals``): compress each (user, event_type) value stream
+    into change-run rows with half-open [valid_from, valid_to)
+    microsecond bounds, NULL valid_to while current, and the run's
+    observation count — the gaps-and-islands dimension build every
+    warehouse runs on a change log, and the history-preserving
+    complement of events_latest_per_user's latest-only compaction (a
+    reverted value opens a NEW interval here). Values enter as exact
+    cents so run equality is a cross-engine contract; one user-hash
+    exchange, per-bucket lexsort + shifted-compare run detection, no
+    per-key Python."""
+    from guac_ray.functions.streams import scd2_intervals
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "ts": df["ts"],
+            "user_id": df["user_id"], "event_type": df["event_type"],
+            "value_cents": cents(df["value"])})
+
+    return scd2_intervals(ds.map_batches(to_cents, batch_format="pandas"),
+                          exchange_base=_exchange("scd2"))
+
+
+EVENTS_SCD2_SQL = """
+WITH t AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN lag(vc) OVER w IS NULL
+                   OR lag(vc) OVER w <> vc THEN 1 ELSE 0 END AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)
+), r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY tu, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+), runs AS (
+  SELECT user_id, event_type, run_id,
+         CAST(min(vc) AS BIGINT) AS value_cents,
+         CAST(min(tu) AS BIGINT) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM r GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type, value_cents, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY valid_from_us) AS valid_to_us,
+       n_obs
+FROM runs
+"""
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape (large-volume customers): HAVING-gated
     aggregate → partitioned hash join → broadcast dimension → top-k.
@@ -6687,6 +6744,10 @@ SUITE: dict[str, tuple] = {
     # high-cardinality grouped robust stats, sibling of
     # events_user_gaps' per-user quantile shape:
     "events_user_mad": (events_user_mad, EVENTS_USER_MAD_SQL),
+    # round-5 session-7 addition, past the cap (same rationale as
+    # events_user_mad): SCD2 interval build on the per-user stream
+    # shell, check_oracle-verified hash-exact on every sweep:
+    "events_scd2": (events_scd2, EVENTS_SCD2_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

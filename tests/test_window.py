@@ -919,3 +919,98 @@ class TestRunningDistinct:
         assert out.count() == 0
         assert set(["user_id", "event_id", "n_distinct"]) \
             <= set(out.schema().names)
+
+
+class TestScd2Intervals:
+    """SCD2 validity intervals: change-run compression per (user, type)
+    with half-open [from, to) bounds, NULL to while current."""
+
+    def test_hand_computed_intervals(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import scd2_intervals
+
+        base = pd.Timestamp("2024-06-01")
+        us = pd.Timedelta(microseconds=1)
+        b = base.value // 1000  # epoch µs of base
+        rows = []
+        # u=1 type 'a': values [5, 5, 7, 5] at µs [0, 10, 20, 30] —
+        # runs (5, [0,20), n=2), (7, [20,30), n=1), (5, [30, NULL), 1).
+        # The revert to 5 MUST open a new interval (SCD2 vs compaction).
+        for i, (off, v) in enumerate([(0, 5), (10, 5), (20, 7), (30, 5)]):
+            rows.append({"event_id": i, "user_id": 1, "event_type": "a",
+                         "ts": base + off * us, "value_cents": v})
+        # u=1 type 'b': single value → one open run.
+        rows.append({"event_id": 10, "user_id": 1, "event_type": "b",
+                     "ts": base, "value_cents": 9})
+        # u=2 'a': tied ts pair ordered by event_id — run equality must
+        # follow (ts, event_id) order: values [3, 4] at the same ts →
+        # two runs, first closed AT THE SAME µs (zero-width interval).
+        rows.append({"event_id": 20, "user_id": 2, "event_type": "a",
+                     "ts": base, "value_cents": 3})
+        rows.append({"event_id": 21, "user_id": 2, "event_type": "a",
+                     "ts": base, "value_cents": 4})
+        got = scd2_intervals(
+            rd.from_pandas(pd.DataFrame(rows)).repartition(4),
+            exchange_base=str(tmp_path / "s"), num_buckets=4,
+        ).to_pandas().sort_values(
+            ["user_id", "event_type", "valid_from_us"]
+        ).reset_index(drop=True)
+        want = [
+            [1, "a", 5, b + 0, float(b + 20), 2],
+            [1, "a", 7, b + 20, float(b + 30), 1],
+            [1, "a", 5, b + 30, None, 1],
+            [1, "b", 9, b + 0, None, 1],
+            [2, "a", 3, b + 0, float(b + 0), 1],
+            [2, "a", 4, b + 0, None, 1],
+        ]
+        cols = ["user_id", "event_type", "value_cents", "valid_from_us",
+                "valid_to_us", "n_obs"]
+        for row, w in zip(got[cols].itertuples(index=False), want):
+            row = list(row)
+            assert row[:4] == w[:4] and row[5] == w[5]
+            if w[4] is None:
+                assert pd.isna(row[4])
+            else:
+                assert row[4] == w[4]
+
+    def test_cross_partition_and_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import scd2_intervals
+
+        # one user/type, values 0,0,1,1,2,2,... over 12 events scattered
+        # across 5 blocks: 6 runs of n_obs=2 each; the exchange must
+        # reassemble global order or run boundaries break.
+        base = pd.Timestamp("2024-06-01")
+        df = pd.DataFrame({
+            "event_id": range(12), "user_id": [7] * 12,
+            "event_type": ["x"] * 12,
+            "ts": [base + pd.Timedelta(microseconds=i) for i in range(12)],
+            "value_cents": [i // 2 for i in range(12)],
+        }).sample(frac=1.0, random_state=3)
+        got = scd2_intervals(
+            rd.from_pandas(df).repartition(5),
+            exchange_base=str(tmp_path / "x"), num_buckets=2
+        ).to_pandas().sort_values("valid_from_us").reset_index(drop=True)
+        assert got["n_obs"].tolist() == [2] * 6
+        assert got["value_cents"].tolist() == list(range(6))
+        assert got["valid_to_us"].isna().tolist() == [False] * 5 + [True]
+        # half-open chain: each valid_to equals the next valid_from
+        assert (got["valid_to_us"].dropna().astype("int64").tolist()
+                == got["valid_from_us"].iloc[1:].tolist())
+
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "event_type": pd.Series([], dtype="object"),
+            "ts": pd.Series([], dtype="datetime64[ns]"),
+            "value_cents": pd.Series([], dtype="int64")})
+        out = scd2_intervals(rd.from_pandas(empty),
+                             exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "event_type", "value_cents",
+                    "valid_from_us", "valid_to_us", "n_obs"]
+                   ) <= set(out.schema().names)
