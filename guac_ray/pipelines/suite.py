@@ -5442,6 +5442,87 @@ FROM runs
 """
 
 
+def events_anomalies(sf_dir: str):
+    """Robust per-user outlier detection — the pipeline the per-user
+    MAD table exists FOR: events_user_mad's grouped_robust_stats output
+    joins back against the event stream through the partitioned hash
+    join, and each event is flagged by the Iglewicz–Hoaglin modified
+    z-score rule (0.6745·|v − median| / MAD > 3.5) in EXACT integer
+    cross-multiplication (6745·dev > 35000·mad — no float division
+    anywhere), emitting only the outlier rows (~4.5% on this corpus's
+    lognormal values). Stats side is user-cardinality (grows with the
+    corpus), so the join is the co-partitioned fs-exchange hash join,
+    not a broadcast."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+    from guac_ray.functions.quantiles import grouped_robust_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                             "vc": cents(df["value"])})
+
+    stats = grouped_robust_stats(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        key_col="user_id", val_col="vc",
+        exchange_base=_exchange("anom_mad"))
+
+    def ev_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"].astype("int64"),
+                             "user_id": df["user_id"].astype("int64"),
+                             "value_cents": cents(df["value"])})
+
+    joined = hash_join(ds.map_batches(ev_cents, batch_format="pandas"),
+                       stats.drop_columns(["n"]),
+                       on="user_id", exchange_dir=_exchange("anom_join"),
+                       num_buckets=16)
+
+    def flag(t: pa.Table) -> pa.Table:
+        vc = t["value_cents"].to_numpy(zero_copy_only=False)
+        med = t["median_cents"].to_numpy(zero_copy_only=False)
+        mad = t["mad_cents"].to_numpy(zero_copy_only=False)
+        dev = np.abs(vc - med)
+        keep = dev * 6745 > 35000 * mad
+        return pa.table({
+            "event_id": pa.array(t["event_id"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "user_id": pa.array(t["user_id"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "value_cents": pa.array(vc[keep]),
+            "median_cents": pa.array(med[keep]),
+            "mad_cents": pa.array(mad[keep]),
+            "dev_cents": pa.array(dev[keep]),
+        })
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+EVENTS_ANOMALIES_SQL = """
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), m AS (
+  SELECT user_id, CAST(quantile_disc(vc, 0.5) AS BIGINT) AS median_cents
+  FROM t GROUP BY user_id
+), d AS (
+  SELECT t.event_id, t.user_id, t.vc, m.median_cents,
+         CAST(abs(t.vc - m.median_cents) AS BIGINT) AS dev_cents
+  FROM t JOIN m USING (user_id)
+), md AS (
+  SELECT user_id,
+         CAST(quantile_disc(dev_cents, 0.5) AS BIGINT) AS mad_cents
+  FROM d GROUP BY user_id
+)
+SELECT d.event_id, d.user_id, d.vc AS value_cents, d.median_cents,
+       md.mad_cents, d.dev_cents
+FROM d JOIN md USING (user_id)
+WHERE d.dev_cents * 6745 > 35000 * md.mad_cents
+"""
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape (large-volume customers): HAVING-gated
     aggregate → partitioned hash join → broadcast dimension → top-k.
@@ -6748,6 +6829,10 @@ SUITE: dict[str, tuple] = {
     # events_user_mad): SCD2 interval build on the per-user stream
     # shell, check_oracle-verified hash-exact on every sweep:
     "events_scd2": (events_scd2, EVENTS_SCD2_SQL),
+    # round-5 session-7 addition, past the cap (same rationale):
+    # robust outlier flags — grouped_robust_stats joined back to the
+    # stream via the partitioned hash join:
+    "events_anomalies": (events_anomalies, EVENTS_ANOMALIES_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

@@ -210,3 +210,45 @@ class TestGroupedRobustStats:
         assert out.count() == 0
         assert set(["k", "n", "median_cents", "mad_cents"]) \
             <= set(out.schema().names)
+
+
+class TestEventsAnomalies:
+    """Modified z-score outlier flags (suite.events_anomalies logic):
+    the integer cross-multiplied Iglewicz–Hoaglin rule over the
+    grouped_robust_stats → hash_join composition, checked end-to-end
+    on a hand-planted outlier."""
+
+    def test_planted_outlier_flagged(self, ray_session, tmp_path,
+                                     monkeypatch):
+        import numpy as np
+        import pandas as pd
+
+        import duckdb
+
+        from guac_ray.pipelines import suite
+
+        # user 1: values clustered at ~10.00 with one 500.00 spike —
+        # median 1000c, MAD small, spike flagged; user 2: constant
+        # values (MAD 0) plus ONE deviating row — any dev > 0 flags
+        # under the rule (dev*6745 > 0), the documented MAD=0 edge.
+        df = pd.DataFrame({
+            "event_id": range(1, 9),
+            "user_id": [1, 1, 1, 1, 1, 2, 2, 2],
+            "value": [9.9, 10.0, 10.1, 10.2, 500.0, 7.0, 7.0, 7.25],
+        })
+        p = tmp_path / "events.parquet"
+        df.to_parquet(p)
+        monkeypatch.setattr(
+            suite, "_exchange",
+            lambda name: str(tmp_path / "ex" / name))
+        got = suite.events_anomalies(str(tmp_path)).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        oracle = duckdb.sql(
+            suite.EVENTS_ANOMALIES_SQL.replace(
+                "FROM events", f"FROM '{p}'")
+        ).df().sort_values("event_id").reset_index(drop=True)
+        assert got["event_id"].tolist() == [5, 8]
+        assert got[["event_id", "value_cents", "median_cents",
+                    "mad_cents", "dev_cents"]].values.tolist() == \
+            oracle[["event_id", "value_cents", "median_cents",
+                    "mad_cents", "dev_cents"]].values.tolist()
