@@ -203,7 +203,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "doc_pii_inventory", "doc_bpe_merges", "kg_ppr_vuln", "kg_ktruss", "events_running_distinct", "doc_bpe_tokens", "events_grouping_sets", "q18_large_orders", "events_user_mad",
             # round-5 session 7: SCD2 validity-interval build,
             # robust modified-z-score outlier flags
-            "events_scd2", "events_anomalies",
+            "events_scd2", "events_anomalies", "orders_profile",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -543,6 +543,38 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Column profiling over arbitrary parquet — per column row/null
+    counts, EXACT distinct cardinality, typed min/max (functions/
+    profile.py). Kinds are inferred from the Arrow schema (int→int,
+    floating→cents, timestamp→ts_us, string→str) unless --cols
+    overrides with col:kind pairs."""
+    _ray_up(args.num_cpus)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from guac_ray.functions.profile import table_profile
+
+    if args.cols:
+        spec = dict(p.split(":", 1) for p in args.cols.split(","))
+    else:
+        spec = {}
+        for f in pq.read_schema(args.table):
+            if pa.types.is_integer(f.type):
+                spec[f.name] = "int"
+            elif pa.types.is_floating(f.type):
+                spec[f.name] = "cents"
+            elif pa.types.is_timestamp(f.type):
+                spec[f.name] = "ts_us"
+            elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                spec[f.name] = "str"
+    t = table_profile(rd.read_parquet(args.table, columns=sorted(spec)),
+                      spec)
+    print(json.dumps({"profile": t.to_pylist()}))
+    return 0
+
+
 def cmd_funnel(args) -> int:
     """Anchored funnel over an event table: per-key furthest step and
     step timestamps; prints the per-level completion counts."""
@@ -917,6 +949,15 @@ def main(argv: list[str] | None = None) -> int:
     ch.add_argument("--size", type=int, default=2048)
     ch.add_argument("--stride", type=int, default=1536)
     ch.set_defaults(fn=cmd_chunk)
+
+    pr = sub.add_parser("profile",
+                        help="per-column stats: nulls, exact distinct, "
+                             "typed min/max")
+    pr.add_argument("table")
+    pr.add_argument("--cols", default=None,
+                    help="comma list of col:kind (int|cents|ts_us|str); "
+                         "default: inferred from the schema")
+    pr.set_defaults(fn=cmd_profile)
 
     fu = sub.add_parser("funnel",
                         help="anchored step funnel over an event table")

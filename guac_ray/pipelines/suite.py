@@ -5523,6 +5523,58 @@ WHERE d.dev_cents * 6745 > 35000 * md.mad_cents
 """
 
 
+def orders_profile(sf_dir: str):
+    """Column profiling (functions/profile.py ``table_profile``) over
+    the orders table — the Deequ/whylogs-style analyzer pass: per
+    column, row/null counts, EXACT distinct cardinality (one
+    (col, value)-hash fs exchange; in-bucket distinct IS global) and
+    typed min/max, one long-format row per column. Money profiles as
+    exact cents, timestamps as epoch µs (the injective per-kind maps
+    mirrored in the oracle); the driver folds only parallelism-bounded
+    partials."""
+    from guac_ray.functions.profile import table_profile
+
+    spec = {"o_orderkey": "int", "o_custkey": "int",
+            "o_orderstatus": "str", "o_totalprice": "cents",
+            "o_orderdate": "ts_us", "o_orderpriority": "str"}
+    return table_profile(_read(sf_dir, "orders", sorted(spec)), spec,
+                         exchange_base=_exchange("profile"))
+
+
+def _profile_sql_col(col: str, kind: str) -> str:
+    if kind == "str":
+        expr, mn = col, "CAST(NULL AS BIGINT)"
+        return f"""
+SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       {mn} AS min_num, {mn} AS max_num,
+       CAST(min({col}) AS VARCHAR) AS min_str,
+       CAST(max({col}) AS VARCHAR) AS max_str
+FROM orders"""
+    if kind == "int":
+        expr = col
+    elif kind == "cents":
+        expr = f"CAST(floor({col}*100 + 0.5) AS BIGINT)"
+    else:  # ts_us
+        expr = f"epoch_us({col})"
+    return f"""
+SELECT '{col}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(min({expr}) AS BIGINT) AS min_num,
+       CAST(max({expr}) AS BIGINT) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+
+
+ORDERS_PROFILE_SQL = " UNION ALL ".join(
+    _profile_sql_col(c, k) for c, k in [
+        ("o_custkey", "int"), ("o_orderdate", "ts_us"),
+        ("o_orderkey", "int"), ("o_orderpriority", "str"),
+        ("o_orderstatus", "str"), ("o_totalprice", "cents")])
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape (large-volume customers): HAVING-gated
     aggregate → partitioned hash join → broadcast dimension → top-k.
@@ -6833,6 +6885,10 @@ SUITE: dict[str, tuple] = {
     # robust outlier flags — grouped_robust_stats joined back to the
     # stream via the partitioned hash join:
     "events_anomalies": (events_anomalies, EVENTS_ANOMALIES_SQL),
+    # round-5 session-7 addition, past the cap (same rationale):
+    # Deequ-style column profiler — exact distinct via the pair
+    # exchange, typed min/max, long-format contract:
+    "orders_profile": (orders_profile, ORDERS_PROFILE_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
