@@ -575,6 +575,26 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_expect(args) -> int:
+    """Declarative data-quality checks over arbitrary parquet
+    (functions/expectations.py). --checks takes a JSON list; fk checks
+    name a parent parquet path via "parent". Exit code 1 if any check
+    fails — the CI-gate contract."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.expectations import check_table
+
+    checks = json.loads(args.checks)
+    for c in checks:
+        if c.get("kind") == "fk":
+            c["parent"] = rd.read_parquet(c["parent"])
+    t = check_table(rd.read_parquet(args.table), checks)
+    rows = t.to_pylist()
+    print(json.dumps({"checks": rows}))
+    return 0 if all(r["passed"] for r in rows) else 1
+
+
 def cmd_funnel(args) -> int:
     """Anchored funnel over an event table: per-key furthest step and
     step timestamps; prints the per-level completion counts."""
@@ -958,6 +978,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list of col:kind (int|cents|ts_us|str); "
                          "default: inferred from the schema")
     pr.set_defaults(fn=cmd_profile)
+
+    ex = sub.add_parser("expect",
+                        help="data-quality checks (unique/not_null/"
+                             "accepted_values/range_cents/fk); exit 1 "
+                             "on failure")
+    ex.add_argument("table")
+    ex.add_argument("--checks", required=True,
+                    help="JSON list of check dicts")
+    ex.set_defaults(fn=cmd_expect)
 
     fu = sub.add_parser("funnel",
                         help="anchored step funnel over an event table")

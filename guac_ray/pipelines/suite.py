@@ -5575,6 +5575,64 @@ ORDERS_PROFILE_SQL = " UNION ALL ".join(
         ("o_orderstatus", "str"), ("o_totalprice", "cents")])
 
 
+def events_expectations(sf_dir: str):
+    """Data-quality expectations (functions/expectations.py
+    ``check_table``) over the event stream — the Great-Expectations /
+    dbt-test constraint suite run before promoting a table: unique key
+    (key-hash exchange; in-bucket dup count IS global), not-null and
+    accepted-values and cents-range (one shared row-local pass),
+    referential integrity against customer (partitioned ANTI join —
+    the parent is not assumed broadcast-small). A healthy mix by
+    design: the type allow-list excludes 'error' rows and the range
+    caps value at 300.00, both real violation counts; the other three
+    pass at zero — the report shape a production DQ gate emits."""
+    from guac_ray.functions.expectations import check_table
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value", "props"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return check_table(ev, [
+        {"kind": "unique", "col": "event_id"},
+        {"kind": "not_null", "col": "props"},
+        {"kind": "accepted_values", "col": "event_type",
+         "values": ["click", "view", "purchase", "signup"]},
+        {"kind": "range_cents", "col": "value", "lo": 1, "hi": 30000},
+        {"kind": "fk", "col": "user_id", "parent": cust,
+         "parent_col": "c_custkey"},
+    ], exchange_base=_exchange("expect"))
+
+
+EVENTS_EXPECTATIONS_SQL = """
+WITH raw AS (
+  SELECT 'unique:event_id' AS check_name,
+         (SELECT count(*) FROM events) AS n_checked,
+         (SELECT count(*) - count(DISTINCT event_id) FROM events)
+             AS n_violations
+  UNION ALL
+  SELECT 'not_null:props', (SELECT count(*) FROM events),
+         (SELECT count(*) - count(props) FROM events)
+  UNION ALL
+  SELECT 'accepted_values:event_type', (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE event_type IS NOT NULL AND event_type NOT IN
+                ('click', 'view', 'purchase', 'signup'))
+  UNION ALL
+  SELECT 'range_cents:value', (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE CAST(floor(value*100 + 0.5) AS BIGINT) NOT BETWEEN
+                1 AND 30000)
+  UNION ALL
+  SELECT 'fk:user_id', (SELECT count(*) FROM events),
+         (SELECT count(*) FROM events
+          WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+)
+SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_violations = 0 AS BIGINT) AS passed
+FROM raw
+"""
+
+
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape (large-volume customers): HAVING-gated
     aggregate → partitioned hash join → broadcast dimension → top-k.
@@ -6889,6 +6947,11 @@ SUITE: dict[str, tuple] = {
     # Deequ-style column profiler — exact distinct via the pair
     # exchange, typed min/max, long-format contract:
     "orders_profile": (orders_profile, ORDERS_PROFILE_SQL),
+    # round-5 session-7 addition, past the cap (same rationale):
+    # declarative DQ constraint suite — shared row-local pass +
+    # unique exchange + FK anti join:
+    "events_expectations": (events_expectations,
+                            EVENTS_EXPECTATIONS_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),
