@@ -28,7 +28,7 @@ from guac_ray.stages.assemble import stable_hash
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
            "cohort_retention", "rolling_active_users",
            "gap_quantiles", "time_weighted_mean", "running_distinct",
-           "scd2_intervals"]
+           "scd2_intervals", "cdc_merge"]
 
 
 def sessionize(
@@ -768,4 +768,123 @@ def scd2_intervals(
              ("value_cents", pa.int64()), ("valid_from_us", pa.int64()),
              ("valid_to_us", pa.int64()), ("n_obs", pa.int64())]
         ).empty_table())
+    return out
+
+
+def cdc_merge(
+    base: Dataset,
+    changelog: Dataset,
+    key_col: str = "user_id",
+    base_value_col: str = "value_cents",
+    base_ts_col: str = "updated_us",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    op_col: str = "op",
+    value_col: str = "value_cents",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """MERGE INTO (Delta/Iceberg-style upsert+delete) — apply a CDC
+    changelog on top of a keyed base snapshot with last-writer-wins
+    per key: the newest row per key in (ts, order) order decides the
+    key's fate — an upsert (``op == 0``) rewrites the value, a delete
+    (``op == 1``) removes the key, and a delete followed by a later
+    upsert re-inserts it. Keys only in the changelog are inserts; keys
+    only in the base pass through untouched with ``n_changes = 0``.
+    Output: one row per surviving key —
+    ``(key, value_cents, updated_us, n_changes)`` where ``updated_us``
+    is the winning row's epoch-µs timestamp (the base snapshot's own
+    ``updated_us`` when untouched) and ``n_changes`` counts the key's
+    changelog rows (deletes included), all int64.
+
+    Contract: the base is a snapshot (unique per key) whose
+    ``updated_us`` precedes every changelog timestamp for that key —
+    the normal compact-then-merge epoch ordering; base rows sort at
+    ``(updated_us, order = -1)`` so any changelog row at the same µs
+    outranks them. Values are int64 cents (house convention: exact
+    last-wins equality is a cross-engine contract).
+
+    Shape: both sides project to 5 narrow int64 columns and write into
+    ONE shared key-hash fs exchange (``fs_exchange_reduce_multi`` — a
+    key lives in one bucket, so its global (ts, order) stream is
+    bucket-local across both inputs); per bucket one lexsort
+    + group-end indexing + one ``np.add.reduceat`` for the change
+    counts. No per-key Python, nothing driver-sized — the same
+    contract as ``scd2_intervals``, with two inputs.
+
+    Reference parity: GUAC's collectsub/ingestion layer re-ingests
+    documents idempotently but has no keyed mutation semantics; this
+    is the lakehouse-standard operator a Parquet-backed graph store
+    needs for steady-state maintenance (SURVEY §2.10's incremental
+    story applied to keyed state instead of append-only shards).
+    """
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce_multi
+
+    import ray.data as rd
+
+    def _empty() -> pa.Table:
+        return pa.schema(
+            [(key_col, pa.int64()), ("value_cents", pa.int64()),
+             ("updated_us", pa.int64()), ("n_changes", pa.int64())]
+        ).empty_table()
+
+    def tag_base(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            key_col: df[key_col].to_numpy().astype("int64"),
+            "_ts": df[base_ts_col].to_numpy().astype("int64"),
+            "_ord": np.full(len(df), -1, dtype="int64"),
+            "_op": np.zeros(len(df), dtype="int64"),
+            "_vc": df[base_value_col].to_numpy().astype("int64"),
+            "_src": np.zeros(len(df), dtype="int64"),
+        })
+        out["_bucket"] = (stable_hash(out, [key_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def tag_chg(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            key_col: df[key_col].to_numpy().astype("int64"),
+            "_ts": df[ts_col].to_numpy().astype("datetime64[us]")
+                            .astype("int64"),
+            "_ord": df[order_col].to_numpy().astype("int64"),
+            "_op": df[op_col].to_numpy().astype("int64"),
+            "_vc": df[value_col].to_numpy().astype("int64"),
+            "_src": np.ones(len(df), dtype="int64"),
+        })
+        out["_bucket"] = (stable_hash(out, [key_col])
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        op = t["_op"].to_numpy(zero_copy_only=False)
+        vc = t["_vc"].to_numpy(zero_copy_only=False)
+        src = t["_src"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        if n == 0:
+            return _empty()
+        o = np.lexsort((od, ts, k))
+        k, ts, od, op, vc, src = (k[o], ts[o], od[o], op[o], vc[o],
+                                  src[o])
+        starts = np.flatnonzero(
+            np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.append(starts[1:], n) - 1  # winner index per key
+        n_changes = np.add.reduceat(src, starts).astype("int64")
+        keep = op[ends] == 0  # a winning delete removes the key
+        return pa.table({
+            key_col: pa.array(k[ends][keep]),
+            "value_cents": pa.array(vc[ends][keep]),
+            "updated_us": pa.array(ts[ends][keep]),
+            "n_changes": pa.array(n_changes[keep]),
+        })
+
+    out = fs_exchange_reduce_multi(
+        [base.map_batches(tag_base, batch_format="pandas"),
+         changelog.map_batches(tag_chg, batch_format="pandas")],
+        exchange_base or default_exchange("cdcmerge"), reduce_fn)
+    if out is None:
+        return rd.from_arrow(_empty())
     return out

@@ -5442,6 +5442,120 @@ FROM runs
 """
 
 
+def events_cdc_merge(sf_dir: str):
+    """MERGE INTO / CDC upsert+delete (functions/streams.py
+    ``cdc_merge``): the lakehouse compact-then-merge cycle over the
+    event log — the stream's first half compacts into a keyed base
+    snapshot (``keep_latest``, the upsert primitive the registry
+    already carries), the second half replays as a changelog where
+    ``event_type = 'error'`` rows are DELETE markers and everything
+    else upserts the user's value, and the merge applies
+    last-writer-wins per user with delete semantics (a delete followed
+    by a later upsert re-inserts). One row per surviving user:
+    ``(user_id, value_cents, updated_us, n_changes)``.
+
+    The epoch cutoff is the exact integer µs midpoint
+    ``(min_ts + max_ts) // 2`` — computed distributed on the Ray side
+    (per-batch min/max partials, block-count-sized fold) and by the
+    same integer expression in the oracle, so no float or calendar
+    arithmetic enters the contract. Scale shape: the snapshot build is
+    keep_latest's partial-combine exchange; the merge itself unions
+    two 5-int64-column projections through ONE user-hash fs exchange
+    (streams.py ``cdc_merge``)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.streams import cdc_merge
+    from guac_ray.functions.window import keep_latest
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def _ts_bounds() -> tuple[int, int]:
+        def part(t: pa.Table) -> pa.Table:
+            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
+                                            pa.int64()),
+                             "mx": pa.array([pc.max(arr).as_py()],
+                                            pa.int64())})
+        parts = (_read(sf_dir, "events", ["ts"])
+                 .map_batches(part, batch_format="pyarrow").to_pandas())
+        parts = parts.dropna()
+        if parts.empty:
+            raise ValueError("events_cdc_merge: empty events table")
+        return int(parts["mn"].min()), int(parts["mx"].max())
+
+    mn, mx = _ts_bounds()
+    cut = (mn + mx) // 2
+
+    def narrow(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "_tu": df["ts"].to_numpy().astype("datetime64[us]")
+                           .astype("int64"),
+            "ts": df["ts"],
+            "user_id": df["user_id"].astype("int64"),
+            "op": (df["event_type"].to_numpy() == "error")
+                  .astype("int64"),
+            "value_cents": cents(df["value"]),
+        })
+
+    ev = _read(sf_dir, "events", cols).map_batches(
+        narrow, batch_format="pandas")
+
+    def side(lt: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = (pc.less(t["_tu"], cut) if lt
+                 else pc.greater_equal(t["_tu"], cut))
+            return t.filter(m)
+        return f
+
+    before = ev.map_batches(side(True), batch_format="pyarrow")
+    after = ev.map_batches(side(False), batch_format="pyarrow")
+
+    snap = keep_latest(before, by="user_id", order=["_tu", "event_id"],
+                       exchange_base=_exchange("cdc_snap"), num_buckets=8)
+
+    def snap_cols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "value_cents": df["value_cents"],
+            "updated_us": df["_tu"],
+        })
+
+    base = snap.map_batches(snap_cols, batch_format="pandas")
+    return cdc_merge(base, after,
+                     exchange_base=_exchange("cdc_merge"))
+
+
+EVENTS_CDC_MERGE_SQL = """
+WITH c AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut FROM events
+), t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS op,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), base AS (
+  SELECT user_id, tu, vc FROM t, c WHERE tu < cut
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY tu DESC, event_id DESC) = 1
+), unioned AS (
+  SELECT user_id, tu, -1 AS ord, 0 AS op, vc, 0 AS src FROM base
+  UNION ALL
+  SELECT user_id, tu, event_id AS ord, op, vc, 1 AS src
+  FROM t, c WHERE tu >= cut
+), w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY tu DESC, ord DESC) AS rn,
+         sum(src) OVER (PARTITION BY user_id) AS nc
+  FROM unioned
+)
+SELECT user_id, vc AS value_cents, tu AS updated_us,
+       CAST(nc AS BIGINT) AS n_changes
+FROM w WHERE rn = 1 AND op = 0
+"""
+
+
 def events_anomalies(sf_dir: str):
     """Robust per-user outlier detection — the pipeline the per-user
     MAD table exists FOR: events_user_mad's grouped_robust_stats output
@@ -6952,6 +7066,10 @@ SUITE: dict[str, tuple] = {
     # unique exchange + FK anti join:
     "events_expectations": (events_expectations,
                             EVENTS_EXPECTATIONS_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # MERGE INTO / CDC upsert+delete — keep_latest snapshot + one
+    # union exchange with last-writer-wins + delete semantics:
+    "events_cdc_merge": (events_cdc_merge, EVENTS_CDC_MERGE_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

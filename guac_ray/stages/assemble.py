@@ -164,6 +164,27 @@ def fs_exchange_reduce(
     empty placeholder blocks from unpopulated sort partitions. Returns
     ``None`` when the input wrote zero rows (caller picks its own
     empty-shape fallback)."""
+    return fs_exchange_reduce_multi([ds], exchange_base, reduce_fn,
+                                    bucket_col=bucket_col, columns=columns)
+
+
+def fs_exchange_reduce_multi(
+    dss: "list[Dataset]",
+    exchange_base: str,
+    reduce_fn,
+    bucket_col: str = "_bucket",
+    columns: list[str] | None = None,
+) -> "Dataset | None":
+    """``fs_exchange_reduce`` with SEVERAL map-side inputs: each
+    dataset writes its bucket-partitioned files into the SAME fresh
+    exchange directory (Ray's parquet file names are write- and
+    task-unique, so the writes coexist), and the reduce sees every
+    input's rows for a bucket in one table — the multi-input exchange
+    under hash joins / CDC merges, without routing the sides through
+    ``Dataset.union`` (whose UnionOperator emits an empty-schema
+    RefBundle and a per-run schema warning). The inputs must share one
+    schema; rows are NOT tagged here — callers add their own source
+    column when the reduce needs to tell sides apart."""
     import ray.data as rd
 
     from guac_ray.exfs import (exchange_fs, fresh_exchange_dir,
@@ -171,7 +192,8 @@ def fs_exchange_reduce(
 
     fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_base)
-    ds.write_parquet(ex, partition_cols=[bucket_col], filesystem=fsys)
+    for ds in dss:
+        ds.write_parquet(ex, partition_cols=[bucket_col], filesystem=fsys)
     bucket_dirs = sorted(_list_bucket_dirs(fsys, ex, bucket_col))
     if not bucket_dirs:
         return None

@@ -1014,3 +1014,73 @@ class TestScd2Intervals:
         assert set(["user_id", "event_type", "value_cents",
                     "valid_from_us", "valid_to_us", "n_obs"]
                    ) <= set(out.schema().names)
+
+
+class TestCdcMerge:
+    """MERGE INTO / CDC upsert+delete: last-writer-wins per key with
+    delete semantics over a base snapshot + changelog."""
+
+    def test_hand_computed_merge(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import cdc_merge
+
+        base = pd.DataFrame({
+            "user_id": [1, 2, 5],
+            "value_cents": [10, 20, 50],
+            "updated_us": [100, 100, 100]})
+        # u1: upsert → rewritten; u2: delete → gone; u3: upsert,
+        # delete, upsert — the re-insert wins with n_changes=3; u4:
+        # delete-only on a key never in base → absent; u5: untouched.
+        chg = pd.DataFrame({
+            "user_id": [1, 2, 3, 3, 3, 4],
+            "ts": pd.to_datetime([200, 200, 200, 300, 400, 200],
+                                 unit="us"),
+            "event_id": [0, 1, 2, 3, 4, 5],
+            "op": [0, 1, 0, 1, 0, 1],
+            "value_cents": [15, 0, 30, 0, 35, 0]})
+        got = cdc_merge(
+            rd.from_pandas(base).repartition(2),
+            rd.from_pandas(chg).repartition(3),
+            exchange_base=str(tmp_path / "m"), num_buckets=4,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got.values.tolist() == [
+            [1, 15, 200, 1], [3, 35, 400, 3], [5, 50, 100, 0]]
+
+    def test_tied_ts_changelog_outranks_base_and_empty(
+            self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import cdc_merge
+
+        # changelog row at the SAME µs as the base snapshot must win
+        # (base sorts at ord = -1), and changelog-internal ties break
+        # by event order.
+        base = pd.DataFrame({"user_id": [9], "value_cents": [1],
+                             "updated_us": [500]})
+        chg = pd.DataFrame({
+            "user_id": [9, 9],
+            "ts": pd.to_datetime([500, 500], unit="us"),
+            "event_id": [3, 7], "op": [0, 0],
+            "value_cents": [2, 4]})
+        got = cdc_merge(rd.from_pandas(base), rd.from_pandas(chg),
+                        exchange_base=str(tmp_path / "t"),
+                        num_buckets=2).to_pandas()
+        assert got.values.tolist() == [[9, 4, 500, 2]]
+
+        # empty changelog → base passthrough with n_changes = 0
+        empty_chg = chg.iloc[:0]
+        got = cdc_merge(rd.from_pandas(base), rd.from_pandas(empty_chg),
+                        exchange_base=str(tmp_path / "p"),
+                        num_buckets=2).to_pandas()
+        assert got.values.tolist() == [[9, 1, 500, 0]]
+
+        # both empty → typed empty with the output schema
+        out = cdc_merge(rd.from_pandas(base.iloc[:0]),
+                        rd.from_pandas(empty_chg),
+                        exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "value_cents", "updated_us",
+                    "n_changes"]) <= set(out.schema().names)
