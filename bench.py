@@ -204,7 +204,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-5 session 7: SCD2 validity-interval build,
             # robust modified-z-score outlier flags
             "events_scd2", "events_anomalies", "orders_profile",
-            "events_expectations", "events_cdc_merge",
+            "events_expectations", "events_cdc_merge", "q13_order_distribution",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -5827,6 +5827,61 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
 """
 
 
+def q13_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): the
+    LEFT-join double aggregation — count non-urgent orders per
+    customer WITH the zero-order customers kept (the whole point of
+    Q13's left join: a distribution that silently drops the empty
+    class is wrong), then the distribution of those counts. Plan:
+    filtered per-custkey order counts via the two-phase grouped
+    aggregate (the shuffle moves partials, not orders); customer LEFT
+    joins the count table through the co-partitioned fs-exchange hash
+    join (both sides are customer-cardinality and grow with the
+    corpus — never assumed broadcast-small); nulls fill to 0 and the
+    second aggregate runs over the count-domain-sized frame. Output:
+    ``(c_count, custdist)``, both int64."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def non_urgent(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"c_custkey": kept["o_custkey"]})
+
+    per_cust = grouped_agg(
+        orders.map_batches(non_urgent, batch_format="pyarrow"),
+        ["c_custkey"], {"c_count": ("c_custkey", "count")},
+        num_buckets=8)
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(cust, per_cust, on="c_custkey",
+                       exchange_dir=_exchange("q13"), how="left",
+                       num_buckets=8)
+
+    def fill_zero(t: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(t["c_count"], pa.int64()), 0)
+        return pa.table({"c_count": c})
+
+    return grouped_agg(
+        joined.map_batches(fill_zero, batch_format="pyarrow"),
+        ["c_count"], {"custdist": ("c_count", "count")}, num_buckets=4)
+
+
+Q13_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
 def events_grouping_sets(sf_dir: str):
     """Arbitrary GROUPING SETS (functions/reshape.py
     ``grouping_sets_agg``) — the general lattice selection ROLLUP
@@ -7070,6 +7125,10 @@ SUITE: dict[str, tuple] = {
     # MERGE INTO / CDC upsert+delete — keep_latest snapshot + one
     # union exchange with last-writer-wins + delete semantics:
     "events_cdc_merge": (events_cdc_merge, EVENTS_CDC_MERGE_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # TPC-H Q13 LEFT-join double aggregation with the zero-order
+    # class kept — composition of grouped_agg + left hash_join:
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

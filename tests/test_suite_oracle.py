@@ -82,7 +82,31 @@ FAST = [
     "doc_domain_terms",
     "kg_degree_hist",
     "kg_reciprocity",
+    # round 5, session 8: CDC merge + Q13 composite
+    "events_cdc_merge",
+    "q13_order_distribution",
 ]
+
+
+def test_q13_keeps_zero_order_customers(ray_session, tmp_path):
+    """The point of Q13's LEFT join: customers with no qualifying
+    orders land in the c_count = 0 class (sf0.001 has none, so the
+    oracle-parity run alone would not pin this branch)."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q13_order_distribution
+
+    pd.DataFrame({"c_custkey": [1, 2, 3, 4]}).to_parquet(
+        tmp_path / "customer.parquet")
+    # c1: two non-urgent; c2: urgent only (filtered → zero class);
+    # c3: none at all; c4: one non-urgent.
+    pd.DataFrame({
+        "o_custkey": [1, 1, 2, 4],
+        "o_orderpriority": ["2-HIGH", "5-LOW", "1-URGENT", "3-MEDIUM"],
+    }).to_parquet(tmp_path / "orders.parquet")
+    got = (q13_order_distribution(str(tmp_path)).to_pandas()
+           .sort_values("c_count").reset_index(drop=True))
+    assert got.values.tolist() == [[0, 2], [1, 1], [2, 1]]
 
 
 @pytest.fixture(scope="module")
