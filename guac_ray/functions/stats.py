@@ -37,7 +37,7 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["grouped_corr"]
+__all__ = ["grouped_corr", "chi2_contingency"]
 
 
 def grouped_corr(
@@ -198,3 +198,83 @@ def basket_pair_rules(
         "lift_fp": scale * n_baskets * sxy // (s1 * s2),
     })
     return (out.sort_values(["item1", "item2"]).reset_index(drop=True))
+
+
+def chi2_contingency(
+    ds: Dataset,
+    row_col: str,
+    col_col: str,
+    num_buckets: int = 8,
+) -> pa.Table:
+    """Pearson chi-squared independence grid over two categorical
+    columns — the feature-dependence screen (is event mix independent
+    of weekday / is label balanced across sources) run before feature
+    selection or stratified sampling. One output row per cell of the
+    FULL observed-label cross product: absent combinations carry
+    ``n_obs = 0`` but still contribute their expected count to the
+    statistic (dropping them understates χ² — the classic bug in
+    GROUP-BY-only implementations). Columns:
+    ``(row_col, col_col, n_obs, n_row, n_col, n_total, chi2_cell)``.
+
+    Exactness discipline (module header): counts are exact int64
+    through the bucketed two-phase aggregate; the cell deviation
+    ``d = n_obs·N − n_row·n_col`` is exact int64 (|d| ≤ N², guarded —
+    callers beyond ~3·10⁹ rows rescale first), and the one double
+    expression ``chi2_cell = (d·d) / ((N·r)·c)`` is evaluated in the
+    IDENTICAL operation order here and in the SQL oracle, so the
+    doubles match bit-for-bit. Emitting per-CELL contributions instead
+    of their sum keeps float summation order (which no SQL engine
+    guarantees) out of the contract; the total χ² is one
+    driver/consumer fold over the grid.
+
+    Scale shape: ONE distributed two-phase aggregate at cell grain
+    (shuffle = one partial row per (cell, block)); the grid build,
+    margins and χ² are a driver fold over the label-cardinality cell
+    frame — the ``grouping_sets_agg`` discipline (bounded by distinct
+    labels, never input size)."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    cells = grouped_agg(
+        ds, [row_col, col_col], {"n_obs": (row_col, "count")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+    if cells.empty:
+        # typed empty from the INPUT schema: grouped_agg's lazy
+        # zero-row fallback yields a column-less frame, so the label
+        # dtypes must come from ds itself
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+
+        def at(c):
+            ty = types.get(c)
+            return ty if isinstance(ty, pa.DataType) else pa.string()
+
+        return pa.schema(
+            [(row_col, at(row_col)), (col_col, at(col_col)),
+             ("n_obs", pa.int64()), ("n_row", pa.int64()),
+             ("n_col", pa.int64()), ("n_total", pa.int64()),
+             ("chi2_cell", pa.float64())]).empty_table()
+
+    grid = pd.MultiIndex.from_product(
+        [sorted(cells[row_col].unique()), sorted(cells[col_col].unique())],
+        names=[row_col, col_col]).to_frame(index=False)
+    g = grid.merge(cells, how="left", on=[row_col, col_col])
+    g["n_obs"] = g["n_obs"].fillna(0).astype("int64")
+    g["n_row"] = g.groupby(row_col)[["n_obs"]].transform("sum")["n_obs"]
+    g["n_col"] = g.groupby(col_col)[["n_obs"]].transform("sum")["n_obs"]
+    nt = int(g["n_obs"].sum())
+    if nt > 3_000_000_000:
+        raise ValueError(
+            "chi2_contingency: n_total > 3e9 would overflow the exact "
+            "int64 cell deviation (|d| <= N^2); pre-aggregate or "
+            "sample the input first")
+    g["n_total"] = np.int64(nt)
+    d = (g["n_obs"].to_numpy() * nt
+         - g["n_row"].to_numpy() * g["n_col"].to_numpy())
+    df64 = d.astype("float64")
+    g["chi2_cell"] = (df64 * df64) / (
+        (float(nt) * g["n_row"].to_numpy().astype("float64"))
+        * g["n_col"].to_numpy().astype("float64"))
+    return table_from_pandas(
+        g[[row_col, col_col, "n_obs", "n_row", "n_col", "n_total",
+           "chi2_cell"]], preserve_index=False)

@@ -5882,6 +5882,67 @@ FROM per_cust GROUP BY c_count
 """
 
 
+def events_chi2(sf_dir: str):
+    """Pearson chi-squared independence grid (functions/stats.py
+    ``chi2_contingency``) over event_type × weekday — the
+    feature-dependence screen run before feature selection or
+    stratified sampling, and the engine's contingency-table operator.
+    One row per cell of the FULL observed-label cross product (absent
+    cells carry n_obs = 0 but still contribute expected count — the
+    understated-χ² bug a GROUP-BY-only plan would have). Weekday is
+    ``(epoch_day + 4) % 7`` on both engines (the grouping-sets idiom);
+    counts flow exact int64 through the two-phase aggregate, the cell
+    deviation d = n_obs·N − n_row·n_col is exact int64, and the one
+    double expression (d·d)/((N·r)·c) is evaluated in the identical
+    operation order in both engines, so per-cell doubles are
+    bit-exact. Per-CELL output keeps float summation order out of the
+    contract; the total χ² is one fold over the 35-cell grid."""
+    from guac_ray.functions.stats import chi2_contingency
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "weekday": (day + 4) % 7})
+
+    return chi2_contingency(
+        ds.map_batches(keyed, batch_format="pandas"),
+        "event_type", "weekday", num_buckets=4)
+
+
+EVENTS_CHI2_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS weekday
+  FROM events
+), cells AS (
+  SELECT event_type, weekday, CAST(count(*) AS BIGINT) AS n_obs
+  FROM t GROUP BY event_type, weekday
+), grid AS (
+  SELECT r.event_type, c.weekday,
+         COALESCE(x.n_obs, 0) AS n_obs
+  FROM (SELECT DISTINCT event_type FROM cells) r
+  CROSS JOIN (SELECT DISTINCT weekday FROM cells) c
+  LEFT JOIN cells x USING (event_type, weekday)
+), tot AS (
+  SELECT event_type, weekday, CAST(n_obs AS BIGINT) AS n_obs,
+         CAST(sum(n_obs) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_row,
+         CAST(sum(n_obs) OVER (PARTITION BY weekday) AS BIGINT)
+           AS n_col,
+         CAST(sum(n_obs) OVER () AS BIGINT) AS n_total
+  FROM grid
+)
+SELECT event_type, weekday, n_obs, n_row, n_col, n_total,
+       (CAST(n_obs*n_total - n_row*n_col AS DOUBLE)
+        * CAST(n_obs*n_total - n_row*n_col AS DOUBLE))
+       / ((CAST(n_total AS DOUBLE) * CAST(n_row AS DOUBLE))
+          * CAST(n_col AS DOUBLE)) AS chi2_cell
+FROM tot
+"""
+
+
 def events_grouping_sets(sf_dir: str):
     """Arbitrary GROUPING SETS (functions/reshape.py
     ``grouping_sets_agg``) — the general lattice selection ROLLUP
@@ -7129,6 +7190,10 @@ SUITE: dict[str, tuple] = {
     # TPC-H Q13 LEFT-join double aggregation with the zero-order
     # class kept — composition of grouped_agg + left hash_join:
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # chi-squared contingency grid — exact int64 deviations, bit-exact
+    # per-cell doubles, full observed-label cross product:
+    "events_chi2": (events_chi2, EVENTS_CHI2_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

@@ -151,3 +151,56 @@ class TestBasketPairRules:
                                          "b": pd.Series(dtype="object")})),
             "o", "b")
         assert len(empty) == 0 and "lift_fp" in empty.columns
+
+
+class TestChi2Contingency:
+    """Chi-squared independence grid: full observed-label cross
+    product with absent cells at n_obs = 0, exact int64 margins, and
+    the fixed-order per-cell double."""
+
+    def test_hand_grid_with_zero_cell(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.stats import chi2_contingency
+
+        # labels (a, b) x (x, y) with (b, y) NEVER observed — the cell
+        # must still appear with its expected-count contribution.
+        df = pd.DataFrame({
+            "r": ["a"] * 5 + ["b"] * 3,
+            "c": ["x", "x", "y", "y", "y", "x", "x", "x"]})
+        got = (chi2_contingency(rd.from_pandas(df).repartition(3),
+                                "r", "c", num_buckets=2)
+               .to_pandas().sort_values(["r", "c"])
+               .reset_index(drop=True))
+        assert got[["r", "c", "n_obs"]].values.tolist() == [
+            ["a", "x", 2], ["a", "y", 3], ["b", "x", 3], ["b", "y", 0]]
+        assert got["n_row"].tolist() == [5, 5, 3, 3]
+        assert got["n_col"].tolist() == [5, 3, 5, 3]
+        assert got["n_total"].tolist() == [8] * 4
+        # reference: (O - E)^2 / E computed independently
+        for _, row in got.iterrows():
+            e = row.n_row * row.n_col / 8.0
+            want = (row.n_obs - e) ** 2 / e
+            assert np.isclose(row.chi2_cell, want, rtol=1e-12)
+        # total chi2 for a 2x2 grid equals the closed form
+        # N*(ad-bc)^2 / (r1*r2*c1*c2)
+        o = got.set_index(["r", "c"])["n_obs"]
+        num = 8 * (o["a", "x"] * o["b", "y"]
+                   - o["a", "y"] * o["b", "x"]) ** 2
+        assert np.isclose(got["chi2_cell"].sum(), num / (5 * 3 * 5 * 3),
+                          rtol=1e-12)
+
+    def test_typed_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.stats import chi2_contingency
+
+        empty = pd.DataFrame({"r": pd.Series([], dtype="object"),
+                              "c": pd.Series([], dtype="int64")})
+        out = chi2_contingency(rd.from_pandas(empty), "r", "c")
+        assert out.num_rows == 0
+        assert out.column_names == ["r", "c", "n_obs", "n_row", "n_col",
+                                    "n_total", "chi2_cell"]

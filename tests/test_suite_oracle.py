@@ -85,6 +85,7 @@ FAST = [
     # round 5, session 8: CDC merge + Q13 composite
     "events_cdc_merge",
     "q13_order_distribution",
+    "events_chi2",
 ]
 
 
