@@ -205,7 +205,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # robust modified-z-score outlier flags
             "events_scd2", "events_anomalies", "orders_profile",
             "events_expectations", "events_cdc_merge", "q13_order_distribution",
-            "events_chi2",
+            "events_chi2", "events_debounce", "events_user_mode",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

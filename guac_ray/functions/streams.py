@@ -28,7 +28,7 @@ from guac_ray.stages.assemble import stable_hash
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
            "cohort_retention", "rolling_active_users",
            "gap_quantiles", "time_weighted_mean", "running_distinct",
-           "scd2_intervals", "cdc_merge"]
+           "scd2_intervals", "cdc_merge", "debounce"]
 
 
 def sessionize(
@@ -885,6 +885,73 @@ def cdc_merge(
         [base.map_batches(tag_base, batch_format="pandas"),
          changelog.map_batches(tag_chg, batch_format="pandas")],
         exchange_base or default_exchange("cdcmerge"), reduce_fn)
+    if out is None:
+        return rd.from_arrow(_empty())
+    return out
+
+
+def debounce(
+    events: Dataset,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Burst filter (stream-hygiene dedup): keep an event only if it is
+    the user's first OR arrives more than ``gap_us`` µs after the
+    user's PREVIOUS event — the SQL lag-throttle idiom pipelines run to
+    strip double-fires, retry storms and duplicate webhooks before
+    sessionization. One row per KEPT event:
+    ``(user_col, order_col, ts_us, gap_us)`` with ``gap_us`` NULL on
+    each user's first event, all int64.
+
+    Semantics note: the predicate compares against the previous EVENT
+    (SQL ``lag`` — oracle-expressible and order-stable), not the
+    previous KEPT event; the sequential variant is a per-key recurrence
+    with no vectorized or SQL form and is deliberately not offered.
+    Ties on ts break by ``order_col`` (zero gap → dropped).
+
+    Same one-exchange per-user stream shell as ``gap_quantiles``: ships
+    3 int64 columns, per bucket one lexsort + one shifted diff."""
+    from guac_ray.functions.joins import default_exchange
+
+    import ray.data as rd
+
+    def _empty() -> pa.Table:
+        return pa.schema(
+            [(user_col, pa.int64()), (order_col, pa.int64()),
+             ("ts_us", pa.int64()), ("gap_us", pa.int64())]
+        ).empty_table()
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return _empty()
+        o = np.lexsort((od, ts, u))
+        u, ts, od = u[o], ts[o], od[o]
+        first = np.ones(n, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = first | (gap > gap_us)
+        return pa.table({
+            user_col: pa.array(u[keep]),
+            order_col: pa.array(od[keep]),
+            "ts_us": pa.array(ts[keep]),
+            "gap_us": pa.array(gap[keep], mask=first[keep]),
+        })
+
+    out = _per_user_stream(
+        events.select_columns([user_col, ts_col, order_col]),
+        user_col, ts_col, order_col, [],
+        exchange_base or default_exchange("debounce"), num_buckets,
+        reduce_fn)
     if out is None:
         return rd.from_arrow(_empty())
     return out

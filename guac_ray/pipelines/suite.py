@@ -5882,6 +5882,67 @@ FROM per_cust GROUP BY c_count
 """
 
 
+def events_user_mode(sf_dir: str):
+    """EXACT grouped mode (stages/groupagg.py ``grouped_mode``): each
+    user's most frequent event_type with the deterministic smallest-
+    value tie-break — the argmax-per-group aggregate (dominant
+    category per user / majority label per cluster) COUNT partials
+    distribute but sum/min/max partials cannot express. With ~5 types
+    per user at near-uniform rates this corpus carries real ties, so
+    the tie-break is exercised, not decorative. In-batch count
+    combiner → one key-hash exchange → per-bucket argmax."""
+    from guac_ray.stages.groupagg import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"], "event_type",
+        exchange_base=_exchange("user_mode"), num_buckets=8)
+
+
+EVENTS_USER_MODE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode, n AS n_mode
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+"""
+
+
+def events_debounce(sf_dir: str):
+    """Burst filter (functions/streams.py ``debounce``): keep an event
+    only if it is the user's first or arrives more than 1 hour after
+    the user's previous event — the lag-throttle stream-hygiene pass
+    that strips double-fires / retry storms / duplicate webhooks
+    before sessionization (drops ~9% of this corpus). One row per KEPT
+    event with its inter-arrival gap (NULL on each user's first).
+    Same one-exchange per-user stream shell as gap_quantiles; the
+    predicate compares against the previous EVENT (SQL lag semantics —
+    the sequential previous-KEPT variant is a per-key recurrence with
+    no vectorized or SQL form and is deliberately not offered)."""
+    from guac_ray.functions.streams import debounce
+
+    return debounce(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        gap_us=3_600_000_000,
+        exchange_base=_exchange("debounce"))
+
+
+EVENTS_DEBOUNCE_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS gap
+  FROM events
+)
+SELECT user_id, event_id, ts_us, CAST(gap AS BIGINT) AS gap_us
+FROM t WHERE gap IS NULL OR gap > 3600000000
+"""
+
+
 def events_chi2(sf_dir: str):
     """Pearson chi-squared independence grid (functions/stats.py
     ``chi2_contingency``) over event_type × weekday — the
@@ -7194,6 +7255,13 @@ SUITE: dict[str, tuple] = {
     # chi-squared contingency grid — exact int64 deviations, bit-exact
     # per-cell doubles, full observed-label cross product:
     "events_chi2": (events_chi2, EVENTS_CHI2_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # lag-throttle burst filter on the per-user stream shell:
+    "events_debounce": (events_debounce, EVENTS_DEBOUNCE_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # exact grouped mode — count-partial argmax with deterministic
+    # tie-break, real ties on this corpus:
+    "events_user_mode": (events_user_mode, EVENTS_USER_MODE_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

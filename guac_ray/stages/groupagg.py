@@ -29,7 +29,8 @@ from ray.data import Dataset
 
 from guac_ray.stages.assemble import stable_hash
 
-__all__ = ["grouped_agg", "grouped_first_last", "grouped_sorted_concat"]
+__all__ = ["grouped_agg", "grouped_first_last", "grouped_sorted_concat",
+           "grouped_mode"]
 
 _PARTIAL = {
     "sum": "sum",
@@ -326,4 +327,70 @@ def grouped_sorted_concat(
         return rd.from_arrow(pa.schema(
             fields + [("n_items", pa.int64()),
                       (out_col, pa.string())]).empty_table())
+    return out
+
+
+def grouped_mode(
+    ds: Dataset,
+    keys: list[str],
+    val_col: str,
+    num_buckets: int = 32,
+    exchange_base: str | None = None,
+) -> Dataset:
+    """EXACT grouped mode with a deterministic tie-break: the most
+    frequent ``val_col`` value per key group, ties going to the
+    SMALLEST value — the argmax-per-group aggregate (dominant category
+    per user, majority label per cluster) that sum/min/max partials
+    cannot express but COUNT partials can: a group's global value
+    counts are the sum of its per-block counts, so the exchange ships
+    one count partial per (key, value, block), never the fact table.
+    Output: one row per key group — ``keys…, mode, n_mode`` (mode in
+    ``val_col``'s dtype, n_mode int64), identical on any engine.
+
+    Shape: in-batch (keys, val) count combiner → ONE key-hash fs
+    exchange (a group's value counts land in one bucket, so in-bucket
+    argmax IS global argmax); per bucket one groupby-sum, one
+    mergesort by (keys ASC, n DESC, val ASC) and a drop_duplicates
+    head — all C-vectorized, no per-group Python."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    def add_bucket(df: pd.DataFrame) -> "pa.Table":
+        out = (df.groupby(keys + [val_col], sort=False).size()
+               .rename("_n").reset_index())
+        out["_n"] = out["_n"].astype("int64")
+        out["_bucket"] = (stable_hash(out, keys)
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def reduce_fn(t: "pa.Table") -> "pa.Table":
+        df = (t.to_pandas().groupby(keys + [val_col], sort=False)["_n"]
+              .sum().reset_index())
+        df = df.sort_values(
+            keys + ["_n", val_col],
+            ascending=[True] * len(keys) + [False, True],
+            kind="mergesort")
+        out = df.drop_duplicates(keys, keep="first").rename(
+            columns={val_col: "mode", "_n": "n_mode"})
+        out["n_mode"] = out["n_mode"].astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("gmode"), reduce_fn)
+    if out is None:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+
+        def at(c):
+            ty = types.get(c)
+            return ty if isinstance(ty, pa.DataType) else pa.string()
+
+        return rd.from_arrow(pa.schema(
+            [(c, at(c)) for c in keys]
+            + [("mode", at(val_col)), ("n_mode", pa.int64())]
+        ).empty_table())
     return out

@@ -86,6 +86,8 @@ FAST = [
     "events_cdc_merge",
     "q13_order_distribution",
     "events_chi2",
+    "events_debounce",
+    "events_user_mode",
 ]
 
 

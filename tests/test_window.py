@@ -1084,3 +1084,79 @@ class TestCdcMerge:
         assert out.count() == 0
         assert set(["user_id", "value_cents", "updated_us",
                     "n_changes"]) <= set(out.schema().names)
+
+
+class TestDebounce:
+    """Lag-throttle burst filter: keep first-per-user and gap >
+    threshold; NULL gap on firsts; ties dropped (zero gap)."""
+
+    def test_hand_case(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import debounce
+
+        base = pd.Timestamp("2024-06-01").value // 1000
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2, 3, 9],
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [base, base + 50, base + 200, base + 200, base + 7],
+                unit="us"),
+        })
+        got = debounce(rd.from_pandas(df).repartition(3), gap_us=100,
+                       exchange_base=str(tmp_path / "d"), num_buckets=2
+                       ).to_pandas().sort_values(
+                           ["user_id", "ts_us", "event_id"]
+                       ).reset_index(drop=True)
+        # u1: keep id0 (first, NULL gap); drop id1 (gap 50 <= 100);
+        # keep id2 (gap 150); drop id3 (tie, gap 0). u2: first only.
+        assert got["event_id"].tolist() == [0, 2, 9]
+        assert got["gap_us"].isna().tolist() == [True, False, True]
+        assert got["gap_us"].iloc[1] == 150
+
+    def test_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import debounce
+
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[ns]")})
+        out = debounce(rd.from_pandas(empty), gap_us=10,
+                       exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["user_id", "event_id", "ts_us", "gap_us"]) \
+            <= set(out.schema().names)
+
+
+class TestGroupedMode:
+    """Exact grouped mode: count-partial argmax with the smallest-value
+    tie-break, counts summed across partitions."""
+
+    def test_tie_break_and_cross_partition(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_mode
+
+        # u1: a=2, b=2 (tie -> 'a'); u2: z=3, a=1 -> 'z'. Rows are
+        # scattered across 4 blocks so counts must combine globally.
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 1, 2, 2, 2, 2],
+            "v": ["a", "b", "a", "b", "z", "z", "a", "z"],
+        }).sample(frac=1.0, random_state=5)
+        got = grouped_mode(rd.from_pandas(df).repartition(4), ["u"], "v",
+                           num_buckets=2,
+                           exchange_base=str(tmp_path / "m")
+                           ).to_pandas().sort_values("u").values.tolist()
+        assert got == [[1, "a", 2], [2, "z", 3]]
+
+        empty = pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                              "v": pd.Series([], dtype="object")})
+        out = grouped_mode(rd.from_pandas(empty), ["u"], "v",
+                           exchange_base=str(tmp_path / "e"))
+        assert out.count() == 0
+        assert set(["u", "mode", "n_mode"]) <= set(out.schema().names)
