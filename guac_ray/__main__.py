@@ -595,6 +595,74 @@ def cmd_expect(args) -> int:
     return 0 if all(r["passed"] for r in rows) else 1
 
 
+def cmd_merge(args) -> int:
+    """MERGE INTO / CDC upsert+delete over arbitrary parquet
+    (functions/streams.py cdc_merge): --base is the keyed snapshot
+    (key, value_cents, updated_us), --changelog the event stream with
+    an int op column (0 = upsert, 1 = delete); writes the merged
+    snapshot and prints row counts. usage:
+    merge --base snap.parquet --changelog chg.parquet --out DIR
+          [--key user_id --ts ts --order event_id --op op
+           --value value_cents]"""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.streams import cdc_merge
+
+    out = cdc_merge(
+        rd.read_parquet(args.base), rd.read_parquet(args.changelog),
+        key_col=args.key, ts_col=args.ts, order_col=args.order,
+        op_col=args.op, value_col=args.value)
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+            for f in os.listdir(args.out) if f.endswith(".parquet"))
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
+def cmd_debounce(args) -> int:
+    """Lag-throttle burst filter over an event table (functions/
+    streams.py debounce): keep first-per-key and gap > --gap-seconds;
+    writes the kept rows (key, order, ts_us, gap_us). usage:
+    debounce EVENTS --out DIR [--gap-seconds 3600 --key user_id
+             --ts ts --order event_id]"""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.functions.streams import debounce
+
+    out = debounce(rd.read_parquet(args.table),
+                   gap_us=int(args.gap_seconds * 1_000_000),
+                   user_col=args.key, ts_col=args.ts,
+                   order_col=args.order)
+    out.write_parquet(args.out)
+    import pyarrow.parquet as pq
+
+    n = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+            for f in os.listdir(args.out) if f.endswith(".parquet"))
+    print(json.dumps({"out": args.out, "rows": n}))
+    return 0
+
+
+def cmd_mode(args) -> int:
+    """Exact grouped mode over arbitrary parquet (stages/groupagg.py
+    grouped_mode): most frequent --val per --by group, smallest-value
+    tie-break; prints the rows (key-cardinality output). usage:
+    mode TABLE --by user_id --val event_type"""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.stages.groupagg import grouped_mode
+
+    by = args.by.split(",")
+    t = grouped_mode(rd.read_parquet(args.table, columns=by + [args.val]),
+                     by, args.val).to_pandas()
+    print(json.dumps({"rows": t.to_dict(orient="records")}, default=str))
+    return 0
+
+
 def cmd_funnel(args) -> int:
     """Anchored funnel over an event table: per-key furthest step and
     step timestamps; prints the per-level completion counts."""
@@ -987,6 +1055,39 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--checks", required=True,
                     help="JSON list of check dicts")
     ex.set_defaults(fn=cmd_expect)
+
+    mg = sub.add_parser("merge",
+                        help="CDC MERGE: upsert+delete changelog onto "
+                             "a keyed snapshot")
+    mg.add_argument("--base", required=True)
+    mg.add_argument("--changelog", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--key", default="user_id")
+    mg.add_argument("--ts", default="ts")
+    mg.add_argument("--order", default="event_id")
+    mg.add_argument("--op", default="op")
+    mg.add_argument("--value", default="value_cents")
+    mg.set_defaults(fn=cmd_merge)
+
+    db = sub.add_parser("debounce",
+                        help="burst filter: keep first-per-key and "
+                             "gap > threshold")
+    db.add_argument("table")
+    db.add_argument("--out", required=True)
+    db.add_argument("--gap-seconds", type=float, default=3600.0)
+    db.add_argument("--key", default="user_id")
+    db.add_argument("--ts", default="ts")
+    db.add_argument("--order", default="event_id")
+    db.set_defaults(fn=cmd_debounce)
+
+    mo = sub.add_parser("mode",
+                        help="exact grouped mode (argmax category per "
+                             "group, smallest-value tie-break)")
+    mo.add_argument("table")
+    mo.add_argument("--by", required=True,
+                    help="comma list of key columns")
+    mo.add_argument("--val", required=True)
+    mo.set_defaults(fn=cmd_mode)
 
     fu = sub.add_parser("funnel",
                         help="anchored step funnel over an event table")

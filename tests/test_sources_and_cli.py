@@ -887,3 +887,72 @@ class TestCliSession6Verbs:
             .sort_values("k")
         assert got[["k", "n_items", "concat"]].values.tolist() == [
             [1, 2, "a|b"], [2, 1, "c"]]
+
+
+class TestCliSession8Verbs:
+    """merge / debounce / mode verbs drive the session-8 operators
+    through the real argv surface."""
+
+    def test_merge_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_merge
+
+        pd.DataFrame({"user_id": [1, 2], "value_cents": [10, 20],
+                      "updated_us": [100, 100]}).to_parquet(
+            tmp_path / "base.parquet")
+        pd.DataFrame({
+            "user_id": [1, 2], "ts": pd.to_datetime([200, 200], unit="us"),
+            "event_id": [0, 1], "op": [0, 1], "value_cents": [15, 0],
+        }).to_parquet(tmp_path / "chg.parquet")
+
+        class A:
+            base = str(tmp_path / "base.parquet")
+            changelog = str(tmp_path / "chg.parquet")
+            out = str(tmp_path / "merged")
+            key, ts, order, op = "user_id", "ts", "event_id", "op"
+            value = "value_cents"
+            num_cpus = None
+        assert cmd_merge(A()) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 1  # u1 upserted, u2 deleted
+        got = pq.read_table(str(tmp_path / "merged")).to_pandas()
+        assert got.values.tolist() == [[1, 15, 200, 1]]
+
+    def test_debounce_and_mode_verbs(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_debounce, cmd_mode
+
+        p = tmp_path / "ev.parquet"
+        pd.DataFrame({
+            "event_id": [0, 1, 2],
+            "user_id": [7, 7, 7],
+            "event_type": ["a", "a", "b"],
+            "ts": pd.to_datetime([0, 500_000, 2_000_000], unit="us"),
+        }).to_parquet(p)
+
+        class D:
+            table, out = str(p), str(tmp_path / "kept")
+            gap_seconds = 1.0
+            key, ts, order = "user_id", "ts", "event_id"
+            num_cpus = None
+        assert cmd_debounce(D()) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == 2  # id1 is 0.5s after id0 -> dropped
+        got = pq.read_table(str(tmp_path / "kept")).to_pandas()
+        assert sorted(got["event_id"].tolist()) == [0, 2]
+
+        class M:
+            table = str(p)
+            by, val = "user_id", "event_type"
+            num_cpus = None
+        assert cmd_mode(M()) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["rows"] == [{"user_id": 7, "mode": "a", "n_mode": 2}]
