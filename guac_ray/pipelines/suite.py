@@ -5827,6 +5827,107 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
 """
 
 
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue per customer): the DEEP
+    join pipeline — returned lineitems (l_returnflag = 'R', ~33%) join
+    the 1996-H1 order window (~7% of orders) through the
+    co-partitioned fs-exchange hash join with the per-CUSTOMER revenue
+    partial fused into the join's reduce tasks (the payload never
+    re-enters the object store at lineitem grain); the custkey
+    aggregate finalizes two-phase; customer (name, acctbal,
+    nationkey) and nation (25 rows) are broadcast dimensions resolved
+    by one searchsorted pass; top-20 by (revenue DESC, custkey) is a
+    distributed sort+limit. Revenue is the house cents expression
+    ``floor(extprice·(1−disc)·100 + 0.5)`` — identical in both
+    engines (the q3 contract)."""
+    from guac_ray.functions.joins import hash_join
+
+    cut_lo = pd.Timestamp("1996-01-01")
+    cut_hi = pd.Timestamp("1996-07-01")
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        d = df[df.l_returnflag == "R"]
+        return table_from_pandas(pd.DataFrame({
+            "orderkey": d.l_orderkey,
+            "_rc": cents(d.l_extendedprice.to_numpy()
+                         * (1 - d.l_discount.to_numpy())),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_returnflag"]).map_batches(li_f, batch_format="pandas")
+
+    def ord_f(df: pd.DataFrame) -> pa.Table:
+        d = df[(df.o_orderdate >= cut_lo) & (df.o_orderdate < cut_hi)]
+        return table_from_pandas(pd.DataFrame({
+            "orderkey": d.o_orderkey, "custkey": d.o_custkey,
+        }), preserve_index=False)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]
+                   ).map_batches(ord_f, batch_format="pandas")
+
+    joined = hash_join(li, orders, on="orderkey",
+                       exchange_dir=_exchange("q10"), num_buckets=8,
+                       partial_fn=_rc_sum_partial("custkey"))
+    per_cust = grouped_agg(joined, ["custkey"],
+                           {"revenue_cents": ("_rc", "sum")},
+                           num_buckets=8)
+
+    cref = _bcast_df(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class Dims:
+        def __init__(self):
+            c = ray.get(cref).sort_values("c_custkey")
+            self.ck = c.c_custkey.to_numpy()
+            self.cn = c.c_name.to_numpy()
+            self.cb = c.c_acctbal.to_numpy()
+            n = ray.get(nref).sort_values("n_nationkey")
+            self.cnat = n.n_name.to_numpy()[
+                np.searchsorted(n.n_nationkey.to_numpy(),
+                                c.c_nationkey.to_numpy())]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.ck, df.custkey.to_numpy())
+            return pd.DataFrame({
+                "c_custkey": df.custkey.astype("int64"),
+                "c_name": self.cn[i],
+                "c_acctbal": self.cb[i],
+                "n_name": self.cnat[i],
+                "revenue_cents": df.revenue_cents.astype("int64"),
+            })
+
+    return (per_cust.map_batches(Dims, batch_format="pandas",
+                                 concurrency=(1, 4))
+            .sort(["revenue_cents", "c_custkey"],
+                  descending=[True, False]).limit(20))
+
+
+Q10_SQL = """
+WITH rl AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+              AS BIGINT) AS rc
+  FROM lineitem WHERE l_returnflag = 'R'
+), ro AS (
+  SELECT o_custkey, rc
+  FROM rl JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1996-07-01'
+), pc AS (
+  SELECT o_custkey AS c_custkey, CAST(sum(rc) AS BIGINT) AS revenue_cents
+  FROM ro GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name, p.revenue_cents
+FROM pc p
+JOIN customer c ON c.c_custkey = p.c_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY p.revenue_cents DESC, c.c_custkey LIMIT 20
+"""
+
+
 def q13_order_distribution(sf_dir: str):
     """TPC-H Q13 shape (customer order-count distribution): the
     LEFT-join double aggregation — count non-urgent orders per
@@ -7251,6 +7352,10 @@ SUITE: dict[str, tuple] = {
     # TPC-H Q13 LEFT-join double aggregation with the zero-order
     # class kept — composition of grouped_agg + left hash_join:
     "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # TPC-H Q10 deep join pipeline — fused per-customer revenue
+    # partial inside the join reduce, broadcast dims, top-20:
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
     # round-5 session-8 addition, past the cap (same rationale):
     # chi-squared contingency grid — exact int64 deviations, bit-exact
     # per-cell doubles, full observed-label cross product:

@@ -88,6 +88,7 @@ FAST = [
     "events_chi2",
     "events_debounce",
     "events_user_mode",
+    "q10_returned_revenue",
 ]
 
 

@@ -42,6 +42,11 @@ QUERIES = [
     "events_user_gaps", "events_twap", "doc_pii_inventory",
     "doc_bpe_merges", "events_running_distinct", "doc_bpe_tokens",
     "events_user_mad", "events_grouping_sets",
+    # round 5, sessions 7-8 (events-fed members; q13/orders_profile
+    # ride the orders corpus):
+    "events_scd2", "events_anomalies", "events_expectations",
+    "events_cdc_merge", "events_chi2", "events_debounce",
+    "events_user_mode",
 ]
 
 
@@ -75,6 +80,21 @@ def build_replica(sf_dir: str, out_dir: str, k: int) -> dict:
                    .replace_schema_metadata(None),
                    f"{out_dir}/documents.parquet")
     counts["documents"] = len(alldocs)
+
+    # customer replicates with the SAME user stride so
+    # events_expectations' fk check (user_id -> c_custkey) stays
+    # satisfied at k-times scale
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    parts = []
+    for i in range(k):
+        c = cust.copy()
+        c["c_custkey"] = c.c_custkey + i * n_users
+        parts.append(c)
+    allcust = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allcust, preserve_index=False)
+                   .replace_schema_metadata(None),
+                   f"{out_dir}/customer.parquet")
+    counts["customer"] = len(allcust)
     return counts
 
 
