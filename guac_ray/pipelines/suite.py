@@ -39,18 +39,24 @@ def cents(x) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 100 + 0.5).astype("int64")
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+def _read(sf_dir: str, table: str, columns: list[str] | None = None,
+          filter=None) -> Dataset:
     """Column-pruned read with the file's pandas footer metadata
     stripped: pa.Schema with that metadata is unhashable, so every
     worker-side block concat (actor-pool batching) would log a
-    "Failed to hash the schemas" warning per batch otherwise."""
+    "Failed to hash the schemas" warning per batch otherwise.
+    ``filter`` (a ``pyarrow.dataset`` expression) pushes a row
+    predicate into the SCAN — row groups whose statistics exclude the
+    predicate never leave storage, the prune-at-the-read rule for
+    selective fact-table filters."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/{table}.parquet"
     sch = pq.read_schema(path).remove_metadata()
     if columns:
         sch = pa.schema([sch.field(c) for c in columns])
-    return rd.read_parquet(path, schema=sch, columns=columns)
+    return rd.read_parquet(path, schema=sch, columns=columns,
+                           filter=filter)
 
 
 def _bcast_df(sf_dir: str, table: str, columns: list[str]):
@@ -5845,26 +5851,35 @@ def q10_returned_revenue(sf_dir: str):
     cut_lo = pd.Timestamp("1996-01-01")
     cut_hi = pd.Timestamp("1996-07-01")
 
+    import pyarrow.compute as pc
+
     def li_f(df: pd.DataFrame) -> pa.Table:
-        d = df[df.l_returnflag == "R"]
         return table_from_pandas(pd.DataFrame({
-            "orderkey": d.l_orderkey,
-            "_rc": cents(d.l_extendedprice.to_numpy()
-                         * (1 - d.l_discount.to_numpy())),
+            "orderkey": df.l_orderkey,
+            "_rc": cents(df.l_extendedprice.to_numpy()
+                         * (1 - df.l_discount.to_numpy())),
         }), preserve_index=False)
 
+    # both filters push into the SCAN (row-group pruning) — at 100 TB
+    # the 67% non-returned lineitems and 93% out-of-window orders
+    # never leave storage
+    # the filter column must stay in the scan schema (pyarrow binds
+    # the predicate against it); the map projects it away
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount",
-                "l_returnflag"]).map_batches(li_f, batch_format="pandas")
+                "l_returnflag"],
+               filter=(pc.field("l_returnflag") == "R")
+               ).map_batches(li_f, batch_format="pandas")
 
     def ord_f(df: pd.DataFrame) -> pa.Table:
-        d = df[(df.o_orderdate >= cut_lo) & (df.o_orderdate < cut_hi)]
         return table_from_pandas(pd.DataFrame({
-            "orderkey": d.o_orderkey, "custkey": d.o_custkey,
+            "orderkey": df.o_orderkey, "custkey": df.o_custkey,
         }), preserve_index=False)
 
     orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_custkey", "o_orderdate"]
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate") >= cut_lo)
+                           & (pc.field("o_orderdate") < cut_hi))
                    ).map_batches(ord_f, batch_format="pandas")
 
     joined = hash_join(li, orders, on="orderkey",
