@@ -37,7 +37,7 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["grouped_corr", "chi2_contingency"]
+__all__ = ["grouped_corr", "chi2_contingency", "grouped_linreg"]
 
 
 def grouped_corr(
@@ -278,3 +278,69 @@ def chi2_contingency(
     return table_from_pandas(
         g[[row_col, col_col, "n_obs", "n_row", "n_col", "n_total",
            "chi2_cell"]], preserve_index=False)
+
+
+def grouped_linreg(
+    ds: Dataset,
+    by: list[str] | str,
+    x: str,
+    y: str,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Per-group ordinary-least-squares line ``y = slope·x +
+    intercept`` over two INTEGER columns — the trend detector
+    (value drift per entity, rate-of-change per segment) completing
+    the ``grouped_corr`` family with the same exactness discipline
+    (module header): five exact int64 moment sums through the bucketed
+    two-phase aggregate, one double cast each, and the final
+    expressions in ONE fixed operation order —
+
+        num       = Σxy − (Σx·Σy)/n
+        slope     = num / (Σx² − (Σx·Σx)/n)
+        intercept = (Σy − slope·Σx) / n
+
+    — so the SQL oracle spelling the identical tree reproduces the
+    doubles bit-for-bit. Constant-x groups (min == max, the exact
+    integer test) pin slope to 0.0 and intercept to the group's mean
+    y in both engines instead of a 0/0 divergence. Output: by…, n,
+    slope, intercept. Same one-map + two-phase-aggregate shape and
+    per-row x·y int64 budget as ``grouped_corr``."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    by = [by] if isinstance(by, str) else list(by)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        vx = df[x].to_numpy()
+        vy = df[y].to_numpy()
+        if not (np.issubdtype(vx.dtype, np.integer)
+                and np.issubdtype(vy.dtype, np.integer)):
+            raise TypeError(
+                f"grouped_linreg: {x!r}/{y!r} must be integer (use the "
+                f"cents trick for floats), got {vx.dtype}/{vy.dtype}")
+        return df.assign(_xy=vx * vy, _xx=vx * vx)
+
+    agg = grouped_agg(
+        ds.map_batches(moments, batch_format="pandas"), by,
+        {"_n": (x, "count"), "_sx": (x, "sum"), "_sy": (y, "sum"),
+         "_sxy": ("_xy", "sum"), "_sxx": ("_xx", "sum"),
+         "_mnx": (x, "min"), "_mxx": (x, "max")},
+        num_buckets=num_buckets)
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        nf = df["_n"].to_numpy().astype("float64")
+        sx = df["_sx"].to_numpy().astype("float64")
+        sy = df["_sy"].to_numpy().astype("float64")
+        sxy = df["_sxy"].to_numpy().astype("float64")
+        sxx = df["_sxx"].to_numpy().astype("float64")
+        const = df["_mnx"].to_numpy() == df["_mxx"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            num = sxy - (sx * sy) / nf
+            slope = num / (sxx - (sx * sx) / nf)
+            intercept = (sy - slope * sx) / nf
+        out = df[by].copy()
+        out["n"] = df["_n"].to_numpy().astype("int64")
+        out["slope"] = np.where(const, 0.0, slope)
+        out["intercept"] = np.where(const, sy / nf, intercept)
+        return table_from_pandas(out, preserve_index=False)
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -5998,6 +5998,61 @@ FROM per_cust GROUP BY c_count
 """
 
 
+def events_trend(sf_dir: str):
+    """Per-type OLS trend line (functions/stats.py ``grouped_linreg``):
+    regress value cents on second-of-day per event_type — the drift
+    detector completing the grouped_corr family (same exact int64
+    moment sums through the two-phase aggregate, same fixed-order
+    double expressions, bit-exact vs the SQL oracle; constant-x groups
+    pin slope 0.0 / intercept mean-y in both engines). Slope is
+    cents-per-second of day time."""
+    from guac_ray.functions.stats import grouped_linreg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def xy(df: pd.DataFrame) -> pd.DataFrame:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "x": (tu // 1_000_000) % 86400,
+            "y": cents(df["value"]),
+        })
+
+    return grouped_linreg(
+        ds.map_batches(xy, batch_format="pandas"),
+        ["event_type"], "x", "y", num_buckets=8)
+
+
+EVENTS_TREND_SQL = """
+WITH t AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000) % 86400 AS x,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+         min(x) AS mnx, max(x) AS mxx
+  FROM t GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CASE WHEN mnx = mxx THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE)
+     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (CAST(sxx AS DOUBLE)
+       - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+  END AS slope,
+  CASE WHEN mnx = mxx THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) ELSE
+    (CAST(sy AS DOUBLE)
+     - ((CAST(sxy AS DOUBLE)
+         - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+        / (CAST(sxx AS DOUBLE)
+           - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))
+       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+  END AS intercept
+FROM m
+"""
+
+
 def events_user_mode(sf_dir: str):
     """EXACT grouped mode (stages/groupagg.py ``grouped_mode``): each
     user's most frequent event_type with the deterministic smallest-
@@ -7382,6 +7437,10 @@ SUITE: dict[str, tuple] = {
     # exact grouped mode — count-partial argmax with deterministic
     # tie-break, real ties on this corpus:
     "events_user_mode": (events_user_mode, EVENTS_USER_MODE_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # per-group OLS trend — exact moment sums, bit-exact fixed-order
+    # doubles, the grouped_corr family completed:
+    "events_trend": (events_trend, EVENTS_TREND_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

@@ -204,3 +204,50 @@ class TestChi2Contingency:
         assert out.num_rows == 0
         assert out.column_names == ["r", "c", "n_obs", "n_row", "n_col",
                                     "n_total", "chi2_cell"]
+
+
+class TestGroupedLinreg:
+    """OLS per group: exact-line recovery, constant-x pin, noise case
+    against the closed form."""
+
+    def test_perfect_line_and_const_pin(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.stats import grouped_linreg
+
+        xs = np.arange(10, dtype="int64")
+        rows = pd.DataFrame({
+            "g": ["line"] * 10 + ["constx"] * 4,
+            "x": np.concatenate([xs, np.full(4, 7, dtype="int64")]),
+            "y": np.concatenate([2 * xs + 3,
+                                 np.array([1, 5, 9, 13], dtype="int64")]),
+        })
+        got = (grouped_linreg(rd.from_pandas(rows).repartition(3),
+                              ["g"], "x", "y", num_buckets=2)
+               .to_pandas().set_index("g"))
+        assert got.loc["line", "n"] == 10
+        assert np.isclose(got.loc["line", "slope"], 2.0, rtol=1e-12)
+        assert np.isclose(got.loc["line", "intercept"], 3.0, rtol=1e-12)
+        # constant regressor: slope pinned 0, intercept = mean(y) = 7
+        assert got.loc["constx", "slope"] == 0.0
+        assert got.loc["constx", "intercept"] == 7.0
+
+    def test_matches_closed_form(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.stats import grouped_linreg
+
+        rng = np.random.RandomState(11)
+        x = rng.randint(0, 1000, size=200).astype("int64")
+        y = (3 * x + rng.randint(-50, 50, size=200)).astype("int64")
+        got = (grouped_linreg(
+            rd.from_pandas(pd.DataFrame({"g": 1, "x": x, "y": y}))
+            .repartition(5), ["g"], "x", "y").to_pandas())
+        want_slope, want_icept = np.polyfit(x.astype(float),
+                                            y.astype(float), 1)
+        assert np.isclose(got["slope"].iloc[0], want_slope, rtol=1e-9)
+        assert np.isclose(got["intercept"].iloc[0], want_icept, rtol=1e-9)

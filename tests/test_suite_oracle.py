@@ -89,6 +89,7 @@ FAST = [
     "events_debounce",
     "events_user_mode",
     "q10_returned_revenue",
+    "events_trend",
 ]
 
 
