@@ -5998,6 +5998,84 @@ FROM per_cust GROUP BY c_count
 """
 
 
+def orders_reconcile(sf_dir: str):
+    """Keyed table reconciliation (functions/setops.py ``reconcile``):
+    the migration-validation diff — orders vs a deterministically
+    "restated" copy where md5(o_orderkey)'s first byte drops ~1.2% of
+    rows (→ only_left), bumps ~1.2% of totals by one dollar
+    (→ differs) and appends ~0.8% synthetic keys (→ only_right);
+    everything else must come back ``equal``. All four statuses carry
+    real counts at every SF, and the md5 rules are the engine-portable
+    split discipline (doc_train_test_split), so the oracle restates
+    the right side with identical arithmetic. Both sides ride ONE
+    shared key-hash exchange (the CDC-merge multi-input shape);
+    uniqueness-per-side is validated in-bucket."""
+    from guac_ray.functions.setops import reconcile
+    from guac_ray.pipelines.curation import md5_first_byte
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "tp_cents": cents(df["o_totalprice"]),
+            "o_orderstatus": df["o_orderstatus"],
+        })
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    left = _read(sf_dir, "orders", cols).map_batches(
+        base, batch_format="pandas")
+
+    def restate(df: pd.DataFrame) -> pd.DataFrame:
+        out = base(df)
+        b = md5_first_byte(out["o_orderkey"].to_numpy())
+        out = out[b >= 0x03].copy()
+        bk = b[b >= 0x03]
+        out["tp_cents"] = (out["tp_cents"].to_numpy()
+                           + np.where(bk < 0x06, 100, 0))
+        extra = out[(bk >= 0x06) & (bk < 0x08)].copy()
+        extra["o_orderkey"] = extra["o_orderkey"] + 100_000_000
+        return pd.concat([out, extra], ignore_index=True)
+
+    right = _read(sf_dir, "orders", cols).map_batches(
+        restate, batch_format="pandas")
+    t = reconcile(left, right, "o_orderkey",
+                  ["tp_cents", "o_orderstatus"],
+                  exchange_base=_exchange("reconcile"), num_buckets=8)
+    return rd.from_arrow(t)
+
+
+ORDERS_RECONCILE_SQL = """
+WITH l AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS tp_cents,
+         o_orderstatus
+  FROM orders
+), hb AS (
+  SELECT l.*, substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS h
+  FROM l
+), kept AS (
+  SELECT o_orderkey,
+         tp_cents + CASE WHEN h < '06' THEN 100 ELSE 0 END AS tp_cents,
+         o_orderstatus, h
+  FROM hb WHERE h >= '03'
+), r AS (
+  SELECT o_orderkey, tp_cents, o_orderstatus FROM kept
+  UNION ALL
+  SELECT o_orderkey + 100000000, tp_cents, o_orderstatus
+  FROM kept WHERE h >= '06' AND h < '08'
+), j AS (
+  SELECT CASE
+           WHEN r.o_orderkey IS NULL THEN 'only_left'
+           WHEN l.o_orderkey IS NULL THEN 'only_right'
+           WHEN l.tp_cents = r.tp_cents
+                AND l.o_orderstatus = r.o_orderstatus THEN 'equal'
+           ELSE 'differs' END AS status
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys
+FROM j GROUP BY status
+"""
+
+
 def events_trend(sf_dir: str):
     """Per-type OLS trend line (functions/stats.py ``grouped_linreg``):
     regress value cents on second-of-day per event_type — the drift
@@ -7441,6 +7519,10 @@ SUITE: dict[str, tuple] = {
     # per-group OLS trend — exact moment sums, bit-exact fixed-order
     # doubles, the grouped_corr family completed:
     "events_trend": (events_trend, EVENTS_TREND_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # keyed table reconciliation — the migration-validation diff on
+    # the multi-input exchange, all four statuses real:
+    "orders_reconcile": (orders_reconcile, ORDERS_RECONCILE_SQL),
     "events_intervals": (events_intervals, EVENTS_INTERVALS_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_certify_vuln": (kg_certify_vuln, KG_CERTIFY_SQL),

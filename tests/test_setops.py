@@ -51,3 +51,52 @@ class TestSetOps:
         b = pd.DataFrame({"k": [3]})
         i, e = _ops(a, b, ["k"])
         assert len(i) == 0 and e.k.tolist() == [1, 2]
+
+
+class TestReconcile:
+    """Keyed reconciliation: four statuses, NULL==NULL compare, detail
+    mode, and the unique-key contract."""
+
+    def test_hand_case_and_detail(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.setops import reconcile
+
+        left = pd.DataFrame({
+            "k": [1, 2, 3, 4],
+            "v": [10.0, 20.0, None, 40.0],
+            "s": ["a", "b", "c", "d"]})
+        right = pd.DataFrame({
+            "k": [1, 3, 4, 5],
+            "v": [10.0, None, 41.0, 50.0],
+            "s": ["a", "c", "d", "e"]})
+        # k1 equal; k2 only_left; k3 equal (NULL == NULL); k4 differs
+        # (v 40 vs 41); k5 only_right.
+        t = reconcile(rd.from_pandas(left).repartition(2),
+                      rd.from_pandas(right).repartition(2),
+                      "k", ["v", "s"],
+                      exchange_base=str(tmp_path / "r"), num_buckets=2)
+        got = dict(zip(t["status"].to_pylist(), t["n_keys"].to_pylist()))
+        assert got == {"equal": 2, "only_left": 1, "only_right": 1,
+                       "differs": 1}
+
+        d = reconcile(rd.from_pandas(left), rd.from_pandas(right),
+                      "k", ["v", "s"], detail=True,
+                      exchange_base=str(tmp_path / "d"),
+                      num_buckets=2).to_pandas().set_index("k")["status"]
+        assert d.to_dict() == {1: "equal", 2: "only_left", 3: "equal",
+                               4: "differs", 5: "only_right"}
+
+    def test_duplicate_key_contract(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.setops import reconcile
+
+        dup = pd.DataFrame({"k": [1, 1], "v": [1.0, 2.0]})
+        ok = pd.DataFrame({"k": [1], "v": [1.0]})
+        with pytest.raises(Exception, match="unique per side"):
+            reconcile(rd.from_pandas(dup), rd.from_pandas(ok), "k",
+                      ["v"], exchange_base=str(tmp_path / "x"))

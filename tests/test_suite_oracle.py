@@ -90,6 +90,7 @@ FAST = [
     "events_user_mode",
     "q10_returned_revenue",
     "events_trend",
+    "orders_reconcile",
 ]
 
 
