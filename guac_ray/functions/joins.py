@@ -44,7 +44,7 @@ from guac_ray.exfs import (  # noqa: F401  (re-exports)
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["broadcast_join", "semi_join", "anti_join", "hash_join", "asof_join",
-           "range_join", "interval_join"]
+           "range_join", "interval_join", "skew_join"]
 
 
 def broadcast_join(
@@ -728,3 +728,90 @@ def asof_join(
 
     buckets = rd.from_items([{"k": k} for k in present])
     return buckets.map_batches(join_bucket, batch_format="pandas", batch_size=1)
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: list[str] | str,
+    hot_keys: list,
+    exchange_dir: str,
+    salt: int = 8,
+    num_buckets: int | None = None,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+    partial_fn=None,
+    probe_rows_per_task: int = 2_000_000,
+) -> Dataset:
+    """Skew-replicated INNER hash join — the hot-key treatment
+    ``hash_join``'s docstring prescribes ("pre-split the hot key
+    upstream (salt column) — buckets only balance across DISTINCT
+    keys"), implemented: when a handful of keys dominate the BUILD
+    (right) side, their bucket's build table outgrows one worker no
+    matter how many buckets exist. Here each hot right row scatters
+    across ``salt`` sub-partitions and each hot LEFT row replicates
+    once per sub-partition, then the ordinary partitioned hash join
+    runs on the composite key ``(on…, _salt)`` — a hot left row meets
+    exactly one salt's share of the hot build rows per bucket, so the
+    union over salts IS the join, with the hot build side spread over
+    up to ``salt`` distinct buckets (full salt× task-memory relief
+    needs ``num_buckets`` comfortably above ``salt``, the usual
+    hash-partition caveat). Non-hot keys ride salt 0 untouched.
+
+    ``hot_keys`` is the driver-known hot list — at scale produced by
+    the EXACT heavy-hitter sketch (functions/sketch.py, the
+    kg_heavy_tools machinery), which is ≤k-per-batch bounded; it must
+    be SMALL (it ships in every task closure). Single-key tuples pass
+    as scalars when ``on`` is a single column.
+
+    INNER only by construction: left replication would multiply
+    unmatched rows under left/outer semantics and double-count under
+    semi/anti — those modes keep hash_join's probe-splitting as their
+    skew relief. Right-side salt assignment is per-batch cycling
+    (balanced by construction); ANY assignment is correct for an
+    inner join — the salt is pure routing, never semantics — so the
+    output is identical to the unsalted join (pinned by tests).
+    Extra cost vs hash_join: hot LEFT rows ship ``salt``× (they are
+    the small side of the skew by hypothesis)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt < 2:
+        raise ValueError("skew_join: salt must be >= 2 — salt=1 is "
+                         "hash_join")
+    hot = (set(hot_keys) if len(keys) == 1
+           else {tuple(k) for k in hot_keys})
+
+    def _hot_mask(df: pd.DataFrame) -> np.ndarray:
+        if len(keys) == 1:
+            return df[keys[0]].isin(hot).to_numpy()
+        return pd.MultiIndex.from_frame(df[keys]).isin(hot)
+
+    def tag_right(df: pd.DataFrame) -> pa.Table:
+        m = _hot_mask(df)
+        s = np.zeros(len(df), dtype="int64")
+        s[m] = np.arange(int(m.sum()), dtype="int64") % salt
+        out = df.copy()
+        out["_salt"] = s
+        return table_from_pandas(out, preserve_index=False)
+
+    def tag_left(df: pd.DataFrame) -> pa.Table:
+        m = _hot_mask(df)
+        cold = df[~m].copy()
+        cold["_salt"] = np.int64(0)
+        h = df[m]
+        if len(h):
+            rep = h.loc[h.index.repeat(salt)].copy()
+            rep["_salt"] = np.tile(np.arange(salt, dtype="int64"),
+                                   len(h))
+            cold = pd.concat([cold, rep], ignore_index=True)
+        return table_from_pandas(cold, preserve_index=False)
+
+    out = hash_join(
+        left.map_batches(tag_left, batch_format="pandas"),
+        right.map_batches(tag_right, batch_format="pandas"),
+        on=keys + ["_salt"], exchange_dir=exchange_dir, how="inner",
+        num_buckets=num_buckets, suffixes=suffixes,
+        partial_fn=partial_fn,
+        probe_rows_per_task=probe_rows_per_task)
+    if partial_fn is not None:
+        return out  # caller's partial owns the schema
+    return out.map_batches(lambda t: t.drop_columns(["_salt"]),
+                           batch_format="pyarrow")

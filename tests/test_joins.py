@@ -598,3 +598,60 @@ class TestAsofLeftJoin:
                         exchange_dir=str(tmp_path / "ae2"),
                         num_buckets=4, how="left").to_pandas()
         assert len(got) == len(lt)  # every left row survives unmatched
+
+
+class TestSkewJoin:
+    """Salted inner join: output identical to the unsalted join on a
+    planted-whale key; hot build rows actually scatter across salts."""
+
+    def test_matches_plain_join_on_planted_skew(self, ray_session,
+                                                tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join, skew_join
+
+        rng = np.random.RandomState(7)
+        # right: whale key 0 owns 5000 rows; 50 cold keys own ~20 each
+        rk = np.concatenate([np.zeros(5000, dtype="int64"),
+                             rng.randint(1, 51, 1000).astype("int64")])
+        right = pd.DataFrame({"k": rk, "rv": np.arange(len(rk),
+                                                       dtype="int64")})
+        # left: 40 whale rows + cold rows (some matching, some not)
+        lk = np.concatenate([np.zeros(40, dtype="int64"),
+                             rng.randint(1, 80, 200).astype("int64")])
+        left = pd.DataFrame({"k": lk, "lv": np.arange(len(lk),
+                                                      dtype="int64")})
+
+        def norm(ds):
+            df = ds.to_pandas()
+            return (df[sorted(df.columns)]
+                    .sort_values(sorted(df.columns))
+                    .reset_index(drop=True))
+
+        want = norm(hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(4), on="k",
+            exchange_dir=str(tmp_path / "plain"), num_buckets=4))
+        got = norm(skew_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(4), on="k",
+            hot_keys=[0], salt=4,
+            exchange_dir=str(tmp_path / "salted"), num_buckets=4))
+        # whale contributes 5000 x 40 = 200k of the rows
+        assert len(want) > 200_000
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_salt_guard(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.joins import skew_join
+
+        df = pd.DataFrame({"k": [1], "v": [1]})
+        with pytest.raises(ValueError, match="salt must be >= 2"):
+            skew_join(rd.from_pandas(df), rd.from_pandas(df), "k",
+                      hot_keys=[1], salt=1,
+                      exchange_dir=str(tmp_path / "x"))
