@@ -663,6 +663,38 @@ def cmd_mode(args) -> int:
     return 0
 
 
+def cmd_reconcile(args) -> int:
+    """Keyed reconciliation of two parquet tables (functions/setops.py
+    reconcile): prints the only_left/only_right/equal/differs summary;
+    --detail DIR also writes the per-key status table. Exit 1 unless
+    everything reconciled equal — the migration-gate contract. usage:
+    reconcile LEFT RIGHT --key k [--compare a,b] [--detail DIR]"""
+    _ray_up(args.num_cpus)
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from guac_ray.functions.setops import reconcile
+
+    key = args.key.split(",")
+    if args.compare:
+        cmp_cols = args.compare.split(",")
+    else:
+        cmp_cols = [f.name for f in pq.read_schema(args.left)
+                    if f.name not in key]
+    l = rd.read_parquet(args.left, columns=key + cmp_cols)
+    r = rd.read_parquet(args.right, columns=key + cmp_cols)
+    if args.detail:
+        reconcile(l, r, key, cmp_cols, detail=True).write_parquet(
+            args.detail)
+        l = rd.read_parquet(args.left, columns=key + cmp_cols)
+        r = rd.read_parquet(args.right, columns=key + cmp_cols)
+    t = reconcile(l, r, key, cmp_cols)
+    rows = t.to_pylist()
+    print(json.dumps({"summary": rows}))
+    bad = sum(r_["n_keys"] for r_ in rows if r_["status"] != "equal")
+    return 0 if bad == 0 else 1
+
+
 def cmd_funnel(args) -> int:
     """Anchored funnel over an event table: per-key furthest step and
     step timestamps; prints the per-level completion counts."""
@@ -1088,6 +1120,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list of key columns")
     mo.add_argument("--val", required=True)
     mo.set_defaults(fn=cmd_mode)
+
+    rc = sub.add_parser("reconcile",
+                        help="keyed diff of two tables (only_left/"
+                             "only_right/equal/differs); exit 1 unless "
+                             "all equal")
+    rc.add_argument("left")
+    rc.add_argument("right")
+    rc.add_argument("--key", required=True,
+                    help="comma list of key columns")
+    rc.add_argument("--compare", default=None,
+                    help="comma list of value columns (default: every "
+                         "non-key column of LEFT)")
+    rc.add_argument("--detail", default=None,
+                    help="also write the per-key status parquet here")
+    rc.set_defaults(fn=cmd_reconcile)
 
     fu = sub.add_parser("funnel",
                         help="anchored step funnel over an event table")

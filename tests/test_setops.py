@@ -100,3 +100,29 @@ class TestReconcile:
         with pytest.raises(Exception, match="unique per side"):
             reconcile(rd.from_pandas(dup), rd.from_pandas(ok), "k",
                       ["v"], exchange_base=str(tmp_path / "x"))
+
+
+def test_reconcile_cli_verb(ray_session, tmp_path, capsys):
+    import json
+
+    import pandas as pd
+
+    from guac_ray.__main__ import cmd_reconcile
+
+    pd.DataFrame({"k": [1, 2], "v": [10, 20]}).to_parquet(
+        tmp_path / "l.parquet")
+    pd.DataFrame({"k": [1, 2], "v": [10, 21]}).to_parquet(
+        tmp_path / "r.parquet")
+
+    class A:
+        left = str(tmp_path / "l.parquet")
+        right = str(tmp_path / "r.parquet")
+        key, compare, detail = "k", None, str(tmp_path / "d")
+        num_cpus = None
+    assert cmd_reconcile(A()) == 1  # k2 differs -> migration gate fails
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {r["status"]: r["n_keys"] for r in rep["summary"]}
+    assert got == {"equal": 1, "differs": 1}
+    import pyarrow.parquet as pq
+    d = pq.read_table(str(tmp_path / "d")).to_pandas().set_index("k")
+    assert d.loc[2, "status"] == "differs"
