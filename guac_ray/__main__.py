@@ -663,6 +663,31 @@ def cmd_mode(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Range-cluster a parquet table on an int64 column and write the
+    zone-map layout (sources/layout.py); --probe LO:HI prints the
+    pruning plan for a range query over the fresh layout. usage:
+    cluster TABLE OUT --by col [--ranges 32] [--probe 4000:4500]"""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.sources.layout import prune_plan, write_clustered
+
+    m = write_clustered(rd.read_parquet(args.table), args.out, args.by,
+                        num_ranges=args.ranges)
+    rep = {"out": args.out, "ranges": len(m["ranges"]),
+           "rows": sum(r["rows"] for r in m["ranges"])}
+    if args.probe:
+        lo, hi = (int(x) for x in args.probe.split(":", 1))
+        p = prune_plan(args.out, lo, hi)
+        rep["probe"] = {"lo": lo, "hi": hi,
+                        "ranges_read": len(p["read"]),
+                        "ranges_skipped": p["skipped"],
+                        "rows_read_bound": p["rows_read_bound"]}
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_reconcile(args) -> int:
     """Keyed reconciliation of two parquet tables (functions/setops.py
     reconcile): prints the only_left/only_right/equal/differs summary;
@@ -1120,6 +1145,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list of key columns")
     mo.add_argument("--val", required=True)
     mo.set_defaults(fn=cmd_mode)
+
+    cl = sub.add_parser("cluster",
+                        help="range-cluster a table + zone-map "
+                             "manifest (data-skipping layout)")
+    cl.add_argument("table")
+    cl.add_argument("out")
+    cl.add_argument("--by", required=True)
+    cl.add_argument("--ranges", type=int, default=32)
+    cl.add_argument("--probe", default=None,
+                    help="LO:HI — print the pruning plan for this "
+                         "range query")
+    cl.set_defaults(fn=cmd_cluster)
 
     rc = sub.add_parser("reconcile",
                         help="keyed diff of two tables (only_left/"

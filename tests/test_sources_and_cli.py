@@ -956,3 +956,60 @@ class TestCliSession8Verbs:
         assert cmd_mode(M()) == 0
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rep["rows"] == [{"user_id": 7, "mode": "a", "n_mode": 2}]
+
+
+class TestClusteredLayout:
+    """Zone-map clustered write + pruned read: pruning really skips
+    ranges, and the pruned result equals the full-scan filter."""
+
+    def test_cluster_prune_roundtrip(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.sources.layout import (prune_plan, read_pruned,
+                                             write_clustered)
+
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 10_000, 20_000).astype("int64")
+        df = pd.DataFrame({"id": np.arange(20_000, dtype="int64"),
+                           "v": vals})
+        out = str(tmp_path / "clustered")
+        m = write_clustered(rd.from_pandas(df).repartition(6), out,
+                            "v", num_ranges=16)
+        assert len(m["ranges"]) == 16
+        assert sum(r["rows"] for r in m["ranges"]) == 20_000
+        # ranges tile the value space in order
+        mins = [r["min"] for r in m["ranges"]]
+        assert mins == sorted(mins)
+
+        lo, hi = 4_000, 4_500  # ~5% of the value space
+        plan = prune_plan(out, lo, hi)
+        assert plan["skipped"] > 0  # the zone map actually pruned
+        assert plan["rows_read_bound"] < 20_000
+
+        got = read_pruned(out, lo, hi).to_pandas().sort_values(
+            "id").reset_index(drop=True)
+        want = df[(df.v >= lo) & (df.v <= hi)].sort_values(
+            "id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["id", "v"]], want[["id", "v"]])
+
+        # empty intersection: typed empty, zero ranges read
+        plan0 = prune_plan(out, 100_000, 200_000)
+        assert plan0["read"] == []
+        empty = read_pruned(out, 100_000, 200_000)
+        assert empty.count() == 0
+        assert "v" in (empty.schema().names or [])
+
+    def test_float_col_rejected(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.sources.layout import write_clustered
+
+        df = pd.DataFrame({"v": [1.5, 2.5]})
+        with pytest.raises(Exception, match="must be int64"):
+            write_clustered(rd.from_pandas(df),
+                            str(tmp_path / "x"), "v", num_ranges=2)
