@@ -5943,6 +5943,121 @@ ORDER BY p.revenue_cents DESC, c.c_custkey LIMIT 20
 """
 
 
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (forecast-revenue scan): the pure
+    predicate-pushdown aggregate — shipdate year window AND discount
+    band AND quantity cap all push into the parquet SCAN
+    (``_read(filter=…)``: row groups whose statistics exclude any
+    predicate never leave storage — at 100 TB this is the query zone
+    maps and row-group stats exist for), then one cents partial per
+    batch and a block-count-sized driver fold. Revenue here is
+    ``extprice·discount`` (the discount give-back Q6 measures), cents
+    via the house expression; output one row
+    ``(revenue_cents, n_rows)``."""
+    import pyarrow.compute as pc
+
+    cut_lo = pd.Timestamp("1996-01-01")
+    cut_hi = pd.Timestamp("1997-01-01")
+    flt = ((pc.field("l_shipdate") >= cut_lo)
+           & (pc.field("l_shipdate") < cut_hi)
+           & (pc.field("l_discount") >= 0.05)
+           & (pc.field("l_discount") <= 0.07)
+           & (pc.field("l_quantity") < 24.0))
+
+    def part(t: pa.Table) -> pa.Table:
+        rc = cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                   * t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({"rc": pa.array([int(rc.sum())], pa.int64()),
+                         "n": pa.array([len(rc)], pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_extendedprice", "l_discount", "l_shipdate",
+                    "l_quantity"], filter=flt)
+             .map_batches(part, batch_format="pyarrow").to_pandas())
+    return pa.table({
+        "revenue_cents": pa.array([int(parts["rc"].sum())], pa.int64()),
+        "n_rows": pa.array([int(parts["n"].sum())], pa.int64())})
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0
+"""
+
+
+def q14_promo_share(sf_dir: str):
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate
+    over a fact ⋈ dimension join — one shipdate-month window pushes
+    into the lineitem SCAN, part's p_type broadcasts once
+    (searchsorted lookup, the q18 dimension discipline), and the two
+    conditional revenue sums flow as exact int64 cents partials
+    (2 ints per batch) to a driver fold. The share is ONE fixed-order
+    double — (100·promo as double) / (total as double) — identical in
+    both engines. Output one row
+    ``(promo_cents, total_cents, promo_pct)``."""
+    import pyarrow.compute as pc
+
+    cut_lo = pd.Timestamp("1996-01-01")
+    cut_hi = pd.Timestamp("1996-02-01")
+    flt = ((pc.field("l_shipdate") >= cut_lo)
+           & (pc.field("l_shipdate") < cut_hi))
+
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_type"])
+
+    class Promo:
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.keys = p.p_partkey.to_numpy()
+            self.is_promo = (p.p_type.to_numpy() == "PROMO")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rc = cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                       * (1 - t["l_discount"]
+                          .to_numpy(zero_copy_only=False)))
+            i = np.searchsorted(
+                self.keys, t["l_partkey"].to_numpy(zero_copy_only=False))
+            promo = self.is_promo[i]
+            return pa.table({
+                "pc": pa.array([int(rc[promo].sum())], pa.int64()),
+                "tc": pa.array([int(rc.sum())], pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"], filter=flt)
+             .map_batches(Promo, batch_format="pyarrow",
+                          concurrency=(1, 4))
+             .to_pandas())
+    promo_c, total_c = int(parts["pc"].sum()), int(parts["tc"].sum())
+    pct = float(np.float64(100 * promo_c) / np.float64(total_c)) \
+        if total_c else 0.0
+    return pa.table({
+        "promo_cents": pa.array([promo_c], pa.int64()),
+        "total_cents": pa.array([total_c], pa.int64()),
+        "promo_pct": pa.array([pct], pa.float64())})
+
+
+Q14_SQL = """
+WITH t AS (
+  SELECT CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+              AS BIGINT) AS rc,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-02-01'
+)
+SELECT CAST(coalesce(sum(rc) FILTER (is_promo), 0) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(rc) AS BIGINT) AS total_cents,
+       CAST(100 * coalesce(sum(rc) FILTER (is_promo), 0) AS DOUBLE)
+         / CAST(sum(rc) AS DOUBLE) AS promo_pct
+FROM t
+"""
+
+
 def q13_order_distribution(sf_dir: str):
     """TPC-H Q13 shape (customer order-count distribution): the
     LEFT-join double aggregation — count non-urgent orders per
@@ -7504,6 +7619,11 @@ SUITE: dict[str, tuple] = {
     # TPC-H Q10 deep join pipeline — fused per-customer revenue
     # partial inside the join reduce, broadcast dims, top-20:
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL),
+    # round-5 session-8 additions, past the cap (same rationale):
+    # Q6 — the pure predicate-pushdown scan aggregate; Q14 — the
+    # conditional fact⋈dim aggregate with a fixed-order double share:
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
     # round-5 session-8 addition, past the cap (same rationale):
     # chi-squared contingency grid — exact int64 deviations, bit-exact
     # per-cell doubles, full observed-label cross product:

@@ -91,6 +91,8 @@ FAST = [
     "q10_returned_revenue",
     "events_trend",
     "orders_reconcile",
+    "q6_forecast_revenue",
+    "q14_promo_share",
 ]
 
 
