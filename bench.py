@@ -207,7 +207,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "events_expectations", "events_cdc_merge", "q13_order_distribution",
             "events_chi2", "events_debounce", "events_user_mode",
             "q10_returned_revenue", "events_trend", "orders_reconcile",
-            "q6_forecast_revenue", "q14_promo_share",
+            "q6_forecast_revenue", "q14_promo_share", "events_hourly_spine",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

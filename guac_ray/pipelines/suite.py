@@ -6191,6 +6191,114 @@ FROM j GROUP BY status
 """
 
 
+def events_hourly_spine(sf_dir: str):
+    """Gap-filled hourly time series (the date-spine idiom): one row
+    per (event_type, hour) over the table's FULL [min, max] hour
+    range, zeros where no event landed — what every dashboard and
+    forecasting pipeline needs before windows or trend fits (a series
+    with silent holes lies about rates; 215 zero cells at sf0.01,
+    2732 at sf0.001). Shape: hourly counts via the two-phase
+    aggregate; hour bounds via per-batch min/max partials (two
+    scalars); the spine GENERATES distributed (``rd.range`` over the
+    hour span × the label-cardinality type list — never a driver
+    loop) and LEFT-joins the counts through the co-partitioned hash
+    join (counts and spine both scale with span × types, not with
+    data, but neither is assumed broadcast-small); nulls fill to 0.
+    ``hour`` is epoch-hours (µs // 3.6e9) on both engines."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    HOUR_US = 3_600_000_000
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hour": tu // HOUR_US,
+                             "vc": cents(df["value"])})
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    counts = grouped_agg(
+        ev.map_batches(keyed, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"n": ("hour", "count"), "value_cents": ("vc", "sum")},
+        num_buckets=8)
+
+    def hpart(t: pa.Table) -> pa.Table:
+        arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"mn": pa.array([pc.min(arr).as_py()], pa.int64()),
+                         "mx": pa.array([pc.max(arr).as_py()], pa.int64())})
+
+    bounds = (_read(sf_dir, "events", ["ts"])
+              .map_batches(hpart, batch_format="pyarrow")
+              .to_pandas().dropna())
+    if bounds.empty:
+        return rd.from_arrow(pa.schema(
+            [("event_type", pa.string()), ("hour", pa.int64()),
+             ("n", pa.int64()), ("value_cents", pa.int64())]
+        ).empty_table())
+    lo = int(bounds["mn"].min()) // HOUR_US
+    hi = int(bounds["mx"].max()) // HOUR_US
+
+    # label-cardinality type list (the grouping_sets driver-fold rule)
+    types = sorted(grouped_agg(
+        ev.map_batches(lambda df: df[["event_type"]],
+                       batch_format="pandas"),
+        ["event_type"], {"n": ("event_type", "count")}, num_buckets=4
+    ).to_pandas()["event_type"])
+
+    def expand(df: pd.DataFrame) -> pa.Table:
+        hours = lo + df["id"].to_numpy().astype("int64")
+        return pa.table({
+            "event_type": pa.array(np.repeat(types, len(hours))),
+            "hour": pa.array(np.tile(hours, len(types))),
+        })
+
+    spine = rd.range(hi - lo + 1).map_batches(
+        expand, batch_format="pandas")
+    joined = hash_join(spine, counts, on=["event_type", "hour"],
+                       how="left", exchange_dir=_exchange("spine"),
+                       num_buckets=8)
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": t["hour"],
+            "n": pc.fill_null(pc.cast(t["n"], pa.int64()), 0),
+            "value_cents": pc.fill_null(
+                pc.cast(t["value_cents"], pa.int64()), 0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SPINE_SQL = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) // 3600000000 AS lo,
+         max(epoch_us(ts)) // 3600000000 AS hi
+  FROM events
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), hours AS (
+  SELECT unnest(generate_series((SELECT lo FROM b),
+                                (SELECT hi FROM b))) AS hour
+), spine AS (
+  SELECT t.event_type, h.hour FROM types t, hours h
+), c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY event_type, hour
+)
+SELECT s.event_type, CAST(s.hour AS BIGINT) AS hour,
+       coalesce(c.n, 0) AS n,
+       coalesce(c.value_cents, 0) AS value_cents
+FROM spine s
+LEFT JOIN c ON c.event_type = s.event_type AND c.hour = s.hour
+"""
+
+
 def events_trend(sf_dir: str):
     """Per-type OLS trend line (functions/stats.py ``grouped_linreg``):
     regress value cents on second-of-day per event_type — the drift
@@ -7624,6 +7732,11 @@ SUITE: dict[str, tuple] = {
     # conditional fact⋈dim aggregate with a fixed-order double share:
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q14_promo_share": (q14_promo_share, Q14_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # gap-filled hourly spine — distributed series generation LEFT
+    # joined to the counts, real zero cells at the gate SF:
+    "events_hourly_spine": (events_hourly_spine,
+                            EVENTS_HOURLY_SPINE_SQL),
     # round-5 session-8 addition, past the cap (same rationale):
     # chi-squared contingency grid — exact int64 deviations, bit-exact
     # per-cell doubles, full observed-label cross product:

@@ -93,6 +93,7 @@ FAST = [
     "orders_reconcile",
     "q6_forecast_revenue",
     "q14_promo_share",
+    "events_hourly_spine",
 ]
 
 

@@ -46,7 +46,7 @@ QUERIES = [
     # ride the orders corpus):
     "events_scd2", "events_anomalies", "events_expectations",
     "events_cdc_merge", "events_chi2", "events_debounce",
-    "events_user_mode", "events_trend",
+    "events_user_mode", "events_trend", "events_hourly_spine",
 ]
 
 
