@@ -208,6 +208,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "events_chi2", "events_debounce", "events_user_mode",
             "q10_returned_revenue", "events_trend", "orders_reconcile",
             "q6_forecast_revenue", "q14_promo_share", "events_hourly_spine",
+            "events_asof_state",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -6299,6 +6299,99 @@ LEFT JOIN c ON c.event_type = s.event_type AND c.hour = s.hour
 """
 
 
+def events_asof_state(sf_dir: str):
+    """Time travel over the SCD2 dimension (the warehouse AS OF
+    query): the state of every (user, event_type) key AT the table's
+    integer-µs midpoint instant — the interval containing T under the
+    half-open [valid_from, valid_to) convention, NULL valid_to
+    meaning current. Pure composition: scd2_intervals (one user-hash
+    exchange) → one vectorized interval-containment filter; the
+    cutoff uses the events_cdc_merge midpoint discipline so no
+    calendar arithmetic enters the contract. Output one row per key
+    live at T: (user_id, event_type, value_cents, valid_from_us)."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.streams import scd2_intervals
+
+    def _bounds() -> tuple[int, int]:
+        def part(t: pa.Table) -> pa.Table:
+            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
+                                            pa.int64()),
+                             "mx": pa.array([pc.max(arr).as_py()],
+                                            pa.int64())})
+        p = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow")
+             .to_pandas().dropna())
+        if p.empty:
+            raise ValueError("events_asof_state: empty events table")
+        return int(p["mn"].min()), int(p["mx"].max())
+
+    mn, mx = _bounds()
+    t_us = (mn + mx) // 2
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"], "ts": df["ts"],
+            "user_id": df["user_id"], "event_type": df["event_type"],
+            "value_cents": cents(df["value"])})
+
+    iv = scd2_intervals(ds.map_batches(to_cents, batch_format="pandas"),
+                        exchange_base=_exchange("asof_scd2"))
+
+    def live_at(t: pa.Table) -> pa.Table:
+        vf = t["valid_from_us"]
+        vt = t["valid_to_us"]
+        m = pc.and_(pc.less_equal(vf, t_us),
+                    pc.or_kleene(pc.is_null(vt), pc.greater(vt, t_us)))
+        kept = t.filter(pc.fill_null(m, False))
+        return pa.table({
+            "user_id": kept["user_id"],
+            "event_type": kept["event_type"],
+            "value_cents": kept["value_cents"],
+            "valid_from_us": kept["valid_from_us"],
+        })
+
+    return iv.map_batches(live_at, batch_format="pyarrow")
+
+
+EVENTS_ASOF_STATE_SQL = """
+WITH c AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events
+), t0 AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS tu,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), s AS (
+  SELECT *, CASE WHEN lag(vc) OVER w IS NULL
+                   OR lag(vc) OVER w <> vc THEN 1 ELSE 0 END AS chg
+  FROM t0
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tu, event_id)
+), r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id, event_type
+                           ORDER BY tu, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM s
+), runs AS (
+  SELECT user_id, event_type,
+         CAST(min(vc) AS BIGINT) AS value_cents,
+         CAST(min(tu) AS BIGINT) AS valid_from_us
+  FROM r GROUP BY user_id, event_type, run_id
+), iv AS (
+  SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY valid_from_us)
+            AS valid_to_us
+  FROM runs
+)
+SELECT user_id, event_type, value_cents, valid_from_us
+FROM iv, c
+WHERE valid_from_us <= t AND (valid_to_us IS NULL OR valid_to_us > t)
+"""
+
+
 def events_trend(sf_dir: str):
     """Per-type OLS trend line (functions/stats.py ``grouped_linreg``):
     regress value cents on second-of-day per event_type — the drift
@@ -7737,6 +7830,10 @@ SUITE: dict[str, tuple] = {
     # joined to the counts, real zero cells at the gate SF:
     "events_hourly_spine": (events_hourly_spine,
                             EVENTS_HOURLY_SPINE_SQL),
+    # round-5 session-8 addition, past the cap (same rationale):
+    # AS OF time travel over the SCD2 dimension — interval
+    # containment at the integer-µs midpoint instant:
+    "events_asof_state": (events_asof_state, EVENTS_ASOF_STATE_SQL),
     # round-5 session-8 addition, past the cap (same rationale):
     # chi-squared contingency grid — exact int64 deviations, bit-exact
     # per-cell doubles, full observed-label cross product:

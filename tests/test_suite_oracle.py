@@ -94,6 +94,7 @@ FAST = [
     "q6_forecast_revenue",
     "q14_promo_share",
     "events_hourly_spine",
+    "events_asof_state",
 ]
 
 
