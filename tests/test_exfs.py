@@ -338,3 +338,54 @@ class TestSession6OpsInjected:
         tr = k_truss(rd.from_pandas(k4), 4).to_pandas()
         assert len(tr) == 6 and set(tr.support) == {2}
         assert _subtree_has_exchange(tmp_path, "ktruss")
+
+
+class TestSession8OpsInjected:
+    """The session-8 multi-input-exchange consumers (cdc_merge,
+    reconcile — fs_exchange_reduce_multi writes SEVERAL datasets into
+    one exchange dir) and grouped_mode route through the injected
+    filesystem, with the fixture's watchdog proving no local-fs leak."""
+
+    def test_cdc_merge_and_reconcile(self, ray_session,
+                                     injected_exchange):
+        tmp_path = injected_exchange
+        from guac_ray.functions.setops import reconcile
+        from guac_ray.functions.streams import cdc_merge
+
+        base = pd.DataFrame({"user_id": [1, 2],
+                             "value_cents": [10, 20],
+                             "updated_us": [100, 100]})
+        chg = pd.DataFrame({
+            "user_id": [1, 2],
+            "ts": pd.to_datetime([200, 200], unit="us"),
+            "event_id": [0, 1], "op": [0, 1],
+            "value_cents": [15, 0]})
+        got = cdc_merge(rd.from_pandas(base),
+                        rd.from_pandas(chg)).to_pandas()
+        assert got.values.tolist() == [[1, 15, 200, 1]]
+        assert _subtree_has_exchange(tmp_path, "cdcmerge")
+
+        t = reconcile(rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]})),
+                      rd.from_pandas(pd.DataFrame({"k": [1], "v": [2]})),
+                      "k", ["v"])
+        assert t["status"].to_pylist() == ["differs"]
+        assert _subtree_has_exchange(tmp_path, "reconcile")
+
+    def test_grouped_mode_and_debounce(self, ray_session,
+                                       injected_exchange):
+        tmp_path = injected_exchange
+        from guac_ray.functions.streams import debounce
+        from guac_ray.stages.groupagg import grouped_mode
+
+        m = grouped_mode(
+            rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": ["a", "a"]})),
+            ["k"], "v").to_pandas()
+        assert m.values.tolist() == [[1, "a", 2]]
+        assert _subtree_has_exchange(tmp_path, "gmode")
+
+        d = debounce(rd.from_pandas(pd.DataFrame({
+            "event_id": [0, 1], "user_id": [1, 1],
+            "ts": pd.to_datetime([0, 5], unit="us")})),
+            gap_us=10).to_pandas()
+        assert d["event_id"].tolist() == [0]
+        assert _subtree_has_exchange(tmp_path, "debounce")
