@@ -209,6 +209,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "q10_returned_revenue", "events_trend", "orders_reconcile",
             "q6_forecast_revenue", "q14_promo_share", "events_hourly_spine",
             "events_asof_state",
+            # round-5 session 9: remaining TPC-H composites — semi-join
+            # EXISTS, decorrelated avg subquery, disjunctive pushdown
+            "q4_priority_check", "q17_small_qty_revenue",
+            "q19_brand_band_revenue",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -7550,6 +7550,186 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q4_priority_check(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): the large-large SEMI
+    join as a standalone relational entry — orders in a one-quarter
+    window that have AT LEAST ONE returned lineitem, counted per
+    priority. Both predicates push into their SCANs (the 75% of orders
+    outside the window and the 67% non-returned lineitems never leave
+    storage); the EXISTS is ``hash_join(how="semi")`` — only deduped
+    right KEYS enter the exchange, so the shuffled payload is
+    order-cardinality int64s on both sides, never lineitem rows; the
+    priority count finalizes two-phase. Both sides grow with the
+    corpus — the broadcast-set ``semi_join`` is deliberately NOT used."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    cut_lo = pd.Timestamp("1996-01-01")
+    cut_hi = pd.Timestamp("1996-04-01")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_orderdate"],
+                   filter=((pc.field("o_orderdate") >= cut_lo)
+                           & (pc.field("o_orderdate") < cut_hi))
+                   ).map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"],
+               filter=(pc.field("l_returnflag") == "R")
+               ).map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"]}),
+        batch_format="pyarrow")
+    kept = hash_join(orders, li, on="o_orderkey",
+                     exchange_dir=_exchange("q4"), how="semi",
+                     num_buckets=8)
+    return grouped_agg(kept, ["o_orderpriority"],
+                       {"order_count": ("o_orderkey", "count")},
+                       num_buckets=4)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): the
+    DECORRELATED average subquery — revenue of lineitems whose
+    quantity is below 20% of their part's average quantity. The
+    correlated ``avg(l_quantity) WHERE l_partkey = ...`` decorrelates
+    into one per-part two-phase aggregate (partials move, not the
+    fact table), and the fact re-scan joins that part-cardinality
+    stats table through the co-partitioned fs-exchange hash join
+    (parts grow with the corpus — never assumed broadcast-small). The
+    threshold predicate is EXACT integer cross-multiplication —
+    ``5·qty_cents·n < sum_qty_cents`` avoids the float division whose
+    rounding the two engines would disagree on — and it runs fused
+    inside the join's reduce tasks (``partial_fn``), so matched rows
+    collapse to 2 int64s per task before re-entering the object
+    store. Output one row ``(revenue_cents, n_rows)``."""
+    from guac_ray.functions.joins import hash_join
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "l_partkey": df.l_partkey.astype("int64"),
+            "qc": cents(df.l_quantity),
+            "ec": cents(df.l_extendedprice),
+        }), preserve_index=False)
+
+    def fact():
+        return _read(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice"]
+                     ).map_batches(prep, batch_format="pandas")
+
+    stats = grouped_agg(fact(), ["l_partkey"],
+                        {"qsum": ("qc", "sum"), "qn": ("qc", "count")},
+                        num_buckets=8)
+
+    def small(t: pa.Table) -> pa.Table:
+        qc = t["qc"].to_numpy(zero_copy_only=False)
+        qn = t["qn"].to_numpy(zero_copy_only=False)
+        qs = t["qsum"].to_numpy(zero_copy_only=False)
+        keep = 5 * qc * qn < qs
+        ec = t["ec"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"rc": pa.array([int(ec.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = hash_join(fact(), stats, on="l_partkey",
+                      exchange_dir=_exchange("q17"), num_buckets=8,
+                      partial_fn=small).to_pandas()
+    return pa.table({
+        "revenue_cents": pa.array([int(parts["rc"].sum())], pa.int64()),
+        "n_rows": pa.array([int(parts["n"].sum())], pa.int64())})
+
+
+Q17_SQL = """
+WITH f AS (
+  SELECT l_partkey,
+         CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS ec
+  FROM lineitem
+), s AS (
+  SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS qsum,
+         CAST(count(*) AS BIGINT) AS qn
+  FROM f GROUP BY l_partkey
+)
+SELECT CAST(coalesce(sum(f.ec), 0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM f JOIN s USING (l_partkey)
+WHERE 5 * f.qc * s.qn < s.qsum
+"""
+
+
+def q19_brand_band_revenue(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    an OR-of-conjuncts over fact×dimension attributes — three
+    (brand, quantity-band) disjuncts, deliberately overlapping at the
+    band edges as in the real Q19. The quantity ENVELOPE of the
+    disjunction ([1, 30] — the union of the bands) pushes into the
+    lineitem SCAN as a row-group prune even though the full predicate
+    cannot; part's brand broadcasts once per actor (searchsorted) and
+    the disjunction evaluates vectorized per batch; revenue flows as
+    exact int64 cents partials to a driver fold. Output one row
+    ``(revenue_cents, n_rows)``."""
+    import pyarrow.compute as pc
+
+    bands = [("Brand#1", 1.0, 11.0), ("Brand#2", 10.0, 20.0),
+             ("Brand#3", 20.0, 30.0)]
+    flt = ((pc.field("l_quantity") >= 1.0)
+           & (pc.field("l_quantity") <= 30.0))
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    class Bands:
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.keys = p.p_partkey.to_numpy()
+            self.brand = p.p_brand.to_numpy()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = t["l_quantity"].to_numpy(zero_copy_only=False)
+            b = self.brand[np.searchsorted(
+                self.keys,
+                t["l_partkey"].to_numpy(zero_copy_only=False))]
+            keep = np.zeros(len(q), dtype=bool)
+            for br, lo, hi in bands:
+                keep |= (b == br) & (q >= lo) & (q <= hi)
+            rc = cents(
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+                * (1 - t["l_discount"]
+                   .to_numpy(zero_copy_only=False)[keep]))
+            return pa.table({
+                "rc": pa.array([int(rc.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = (_read(sf_dir, "lineitem",
+                   ["l_partkey", "l_quantity", "l_extendedprice",
+                    "l_discount"], filter=flt)
+             .map_batches(Bands, batch_format="pyarrow",
+                          concurrency=(1, 4))
+             .to_pandas())
+    return pa.table({
+        "revenue_cents": pa.array([int(parts["rc"].sum())], pa.int64()),
+        "n_rows": pa.array([int(parts["n"].sum())], pa.int64())})
+
+
+Q19_SQL = """
+SELECT CAST(coalesce(sum(CAST(floor(
+           l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)), 0)
+         AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -7914,4 +8094,12 @@ SUITE: dict[str, tuple] = {
     # doc_bpe_merges) — the learned vocabulary has no SQL form;
     # golden-pinned + reference-encode parity tests:
     "doc_bpe_tokens": (doc_bpe_tokens, None),
+    # round-5 session 9: the remaining TPC-H composite shapes —
+    # Q4 (large-large SEMI join as a standalone relational entry),
+    # Q17 (decorrelated avg subquery with the exact-integer threshold
+    # fused into the join reduce), Q19 (disjunctive predicate with the
+    # quantity-envelope scan pushdown):
+    "q4_priority_check": (q4_priority_check, Q4_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q19_brand_band_revenue": (q19_brand_band_revenue, Q19_SQL),
 }

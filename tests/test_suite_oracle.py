@@ -95,6 +95,10 @@ FAST = [
     "q14_promo_share",
     "events_hourly_spine",
     "events_asof_state",
+    # round 5, session 9: remaining TPC-H composite shapes
+    "q4_priority_check",
+    "q17_small_qty_revenue",
+    "q19_brand_band_revenue",
 ]
 
 
@@ -117,6 +121,54 @@ def test_q13_keeps_zero_order_customers(ray_session, tmp_path):
     got = (q13_order_distribution(str(tmp_path)).to_pandas()
            .sort_values("c_count").reset_index(drop=True))
     assert got.values.tolist() == [[0, 2], [1, 1], [2, 1]]
+
+
+def test_q4_semi_counts_order_once(ray_session, tmp_path):
+    """An order with SEVERAL returned lineitems is one EXISTS hit —
+    the semi join must not multiply it; an order with no returned
+    lineitem (or none at all) must drop."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q4_priority_check
+
+    d = pd.Timestamp("1996-02-01")
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_orderpriority": ["2-HIGH", "2-HIGH", "5-LOW", "5-LOW"],
+        "o_orderdate": [d, d, d, pd.Timestamp("1997-01-01")],
+    }).to_parquet(tmp_path / "orders.parquet")
+    # o1: three returned rows (counts once); o2: non-returned only
+    # (drops); o3: one returned (counts); o4: returned but OUTSIDE the
+    # window (drops at the orders scan).
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 2, 3, 4],
+        "l_returnflag": ["R", "R", "R", "N", "R", "R"],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    got = (q4_priority_check(str(tmp_path)).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    assert got.values.tolist() == [["2-HIGH", 1], ["5-LOW", 1]]
+
+
+def test_q17_threshold_is_strict(ray_session, tmp_path):
+    """The 20%-of-average predicate is STRICT less-than in exact
+    integers: a quantity landing exactly on 0.2·avg must be excluded
+    (5·qc·n == qsum), one cent below must be included."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q17_small_qty_revenue
+
+    # part 7: quantities (1, 4, 10) → sum 15, n 3, avg 5 → 0.2·avg = 1.
+    #   qty 1 is exactly the threshold (5·100·3 == 1500) → EXCLUDED.
+    # part 8: quantities (0.99, 4.01, 10) → threshold 1.0, qty 0.99
+    #   one cent below (5·99·3 = 1485 < 1500) → INCLUDED (price 7.00).
+    pd.DataFrame({
+        "l_partkey": [7, 7, 7, 8, 8, 8],
+        "l_quantity": [1.0, 4.0, 10.0, 0.99, 4.01, 10.0],
+        "l_extendedprice": [5.0, 5.0, 5.0, 7.0, 5.0, 5.0],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    got = q17_small_qty_revenue(str(tmp_path)).to_pandas()
+    assert got.revenue_cents.tolist() == [700]
+    assert got.n_rows.tolist() == [1]
 
 
 @pytest.fixture(scope="module")
