@@ -212,7 +212,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             # round-5 session 9: remaining TPC-H composites — semi-join
             # EXISTS, decorrelated avg subquery, disjunctive pushdown
             "q4_priority_check", "q17_small_qty_revenue",
-            "q19_brand_band_revenue",
+            "q19_brand_band_revenue", "q22_dormant_customers",
+            "q16_supplier_variety", "q5_local_revenue",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

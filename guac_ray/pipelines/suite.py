@@ -7730,6 +7730,251 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
 """
 
 
+def q22_dormant_customers(sf_dir: str):
+    """TPC-H Q22 shape (global-sales-opportunity / dormant wealthy
+    customers): the SCALAR subquery + large-large ANTI join —
+    customers whose balance exceeds the average POSITIVE balance and
+    who placed no order since 2000-01-01, grouped by nation. The
+    scalar average folds as 2 int64 partials per batch (sum of
+    positive cents, count) and the comparison is exact integer
+    cross-multiplication (``bc·n > sum``) — no float average enters
+    the contract. The NOT EXISTS is ``hash_join(how="anti")`` against
+    the window-pruned orders scan: both sides are customer-cardinality
+    and grow with the corpus, and only deduped custkeys enter the
+    exchange. Output ``(c_nationkey, n_custs, bal_cents)``."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(df: pd.DataFrame) -> pa.Table:
+        bc = cents(df.c_acctbal)
+        pos = bc[df.c_acctbal.to_numpy() > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    parts = cust.map_batches(pos_partial, batch_format="pandas").to_pandas()
+    s, n = int(parts["s"].sum()), int(parts["n"].sum())
+
+    def rich(df: pd.DataFrame) -> pa.Table:
+        bc = cents(df.c_acctbal)
+        keep = bc * n > s
+        return table_from_pandas(pd.DataFrame({
+            "c_custkey": df.c_custkey[keep].astype("int64"),
+            "c_nationkey": df.c_nationkey[keep].astype("int64"),
+            "bc": bc[keep],
+        }), preserve_index=False)
+
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                   filter=(pc.field("o_orderdate")
+                           >= pd.Timestamp("2000-01-01"))
+                   ).map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+    dormant = hash_join(cust.map_batches(rich, batch_format="pandas"),
+                        recent, on="c_custkey",
+                        exchange_dir=_exchange("q22"), how="anti",
+                        num_buckets=8)
+    return grouped_agg(dormant, ["c_nationkey"],
+                       {"n_custs": ("c_custkey", "count"),
+                        "bal_cents": ("bc", "sum")}, num_buckets=4)
+
+
+Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+), rich AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bc
+  FROM customer, pos
+  WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * pos.n > pos.s
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+       CAST(sum(bc) AS BIGINT) AS bal_cents
+FROM rich
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape (supplier variety per part class): COUNT
+    DISTINCT over a derived part-supplier relation — there is no
+    partsupp table here, so the relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs observed in lineitem (an fs-exchange
+    ``dedup_exact`` — fact-scale in, pair-scale out). Part attributes
+    (brand ≠ Brand#1, type ≠ PROMO, size ∈ squares) resolve by one
+    broadcast searchsorted; the "complaint" supplier exclusion
+    (negative balance) is a broadcast key set (suppliers are a true
+    dimension). The distinct-supplier count is a SECOND exact dedup on
+    (brand, type, size, suppkey) followed by a two-phase count — both
+    shuffles move shrinking key tuples, never lineitem rows. Output
+    ``(p_brand, p_type, p_size, supplier_cnt)``."""
+    from guac_ray.stages.assemble import dedup_exact
+
+    pairs = dedup_exact(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"], num_buckets=8)
+
+    pref = _bcast_df(sf_dir, "part",
+                     ["p_partkey", "p_brand", "p_type", "p_size"])
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    sizes = (1, 4, 9, 16, 25, 36, 49)
+
+    class Attrs:
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.brand = p.p_brand.to_numpy()
+            self.ptype = p.p_type.to_numpy()
+            self.size = p.p_size.to_numpy().astype("int64")
+            sup = ray.get(sref)
+            self.bad = set(sup.s_suppkey[sup.s_acctbal < 0].tolist())
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            out = pd.DataFrame({
+                "p_brand": self.brand[i], "p_type": self.ptype[i],
+                "p_size": self.size[i],
+                "s_suppkey": df.l_suppkey.astype("int64"),
+            })
+            keep = ((out.p_brand != "Brand#1") & (out.p_type != "PROMO")
+                    & out.p_size.isin(sizes)
+                    & ~out.s_suppkey.isin(self.bad))
+            return out[keep]
+
+    classed = dedup_exact(
+        pairs.map_batches(Attrs, batch_format="pandas",
+                          concurrency=(1, 4)),
+        ["p_brand", "p_type", "p_size", "s_suppkey"], num_buckets=8)
+    return grouped_agg(classed, ["p_brand", "p_type", "p_size"],
+                       {"supplier_cnt": ("s_suppkey", "count")},
+                       num_buckets=4)
+
+
+Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, CAST(p_size AS BIGINT)
+"""
+
+
+def q5_local_revenue(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue per nation): the deep
+    join whose defining trick is an EQUALITY between two different
+    dimension paths — customer's nation (via orders) must equal
+    supplier's nation (via lineitem). The 1996 order window pushes
+    into the orders SCAN; lineitem ⋈ orders is the co-partitioned
+    fs-exchange hash join (both fact-scale), and BOTH nation lookups +
+    the equality filter + the per-nation revenue partial fuse into the
+    join's reduce tasks (``partial_fn`` ray.gets the two broadcast key
+    maps from shared memory once per task) — each reduce emits ≤ 25
+    rows, so the nation-equality join never materializes at lineitem
+    grain. Finalize: two-phase sum, nation names by one searchsorted.
+    Output ``(n_name, revenue_cents)``."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "orderkey": df.l_orderkey,
+            "suppkey": df.l_suppkey,
+            "_rc": cents(df.l_extendedprice.to_numpy()
+                         * (1 - df.l_discount.to_numpy())),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_f, batch_format="pandas")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate")
+                            >= pd.Timestamp("1996-01-01"))
+                           & (pc.field("o_orderdate")
+                              < pd.Timestamp("1997-01-01")))
+                   ).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)  # shared-memory read, once per reduce task
+        sup = ray.get(sref)
+        ck, cn = c.c_custkey.to_numpy(), c.c_nationkey.to_numpy()
+        sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
+        cnat = cn[np.searchsorted(
+            ck, t["custkey"].to_numpy(zero_copy_only=False))]
+        snat = sn[np.searchsorted(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        keep = cnat == snat
+        g = (pd.DataFrame({
+            "nationkey": cnat[keep].astype("int64"),
+            "_rc": t["_rc"].to_numpy(zero_copy_only=False)[keep]})
+            .groupby("nationkey", sort=False)._rc.sum().reset_index())
+        return table_from_pandas(g, preserve_index=False)
+
+    joined = hash_join(li, orders, on="orderkey",
+                       exchange_dir=_exchange("q5"), num_buckets=8,
+                       partial_fn=local_partial)
+    per_nation = grouped_agg(joined, ["nationkey"],
+                             {"revenue_cents": ("_rc", "sum")},
+                             num_buckets=4)
+
+    nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class Names:
+        def __init__(self):
+            nat = ray.get(nref).sort_values("n_nationkey")
+            self.nk = nat.n_nationkey.to_numpy()
+            self.nm = nat.n_name.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.nk, df.nationkey.to_numpy())
+            return pd.DataFrame({
+                "n_name": self.nm[i],
+                "revenue_cents": df.revenue_cents.astype("int64")})
+
+    return per_nation.map_batches(Names, batch_format="pandas",
+                                  concurrency=(1, 2))
+
+
+Q5_SQL = """
+WITH w AS (
+  SELECT l_suppkey, o_custkey,
+         CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+              AS BIGINT) AS rc
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1997-01-01'
+)
+SELECT n_name, CAST(sum(rc) AS BIGINT) AS revenue_cents
+FROM w
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -8102,4 +8347,11 @@ SUITE: dict[str, tuple] = {
     "q4_priority_check": (q4_priority_check, Q4_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q19_brand_band_revenue": (q19_brand_band_revenue, Q19_SQL),
+    # round-5 session 9, second wave — Q22 (scalar subquery + large-
+    # large ANTI join on the window-pruned orders), Q16 (COUNT DISTINCT
+    # over the derived part-supplier relation, double dedup exchange),
+    # Q5 (nation-equality deep join fused into the join reduce):
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "q5_local_revenue": (q5_local_revenue, Q5_SQL),
 }

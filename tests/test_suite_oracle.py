@@ -99,6 +99,9 @@ FAST = [
     "q4_priority_check",
     "q17_small_qty_revenue",
     "q19_brand_band_revenue",
+    "q22_dormant_customers",
+    "q16_supplier_variety",
+    "q5_local_revenue",
 ]
 
 
@@ -169,6 +172,34 @@ def test_q17_threshold_is_strict(ray_session, tmp_path):
     got = q17_small_qty_revenue(str(tmp_path)).to_pandas()
     assert got.revenue_cents.tolist() == [700]
     assert got.n_rows.tolist() == [1]
+
+
+def test_q22_dormancy_is_window_anti(ray_session, tmp_path):
+    """Rich + only OLD orders → dormant (kept); rich + one RECENT
+    order → dropped by the anti join; poor + no orders at all →
+    dropped by the balance predicate; negative balances count toward
+    neither the positive average nor the rich set."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q22_dormant_customers
+
+    # positive balances: 100, 100, 700 → avg 300. Rich (> 300): c3
+    # (700). c4 (-50) is excluded from the average (else avg = 212.5
+    # and c1/c2 flip). Make c3 dormant, and add c5 (400, rich) with a
+    # recent order to pin the anti side.
+    pd.DataFrame({
+        "c_custkey": [1, 2, 3, 4, 5],
+        "c_nationkey": [7, 7, 9, 9, 9],
+        "c_acctbal": [100.0, 100.0, 700.0, -50.0, 400.0],
+    }).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({
+        "o_custkey": [3, 5],
+        "o_orderdate": [pd.Timestamp("1998-06-01"),   # old → stays dormant
+                        pd.Timestamp("2000-06-01")],  # recent → drops
+    }).to_parquet(tmp_path / "orders.parquet")
+    # avg positive = (100+100+700+400)/4 = 325 → rich: c3, c5.
+    got = q22_dormant_customers(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == [[9, 1, 70000]]
 
 
 @pytest.fixture(scope="module")
