@@ -7956,7 +7956,7 @@ def q5_local_revenue(sf_dir: str):
                                   concurrency=(1, 2))
 
 
-Q5_SQL = """
+Q5_LOCAL_SQL = """
 WITH w AS (
   SELECT l_suppkey, o_custkey,
          CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
@@ -8353,5 +8353,5 @@ SUITE: dict[str, tuple] = {
     # Q5 (nation-equality deep join fused into the join reduce):
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
-    "q5_local_revenue": (q5_local_revenue, Q5_SQL),
+    "q5_local_revenue": (q5_local_revenue, Q5_LOCAL_SQL),
 }
