@@ -214,6 +214,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "q4_priority_check", "q17_small_qty_revenue",
             "q19_brand_band_revenue", "q22_dormant_customers",
             "q16_supplier_variety", "q5_local_revenue",
+            "q21_waiting_suppliers", "q15_top_supplier",
+            "q12_priority_by_flag",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -7975,6 +7975,278 @@ GROUP BY n_name
 """
 
 
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS / NOT EXISTS self-join — "late"
+    (returned) lineitems in finalized orders where ANOTHER supplier
+    shares the order but NO OTHER supplier is late (this corpus has no
+    receipt/commit dates, so late maps to ``l_returnflag = 'R'``; the
+    correlation structure — two self-subqueries on the fact table —
+    is the point; cf. reference issue-certify patterns in
+    ``SURVEY.md §2.5``). Decorrelated into ONE order-hash exchange: an
+    order lives in one bucket, so per bucket a single lexsort +
+    reduceat pass yields each order's distinct-supplier and
+    distinct-LATE-supplier counts, and an order emits AT MOST ONE row
+    — (orderkey, the sole late supplier, its late-row count) —
+    collapsing lineitem grain before anything else moves. The
+    ``o_orderstatus = 'F'`` gate is then a large-large SEMI join at
+    ORDER cardinality (status pushed into the orders scan, deduped
+    keys on the exchange); supplier + nation resolve as broadcast
+    dimensions; top-100 by (numwait DESC, s_name) is a distributed
+    sort+limit. Output ``(s_name, numwait)`` for NATION_3."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    def project(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "orderkey": df.l_orderkey.astype("int64"),
+            "suppkey": df.l_suppkey.astype("int64"),
+            "late": (df.l_returnflag.to_numpy() == "R").astype("int64"),
+        })
+        out["_bucket"] = (stable_hash(out, ["orderkey"])
+                          % 16).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def sole_late(t: pa.Table) -> pa.Table:
+        empty = pa.schema([("orderkey", pa.int64()),
+                           ("suppkey", pa.int64()),
+                           ("nw", pa.int64())]).empty_table()
+        ok = t["orderkey"].to_numpy(zero_copy_only=False)
+        n = len(ok)
+        if n == 0:
+            return empty
+        sk = t["suppkey"].to_numpy(zero_copy_only=False)
+        lt = t["late"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((sk, ok))
+        ok, sk, lt = ok[o], sk[o], lt[o]
+        # distinct (order, supplier) pairs, with per-pair late-row sums
+        pair_start = np.ones(n, dtype=bool)
+        pair_start[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        ps = np.flatnonzero(pair_start)
+        late_per_pair = np.add.reduceat(lt, ps)
+        p_ok, p_sk = ok[ps], sk[ps]
+        m = len(ps)
+        # per-order supplier / late-supplier counts over the pair table
+        ord_start = np.ones(m, dtype=bool)
+        ord_start[1:] = p_ok[1:] != p_ok[:-1]
+        os_ = np.flatnonzero(ord_start)
+        n_supp = np.diff(np.append(os_, m))
+        late_pair = late_per_pair > 0
+        n_late = np.add.reduceat(late_pair.astype("int64"), os_)
+        oidx = np.cumsum(ord_start) - 1
+        keep = late_pair & (n_supp[oidx] >= 2) & (n_late[oidx] == 1)
+        if not keep.any():
+            return empty
+        return pa.table({
+            "orderkey": pa.array(p_ok[keep].astype("int64")),
+            "suppkey": pa.array(p_sk[keep].astype("int64")),
+            "nw": pa.array(late_per_pair[keep].astype("int64")),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"]
+               ).map_batches(project, batch_format="pandas")
+    per_order = fs_exchange_reduce(li, _exchange("q21"), sole_late)
+    if per_order is None:
+        return rd.from_arrow(pa.schema(
+            [("s_name", pa.string()),
+             ("numwait", pa.int64())]).empty_table())
+
+    fin = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"],
+                filter=(pc.field("o_orderstatus") == "F")).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow")
+    kept = hash_join(per_order, fin, on="orderkey",
+                     exchange_dir=_exchange("q21s"), how="semi",
+                     num_buckets=8)
+    per_supp = grouped_agg(kept, ["suppkey"],
+                           {"numwait": ("nw", "sum")}, num_buckets=4)
+
+    sref = _bcast_df(sf_dir, "supplier",
+                     ["s_suppkey", "s_name", "s_nationkey"])
+    nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class SuppName:
+        def __init__(self):
+            s = ray.get(sref).sort_values("s_suppkey")
+            nat = ray.get(nref)
+            nk = nat.n_nationkey[nat.n_name == "NATION_3"].to_numpy()
+            self.keys = s.s_suppkey.to_numpy()
+            self.names = s.s_name.to_numpy()
+            self.in_nat = np.isin(s.s_nationkey.to_numpy(), nk)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.keys, df.suppkey.to_numpy())
+            out = pd.DataFrame({
+                "s_name": self.names[i],
+                "numwait": df.numwait.astype("int64")})
+            return out[self.in_nat[i]]
+
+    return (per_supp.map_batches(SuppName, batch_format="pandas",
+                                 concurrency=(1, 2))
+            .sort(["numwait", "s_name"], descending=[True, False])
+            .limit(100))
+
+
+Q21_SQL = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): the scalar MAX-of-aggregate
+    subquery — per-supplier revenue over a one-quarter shipdate window
+    (pushed into the scan), keeping the supplier(s) whose revenue
+    EQUALS the global maximum. Revenue is exact int64 cents, so the
+    max-equality is a true cross-engine contract (the float-revenue
+    spelling of Q15 is not portable — ties on doubles are
+    engine-dependent). The per-supplier table is supplier-cardinality:
+    the max folds from per-batch partials on that small table and the
+    filter is one vectorized compare — no second data-sized shuffle.
+    Output ``(s_suppkey, s_name, total_revenue_cents)``."""
+    import pyarrow.compute as pc
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "suppkey": df.l_suppkey.astype("int64"),
+            "_rc": cents(df.l_extendedprice.to_numpy()
+                         * (1 - df.l_discount.to_numpy())),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount",
+                "l_shipdate"],
+               filter=((pc.field("l_shipdate") >= lo)
+                       & (pc.field("l_shipdate") < hi))
+               ).map_batches(li_f, batch_format="pandas")
+    per_supp = grouped_agg(li, ["suppkey"],
+                           {"total_revenue_cents": ("_rc", "sum")},
+                           num_buckets=4)
+    parts = per_supp.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [pc.max(t["total_revenue_cents"]).as_py()], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    best = int(parts["m"].max())
+
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    class Best:
+        def __init__(self):
+            s = ray.get(sref).sort_values("s_suppkey")
+            self.keys = s.s_suppkey.to_numpy()
+            self.names = s.s_name.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hit = df[df.total_revenue_cents.to_numpy() == best]
+            i = np.searchsorted(self.keys, hit.suppkey.to_numpy())
+            return pd.DataFrame({
+                "s_suppkey": hit.suppkey.astype("int64"),
+                "s_name": self.names[i],
+                "total_revenue_cents":
+                    hit.total_revenue_cents.astype("int64")})
+
+    return per_supp.map_batches(Best, batch_format="pandas",
+                                concurrency=(1, 2))
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM rev JOIN supplier ON s_suppkey = suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+"""
+
+
+def q12_priority_by_flag(sf_dir: str):
+    """TPC-H Q12 shape (shipping-priority check): the CASE-based
+    two-way conditional count over the fact-fact join — lineitems in a
+    one-year shipdate window (pushed into the scan, ~15% of rows)
+    join orders through the co-partitioned fs-exchange hash join, and
+    the per-returnflag HIGH-priority (1-URGENT / 2-HIGH) vs
+    lower-priority counts fold inside the join's reduce via
+    ``partial_fn`` (the CASE is row-local per joined row, so
+    probe-splitting stays safe) — each reduce emits ≤ 3 partial rows
+    and the lineitem-grain join payload never re-enters the object
+    store. The grouping label is ``l_returnflag`` (this corpus has no
+    l_shipmode; the conditional-aggregate-over-a-join structure is the
+    point). Output ``(l_returnflag, high_line_count, low_line_count)``."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_shipdate"],
+               filter=((pc.field("l_shipdate") >= lo)
+                       & (pc.field("l_shipdate") < hi))
+               ).map_batches(
+        lambda t: pa.table({"orderkey": t["l_orderkey"],
+                            "l_returnflag": t["l_returnflag"]}),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "prio": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = t["prio"].to_numpy(zero_copy_only=False)
+        hi_ = np.isin(pr, ("1-URGENT", "2-HIGH")).astype("int64")
+        g = (pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(
+                zero_copy_only=False),
+            "high_line_count": hi_, "low_line_count": 1 - hi_})
+            .groupby("l_returnflag", sort=False).sum().reset_index())
+        return table_from_pandas(g, preserve_index=False)
+
+    joined = hash_join(li, orders, on="orderkey",
+                       exchange_dir=_exchange("q12"), num_buckets=8,
+                       partial_fn=partial)
+    return grouped_agg(joined, ["l_returnflag"],
+                       {"high_line_count": ("high_line_count", "sum"),
+                        "low_line_count": ("low_line_count", "sum")},
+                       num_buckets=2)
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1997-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -8354,4 +8626,11 @@ SUITE: dict[str, tuple] = {
     "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q5_local_revenue": (q5_local_revenue, Q5_LOCAL_SQL),
+    # round-5 session 10 — Q21 (double-correlated EXISTS/NOT EXISTS
+    # self-join decorrelated into one order-hash exchange), Q15 (scalar
+    # MAX-of-aggregate subquery on exact cents), Q12 (conditional
+    # two-way counts fused into the join reduce):
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q12_priority_by_flag": (q12_priority_by_flag, Q12_SQL),
 }

@@ -102,6 +102,9 @@ FAST = [
     "q22_dormant_customers",
     "q16_supplier_variety",
     "q5_local_revenue",
+    "q21_waiting_suppliers",
+    "q15_top_supplier",
+    "q12_priority_by_flag",
 ]
 
 
@@ -200,6 +203,64 @@ def test_q22_dormancy_is_window_anti(ray_session, tmp_path):
     # avg positive = (100+100+700+400)/4 = 325 → rich: c3, c5.
     got = q22_dormant_customers(str(tmp_path)).to_pandas()
     assert got.values.tolist() == [[9, 1, 70000]]
+
+
+def test_q21_sole_late_supplier_logic(ray_session, tmp_path):
+    """Order 1: suppliers {1, 2}, only supplier 1 late with TWO late
+    rows → supplier 1 gets numwait 2 (rows, not orders). Order 2: both
+    suppliers late → NOT EXISTS kills it. Order 3: single-supplier
+    late → EXISTS kills it. Order 4: sole-late but o_orderstatus='O' →
+    the finalized gate kills it. Supplier 9 (NATION_5) would qualify
+    on order 5 but is filtered by the nation dimension."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q21_waiting_suppliers
+
+    pd.DataFrame({
+        "l_orderkey": [1, 1, 1, 1, 2, 2, 3, 4, 4, 5, 5],
+        "l_suppkey":  [1, 1, 1, 2, 1, 2, 1, 1, 2, 9, 1],
+        "l_returnflag": ["R", "R", "N", "N", "R", "R", "R",
+                         "R", "N", "R", "N"],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_orderstatus": ["F", "F", "F", "O", "F"],
+    }).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({
+        "s_suppkey": [1, 2, 9],
+        "s_name": ["SUPP_1", "SUPP_2", "SUPP_9"],
+        "s_nationkey": [3, 3, 5],
+    }).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame({
+        "n_nationkey": [3, 5],
+        "n_name": ["NATION_3", "NATION_5"],
+    }).to_parquet(tmp_path / "nation.parquet")
+
+    got = q21_waiting_suppliers(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == [["SUPP_1", 2]]
+
+
+def test_q15_max_tie_keeps_both(ray_session, tmp_path):
+    """Two suppliers tied at the exact-cents maximum both survive the
+    scalar-subquery filter (the reason Q15 runs on cents, not floats)."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q15_top_supplier
+
+    pd.DataFrame({
+        "l_suppkey": [1, 2, 2, 3],
+        "l_extendedprice": [200.0, 150.0, 50.0, 120.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0],
+        "l_shipdate": [pd.Timestamp("1996-02-01")] * 4,
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_name": ["A", "B", "C"],
+    }).to_parquet(tmp_path / "supplier.parquet")
+
+    got = (q15_top_supplier(str(tmp_path)).to_pandas()
+           .sort_values("s_suppkey").reset_index(drop=True))
+    assert got.values.tolist() == [[1, "A", 20000], [2, "B", 20000]]
 
 
 @pytest.fixture(scope="module")
