@@ -8247,6 +8247,232 @@ GROUP BY l_returnflag
 """
 
 
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between nation pairs): revenue
+    flowing between TWO specific nations in EITHER direction
+    (supplier-nation → customer-nation), per shipping year. The
+    two-year shipdate window pushes into the lineitem SCAN; lineitem ⋈
+    orders is the co-partitioned fs-exchange hash join with the pair
+    filter, BOTH nation lookups and the (supp_nation, cust_nation,
+    year) revenue partial fused into the join's reduce (the Q5
+    discipline — broadcast key maps read from shared memory once per
+    task, each reduce emitting ≤ 4 rows so the join never materializes
+    at lineitem grain). Output ``(supp_nation, cust_nation, l_year,
+    revenue_cents)``."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    pair = {"NATION_9", "NATION_6"}
+    pair_keys = set(nat.n_nationkey[nat.n_name.isin(pair)].tolist())
+    name_of = dict(zip(nat.n_nationkey, nat.n_name))
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "orderkey": df.l_orderkey.astype("int64"),
+            "suppkey": df.l_suppkey.astype("int64"),
+            "l_year": df.l_shipdate.dt.year.astype("int64"),
+            "_rc": cents(df.l_extendedprice.to_numpy()
+                         * (1 - df.l_discount.to_numpy())),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"],
+               filter=((pc.field("l_shipdate") >= lo)
+                       & (pc.field("l_shipdate") < hi))
+               ).map_batches(li_f, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]
+                   ).map_batches(
+        lambda t: pa.table({"orderkey": t["o_orderkey"],
+                            "custkey": t["o_custkey"]}),
+        batch_format="pyarrow")
+
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    pk = np.array(sorted(pair_keys), dtype="int64")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        sup = ray.get(sref)
+        ck, cn = c.c_custkey.to_numpy(), c.c_nationkey.to_numpy()
+        sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
+        cnat = cn[np.searchsorted(
+            ck, t["custkey"].to_numpy(zero_copy_only=False))]
+        snat = sn[np.searchsorted(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        keep = (np.isin(snat, pk) & np.isin(cnat, pk)
+                & (snat != cnat))
+        if not keep.any():
+            return pa.schema([("snat", pa.int64()), ("cnat", pa.int64()),
+                              ("l_year", pa.int64()),
+                              ("_rc", pa.int64())]).empty_table()
+        g = (pd.DataFrame({
+            "snat": snat[keep].astype("int64"),
+            "cnat": cnat[keep].astype("int64"),
+            "l_year": t["l_year"].to_numpy(zero_copy_only=False)[keep],
+            "_rc": t["_rc"].to_numpy(zero_copy_only=False)[keep]})
+            .groupby(["snat", "cnat", "l_year"], sort=False)
+            ._rc.sum().reset_index())
+        return table_from_pandas(g, preserve_index=False)
+
+    joined = hash_join(li, orders, on="orderkey",
+                       exchange_dir=_exchange("q7"), num_buckets=8,
+                       partial_fn=pair_partial)
+    # output cardinality is pairs (2) x window years (2) — a driver
+    # fold over the <= buckets x 4 partial rows (the q6 discipline),
+    # which also keeps the zero-match schema typed
+    parts = joined.to_pandas()
+    empty = pa.schema([("supp_nation", pa.string()),
+                       ("cust_nation", pa.string()),
+                       ("l_year", pa.int64()),
+                       ("revenue_cents", pa.int64())]).empty_table()
+    if parts.empty:
+        return empty
+    g = (parts.groupby(["snat", "cnat", "l_year"], as_index=False)
+         ._rc.sum())
+    return pa.table({
+        "supp_nation": pa.array(g.snat.map(name_of), pa.string()),
+        "cust_nation": pa.array(g.cnat.map(name_of), pa.string()),
+        "l_year": pa.array(g.l_year.astype("int64")),
+        "revenue_cents": pa.array(g._rc.astype("int64"))})
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+       OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): the conditional-share
+    aggregate over the deep join — of all revenue shipped to EUROPE
+    customers in a two-year order window, the percentage supplied by
+    NATION_3, per order year. The window pushes into the orders SCAN;
+    lineitem ⋈ orders is the co-partitioned hash join with the
+    customer-region filter, the supplier-nation flag and the per-year
+    (nation_cents, total_cents) partials all fused into the join's
+    reduce — each reduce emits ≤ 2 rows of 3 int64s. The share itself
+    is ONE fixed-order double expression ``(100.0 * nation) / total``
+    evaluated identically in both engines (the Q14 contract) — int64
+    cents until the last operation. Output ``(o_year,
+    mkt_share_pct)``."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    eur = set(nat.n_nationkey[nat.n_regionkey.isin(
+        reg.r_regionkey[reg.r_name == "EUROPE"])].tolist())
+    n3 = set(nat.n_nationkey[nat.n_name == "NATION_3"].tolist())
+    eur_keys = np.array(sorted(eur), dtype="int64")
+    n3_keys = np.array(sorted(n3), dtype="int64")
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "orderkey": df.l_orderkey.astype("int64"),
+            "suppkey": df.l_suppkey.astype("int64"),
+            "_rc": cents(df.l_extendedprice.to_numpy()
+                         * (1 - df.l_discount.to_numpy())),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(li_f, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"],
+                   filter=((pc.field("o_orderdate") >= lo)
+                           & (pc.field("o_orderdate") < hi))
+                   ).map_batches(
+        lambda df: table_from_pandas(pd.DataFrame({
+            "orderkey": df.o_orderkey.astype("int64"),
+            "custkey": df.o_custkey.astype("int64"),
+            "o_year": df.o_orderdate.dt.year.astype("int64")}),
+            preserve_index=False),
+        batch_format="pandas")
+
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        sup = ray.get(sref)
+        ck, cn = c.c_custkey.to_numpy(), c.c_nationkey.to_numpy()
+        sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
+        cnat = cn[np.searchsorted(
+            ck, t["custkey"].to_numpy(zero_copy_only=False))]
+        snat = sn[np.searchsorted(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        keep = np.isin(cnat, eur_keys)
+        if not keep.any():
+            return pa.schema([("o_year", pa.int64()),
+                              ("nat_cents", pa.int64()),
+                              ("tot_cents", pa.int64())]).empty_table()
+        rc = t["_rc"].to_numpy(zero_copy_only=False)[keep]
+        is_n = np.isin(snat[keep], n3_keys).astype("int64")
+        g = (pd.DataFrame({
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False)[keep],
+            "nat_cents": rc * is_n, "tot_cents": rc})
+            .groupby("o_year", sort=False).sum().reset_index())
+        return table_from_pandas(g, preserve_index=False)
+
+    joined = hash_join(li, orders, on="orderkey",
+                       exchange_dir=_exchange("q8"), num_buckets=8,
+                       partial_fn=share_partial)
+    # output cardinality is window years (2) — driver fold over the
+    # <= buckets x 2 partial rows (the q6 discipline)
+    parts = joined.to_pandas()
+    if parts.empty:
+        return pa.schema([("o_year", pa.int64()),
+                          ("mkt_share_pct", pa.float64())]).empty_table()
+    g = parts.groupby("o_year", as_index=False).sum()
+    # the SAME fixed-order double tree the SQL oracle evaluates
+    pct = ((100.0 * g.nat_cents.to_numpy().astype("float64"))
+           / g.tot_cents.to_numpy().astype("float64"))
+    return pa.table({"o_year": pa.array(g.o_year.astype("int64")),
+                     "mkt_share_pct": pa.array(pct, pa.float64())})
+
+
+Q8_SQL = """
+WITH w AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+              AS BIGINT) AS rc,
+         CASE WHEN n1.n_name = 'NATION_3' THEN 1 ELSE 0 END AS is_n
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n2.n_regionkey AND r_name = 'EUROPE'
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1998-01-01')
+SELECT o_year,
+       (100.0 * CAST(sum(rc * is_n) AS DOUBLE))
+         / CAST(sum(rc) AS DOUBLE) AS mkt_share_pct
+FROM w GROUP BY o_year
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -8633,4 +8859,9 @@ SUITE: dict[str, tuple] = {
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q12_priority_by_flag": (q12_priority_by_flag, Q12_SQL),
+    # Q7 (nation-pair volume in either direction, per ship year) and
+    # Q8 (conditional market share, fixed-order double) — both fused
+    # into the join reduce per the Q5 discipline:
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
 }

@@ -105,6 +105,8 @@ FAST = [
     "q21_waiting_suppliers",
     "q15_top_supplier",
     "q12_priority_by_flag",
+    "q7_nation_volume",
+    "q8_market_share",
 ]
 
 
@@ -261,6 +263,45 @@ def test_q15_max_tie_keeps_both(ray_session, tmp_path):
     got = (q15_top_supplier(str(tmp_path)).to_pandas()
            .sort_values("s_suppkey").reset_index(drop=True))
     assert got.values.tolist() == [[1, "A", 20000], [2, "B", 20000]]
+
+
+def test_q7_pair_is_directional_not_reflexive(ray_session, tmp_path):
+    """Both directions of the (9, 6) pair emit separate rows; a
+    supplier and customer in the SAME nation never count (snat !=
+    cnat); nations outside the pair are invisible."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q7_nation_volume
+
+    pd.DataFrame({
+        "l_orderkey": [1, 2, 3, 4],
+        "l_suppkey": [1, 2, 1, 3],
+        "l_shipdate": [pd.Timestamp("1996-05-01")] * 4,
+        "l_extendedprice": [100.0, 200.0, 400.0, 800.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    # order 1: supp N9 -> cust N6; order 2: supp N6 -> cust N9;
+    # order 3: supp N9 -> cust N9 (reflexive, dropped);
+    # order 4: supp N4 -> cust N6 (outside pair, dropped)
+    pd.DataFrame({"o_orderkey": [1, 2, 3, 4],
+                  "o_custkey": [6, 9, 9, 6]}).to_parquet(
+        tmp_path / "orders.parquet")
+    pd.DataFrame({"c_custkey": [6, 9],
+                  "c_nationkey": [6, 9]}).to_parquet(
+        tmp_path / "customer.parquet")
+    pd.DataFrame({"s_suppkey": [1, 2, 3],
+                  "s_nationkey": [9, 6, 4]}).to_parquet(
+        tmp_path / "supplier.parquet")
+    pd.DataFrame({"n_nationkey": [4, 6, 9],
+                  "n_name": ["NATION_4", "NATION_6", "NATION_9"],
+                  "n_regionkey": [0, 0, 0]}).to_parquet(
+        tmp_path / "nation.parquet")
+
+    got = (q7_nation_volume(str(tmp_path)).to_pandas()
+           .sort_values("supp_nation").reset_index(drop=True))
+    assert got.values.tolist() == [
+        ["NATION_6", "NATION_9", 1996, 20000],
+        ["NATION_9", "NATION_6", 1996, 10000]]
 
 
 @pytest.fixture(scope="module")
