@@ -663,6 +663,33 @@ def cmd_mode(args) -> int:
     return 0
 
 
+def cmd_pivot(args) -> int:
+    """Long -> wide pivot over arbitrary parquet (stages/groupagg.py
+    pivot_wide): one row per --by key, one int64 column per --label
+    value (count, or sum of --val), absent cells 0; writes the wide
+    table to --out or prints it. usage:
+    pivot TABLE --by user_id --label event_type [--val value] [--out D]"""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.stages.groupagg import pivot_wide
+
+    by = args.by.split(",")
+    cols = by + [args.label] + ([args.val] if args.val else [])
+    wide = pivot_wide(
+        rd.read_parquet(args.table, columns=cols), by, args.label,
+        value_col=args.val, agg="sum" if args.val else "count")
+    if args.out:
+        wide.write_parquet(args.out)
+        print(json.dumps({"out": args.out,
+                          "columns": wide.schema().names}))
+    else:
+        t = wide.to_pandas()
+        print(json.dumps({"rows": t.to_dict(orient="records")},
+                         default=str))
+    return 0
+
+
 def cmd_cluster(args) -> int:
     """Range-cluster a parquet table on an int64 column and write the
     zone-map layout (sources/layout.py); --probe LO:HI prints the
@@ -1145,6 +1172,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma list of key columns")
     mo.add_argument("--val", required=True)
     mo.set_defaults(fn=cmd_mode)
+
+    pv = sub.add_parser("pivot",
+                        help="long -> wide pivot (one column per "
+                             "label value, zero-filled cells)")
+    pv.add_argument("table")
+    pv.add_argument("--by", required=True,
+                    help="comma list of key columns")
+    pv.add_argument("--label", required=True)
+    pv.add_argument("--val", default=None,
+                    help="sum this column instead of counting rows")
+    pv.add_argument("--out", default=None)
+    pv.set_defaults(fn=cmd_pivot)
 
     cl = sub.add_parser("cluster",
                         help="range-cluster a table + zone-map "

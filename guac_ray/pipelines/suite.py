@@ -8473,6 +8473,41 @@ FROM w GROUP BY o_year
 """
 
 
+def events_user_pivot(sf_dir: str):
+    """Long → wide pivot (``pivot_wide``): one row per user with an
+    int64 count column per event type — the feature-matrix build
+    every per-entity model (churn scoring, segment clustering, wide
+    regressions) runs on an event log. Labels are DISCOVERED by one
+    label-cardinality distinct pass (deterministic sorted order,
+    cap-guarded); the exchange ships (user, type) cell partials,
+    never events; per bucket one vectorized pivot + reindex fills
+    absent cells with 0 (a user who never errored must read n_error=0,
+    not NULL). Output ``(user_id, n_click, n_error, n_purchase,
+    n_signup, n_view)``."""
+    from guac_ray.stages.groupagg import pivot_wide
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_wide(ev, ["user_id"], "event_type",
+                      exchange_base=_exchange("upivot"))
+
+
+EVENTS_USER_PIVOT_SQL = """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -8864,4 +8899,7 @@ SUITE: dict[str, tuple] = {
     # into the join reduce per the Q5 discipline:
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
+    # long->wide pivot over the event log (pivot_wide — discovered
+    # labels, zero-filled cells, cell-grain exchange):
+    "events_user_pivot": (events_user_pivot, EVENTS_USER_PIVOT_SQL),
 }

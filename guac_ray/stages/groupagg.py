@@ -394,3 +394,109 @@ def grouped_mode(
             + [("mode", at(val_col)), ("n_mode", pa.int64())]
         ).empty_table())
     return out
+
+
+def pivot_wide(
+    ds: Dataset,
+    key_cols: list[str],
+    label_col: str,
+    value_col: str | None = None,
+    agg: str = "count",
+    labels: list[str] | None = None,
+    prefix: str = "n_",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+    label_cap: int = 256,
+) -> Dataset:
+    """Long → wide pivot: one output row per distinct ``key_cols``
+    tuple, one int64 column per label (``prefix + label``) holding the
+    ``agg`` (``count`` of rows, or ``sum`` of ``value_col``) for that
+    (key, label) cell — absent cells fill 0, because a pivoted frame
+    with silent NULL holes breaks every downstream matrix consumer.
+
+    Labels become COLUMNS, so they are a schema-level contract:
+    pass ``labels`` explicitly for a stable schema, or let one
+    label-cardinality distinct pass discover them (deterministic
+    sorted order, ``label_cap`` guarded — a pivot over an unbounded
+    label domain is a modeling error, not a scaling problem; keep
+    long format and ``grouped_agg`` instead).
+
+    Scale shape: in-batch (key, label) combine first, so the ONE
+    key-hash fs exchange ships cell-grain partials (keys × labels per
+    block), never input rows; per bucket one vectorized
+    ``pivot_table`` + column reindex (a key lives in one bucket, so
+    in-bucket cells are globally complete). Nothing driver-sized
+    except the label list itself."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce
+
+    if agg not in ("count", "sum"):
+        raise ValueError(f"pivot_wide: unsupported agg {agg!r} "
+                         "(count | sum)")
+    if agg == "sum" and value_col is None:
+        raise ValueError("pivot_wide: agg='sum' needs value_col")
+
+    cols = list(key_cols) + [label_col] + (
+        [value_col] if agg == "sum" else [])
+    narrow = ds.select_columns(cols)
+
+    if labels is None:
+        def batch_labels(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u = pc.unique(t[label_col])
+            return pa.table({"_l": u})
+
+        found = narrow.select_columns([label_col]).map_batches(
+            batch_labels, batch_format="pyarrow").to_pandas()
+        labels = sorted(found["_l"].unique().tolist())
+    if len(labels) > label_cap:
+        raise ValueError(
+            f"pivot_wide: {len(labels)} labels exceed label_cap "
+            f"({label_cap}) — a pivot this wide is a schema smell; "
+            "stay long-format (grouped_agg) or raise label_cap")
+    label_list = [str(x) for x in labels]
+    out_cols = [prefix + x for x in label_list]
+
+    def partial(df: pd.DataFrame) -> "pa.Table":
+        if agg == "count":
+            g = (df.groupby(key_cols + [label_col], sort=False)
+                 .size().reset_index(name="_v"))
+        else:
+            v = df[value_col].to_numpy()
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    "pivot_wide: sum needs an integer value column "
+                    f"(use the cents trick for floats), got {v.dtype}")
+            g = (df.assign(_v=v.astype("int64"))
+                 .groupby(key_cols + [label_col], sort=False)
+                 ._v.sum().reset_index())
+        g["_v"] = g["_v"].astype("int64")
+        g["_bucket"] = (stable_hash(g, key_cols)
+                        % num_buckets).astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    def reduce_fn(t: "pa.Table") -> "pa.Table":
+        df = t.to_pandas()
+        wide = pd.pivot_table(df, index=key_cols, columns=label_col,
+                              values="_v", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=labels, fill_value=0)
+        wide.columns = out_cols
+        wide = wide.reset_index()
+        for c in out_cols:
+            wide[c] = wide[c].to_numpy().astype("int64")
+        return table_from_pandas(wide, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        narrow.map_batches(partial, batch_format="pandas"),
+        exchange_base or default_exchange("pivot"), reduce_fn)
+    if out is None:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        return rd.from_arrow(pa.schema(
+            [(c, types.get(c, pa.string())) for c in key_cols]
+            + [(c, pa.int64()) for c in out_cols]).empty_table())
+    return out

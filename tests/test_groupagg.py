@@ -252,3 +252,73 @@ class TestGroupedSortedConcat:
             exchange_base=str(tmp_path / "e"))
         assert out.count() == 0
         assert set(["k", "n_items", "concat"]) <= set(out.schema().names)
+
+
+class TestPivotWide:
+    def test_hand_case_counts_and_fill(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import pivot_wide
+
+        df = pd.DataFrame({
+            "u": [1, 1, 1, 2, 3, 3],
+            "t": ["a", "a", "b", "a", "c", "c"],
+        })
+        got = (pivot_wide(rd.from_pandas(df), ["u"], "t")
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        assert list(got.columns) == ["u", "n_a", "n_b", "n_c"]
+        assert got.values.tolist() == [
+            [1, 2, 1, 0], [2, 1, 0, 0], [3, 0, 0, 2]]
+
+    def test_sum_mode_and_explicit_absent_label(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import pivot_wide
+
+        df = pd.DataFrame({"u": [1, 1, 2], "t": ["a", "b", "a"],
+                           "v": [5, 7, 9]})
+        got = (pivot_wide(rd.from_pandas(df), ["u"], "t",
+                          value_col="v", agg="sum",
+                          labels=["a", "b", "zz"], prefix="s_")
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        # the absent explicit label materializes as an all-zero column
+        # (schema is a contract, not a data accident)
+        assert got.values.tolist() == [[1, 5, 7, 0], [2, 9, 0, 0]]
+
+    def test_cross_partition_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import pivot_wide
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "u": rng.integers(0, 40, 5000),
+            "t": rng.choice(list("abcdef"), 5000),
+        })
+        got = (pivot_wide(rd.from_pandas(df).repartition(8), ["u"], "t",
+                          num_buckets=4)
+               .to_pandas().sort_values("u").reset_index(drop=True))
+        want = pd.crosstab(df.u, df.t).reindex(
+            columns=list("abcdef"), fill_value=0)
+        want.columns = [f"n_{c}" for c in want.columns]
+        want = want.reset_index()
+        assert got.values.tolist() == want.values.tolist()
+
+    def test_label_cap_and_bad_agg(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import pivot_wide
+
+        df = pd.DataFrame({"u": [1], "t": ["a"]})
+        with pytest.raises(ValueError, match="label_cap"):
+            pivot_wide(rd.from_pandas(pd.DataFrame({
+                "u": np.arange(300), "t": [f"l{i}" for i in range(300)],
+            })), ["u"], "t", label_cap=100)
+        with pytest.raises(ValueError, match="unsupported agg"):
+            pivot_wide(rd.from_pandas(df), ["u"], "t", agg="median")
+        with pytest.raises(ValueError, match="needs value_col"):
+            pivot_wide(rd.from_pandas(df), ["u"], "t", agg="sum")
+        bad = pd.DataFrame({"u": [1], "t": ["a"], "v": [1.5]})
+        with pytest.raises(Exception, match="cents trick"):
+            pivot_wide(rd.from_pandas(bad), ["u"], "t",
+                       value_col="v", agg="sum").to_pandas()

@@ -962,6 +962,42 @@ class TestClusteredLayout:
     """Zone-map clustered write + pruned read: pruning really skips
     ranges, and the pruned result equals the full-scan filter."""
 
+    def test_pivot_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_pivot
+
+        p = tmp_path / "long.parquet"
+        pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "event_type": ["a", "b", "a"],
+            "value": [5, 7, 9],
+        }).to_parquet(p)
+
+        class P:
+            table = str(p)
+            by, label = "user_id", "event_type"
+            val, out, num_cpus = None, None, None
+        assert cmd_pivot(P()) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sorted(rep["rows"], key=lambda r: r["user_id"]) == [
+            {"user_id": 1, "n_a": 1, "n_b": 1},
+            {"user_id": 2, "n_a": 1, "n_b": 0}]
+
+        class P2:
+            table = str(p)
+            by, label = "user_id", "event_type"
+            val = "value"
+            out = str(tmp_path / "wide")
+            num_cpus = None
+        assert cmd_pivot(P2()) == 0
+        got = (pq.read_table(str(tmp_path / "wide")).to_pandas()
+               .sort_values("user_id"))
+        assert got.values.tolist() == [[1, 5, 7], [2, 9, 0]]
+
     def test_cluster_prune_roundtrip(self, ray_session, tmp_path):
         import numpy as np
         import pandas as pd

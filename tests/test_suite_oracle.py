@@ -107,6 +107,7 @@ FAST = [
     "q12_priority_by_flag",
     "q7_nation_volume",
     "q8_market_share",
+    "events_user_pivot",
 ]
 
 
