@@ -216,7 +216,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "q16_supplier_variety", "q5_local_revenue",
             "q21_waiting_suppliers", "q15_top_supplier",
             "q12_priority_by_flag",
-            "q7_nation_volume", "q8_market_share", "events_user_pivot",
+            "q7_nation_volume", "q8_market_share", "events_user_pivot", "events_acf",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -344,3 +344,120 @@ def grouped_linreg(
         return table_from_pandas(out, preserve_index=False)
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def grouped_acf(
+    ds: Dataset,
+    by: str,
+    value_col: str,
+    ts_col: str,
+    order_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+    exchange_base: str | None = None,
+    num_buckets: int = 8,
+) -> Dataset:
+    """Per-group lag-k autocorrelation of an ordered value stream —
+    the seasonality / memory screen (does this series correlate with
+    itself k steps back?) run before trend fits or forecasting. For
+    each group and each lag k, Pearson correlation between the series
+    and itself shifted k positions in (ts, order) order, over the
+    n - k overlapping pairs — the standard sample-ACF-with-pairwise-
+    moments form, which makes every lag an ordinary grouped_corr and
+    keeps the cross-engine double contract.
+
+    ``value_col`` must be int64 (the house cents trick): all moment
+    sums are exact integers and the ONLY doubles are grouped_corr's
+    fixed-order tree, evaluated identically in the SQL oracle (sxy's
+    per-pair int64 budget |v|² · n, same as grouped_corr). Shape: the
+    ``sessionize`` contract — ONE group-hash fs exchange of 3 int64
+    columns + the group label (a group lives wholly in one bucket, so
+    its stream order AND its complete pair moments are bucket-local);
+    per bucket one lexsort, then per lag one shifted same-group
+    compare — pairs never materialize beyond two slices. Few huge
+    groups skew like any ordered-stream reduction (documented on
+    sessionize); zero-variance or n ≤ k groups pin acf 0.0 / drop."""
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.functions.streams import _per_user_stream
+
+    lag_list = sorted(set(int(k) for k in lags))
+    if not lag_list or lag_list[0] < 1:
+        raise ValueError(f"grouped_acf: lags must be >= 1, got {lags}")
+
+    empty = pa.schema([(by, pa.string()), ("lag", pa.int64()),
+                       ("n", pa.int64()), ("acf", pa.float64())])
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        g = t[by].to_numpy(zero_copy_only=False)
+        n = len(g)
+        if n == 0:
+            return empty.empty_table()
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        v = t["_v"].to_numpy(zero_copy_only=False).astype("int64")
+        o = np.lexsort((od, ts, g))
+        g, v = g[o], v[o]
+        frames = []
+        for k in lag_list:
+            if n <= k:
+                continue
+            # sorted by group, so g[i] == g[i+k] iff the whole window
+            # [i, i+k] sits inside one group — the pair is in-group
+            same = g[:-k] == g[k:]
+            if not same.any():
+                continue
+            x, y = v[:-k][same], v[k:][same]
+            s = (pd.DataFrame({
+                by: g[:-k][same], "x": x, "y": y,
+                "xy": x * y, "xx": x * x, "yy": y * y})
+                .groupby(by, sort=False)
+                .agg(n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                     sxy=("xy", "sum"), sxx=("xx", "sum"),
+                     syy=("yy", "sum"),
+                     mnx=("x", "min"), mxx=("x", "max"),
+                     mny=("y", "min"), mxy=("y", "max"))
+                .reset_index())
+            s["lag"] = k
+            frames.append(s)
+        if not frames:
+            return empty.empty_table()
+        s = pd.concat(frames, ignore_index=True)
+        nf = s["n"].to_numpy().astype("float64")
+        sx = s["sx"].to_numpy().astype("float64")
+        sy = s["sy"].to_numpy().astype("float64")
+        sxy = s["sxy"].to_numpy().astype("float64")
+        sxx = s["sxx"].to_numpy().astype("float64")
+        syy = s["syy"].to_numpy().astype("float64")
+        const = ((s["mnx"].to_numpy() == s["mxx"].to_numpy())
+                 | (s["mny"].to_numpy() == s["mxy"].to_numpy()))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # grouped_corr's EXACT operation order — the oracle
+            # contract depends on this tree, do not refactor
+            num = sxy - (sx * sy) / nf
+            acf = num / (np.sqrt(sxx - (sx * sx) / nf)
+                         * np.sqrt(syy - (sy * sy) / nf))
+        return table_from_pandas(pd.DataFrame({
+            by: s[by], "lag": s["lag"].astype("int64"),
+            "n": s["n"].astype("int64"),
+            "acf": np.where(const, 0.0, acf)}), preserve_index=False)
+
+    def add_v(df: pd.DataFrame) -> pd.DataFrame:
+        vv = df[value_col].to_numpy()
+        if not np.issubdtype(vv.dtype, np.integer):
+            raise TypeError(
+                "grouped_acf: value must be integer (use the cents "
+                f"trick for floats), got {vv.dtype}")
+        df = df.copy()
+        df["_v"] = vv.astype("int64")
+        return df
+
+    out = _per_user_stream(
+        ds.select_columns([by, ts_col, order_col, value_col]
+                          ).map_batches(add_v, batch_format="pandas"),
+        by, ts_col, order_col, ["_v"],
+        exchange_base or default_exchange("acf"), num_buckets,
+        reduce_fn)
+    if out is None:
+        return rd.from_arrow(empty.empty_table())
+    return out

@@ -8508,6 +8508,69 @@ FROM events GROUP BY user_id
 """
 
 
+def events_acf(sf_dir: str):
+    """Per-type lag-k autocorrelation (``grouped_acf``): does the
+    value series correlate with itself 1 / 2 / 3 events back, per
+    event type — the seasonality/memory screen run before trend fits
+    or forecasting. Values enter as exact cents; each (type, lag)
+    cell is an ordinary grouped_corr over the n−k overlapping pairs
+    with the SAME fixed-order double tree, so the oracle (one lagged
+    CTE per k, the events_corr moment spelling) reproduces the
+    doubles bit-exact. ONE type-hash exchange of 3 int64 columns +
+    the label; pair moments complete in-bucket because a type lives
+    in one bucket. Output ``(event_type, lag, n, acf)``."""
+    from guac_ray.functions.stats import grouped_acf
+
+    ev = _read(sf_dir, "events",
+               ["event_type", "ts", "event_id", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "ts": df["ts"],
+            "event_id": df["event_id"].to_numpy().astype("int64"),
+            "v": cents(df["value"]),
+        })
+
+    return grouped_acf(ev.map_batches(derive, batch_format="pandas"),
+                       "event_type", "v", "ts", "event_id",
+                       lags=(1, 2, 3),
+                       exchange_base=_exchange("acf"), num_buckets=4)
+
+
+_ACF_LAG_BLOCK = """
+  SELECT event_type, {k} AS lag, v AS x,
+         lead(v, {k}) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS y
+  FROM t
+"""
+
+EVENTS_ACF_SQL = ("""
+WITH t AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+  FROM events),
+lagged AS (""" + " UNION ALL ".join(
+    _ACF_LAG_BLOCK.format(k=k) for k in (1, 2, 3)) + """),
+m AS (
+  SELECT event_type, lag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy,
+         min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+  FROM lagged WHERE y IS NOT NULL GROUP BY event_type, lag)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+  CASE WHEN mnx = mxx OR mny = mxy THEN 0.0 ELSE
+    (CAST(sxy AS DOUBLE)
+     - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE))
+    / (sqrt(CAST(sxx AS DOUBLE)
+            - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+       * sqrt(CAST(syy AS DOUBLE)
+              - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                / CAST(n AS DOUBLE))) END AS acf
+FROM m
+""")
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -8902,4 +8965,7 @@ SUITE: dict[str, tuple] = {
     # long->wide pivot over the event log (pivot_wide — discovered
     # labels, zero-filled cells, cell-grain exchange):
     "events_user_pivot": (events_user_pivot, EVENTS_USER_PIVOT_SQL),
+    # per-type lag-k autocorrelation (grouped_acf — each (type, lag)
+    # an exact-moment grouped_corr over the shifted pairs):
+    "events_acf": (events_acf, EVENTS_ACF_SQL),
 }

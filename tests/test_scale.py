@@ -226,3 +226,62 @@ class TestLookupBelowContract:
         below = np.array([0], dtype=np.int64)
         assert _lookup_below(vals, below,
                              np.array([], dtype=np.int64)).size == 0
+
+
+class TestGroupedACF:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import grouped_acf
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "g": ["a"] * 60 + ["b"] * 40,
+            "ts": pd.to_datetime(np.arange(100), unit="s"),
+            "eid": np.arange(100),
+            "v": rng.integers(-50, 50, 100),
+        })
+        got = (grouped_acf(rd.from_pandas(df).repartition(5),
+                           "g", "v", "ts", "eid", lags=(1, 2, 3))
+               .to_pandas().sort_values(["g", "lag"])
+               .reset_index(drop=True))
+        for _, r in got.iterrows():
+            s = df[df.g == r.g].sort_values("ts").v.to_numpy().astype(float)
+            k = int(r.lag)
+            assert r.n == len(s) - k
+            assert abs(r.acf - np.corrcoef(s[:-k], s[k:])[0, 1]) < 1e-12
+
+    def test_constant_series_and_short_group(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import grouped_acf
+
+        df = pd.DataFrame({
+            "g": ["c"] * 5 + ["tiny"] * 2,
+            "ts": pd.to_datetime(np.arange(7), unit="s"),
+            "eid": np.arange(7),
+            "v": [9] * 5 + [1, 2],
+        })
+        got = (grouped_acf(rd.from_pandas(df), "g", "v", "ts", "eid",
+                           lags=(1, 3))
+               .to_pandas().sort_values(["g", "lag"])
+               .reset_index(drop=True))
+        # constant series pins 0.0 (both lags); the 2-row group only
+        # has lag-1 pairs — and a single pair is zero-variance → 0.0
+        assert got[got.g == "c"].acf.tolist() == [0.0, 0.0]
+        tiny = got[got.g == "tiny"]
+        assert tiny.lag.tolist() == [1] and tiny.acf.tolist() == [0.0]
+
+    def test_float_and_bad_lag_raise(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import grouped_acf
+
+        df = pd.DataFrame({"g": ["a"], "ts": pd.to_datetime([0], unit="s"),
+                           "eid": [0], "v": [1.5]})
+        with pytest.raises(Exception, match="cents"):
+            grouped_acf(rd.from_pandas(df), "g", "v", "ts",
+                        "eid").to_pandas()
+        with pytest.raises(ValueError, match="lags"):
+            grouped_acf(rd.from_pandas(df), "g", "v", "ts", "eid",
+                        lags=(0,))

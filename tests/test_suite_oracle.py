@@ -108,6 +108,7 @@ FAST = [
     "q7_nation_volume",
     "q8_market_share",
     "events_user_pivot",
+    "events_acf",
 ]
 
 
