@@ -8571,6 +8571,156 @@ FROM m
 """)
 
 
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated
+    MIN-subquery → per-group argmin JOIN-BACK — for every part of a
+    target size class, the supplier(s) offering it at the lowest
+    cost. There is no partsupp table here, so the part-supplier cost
+    relation derives from lineitem: a part's cost at a supplier is
+    the MINIMUM extended price that supplier ever shipped it at (the
+    Q16 derived-relation discipline; exact cents so the argmin
+    equality is a cross-engine contract). Plan: (partkey, suppkey) →
+    min-cents via the bucketed two-phase aggregate (fact-scale in,
+    pair-scale out); per-part min via a SECOND grouped_agg over the
+    pair table; the argmin join-back is the co-partitioned hash join
+    on partkey (both sides pair/part-cardinality — never assumed
+    broadcast-small) keeping cost == part-min rows; part size/type
+    filter and supplier/nation names resolve broadcast. Output
+    ``(p_partkey, s_name, n_name, cost_cents)`` — ties keep ALL
+    minimal suppliers."""
+    from guac_ray.functions.joins import hash_join
+
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "p_partkey": df.l_partkey.astype("int64"),
+            "suppkey": df.l_suppkey.astype("int64"),
+            "_c": cents(df.l_extendedprice),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"]
+               ).map_batches(li_f, batch_format="pandas")
+    ps = grouped_agg(li, ["p_partkey", "suppkey"],
+                     {"cost_cents": ("_c", "min")}, num_buckets=8)
+    part_min = grouped_agg(ps, ["p_partkey"],
+                           {"min_cents": ("cost_cents", "min")},
+                           num_buckets=8)
+    joined = hash_join(ps, part_min, on="p_partkey",
+                       exchange_dir=_exchange("q2"), num_buckets=8)
+
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_size", "p_type"])
+    sref = _bcast_df(sf_dir, "supplier",
+                     ["s_suppkey", "s_name", "s_nationkey"])
+    nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class Finish:
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.keep_part = ((p.p_size.to_numpy() == 15)
+                              & np.char.startswith(
+                                  p.p_type.to_numpy().astype(str),
+                                  "STANDARD"))
+            s = ray.get(sref).sort_values("s_suppkey")
+            self.sk = s.s_suppkey.to_numpy()
+            self.sname = s.s_name.to_numpy()
+            self.snat = s.s_nationkey.to_numpy()
+            nat = ray.get(nref).sort_values("n_nationkey")
+            self.nk = nat.n_nationkey.to_numpy()
+            self.nname = nat.n_name.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = df.cost_cents.to_numpy() == df.min_cents.to_numpy()
+            d = df[keep]
+            pi = np.searchsorted(self.pk, d.p_partkey.to_numpy())
+            d = d[self.keep_part[pi]]
+            si = np.searchsorted(self.sk, d.suppkey.to_numpy())
+            ni = np.searchsorted(self.nk, self.snat[si])
+            return pd.DataFrame({
+                "p_partkey": d.p_partkey.astype("int64"),
+                "s_name": self.sname[si],
+                "n_name": self.nname[ni],
+                "cost_cents": d.cost_cents.astype("int64")})
+
+    return joined.map_batches(Finish, batch_format="pandas",
+                              concurrency=(1, 4))
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS suppkey,
+         CAST(min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY 1, 2)
+SELECT ps.p_partkey, s_name, n_name, cost_cents
+FROM ps
+JOIN part ON part.p_partkey = ps.p_partkey
+JOIN supplier ON s_suppkey = suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size = 15 AND p_type LIKE 'STANDARD%'
+  AND cost_cents = (SELECT min(cost_cents) FROM ps p2
+                    WHERE p2.p_partkey = ps.p_partkey)
+"""
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (important stock identification): the
+    RELATIVE-threshold HAVING — per-part total shipped value, keeping
+    parts worth MORE THAN 1.2× THE AVERAGE part (TPC-H scales its
+    fraction by SF for exactly this reason — a fixed share either
+    keeps everything or nothing as the corpus grows; mean-relative
+    adapts by construction). Both global scalars (total cents,
+    distinct-part count) fold from the per-part table's partials
+    (block-count-sized driver scalars — the q6 discipline); the
+    HAVING is exact integer cross-multiplication
+    (``v · n_parts · 10 > total · 12`` — no float share enters the
+    contract, the q17/q22 discipline; int64 budget total ≤ 2⁶³/12n).
+    The relative threshold is what separates this from a plain
+    top-k: the cutoff adapts to the corpus instead of hardcoding a
+    count. Output ``(p_partkey, value_cents)``."""
+    def li_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "p_partkey": df.l_partkey.astype("int64"),
+            "_v": cents(df.l_extendedprice.to_numpy()
+                        * (1 - df.l_discount.to_numpy())),
+        }), preserve_index=False)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"]
+               ).map_batches(li_f, batch_format="pandas")
+
+    per_part = grouped_agg(li, ["p_partkey"],
+                           {"value_cents": ("_v", "sum")},
+                           num_buckets=8)
+    scalars = per_part.map_batches(
+        lambda t: pa.table({
+            "s": pa.array([int(t["value_cents"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    total, n_parts = int(scalars["s"].sum()), int(scalars["n"].sum())
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        # exact integer cross-multiplication: v > 1.2 * total/n_parts
+        return t.filter(pa.array(v * n_parts * 10 > total * 12))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+Q11_SQL = """
+WITH pv AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem GROUP BY 1)
+SELECT p_partkey, value_cents
+FROM pv
+WHERE value_cents * (SELECT count(*) FROM pv) * 10
+      > (SELECT sum(value_cents) FROM pv) * 12
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -8968,4 +9118,9 @@ SUITE: dict[str, tuple] = {
     # per-type lag-k autocorrelation (grouped_acf — each (type, lag)
     # an exact-moment grouped_corr over the shifted pairs):
     "events_acf": (events_acf, EVENTS_ACF_SQL),
+    # Q2 (per-group argmin join-back over the derived cost relation)
+    # and Q11 (relative-threshold HAVING via exact integer
+    # cross-multiplication):
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
 }

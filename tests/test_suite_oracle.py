@@ -109,6 +109,8 @@ FAST = [
     "q8_market_share",
     "events_user_pivot",
     "events_acf",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
 ]
 
 
@@ -304,6 +306,41 @@ def test_q7_pair_is_directional_not_reflexive(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["NATION_6", "NATION_9", 1996, 20000],
         ["NATION_9", "NATION_6", 1996, 10000]]
+
+
+def test_q2_argmin_ties_keep_all_minimal(ray_session, tmp_path):
+    """Two suppliers tied at a part's minimum cost BOTH survive the
+    join-back (exact cents make the tie well-defined); the
+    higher-cost supplier drops; a part outside the size/type class is
+    invisible even with a valid minimum."""
+    import pandas as pd
+
+    from guac_ray.pipelines.suite import q2_min_cost_supplier
+
+    pd.DataFrame({
+        "l_partkey": [1, 1, 1, 1, 2],
+        "l_suppkey": [1, 1, 2, 3, 1],
+        # supplier 1 ships part 1 at 5.00 then 3.00 (min 3.00);
+        # supplier 2 at 3.00 (tie); supplier 3 at 9.00 (drops)
+        "l_extendedprice": [5.0, 3.0, 3.0, 9.0, 1.0],
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({
+        "p_partkey": [1, 2],
+        "p_size": [15, 15],
+        "p_type": ["STANDARD BRUSHED", "PROMO PLATED"],  # part 2 filtered
+    }).to_parquet(tmp_path / "part.parquet")
+    pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_name": ["SA", "SB", "SC"],
+        "s_nationkey": [0, 0, 0],
+    }).to_parquet(tmp_path / "supplier.parquet")
+    pd.DataFrame({"n_nationkey": [0], "n_name": ["NATION_0"]}
+                 ).to_parquet(tmp_path / "nation.parquet")
+
+    got = (q2_min_cost_supplier(str(tmp_path)).to_pandas()
+           .sort_values("s_name").reset_index(drop=True))
+    assert got.values.tolist() == [
+        [1, "SA", "NATION_0", 300], [1, "SB", "NATION_0", 300]]
 
 
 @pytest.fixture(scope="module")
