@@ -37,7 +37,7 @@ from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 __all__ = ["windowed", "keep_latest"]
 
 _OPS = ("lag", "lead", "row_number", "cumsum", "rank", "dense_rank",
-        "ntile", "percent_rank",
+        "ntile", "percent_rank", "cume_dist", "nth_value",
         "moving_sum", "moving_avg", "moving_min", "moving_max",
         "moving_count", "range_sum", "range_count",
         "first_value", "last_value")
@@ -64,10 +64,12 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
             # be able to represent an all-NULL frame as NaN): empty and
             # populated buckets may never disagree on schema
             fields.append((name, pa.float64()))
-        elif spec[0] == "percent_rank" or spec[0] in _MOVING:
+        elif (spec[0] in ("percent_rank", "cume_dist")
+                or spec[0] in _MOVING):
             # pandas rolling always yields float64
             fields.append((name, pa.float64()))
-        elif spec[0] in ("lag", "lead") and pa.types.is_integer(types[spec[1]]):
+        elif (spec[0] in ("lag", "lead", "nth_value")
+                and pa.types.is_integer(types[spec[1]])):
             # match the non-empty path: pandas shift introduces NaN, so
             # integer sources come back as double there too
             fields.append((name, pa.float64()))
@@ -95,7 +97,10 @@ def windowed(
     ``("ntile", k)`` (SQL NTILE: the first n%k buckets get the extra
     row — POSITIONAL, so only deterministic under a tie-free order),
     ``("percent_rank",)`` ((rank-1)/(n-1), 0.0 for a single-row
-    partition — tie-safe like rank), or the rolling family
+    partition — tie-safe like rank), ``("cume_dist",)`` (tie-run max
+    rank over n — tie-safe), ``("nth_value", col, k)`` (the k-th
+    row's value over the WHOLE partition, NULL when it has fewer than
+    k rows — positional like ntile), or the rolling family
     ``("moving_sum"|"moving_avg"|"moving_min"|"moving_max"|
     "moving_count", col, k)`` — SQL ``agg(col) OVER (... ROWS BETWEEN
     k-1 PRECEDING AND CURRENT ROW)`` over a NUMERIC column: NULLs are
@@ -222,6 +227,44 @@ def windowed(
                 n = _nsz()
                 new[name] = ((_rank() - 1) / (n - 1).clip(lower=1)
                              ).where(n > 1, 0.0).astype("float64")
+            elif spec[0] == "cume_dist":
+                # SQL CUME_DIST: (# peers with order-key <= current)/n
+                # = row_number at the END of the tie run, over n —
+                # tie-safe like rank (peers share the value)
+                _rank()  # materializes tie_start and rn
+                run_end = np.append(tie_start.to_numpy()[1:], True)
+                max_rank = pd.Series(
+                    rn.to_numpy(), index=df.index
+                ).where(pd.Series(run_end, index=df.index)).bfill()
+                new[name] = (max_rank / _nsz()).astype("float64")
+            elif spec[0] == "nth_value":
+                # SQL nth_value over the WHOLE partition (ROWS BETWEEN
+                # UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING): the
+                # k-th row's value in `order`, NULL when the partition
+                # has fewer than k rows. POSITIONAL like ntile — pin a
+                # tie-free order for determinism. Vectorized off the
+                # sorted frame's group-start offsets; no per-group
+                # Python.
+                k = int(spec[2])
+                if k < 1:
+                    raise ValueError("windowed: nth_value k must be >= 1")
+                rn_ = (g.cumcount() + 1).to_numpy()
+                pos = np.arange(len(df))
+                gstart = rn_ == 1
+                starts = pos[gstart]
+                gid = np.cumsum(gstart) - 1
+                nth_idx = starts[gid] + (k - 1)
+                valid = _nsz().to_numpy() >= k
+                taken = df[spec[1]].to_numpy()[
+                    np.minimum(nth_idx, len(df) - 1)]
+                ser = pd.Series(taken, index=df.index).where(
+                    pd.Series(valid, index=df.index))
+                if np.issubdtype(df[spec[1]].dtype, np.integer):
+                    # match _typed_empty and lag/lead: integer sources
+                    # come back float64 ALWAYS, not just in buckets
+                    # that happen to contain a short partition
+                    ser = ser.astype("float64")
+                new[name] = ser
             elif spec[0] in ("range_sum", "range_count"):
                 # SQL RANGE BETWEEN <win> PRECEDING AND CURRENT ROW over
                 # a SINGLE numeric/datetime order column: the frame is

@@ -8721,6 +8721,47 @@ WHERE value_cents * (SELECT count(*) FROM pv) * 10
 """
 
 
+def events_cume_nth(sf_dir: str):
+    """cume_dist + nth_value (completing the SQL window-function
+    surface): per user, each event's cumulative distribution over a
+    deliberately tie-rich order key (event_type — cume_dist is
+    tie-safe, peers share max-rank/n, so the result hashes
+    deterministically), plus the user's 3rd event value in the
+    tie-free (ts, event_id) order — NULL for users with fewer than
+    three events. Values as exact cents; cume_dist's single division
+    is the only double and evaluates identically in both engines."""
+    from guac_ray.functions.window import windowed
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vc"] = cents(df.pop("value"))
+        return df
+
+    w = windowed(ev.map_batches(derive, batch_format="pandas"),
+                 by="user_id", order=["event_type"],
+                 ops={"cd": ("cume_dist",)},
+                 exchange_base=_exchange("window_cume"), num_buckets=8)
+    w2 = windowed(w, by="user_id", order=["ts", "event_id"],
+                  ops={"third_vc": ("nth_value", "vc", 3)},
+                  exchange_base=_exchange("window_nth"), num_buckets=8)
+    return w2.select_columns(["event_id", "cd", "third_vc"])
+
+
+EVENTS_CUME_NTH_SQL = """
+SELECT event_id,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY event_type)
+         AS cd,
+       CAST(nth_value(CAST(floor(value*100 + 0.5) AS BIGINT), 3)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS DOUBLE) AS third_vc
+FROM events
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -9123,4 +9164,6 @@ SUITE: dict[str, tuple] = {
     # cross-multiplication):
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
+    # cume_dist + nth_value complete the SQL window-function surface:
+    "events_cume_nth": (events_cume_nth, EVENTS_CUME_NTH_SQL),
 }

@@ -111,6 +111,7 @@ FAST = [
     "events_acf",
     "q2_min_cost_supplier",
     "q11_important_parts",
+    "events_cume_nth",
 ]
 
 

@@ -1160,3 +1160,56 @@ class TestGroupedMode:
                            exchange_base=str(tmp_path / "e"))
         assert out.count() == 0
         assert set(["u", "mode", "n_mode"]) <= set(out.schema().names)
+
+
+class TestCumeDistNthValue:
+    def test_cume_dist_ties_and_singleton(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({
+            "k": ["a"] * 4 + ["b"],
+            "o": [1, 2, 2, 3, 9],
+            "v": [1, 2, 3, 4, 5],
+        })
+        got = (windowed(rd.from_pandas(df), "k", "o",
+                        {"cd": ("cume_dist",)})
+               .to_pandas().sort_values(["k", "o", "v"])
+               .reset_index(drop=True))
+        # ties at o=2 SHARE max-rank/n = 3/4; singleton partition = 1.0
+        assert got.cd.tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
+
+    def test_nth_value_short_partition_null_and_dtype(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({
+            "k": ["a"] * 3 + ["b"] * 2,
+            "o": [1, 2, 3, 1, 2],
+            "v": [10, 20, 30, 40, 50],
+        })
+        got = (windowed(rd.from_pandas(df).repartition(3), "k", "o",
+                        {"n2": ("nth_value", "v", 2),
+                         "n3": ("nth_value", "v", 3)})
+               .to_pandas().sort_values(["k", "o"])
+               .reset_index(drop=True))
+        # whole-partition semantics: every row of k=a reads the 3rd
+        # value; k=b (2 rows) reads NULL for n3 but 50 for n2
+        assert got.n2.tolist() == [20.0, 20.0, 20.0, 50.0, 50.0]
+        assert got.n3.tolist()[:3] == [30.0, 30.0, 30.0]
+        assert got.n3.isna().tolist() == [False, False, False, True, True]
+        # integer source comes back float64 in EVERY bucket (schema
+        # must not depend on which bucket holds the short partition)
+        assert got.n2.dtype == "float64" and got.n3.dtype == "float64"
+
+    def test_nth_value_bad_k_raises(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({"k": ["a"], "o": [1], "v": [1]})
+        with pytest.raises(Exception, match="nth_value k"):
+            windowed(rd.from_pandas(df), "k", "o",
+                     {"n": ("nth_value", "v", 0)}).to_pandas()
