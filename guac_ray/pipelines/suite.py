@@ -8762,6 +8762,140 @@ FROM events
 """
 
 
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit): the THREE-fact join chain
+    — profit per supplier nation per order year over a part class,
+    where profit = revenue − supply cost × quantity. Supply cost
+    derives from lineitem as the per-(part, supplier) minimum price
+    (the Q2/Q16 derived-relation discipline) — that table is
+    pair-cardinality and GROWS with the corpus, so it joins through
+    the first co-partitioned hash join on the COMPOSITE key
+    (p_partkey, suppkey) — the suite's only multi-column fact-fact
+    exchange; the part-class filter (ECONOMY) prunes via one
+    broadcast before anything shuffles. The second hash join brings
+    in the order year, with the supplier-nation lookup and the
+    (nation, year) profit partial fused into its reduce (the Q5
+    discipline). All arithmetic is exact int64: profit_cents =
+    Σ(rc − cost_cents·qty), |cost·qty| ≤ 5·10⁸/row. Output
+    ``(n_name, o_year, profit_cents)``."""
+    from guac_ray.functions.joins import hash_join
+
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_type"])
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    class EconomyOnly:
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.econ = (p.p_type.to_numpy().astype(str) == "ECONOMY")
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            keep = self.econ[i]
+            d = df[keep]
+            return pd.DataFrame({
+                "p_partkey": d.l_partkey.astype("int64"),
+                "suppkey": d.l_suppkey.astype("int64"),
+                "orderkey": d.l_orderkey.astype("int64"),
+                "qty": d.l_quantity.to_numpy().astype("int64"),
+                "_rc": cents(d.l_extendedprice.to_numpy()
+                             * (1 - d.l_discount.to_numpy())),
+            })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+                "l_extendedprice", "l_discount"]
+               ).map_batches(EconomyOnly, batch_format="pandas",
+                             concurrency=(1, 4))
+
+    def ps_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "p_partkey": df.l_partkey.astype("int64"),
+            "suppkey": df.l_suppkey.astype("int64"),
+            "_c": cents(df.l_extendedprice),
+        }), preserve_index=False)
+
+    ps = grouped_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"]
+              ).map_batches(ps_f, batch_format="pandas"),
+        ["p_partkey", "suppkey"], {"cost_cents": ("_c", "min")},
+        num_buckets=8)
+
+    with_cost = hash_join(li, ps, on=["p_partkey", "suppkey"],
+                          exchange_dir=_exchange("q9c"), num_buckets=8)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]
+                   ).map_batches(
+        lambda df: table_from_pandas(pd.DataFrame({
+            "orderkey": df.o_orderkey.astype("int64"),
+            "o_year": df.o_orderdate.dt.year.astype("int64")}),
+            preserve_index=False),
+        batch_format="pandas")
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        sup = ray.get(sref)
+        sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
+        snat = sn[np.searchsorted(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        profit = (t["_rc"].to_numpy(zero_copy_only=False)
+                  - t["cost_cents"].to_numpy(zero_copy_only=False)
+                  * t["qty"].to_numpy(zero_copy_only=False))
+        g = (pd.DataFrame({
+            "nationkey": snat.astype("int64"),
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "_p": profit})
+            .groupby(["nationkey", "o_year"], sort=False)
+            ._p.sum().reset_index())
+        return table_from_pandas(g, preserve_index=False)
+
+    joined = hash_join(with_cost, orders, on="orderkey",
+                       exchange_dir=_exchange("q9o"), num_buckets=8,
+                       partial_fn=profit_partial)
+    per_cell = grouped_agg(joined, ["nationkey", "o_year"],
+                           {"profit_cents": ("_p", "sum")},
+                           num_buckets=2)
+
+    nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class Names:
+        def __init__(self):
+            nat = ray.get(nref).sort_values("n_nationkey")
+            self.nk = nat.n_nationkey.to_numpy()
+            self.nm = nat.n_name.to_numpy()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.nk, df.nationkey.to_numpy())
+            return pd.DataFrame({
+                "n_name": self.nm[i],
+                "o_year": df.o_year.astype("int64"),
+                "profit_cents": df.profit_cents.astype("int64")})
+
+    return per_cell.map_batches(Names, batch_format="pandas",
+                                concurrency=(1, 2))
+
+
+Q9_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY 1, 2)
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                     AS BIGINT)
+                - cost_cents * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN ps ON pk = l_partkey AND sk = l_suppkey
+JOIN part ON p_partkey = l_partkey AND p_type = 'ECONOMY'
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -9166,4 +9300,7 @@ SUITE: dict[str, tuple] = {
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     # cume_dist + nth_value complete the SQL window-function surface:
     "events_cume_nth": (events_cume_nth, EVENTS_CUME_NTH_SQL),
+    # Q9 — the three-fact join chain with the composite-key exchange
+    # and derived supply cost:
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
 }

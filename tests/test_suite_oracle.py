@@ -112,6 +112,7 @@ FAST = [
     "q2_min_cost_supplier",
     "q11_important_parts",
     "events_cume_nth",
+    "q9_product_profit",
 ]
 
 
