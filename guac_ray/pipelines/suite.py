@@ -8077,12 +8077,15 @@ def q21_waiting_suppliers(sf_dir: str):
             self.names = s.s_name.to_numpy()
             self.in_nat = np.isin(s.s_nationkey.to_numpy(), nk)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
             i = np.searchsorted(self.keys, df.suppkey.to_numpy())
-            out = pd.DataFrame({
-                "s_name": self.names[i],
-                "numwait": df.numwait.astype("int64")})
-            return out[self.in_nat[i]]
+            keep = self.in_nat[i]
+            # typed Arrow output — the q20 empty-nation schema rule
+            return pa.table({
+                "s_name": pa.array(self.names[i][keep], pa.string()),
+                "numwait": pa.array(
+                    df.numwait.to_numpy()[keep].astype("int64"),
+                    pa.int64())})
 
     return (per_supp.map_batches(SuppName, batch_format="pandas",
                                  concurrency=(1, 2))
@@ -8896,6 +8899,137 @@ GROUP BY 1, 2
 """
 
 
+def q20_surge_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (potential part promotion): the nested
+    correlated-IN reduced to a pair-grain join + half-sum threshold —
+    for NATION_9 suppliers and ECONOMY parts, how many of the
+    supplier's parts SURGED in 1996 (the year's shipped quantity
+    exceeds half the pair's lifetime quantity; TPC-H compares
+    availqty against half the yearly volume — this corpus has no
+    stock table, so the same correlated structure runs lifetime vs
+    window, and since bare membership saturates here — every supplier
+    has SOME surging part — the output keeps the per-supplier COUNT
+    instead of the semi-join bit, which preserves the shape and the
+    information). Plan: TWO pair-grain aggregates (lifetime, and the
+    window-pruned 1996 scan) meet in the co-partitioned COMPOSITE-key
+    hash join (both sides pair-cardinality — the Q9 exchange); the
+    part-class filter is one broadcast BEFORE the count; the
+    threshold is exact integer cross-multiplication (2·q96 > q, no
+    float ratio); the per-supplier count is one more shrinking
+    aggregate; nation/names broadcast. Output ``(s_name,
+    n_surge_parts)``."""
+    import pyarrow.compute as pc
+
+    from guac_ray.functions.joins import hash_join
+
+    def qty_f(df: pd.DataFrame) -> pa.Table:
+        return table_from_pandas(pd.DataFrame({
+            "pk": df.l_partkey.astype("int64"),
+            "sk": df.l_suppkey.astype("int64"),
+            "q": df.l_quantity.to_numpy().astype("int64"),
+        }), preserve_index=False)
+
+    tot = grouped_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity"]
+              ).map_batches(qty_f, batch_format="pandas"),
+        ["pk", "sk"], {"q": ("q", "sum")}, num_buckets=8)
+    w96 = grouped_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+              filter=((pc.field("l_shipdate")
+                       >= pd.Timestamp("1996-01-01"))
+                      & (pc.field("l_shipdate")
+                         < pd.Timestamp("1997-01-01")))
+              ).map_batches(qty_f, batch_format="pandas"),
+        ["pk", "sk"], {"q96": ("q", "sum")}, num_buckets=8)
+
+    joined = hash_join(tot, w96, on=["pk", "sk"],
+                       exchange_dir=_exchange("q20"), num_buckets=8)
+
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_type"])
+
+    class SurgeFilter:
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.econ = p.p_type.to_numpy().astype(str) == "ECONOMY"
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            i = np.searchsorted(self.pk, df.pk.to_numpy())
+            keep = (self.econ[i]
+                    & (2 * df.q96.to_numpy() > df.q.to_numpy()))
+            d = df[keep]
+            return pd.DataFrame({"sk": d.sk.astype("int64"),
+                                 "pk": d.pk.astype("int64")})
+
+    surge = joined.map_batches(SurgeFilter, batch_format="pandas",
+                               concurrency=(1, 4))
+    per_supp = grouped_agg(surge, ["sk"],
+                           {"n_surge_parts": ("pk", "count")},
+                           num_buckets=4)
+
+    sref = _bcast_df(sf_dir, "supplier",
+                     ["s_suppkey", "s_name", "s_nationkey"])
+    nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    class SuppNames:
+        def __init__(self):
+            s = ray.get(sref).sort_values("s_suppkey")
+            nat = ray.get(nref)
+            nk = nat.n_nationkey[nat.n_name == "NATION_9"].to_numpy()
+            self.keys = s.s_suppkey.to_numpy()
+            self.names = s.s_name.to_numpy()
+            self.in_nat = np.isin(s.s_nationkey.to_numpy(), nk)
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            i = np.searchsorted(self.keys, df.sk.to_numpy())
+            keep = self.in_nat[i]
+            # typed Arrow output: an EMPTY pandas frame with an object
+            # string column loses its schema in the block layer (the
+            # sf0.001 zero-supplier nation is a legit empty result)
+            return pa.table({
+                "s_name": pa.array(self.names[i][keep], pa.string()),
+                "n_surge_parts": pa.array(
+                    df.n_surge_parts.to_numpy()[keep].astype("int64"),
+                    pa.int64())})
+
+    out = per_supp.map_batches(SuppNames, batch_format="pandas",
+                               concurrency=(1, 2)).to_pandas()
+    if out.empty:
+        # Ray's to_pandas drops columns on a fully-empty Dataset (the
+        # neardup_embeddings rule); the zero-supplier nation at
+        # sf0.001 is a legit empty result. Output is bounded by the
+        # supplier dimension, so the materialization is driver-safe.
+        return pd.DataFrame({
+            "s_name": pd.Series(dtype="object"),
+            "n_surge_parts": pd.Series(dtype="int64")})
+    return out
+
+
+Q20_SQL = """
+WITH tot AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+w AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q96
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1997-01-01'
+  GROUP BY 1, 2)
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_surge_parts
+FROM tot
+JOIN w ON w.pk = tot.pk AND w.sk = tot.sk
+JOIN part ON p_partkey = tot.pk AND p_type = 'ECONOMY'
+JOIN supplier ON s_suppkey = tot.sk
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_9'
+WHERE 2 * q96 > q
+GROUP BY s_name
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -9303,4 +9437,7 @@ SUITE: dict[str, tuple] = {
     # Q9 — the three-fact join chain with the composite-key exchange
     # and derived supply cost:
     "q9_product_profit": (q9_product_profit, Q9_SQL),
+    # Q20 — the correlated half-sum threshold over two pair-grain
+    # aggregates in the composite-key exchange (22/22 TPC-H shapes):
+    "q20_surge_suppliers": (q20_surge_suppliers, Q20_SQL),
 }

@@ -113,6 +113,7 @@ FAST = [
     "q11_important_parts",
     "events_cume_nth",
     "q9_product_profit",
+    "q20_surge_suppliers",
 ]
 
 
