@@ -47,6 +47,20 @@ QUERIES = [
     "events_scd2", "events_anomalies", "events_expectations",
     "events_cdc_merge", "events_chi2", "events_debounce",
     "events_user_mode", "events_trend", "events_hourly_spine",
+    # round 5, sessions 9-10: the TPC-H composite wave rides the
+    # replicated lineitem/orders/part facts (orderkey + partkey
+    # strides; supplier/nation stay FIXED dimensions, so broadcasts
+    # hold constant while pair cardinality and exchanges scale with
+    # k — the honest axis for the composite-key joins), plus the
+    # events-fed window/pivot/acf additions:
+    "q4_priority_check", "q17_small_qty_revenue",
+    "q19_brand_band_revenue", "q22_dormant_customers",
+    "q16_supplier_variety", "q5_local_revenue",
+    "q21_waiting_suppliers", "q15_top_supplier",
+    "q12_priority_by_flag", "q7_nation_volume", "q8_market_share",
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q9_product_profit", "q20_surge_suppliers",
+    "events_user_pivot", "events_acf", "events_cume_nth",
 ]
 
 
@@ -95,6 +109,53 @@ def build_replica(sf_dir: str, out_dir: str, k: int) -> dict:
                    .replace_schema_metadata(None),
                    f"{out_dir}/customer.parquet")
     counts["customer"] = len(allcust)
+
+    # TPC-H facts: lineitem/orders replicate with orderkey + partkey
+    # strides (orders' custkey rides the SAME user stride as customer,
+    # so every fk stays closed); part replicates with the partkey
+    # stride; supplier/nation/region copy VERBATIM — they are
+    # dimensions, so the broadcast side of every composite stays
+    # constant while the exchanges scale with k.
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    n_orders = int(orders.o_orderkey.max()) + 1
+    n_parts = int(part.p_partkey.max()) + 1
+    parts = []
+    for i in range(k):
+        c = orders.copy()
+        c["o_orderkey"] = c.o_orderkey + i * n_orders
+        c["o_custkey"] = c.o_custkey + i * n_users
+        parts.append(c)
+    allord = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allord, preserve_index=False)
+                   .replace_schema_metadata(None),
+                   f"{out_dir}/orders.parquet")
+    counts["orders"] = len(allord)
+    parts = []
+    for i in range(k):
+        c = li.copy()
+        c["l_orderkey"] = c.l_orderkey + i * n_orders
+        c["l_partkey"] = c.l_partkey + i * n_parts
+        parts.append(c)
+    allli = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allli, preserve_index=False)
+                   .replace_schema_metadata(None),
+                   f"{out_dir}/lineitem.parquet")
+    counts["lineitem"] = len(allli)
+    parts = []
+    for i in range(k):
+        c = part.copy()
+        c["p_partkey"] = c.p_partkey + i * n_parts
+        parts.append(c)
+    allpart = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(allpart, preserve_index=False)
+                   .replace_schema_metadata(None),
+                   f"{out_dir}/part.parquet")
+    counts["part"] = len(allpart)
+    for dim in ("supplier", "nation", "region"):
+        pq.write_table(pq.read_table(f"{sf_dir}/{dim}.parquet"),
+                       f"{out_dir}/{dim}.parquet")
     return counts
 
 
