@@ -8811,17 +8811,33 @@ def q9_product_profit(sf_dir: str):
                ).map_batches(EconomyOnly, batch_format="pandas",
                              concurrency=(1, 4))
 
-    def ps_f(df: pd.DataFrame) -> pa.Table:
-        return table_from_pandas(pd.DataFrame({
-            "p_partkey": df.l_partkey.astype("int64"),
-            "suppkey": df.l_suppkey.astype("int64"),
-            "_c": cents(df.l_extendedprice),
-        }), preserve_index=False)
+    class PsEconomy:
+        """Cost-relation scan ALSO prunes to the part class: a pair's
+        part class is fixed, so min-over-ECONOMY-rows for ECONOMY
+        pairs equals min-over-all-rows for those pairs — 5/6 of
+        lineitem never enters the cost aggregate or its exchange, and
+        the SQL oracle (ps over all lineitem, join restricted to
+        ECONOMY) computes the identical minima."""
+
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.econ = p.p_type.to_numpy().astype(str) == "ECONOMY"
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            d = df[self.econ[i]]
+            return table_from_pandas(pd.DataFrame({
+                "p_partkey": d.l_partkey.astype("int64"),
+                "suppkey": d.l_suppkey.astype("int64"),
+                "_c": cents(d.l_extendedprice),
+            }), preserve_index=False)
 
     ps = grouped_agg(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_extendedprice"]
-              ).map_batches(ps_f, batch_format="pandas"),
+              ).map_batches(PsEconomy, batch_format="pandas",
+                            concurrency=(1, 4)),
         ["p_partkey", "suppkey"], {"cost_cents": ("_c", "min")},
         num_buckets=8)
 
