@@ -7819,40 +7819,50 @@ def q16_supplier_variety(sf_dir: str):
     ``(p_brand, p_type, p_size, supplier_cnt)``."""
     from guac_ray.stages.assemble import dedup_exact
 
-    pairs = dedup_exact(
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
-        ["l_partkey", "l_suppkey"], num_buckets=8)
-
     pref = _bcast_df(sf_dir, "part",
                      ["p_partkey", "p_brand", "p_type", "p_size"])
     sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
     sizes = (1, 4, 9, 16, 25, 36, 49)
 
-    class Attrs:
+    class ClassFilter:
+        """Part/supplier predicates are functions of the KEYS alone,
+        so they commute with the pair dedup — pushing them before the
+        FIRST exchange keeps ~91% of lineitem out of it (brand/type/
+        size keep ~9%; the class attributes ride along so the second
+        dedup needs no rescan)."""
+
         def __init__(self):
             p = ray.get(pref).sort_values("p_partkey")
             self.pk = p.p_partkey.to_numpy()
             self.brand = p.p_brand.to_numpy()
             self.ptype = p.p_type.to_numpy()
             self.size = p.p_size.to_numpy().astype("int64")
+            keep = ((self.brand != "Brand#1") & (self.ptype != "PROMO")
+                    & np.isin(self.size, sizes))
+            self.keep_part = keep
             sup = ray.get(sref)
-            self.bad = set(sup.s_suppkey[sup.s_acctbal < 0].tolist())
+            self.bad = np.sort(
+                sup.s_suppkey[sup.s_acctbal < 0].to_numpy())
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
-            out = pd.DataFrame({
-                "p_brand": self.brand[i], "p_type": self.ptype[i],
-                "p_size": self.size[i],
-                "s_suppkey": df.l_suppkey.astype("int64"),
+            sk = df.l_suppkey.to_numpy().astype("int64")
+            bad_i = np.searchsorted(self.bad, sk)
+            is_bad = (bad_i < len(self.bad)) & (
+                self.bad[np.minimum(bad_i, max(len(self.bad) - 1, 0))]
+                == sk) if len(self.bad) else np.zeros(len(sk), bool)
+            keep = self.keep_part[i] & ~is_bad
+            return pd.DataFrame({
+                "p_brand": self.brand[i][keep],
+                "p_type": self.ptype[i][keep],
+                "p_size": self.size[i][keep],
+                "s_suppkey": sk[keep],
             })
-            keep = ((out.p_brand != "Brand#1") & (out.p_type != "PROMO")
-                    & out.p_size.isin(sizes)
-                    & ~out.s_suppkey.isin(self.bad))
-            return out[keep]
 
     classed = dedup_exact(
-        pairs.map_batches(Attrs, batch_format="pandas",
-                          concurrency=(1, 4)),
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]
+              ).map_batches(ClassFilter, batch_format="pandas",
+                            concurrency=(1, 4)),
         ["p_brand", "p_type", "p_size", "s_suppkey"], num_buckets=8)
     return grouped_agg(classed, ["p_brand", "p_type", "p_size"],
                        {"supplier_cnt": ("s_suppkey", "count")},
@@ -8593,16 +8603,35 @@ def q2_min_cost_supplier(sf_dir: str):
     minimal suppliers."""
     from guac_ray.functions.joins import hash_join
 
-    def li_f(df: pd.DataFrame) -> pa.Table:
-        return table_from_pandas(pd.DataFrame({
-            "p_partkey": df.l_partkey.astype("int64"),
-            "suppkey": df.l_suppkey.astype("int64"),
-            "_c": cents(df.l_extendedprice),
-        }), preserve_index=False)
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_size", "p_type"])
+
+    class ClassOnly:
+        """The size/type predicate is a function of the partkey alone,
+        so it commutes with the per-pair min and the per-part min —
+        pushing it before the first exchange keeps ~99.7% of lineitem
+        out of the cost aggregate (size=15 ∧ STANDARD)."""
+
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.keep_part = ((p.p_size.to_numpy() == 15)
+                              & np.char.startswith(
+                                  p.p_type.to_numpy().astype(str),
+                                  "STANDARD"))
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            d = df[self.keep_part[i]]
+            return table_from_pandas(pd.DataFrame({
+                "p_partkey": d.l_partkey.astype("int64"),
+                "suppkey": d.l_suppkey.astype("int64"),
+                "_c": cents(d.l_extendedprice),
+            }), preserve_index=False)
 
     li = _read(sf_dir, "lineitem",
                ["l_partkey", "l_suppkey", "l_extendedprice"]
-               ).map_batches(li_f, batch_format="pandas")
+               ).map_batches(ClassOnly, batch_format="pandas",
+                             concurrency=(1, 4))
     ps = grouped_agg(li, ["p_partkey", "suppkey"],
                      {"cost_cents": ("_c", "min")}, num_buckets=8)
     part_min = grouped_agg(ps, ["p_partkey"],
@@ -8618,12 +8647,6 @@ def q2_min_cost_supplier(sf_dir: str):
 
     class Finish:
         def __init__(self):
-            p = ray.get(pref).sort_values("p_partkey")
-            self.pk = p.p_partkey.to_numpy()
-            self.keep_part = ((p.p_size.to_numpy() == 15)
-                              & np.char.startswith(
-                                  p.p_type.to_numpy().astype(str),
-                                  "STANDARD"))
             s = ray.get(sref).sort_values("s_suppkey")
             self.sk = s.s_suppkey.to_numpy()
             self.sname = s.s_name.to_numpy()
@@ -8632,18 +8655,21 @@ def q2_min_cost_supplier(sf_dir: str):
             self.nk = nat.n_nationkey.to_numpy()
             self.nname = nat.n_name.to_numpy()
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            # the class filter already ran before the first exchange;
+            # only the argmin keep + name resolution remain (typed
+            # Arrow output — the q20 empty-schema rule)
             keep = df.cost_cents.to_numpy() == df.min_cents.to_numpy()
             d = df[keep]
-            pi = np.searchsorted(self.pk, d.p_partkey.to_numpy())
-            d = d[self.keep_part[pi]]
             si = np.searchsorted(self.sk, d.suppkey.to_numpy())
             ni = np.searchsorted(self.nk, self.snat[si])
-            return pd.DataFrame({
-                "p_partkey": d.p_partkey.astype("int64"),
-                "s_name": self.sname[si],
-                "n_name": self.nname[ni],
-                "cost_cents": d.cost_cents.astype("int64")})
+            return pa.table({
+                "p_partkey": pa.array(
+                    d.p_partkey.to_numpy().astype("int64")),
+                "s_name": pa.array(self.sname[si], pa.string()),
+                "n_name": pa.array(self.nname[ni], pa.string()),
+                "cost_cents": pa.array(
+                    d.cost_cents.to_numpy().astype("int64"))})
 
     return joined.map_batches(Finish, batch_format="pandas",
                               concurrency=(1, 4))
@@ -8938,17 +8964,32 @@ def q20_surge_suppliers(sf_dir: str):
 
     from guac_ray.functions.joins import hash_join
 
-    def qty_f(df: pd.DataFrame) -> pa.Table:
-        return table_from_pandas(pd.DataFrame({
-            "pk": df.l_partkey.astype("int64"),
-            "sk": df.l_suppkey.astype("int64"),
-            "q": df.l_quantity.to_numpy().astype("int64"),
-        }), preserve_index=False)
+    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_type"])
+
+    class EconomyQty:
+        """The part-class predicate is a function of the partkey
+        alone, so it commutes with both pair aggregates — pushing it
+        before the exchanges keeps ~83% of lineitem out of them."""
+
+        def __init__(self):
+            p = ray.get(pref).sort_values("p_partkey")
+            self.pk = p.p_partkey.to_numpy()
+            self.econ = p.p_type.to_numpy().astype(str) == "ECONOMY"
+
+        def __call__(self, df: pd.DataFrame) -> pa.Table:
+            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            d = df[self.econ[i]]
+            return table_from_pandas(pd.DataFrame({
+                "pk": d.l_partkey.astype("int64"),
+                "sk": d.l_suppkey.astype("int64"),
+                "q": d.l_quantity.to_numpy().astype("int64"),
+            }), preserve_index=False)
 
     tot = grouped_agg(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_suppkey", "l_quantity"]
-              ).map_batches(qty_f, batch_format="pandas"),
+              ).map_batches(EconomyQty, batch_format="pandas",
+                            concurrency=(1, 4)),
         ["pk", "sk"], {"q": ("q", "sum")}, num_buckets=8)
     w96 = grouped_agg(
         _read(sf_dir, "lineitem",
@@ -8957,30 +8998,22 @@ def q20_surge_suppliers(sf_dir: str):
                        >= pd.Timestamp("1996-01-01"))
                       & (pc.field("l_shipdate")
                          < pd.Timestamp("1997-01-01")))
-              ).map_batches(qty_f, batch_format="pandas"),
+              ).map_batches(EconomyQty, batch_format="pandas",
+                            concurrency=(1, 4)),
         ["pk", "sk"], {"q96": ("q", "sum")}, num_buckets=8)
 
     joined = hash_join(tot, w96, on=["pk", "sk"],
                        exchange_dir=_exchange("q20"), num_buckets=8)
 
-    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_type"])
+    def surge_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # the class filter already ran before both exchanges; only
+        # the half-sum threshold remains
+        keep = 2 * df.q96.to_numpy() > df.q.to_numpy()
+        d = df[keep]
+        return pd.DataFrame({"sk": d.sk.astype("int64"),
+                             "pk": d.pk.astype("int64")})
 
-    class SurgeFilter:
-        def __init__(self):
-            p = ray.get(pref).sort_values("p_partkey")
-            self.pk = p.p_partkey.to_numpy()
-            self.econ = p.p_type.to_numpy().astype(str) == "ECONOMY"
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            i = np.searchsorted(self.pk, df.pk.to_numpy())
-            keep = (self.econ[i]
-                    & (2 * df.q96.to_numpy() > df.q.to_numpy()))
-            d = df[keep]
-            return pd.DataFrame({"sk": d.sk.astype("int64"),
-                                 "pk": d.pk.astype("int64")})
-
-    surge = joined.map_batches(SurgeFilter, batch_format="pandas",
-                               concurrency=(1, 4))
+    surge = joined.map_batches(surge_filter, batch_format="pandas")
     per_supp = grouped_agg(surge, ["sk"],
                            {"n_surge_parts": ("pk", "count")},
                            num_buckets=4)
