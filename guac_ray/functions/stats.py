@@ -385,7 +385,14 @@ def grouped_acf(
     if not lag_list or lag_list[0] < 1:
         raise ValueError(f"grouped_acf: lags must be >= 1, got {lags}")
 
-    empty = pa.schema([(by, pa.string()), ("lag", pa.int64()),
+    sch = ds.schema()
+    by_type = (dict(zip(sch.names, sch.types)).get(by)
+               if sch is not None else None)
+    if not isinstance(by_type, pa.DataType):
+        # pandas-born blocks report numpy dtypes here (the
+        # grouped_mode fallback rule)
+        by_type = pa.string()
+    empty = pa.schema([(by, by_type), ("lag", pa.int64()),
                        ("n", pa.int64()), ("acf", pa.float64())])
 
     def reduce_fn(t: pa.Table) -> pa.Table:

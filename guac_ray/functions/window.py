@@ -138,7 +138,7 @@ def windowed(
                 if len(spec) > 1
                 and spec[0] in ("lag", "lead", "cumsum", "range_sum",
                                 "range_count", "first_value",
-                                "last_value") + _MOVING}
+                                "last_value", "nth_value") + _MOVING}
     shadowed = set(ops) & (src_cols | set(by) | set(order))
     if shadowed:
         # an output name equal to a column another op reads would make

@@ -59,10 +59,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None,
                            filter=filter)
 
 
-def _bcast_df(sf_dir: str, table: str, columns: list[str]):
+def _bcast_df(sf_dir: str, table: str, columns: list[str],
+              sort_by: str | None = None):
     """Broadcast a small dimension table once (ray.put). At 100 TB scale a
-    grown dimension switches to the bucketed hash join (ray_guide.md)."""
-    return ray.put(pd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns))
+    grown dimension switches to the bucketed hash join (ray_guide.md).
+    ``sort_by`` sorts BEFORE the put — mandatory when the consumer runs
+    ``np.searchsorted`` directly on the shared frame (the join-reduce
+    partial_fns); relying on parquet file order is silent corruption on
+    any unsorted dimension."""
+    df = pd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    if sort_by is not None:
+        df = df.sort_values(sort_by).reset_index(drop=True)
+    return ray.put(df)
 
 
 # Join planning: a "dimension" side is broadcast only while it is small.
@@ -7746,8 +7754,10 @@ def q22_dormant_customers(sf_dir: str):
 
     from guac_ray.functions.joins import hash_join
 
+    # materialized ONCE: the positive-average fold and the rich filter
+    # both consume the customer scan (dimension-cardinality — safe)
     cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey", "c_acctbal"])
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).materialize()
 
     def pos_partial(df: pd.DataFrame) -> pa.Table:
         bc = cents(df.c_acctbal)
@@ -7922,8 +7932,10 @@ def q5_local_revenue(sf_dir: str):
                             "custkey": t["o_custkey"]}),
         batch_format="pyarrow")
 
-    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                     sort_by="c_custkey")
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                     sort_by="s_suppkey")
 
     def local_partial(t: pa.Table) -> pa.Table:
         c = ray.get(cref)  # shared-memory read, once per reduce task
@@ -8154,10 +8166,20 @@ def q15_top_supplier(sf_dir: str):
     per_supp = grouped_agg(li, ["suppkey"],
                            {"total_revenue_cents": ("_rc", "sum")},
                            num_buckets=4)
+    empty = pa.schema([("s_suppkey", pa.int64()),
+                       ("s_name", pa.string()),
+                       ("total_revenue_cents", pa.int64())])
+    # materialize the supplier-cardinality aggregate ONCE: both the
+    # max fold and the filter pass consume it, and without this the
+    # lazy lineage re-runs the windowed fact scan twice
+    per_supp = per_supp.materialize()
     parts = per_supp.map_batches(
         lambda t: pa.table({"m": pa.array(
             [pc.max(t["total_revenue_cents"]).as_py()], pa.int64())}),
         batch_format="pyarrow").to_pandas()
+    if parts.empty or parts["m"].isna().all():
+        # empty shipdate window: a typed empty result, not int(NaN)
+        return empty.empty_table()
     best = int(parts["m"].max())
 
     sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_name"])
@@ -8304,8 +8326,10 @@ def q7_nation_volume(sf_dir: str):
                             "custkey": t["o_custkey"]}),
         batch_format="pyarrow")
 
-    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                     sort_by="c_custkey")
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                     sort_by="s_suppkey")
     pk = np.array(sorted(pair_keys), dtype="int64")
 
     def pair_partial(t: pa.Table) -> pa.Table:
@@ -8422,8 +8446,10 @@ def q8_market_share(sf_dir: str):
             preserve_index=False),
         batch_format="pandas")
 
-    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cref = _bcast_df(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                     sort_by="c_custkey")
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                     sort_by="s_suppkey")
 
     def share_partial(t: pa.Table) -> pa.Table:
         c = ray.get(cref)
@@ -8490,9 +8516,10 @@ def events_user_pivot(sf_dir: str):
     """Long → wide pivot (``pivot_wide``): one row per user with an
     int64 count column per event type — the feature-matrix build
     every per-entity model (churn scoring, segment clustering, wide
-    regressions) runs on an event log. Labels are DISCOVERED by one
-    label-cardinality distinct pass (deterministic sorted order,
-    cap-guarded); the exchange ships (user, type) cell partials,
+    regressions) runs on an event log. Labels are EXPLICIT (the
+    five-type schema is the oracle's contract — a corpus missing a
+    type still emits its all-zero column); discovery mode is
+    unit-tested separately. The exchange ships (user, type) cell partials,
     never events; per bucket one vectorized pivot + reindex fills
     absent cells with 0 (a user who never errored must read n_error=0,
     not NULL). Output ``(user_id, n_click, n_error, n_purchase,
@@ -8501,7 +8528,12 @@ def events_user_pivot(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "event_type"])
+    # labels EXPLICIT: the oracle hard-codes these five columns, so a
+    # corpus missing one type must still emit its all-zero column
+    # (discovery mode would make the SCHEMA data-dependent)
     return pivot_wide(ev, ["user_id"], "event_type",
+                      labels=["click", "error", "purchase",
+                              "signup", "view"],
                       exchange_base=_exchange("upivot"))
 
 
@@ -8640,7 +8672,6 @@ def q2_min_cost_supplier(sf_dir: str):
     joined = hash_join(ps, part_min, on="p_partkey",
                        exchange_dir=_exchange("q2"), num_buckets=8)
 
-    pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_size", "p_type"])
     sref = _bcast_df(sf_dir, "supplier",
                      ["s_suppkey", "s_name", "s_nationkey"])
     nref = _bcast_df(sf_dir, "nation", ["n_nationkey", "n_name"])
@@ -8718,9 +8749,12 @@ def q11_important_parts(sf_dir: str):
                ["l_partkey", "l_extendedprice", "l_discount"]
                ).map_batches(li_f, batch_format="pandas")
 
+    # materialized ONCE: the scalar fold and the HAVING filter both
+    # consume the part-cardinality table — lazy lineage would re-run
+    # the full fact scan for each
     per_part = grouped_agg(li, ["p_partkey"],
                            {"value_cents": ("_v", "sum")},
-                           num_buckets=8)
+                           num_buckets=8).materialize()
     scalars = per_part.map_batches(
         lambda t: pa.table({
             "s": pa.array([int(t["value_cents"].to_numpy(
@@ -8810,7 +8844,8 @@ def q9_product_profit(sf_dir: str):
     from guac_ray.functions.joins import hash_join
 
     pref = _bcast_df(sf_dir, "part", ["p_partkey", "p_type"])
-    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sref = _bcast_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"],
+                     sort_by="s_suppkey")
 
     class EconomyOnly:
         def __init__(self):

@@ -440,6 +440,17 @@ def pivot_wide(
     if agg == "sum" and value_col is None:
         raise ValueError("pivot_wide: agg='sum' needs value_col")
 
+    def _require_nonnull(df: pd.DataFrame):
+        # NULL keys/labels are a LOUD contract, not a silent drop:
+        # pandas groupby would drop them where SQL GROUP BY keeps the
+        # NULL group, and a NULL label cannot become a column — callers
+        # fill_null or filter upstream, explicitly
+        for c in list(key_cols) + [label_col]:
+            if df[c].isna().any():
+                raise ValueError(
+                    f"pivot_wide: NULL in {c!r} — pivot keys and labels "
+                    "must be non-null (fill_null or filter upstream)")
+
     cols = list(key_cols) + [label_col] + (
         [value_col] if agg == "sum" else [])
     narrow = ds.select_columns(cols)
@@ -452,7 +463,12 @@ def pivot_wide(
 
         found = narrow.select_columns([label_col]).map_batches(
             batch_labels, batch_format="pyarrow").to_pandas()
-        labels = sorted(found["_l"].unique().tolist())
+        uniq = found["_l"].unique().tolist()
+        if any(x is None for x in uniq):
+            raise ValueError(
+                "pivot_wide: NULL label encountered during discovery — "
+                "a NULL cannot become a column (fill_null upstream)")
+        labels = sorted(uniq)
     if len(labels) > label_cap:
         raise ValueError(
             f"pivot_wide: {len(labels)} labels exceed label_cap "
@@ -462,6 +478,7 @@ def pivot_wide(
     out_cols = [prefix + x for x in label_list]
 
     def partial(df: pd.DataFrame) -> "pa.Table":
+        _require_nonnull(df)
         if agg == "count":
             g = (df.groupby(key_cols + [label_col], sort=False)
                  .size().reset_index(name="_v"))

@@ -322,3 +322,15 @@ class TestPivotWide:
         with pytest.raises(Exception, match="cents trick"):
             pivot_wide(rd.from_pandas(bad), ["u"], "t",
                        value_col="v", agg="sum").to_pandas()
+
+    def test_null_key_and_label_raise(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import pivot_wide
+
+        df = pd.DataFrame({"u": [1.0, None], "t": ["a", "a"]})
+        with pytest.raises(Exception, match="non-null"):
+            pivot_wide(rd.from_pandas(df), ["u"], "t").to_pandas()
+        df2 = pd.DataFrame({"u": [1, 2], "t": ["a", None]})
+        with pytest.raises(Exception, match="NULL"):
+            pivot_wide(rd.from_pandas(df2), ["u"], "t").to_pandas()

@@ -68,7 +68,15 @@ def build_replica(sf_dir: str, out_dir: str, k: int) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     counts = {}
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
-    n_users = int(ev.user_id.max()) + 1
+    # ONE user-key stride covering BOTH key spaces: customer keys span
+    # past events.user_id (c_custkey max 10x user max on this corpus),
+    # so striding by user-max alone would overlap the replicated
+    # custkey ranges — duplicate keys with conflicting attributes and
+    # an unsorted customer table (silently corrupted dimension joins)
+    n_users = max(
+        int(ev.user_id.max()),
+        int(pd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"]).c_custkey.max())) + 1
     n_events = int(ev.event_id.max()) + 1
     parts = []
     for i in range(k):
