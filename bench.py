@@ -218,7 +218,7 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "q12_priority_by_flag",
             "q7_nation_volume", "q8_market_share", "events_user_pivot", "events_acf",
             "q2_min_cost_supplier", "q11_important_parts", "events_cume_nth", "q9_product_profit",
-            "q20_surge_suppliers",
+            "q20_surge_suppliers", "events_value_hist", "events_share_of_type",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

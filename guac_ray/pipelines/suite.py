@@ -9114,6 +9114,93 @@ GROUP BY s_name
 """
 
 
+def events_value_hist(sf_dir: str):
+    """Equi-WIDTH histogram per event type (``width_bucket``): the
+    fixed-bin complement of events_quantile_buckets' equi-DEPTH cut —
+    distribution plots, drift monitors and alerting thresholds bin on
+    fixed edges so counts are comparable ACROSS runs (quantile edges
+    move with the data). Bins are integer arithmetic on exact cents —
+    ``b = clip(vc // 2500, 0, 11)`` (25-dollar bins, top bin
+    open-ended) — so bucket assignment is a cross-engine contract
+    with no float edge ambiguity; the aggregate is one two-phase
+    (type, bin) count with in-batch combine (the shuffle ships
+    type × bin × block partials). Zero-count bins drop (matching
+    GROUP BY; the spine idiom fills them when a consumer needs
+    density). Output ``(event_type, bin, n)``."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def to_bins(df: pd.DataFrame) -> pa.Table:
+        vc = cents(df["value"])
+        b = np.clip(vc // 2500, 0, 11)
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "bin": b.astype("int64")})
+             .groupby(["event_type", "bin"], sort=False)
+             .size().reset_index(name="c"))
+        return table_from_pandas(g, preserve_index=False)
+
+    return grouped_agg(ev.map_batches(to_bins, batch_format="pandas"),
+                       ["event_type", "bin"], {"n": ("c", "sum")},
+                       num_buckets=4)
+
+
+EVENTS_VALUE_HIST_SQL = """
+SELECT event_type,
+       CAST(least(CAST(floor(value*100 + 0.5) AS BIGINT) // 2500, 11)
+            AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_share_of_type(sf_dir: str):
+    """ratio_to_report / share-of-total: each event type's share of
+    the corpus' total value — the composition snapshot every mix
+    dashboard opens with. Numerator and denominator are exact int64
+    cents from ONE two-phase aggregate (the denominator is the fold
+    of the same per-type table — no second scan), and the share is
+    ONE fixed-order double ``cents / total`` evaluated identically in
+    both engines (the Q8/Q14 contract). Output ``(event_type,
+    value_cents, share)``."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                           "_v": cents(df["value"])})
+             .groupby("event_type", sort=False)._v.sum().reset_index())
+        return table_from_pandas(g, preserve_index=False)
+
+    per_type = grouped_agg(ev.map_batches(part, batch_format="pandas"),
+                           ["event_type"], {"value_cents": ("_v", "sum")},
+                           num_buckets=2).to_pandas()
+    if per_type.empty:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "value_cents": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64())})
+    total = int(per_type.value_cents.sum())
+    # the SAME fixed-order double tree the SQL oracle evaluates
+    share = (per_type.value_cents.to_numpy().astype("float64")
+             / float(total))
+    return pa.table({
+        "event_type": pa.array(per_type.event_type, pa.string()),
+        "value_cents": pa.array(
+            per_type.value_cents.to_numpy().astype("int64")),
+        "share": pa.array(share, pa.float64())})
+
+
+EVENTS_SHARE_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM events GROUP BY 1)
+SELECT event_type, value_cents,
+       CAST(value_cents AS DOUBLE)
+         / CAST((SELECT sum(value_cents) FROM t) AS DOUBLE) AS share
+FROM t
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -9524,4 +9611,8 @@ SUITE: dict[str, tuple] = {
     # Q20 — the correlated half-sum threshold over two pair-grain
     # aggregates in the composite-key exchange (22/22 TPC-H shapes):
     "q20_surge_suppliers": (q20_surge_suppliers, Q20_SQL),
+    # equi-width histogram (fixed-bin width_bucket complement of the
+    # equi-depth quantile cut) and share-of-total (ratio_to_report):
+    "events_value_hist": (events_value_hist, EVENTS_VALUE_HIST_SQL),
+    "events_share_of_type": (events_share_of_type, EVENTS_SHARE_SQL),
 }

@@ -114,6 +114,8 @@ FAST = [
     "events_cume_nth",
     "q9_product_profit",
     "q20_surge_suppliers",
+    "events_value_hist",
+    "events_share_of_type",
 ]
 
 
