@@ -121,31 +121,73 @@ def fs_num_rows(f, path: str) -> int:
     return pq.read_metadata(path, filesystem=f).num_rows
 
 
+def _exchange_owner_tag() -> str:
+    import os
+    import socket
+
+    return f"{socket.gethostname()}-{os.getpid()}"
+
+
+def _owner_dead(name: str) -> bool | None:
+    """Parse ``host-pid-uuid`` from an exchange dir name: True when
+    the creating process is provably dead ON THIS HOST, False when
+    provably alive here, None when unknowable (another host, or a
+    legacy/unparsable name)."""
+    import os
+    import socket
+
+    parts = name.rsplit("-", 2)
+    if len(parts) != 3 or not parts[1].isdigit():
+        return None
+    host, pid = parts[0], int(parts[1])
+    if host != socket.gethostname():
+        return None
+    try:
+        os.kill(pid, 0)
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # exists, other uid
+
+
 def fresh_exchange_dir(base: str) -> str:
     """A unique subdirectory per exchange use, on the CONFIGURED
     exchange filesystem. Callers pass a stable base path; each call
     gets its own subdir so a previously returned lazy Dataset — which
     re-reads its exchange files on every consumption — is never
     silently repointed at newer data by a later call with the same
-    base. Siblings registered by this process are live (they may back
-    a lazy Dataset) and are never pruned; unregistered siblings from
-    dead processes are pruned once older than one hour."""
+    base.
+
+    Pruning policy: dir names embed ``host-pid``, so ANOTHER LIVE
+    driver's dirs on a shared base are recognizable and never deleted
+    (the per-process registry alone cannot see them — deleting a live
+    sibling's exchange mid-consumption is silent data loss). A dir is
+    pruned when its creator is provably dead on this host and it is
+    older than one hour, or — for foreign hosts / legacy names, where
+    liveness is unknowable — only after 24 hours."""
     f, _ = exchange_fs()
     fs_mkdirs(f, base)
     now = time.time()
     for info in fs_listdir(f, base):
         if info.path in _LIVE_EXCHANGE_DIRS:
             continue
+        name = info.path.rsplit("/", 1)[-1]
+        dead = _owner_dead(name)
+        if dead is False:
+            continue  # live sibling driver on this host
+        ttl = 3600 if dead else 86400
         try:
             mt = info.mtime.timestamp() if info.mtime is not None else now
-            if now - mt > 3600:
+            if now - mt > ttl:
                 if info.type == pafs.FileType.Directory:
                     fs_rmtree(f, info.path)
                 else:
                     f.delete_file(info.path)
         except (OSError, pa.ArrowIOError):
             pass
-    p = f"{base.rstrip('/')}/{uuid.uuid4().hex[:12]}"
+    p = (f"{base.rstrip('/')}/{_exchange_owner_tag()}-"
+         f"{uuid.uuid4().hex[:12]}")
     _LIVE_EXCHANGE_DIRS.add(p)
     return p
 

@@ -122,6 +122,18 @@ def _partition_both(
 
     def part_fn(keys):
         def part(df: pd.DataFrame) -> pa.Table:
+            for c in keys:
+                if np.issubdtype(df[c].dtype, np.floating):
+                    # stable_hash stringifies per dtype (int 5 → "5",
+                    # float 5.0 → "5.0"), so a float key on ONE side —
+                    # usually a silent pandas NULL-upcast — lands equal
+                    # values in different buckets and the join quietly
+                    # drops matches. Refuse loudly instead.
+                    raise TypeError(
+                        f"join key {c!r} is float ({df[c].dtype}) — "
+                        "cast both sides to int64/string before the "
+                        "join (a NaN-introducing upcast is the usual "
+                        "culprit; fill or drop the nulls first)")
             df = df.copy()
             df["_jb"] = (stable_hash(df, keys) % num_buckets).astype("int64")
             return table_from_pandas(df, preserve_index=False)
@@ -320,8 +332,13 @@ def hash_join(
                                   filesystem=fsys)
         sch = ds.schema()
         if sch is not None:
-            return pa.schema(
-                [(n, t) for n, t in zip(sch.names, sch.types) if n != "_jb"])
+            fields = [(n, t) for n, t in zip(sch.names, sch.types)
+                      if n != "_jb"]
+            # pandas-born blocks report numpy dtypes here; an empty
+            # side is exactly the path this branch exists for, so it
+            # must not TypeError inside pa.schema
+            if all(isinstance(t, pa.DataType) for _, t in fields):
+                return pa.schema(fields)
         return None
 
     right_schema = _side_schema(rfiles, right) if how in ("left", "outer") else None
@@ -396,6 +413,23 @@ def hash_join(
             outs.append(partial_fn(j) if partial_fn is not None else j)
         return pa.concat_tables(outs)
 
+    if not tasks and partial_fn is None:
+        # disjoint key sets (or an empty probe side): a SCHEMA-LESS
+        # empty (rd.from_items([])) breaks downstream select/concat —
+        # derive the joined schema from the two sides instead
+        lsch = _side_schema(lfiles, left)
+        rsch = _side_schema(rfiles, right)
+        if lsch is not None:
+            fields = list(zip(lsch.names, lsch.types))
+            if how in ("inner", "left", "outer") and rsch is not None:
+                have = {n for n, _ in fields}
+                for n, t in zip(rsch.names, rsch.types):
+                    if n in keys:
+                        continue
+                    fields.append((n + suffixes[1] if n in have else n, t))
+            elif how == "mark":
+                fields.append(("_mark", pa.int8()))
+            return rd.from_arrow(pa.schema(fields).empty_table())
     buckets = rd.from_items(
         [{"k": t["k"], "lfiles": "\n".join(t["lfiles"])} for t in tasks])
     return buckets.map_batches(join_task, batch_format="pandas", batch_size=1)
@@ -572,6 +606,16 @@ def range_join(
             lpart.columns = [
                 c if c + suffixes[1] not in rpart.columns else c + suffixes[0]
                 for c in lpart.columns]
+            combined = list(lpart.columns) + list(rpart.columns)
+            if len(set(combined)) != len(combined):
+                # e.g. the right side natively holds both 'x' and
+                # 'x_r': suffixing would emit duplicate labels and
+                # pd.concat would produce an ambiguous frame
+                dupes = sorted({c for c in combined
+                                if combined.count(c) > 1})
+                raise ValueError(
+                    f"join output column collision {dupes} — pick "
+                    "non-colliding suffixes or rename the inputs")
             outs.append(pd.concat([lpart, rpart], axis=1))
         return table_from_pandas(pd.concat(outs, ignore_index=True),
                                     preserve_index=False)
@@ -636,7 +680,10 @@ def interval_join(
             le = _as_i64(ldf[left_end].to_numpy())
             rs = _as_i64(rdf[right_start].to_numpy())
             re_ = _as_i64(rdf[right_end].to_numpy())
-            maxlen = int(max(0, (re_ - rs).max())) if len(rs) else 0
+            # keep the native dtype: int() would TRUNCATE a float
+            # interval length (2.7 → 2), narrowing the candidate
+            # window and silently dropping true overlaps
+            maxlen = max((re_ - rs).max(), 0) if len(rs) else 0
             lidx, ridx = _window_matches(
                 ldf[by].to_numpy(), ls - maxlen, le,
                 rdf[by].to_numpy(), rs)
@@ -652,6 +699,16 @@ def interval_join(
             lpart.columns = [
                 c if c + suffixes[1] not in rpart.columns else c + suffixes[0]
                 for c in lpart.columns]
+            combined = list(lpart.columns) + list(rpart.columns)
+            if len(set(combined)) != len(combined):
+                # e.g. the right side natively holds both 'x' and
+                # 'x_r': suffixing would emit duplicate labels and
+                # pd.concat would produce an ambiguous frame
+                dupes = sorted({c for c in combined
+                                if combined.count(c) > 1})
+                raise ValueError(
+                    f"join output column collision {dupes} — pick "
+                    "non-colliding suffixes or rename the inputs")
             outs.append(pd.concat([lpart, rpart], axis=1))
         return table_from_pandas(pd.concat(outs, ignore_index=True),
                                  preserve_index=False)
@@ -690,6 +747,12 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join: how must be 'inner' or 'left', got {how!r}")
     rschema = right.schema() if how == "left" else None
+    if rschema is not None and not all(
+            isinstance(t, pa.DataType) for t in rschema.types):
+        # pandas-born blocks report numpy dtypes; the typed-empty
+        # branch below would TypeError inside pa.schema — fall back to
+        # the schema-unknowable path instead
+        rschema = None
     fsys, _ = exchange_fs()
     exchange_dir = fresh_exchange_dir(exchange_dir)
     ldir, rdir = _partition_both(left, right, [by], [by], exchange_dir,
@@ -787,7 +850,20 @@ def skew_join(
     def tag_right(df: pd.DataFrame) -> pa.Table:
         m = _hot_mask(df)
         s = np.zeros(len(df), dtype="int64")
-        s[m] = np.arange(int(m.sum()), dtype="int64") % salt
+        n_hot = int(m.sum())
+        if n_hot:
+            # deterministic per-batch STARTING OFFSET: a cycle that
+            # restarts at 0 every batch piles hot rows onto low salts
+            # whenever hot-rows-per-batch < salt (e.g. one hot build
+            # row per small block), collapsing the relief back to one
+            # bucket while the left still pays full salt× replication
+            # hash the full first hot ROW (not just the key — one hot
+            # key hashes identically in every batch): batch contents
+            # differ, so offsets spread across batches, yet the value
+            # is replay-stable for a given batch
+            off = int(stable_hash(df[m].head(1),
+                                  list(df.columns))[0] % salt)
+            s[m] = (off + np.arange(n_hot, dtype="int64")) % salt
         out = df.copy()
         out["_salt"] = s
         return table_from_pandas(out, preserve_index=False)

@@ -192,6 +192,12 @@ def fs_exchange_reduce_multi(
 
     fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
     ex = fresh_exchange_dir(exchange_base)
+    # writes are SEQUENTIAL by design: concurrent write_parquet into
+    # one shared dir was tried (the _partition_both thread pattern,
+    # which works because each side writes its OWN subdir) and raced —
+    # cdc_merge lost a side's files. The inputs here are narrow
+    # projected streams, so the summed latency is small; _partition_both
+    # remains the pattern for the two-dir case.
     for ds in dss:
         ds.write_parquet(ex, partition_cols=[bucket_col], filesystem=fsys)
     bucket_dirs = sorted(_list_bucket_dirs(fsys, ex, bucket_col))

@@ -34,13 +34,15 @@ __all__ = ["grouped_agg", "grouped_first_last", "grouped_sorted_concat",
 
 _PARTIAL = {
     "sum": "sum",
-    "count": "size",
+    "count": "size",      # COUNT(*): rows, NULLs included (documented)
+    "nncount": "count",   # internal: non-null count — mean's denominator
     "min": "min",
     "max": "max",
 }
 _FINAL = {
     "sum": "sum",
     "count": "sum",   # partial counts sum up
+    "nncount": "sum",
     "min": "min",
     "max": "max",
 }
@@ -54,7 +56,9 @@ def grouped_agg(
     use_exchange: bool = True,
 ) -> Dataset:
     """``spec``: {out_col: (in_col, fn)} with fn ∈ sum|count|min|max|mean.
-    For ``count`` the in_col only anchors the row count. Returns a
+    For ``count`` the in_col only anchors the row count — it is SQL
+    COUNT(*), NULLs included. ``mean`` divides by the NON-NULL count
+    (SQL AVG; an all-NULL group yields NaN/NULL). Returns a
     Dataset with columns keys + spec keys.
 
     ``use_exchange=True`` (default) routes the final phase through the
@@ -71,7 +75,12 @@ def grouped_agg(
     hidden: dict[str, tuple[str, str]] = {}
     for o, c in means.items():
         hidden[f"_{o}_s"] = (c, "sum")
-        hidden[f"_{o}_n"] = (c, "count")
+        # NON-NULL count: pandas sum skips NaN, so a size-based
+        # denominator silently deflates the mean of any nullable
+        # column (sum(skipna)/count(all)); SQL AVG divides by the
+        # non-null count, and so do we — an all-NULL group divides
+        # 0/0 → NaN, which IS SQL's NULL AVG
+        hidden[f"_{o}_n"] = (c, "nncount")
     allspec = {**plain, **hidden}
 
     import pyarrow as pa
@@ -85,7 +94,7 @@ def grouped_agg(
                 # are int64, everything else carries the source dtype
                 # (float64 placeholders corrupt e.g. timestamp min/max
                 # at the Arrow schema-unification boundary)
-                if f == "count":
+                if f in ("count", "nncount"):
                     cols[o] = pd.Series([], dtype="int64")
                 else:
                     cols[o] = pd.Series(
@@ -513,7 +522,14 @@ def pivot_wide(
     if out is None:
         sch = ds.schema()
         types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+
+        def at(c):
+            ty = types.get(c)
+            # pandas-born blocks report numpy dtypes here (the
+            # grouped_mode fallback rule)
+            return ty if isinstance(ty, pa.DataType) else pa.string()
+
         return rd.from_arrow(pa.schema(
-            [(c, types.get(c, pa.string())) for c in key_cols]
+            [(c, at(c)) for c in key_cols]
             + [(c, pa.int64()) for c in out_cols]).empty_table())
     return out

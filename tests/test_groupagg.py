@@ -334,3 +334,21 @@ class TestPivotWide:
         df2 = pd.DataFrame({"u": [1, 2], "t": ["a", None]})
         with pytest.raises(Exception, match="NULL"):
             pivot_wide(rd.from_pandas(df2), ["u"], "t").to_pandas()
+
+
+class TestMeanNullSemantics:
+    def test_mean_divides_by_nonnull_count(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_agg
+
+        df = pd.DataFrame({"k": ["a", "a", "b", "c", "c"],
+                           "x": [1.0, np.nan, 3.0, np.nan, np.nan]})
+        got = (grouped_agg(rd.from_pandas(df).repartition(3), ["k"],
+                           {"m": ("x", "mean"), "n": ("x", "count")})
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        # SQL AVG: NULLs out of the denominator; COUNT(*) keeps them;
+        # an all-NULL group averages to NULL (NaN), not 0
+        assert got.n.tolist() == [2, 1, 2]
+        assert got.m.tolist()[0] == 1.0 and got.m.tolist()[1] == 3.0
+        assert np.isnan(got.m.tolist()[2])

@@ -655,3 +655,47 @@ class TestSkewJoin:
             skew_join(rd.from_pandas(df), rd.from_pandas(df), "k",
                       hot_keys=[1], salt=1,
                       exchange_dir=str(tmp_path / "x"))
+
+
+class TestReviewHardening:
+    def test_interval_join_float_ordinates_no_truncation(
+            self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import interval_join
+
+        l = pd.DataFrame({"k": [1], "s": [10.0], "e": [11.0]})
+        r = pd.DataFrame({"k": [1], "s2": [7.5], "e2": [10.2]})
+        # right length 2.7: an int() window (2) would exclude this
+        # true overlap
+        out = interval_join(
+            rd.from_pandas(l), rd.from_pandas(r), by="k",
+            left_start="s", left_end="e",
+            right_start="s2", right_end="e2",
+            exchange_dir=str(tmp_path / "ij")).to_pandas()
+        assert len(out) == 1
+
+    def test_float_join_key_refused(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        l = pd.DataFrame({"k": [1.0, 2.0], "a": [1, 2]})
+        r = pd.DataFrame({"k": [1, 2], "b": [3, 4]})
+        with pytest.raises(Exception, match="float"):
+            hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      exchange_dir=str(tmp_path / "hj")).to_pandas()
+
+    def test_disjoint_keys_keep_joined_schema(self, ray_session,
+                                              tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.joins import hash_join
+
+        l = pd.DataFrame({"k": [1, 2], "a": [10, 20]})
+        r = pd.DataFrame({"k": [3, 4], "b": ["x", "y"]})
+        out = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                        exchange_dir=str(tmp_path / "hj2"))
+        sch = out.schema()
+        assert sch is not None and set(sch.names) >= {"k", "a", "b"}
+        assert out.count() == 0
