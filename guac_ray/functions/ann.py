@@ -31,22 +31,39 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _batch_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, (n × dim) float64) for one batch. Uniform-length vectors →
+    one flat-buffer reshape, no per-row python objects: list<float>
+    flattens; Ray tensor-extension arrays already yield (n, dim) from
+    to_numpy. Null or RAGGED vectors raise loudly: a blind
+    ``reshape(n, -1)`` would silently scramble row boundaries whenever
+    the flat length happens to divide n (wrong neighbors, no error).
+    Zero-row batches return a (0, 0) matrix — callers short-circuit
+    empties BEFORE scoring (a 0-dim matrix cannot matmul a query)."""
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
     col = batch["embedding"].combine_chunks()
-    # uniform-length vectors → one flat buffer reshape, no per-row python
-    # objects: list<float> flattens; Ray tensor-extension arrays already
-    # yield (n, dim) from to_numpy. Ragged lists fall back to a stack.
-    try:
-        if hasattr(col, "flatten"):      # plain ListArray
-            mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                len(ids), -1).astype(np.float64)
-        else:                            # ArrowTensorArray et al.
-            mat = np.asarray(col.to_numpy(zero_copy_only=False),
-                             dtype=np.float64)
-            if mat.ndim != 2:
-                raise ValueError("not rectangular")
-    except (ValueError, TypeError):
-        mat = np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+    n = len(ids)
+    if n == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
+    if hasattr(col, "flatten"):          # plain List/LargeList/FixedSizeList
+        if col.null_count:
+            raise ValueError(
+                "_batch_mat: null embedding rows — drop or impute them "
+                "upstream (flatten() would silently misalign rows)")
+        if hasattr(col, "value_lengths"):        # not FixedSizeListArray
+            vl = col.value_lengths().to_numpy(zero_copy_only=False)
+            if vl.min() != vl.max():
+                raise ValueError(
+                    f"_batch_mat: ragged embedding lists (lengths "
+                    f"{int(vl.min())}..{int(vl.max())}) — fixed-dim "
+                    "vectors are required")
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            n, -1).astype(np.float64)
+    else:                                # ArrowTensorArray et al.
+        mat = np.asarray(col.to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        if mat.ndim != 2:
+            raise ValueError(
+                "_batch_mat: embedding column is not rectangular")
     return ids, mat
 
 
@@ -60,6 +77,10 @@ class _BruteScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         ids, mat = _batch_mat(batch)
         sims = _normalize(mat) @ self.qmat.T          # (n, q)
         out_q, out_v, out_s = [], [], []
@@ -114,13 +135,21 @@ class IvfIndex:
     def fit(cls, embeds: Dataset, n_clusters: int = 16, sample: int = 4096,
             iters: int = 10, seed: int = 7) -> "IvfIndex":
         # UNIFORM sample — limit() would take the first blocks only and
-        # bias centroids badly on sorted/clustered inputs
+        # bias centroids badly on sorted/clustered inputs. The trim from
+        # the Bernoulli oversample down to ``sample`` rows must ALSO be
+        # uniform: ``.limit(sample)`` keeps an ordered PREFIX of the
+        # sampled rows, so on a sorted/clustered input the tail of the
+        # dataset would get ~zero centroid mass — a seeded rng.choice
+        # over the materialized oversample (~2·sample rows, driver-sized
+        # by construction) keeps every row equally likely.
         n = embeds.count()
         if n > sample:
             frac = min(1.0, (2.0 * sample) / n)  # oversample, then trim
-            sample_rows = (
-                embeds.random_sample(frac, seed=seed).limit(sample).to_pandas()
-            )
+            sample_rows = embeds.random_sample(frac, seed=seed).to_pandas()
+            if len(sample_rows) > sample:
+                pick = np.random.default_rng(seed + 1).choice(
+                    len(sample_rows), size=sample, replace=False)
+                sample_rows = sample_rows.iloc[np.sort(pick)]
             if len(sample_rows) < min(sample // 2, n):
                 sample_rows = embeds.limit(sample).to_pandas()  # tiny-input fallback
         else:
@@ -165,6 +194,10 @@ class _IvfScorer:
         self.probe = np.argsort(-qc, axis=1)[:, :nprobe]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
         ids, mat = _batch_mat(batch)
         nmat = _normalize(mat)
         assign = (nmat @ self.cents.T).argmax(axis=1)
@@ -271,13 +304,8 @@ def _join_verify_pairs(
     joins)."""
     import os
 
+    from guac_ray.functions.dedup import _rename_cols as rename
     from guac_ray.functions.joins import default_exchange, hash_join
-
-    def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
-        def f(t: pa.Table) -> pa.Table:
-            return t.rename_columns([mapping.get(c, c) for c in t.column_names])
-
-        return ds.map_batches(f, batch_format="pyarrow")
 
     def encode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -373,6 +401,13 @@ def embedding_neardup(
             self.planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                cols = {"band_id": pa.array([], type=pa.int64()),
+                        "bucket": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64())}
+                if carry_embedding:
+                    cols["embedding"] = batch["embedding"].combine_chunks()
+                return pa.table(cols)
             ids, mat = _batch_mat(batch)
             if self.planes is None:
                 self.planes = np.random.default_rng(seed).standard_normal(

@@ -303,6 +303,14 @@ def minhash_bands(sigs: Dataset, num_bands: int = 32) -> Dataset:
         sig = np.frombuffer(b"".join(blobs), dtype=np.uint64).reshape(len(blobs), -1)
         n, num_perm = sig.shape
         r = num_perm // num_bands
+        if r == 0:
+            raise ValueError(
+                f"minhash_bands: num_bands ({num_bands}) exceeds the "
+                f"signature's permutation count ({num_perm}) — every "
+                "band would fold an EMPTY slice, making all documents "
+                "collide in all bands (quadratic candidate explosion, "
+                "garbage pairs). Use num_bands <= num_perm; remainder "
+                "permutations past num_bands*r are dropped by design.")
         sl = sig[:, : num_bands * r].reshape(n, num_bands, r)
         pw = _FNV_PRIME ** np.arange(r, dtype=np.uint64)          # wraps — fine
         with np.errstate(over="ignore"):
@@ -427,7 +435,14 @@ def verify_pairs_sigs(
         lands on the driver whole and is never broadcast (at 10⁹ docs
         it is a TB).
 
-    The candidate-pair set is always far smaller than the band rows."""
+    The candidate-pair set is always far smaller than the band rows.
+
+    Pairs referencing a doc_id absent from ``sigs`` are DROPPED on both
+    plans (inner-join semantics): the join path drops them inside
+    ``hash_join``, and the broadcast path filters them explicitly so the
+    two plans agree — same input, same answer, regardless of which side
+    of the size guard it lands on. (LSH-derived pairs are always
+    contained by construction; a drop here means a stale pair list.)"""
     import os
 
     if sigs.count() <= broadcast_row_limit:
@@ -439,15 +454,19 @@ def verify_pairs_sigs(
         class Verify:
             def __init__(self):
                 self.sigs = ray.get(sref)
+                self.known = np.fromiter(self.sigs, dtype=np.int64,
+                                         count=len(self.sigs))
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                n = t.num_rows
+                a = t["a"].to_numpy(zero_copy_only=False)
+                b = t["b"].to_numpy(zero_copy_only=False)
+                ok = np.isin(a, self.known) & np.isin(b, self.known)
+                a, b = a[ok], b[ok]
+                n = len(a)
                 if n == 0:
                     return pa.table({"a": pa.array([], type=pa.int64()),
                                      "b": pa.array([], type=pa.int64()),
                                      "sim": pa.array([], type=pa.float64())})
-                a = t["a"].to_numpy(zero_copy_only=False)
-                b = t["b"].to_numpy(zero_copy_only=False)
                 sa = np.frombuffer(b"".join(self.sigs[x] for x in a),
                                    dtype=np.uint64).reshape(n, -1)
                 sb = np.frombuffer(b"".join(self.sigs[x] for x in b),
@@ -850,21 +869,20 @@ def hamming64_pairs(
         sigs = sigs.map_batches(canon, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        hs = batch["simhash"].to_pylist()
-        rid, rchunk, rval, rh = [], [], [], []
-        for i, h in zip(ids, hs):
-            for c in range(4):
-                rid.append(i)
-                rchunk.append(c)
-                rval.append((h >> (16 * c)) & 0xFFFF)
-                rh.append(h)
+        # vectorized 4-way fan-out (np.repeat/np.tile + shift/mask), the
+        # same discipline as minhash_bands.explode — no per-row python
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shifts = np.uint64(16) * np.arange(4, dtype=np.uint64)
+        vals = ((hs[:, None] >> shifts[None, :]) & np.uint64(0xFFFF))
         return pa.table(
             {
-                "chunk_id": pa.array(rchunk, type=pa.int32()),
-                "chunk_val": pa.array(rval, type=pa.int32()),
-                "doc_id": pa.array(rid, type=pa.int64()),
-                "simhash": pa.array(rh, type=pa.uint64()),
+                "chunk_id": pa.array(
+                    np.tile(np.arange(4, dtype=np.int32), n)),
+                "chunk_val": pa.array(vals.reshape(-1).astype(np.int32)),
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "simhash": pa.array(np.repeat(hs, 4)),
             }
         )
 
@@ -951,7 +969,16 @@ def verify_pairs_exact(
         r["doc_id"]: r["text"]
         for r in docs.map_batches(keep, batch_format="pyarrow").take_all()
     }
-    sets = {d: ngram_set(texts.get(d, ""), shingle_n) for d in need}
+    missing = need - set(texts)
+    if missing:
+        # treating a missing doc as "" would be silently wrong: two
+        # absent ids both shingle to the single padded window and score
+        # jaccard 1.0 — a nonexistent pair reported as a duplicate
+        raise KeyError(
+            f"verify_pairs_exact: {len(missing)} candidate doc_ids "
+            f"absent from docs (e.g. {sorted(missing)[:5]}) — stale "
+            "pair list or id-space mismatch")
+    sets = {d: ngram_set(texts[d], shingle_n) for d in need}
     out = pairs.copy()
     out["jaccard"] = [
         jaccard(sets[a], sets[b]) for a, b in pairs[["a", "b"]].itertuples(index=False)

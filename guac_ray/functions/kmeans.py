@@ -110,12 +110,24 @@ def _lloyd_centroids(
         cref = ray.put(cents)
 
         def partial_sums(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:      # empty block: contribute no partial
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.list_(pa.int64())),
+                })
             c = ray.get(cref)
             q = quantize_embeddings(t, vec_col, scale, offset)
             a = _assign(q, c)
             counts = np.bincount(a, minlength=k).astype(np.int64)
+            # sort-by-assignment + reduceat: exact int64 sums (order-free)
+            # without np.add.at's unbuffered per-element scatter — this
+            # is the hottest line of every Lloyd iteration
+            order = np.argsort(a, kind="stable")
+            asorted = a[order]
+            bounds = np.flatnonzero(np.r_[True, asorted[1:] != asorted[:-1]])
             sums = np.zeros((k, q.shape[1]), dtype=np.int64)
-            np.add.at(sums, a, q)
+            sums[asorted[bounds]] = np.add.reduceat(q[order], bounds, axis=0)
             return pa.table({
                 "cluster": pa.array(np.arange(k, dtype=np.int64)),
                 "n": pa.array(counts),
@@ -154,6 +166,9 @@ def kmeans_fixed_point(
     cref = ray.put(cents)
 
     def final_assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "cluster": pa.array([], type=pa.int64())})
         c = ray.get(cref)
         q = quantize_embeddings(t, vec_col, scale, offset)
         return pa.table({
@@ -214,6 +229,13 @@ def semdedup_embeddings(
     cref = ray.put(cents)
 
     def assign_q(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: t[id_col],
+                "cluster": pa.array([], type=pa.int64()),
+                "q": pa.array([], type=pa.list_(pa.int32())),
+                "_bucket": pa.array([], type=pa.int64()),
+            })
         c = ray.get(cref)
         q = quantize_embeddings(t, vec_col, scale, offset)
         a = _assign(q, c)

@@ -122,6 +122,30 @@ def dedup_exact(
                                  reduce_t, bucket_col="_bucket")
         if out is not None:
             return out
+        # zero partial rows ⟺ the input was empty (local dedup emits at
+        # least one row per non-empty batch). Return a TYPED empty when
+        # the input schema is recoverable: the lazy groupby fallback's
+        # map_groups never runs on an empty input and yields a
+        # SCHEMA-LESS block — which poisons even an ensure_schema union
+        # downstream (Ray's to_pandas on mixed empty schemas drops the
+        # columns entirely).
+        import ray.data as rd
+
+        sch = ds.schema()
+        if sch is not None and all(c in sch.names for c in keep):
+            tmap = {}
+            for n, t in zip(sch.names, sch.types):
+                if n not in keep:
+                    continue
+                if not isinstance(t, pa.DataType):     # pandas-born block
+                    try:
+                        t = pa.from_numpy_dtype(t)
+                    except (pa.ArrowNotImplementedError, TypeError):
+                        t = pa.string() if str(t) == "object" else None
+                tmap[n] = t
+            if all(t is not None for t in tmap.values()):
+                return rd.from_arrow(
+                    pa.schema([(c, tmap[c]) for c in keep]).empty_table())
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
         return table_from_pandas(

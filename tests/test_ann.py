@@ -233,3 +233,71 @@ class TestRrfFuse:
         assert out.rrf_fp.tolist() == [1_000_000 // (60 + r)
                                        for r in range(1, 6)]
         assert out.rrf_fp.dtype == "int64"
+
+
+class TestBatchRobustness:
+    """Round-5 hardening: empty blocks survive every scorer, ragged/null
+    vectors fail LOUDLY instead of silently scrambling row boundaries."""
+
+    def test_empty_blocks_survive_scorers(self, ray_session):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from guac_ray.functions.ann import knn_brute, knn_ivf
+
+        df = _emb_df(n=200)
+        ds = rd.from_pandas(df).repartition(8).map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 100)),
+            batch_format="pyarrow")          # half the blocks come back empty
+        q = np.asarray(df.embedding.iloc[3])
+        got = knn_brute(ds, [3], q[None, :], k=5,
+                        concurrency=(1, 2)).to_pandas()
+        sub = df[df.vec_id < 100]
+        assert sorted(got.vec_id.tolist()) == sorted(_exact_topk(sub, q, 5))
+        # IVF path takes the same empty blocks through _IvfScorer
+        got2 = knn_ivf(ds, [3], q[None, :], k=5, n_clusters=4,
+                       nprobe=4, concurrency=(1, 2)).to_pandas()
+        assert len(got2) == 5
+
+    def test_empty_blocks_survive_neardup_project(self, ray_session):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from guac_ray.functions.ann import embedding_neardup
+
+        df = _emb_df(n=120)
+        ds = rd.from_pandas(df).repartition(6).map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 60)),
+            batch_format="pyarrow")
+        # force the LSH regime (exact_limit below the row count)
+        out = embedding_neardup(ds, threshold=0.8, exact_limit=10,
+                                concurrency=(1, 2))
+        # the dataset must carry the TYPED pair schema even when zero
+        # pairs survive (Ray's to_pandas drops columns on any fully
+        # empty dataset, so assert on the schema contract itself)
+        sch = out.schema()
+        assert sch.names == ["a", "b", "cosine"]
+        assert out.count() == 0
+
+    def test_batch_mat_rejects_ragged_and_null(self):
+        import pyarrow as pa
+
+        from guac_ray.functions.ann import _batch_mat
+
+        ragged = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                           "embedding": pa.array([[1.0, 2.0, 3.0],
+                                                  [4.0, 5.0, 6.0, 7.0]])})
+        with pytest.raises(ValueError, match="ragged"):
+            _batch_mat(ragged)
+        withnull = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                             "embedding": pa.array([[1.0, 2.0], None],
+                                                   pa.list_(pa.float64()))})
+        with pytest.raises(ValueError, match="null"):
+            _batch_mat(withnull)
+        # the silent-scramble shape: 2 rows, flat size 6 divides evenly
+        # into (2, 3) — MUST still raise, not misalign
+        scramble = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                             "embedding": pa.array([[1.0, 2.0],
+                                                    [3.0, 4.0, 5.0, 6.0]])})
+        with pytest.raises(ValueError, match="ragged"):
+            _batch_mat(scramble)

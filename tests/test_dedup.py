@@ -250,3 +250,56 @@ class TestBatchedSignatureIdentity:
                     votes[b] += 1 if (h >> b) & 1 else -1
             want = sum(1 << b for b in range(64) if votes[b] > 0)
             assert int(g) == want, t
+
+
+class TestContractHardening:
+    """Round-5 hardening: degenerate banding and stale pair lists fail
+    loudly (or drop consistently) instead of silently corrupting."""
+
+    def test_minhash_bands_rejects_excess_bands(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import MinHasher, minhash_bands
+
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta gamma", "delta epsilon"]}))
+        sigs = docs.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": 16},
+                                batch_format="pyarrow", concurrency=1)
+        with pytest.raises(Exception, match="num_bands"):
+            minhash_bands(sigs, num_bands=64).materialize()
+
+    def test_verify_pairs_exact_missing_id_raises(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import verify_pairs_exact
+
+        docs = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["same text here", "same text here"]}))
+        stale = pd.DataFrame({"a": [1, 10], "b": [2, 11]})
+        with pytest.raises(KeyError, match="absent"):
+            verify_pairs_exact(docs, stale)
+
+    def test_verify_pairs_sigs_drops_missing_ids_consistently(
+            self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.dedup import MinHasher, verify_pairs_sigs
+
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox jumps over the lazy dog",
+                     "the quick brown fox jumps over the lazy dog",
+                     "a completely different document body"]}))
+        sigs = docs.map_batches(MinHasher, batch_format="pyarrow",
+                                concurrency=1).materialize()
+        pairs = rd.from_pandas(pd.DataFrame(
+            {"a": [1, 1, 98], "b": [2, 99, 99]}))  # two rows reference ghosts
+        # broadcast plan: must DROP the ghost pairs (inner-join
+        # semantics), not KeyError mid-actor
+        bcast = verify_pairs_sigs(pairs, sigs, 0.5).to_pandas()
+        assert bcast[["a", "b"]].values.tolist() == [[1, 2]]
+        # join plan (force it with a zero broadcast limit): same answer
+        joined = verify_pairs_sigs(
+            pairs, sigs, 0.5, exchange_dir=str(tmp_path / "vx"),
+            broadcast_row_limit=0).to_pandas()
+        assert joined[["a", "b"]].values.tolist() == [[1, 2]]

@@ -149,3 +149,39 @@ class TestKmeans:
             " * 4096) AS BIGINT)", [float(v)]).fetchone()[0]
             for v in vals]
         np.testing.assert_array_equal(ours, np.array(theirs))
+
+
+class TestEmptyBlocks:
+    """Round-5 hardening: empty blocks (upstream filters) survive every
+    kmeans/semdedup map stage instead of crashing on reshape(0, -1)."""
+
+    def test_kmeans_survives_empty_blocks(self, ray_session):
+        import pyarrow.compute as pc
+
+        rng = np.random.RandomState(11)
+        X = rng.uniform(-0.9, 0.9, size=(90, 6)).astype(np.float32)
+        ids = np.arange(90, dtype=np.int64)
+        ds = _ds(ids, X, blocks=6).map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 45)),
+            batch_format="pyarrow")          # half the blocks empty
+        got = kmeans_fixed_point(ds, k=4, iters=2).to_pandas()
+        got = got.sort_values("vec_id")
+        want = _naive(ids[:45], X[:45], k=4, iters=2)
+        np.testing.assert_array_equal(got["cluster"].to_numpy(), want)
+
+    def test_semdedup_survives_empty_blocks(self, ray_session, tmp_path):
+        import pyarrow.compute as pc
+
+        rng = np.random.RandomState(12)
+        X = rng.uniform(-0.9, 0.9, size=(60, 6)).astype(np.float32)
+        X[41] = X[40]                       # planted exact dup
+        ids = np.arange(60, dtype=np.int64)
+        ds = _ds(ids, X, blocks=6).map_batches(
+            lambda t: t.filter(pc.less(t["vec_id"], 50)),
+            batch_format="pyarrow")
+        out = semdedup_embeddings(
+            ds, k=3, iters=2, exchange_base=str(tmp_path / "sx"),
+        ).to_pandas().sort_values("vec_id")
+        assert len(out) == 50
+        assert out[out.vec_id == 41].kept.iloc[0] == 0  # dup pruned
+        assert out[out.vec_id == 40].kept.iloc[0] == 1  # lower id kept
