@@ -72,6 +72,12 @@ def kcore(
 
     def canon(df: pd.DataFrame) -> pa.Table:
         s, o = df[src], df[dst]
+        # drop null endpoints FIRST: NaN != x is True, so a null would
+        # survive the self-loop mask as a phantom neighbor inflating a
+        # real node's degree past the k threshold (SQL: a NULL
+        # comparison is never TRUE, the edge joins nothing)
+        ok = s.notna() & o.notna()
+        s, o = s[ok], o[ok]
         swap = o < s
         a = s.where(~swap, o)
         b = o.where(~swap, s)

@@ -121,6 +121,18 @@ def pagerank(
     def part_edges(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({"src": df[src_col], "dst": df[dst_col]}
                            ).drop_duplicates()
+        # the dangling-mass sentinel rides the dst column as a reserved
+        # STRING key; on an integer-keyed graph the sentinel concat
+        # would silently object-mix the column and ArrowInvalid deep in
+        # a contribution task — refuse at ingest with the fix named
+        # (kcore/shortest_paths accept ints; pagerank needs str keys)
+        for c in ("src", "dst"):
+            if np.issubdtype(out[c].to_numpy().dtype, np.number):
+                raise TypeError(
+                    f"pagerank: {c!r} node keys must be strings (the "
+                    "dangling sentinel is a reserved string key) — "
+                    "stringify integer ids upstream, e.g. "
+                    ".astype(str)")
         out["_bucket"] = _bucket_of(out["src"], B)
         return table_from_pandas(out, preserve_index=False)
 

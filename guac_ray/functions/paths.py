@@ -102,8 +102,19 @@ def shortest_paths(
         return pa.table({"k": pa.array(batch["k"], type=pa.int64())})
 
     ebuckets = fs_bucket_ids(fsys, e0)
+    # node-key type follows the EDGE schema (int-keyed graphs are
+    # legal here, unlike pagerank): a hardcoded string empty would
+    # clash with the int64 blocks of populated buckets downstream
+    from guac_ray.arrowutil import arrow_type_of
+
+    ktype = pa.string()
+    sch = edges.schema()
+    if sch is not None and dst_col in sch.names:
+        t = arrow_type_of(dict(zip(sch.names, sch.types))[dst_col])
+        if t is not None:
+            ktype = t
     empty = pa.schema(
-        [("node_key", pa.string()), ("dist", pa.int64())]).empty_table()
+        [("node_key", ktype), ("dist", pa.int64())]).empty_table()
     if not ebuckets:
         return empty  # typed empty table (drivers accept pa.Table)
     rd.from_items([{"k": kk} for kk in ebuckets]).map_batches(
@@ -141,7 +152,7 @@ def shortest_paths(
                 cand["_bucket"] = _bucket_of(cand["node_key"], B)
                 outs.append(cand)
             if not outs:
-                return pa.schema([("node_key", pa.string()),
+                return pa.schema([("node_key", ktype),
                                   ("dist", pa.int64()),
                                   ("_bucket", pa.int64())]).empty_table()
             return table_from_pandas(pd.concat(outs, ignore_index=True),

@@ -188,10 +188,28 @@ def exact_quantiles(
     else:
         for qb, sub in cand.groupby("_qb", sort=False):
             grouped_vals[(qb,)] = np.sort(sub[col].to_numpy())
+    # replay-stability guard: pass 3 must see EXACTLY the rows pass 2
+    # counted in each needed (group, bucket) — a non-deterministic
+    # upstream re-execution (e.g. an unseeded sample) would otherwise
+    # yield a bare KeyError/IndexError, or SILENTLY return a neighboring
+    # order statistic when the bucket merely changed contents but kept
+    # enough rows. Same contract scale._lookup_below enforces.
+    if by:
+        exp_df = counts.set_index(by + ["_qb"])["n"]
+    else:
+        exp_df = counts.set_index("_qb")["n"]
     parts: dict[tuple, dict[str, dict[str, float]]] = {}
     for key, picks in needed.items():
         g = key[:-1]
-        vals = grouped_vals[key]
+        vals = grouped_vals.get(key)
+        expected = int(exp_df.get(key if by else key[-1], 0))
+        if vals is None or len(vals) != expected:
+            raise RuntimeError(
+                f"exact_quantiles: candidate bucket {key!r} holds "
+                f"{0 if vals is None else len(vals)} rows but the count "
+                f"pass saw {expected} — the input Dataset must be "
+                "replay-stable between the count scan and the refine "
+                "scan (materialize() it, or seed the upstream sample)")
         for qname, offset, part in picks:
             if part == "val":
                 group_rows[g][qname] = vals[offset]
@@ -243,9 +261,22 @@ def grouped_robust_stats(
     from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
+        kv = df[key_col].to_numpy()
+        vv = df[val_col].to_numpy()
+        # refuse non-integer dtypes LOUDLY (sibling discipline:
+        # feature_scale.sq, grouped_corr.moments, shortest_paths): a
+        # float key — usually a pandas NULL-upcast accident — would
+        # TRUNCATE-merge distinct groups (1.9 and 1.2 → 1; NaN →
+        # INT64_MIN) and float values would silently lose cents
+        if not (np.issubdtype(kv.dtype, np.integer)
+                and np.issubdtype(vv.dtype, np.integer)):
+            raise TypeError(
+                f"grouped_robust_stats: {key_col!r}/{val_col!r} must be "
+                f"integer (cents trick for floats; drop NULL keys "
+                f"upstream), got {kv.dtype}/{vv.dtype}")
         out = pd.DataFrame({
-            key_col: df[key_col].to_numpy().astype("int64"),
-            "_v": df[val_col].to_numpy().astype("int64"),
+            key_col: kv.astype("int64"),
+            "_v": vv.astype("int64"),
         })
         out["_bucket"] = (stable_hash(out, [key_col])
                           % num_buckets).astype("int64")

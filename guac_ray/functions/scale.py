@@ -62,6 +62,9 @@ def feature_scale(
             raise TypeError(
                 f"feature_scale: {col!r} must be integer (use the cents "
                 f"trick for floats), got {v.dtype}")
+        # int64 BEFORE multiplying: a parquet-born int32 column passes
+        # the integer check but v*v wraps at ~46341² in its native width
+        v = v.astype(np.int64)
         return df.assign(_sq=v * v)
 
     stats = grouped_agg(
@@ -96,7 +99,10 @@ def feature_scale(
                 self.stats = ray.get(ref)
 
             def __call__(self, df: pd.DataFrame) -> pa.Table:
-                return apply_stats(df.merge(self.stats, on=by, how="inner"))
+                # LEFT merge: rows with a null group key (dropped by the
+                # aggregate) must not vanish from an append-columns
+                # transform — they come back with NaN z/mm instead
+                return apply_stats(df.merge(self.stats, on=by, how="left"))
 
         return ds.map_batches(Scale, batch_format="pandas",
                               concurrency=(1, 4))
@@ -104,7 +110,7 @@ def feature_scale(
     from guac_ray.functions.joins import default_exchange, hash_join
 
     joined = hash_join(
-        ds, stats, on=by,
+        ds, stats, on=by, how="left",
         exchange_dir=exchange_base or default_exchange("featscale"),
         num_buckets=num_buckets)
     return joined.map_batches(apply_stats, batch_format="pandas")
@@ -129,7 +135,12 @@ def winsorize(
     operator's contract and broadcasts once. One streaming pass over
     the data after the quantile pass.
 
-    ``out`` defaults to ``{col}_w`` (the original column is kept)."""
+    ``out`` defaults to ``{col}_w`` (the original column is kept).
+
+    Rows whose group has no bounds — a null ``by`` key, or a group whose
+    ``col`` is entirely NaN (both invisible to the quantile pass) — are
+    KEPT with ``out`` = the unclipped value: an append-columns transform
+    must never silently drop input rows."""
     import ray
 
     from guac_ray.functions.quantiles import exact_quantiles
@@ -152,15 +163,18 @@ def winsorize(
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
             if by:
-                m = df.merge(self.bounds, on=by, how="inner")
+                m = df.merge(self.bounds, on=by, how="left")
             elif len(self.bounds):
                 m = df.assign(_qlo=self.bounds["_qlo"].iloc[0],
                               _qhi=self.bounds["_qhi"].iloc[0])
             else:  # empty input: no bounds, nothing to clip
                 m = df.assign(_qlo=np.nan, _qhi=np.nan)
             v = m[col].to_numpy()
-            m[out] = np.minimum(np.maximum(v, m["_qlo"].to_numpy()),
-                                m["_qhi"].to_numpy()).astype(v.dtype)
+            qlo = m["_qlo"].to_numpy()
+            qhi = m["_qhi"].to_numpy()
+            has = ~(pd.isna(qlo) | pd.isna(qhi))
+            clipped = np.minimum(np.maximum(v, qlo), qhi)
+            m[out] = np.where(has, clipped, v).astype(v.dtype)
             return table_from_pandas(m.drop(columns=["_qlo", "_qhi"]),
                                      preserve_index=False)
 
@@ -230,11 +244,21 @@ def percentile_rank(
             f"({distinct_cap}); range-bucket the histogram (quantiles.py "
             "pattern) for ultra-wide domains")
     if hist.empty:
-        cols = keep_cols or []
-        return pa.table(
-            {**{c: pa.array([], type=pa.int64()) for c in cols},
-             value_col: pa.array([], type=pa.int64()),
-             "pr_fp": pa.array([], type=pa.int64())})
+        # typed empty DATASET (the non-empty path returns a Dataset, and
+        # keep_cols must carry their INPUT types — an int64 guess for a
+        # string column breaks any downstream schema unification)
+        import ray.data as rd
+
+        from guac_ray.arrowutil import arrow_type_of
+
+        sch = ds.schema()
+        tmap = ({nm: arrow_type_of(t)
+                 for nm, t in zip(sch.names, sch.types)}
+                if sch is not None else {})
+        fields = [(c, tmap[c] if tmap.get(c) is not None else pa.int64())
+                  for c in (keep_cols or [])]
+        fields += [(value_col, pa.int64()), ("pr_fp", pa.int64())]
+        return rd.from_arrow(pa.schema(fields).empty_table())
     hist = hist.sort_values(value_col)
     counts = hist["n"].to_numpy().astype(np.int64)
     below = np.concatenate(([0], np.cumsum(counts)[:-1]))

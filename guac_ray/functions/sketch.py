@@ -60,9 +60,14 @@ def _rho(w: np.ndarray, max_bits: int) -> np.ndarray:
 
 
 def hll_fold(values: pd.Series, p: int = 12) -> np.ndarray:
-    """Fold a value series into a fresh 2^p register array (uint8)."""
+    """Fold a value series into a fresh 2^p register array (uint8).
+    NULLs are excluded BEFORE hashing (SQL ``COUNT(DISTINCT)``
+    semantics — ``astype(str)`` would otherwise hash NaN/None as the
+    literal strings 'nan'/'None' and count NULL as a distinct value,
+    colliding with any real 'nan' string to boot)."""
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
+    values = values[~values.isna()]
     if len(values) == 0:
         return regs
     h = _hash64(values)

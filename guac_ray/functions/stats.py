@@ -62,6 +62,9 @@ def grouped_corr(
             raise TypeError(
                 f"grouped_corr: {x!r}/{y!r} must be integer (use the cents "
                 f"trick for floats), got {vx.dtype}/{vy.dtype}")
+        # int64 BEFORE multiplying: int32 passes the check but wraps
+        vx = vx.astype(np.int64)
+        vy = vy.astype(np.int64)
         return df.assign(_xy=vx * vy, _xx=vx * vx, _yy=vy * vy)
 
     agg = grouped_agg(
@@ -146,6 +149,17 @@ def basket_pair_rules(
     def emit(df: pd.DataFrame) -> "pa.Table":
         out = df[[basket_col, item_col]].drop_duplicates()
         out = out.rename(columns={basket_col: "o", item_col: "b"})
+        # the support/N sentinel encoding reserves item2 == '' — a real
+        # empty-string (or null) item value would be summed into
+        # n_baskets and its pair rows mis-filtered, silently shifting
+        # every conf/lift; reject loudly (pivot_wide's discipline)
+        bad = out["b"].isna() | (out["b"].astype(str) == "")
+        if bad.any():
+            raise ValueError(
+                "basket_pair_rules: empty-string or null item values "
+                "collide with the sentinel encoding (item2='') — clean "
+                f"or re-key the items first ({int(bad.sum())} offending "
+                "rows in one batch)")
         out["_bucket"] = (stable_hash(out, ["o"]) % num_buckets).astype("int64")
         return table_from_pandas(out, preserve_index=False)
 
@@ -317,6 +331,9 @@ def grouped_linreg(
             raise TypeError(
                 f"grouped_linreg: {x!r}/{y!r} must be integer (use the "
                 f"cents trick for floats), got {vx.dtype}/{vy.dtype}")
+        # int64 BEFORE multiplying: int32 passes the check but wraps
+        vx = vx.astype(np.int64)
+        vy = vy.astype(np.int64)
         return df.assign(_xy=vx * vy, _xx=vx * vx)
 
     agg = grouped_agg(

@@ -131,18 +131,12 @@ def dedup_exact(
         # columns entirely).
         import ray.data as rd
 
+        from guac_ray.arrowutil import arrow_type_of
+
         sch = ds.schema()
         if sch is not None and all(c in sch.names for c in keep):
-            tmap = {}
-            for n, t in zip(sch.names, sch.types):
-                if n not in keep:
-                    continue
-                if not isinstance(t, pa.DataType):     # pandas-born block
-                    try:
-                        t = pa.from_numpy_dtype(t)
-                    except (pa.ArrowNotImplementedError, TypeError):
-                        t = pa.string() if str(t) == "object" else None
-                tmap[n] = t
+            tmap = {n: arrow_type_of(t)
+                    for n, t in zip(sch.names, sch.types) if n in keep}
             if all(t is not None for t in tmap.values()):
                 return rd.from_arrow(
                     pa.schema([(c, tmap[c]) for c in keep]).empty_table())

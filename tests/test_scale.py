@@ -180,10 +180,19 @@ class TestPercentileRank:
         if not isinstance(df, pd.DataFrame):
             df = df.to_pandas()
         assert df["pr_fp"].tolist() == [0]  # single row: no div-by-zero
+        # empty input: a DATASET (same contract as the non-empty path)
+        # whose keep_cols keep their INPUT types, not an int64 guess
         empty = percentile_rank(
-            rd.from_pandas(pd.DataFrame({"v": pd.Series([], dtype="int64")})),
-            "v")
-        assert len(empty) == 0
+            rd.from_pandas(pd.DataFrame(
+                {"v": pd.Series([], dtype="int64"),
+                 "name": pd.Series([], dtype="object")})),
+            "v", keep_cols=["name"])
+        assert empty.count() == 0
+        sch = empty.schema()
+        tmap = dict(zip(sch.names, sch.types))
+        import pyarrow as pa
+        assert tmap["name"] == pa.string()
+        assert tmap["pr_fp"] == pa.int64()
         with pytest.raises(ValueError):
             percentile_rank(
                 rd.from_pandas(pd.DataFrame({"v": [1, 2, 3, 4]})), "v",
@@ -285,3 +294,108 @@ class TestGroupedACF:
         with pytest.raises(ValueError, match="lags"):
             grouped_acf(rd.from_pandas(df), "g", "v", "ts", "eid",
                         lags=(0,))
+
+
+class TestWaveHardening:
+    """Round-5 session-11 review wave: int-width wraps, row-dropping
+    merges, and silent casts across the numeric family."""
+
+    def test_feature_scale_int32_no_wrap(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import feature_scale
+
+        # 100000^2 wraps int32 (1410065408); z of identical values = 0.0
+        # while a wrapped _sq would produce garbage variance
+        df = pd.DataFrame({"g": ["a"] * 4,
+                           "v": pd.array([100_000, 100_000, 200_000, 200_000],
+                                         dtype="int32")})
+        out = feature_scale(rd.from_pandas(df), "g", "v").to_pandas()
+        v = out.sort_values("v")
+        # exact population z for {1e5,1e5,2e5,2e5}: mean 1.5e5, std 5e4
+        assert v["z"].tolist() == [-1.0, -1.0, 1.0, 1.0]
+
+    def test_winsorize_keeps_all_nan_group_rows(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.scale import winsorize
+
+        df = pd.DataFrame({
+            "g": ["a"] * 10 + ["b"] * 2,
+            "v": [float(i) for i in range(10)] + [np.nan, np.nan]})
+        out = winsorize(rd.from_pandas(df), "v", 0.2, 0.8,
+                        by="g").to_pandas()
+        # group b (all-NaN values) has no quantile bounds but its rows
+        # must SURVIVE the append-columns transform
+        assert len(out) == 12
+        assert (out[out.g == "b"]["v_w"].isna()).all()
+        a = out[out.g == "a"].sort_values("v")
+        assert a["v_w"].min() >= 1.0 and a["v_w"].max() <= 8.0
+
+    def test_grouped_robust_stats_refuses_floats(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.quantiles import grouped_robust_stats
+
+        df = pd.DataFrame({"k": [1.5, 2.5], "v": [10, 20]})
+        with pytest.raises(Exception, match="integer"):
+            grouped_robust_stats(rd.from_pandas(df), "k", "v").materialize()
+
+    def test_basket_rules_reject_empty_item(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import basket_pair_rules
+
+        df = pd.DataFrame({"o": [1, 1, 2], "item": ["x", "", "x"]})
+        with pytest.raises(Exception, match="sentinel"):
+            basket_pair_rules(rd.from_pandas(df), "o", "item",
+                              min_support=1)
+
+    def test_pagerank_refuses_integer_keys(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.pagerank import pagerank
+
+        df = pd.DataFrame({"src": [1, 2], "dst": [2, 3]})
+        with pytest.raises(Exception, match="string"):
+            pagerank(rd.from_pandas(df), src_col="src", dst_col="dst",
+                     exchange_base=str(tmp_path / "pr")).materialize()
+
+    def test_shortest_paths_int_keys_typed(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from guac_ray.functions.paths import shortest_paths
+
+        df = pd.DataFrame({"src": [1, 2], "dst": [2, 3],
+                           "w": np.array([5, 7], dtype="int64")})
+        out = shortest_paths(rd.from_pandas(df), 1, k=3,
+                             exchange_base=str(tmp_path / "sp"))
+        pdf = out.to_pandas().sort_values("node_key")
+        assert pdf["node_key"].tolist() == [1, 2, 3]
+        assert pdf["dist"].tolist() == [0, 5, 12]
+        sch = out.schema()
+        assert dict(zip(sch.names, sch.types))["node_key"] == pa.int64()
+
+    def test_hll_excludes_nulls(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import approx_ndistinct
+
+        df = pd.DataFrame({"v": ["a", "b", "c", None, None, None]})
+        est = approx_ndistinct(rd.from_pandas(df), "v")
+        assert abs(est - 3) < 0.5  # SQL COUNT(DISTINCT) excludes NULL
+
+    def test_kcore_drops_null_endpoints(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import kcore
+
+        # triangle x-y-z (2-core) + a null phantom edge touching 'p':
+        # p has ONE real neighbor (x) and must NOT survive k=2
+        df = pd.DataFrame({
+            "s": ["x", "y", "z", "p", None],
+            "d": ["y", "z", "x", "x", "p"]})
+        out = kcore(rd.from_pandas(df), "s", "d", k=2,
+                    exchange_base=str(tmp_path / "kc")).to_pandas()
+        assert sorted(out["node"]) == ["x", "y", "z"]
