@@ -18,8 +18,9 @@ Scale shape (100 TB posture):
   * the boilerplate set is bounded above by total_turns / min_groups,
     so at a meaningful threshold it is tiny by construction and
     broadcasts via ``ray.put`` (size-guarded by ``broadcast_cap``);
-  * the filter pass is a stateless map: hash each turn, test set
-    membership — zero-copy in, one boolean column out.
+  * the filter pass is a stateful ACTOR map — the digest frozenset
+    (potentially hundreds of MB at the cap) deserializes from plasma
+    ONCE per actor in ``__init__``, never per batch.
 """
 
 from __future__ import annotations
@@ -33,13 +34,10 @@ import ray
 from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
+from guac_ray.functions.dedup import _text_md5 as _digest_col
 
 __all__ = ["boilerplate_digests", "flag_boilerplate", "strip_boilerplate",
            "strip_boiler_lines"]
-
-
-def _digest_col(texts: list) -> list[str]:
-    return [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
 
 
 def boilerplate_digests(
@@ -89,18 +87,26 @@ def flag_boilerplate(
     text_col: str,
     digests: set[str],
     flag_col: str = "is_boiler",
+    concurrency=(1, 4),
 ) -> Dataset:
     """Add a boolean column: text's md5 is in the boilerplate set. The
-    set ships once per actor via ``ray.put``, not per batch."""
+    set ships once per ACTOR (``ray.get`` in ``__init__``) — a plain
+    task function would re-deserialize the whole frozenset on every
+    batch, since only numpy buffers are zero-copy out of plasma."""
     ref = ray.put(frozenset(digests))
 
-    def flag(t: pa.Table) -> pa.Table:
-        bp = ray.get(ref)
-        hs = _digest_col(t[text_col].to_pylist())
-        return t.append_column(
-            flag_col, pa.array([h in bp for h in hs], type=pa.bool_()))
+    class Flag:
+        def __init__(self):
+            self.bp = ray.get(ref)
 
-    return ds.map_batches(flag, batch_format="pyarrow")
+        def __call__(self, t: pa.Table) -> pa.Table:
+            hs = _digest_col(t[text_col].to_pylist())
+            return t.append_column(
+                flag_col,
+                pa.array([h in self.bp for h in hs], type=pa.bool_()))
+
+    return ds.map_batches(Flag, batch_format="pyarrow",
+                          concurrency=concurrency)
 
 
 def strip_boilerplate(
@@ -131,6 +137,7 @@ def strip_boiler_lines(
     num_buckets: int = 16,
     broadcast_cap: int = 5_000_000,
     out_dropped: str = "n_dropped",
+    concurrency=(1, 4),
 ) -> Dataset:
     """LINE-level boilerplate removal (the RefinedWeb/C4 cleanup step):
     rewrite each document, dropping every '\\n'-separated line whose
@@ -147,7 +154,13 @@ def strip_boiler_lines(
     fully-boilerplate doc comes back with empty text (filter on
     ``n_dropped``/emptiness downstream if desired). Note empty lines
     ("\\n\\n") are lines too: frequent enough and they are boilerplate
-    by the rule, which also collapses blank-line padding."""
+    by the rule, which also collapses blank-line padding.
+
+    NULL text contributes no lines in EITHER pass (``split_pattern`` on
+    a null yields no list elements, and the rewrite skips nulls), so a
+    null doc keeps its null text and reads ``n_dropped = 0`` — treating
+    it as one empty line in the rewrite would phantom-drop a line the
+    count pass never saw."""
     import pyarrow.compute as pc
 
     def explode(t: pa.Table) -> pa.Table:
@@ -165,18 +178,30 @@ def strip_boiler_lines(
         num_buckets=num_buckets, broadcast_cap=broadcast_cap)
     ref = ray.put(frozenset(digests))
 
-    def rewrite(t: pa.Table) -> pa.Table:
-        bp = ray.get(ref)
-        kept, dropped = [], []
-        for s in t[text_col].to_pylist():
-            ls = (s or "").split("\n")
-            kl = [ln for ln in ls
-                  if hashlib.md5(ln.encode("utf-8")).hexdigest() not in bp]
-            kept.append("\n".join(kl))
-            dropped.append(len(ls) - len(kl))
-        i = t.schema.get_field_index(text_col)
-        out = t.set_column(i, text_col, pa.array(kept, type=pa.string()))
-        return out.append_column(out_dropped,
-                                 pa.array(dropped, type=pa.int64()))
+    class Rewrite:
+        """Digest set deserializes once per actor, not per batch."""
 
-    return ds.map_batches(rewrite, batch_format="pyarrow")
+        def __init__(self):
+            self.bp = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            kept, dropped = [], []
+            for s in t[text_col].to_pylist():
+                if s is None:       # no lines in pass 1 → none here
+                    kept.append(None)
+                    dropped.append(0)
+                    continue
+                ls = s.split("\n")
+                kl = [ln for ln in ls
+                      if hashlib.md5(ln.encode("utf-8")).hexdigest()
+                      not in self.bp]
+                kept.append("\n".join(kl))
+                dropped.append(len(ls) - len(kl))
+            i = t.schema.get_field_index(text_col)
+            out = t.set_column(i, text_col,
+                               pa.array(kept, type=pa.string()))
+            return out.append_column(out_dropped,
+                                     pa.array(dropped, type=pa.int64()))
+
+    return ds.map_batches(Rewrite, batch_format="pyarrow",
+                          concurrency=concurrency)

@@ -413,10 +413,13 @@ def hash_join(
             outs.append(partial_fn(j) if partial_fn is not None else j)
         return pa.concat_tables(outs)
 
-    if not tasks and partial_fn is None:
+    if not tasks:
         # disjoint key sets (or an empty probe side): a SCHEMA-LESS
         # empty (rd.from_items([])) breaks downstream select/concat —
-        # derive the joined schema from the two sides instead
+        # derive the joined schema from the two sides instead. With a
+        # partial_fn, run it ON the typed empty so the caller sees the
+        # PARTIAL's output schema (grouped_agg needs its _bucket column
+        # even on an empty join).
         lsch = _side_schema(lfiles, left)
         rsch = _side_schema(rfiles, right)
         if lsch is not None:
@@ -429,7 +432,10 @@ def hash_join(
                     fields.append((n + suffixes[1] if n in have else n, t))
             elif how == "mark":
                 fields.append(("_mark", pa.int8()))
-            return rd.from_arrow(pa.schema(fields).empty_table())
+            emptyt = pa.schema(fields).empty_table()
+            if partial_fn is not None:
+                emptyt = partial_fn(emptyt)
+            return rd.from_arrow(emptyt)
     buckets = rd.from_items(
         [{"k": t["k"], "lfiles": "\n".join(t["lfiles"])} for t in tasks])
     return buckets.map_batches(join_task, batch_format="pandas", batch_size=1)

@@ -418,6 +418,15 @@ def scrub_pii(
     def scrub(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(t[text_col], "")
         cols = {name: t[name] for name in t.column_names}
+        # output-name shadow guard (the windowed()/nth_value class): an
+        # input column named n_<category> would be silently overwritten
+        clash = [f"n_{cat}" for cat in pats
+                 if f"n_{cat}" in cols and f"n_{cat}" != dest]
+        if clash:
+            raise ValueError(
+                f"scrub_pii: input already carries column(s) {clash} — "
+                "rename them or pass a patterns dict with different "
+                "category names")
         red = txt
         for cat, pat in pats.items():
             cols[f"n_{cat}"] = pc.cast(
@@ -486,7 +495,10 @@ def pattern_inventory(
                     zero_copy_only=False),
             }))
         if not outs:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            # id type follows THIS batch's schema — an int64 guess would
+            # mix schemas in the exchange against string-id batches
+            return pa.table({id_col: pa.array(
+                                 [], t.schema.field(id_col).type),
                              "kind": pa.array([], pa.string()),
                              "pii": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
@@ -516,6 +528,19 @@ def pattern_inventory(
             [(id_col, ity), ("kind", pa.string()),
              ("pii", pa.string()), ("n", pa.int64())]).empty_table())
     return out
+
+
+def _id_arrow_type(ds: Dataset, id_col: str) -> pa.DataType:
+    """Arrow type of ``id_col`` for typed-empty results (int64 when the
+    schema is unrecoverable)."""
+    from guac_ray.arrowutil import arrow_type_of
+
+    sch = ds.schema()
+    if sch is not None and id_col in sch.names:
+        t = arrow_type_of(dict(zip(sch.names, sch.types))[id_col])
+        if t is not None:
+            return t
+    return pa.int64()
 
 
 def _vocab_counts(docs: Dataset, text_col: str, per_doc_distinct: bool,
@@ -606,6 +631,18 @@ def tfidf_top_terms(
     df_tab = _vocab_counts(docs, text_col, per_doc_distinct=True,
                            num_buckets=num_buckets, vocab_cap=vocab_cap,
                            out_col="df")
+    if df_tab.empty:
+        # empty/all-empty-text corpus: the zero-row vocab frame has no
+        # 'term' column — the sibling ops' guard, as a typed Dataset
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=_id_arrow_type(docs, id_col)),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "doc_freq": pa.array([], type=pa.int64()),
+            "score_fp": pa.array([], type=pa.int64()),
+        }))
     dref = ray.put(dict(zip(df_tab["term"], df_tab["df"].astype(int))))
 
     class Scorer:
@@ -834,12 +871,16 @@ def unigram_surprisal(
                           num_buckets=num_buckets, vocab_cap=vocab_cap,
                           out_col="c")
     if vocab.empty:
-        return pa.table({
-            id_col: pa.array([], type=pa.int64()),
+        # typed empty DATASET (the non-empty path returns one), id type
+        # from the input schema — not an int64 guess
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=_id_arrow_type(docs, id_col)),
             "n_tokens": pa.array([], type=pa.int64()),
             "surprisal_micronats": pa.array([], type=pa.int64()),
             "mean_surprisal": pa.array([], type=pa.int64()),
-        })
+        }))
     n_total = float(int(vocab["c"].sum()))
     ln_n = math.log(n_total)
     qtab = {
@@ -1114,19 +1155,24 @@ def bigram_lm_xent(
     import math
 
     import ray
+    import ray.data as rd
 
-    empty = pa.table({
-        id_col: pa.array([], type=pa.int64()),
-        "n_bigrams": pa.array([], type=pa.int64()),
-        "xent_micronats": pa.array([], type=pa.int64()),
-        "mean_xent": pa.array([], type=pa.int64()),
-    })
+    def empty():
+        # typed empty DATASET (the non-empty path returns one), id type
+        # from the input schema — not an int64 guess; lazy so the
+        # common path never pays the schema probe
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], type=_id_arrow_type(docs, id_col)),
+            "n_bigrams": pa.array([], type=pa.int64()),
+            "xent_micronats": pa.array([], type=pa.int64()),
+            "mean_xent": pa.array([], type=pa.int64()),
+        }))
 
     vocab = _vocab_counts(docs, text_col, per_doc_distinct=False,
                           num_buckets=num_buckets, vocab_cap=vocab_cap,
                           out_col="c")
     if vocab.empty:
-        return empty
+        return empty()
     v_size = int(len(vocab))
     big = _bigram_counts(docs, text_col, num_buckets).to_pandas()
     if len(big) > vocab_cap:
@@ -1135,7 +1181,7 @@ def bigram_lm_xent(
             f"({vocab_cap}); route doc-bigrams ⋈ q through hash_join "
             "on the bigram plus a doc-keyed grouped sum instead")
     if big.empty:
-        return empty
+        return empty()
 
     # q per distinct bigram: c(w1) via searchsorted into the sorted
     # unigram table; scalar libm logs over DISTINCT operand values only
@@ -1168,12 +1214,12 @@ def bigram_lm_xent(
         def __call__(self, t: pa.Table) -> pa.Table:
             row_idx, sh = ws_shingles(t[text_col], 2)
             if len(row_idx) == 0:
-                return empty.cast(pa.schema([
+                return pa.schema([
                     (id_col, t.schema.field(id_col).type),
                     ("n_bigrams", pa.int64()),
                     ("xent_micronats", pa.int64()),
                     ("mean_xent", pa.int64()),
-                ]))
+                ]).empty_table()
             shv = sh.to_numpy(zero_copy_only=False)
             idx = np.searchsorted(self.bgrams, shv)
             if not np.array_equal(
@@ -1309,6 +1355,12 @@ def domain_log_odds(
                        out_col="cr")
     if vt.empty:
         return empty
+    if vr.empty:
+        # the zero-row vocab frame has NO 'term' column (the lazy
+        # grouped_agg fallback) — type it so the outer merge works and
+        # the log-odds degenerate to the +1-smoothed target-only form
+        vr = pd.DataFrame({"term": pd.Series(dtype="object"),
+                           "cr": pd.Series(dtype="int64")})
     both = vt.merge(vr, on="term", how="outer")
     for c in ("ct", "cr"):
         both[c] = both[c].fillna(0).astype("int64")

@@ -91,9 +91,13 @@ def curate(
                           exchange_dir=os.path.join(ex, "dedup_join"),
                           num_buckets=num_buckets)
 
+    # materialize ONCE: count() and the pandas/components consumption
+    # below would each re-run the whole per-bucket exact-Jaccard verify
+    # (the most expensive curation stage) from the lazy lineage
     pairs = jaccard_similarity_join(
         survivors, threshold=neardup_threshold, shingle_n=shingle_n,
-        exchange_base=os.path.join(ex, "simjoin"), num_buckets=num_buckets)
+        exchange_base=os.path.join(ex, "simjoin"),
+        num_buckets=num_buckets).materialize()
 
     # cluster the near-dup graph; drop every non-minimum member.
     # Size-guarded (the engine's standard policy): a driver-small pair

@@ -137,3 +137,26 @@ class TestStripBoilerLines:
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert got["text"].tolist() == ["a\nb", "c\nd", "e\nf"]
         assert got["n_dropped"].tolist() == [1, 1, 1]
+
+
+class TestNullTextContract:
+    def test_strip_lines_null_doc_untouched(self, ray_session):
+        """NULL text contributes no lines to the count pass, so the
+        rewrite must not phantom-drop an empty line from it (and must
+        keep the text NULL, not silently coerce to '')."""
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.boilerplate import strip_boiler_lines
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["nav\nbody one", "nav\nbody two", "nav\nbody three",
+                     None]})
+        out = strip_boiler_lines(
+            rd.from_pandas(docs), "text", "doc_id", min_docs=3,
+        ).to_pandas().sort_values("doc_id")
+        assert out[out.doc_id != 4]["n_dropped"].tolist() == [1, 1, 1]
+        null_row = out[out.doc_id == 4]
+        assert null_row["n_dropped"].iloc[0] == 0
+        assert null_row["text"].isna().iloc[0]

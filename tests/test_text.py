@@ -491,7 +491,10 @@ class TestUnigramSurprisal:
             unigram_surprisal(ds, vocab_cap=3)
         empty = unigram_surprisal(rd.from_pandas(
             pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})))
-        assert len(empty) == 0  # typed empty table, no crash
+        # typed empty DATASET — same contract as the non-empty path
+        assert empty.count() == 0
+        assert empty.schema().names == [
+            "doc_id", "n_tokens", "surprisal_micronats", "mean_surprisal"]
 
 
 class TestDocTokenEntropy:
@@ -728,8 +731,9 @@ class TestBigramLmXent:
 
         empty = bigram_lm_xent(rd.from_pandas(
             pd.DataFrame({"doc_id": [1, 2], "text": ["", "  "]})))
-        assert len(empty) == 0
-        assert [f.name for f in empty.schema] == [
+        # typed empty DATASET — same contract as the non-empty path
+        assert empty.count() == 0
+        assert empty.schema().names == [
             "doc_id", "n_bigrams", "xent_micronats", "mean_xent"]
         with pytest.raises(ValueError):
             bigram_lm_xent(rd.from_pandas(pd.DataFrame(
@@ -893,3 +897,45 @@ class TestPatternInventory:
         assert out.count() == 0
         assert set(["doc_id", "kind", "pii", "n"]) \
             <= set(out.schema().names)
+
+
+class TestWave3Hardening:
+    """Round-5 session-11 review wave over the text family."""
+
+    def test_tfidf_empty_corpus_typed(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import tfidf_top_terms
+
+        out = tfidf_top_terms(rd.from_pandas(
+            pd.DataFrame({"doc_id": [1, 2], "text": ["", "   "]})))
+        assert out.count() == 0
+        assert out.schema().names == [
+            "doc_id", "term", "tf", "doc_freq", "score_fp"]
+
+    def test_domain_log_odds_empty_raw_pool(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import domain_log_odds
+
+        tgt = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta alpha", "beta gamma"]}))
+        raw = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [9], "text": [""]}))
+        out = domain_log_odds(tgt, raw, min_count=1)
+        # degenerate but legal: every target term scores with cr=0
+        assert list(out.columns) == ["term", "ct", "cr", "score_fp"]
+        assert set(out["term"]) == {"alpha", "beta", "gamma"}
+        assert (out["cr"] == 0).all()
+
+    def test_scrub_pii_rejects_count_column_shadow(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.text import scrub_pii
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"text": ["go to http://x.example now"],
+             "n_url": [99]}))  # pre-existing column the scrub would clobber
+        with pytest.raises(Exception, match="n_url"):
+            scrub_pii(ds).materialize()
