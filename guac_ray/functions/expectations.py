@@ -73,7 +73,12 @@ def check_table(
             elif c["kind"] == "accepted_values":
                 v = int((~s.isin(c["values"]) & s.notna()).sum())
             else:  # range_cents
-                vc = np.floor(s.to_numpy(dtype="float64") * 100
+                # NULLs are NOT range violations (the accepted_values /
+                # not_null convention: value checks skip nulls — pair
+                # with a not_null check to flag them); the NaN floor-
+                # cast would otherwise count every null as INT64_MIN
+                sv = s[s.notna()]
+                vc = np.floor(sv.to_numpy(dtype="float64") * 100
                               + 0.5).astype("int64")
                 v = int(((vc < c["lo"]) | (vc > c["hi"])).sum())
             out[name_of(c)] = v

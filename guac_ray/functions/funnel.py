@@ -40,7 +40,7 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 from guac_ray.functions.joins import default_exchange
-from guac_ray.stages.assemble import fs_exchange_reduce
+from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
 
 __all__ = ["funnel"]
 
@@ -74,10 +74,11 @@ def funnel(
             order: m[order].to_numpy(),
             step_col: m[step_col].to_numpy(),
         })
-        out["_bucket"] = (
-            pd.util.hash_pandas_object(out[key].astype(str), index=False)
-            % num_buckets
-        ).astype("int64")
+        # the SHARED partitioner (fixed key, categorize=False, float-key
+        # refusal) — an inlined hash here would silently diverge from
+        # any future stable_hash hardening
+        out["_bucket"] = (stable_hash(out, [key])
+                          % num_buckets).astype("int64")
         return out
 
     def reduce_fn(tbl: pa.Table) -> pa.Table:
@@ -107,12 +108,21 @@ def funnel(
     red = fs_exchange_reduce(
         pruned, exchange_base or default_exchange("funnel"), reduce_fn)
     if red is None:
-        # typed empty: key type from the input schema, order type for ts
+        # typed empty DATASET (the non-empty path returns one): key and
+        # order types from the input schema, normalized through
+        # arrow_type_of — pandas-block datasets report numpy dtypes
+        # here, which pa.schema would reject
+        import ray.data as rd
+
+        from guac_ray.arrowutil import arrow_type_of
+
         sch = ds.schema()
-        kt = dict(zip(sch.names, sch.types)) if sch is not None else {}
-        fields = [(key, kt.get(key, pa.string())),
+        kt = ({n: arrow_type_of(t)
+               for n, t in zip(sch.names, sch.types)}
+              if sch is not None else {})
+        fields = [(key, kt.get(key) or pa.string()),
                   ("funnel_level", pa.int64())]
-        fields += [(f"t{i}", kt.get(order, pa.timestamp("us")))
+        fields += [(f"t{i}", kt.get(order) or pa.timestamp("us"))
                    for i in range(1, k + 1)]
-        return pa.schema(fields).empty_table()
+        return rd.from_arrow(pa.schema(fields).empty_table())
     return red

@@ -88,7 +88,17 @@ def unpivot(
         lab = np.tile(np.array(labels, dtype=object), n)
         vals = np.empty(n * k, dtype="object")
         for j, c in enumerate(value_cols):
-            vals[j::k] = t[c].to_numpy(zero_copy_only=False)
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if col.null_count:
+                # to_numpy would float-upcast a nullable int column
+                # (5 → 5.0, null → NaN) and the typed pa.array below
+                # would ArrowInvalid on the NaN — go through Python
+                # objects, where ints stay ints and nulls stay None
+                vals[j::k] = col.to_pylist()
+            else:
+                vals[j::k] = col.to_numpy(zero_copy_only=False)
         cols[var_name] = lab
         # preserve the concrete dtype when all value columns agree;
         # heterogeneous columns melt to strings (Arrow columns are typed —

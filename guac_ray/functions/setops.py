@@ -40,17 +40,14 @@ def _setop(
     keep: str,
     num_buckets: int,
     exchange_base: str | None,
-) -> "Dataset | pa.Table":
+) -> Dataset:
     def tag(side: int):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
+        def fn(df: pd.DataFrame) -> pa.Table:
             t = df[cols].drop_duplicates()
             t = t.assign(_side=pd.Series(side, index=t.index, dtype="int8"))
             t["_bucket"] = (stable_hash(t, cols) % num_buckets).astype("int64")
-            return t
+            return table_from_pandas(t, preserve_index=False)
         return fn
-
-    tagged = a.map_batches(tag(1), batch_format="pandas").union(
-        b.map_batches(tag(2), batch_format="pandas"))
 
     def reduce_fn(tbl: pa.Table) -> pa.Table:
         df = tbl.to_pandas()
@@ -63,22 +60,36 @@ def _setop(
         out = g[mask][cols]
         return table_from_pandas(out, preserve_index=False)
 
-    red = fs_exchange_reduce(
-        tagged, exchange_base or default_exchange(f"setop_{keep}"),
+    # TWO map-side inputs into ONE exchange via the multi-input reduce —
+    # the reconcile/CDC-merge discipline; Dataset.union's UnionOperator
+    # emits an empty-schema RefBundle and a per-run schema warning
+    from guac_ray.stages.assemble import fs_exchange_reduce_multi
+
+    red = fs_exchange_reduce_multi(
+        [a.map_batches(tag(1), batch_format="pandas"),
+         b.map_batches(tag(2), batch_format="pandas")],
+        exchange_base or default_exchange(f"setop_{keep}"),
         reduce_fn)
     if red is None:
+        # typed empty DATASET (the populated path returns one); numpy
+        # dtypes from pandas-block schemas normalize via arrow_type_of
+        import ray.data as rd
+
+        from guac_ray.arrowutil import arrow_type_of
+
         sch = a.schema()
-        if sch is None:  # both inputs entirely empty and schema-less
-            return pa.schema([(c, pa.string()) for c in cols]).empty_table()
-        kt = dict(zip(sch.names, sch.types))
-        return pa.schema([(c, kt[c]) for c in cols]).empty_table()
+        kt = ({n: arrow_type_of(t)
+               for n, t in zip(sch.names, sch.types)}
+              if sch is not None else {})
+        return rd.from_arrow(pa.schema(
+            [(c, kt.get(c) or pa.string()) for c in cols]).empty_table())
     return red
 
 
 def intersect_distinct(
     a: Dataset, b: Dataset, cols: list[str],
     num_buckets: int = 16, exchange_base: str | None = None,
-) -> "Dataset | pa.Table":
+) -> Dataset:
     """SQL ``INTERSECT``: distinct ``cols`` tuples present in both."""
     return _setop(a, b, cols, "both", num_buckets, exchange_base)
 
@@ -86,7 +97,7 @@ def intersect_distinct(
 def except_distinct(
     a: Dataset, b: Dataset, cols: list[str],
     num_buckets: int = 16, exchange_base: str | None = None,
-) -> "Dataset | pa.Table":
+) -> Dataset:
     """SQL ``EXCEPT``: distinct ``cols`` tuples of ``a`` not in ``b``."""
     return _setop(a, b, cols, "only_left", num_buckets, exchange_base)
 

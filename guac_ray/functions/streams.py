@@ -56,14 +56,25 @@ def sessionize(
         return table_from_pandas(df, preserve_index=False)
 
     def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g[g[ts_col].notna()]  # NaT cannot be gap-ordered (INT64_MIN)
         g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
-        prev_ts = g.groupby(user_col, sort=False)[ts_col].shift()
+        # dropna=False: SQL GROUP BY keeps the NULL-user stream as ONE
+        # group; the pandas default would silently delete those events
+        prev_ts = g.groupby(user_col, sort=False,
+                            dropna=False)[ts_col].shift()
         new_sess = prev_ts.isna() | ((g[ts_col] - prev_ts) > gap)
         g["_sess"] = new_sess.cumsum()  # globally increasing → unique per (user, session)
-        cents = np.floor(g[value_col].to_numpy() * 100 + 0.5).astype("int64")
+        # SUM skips NULL values (SQL semantics): a null value must not
+        # become INT64_MIN through the NaN floor-cast; an all-null
+        # session reads 0 (documented divergence from SQL's NULL)
+        vals = g[value_col].to_numpy()
+        ok = ~pd.isna(vals)
+        cents = np.zeros(len(vals), dtype="int64")
+        cents[ok] = np.floor(
+            vals[ok].astype("float64") * 100 + 0.5).astype("int64")
         g["_vc"] = cents
         out = (
-            g.groupby([user_col, "_sess"], sort=False)
+            g.groupby([user_col, "_sess"], sort=False, dropna=False)
             .agg(
                 session_start=(ts_col, "min"),
                 n=(ts_col, "size"),
@@ -182,6 +193,7 @@ def daily_streaks(
     import ray.data as rd
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[df[ts_col].notna()]  # NaT day = INT64_MIN: phantom epoch
         out = pd.DataFrame({
             user_col: df[user_col],
             # epoch-day floor; matches DuckDB CAST(ts AS DATE) for any
@@ -259,6 +271,7 @@ def cohort_retention(
     import ray.data as rd
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[df[ts_col].notna()]  # NaT week = INT64_MIN: phantom cohort
         out = pd.DataFrame({
             user_col: df[user_col],
             # epoch-week floor; int64 // floors, matching the SQL
@@ -334,6 +347,7 @@ def rolling_active_users(
         raise ValueError("window_days must be >= 1")
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df[df[ts_col].notna()]  # NaT day = INT64_MIN: phantom epoch
         out = pd.DataFrame({
             user_col: df[user_col],
             "_day": df[ts_col].to_numpy().astype("datetime64[D]")
@@ -410,6 +424,11 @@ def _per_user_stream(
     from guac_ray.stages.assemble import fs_exchange_reduce
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
+        # a NULL timestamp cannot be ordered: NaT.astype(int64) is
+        # INT64_MIN, which would make the null row the user's "first"
+        # event and corrupt every downstream span/gap/debounce — drop
+        # such rows (SQL: WHERE ts IS NOT NULL)
+        df = df[df[ts_col].notna()]
         out = pd.DataFrame({
             user_col: df[user_col],
             "_ts": df[ts_col].to_numpy().astype("datetime64[us]")
@@ -574,9 +593,16 @@ def time_weighted_mean(
                 "would overflow int64; rescale the value column "
                 "(cents → units) or split the time range")
         g = g.drop(columns=["_va"])
-        g["twap_cents"] = g["vw_sum"].to_numpy() // g["dur_us"].to_numpy()
-        for c in ("n_spans", "dur_us", "vw_sum", "twap_cents"):
+        for c in ("n_spans", "dur_us", "vw_sum"):
             g[c] = g[c].astype("int64")
+        # a zero-span user (every event at one instant) has NO defined
+        # time-weighted mean — emit NULL, not the fabricated 0 that
+        # numpy's warning-only 0//0 produces
+        dur = g["dur_us"].to_numpy()
+        tw = pd.array(g["vw_sum"].to_numpy() // np.maximum(dur, 1),
+                      dtype="Int64")
+        tw[dur == 0] = pd.NA
+        g["twap_cents"] = tw
         return table_from_pandas(g, preserve_index=False)
 
     def with_cents(events: Dataset) -> Dataset:
@@ -676,6 +702,18 @@ def running_distinct(
     return out
 
 
+
+def _as_int64_strict(a, fn: str, name: str):
+    """Refuse non-integer dtypes loudly (the grouped_robust_stats /
+    shared-partitioner discipline): a float column — usually a pandas
+    NULL-upcast accident — would truncate-merge distinct values (1.2
+    and 1.9 → 1) and turn NaN into INT64_MIN, all silently."""
+    if not np.issubdtype(a.dtype, np.integer):
+        raise TypeError(
+            f"{fn}: {name!r} must be integer (cents trick for floats; "
+            f"drop NULL rows upstream), got {a.dtype}")
+    return a.astype("int64")
+
 def scd2_intervals(
     events: Dataset,
     value_col: str = "value_cents",
@@ -752,7 +790,8 @@ def scd2_intervals(
     def add_cols(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_et"] = df[type_col]
-        df["_vc"] = df[value_col].to_numpy().astype("int64")
+        df["_vc"] = _as_int64_strict(df[value_col].to_numpy(),
+                                     "scd2_intervals", value_col)
         return df
 
     out = _per_user_stream(
@@ -831,11 +870,14 @@ def cdc_merge(
 
     def tag_base(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({
-            key_col: df[key_col].to_numpy().astype("int64"),
-            "_ts": df[base_ts_col].to_numpy().astype("int64"),
+            key_col: _as_int64_strict(df[key_col].to_numpy(),
+                                      "cdc_merge", key_col),
+            "_ts": _as_int64_strict(df[base_ts_col].to_numpy(),
+                                    "cdc_merge", base_ts_col),
             "_ord": np.full(len(df), -1, dtype="int64"),
             "_op": np.zeros(len(df), dtype="int64"),
-            "_vc": df[base_value_col].to_numpy().astype("int64"),
+            "_vc": _as_int64_strict(df[base_value_col].to_numpy(),
+                                    "cdc_merge", base_value_col),
             "_src": np.zeros(len(df), dtype="int64"),
         })
         out["_bucket"] = (stable_hash(out, [key_col])
@@ -843,13 +885,18 @@ def cdc_merge(
         return table_from_pandas(out, preserve_index=False)
 
     def tag_chg(df: pd.DataFrame) -> pa.Table:
+        df = df[df[ts_col].notna()]  # NaT µs = INT64_MIN: phantom first
         out = pd.DataFrame({
-            key_col: df[key_col].to_numpy().astype("int64"),
+            key_col: _as_int64_strict(df[key_col].to_numpy(),
+                                      "cdc_merge", key_col),
             "_ts": df[ts_col].to_numpy().astype("datetime64[us]")
                             .astype("int64"),
-            "_ord": df[order_col].to_numpy().astype("int64"),
-            "_op": df[op_col].to_numpy().astype("int64"),
-            "_vc": df[value_col].to_numpy().astype("int64"),
+            "_ord": _as_int64_strict(df[order_col].to_numpy(),
+                                     "cdc_merge", order_col),
+            "_op": _as_int64_strict(df[op_col].to_numpy(),
+                                    "cdc_merge", op_col),
+            "_vc": _as_int64_strict(df[value_col].to_numpy(),
+                                    "cdc_merge", value_col),
             "_src": np.ones(len(df), dtype="int64"),
         })
         out["_bucket"] = (stable_hash(out, [key_col])

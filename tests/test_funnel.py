@@ -65,6 +65,18 @@ class TestFunnel:
             _run([(1, 1, "a")], steps=("a", "a"))
 
     def test_empty_typed(self, ray_session):
-        out = _run([])
-        assert len(out) == 0
-        assert list(out.columns) == ["user", "funnel_level", "t1", "t2", "t3"]
+        import ray.data as rd
+
+        from guac_ray.functions.funnel import funnel
+
+        df = pd.DataFrame([], columns=["user", "ts", "step"])
+        df["ts"] = pd.to_datetime(df.ts, unit="s").astype("datetime64[us]")
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        out = funnel(ds, "user", "ts", "step", ["a", "b", "c"],
+                     num_buckets=4)
+        # typed empty DATASET — same contract as the populated path
+        # (Ray's to_pandas drops columns on fully empty datasets, so
+        # assert the schema itself)
+        assert out.count() == 0
+        assert out.schema().names == [
+            "user", "funnel_level", "t1", "t2", "t3"]

@@ -1213,3 +1213,105 @@ class TestCumeDistNthValue:
         with pytest.raises(Exception, match="nth_value k"):
             windowed(rd.from_pandas(df), "k", "o",
                      {"n": ("nth_value", "v", 0)}).to_pandas()
+
+
+class TestStreamsNullHardening:
+    """Round-5 session-11 wave: NULL timestamps/values/users must not
+    corrupt the stream operators through undefined NaT/NaN int casts."""
+
+    def test_sessionize_null_user_and_value(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import sessionize
+
+        ts = pd.to_datetime([10, 20, 5000, 30, 40], unit="s")
+        df = pd.DataFrame({
+            "user_id": pd.array([1, 1, 1, None, None], dtype="Int64"),
+            "ts": ts.astype("datetime64[us]"),
+            "event_id": [1, 2, 3, 4, 5],
+            "value": [1.0, np.nan, 2.0, 3.0, 4.0]})
+        out = sessionize(rd.from_pandas(df), user_col="user_id",
+                         ts_col="ts", id_col="event_id",
+                         value_col="value").to_pandas()
+        u1 = out[out.user_id.notna()].sort_values("session_start")
+        # user 1: two sessions (gap > 30min); null value contributes 0
+        assert len(u1) == 2
+        assert u1["value_cents"].tolist() == [100, 200]
+        # NULL-user events form ONE stream (SQL GROUP BY keeps them)
+        un = out[out.user_id.isna()]
+        assert len(un) == 1
+        assert un["n"].iloc[0] == 2 and un["value_cents"].iloc[0] == 700
+
+    def test_gap_quantiles_drops_null_ts(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import gap_quantiles
+
+        ts = pd.Series(pd.to_datetime([100, 200, 400], unit="s")
+                       .astype("datetime64[us]"))
+        df = pd.DataFrame({
+            "user_id": [7, 7, 7, 7],
+            "ts": list(ts) + [pd.NaT],
+            "event_id": [1, 2, 3, 4]})
+        out = gap_quantiles(rd.from_pandas(df), user_col="user_id",
+                            ts_col="ts", order_col="event_id",
+                            exchange_base=str(tmp_path / "gq")).to_pandas()
+        # the NaT row must NOT become an INT64_MIN "first event":
+        # gaps are 100s and 200s, max gap exactly 200s
+        assert out["max_gap_us"].tolist() == [200_000_000]
+
+    def test_twap_zero_span_is_null(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import time_weighted_mean
+
+        ts = pd.to_datetime([100, 100, 100, 200], unit="s")
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],  # user 1: all at one instant
+            "ts": ts.astype("datetime64[us]"),
+            "event_id": [1, 2, 3, 4],
+            "value": [5.0, 6.0, 7.0, 8.0]})
+        out = time_weighted_mean(
+            rd.from_pandas(df), user_col="user_id", ts_col="ts",
+            order_col="event_id", value_col="value",
+            exchange_base=str(tmp_path / "tw")).to_pandas()
+        u1 = out[out.user_id == 1]
+        assert len(u1) == 1 and pd.isna(u1["twap_cents"].iloc[0])
+
+    def test_cdc_refuses_float_keys(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.streams import cdc_merge
+
+        base = pd.DataFrame({"user_id": [1.5], "value_cents": [10],
+                             "updated_us": [0]})
+        chg = pd.DataFrame({
+            "user_id": [1], "ts": pd.to_datetime([5], unit="s"),
+            "event_id": [1], "op": [0], "value_cents": [20]})
+        with pytest.raises(Exception, match="integer"):
+            cdc_merge(rd.from_pandas(base), rd.from_pandas(chg),
+                      key_col="user_id", base_ts_col="updated_us",
+                      ts_col="ts", order_col="event_id", op_col="op",
+                      value_col="value_cents",
+                      exchange_base=str(tmp_path / "cdc")).materialize()
+
+    def test_unpivot_nullable_int_columns(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.reshape import unpivot
+
+        df = pd.DataFrame({"k": [1, 2],
+                           "a": pd.array([10, None], dtype="Int64"),
+                           "b": pd.array([None, 20], dtype="Int64")})
+        out = unpivot(rd.from_pandas(df), "k", ["a", "b"]).to_pandas()
+        assert len(out) == 4
+        got = out.sort_values(["k", "variable"])["value"].tolist()
+        assert got[0] == 10 and pd.isna(got[1])
+        assert pd.isna(got[2]) and got[3] == 20
