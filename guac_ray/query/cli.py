@@ -67,13 +67,19 @@ def patch_plan(edges: Dataset, node_key: str, max_depth: int = 10,
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # value-set arrays built ONCE, not per batch (the _expand
+    # discipline: 'once per round, not per batch')
+    reach_arr = pa.array(sorted(reached))
+    preds_arr = pa.array(preds) if preds else None
+
     def f(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
-            pc.is_in(batch["subj_key"], value_set=pa.array(sorted(reached))),
-            pc.is_in(batch["obj_key"], value_set=pa.array(sorted(reached))),
+            pc.is_in(batch["subj_key"], value_set=reach_arr),
+            pc.is_in(batch["obj_key"], value_set=reach_arr),
         )
-        if preds:
-            mask = pc.and_(mask, pc.is_in(batch["pred"], value_set=pa.array(preds)))
+        if preds_arr is not None:
+            mask = pc.and_(mask, pc.is_in(batch["pred"],
+                                          value_set=preds_arr))
         return batch.filter(mask)
 
     sub = edges.map_batches(f, batch_format="pyarrow").to_pandas()

@@ -42,13 +42,25 @@ def paginate(
     if offset < 0 or limit <= 0:
         raise ValueError("offset must be >= 0 and limit > 0")
     # the sort is the distributed shuffle; the limited head (offset+limit
-    # rows) is driver-small by the pagination contract, so one take
-    # applies the skip
+    # rows) is driver-small by the pagination contract, so one Arrow
+    # pull applies the skip. Arrow in, Arrow out: rd.from_items would
+    # re-infer types (int32 → int64) and hand back a SCHEMA-LESS empty
+    # for the past-the-end page every pagination client eventually asks
+    # for — the exact class the typed-empty hardening eliminates.
     head = ds.sort(sort_keys, descending=descending).limit(offset + limit)
     import ray.data as rd
 
-    rows = head.take(offset + limit)[offset:]
-    return rd.from_items(rows) if rows else rd.from_items([])
+    batches = list(head.iter_batches(batch_size=offset + limit,
+                                     batch_format="pyarrow"))
+    if batches:
+        return rd.from_arrow(pa.concat_tables(batches).slice(offset))
+    from guac_ray.arrowutil import arrow_type_of
+
+    sch = ds.schema()
+    fields = ([(n, arrow_type_of(t) or pa.string())
+               for n, t in zip(sch.names, sch.types)]
+              if sch is not None else [])
+    return rd.from_arrow(pa.schema(fields).empty_table())
 
 
 def neighbors(
@@ -138,8 +150,10 @@ def shortest_path(
         if goal in parent:
             break
 
-        def f(batch: pa.Table, fr=frozenset(frontier)) -> pa.Table:
-            mask = pc.is_in(batch["subj_key"], value_set=pa.array(sorted(fr)))
+        fr_arr = pa.array(sorted(frontier))  # once per round, not per batch
+
+        def f(batch: pa.Table, fr_arr=fr_arr) -> pa.Table:
+            mask = pc.is_in(batch["subj_key"], value_set=fr_arr)
             t = batch.filter(mask)
             return pa.table({"s": t["subj_key"], "o": t["obj_key"]})
 

@@ -154,11 +154,17 @@ class DepCertifier:
         types = batch["node_type"].to_pylist()
         out: list[tuple] = []
         seen: set[str] = set()  # per-batch lookup dedup (deps_dev.go:61-68)
+        from guac_ray.canonical import package_name_key
+
         for t, k in zip(types, keys):
             if t != "package" or k in seen or k in self.scanned:
                 continue
             seen.add(k)
-            for dep, req in self.dmap.get(k.split("@", 1)[0], ()):
+            # AllVersions lookup key via the canonical helper — the
+            # ad-hoc split('@') kept '?quals' on versionless purls and
+            # silently missed the name-level depdb entry
+            name_key = package_name_key(k) or k.split("@", 1)[0]
+            for dep, req in self.dmap.get(name_key, ()):
                 out.append(
                     make_edge("package", k, "depends_on", "package", dep,
                               {"requirement": req},

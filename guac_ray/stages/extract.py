@@ -27,7 +27,7 @@ from guac_ray.canonical import (
     vuln_key,
 )
 from guac_ray.schemas import EDGE_SCHEMA, REJECT_SCHEMA, VALID_ROLES
-from guac_ray.stages.rules import TurnFacts, derive
+from guac_ray.stages.rules import TurnFacts, derive, edge_cols
 
 __all__ = ["TranscriptExtractor", "RejectRouter", "parse_turn_facts",
            "register_mention_parser", "unregister_mention_parser"]
@@ -65,7 +65,14 @@ _PATTERNS = {
     "good": r"\bendorsed: (pkg:\S+)",
     "bad": r"\bflagged: (pkg:\S+)",
     "contact": r"\bcontact ([\w.+-]+@[\w.-]+) for (pkg:\S+)",
-    "severity": r"\bseverity (\d+(?:\.\d+)?) for ((?:[Cc][Vv][Ee]|[Gg][Hh][Ss][Aa])\S+)",
+    # BOUNDED vuln id (the same grammar as the "vuln" mention pattern):
+    # an unbounded \S+ would capture trailing punctuation ('CVE-1-2.'),
+    # hanging the vuln_metadata edge off a phantom key disconnected
+    # from the mentions_vuln node
+    "severity": r"\bseverity (\d+(?:\.\d+)?) for "
+                r"((?:[Cc][Vv][Ee]-\d{4}-\d{4,}|"
+                r"[Gg][Hh][Ss][Aa]-[0-9a-zA-Z]{4}-[0-9a-zA-Z]{4}-"
+                r"[0-9a-zA-Z]{4,}))\b",
     # IsDependency / PkgEqual analogs (SPDX relationship statements →
     # parse_spdx.go:263-304 DEPENDS_ON; assembler.go:181-186 PkgEqual)
     "dep": r"(pkg:[A-Za-z0-9.+-]+/[^\s]+) depends on (pkg:[A-Za-z0-9.+-]+/[^\s]+)",
@@ -177,9 +184,6 @@ def parse_turn_facts(
     return f
 
 
-_EDGE_COLS = [f.name for f in EDGE_SCHEMA]
-
-
 class TranscriptExtractor:
     """Actor-pool batch UDF: transcript batch (Arrow) → edge batch (Arrow).
 
@@ -229,12 +233,16 @@ class TranscriptExtractor:
             facts = parse_turn_facts(self.pats, c, ti, r, tx, tl or "")
             if tl and self.link:
                 facts.tool_key = self.link.get(tl, "")
+            kept = []
             for e in derive(facts):
                 if self.dedup:
                     if e in seen:
                         continue
                     seen.add(e)
-                out.append(e + (c, ti))
+                kept.append(e)
+            # lineage append through the SHARED helper (rules.edge_cols)
+            # so the extractor and the fixture generator cannot diverge
+            out.extend(edge_cols(kept, c, ti))
         if not out:
             return EDGE_SCHEMA.empty_table()
         cols = list(zip(*out))

@@ -29,7 +29,8 @@ from itertools import combinations
 
 from guac_ray.canonical import entity_key
 
-__all__ = ["TurnFacts", "derive", "make_edge", "edge_cols", "node_cols"]
+__all__ = ["TurnFacts", "derive", "make_edge", "edge_cols",
+           "nodes_from_edges"]
 
 JUSTIFICATION = {
     "has_sbom": "conversation manifest",

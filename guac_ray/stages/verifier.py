@@ -77,6 +77,15 @@ class DsseVerifier:
             payload = base64.b64decode(env["payload"])
             ptype = env["payloadType"]
             sigs = env["signatures"]
+            # the report-not-crash contract must hold for HOSTILE
+            # containers too: signatures="abc" iterates into chars
+            # (AttributeError at .get), 5 isn't iterable — both would
+            # kill the whole batch task outside this guard
+            if (not isinstance(sigs, list)
+                    or any(not isinstance(s, dict) for s in sigs)):
+                raise TypeError("signatures must be a list of objects")
+            if not isinstance(ptype, str):
+                raise TypeError("payloadType must be a string")
         except (json.JSONDecodeError, KeyError, TypeError, ValueError) as ex:
             return [(doc_id, "", False, "", f"bad envelope: {type(ex).__name__}")]
         digest = "sha256:" + hashlib.sha256(payload).hexdigest()

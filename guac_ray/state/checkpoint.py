@@ -130,11 +130,19 @@ def run_extract_partition(
     manifest_path = os.path.join(ck_dir, f"part-{part_id:04d}.json")
     dest = os.path.join(out_dir, "raw_edges", f"part-{part_id:04d}")
     digest = _digest(files)
+    # the skip check must cover EVERYTHING that shapes the output: the
+    # transcript bytes, the entity catalog (a changed catalog silently
+    # re-links nothing if only transcripts are digested), and the
+    # engine version (changed extraction rules = changed output)
+    cat_digest = _digest([catalog_path]) if catalog_path else None
 
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if m.get("input_digest") == digest and os.path.isdir(dest):
+        if (m.get("input_digest") == digest
+                and m.get("catalog_digest") == cat_digest
+                and m.get("engine") == ENGINE_VERSION
+                and os.path.isdir(dest)):
             return {**m, "skipped": True}
 
     t0 = time.time()
@@ -150,8 +158,22 @@ def run_extract_partition(
     triples = extract_triples(ds, link_ref=link_ref)
     tmp = dest + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(dest, ignore_errors=True)
     triples.write_parquet(tmp)
+    if not os.path.isdir(tmp):
+        # an all-rejected shard extracts ZERO edges and Ray's
+        # write_parquet creates no directory for an empty dataset —
+        # commit a typed empty part instead, or the partition becomes a
+        # poison pill (os.replace FileNotFoundError on every poll)
+        import pyarrow.parquet as pq
+
+        from guac_ray.schemas import EDGE_SCHEMA
+
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(EDGE_SCHEMA.empty_table(),
+                       os.path.join(tmp, "part-0.parquet"))
+    # the previous good output is deleted only AFTER the replacement
+    # fully exists on disk — never destroy-then-hope
+    shutil.rmtree(dest, ignore_errors=True)
     os.replace(tmp, dest)
     edges_out = rd.read_parquet(dest).count()
     wall = time.time() - t0
@@ -160,6 +182,7 @@ def run_extract_partition(
         "part_id": part_id,
         "inputs": files,
         "input_digest": digest,
+        "catalog_digest": cat_digest,
         "rows_in": rows_in,
         "edges_out": edges_out,
         "wall_sec": round(wall, 3),

@@ -248,3 +248,114 @@ class TestPollEmptyDir:
         assert res["polls"] == 4
         assert res["assemblies"] >= 1  # first shard got built
         assert res["last"]["assembled"] is False or res["assemblies"] >= 1
+
+
+class TestWave5Hardening:
+    """Round-5 session-11: empty partitions, stale-catalog skips,
+    hostile DSSE containers, schema-preserving pagination."""
+
+    def test_all_rejected_partition_commits_typed_empty(
+            self, ray_session, tmp_path):
+        """A shard whose every row is invalid must commit an EMPTY
+        edge part (not crash os.replace and not poison later polls)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from guac_ray.state.checkpoint import run_extract_partition
+
+        shard = tmp_path / "t.parquet"
+        pd.DataFrame({
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["alien", "alien"],      # invalid role → all rejected
+            "text": ["", ""],
+            "tool": ["", ""],
+            "ts": pd.to_datetime([0, 1], unit="s").astype("datetime64[us]"),
+        }).to_parquet(shard, index=False)
+        out = str(tmp_path / "out")
+        m = run_extract_partition(0, [str(shard)], out)
+        assert m["edges_out"] == 0 and not m["skipped"]
+        dest = f"{out}/raw_edges/part-0000"
+        t = pq.read_table(dest)
+        assert t.num_rows == 0 and "subj_key" in t.schema.names
+        # second run skips cleanly off the manifest
+        m2 = run_extract_partition(0, [str(shard)], out)
+        assert m2["skipped"]
+
+    def test_catalog_change_invalidates_skip(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from guac_ray.state.checkpoint import run_extract_partition
+
+        shard = tmp_path / "t.parquet"
+        pd.DataFrame({
+            "conv_id": ["c1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["assistant"],
+            "text": ["uses pkg:npm/leftpad@1.0.0 today"],
+            "tool": ["grep"],
+            "ts": pd.to_datetime([5], unit="s").astype("datetime64[us]"),
+        }).to_parquet(shard, index=False)
+        cat1 = tmp_path / "cat1.parquet"
+        pd.DataFrame({"surface": ["grep"], "ent_type": ["tool"],
+                      "ent_key": ["tool://grep"]}).to_parquet(cat1)
+        out = str(tmp_path / "out")
+        m1 = run_extract_partition(0, [str(shard)], out,
+                                   catalog_path=str(cat1))
+        assert not m1["skipped"]
+        # same catalog → skip
+        assert run_extract_partition(
+            0, [str(shard)], out, catalog_path=str(cat1))["skipped"]
+        # CHANGED catalog bytes → must re-extract, not serve stale links
+        import time
+        time.sleep(1.1)  # mtime granularity
+        pd.DataFrame({"surface": ["grep", "rg"],
+                      "ent_type": ["tool", "tool"],
+                      "ent_key": ["tool://grep", "tool://rg"]}
+                     ).to_parquet(cat1)
+        assert not run_extract_partition(
+            0, [str(shard)], out, catalog_path=str(cat1))["skipped"]
+
+    def test_dsse_hostile_containers_report_not_crash(self, ray_session):
+        import json
+
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.verifier import verify_envelopes
+
+        rows = pd.DataFrame({
+            "doc_id": ["a", "b", "c"],
+            "envelope": [
+                json.dumps({"payloadType": "t", "payload": "",
+                            "signatures": "abc"}),     # str, iters chars
+                json.dumps({"payloadType": "t", "payload": "",
+                            "signatures": 5}),          # not iterable
+                json.dumps({"payloadType": 7, "payload": "",
+                            "signatures": []}),         # non-str ptype
+            ]})
+        out = verify_envelopes(rd.from_pandas(rows), {}).to_pandas()
+        assert len(out) == 3
+        assert (~out["verified"]).all()
+        assert out["error"].str.contains("bad envelope").all()
+
+    def test_paginate_preserves_schema_and_empty_page(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from guac_ray.query.graph import paginate
+
+        df = pd.DataFrame({"k": ["a", "b", "c"],
+                           "i": pd.array([1, 2, 3], dtype="int32")})
+        ds = rd.from_pandas(df)
+        page = paginate(ds, ["k"], offset=1, limit=1)
+        pdf = page.to_pandas()
+        assert pdf["k"].tolist() == ["b"]
+        # input Arrow types survive (from_items would re-infer int64)
+        assert dict(zip(page.schema().names,
+                        page.schema().types))["i"] == pa.int32()
+        # past-the-end page: typed empty, not a schema-less from_items
+        last = paginate(ds, ["k"], offset=10, limit=5)
+        assert last.count() == 0
+        assert last.schema().names == ["k", "i"]
