@@ -471,18 +471,25 @@ def decode_y4m(payload: bytes) -> "tuple[np.ndarray, int, int] | None":
     w = h = 0
     num, den = 25, 1
     chroma = "420"
-    for tok in payload[10:nl].split(b" "):
-        if not tok:
-            continue
-        c, v = tok[:1], tok[1:]
-        if c == b"W":
-            w = int(v)
-        elif c == b"H":
-            h = int(v)
-        elif c == b"F":
-            num, den = (int(x) for x in v.split(b":"))
-        elif c == b"C":
-            chroma = v.decode("ascii", "replace")
+    try:
+        for tok in payload[10:nl].split(b" "):
+            if not tok:
+                continue
+            c, v = tok[:1], tok[1:]
+            if c == b"W":
+                w = int(v)
+            elif c == b"H":
+                h = int(v)
+            elif c == b"F":
+                num, den = (int(x) for x in v.split(b":"))
+            elif c == b"C":
+                chroma = v.decode("ascii", "replace")
+    except ValueError:
+        # garbled header token ('W1x', 'F25' without a colon): not
+        # decodable → None, the strict=False stub path — a raised
+        # ValueError would kill the whole decode_video map task
+        # (decode_ppm wraps the same int() parsing this way)
+        return None
     if w <= 0 or h <= 0 or den <= 0:
         return None
     if chroma.startswith("420"):

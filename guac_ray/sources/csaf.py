@@ -63,8 +63,7 @@ class CsafError(ValueError):
     """Malformed CSAF document (callers route to rejects)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 def _find_product_ref(tree: dict, product_id: str,

@@ -85,8 +85,7 @@ class CdxError(ValueError):
     """Malformed CycloneDX document (callers route to rejects)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 def _san(name: str) -> str:
@@ -276,7 +275,13 @@ def cyclonedx_xml_to_dict(raw: bytes) -> dict:
                         continue
                     entry = {"method": _xml_text(r, "method")}
                     if _xml_text(r, "score"):
-                        entry["score"] = float(_xml_text(r, "score"))
+                        try:
+                            entry["score"] = float(_xml_text(r, "score"))
+                        except ValueError as ex:
+                            # must surface as CdxError so the non-strict
+                            # read's reject route catches it
+                            raise CdxError(
+                                f"bad rating score: {ex}") from ex
                     jr.append(entry)
                 jv["ratings"] = jr
             out.append(jv)
@@ -299,11 +304,17 @@ def parse_cyclonedx_document(
             doc = json.loads(raw)
         except json.JSONDecodeError as ex:
             raise CdxError(f"not valid JSON: {ex}") from ex
+    if not isinstance(doc, dict):
+        # a top-level JSON array would AttributeError past the reject
+        # route (report-not-crash: the error CLASS is the contract)
+        raise CdxError("CycloneDX document must be a JSON object")
     # metadata ABSENT → a VEX-only BOM with no top-level package (the
     # reference's unaffected-vex fixture parses fine —
     # getTopLevelPackage:106-108 returns early); metadata PRESENT but
     # component missing → error (guac issue #976, :142-146)
     meta = doc.get("metadata")
+    if meta is not None and not isinstance(meta, dict):
+        raise CdxError("CycloneDX metadata must be a JSON object")
     top_comp = meta.get("component") if meta is not None else None
     if meta is not None and not top_comp:
         raise CdxError(

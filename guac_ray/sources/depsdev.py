@@ -46,8 +46,7 @@ class DepsDevError(ValueError):
     """Malformed deps.dev document (callers route to rejects)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 _RFC3339 = None  # lazy regex

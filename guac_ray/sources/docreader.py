@@ -16,6 +16,18 @@ import pyarrow as pa
 
 from guac_ray.schemas import EDGE_IDENTITY
 
+
+def props_json(d: "dict | None") -> str:
+    """Canonical edge-identity props serialization (sorted keys, no
+    spaces, empty dict → "{}"). ONE definition for every source
+    parser: cross-source exact dedup keys on this string
+    byte-for-byte, so a divergent copy (different separators) would
+    silently split identical edges."""
+    import json
+
+    return (json.dumps(d, sort_keys=True, separators=(",", ":"))
+            if d else "{}")
+
 __all__ = ["edges_table", "read_edge_documents"]
 
 

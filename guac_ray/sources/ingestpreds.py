@@ -48,8 +48,7 @@ class IngestPredicatesError(ValueError):
     """Malformed IngestPredicates document (callers route to rejects)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 def _pkg(spec) -> str | None:

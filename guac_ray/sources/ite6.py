@@ -73,8 +73,7 @@ class Ite6Error(ValueError):
     """Malformed ITE-6 / DSSE document (callers route to rejects)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 # ---------------------------------------------------------------------------
@@ -559,13 +558,23 @@ def parse_dsse_document(
         except (binascii.Error, ValueError) as ex:
             raise Ite6Error(f"failed to decode payload: {ex}") from ex
 
-    from guac_ray.sources.spdx import DOCUMENT_PARSERS, guess_document_type
+    from guac_ray.sources.spdx import (DOCUMENT_PARSERS,
+                                       _register_all_parsers,
+                                       guess_document_type)
 
+    # a fresh Ray worker importing only ite6→spdx has just spdx-json /
+    # json-lines registered — a DSSE-wrapped CycloneDX/CSAF payload
+    # would KeyError (not Ite6Error) past the reject route otherwise
+    # (the same guard parse_jsonlines_document carries)
+    _register_all_parsers()
     dt = guess_document_type(payload)
     if dt is None or dt == "dsse":
         raise Ite6Error("unrecognized DSSE payload type")
+    parser = DOCUMENT_PARSERS.get(dt)
+    if parser is None:
+        raise Ite6Error(f"no parser registered for DSSE payload {dt!r}")
     try:
-        return DOCUMENT_PARSERS[dt](payload, source=source)
+        return parser(payload, source=source)
     except ValueError as ex:
         raise Ite6Error(str(ex)) from ex
 

@@ -74,6 +74,22 @@ def write_clustered(
             bounds, v, side="right").astype("int64")
         return df
 
+    # a rerun (killed write, or re-clustering updated data) must not
+    # APPEND a second generation of uniquely-named files that the
+    # manifest would count as live rows — clear stale range dirs first;
+    # the manifest stays the commit point for readers either way
+    import shutil
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            fp = os.path.join(out_dir, name)
+            if name.startswith("_range="):
+                shutil.rmtree(fp, ignore_errors=True)
+            elif name == MANIFEST:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass
     ds.map_batches(route, batch_format="pandas").write_parquet(
         out_dir, partition_cols=["_range"])
 

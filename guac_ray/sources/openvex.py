@@ -52,8 +52,7 @@ class OpenVexError(ValueError):
     """Malformed OpenVEX document (callers route to rejects)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 def parse_openvex_document(

@@ -83,10 +83,31 @@ def sniff_format(path: str) -> str:
     return "csv"
 
 
+def _salvage_cast(col, typ: pa.DataType) -> pa.Array:
+    """Element-wise cast with PER-ROW null-on-failure — the fallback
+    when the whole-column cast raises. Nulling the entire column there
+    would silently reject-route every VALID row in the batch (one bad
+    value ≠ 10k bad rows); a 1-element array cast per row reproduces
+    Arrow's column-cast semantics exactly, paid only on the salvage
+    path."""
+    out = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(pa.array([v]).cast(typ)[0].as_py())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                pa.ArrowTypeError, TypeError, ValueError, OverflowError):
+            out.append(None)
+    return pa.array(out, type=typ)
+
+
 def coerce_schema(ds: Dataset) -> Dataset:
     """Cast to the canonical transcript schema; rows whose turn_idx/ts
     cannot coerce become nulls → downstream validity filter routes them
-    (reject side-channel, never a crash)."""
+    (reject side-channel, never a crash). The null-routing is PER ROW:
+    a failed column cast falls back to element-wise salvage."""
 
     def cast(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -95,8 +116,11 @@ def coerce_schema(ds: Dataset) -> Dataset:
                 col = batch[f.name]
                 try:
                     cols[f.name] = col.cast(f.type)
-                except pa.ArrowInvalid:
-                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                        pa.ArrowTypeError):
+                    # ArrowNotImplementedError covers nested-typed JSON
+                    # columns (an object-valued 'text' infers as struct)
+                    cols[f.name] = _salvage_cast(col, f.type)
             else:
                 cols[f.name] = pa.nulls(batch.num_rows, f.type)
         return pa.table(cols)
@@ -110,9 +134,17 @@ def read_transcripts_any(paths: str | list[str]) -> Dataset:
     Multi-source union = one Dataset over all shards (collector fan-in)."""
     if isinstance(paths, str):
         if os.path.isdir(paths):
-            paths = [os.path.join(paths, f) for f in sorted(os.listdir(paths))]
+            # FILES only: a nested directory would crash sniff_format's
+            # content peek with IsADirectoryError
+            paths = [os.path.join(paths, f)
+                     for f in sorted(os.listdir(paths))
+                     if os.path.isfile(os.path.join(paths, f))]
         else:
             paths = [paths]
+    if not paths:
+        # empty directory/list: typed empty (the read_edge_documents
+        # guard), not IndexError on parts[0]
+        return rd.from_arrow(TRANSCRIPT_SCHEMA.empty_table())
     # group by (format, compression): every group becomes one read, and
     # compressed json/csv shards decode through Arrow's codec stream
     by_fmt: dict[tuple[str, str | None], list[str]] = {}

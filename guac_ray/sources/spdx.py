@@ -92,8 +92,7 @@ class SpdxError(ValueError):
     """Malformed SPDX document (callers route to the reject channel)."""
 
 
-def _props(d: dict) -> str:
-    return json.dumps(d, sort_keys=True, separators=(",", ":")) if d else "{}"
+from guac_ray.sources.docreader import props_json as _props  # one copy
 
 
 def _guac_pkg_purl(name: str, version: str) -> str:
@@ -138,6 +137,10 @@ def parse_spdx_document(
         doc = json.loads(raw)
     except json.JSONDecodeError as ex:
         raise SpdxError(f"not valid JSON: {ex}") from ex
+    if not isinstance(doc, dict):
+        # a top-level JSON array would AttributeError past the reject
+        # route (report-not-crash: the error CLASS is the contract)
+        raise SpdxError("SPDX document must be a JSON object")
     created = _require_created(doc)
     lv = doc.get("creationInfo", {}).get("licenseListVersion", "") or ""
     origin = source or doc.get("documentNamespace", "") or "spdx"
@@ -295,6 +298,11 @@ def parse_spdx_document(
             if n.startswith("LicenseRef-"):
                 inline = other.get(n, "Not found")
                 new = hash_license(inline)
+                # plain substring replace is BUG-COMPATIBLE with the
+                # reference (parse_spdx.go:342,349 strings.ReplaceAll):
+                # a LicenseRef id that prefixes another in the same
+                # expression gets mangled there too — kept for golden
+                # parity, not an accident
                 expr = expr.replace(n, new)
                 out.append((new, ""))  # LicenseRef: no list version
             else:

@@ -176,3 +176,117 @@ class TestCompressedDocs:
         assert set(cv["subj_key"]) == {"pkg:npm/a@1", "pkg:npm/b@2",
                                        "pkg:npm/c@3", "pkg:npm/d@4"}
         assert (df["pred"] == "has_sbom").sum() == 1  # the XML BOM
+
+
+class TestWave6Hardening:
+    """Round-5 session-11 review wave over the sources family."""
+
+    def test_coerce_schema_salvages_per_row(self, ray_session, tmp_path):
+        """One bad value must null ONE row, not reject-route the whole
+        batch (the documented per-row contract)."""
+        import json
+
+        import ray.data as rd
+
+        from guac_ray.sources.readers import read_transcripts_any
+
+        p = tmp_path / "t.jsonl"
+        rows = [
+            {"conv_id": "c1", "turn_idx": "0", "role": "user",
+             "text": "hello", "tool": "", "ts": "2024-01-01T00:00:00"},
+            {"conv_id": "c1", "turn_idx": "oops", "role": "user",
+             "text": "still valid text", "tool": "",
+             "ts": "2024-01-01T00:00:01"},
+            {"conv_id": "c1", "turn_idx": "2", "role": "user",
+             "text": "also fine", "tool": "",
+             "ts": "2024-01-01T00:00:02"},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        df = read_transcripts_any(str(p)).to_pandas()
+        assert len(df) == 3
+        ok = df[df.turn_idx.notna()]
+        assert sorted(ok["turn_idx"].astype(int).tolist()) == [0, 2]
+        bad = df[df.turn_idx.isna()]
+        assert bad["text"].tolist() == ["still valid text"]
+
+    def test_read_transcripts_empty_dir(self, ray_session, tmp_path):
+        from guac_ray.sources.readers import read_transcripts_any
+
+        d = tmp_path / "empty"
+        d.mkdir()
+        (d / "nested").mkdir()     # subdirectory must not crash sniff
+        ds = read_transcripts_any(str(d))
+        assert ds.count() == 0
+        assert "conv_id" in ds.schema().names
+
+    def test_dsse_wrapped_cyclonedx_parses(self, ray_session):
+        """A DSSE envelope wrapping a CycloneDX BOM must parse (or
+        reject) — not KeyError past the reject route in a fresh-worker
+        registry state."""
+        import base64
+        import importlib
+        import json
+        import subprocess
+        import sys
+
+        code = """
+import base64, json
+from guac_ray.sources.ite6 import parse_dsse_document
+bom = {"bomFormat": "CycloneDX", "specVersion": "1.5",
+       "metadata": {"component": {"type": "library", "name": "x",
+                                   "purl": "pkg:npm/x@1.0.0"}}}
+env = {"payload": base64.b64encode(
+           json.dumps(bom).encode()).decode(),
+       "payloadType": "application/vnd.cyclonedx+json",
+       "signatures": [{"keyid": "k1", "sig": "Zm9v"}]}
+edges = parse_dsse_document(json.dumps(env).encode())
+assert isinstance(edges, list) and edges, edges
+print("OK", len(edges))
+"""
+        # fresh process = fresh registry (only ite6→spdx imported)
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        assert r.stdout.startswith("OK")
+
+    def test_hostile_document_shapes_reject_not_crash(self, ray_session):
+        import pytest
+
+        from guac_ray.sources.cyclonedx import CdxError, parse_cyclonedx_document
+        from guac_ray.sources.spdx import SpdxError, parse_spdx_document
+
+        with pytest.raises(SpdxError):
+            parse_spdx_document(b"[1,2]")
+        with pytest.raises(CdxError):
+            parse_cyclonedx_document(b"[1,2,3]")
+        with pytest.raises(CdxError):
+            parse_cyclonedx_document(
+                b'{"bomFormat":"CycloneDX","metadata":[]}')
+        xml = (b'<?xml version="1.0"?><bom xmlns="http://cyclonedx.org/'
+               b'schema/bom/1.5"><vulnerabilities><vulnerability>'
+               b'<ratings><rating><score>N/A</score></rating></ratings>'
+               b'</vulnerability></vulnerabilities></bom>')
+        with pytest.raises(CdxError):
+            parse_cyclonedx_document(xml)
+
+    def test_y4m_garbled_header_stubs(self):
+        from guac_ray.functions.multimodal import decode_y4m
+
+        assert decode_y4m(b"YUV4MPEG2 W2 H2 F25 C420\nFRAME\nxxxx") is None
+        assert decode_y4m(b"YUV4MPEG2 W1x H2 F25:1 C420\n") is None
+
+    def test_write_clustered_rerun_no_duplicates(self, ray_session,
+                                                 tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.sources.layout import read_pruned, write_clustered
+
+        df = pd.DataFrame({"k": range(100),
+                           "v": [i * 7 % 100 for i in range(100)]})
+        out = str(tmp_path / "clustered")
+        write_clustered(rd.from_pandas(df), out, "v", num_ranges=4)
+        # rerun into the SAME dir (the re-runnability contract): rows
+        # must not double
+        m2 = write_clustered(rd.from_pandas(df), out, "v", num_ranges=4)
+        assert sum(r["rows"] for r in m2["ranges"]) == 100
