@@ -223,13 +223,20 @@ def cmd_sbom(args) -> int:
                                               strict=args.strict),
                            num_buckets=args.num_buckets)
     os.makedirs(args.out_dir, exist_ok=True)
+    edges = edges.materialize()
+    n_e = edges.count()
+    if n_e == 0:
+        # every document reject-routed (or none parseable): report zero
+        # — write_parquet writes NO files for an empty dataset, so the
+        # re-reads below would crash on a file-less directory
+        print(json.dumps({"edges": 0, "nodes": 0, "out": args.out_dir}))
+        return 0
     edges.write_parquet(os.path.join(args.out_dir, "edges"))
     import ray.data as rd
 
     edges_w = rd.read_parquet(os.path.join(args.out_dir, "edges"))
     nodes = nodes_from_edges(edges_w, num_buckets=max(8, args.num_buckets // 2))
     nodes.write_parquet(os.path.join(args.out_dir, "nodes"))
-    n_e = rd.read_parquet(os.path.join(args.out_dir, "edges")).count()
     n_n = rd.read_parquet(os.path.join(args.out_dir, "nodes")).count()
     print(json.dumps({"edges": n_e, "nodes": n_n, "out": args.out_dir}))
     return 0
@@ -517,7 +524,8 @@ def cmd_striplines(args) -> int:
     out = strip_boiler_lines(
         ds, args.text_col, args.id_col,
         min_docs=args.min_docs).materialize()
-    out.write_parquet(args.out)
+    if out.count():  # empty input: nothing to write, report zeros
+        out.write_parquet(args.out)
     dropped = out.sum("n_dropped") or 0  # aggregated, not a driver pull
     print(json.dumps({"docs": out.count(), "lines_dropped": int(dropped),
                       "out": args.out}))
@@ -612,12 +620,10 @@ def cmd_merge(args) -> int:
     out = cdc_merge(
         rd.read_parquet(args.base), rd.read_parquet(args.changelog),
         key_col=args.key, ts_col=args.ts, order_col=args.order,
-        op_col=args.op, value_col=args.value)
-    out.write_parquet(args.out)
-    import pyarrow.parquet as pq
-
-    n = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-            for f in os.listdir(args.out) if f.endswith(".parquet"))
+        op_col=args.op, value_col=args.value).materialize()
+    n = out.count()
+    if n:  # empty write creates no files/dir — os.listdir would crash
+        out.write_parquet(args.out)
     print(json.dumps({"out": args.out, "rows": n}))
     return 0
 
@@ -636,12 +642,10 @@ def cmd_debounce(args) -> int:
     out = debounce(rd.read_parquet(args.table),
                    gap_us=int(args.gap_seconds * 1_000_000),
                    user_col=args.key, ts_col=args.ts,
-                   order_col=args.order)
-    out.write_parquet(args.out)
-    import pyarrow.parquet as pq
-
-    n = sum(pq.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
-            for f in os.listdir(args.out) if f.endswith(".parquet"))
+                   order_col=args.order).materialize()
+    n = out.count()
+    if n:  # empty write creates no files/dir — os.listdir would crash
+        out.write_parquet(args.out)
     print(json.dumps({"out": args.out, "rows": n}))
     return 0
 

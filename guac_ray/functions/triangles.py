@@ -106,8 +106,14 @@ def _canon_deg(edges: Dataset, a_col: str, b_col: str, base: str,
     from guac_ray.stages.groupagg import grouped_agg
 
     def canon(t: pa.Table) -> pa.Table:
-        a = t[a_col].to_pandas().astype(str)
-        b = t[b_col].to_pandas().astype(str)
+        a = t[a_col].to_pandas()
+        b = t[b_col].to_pandas()
+        # drop NULL endpoints BEFORE stringifying: astype(str) would
+        # mint literal 'None'/'nan' phantom NODES that enter degrees,
+        # wedges and triangle counts (the kcore class)
+        ok = a.notna() & b.notna()
+        a = a[ok].astype(str)
+        b = b[ok].astype(str)
         u = a.where(a < b, b)
         v = b.where(a < b, a)
         df = pd.DataFrame({"u": u, "v": v})
@@ -302,7 +308,7 @@ def clustering_coefficient(
 
     cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
     if cd is None:
-        return empty
+        return rd.from_arrow(empty)  # Dataset, like the populated path
     E, deg, with_deg = cd
 
     oriented = with_deg.map_batches(_orient_fn(num_buckets),
@@ -404,7 +410,7 @@ def neighbor_degree_stats(
     })
     cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
     if cd is None:
-        return empty
+        return rd.from_arrow(empty)  # Dataset, like the populated path
     _E, _deg, with_deg = cd
 
     def explode(df: pd.DataFrame) -> pa.Table:
@@ -487,7 +493,7 @@ def common_neighbors(
     })
     cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
     if cd is None:
-        return empty
+        return rd.from_arrow(empty)  # Dataset, like the populated path
     _E, deg, with_deg = cd
 
     # both directions, center-degree cap applied where the center's own
@@ -506,7 +512,7 @@ def common_neighbors(
         adj, f"{base}/wedge",
         _wedges_fn(wedge_chunk, carry_source=False))
     if pair_ds is None:
-        return empty
+        return rd.from_arrow(empty)  # Dataset, like the populated path
 
     cn = grouped_agg(pair_ds, ["u", "v"], {"common": ("u", "count")},
                      num_buckets=num_buckets)
@@ -579,7 +585,7 @@ def degree_assortativity(
     })
     cd = _canon_deg(edges, a_col, b_col, base, num_buckets)
     if cd is None:
-        return empty
+        return rd.from_arrow(empty)  # Dataset, like the populated path
     _E, _deg, with_deg = cd
 
     def stubs(df: pd.DataFrame) -> pd.DataFrame:
@@ -624,8 +630,14 @@ def degree_histogram(
     })
 
     def canon(t: pa.Table) -> pa.Table:
-        a = t[a_col].to_pandas().astype(str)
-        b = t[b_col].to_pandas().astype(str)
+        a = t[a_col].to_pandas()
+        b = t[b_col].to_pandas()
+        # drop NULL endpoints BEFORE stringifying: astype(str) would
+        # mint literal 'None'/'nan' phantom NODES that enter degrees,
+        # wedges and triangle counts (the kcore class)
+        ok = a.notna() & b.notna()
+        a = a[ok].astype(str)
+        b = b[ok].astype(str)
         u = a.where(a < b, b)
         v = b.where(a < b, a)
         df = pd.DataFrame({"u": u, "v": v})
@@ -690,8 +702,11 @@ def reciprocity(
     })
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        a = t[a_col].to_pandas().astype(str)
-        b = t[b_col].to_pandas().astype(str)
+        a = t[a_col].to_pandas()
+        b = t[b_col].to_pandas()
+        ok = a.notna() & b.notna()  # no 'None'/'nan' phantom endpoints
+        a = a[ok].astype(str)
+        b = b[ok].astype(str)
         df = pd.DataFrame({"a": a, "b": b})
         df = df[df["a"] != df["b"]].drop_duplicates()
         u = df["a"].where(df["a"] < df["b"], df["b"])
@@ -718,21 +733,24 @@ def reciprocity(
             add_bucket, batch_format="pyarrow"),
         exchange_base or default_exchange("recip"), reduce_fn)
     if parts is None:
-        return empty
+        return rd.from_arrow(empty)
     # ≤ num_buckets one-row partials: the driver fold is bounded by
     # cluster parallelism, not data
     pf = parts.to_pandas()
     nd = int(pf["n_directed"].sum())
     nm = int(pf["n_mutual"].sum())
     if nd == 0:
-        return empty
-    return pa.table({
+        return rd.from_arrow(empty)
+    # a one-row Dataset: the annotation promises Dataset, and callers
+    # written against that surface must not AttributeError on the
+    # populated path either
+    return rd.from_arrow(pa.table({
         "graph": pa.array(["all"], type=pa.string()),
         "n_directed": pa.array([nd], type=pa.int64()),
         "n_mutual": pa.array([nm], type=pa.int64()),
         "reciprocity_fp": pa.array([1_000_000 * nm // nd],
                                    type=pa.int64()),
-    })
+    }))
 
 
 def k_truss(

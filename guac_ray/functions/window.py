@@ -55,6 +55,11 @@ def _typed_empty(ds: Dataset, ops: dict[str, tuple] | None = None) -> pa.Table:
         return pa.schema([]).empty_table()
     fields = list(zip(sch.names, sch.types))
     types = dict(fields)
+    for name in (ops or {}):
+        if name in types:
+            raise ValueError(
+                f"windowed: output name {name!r} would overwrite an "
+                "input column — rename the output")
     for name, spec in (ops or {}).items():
         if spec[0] in ("row_number", "rank", "dense_rank", "ntile",
                        "moving_count", "range_count"):
@@ -154,6 +159,14 @@ def windowed(
 
     def reduce_fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(by + order, kind="mergesort")
+        clash = set(ops) & (set(df.columns) - {"_bucket"})
+        if clash:
+            # the eager guard covers only columns the window READS; a
+            # payload column with an output's name would be silently
+            # overwritten here
+            raise ValueError(
+                f"windowed: output name(s) {sorted(clash)} would "
+                "overwrite input columns — rename the outputs")
         # dropna=False: SQL window partitions treat NULL keys as one
         # partition, not as rows to silently drop
         g = df.groupby(by, sort=False, dropna=False)
@@ -173,6 +186,12 @@ def windowed(
                 cur, prev = df[by + order], df[by + order].shift()
                 prev_eq = (cur == prev) | (cur.isna() & prev.isna())
                 tie_start = ~prev_eq.all(axis=1)
+                if len(tie_start):
+                    # row 0 ALWAYS opens a run: when every (by, order)
+                    # value of the first sorted row is NULL, the
+                    # null==null peer rule wrongly matches the phantom
+                    # shifted row and the ffill below has no seed
+                    tie_start.iloc[0] = True
                 rn = (g.cumcount() + 1).astype("int64")
                 # rank = row_number at the tie-run start, propagated
                 rank_s = rn.where(tie_start).ffill().astype("int64")
@@ -192,7 +211,21 @@ def windowed(
             elif spec[0] == "row_number":
                 new[name] = (g.cumcount() + 1).astype("int64")
             elif spec[0] == "cumsum":
-                new[name] = g[spec[1]].cumsum()
+                vcol = df[spec[1]]
+                if vcol.isna().any():
+                    # SQL SUM() OVER skips NULLs but still emits the
+                    # running total AT the NULL row (NULL only until
+                    # the partition's first non-null); pandas cumsum
+                    # would leave NaN at the NULL row instead
+                    run = vcol.fillna(0).groupby(
+                        [df[c] for c in by], sort=False,
+                        dropna=False).cumsum()
+                    seen = vcol.notna().groupby(
+                        [df[c] for c in by], sort=False,
+                        dropna=False).cummax()
+                    new[name] = run.where(seen)
+                else:
+                    new[name] = g[spec[1]].cumsum()
             elif spec[0] == "first_value":
                 # SQL first_value over the default frame: the partition's
                 # first row in `order` (tie-free order assumed for
@@ -279,11 +312,26 @@ def windowed(
                         f"windowed: {spec[0]} needs exactly one order "
                         f"column (RANGE frames are value-defined)")
                 col, win = spec[1], spec[2]
-                ovals = df[order[0]].to_numpy()
+                oser = df[order[0]]
+                if oser.isna().any():
+                    raise ValueError(
+                        f"windowed: {spec[0]} order column has NULLs — "
+                        "a NaT/NaN ordinate casts to INT64_MIN and "
+                        "corrupts every frame sharing its key; drop "
+                        "null-ordered rows upstream")
+                ovals = oser.to_numpy()
                 if np.issubdtype(ovals.dtype, np.datetime64):
                     ts = ovals.astype("datetime64[ns]").view("int64")
                     W = int(pd.Timedelta(win).value)
                 else:
+                    if not np.issubdtype(ovals.dtype, np.integer):
+                        # float ordinates would TRUNCATE (2.7 -> 2) and
+                        # silently redefine the frame — the
+                        # interval_join class
+                        raise TypeError(
+                            f"windowed: {spec[0]} order column must be "
+                            f"integer or datetime (cents trick for "
+                            f"floats), got {ovals.dtype}")
                     ts = ovals.astype("int64")
                     W = int(win)
                 cur, prev = df[by], df[by].shift()
@@ -353,7 +401,12 @@ def keep_latest(
     order = [order] if isinstance(order, str) else list(order)
 
     def latest(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.sort_values(by + order, kind="mergesort")
+        # na_position='first': a NULL order value must never WIN the
+        # latest pick (pandas sorts NaN/NaT LAST by default, so
+        # keep='last' would crown a corrupt null-ts row as the key's
+        # snapshot); an all-null key still keeps one row
+        return (df.sort_values(by + order, kind="mergesort",
+                               na_position="first")
                 .drop_duplicates(by, keep="last"))
 
     def partial(df: pd.DataFrame) -> pa.Table:

@@ -86,11 +86,15 @@ def cluster_by_conversation(
     """
     import pandas as pd
 
-    from guac_ray.exfs import exchange_fs, fs_bucket_ids, fs_rmtree
+    from guac_ray.exfs import exchange_fs, fresh_exchange_dir, fs_bucket_ids
     from guac_ray.stages.assemble import stable_hash
 
     fsys, _ = exchange_fs()  # resolved ONCE; task closures capture it
-    fs_rmtree(fsys, exchange_dir)
+    # FRESH subdir per call (the dedup_exact_fs discipline): rmtree-ing
+    # the caller's dir in place would repoint a LAZY Dataset returned by
+    # an earlier call at this base — silent wrong rows or missing files
+    # on its next consumption
+    exchange_dir = fresh_exchange_dir(exchange_dir)
 
     def part(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -102,6 +106,11 @@ def cluster_by_conversation(
     )
     bucket_dirs = [f"{exchange_dir}/_cb={b}"
                    for b in fs_bucket_ids(fsys, exchange_dir, "_cb")]
+    # read back the columns that were WRITTEN (minus the bucket key):
+    # a column-pruned input must not crash the read on absent fields
+    sch = ds.schema()
+    read_cols = ([n for n in sch.names if n != "_cb"]
+                 if sch is not None else list(TRANSCRIPT_COLUMNS))
 
     def sorted_bucket(batch: pd.DataFrame) -> pa.Table:
         from guac_ray.exfs import fs_read_table
@@ -109,7 +118,7 @@ def cluster_by_conversation(
         outs = []
         for bdir in batch["bdir"]:
             df = fs_read_table(fsys, bdir,
-                               columns=TRANSCRIPT_COLUMNS).to_pandas()
+                               columns=read_cols).to_pandas()
             outs.append(df.sort_values(["conv_id", "turn_idx"], kind="mergesort"))
         return table_from_pandas(
             pd.concat(outs, ignore_index=True), preserve_index=False

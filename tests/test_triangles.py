@@ -476,3 +476,45 @@ class TestKTruss:
                           num_buckets=4).to_pandas()
             gd = {(r.u, r.v): r.support for r in got.itertuples()}
             assert gd == k_truss_naive(df.values.tolist(), k)
+
+
+class TestWave7Hardening:
+    """Round-5 session-11: NULL endpoints and typed-empty contracts."""
+
+    def test_null_endpoints_are_not_phantom_nodes(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.triangles import (degree_histogram,
+                                                  triangle_count)
+
+        # triangle x-y-z plus two null-endpoint edges
+        df = pd.DataFrame({
+            "subj_key": ["x", "y", "z", None, "x"],
+            "obj_key": ["y", "z", "x", "x", None]})
+        ds = rd.from_pandas(df)
+        n = triangle_count(ds).to_pandas()["n_triangles"].iloc[0]
+        assert n == 1
+        hist = degree_histogram(ds).to_pandas()
+        # all three real nodes have degree 2; no 'None'/'nan' phantom
+        assert hist["deg"].tolist() == [2]
+        assert hist["n_nodes"].tolist() == [3]
+
+    def test_reciprocity_null_and_dataset_contract(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.triangles import reciprocity
+
+        df = pd.DataFrame({
+            "subj_key": ["a", "b", "a", None],
+            "obj_key": ["b", "a", "c", "a"]})
+        out = reciprocity(rd.from_pandas(df))
+        pdf = out.to_pandas()          # Dataset surface (annotation)
+        assert pdf["n_directed"].iloc[0] == 3
+        assert pdf["n_mutual"].iloc[0] == 2
+        # empty graph: typed-empty DATASET, not a bare pa.Table
+        empty = reciprocity(rd.from_pandas(pd.DataFrame(
+            {"subj_key": ["q"], "obj_key": ["q"]})))
+        assert empty.count() == 0
+        assert "reciprocity_fp" in empty.schema().names

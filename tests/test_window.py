@@ -1315,3 +1315,95 @@ class TestStreamsNullHardening:
         got = out.sort_values(["k", "variable"])["value"].tolist()
         assert got[0] == 10 and pd.isna(got[1])
         assert pd.isna(got[2]) and got[3] == 20
+
+
+class TestWave7WindowHardening:
+    def test_keep_latest_null_order_never_wins(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.window import keep_latest
+
+        ts = pd.to_datetime([100, 200], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 2],
+            "ts": [ts[0], ts[1], pd.NaT, pd.NaT],
+            "v": [10, 20, 99, 7]})
+        out = keep_latest(rd.from_pandas(df), by="k",
+                          order="ts").to_pandas().sort_values("k")
+        # the null-ts row must NOT be crowned latest for key 1 …
+        assert out[out.k == 1]["v"].iloc[0] == 20
+        # … but an all-null key still keeps one row
+        assert out[out.k == 2]["v"].iloc[0] == 7
+
+    def test_cumsum_sql_null_semantics(self, ray_session, tmp_path):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 2, 2],
+            "o": [1, 2, 3, 1, 2],
+            "v": [5.0, None, 3.0, None, 4.0]})
+        out = windowed(rd.from_pandas(df), by="k", order="o",
+                       ops={"run": ("cumsum", "v")},
+                       exchange_base=str(tmp_path / "w")
+                       ).to_pandas().sort_values(["k", "o"])
+        want = duckdb.sql("""
+            SELECT k, o, SUM(v) OVER (PARTITION BY k ORDER BY o) AS run
+            FROM df ORDER BY k, o""").df()
+        got = out["run"].tolist()
+        exp = want["run"].tolist()
+        for g, e in zip(got, exp):
+            assert (pd.isna(g) and pd.isna(e)) or g == e, (got, exp)
+
+    def test_range_frames_refuse_floats_and_nulls(self, ray_session,
+                                                  tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({"k": [1, 1], "o": [2.0, 2.7], "v": [1, 1]})
+        with pytest.raises(Exception, match="integer or datetime"):
+            windowed(rd.from_pandas(df), by="k", order="o",
+                     ops={"s": ("range_sum", "v", 1)},
+                     exchange_base=str(tmp_path / "rf")).materialize()
+        df2 = pd.DataFrame({"k": [1, 1],
+                            "o": pd.array([1, None], dtype="Int64"),
+                            "v": [1, 1]})
+        with pytest.raises(Exception, match="NULL"):
+            windowed(rd.from_pandas(df2), by="k", order="o",
+                     ops={"s": ("range_sum", "v", 1)},
+                     exchange_base=str(tmp_path / "rn")).materialize()
+
+    def test_payload_shadow_rejected(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({"k": [1], "o": [1], "text": ["payload"]})
+        with pytest.raises(Exception, match="text"):
+            windowed(rd.from_pandas(df), by="k", order="o",
+                     ops={"text": ("row_number",)},
+                     exchange_base=str(tmp_path / "sh")).materialize()
+
+    def test_rank_all_null_first_row(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.window import windowed
+
+        df = pd.DataFrame({
+            "k": pd.array([None, None], dtype="Int64"),
+            "o": pd.array([None, None], dtype="Int64"),
+            "v": [1, 2]})
+        out = windowed(rd.from_pandas(df), by="k", order="o",
+                       ops={"r": ("rank",)},
+                       exchange_base=str(tmp_path / "rk")).to_pandas()
+        assert out["r"].tolist() == [1, 1]  # all peers, no crash
