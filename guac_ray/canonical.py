@@ -48,7 +48,10 @@ __all__ = [
 # Hot path: most segments contain no character needing escape — a single
 # C-regex check skips urllib entirely; lru_cache amortizes repeated
 # surfaces (entity pools repeat heavily in any real corpus).
-_NO_ESCAPE = re.compile(r"^[A-Za-z0-9_.~-]*$")
+# \Z, not $: $ also matches BEFORE a trailing newline, so a
+# segment ending in '\n' would skip escaping and put a RAW
+# newline into a canonical key (an invisible distinct node)
+_NO_ESCAPE = re.compile(r"^[A-Za-z0-9_.~-]*\Z")
 
 
 @lru_cache(maxsize=65536)
@@ -58,7 +61,7 @@ def sanitize(s: str) -> str:
     return quote(s, safe="")
 
 
-_HEX40 = re.compile(r"^[0-9a-f]{40}$")
+_HEX40 = re.compile(r"^[0-9a-f]{40}\Z")  # \Z: no trailing-newline pass
 
 
 def is_commit_sha(rev: str) -> bool:
@@ -197,7 +200,7 @@ _VCS_RE = re.compile(
         (?P<transport>[a-z][a-z0-9+]*)://
         (?P<host>[^/\s]+)
         /(?P<path>[^@\s]+?)
-        (?:@(?P<rev>[^\s]+))?/?$""",
+        (?:@(?P<rev>[^\s]+?))?/?$""",
     re.X,
 )
 

@@ -178,8 +178,17 @@ def fresh_exchange_dir(base: str) -> str:
             continue  # live sibling driver on this host
         ttl = 3600 if dead else 86400
         try:
-            mt = info.mtime.timestamp() if info.mtime is not None else now
-            if now - mt > ttl:
+            # mtime=None (object stores synthesize directory entries
+            # with no timestamp): treating it as 'created now' would
+            # make dead dirs IMMORTAL — the exact leak this pruner
+            # exists to stop. A provably-dead owner's dir is prunable
+            # regardless of age; an unknowable one is kept (no way to
+            # bound the risk without a timestamp).
+            if info.mtime is not None:
+                age = now - info.mtime.timestamp()
+            else:
+                age = float("inf") if dead else -1.0
+            if age > ttl:
                 if info.type == pafs.FileType.Directory:
                     fs_rmtree(f, info.path)
                 else:

@@ -81,6 +81,14 @@ def grouped_agg(
         # non-null count, and so do we — an all-NULL group divides
         # 0/0 → NaN, which IS SQL's NULL AVG
         hidden[f"_{o}_n"] = (c, "nncount")
+    clash = set(hidden) & set(spec)
+    if clash:
+        # {**plain, **hidden} would silently overwrite the user's
+        # column with the mean's internal partial and finalize would
+        # then DROP it from the output
+        raise ValueError(
+            f"grouped_agg: output name(s) {sorted(clash)} collide with "
+            f"the hidden mean partials of {sorted(means)} — rename")
     allspec = {**plain, **hidden}
 
     import pyarrow as pa
@@ -203,9 +211,21 @@ def grouped_first_last(
                                     else _dt(c))
             out = pd.DataFrame(cols)
         else:
-            srt = df.sort_values(keys + order_cols, kind="mergesort")
+            # SQL arg_min/arg_max IGNORE null ordering keys: a NULL
+            # order tuple must never win either pick (pandas' default
+            # na_position='last' would crown it the group's 'last').
+            # Two-step stable sorts vary na placement on the ORDER
+            # columns only, so both frames walk groups in one order
+            # even with NULL keys; an all-null-order group still keeps
+            # a row (its null row — never silently dropped).
+            srt = (df.sort_values(order_cols, kind="mergesort",
+                                  na_position="last")
+                   .sort_values(keys, kind="mergesort"))
             f1 = srt.drop_duplicates(subset=keys, keep="first")
-            l1 = srt.drop_duplicates(subset=keys, keep="last")
+            l1 = (df.sort_values(order_cols, kind="mergesort",
+                                 na_position="first")
+                  .sort_values(keys, kind="mergesort")
+                  .drop_duplicates(subset=keys, keep="last"))
             # f1/l1/groupby(sort=False) all walk groups in the same
             # key-sorted order srt established
             out = f1[keys].reset_index(drop=True)
@@ -230,12 +250,14 @@ def grouped_first_last(
         g = t.to_pandas()
         parts = []
         if need_first:
-            f1 = (g.sort_values(keys + fo, kind="mergesort")
+            f1 = (g.sort_values(fo, kind="mergesort", na_position="last")
+                  .sort_values(keys, kind="mergesort")
                   .drop_duplicates(subset=keys, keep="first")
                   .set_index(keys))
             parts.append(f1[list(firsts_spec)])
         if need_last:
-            l1 = (g.sort_values(keys + lo, kind="mergesort")
+            l1 = (g.sort_values(lo, kind="mergesort", na_position="first")
+                  .sort_values(keys, kind="mergesort")
                   .drop_duplicates(subset=keys, keep="last")
                   .set_index(keys))
             parts.append(l1[list(lasts_spec)])
@@ -312,8 +334,14 @@ def grouped_sorted_concat(
         new = np.zeros(n, dtype=bool)
         new[0] = True
         for k in keys:
-            a = df[k].to_numpy()
-            new[1:] |= a[1:] != a[:-1]
+            av = df[k]
+            cur = av.iloc[1:]
+            prev = av.iloc[:-1].set_axis(av.index[1:])
+            # NaN != NaN is True (and pd.NA propagates), so a NULL key
+            # would open a boundary at EVERY row — null-safe equality:
+            # rows differ unless equal or both null
+            diff = (cur != prev) & ~(cur.isna() & prev.isna())
+            new[1:] |= diff.fillna(True).to_numpy(dtype=bool)
         starts = np.flatnonzero(new)
         offsets = np.append(starts, n).astype("int32")
         vals = pa.array(df[val_col].astype(str).to_numpy(), pa.string())
@@ -368,15 +396,22 @@ def grouped_mode(
     from guac_ray.stages.assemble import fs_exchange_reduce
 
     def add_bucket(df: pd.DataFrame) -> "pa.Table":
-        out = (df.groupby(keys + [val_col], sort=False).size()
-               .rename("_n").reset_index())
+        # SQL mode() ignores NULL values; SQL GROUP BY keeps NULL keys
+        # (dropna=False — pandas' default silently deleted those
+        # groups). A group whose values are ALL null has no computable
+        # mode and is omitted (documented divergence from SQL's
+        # NULL-mode row).
+        df = df[df[val_col].notna()]
+        out = (df.groupby(keys + [val_col], sort=False, dropna=False)
+               .size().rename("_n").reset_index())
         out["_n"] = out["_n"].astype("int64")
         out["_bucket"] = (stable_hash(out, keys)
                           % num_buckets).astype("int64")
         return table_from_pandas(out, preserve_index=False)
 
     def reduce_fn(t: "pa.Table") -> "pa.Table":
-        df = (t.to_pandas().groupby(keys + [val_col], sort=False)["_n"]
+        df = (t.to_pandas().groupby(keys + [val_col], sort=False,
+                                    dropna=False)["_n"]
               .sum().reset_index())
         df = df.sort_values(
             keys + ["_n", val_col],

@@ -385,6 +385,11 @@ def generate_corpus(
     # must keep both (identity includes the conversation key)
     dup_ci = n_convs
     dup_id = f"{conv_prefix}{dup_ci:06d}"
+    if saved_for_dup is None:
+        # n_convs < 3 never reaches the ci == 2 conversation that seeds
+        # the duplicate block — fall back to the last conversation so a
+        # minimal smoke corpus still carries its planted exact-dup
+        saved_for_dup = (rows, facts_list)
     rows, facts_list = saved_for_dup
     for row, facts in zip(rows, facts_list):
         ts = BASE_TS + timedelta(seconds=dup_ci * 3600 + row[1] * 7)
@@ -439,7 +444,9 @@ def generate_corpus(
 
     # ---- depdb (deps.dev analog — deps_dev.go:44-132): NAME-level
     # dependency adjacency; dep objects are AllVersions keys ----
-    name_keys = sorted({pk.split("@", 1)[0] for pk in pkg_keys})
+    from guac_ray.canonical import package_name_key
+    name_keys = sorted({package_name_key(pk) or pk.split("@", 1)[0]
+                        for pk in pkg_keys})
     dep_rows = []
     for i, nk in enumerate(name_keys):
         for j in range(i % 3):  # 0–2 deps per name, deterministic
@@ -544,7 +551,13 @@ def ensure_scaling_corpus(
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
-                ok = json.load(fh).get("corpus_version") == CORPUS_VERSION
+                mk = json.load(fh)
+                # sizing params are part of the identity: a marker hit
+                # on version alone would silently return a corpus of a
+                # DIFFERENT size to a scaling measurement
+                ok = (mk.get("corpus_version") == CORPUS_VERSION
+                      and mk.get("n_chunks") == n_chunks
+                      and mk.get("convs_per_chunk") == convs_per_chunk)
         except (OSError, json.JSONDecodeError):
             ok = False
         if ok:

@@ -352,3 +352,92 @@ class TestMeanNullSemantics:
         assert got.n.tolist() == [2, 1, 2]
         assert got.m.tolist()[0] == 1.0 and got.m.tolist()[1] == 3.0
         assert np.isnan(got.m.tolist()[2])
+
+
+class TestWave8Hardening:
+    """Round-5 session-11: null-order picks, null keys, hidden-partial
+    collisions, canonical-key edge inputs."""
+
+    def test_first_last_null_order_never_wins(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_first_last
+
+        ts = pd.to_datetime([100, 200], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "k": [1, 1, 1],
+            "ts": [ts[0], ts[1], pd.NaT],
+            "v": pd.array([10, 20, 99], dtype="int64")})
+        out = grouped_first_last(
+            rd.from_pandas(df), ["k"], ["ts"],
+            {"open": ("v", "first"), "close": ("v", "last")}).to_pandas()
+        want = duckdb.sql("""
+            SELECT k, arg_min(v, ts) AS open, arg_max(v, ts) AS close
+            FROM df GROUP BY k""").df()
+        assert out["open"].iloc[0] == want["open"].iloc[0] == 10
+        assert out["close"].iloc[0] == want["close"].iloc[0] == 20
+
+    def test_mode_keeps_null_keys_drops_null_values(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_mode
+
+        df = pd.DataFrame({
+            "k": pd.array([1, None, None, None], dtype="Int64"),
+            "v": ["a", "b", "b", None]})
+        out = grouped_mode(rd.from_pandas(df), ["k"], "v").to_pandas()
+        assert len(out) == 2  # the NULL-key group survives
+        nk = out[out.k.isna()]
+        assert nk["mode"].iloc[0] == "b"  # null VALUE not a candidate
+        assert nk["n_mode"].iloc[0] == 2
+
+    def test_sorted_concat_null_key_one_group(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_sorted_concat
+
+        df = pd.DataFrame({
+            "k": pd.array([None, None, 1], dtype="Int64"),
+            "v": ["x", "y", "z"]})
+        out = grouped_sorted_concat(
+            rd.from_pandas(df), ["k"], "v").to_pandas()
+        assert len(out) == 2  # NULL key = ONE group, not one per row
+        nk = out[out.k.isna()]
+        assert nk["concat"].iloc[0] == "x|y"
+        assert nk["n_items"].iloc[0] == 2
+
+    def test_mean_hidden_partial_collision_rejected(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import grouped_agg
+
+        ds = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1], "b": [2]}))
+        with pytest.raises(ValueError, match="hidden mean partials"):
+            grouped_agg(ds, ["k"],
+                        {"_x_s": ("a", "sum"), "x": ("b", "mean")})
+
+    def test_canonical_newline_and_trailing_slash(self):
+        from guac_ray.canonical import is_commit_sha, parse_vcs, sanitize
+
+        assert sanitize("v1\n") == "v1%0A"      # raw newline never leaks
+        assert not is_commit_sha("a" * 40 + "\n")
+        sp = parse_vcs("git+https://github.com/org/repo@v1/")
+        assert sp.tag == "v1"                    # trailing slash stripped
+        sha = "a" * 40
+        sp2 = parse_vcs(f"git+https://github.com/org/repo@{sha}/")
+        assert sp2.commit == sha and not sp2.tag  # still a COMMIT
+
+    def test_generate_corpus_two_convs(self, tmp_path):
+        from guac_ray.synth import generate_corpus
+
+        paths = generate_corpus(str(tmp_path / "c2"), n_convs=2,
+                                n_shards=1)
+        import pandas as pd
+        df = pd.read_parquet(paths["transcripts"])
+        assert df["conv_id"].nunique() >= 2  # no TypeError crash
