@@ -1,5 +1,7 @@
 """Sequence packing for LLM training shards: group documents into
-sequences of at most ``budget`` tokens.
+sequences of at most ``budget`` tokens (token = an
+``[A-Za-z0-9_]+`` word run, the ``utf8_stats`` grammar — NOT
+whitespace splitting: punctuation-only text counts 0).
 
 Optimal bin packing is NP-hard and inherently sequential; the
 distributed discipline here is the same one production packers use:

@@ -359,6 +359,17 @@ def jaccard_similarity_join(
         group_id = np.cumsum(np.r_[0, gv[1:] != gv[:-1]])
         grp_end = np.searchsorted(group_id, group_id, side="right")
         counts = grp_end - np.arange(n_rows) - 1
+        # mass-duplicate guard (edit1_join's discipline): a corpus of
+        # byte-identical documents concentrates every copy's prefix in
+        # ONE gram group — the candidate product is quadratic in the
+        # duplicates and no filter can thin identical sets. Refuse
+        # loudly instead of grinding ~n²/2 pairs through one task.
+        if counts.size and int(counts.max()) + 1 > 100_000:
+            raise ValueError(
+                "jaccard_similarity_join: a prefix-gram group exceeds "
+                "100k documents (mass-duplicate / empty-text corpus) — "
+                "exact-dedup the text column first; identical sets "
+                "make the candidate product quadratic")
         cum = np.cumsum(counts)
         total = int(cum[-1])
         out_a: list[np.ndarray] = []

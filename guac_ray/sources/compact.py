@@ -115,6 +115,22 @@ def _load_or_extend_manifest(in_dir: str, out_dir: str,
                  "members": [{"p": p, "sz": None, "mt": None} for p in g]}
                 for i, g in enumerate(data["groups"])
             ]
+            # a v1 group whose output is NOT yet built will read the
+            # files as they are NOW — stamp current stats so the
+            # recreation test and the deletion guard can actually
+            # protect them; members of COMPLETED groups stay
+            # unverifiable (sz None) and are never deleted
+            for g in groups:
+                dest = os.path.join(
+                    out_dir, f"compact-{g['digest']}.parquet")
+                if os.path.exists(dest):
+                    continue
+                for m in g["members"]:
+                    try:
+                        st = os.stat(m["p"])
+                        m["sz"], m["mt"] = st.st_size, st.st_mtime_ns
+                    except OSError:
+                        pass
     covered: dict[str, dict] = {}
     for g in groups:
         for m in g["members"]:
@@ -179,9 +195,28 @@ def compact_parquet(
             if os.path.exists(dest):
                 out.append({"gid": int(gid), "rows": -1, "skipped": True})
                 continue
-            t = pa.concat_tables(
-                [pq.read_table(m["p"]) for m in g["members"]],
-                promote_options="default")
+            tabs = []
+            for m in g["members"]:
+                if m["sz"] is not None:
+                    try:
+                        st = os.stat(m["p"])
+                    except OSError:
+                        continue  # deleted since planning: bytes gone
+                    if (st.st_size != m["sz"]
+                            or st.st_mtime_ns != m["mt"]):
+                        # recreated since planning: the NEW bytes belong
+                        # to the appended group that replanned this
+                        # path — reading them here would DUPLICATE rows
+                        # (and the old generation's bytes are already
+                        # unrecoverable)
+                        continue
+                tabs.append(pq.read_table(m["p"]))
+            if not tabs:
+                # nothing of this generation survives — an idempotent
+                # no-op, never a fabricated empty output
+                out.append({"gid": int(gid), "rows": 0, "skipped": False})
+                continue
+            t = pa.concat_tables(tabs, promote_options="default")
             tmp = dest + ".tmp"
             pq.write_table(t, tmp)
             os.replace(tmp, dest)  # atomic commit
@@ -202,10 +237,14 @@ def compact_parquet(
         for g in groups:
             for m in g["members"]:
                 try:
-                    if m["sz"] is not None:
-                        st = os.stat(m["p"])
-                        if st.st_size != m["sz"] or st.st_mtime_ns != m["mt"]:
-                            continue  # recreated since planning: keep
+                    if m["sz"] is None:
+                        # v1 member of a completed group: no recorded
+                        # stat to verify against — deleting it could
+                        # destroy a RECREATED file this run never read
+                        continue
+                    st = os.stat(m["p"])
+                    if st.st_size != m["sz"] or st.st_mtime_ns != m["mt"]:
+                        continue  # recreated since planning: keep
                     os.remove(m["p"])
                 except OSError:
                     pass

@@ -36,7 +36,11 @@ _OUT_SCHEMA = pa.schema(
         ("format", pa.string()),
         ("blob", pa.string()),
         ("blob_digest", pa.string()),
-        ("status", pa.string()),   # "leaf" | "cycle_skipped" | "reject"
+        # "leaf" | "cycle_skipped" | "reject" | "depth_truncated" |
+        # "children_truncated" — every input node accounts for a row,
+        # so rejects+leaves+markers reconcile with inputs (silent drops
+        # are invisible to monitoring)
+        ("status", pa.string()),
     ]
 )
 
@@ -62,12 +66,18 @@ class DocumentUnpacker:
         # too — the reference dedups identical blobs once per ingest)
         seen: set[str] = set()
         stack: list[tuple[dict, int]] = [(root, 0)]
-        emitted = 0
-        while stack and emitted < self.max_children:
+        # EVERY emitted row counts toward the bound (cycle_skipped rows
+        # included), so max_children actually bounds the output size
+        while stack and len(out) < self.max_children:
             doc, depth = stack.pop()
-            if not isinstance(doc, dict):
-                continue
             canon = json.dumps(doc, sort_keys=True, separators=(",", ":"))
+            if not isinstance(doc, dict):
+                # a malformed child (string/number/array) gets a REJECT
+                # row, not a silent drop — log-and-continue means the
+                # reject channel sees it
+                out.append((root_id, depth, "", "", _digest(canon),
+                            "reject"))
+                continue
             dg = _digest(canon)
             if dg in seen:
                 out.append((root_id, depth, str(doc.get("format", "")),
@@ -79,10 +89,21 @@ class DocumentUnpacker:
                 for ch in reversed(children):
                     stack.append((ch, depth + 1))
                 continue
+            if children:
+                # AT the depth bound with a subtree below: a marker row,
+                # never a well-formed empty 'leaf' that silently eats
+                # the subtree
+                out.append((root_id, depth, str(doc.get("format", "")),
+                            "", dg, "depth_truncated"))
+                continue
             blob = str(doc.get("blob", ""))
             out.append((root_id, depth, str(doc.get("format", "")),
                         blob, _digest(blob), "leaf"))
-            emitted += 1
+        if stack:
+            # max_children exhausted with work remaining: one loud
+            # marker instead of a silently shortened result
+            out.append((root_id, stack[-1][1], "", "",
+                        _digest(""), "children_truncated"))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

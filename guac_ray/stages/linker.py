@@ -7,8 +7,7 @@ canonicalization trie + deps.dev-style per-worker cache
 the driver; each actor fetches it in ``__init__`` (never re-shipped per
 batch) and rewrites alias keys to canonical keys vectorized.
 
-    ref = put_catalog(catalog_path)
-    edges = edges.map_batches(EntityLinker(ref).make_udf()  # or directly:
+    ref = ray.put(load_surface_map(catalog_path))
     edges = edges.map_batches(EntityLinker, fn_constructor_args=(ref,),
                               batch_format="pyarrow", concurrency=N)
 """

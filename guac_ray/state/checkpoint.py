@@ -48,7 +48,10 @@ def _digest(paths: list[str]) -> str:
     h = hashlib.sha256()
     for p in sorted(paths):
         st = os.stat(p)
-        h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+        # mtime_ns, not whole seconds: a same-size rewrite within one
+        # second must change the digest (compact.py's discipline) or
+        # resume silently serves stale edges
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
 
 
@@ -120,6 +123,7 @@ def run_extract_partition(
     out_dir: str,
     catalog_path: str | None = None,
     force: bool = False,
+    link_ref=None,
 ) -> dict:
     """Extract+link ONE partition → raw_edges/part-<i>/ with manifest.
     Skips (and says so) when the manifest matches the input digest."""
@@ -148,8 +152,10 @@ def run_extract_partition(
     t0 = time.time()
     ds = rd.read_parquet(files)
     rows_in = ds.count()
-    link_ref = None
-    if catalog_path:
+    if link_ref is None and catalog_path:
+        # standalone call: load here; job runners pass one shared
+        # link_ref so N partitions don't re-read + re-broadcast the
+        # catalog N times per poll
         import ray
 
         from guac_ray.stages.linker import load_surface_map
@@ -247,9 +253,17 @@ def run_graph_job(
         raise ValueError(
             f"run_graph_job: no transcript shards found under {transcripts_dir!r}"
         )
+    link_ref = None
+    if catalog_path:
+        import ray
+
+        from guac_ray.stages.linker import load_surface_map
+
+        link_ref = ray.put(load_surface_map(catalog_path))
     if max_concurrent <= 1:
         manifests = [
-            run_extract_partition(i, files, out_dir, catalog_path)
+            run_extract_partition(i, files, out_dir, catalog_path,
+                                  link_ref=link_ref)
             for i, files in plan
         ]
     else:
@@ -258,7 +272,8 @@ def run_graph_job(
         _stabilize_optional_imports()
         with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
             manifests = list(pool.map(
-                lambda p: run_extract_partition(p[0], p[1], out_dir, catalog_path),
+                lambda p: run_extract_partition(
+                    p[0], p[1], out_dir, catalog_path, link_ref=link_ref),
                 plan,
             ))
     # assemble ONLY the partitions in the current plan — a previous run

@@ -151,3 +151,106 @@ class TestCompactParquet:
         # new generation compacted; the recreated file deleted by ITS member
         assert pq.read_table(dst).num_rows >= 1
         assert res["groups"] > 1
+
+
+class TestWave9Hardening:
+    """Round-5 session-11: recreated-file integrity in compaction and
+    unpack truncation/reject accounting."""
+
+    def _write(self, path, vals):
+        import pandas as pd
+
+        pd.DataFrame({"x": vals}).to_parquet(path, index=False)
+
+    def test_recreated_input_not_duplicated(self, ray_session, tmp_path):
+        """A file recreated between planning and work() must NOT have
+        its new bytes read into the OLD group's output (they belong to
+        the appended group that replans the path)."""
+        import json
+        import os
+
+        import pandas as pd
+
+        from guac_ray.sources.compact import (_load_or_extend_manifest,
+                                              compact_parquet)
+
+        ind = tmp_path / "in"
+        outd = tmp_path / "out"
+        ind.mkdir()
+        outd.mkdir()
+        a = str(ind / "a.parquet")
+        self._write(a, [1, 2, 3])
+        # plan only (simulate a crash between plan and work)
+        _load_or_extend_manifest(str(ind), str(outd), 1 << 30)
+        # producer recreates the file with NEW content
+        os.remove(a)
+        self._write(a, [10, 20, 30])
+        os.utime(a, ns=(1, 1))  # force a distinct mtime_ns
+        res = compact_parquet(str(ind), str(outd))
+        import glob
+
+        rows = []
+        for f in glob.glob(str(outd / "*.parquet")):
+            rows.extend(pd.read_parquet(f)["x"].tolist())
+        # exactly ONE generation of the new bytes — never six rows
+        assert sorted(rows) == [10, 20, 30], (rows, res)
+
+    def test_v1_member_of_completed_group_never_deleted(
+            self, ray_session, tmp_path):
+        import json
+        import os
+
+        import pandas as pd
+
+        from guac_ray.sources.compact import compact_parquet
+
+        ind = tmp_path / "in"
+        outd = tmp_path / "out"
+        ind.mkdir()
+        outd.mkdir()
+        a = str(ind / "a.parquet")
+        self._write(a, [1])
+        # build a COMPLETED v1 world: run once, then rewrite a v1 manifest
+        compact_parquet(str(ind), str(outd))
+        import hashlib
+
+        dig = hashlib.sha256(a.encode()).hexdigest()[:16]
+        # the v2 output name differs; create the v1-digest output so the
+        # legacy group reads as completed
+        open(str(outd / f"compact-{dig}.parquet"), "wb").write(
+            open(next(iter(__import__("glob").glob(str(outd / "compact-*.parquet")))), "rb").read())
+        with open(str(outd / "_compact_manifest.json"), "w") as f:
+            json.dump({"groups": [[a]]}, f)  # v1 format
+        # producer recreates the input with data never compacted
+        os.remove(a)
+        self._write(a, [999])
+        compact_parquet(str(ind), str(outd), delete_inputs=True)
+        # the recreated file must SURVIVE (unverifiable v1 member)
+        assert os.path.exists(a)
+        assert pd.read_parquet(a)["x"].tolist() == [999]
+
+    def test_unpack_truncation_and_reject_markers(self, ray_session):
+        import json
+
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.sources.unpack import unpack_documents
+
+        deep: dict = {"format": "leafish", "blob": "DEEP"}
+        for _ in range(4):
+            deep = {"format": "bundle", "children": [deep]}
+        mixed = {"format": "bundle",
+                 "children": ["just-a-string",
+                              {"format": "f", "blob": "B"}]}
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": ["deep", "mixed"],
+            "payload": [json.dumps(deep), json.dumps(mixed)]}))
+        out = unpack_documents(ds, max_depth=2).to_pandas()
+        d = out[out.root_id == "deep"]
+        # the capped subtree surfaces as a MARKER, not an empty 'leaf'
+        assert (d.status == "depth_truncated").sum() == 1
+        assert (d.status == "leaf").sum() == 0
+        m = out[out.root_id == "mixed"]
+        assert (m.status == "reject").sum() == 1   # the malformed child
+        assert (m.status == "leaf").sum() == 1
