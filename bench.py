@@ -57,11 +57,19 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
 
     import ray.data as rd
 
-    # warm page cache (untimed) so we measure compute+shuffle, not disk
-    turns = rd.read_parquet(corpus["transcripts"]).count()
+    # warm page cache (untimed) so we measure compute+shuffle, not
+    # disk. count() alone is NOT a warmup: Ray satisfies parquet counts
+    # from footer metadata without touching data pages — an actual
+    # column materialization forces the real bytes through the cache.
+    def _touch(path: str) -> int:
+        d = rd.read_parquet(path)
+        return sum(b.num_rows for b in d.iter_batches(
+            batch_format="pyarrow", batch_size=65536))
+
+    turns = _touch(corpus["transcripts"])
     if not kg_only:
         for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
-            rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
+            _touch(f"{sf_dir}/{t}.parquet")
 
     # warm the WORKER pool (untimed): first-trial spikes (r4:
     # kg_pagerank_top [10.23, 3.99]) were cold worker processes paying
@@ -94,8 +102,13 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     exch_root = os.environ.get("GRAFT_EXCHANGE_ROOT", out_root)
     # a FRESH process owns no live Datasets over the exchange, so clear
     # the whole base eagerly — fresh_exchange_dir's unique subdirs
-    # otherwise accumulate RAM-backed copies across scaling trials
-    shutil.rmtree(f"{exch_root}/_exchange", ignore_errors=True)
+    # otherwise accumulate RAM-backed copies across scaling trials.
+    # ONLY on the default node-local root: a GRAFT_EXCHANGE_ROOT
+    # override is the shared-mount dry run, where a blanket rmtree
+    # would delete a live SIBLING driver's exchange mid-consumption —
+    # exfs's owner-aware pruning handles that base instead.
+    if "GRAFT_EXCHANGE_ROOT" not in os.environ:
+        shutil.rmtree(f"{exch_root}/_exchange", ignore_errors=True)
     out_dir = f"{out_root}/{os.path.basename(os.path.normpath(sf_dir))}"
     # actor-pool floor sized to the node so the pool is warm before the
     # post-sort burst; ceiling leaves CPUs for shuffle tasks
@@ -235,7 +248,10 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
     ray.shutdown()
     return {
         "metric": "kg_build_sec",
-        "cpu_weather_m_md5_s": quick_weather(num_cpus),
+        # FIXED 32-worker probe regardless of this run's num_cpus:
+        # the reading exists to compare across records, and a 4-worker
+        # aggregate is ~1/8 of a 32-worker one on ANY host
+        "cpu_weather_m_md5_s": quick_weather(32),
         "value": round(kg_sec, 3),
         "unit": "sec",
         "queries": qtimes,
@@ -264,10 +280,17 @@ def run_scaling(sf_dir: str) -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_KG_ONLY="1", GRAFT_CORPUS_DIR=corpus_dir)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+        except subprocess.CalledProcessError as ex:
+            # the child's traceback is the diagnosis — surface it
+            # before aborting a multi-hour scaling run
+            print(ex.stdout, file=sys.stderr)
+            print(ex.stderr, file=sys.stderr)
+            raise
         return json.loads(out.strip().splitlines()[-1])
 
     # N vs 4N at two levels: 4→16 AND 8→32. Runs that occupy the whole

@@ -35,8 +35,20 @@ VALID_ROLES_SQL = "('user','assistant','system','tool')"
 
 
 def cents(x) -> np.ndarray:
-    """floor(x*100+0.5) as int64 — identical in numpy and DuckDB."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 100 + 0.5).astype("int64")
+    """floor(x*100+0.5) as int64 — identical in numpy and DuckDB.
+
+    Refuses NaN loudly: the cast would otherwise mint INT64_MIN
+    silently (numpy warning only) and every monetary aggregate built
+    on it would be garbage, where SQL's floor(NULL*100+0.5) is NULL
+    and SUM skips it. Callers on nullable columns must drop/impute
+    nulls FIRST, making the SQL-semantics decision visible."""
+    v = np.asarray(x, dtype=np.float64)
+    if np.isnan(v).any():
+        raise ValueError(
+            "cents: NaN input (a NULL-bearing column) — the int64 cast "
+            "would silently produce INT64_MIN; drop or impute nulls "
+            "first (SQL aggregates skip NULL, so decide explicitly)")
+    return np.floor(v * 100 + 0.5).astype("int64")
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None,
@@ -68,6 +80,17 @@ def _bcast_df(sf_dir: str, table: str, columns: list[str],
     partial_fns); relying on parquet file order is silent corruption on
     any unsorted dimension."""
     df = pd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    if len(df) > BROADCAST_ROW_LIMIT:
+        # most registry queries broadcast their dimension side without
+        # a per-query hash-join fallback (only the flagship trio has
+        # one) — above the limit that would OOM every actor; refuse
+        # loudly naming the switch instead
+        raise ValueError(
+            f"_bcast_df: {table!r} has {len(df)} rows > "
+            f"BROADCAST_ROW_LIMIT={BROADCAST_ROW_LIMIT} — this query "
+            "needs the co-partitioned hash_join plan at this scale "
+            "(raise GUAC_RAY_BROADCAST_ROW_LIMIT only with matching "
+            "worker heap)")
     if sort_by is not None:
         df = df.sort_values(sort_by).reset_index(drop=True)
     return ray.put(df)
@@ -78,6 +101,29 @@ def _bcast_df(sf_dir: str, table: str, columns: list[str],
 # fs-exchange hash join — on a real cluster the threshold would key on
 # bytes vs per-worker heap; rows are the right proxy for these tables.
 BROADCAST_ROW_LIMIT = int(os.environ.get("GUAC_RAY_BROADCAST_ROW_LIMIT", "100000"))
+
+
+def _dim_idx(sorted_keys: np.ndarray, probe: np.ndarray,
+             ctx: str) -> np.ndarray:
+    """Index of each probe key in a SORTED dimension key array, with
+    the miss check every ``np.searchsorted`` consumer needs: a probe
+    key absent from the dimension would otherwise silently bind the
+    NEXT key's attributes (wrong nation/brand/name — a value
+    divergence the FK-clean oracle tables never exercise) or
+    IndexError past the end. SQL's inner join DROPS such rows; this
+    engine REFUSES loudly instead, naming the orphan key — silent
+    mis-binding is never an option, and an FK violation in a
+    dimension-modeled table is a data bug the caller must see."""
+    idx = np.searchsorted(sorted_keys, probe)
+    idx_c = np.minimum(idx, len(sorted_keys) - 1)
+    bad = sorted_keys[idx_c] != probe
+    if bad.any():
+        raise ValueError(
+            f"{ctx}: {int(bad.sum())} probe key(s) absent from the "
+            f"dimension (e.g. {probe[bad][:3].tolist()}) — FK "
+            "violation; the SQL oracle's inner join would drop these "
+            "rows, so clean the input or join through hash_join")
+    return idx_c
 
 
 def _table_rows(sf_dir: str, table: str) -> int:
@@ -593,7 +639,7 @@ def basket_pairs(sf_dir: str):
             self.brands = part.p_brand.to_numpy()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(self.keys, df.l_partkey.to_numpy())
+            idx = _dim_idx(self.keys, df.l_partkey.to_numpy(), "part dim")
             return pd.DataFrame({"o": df.l_orderkey.to_numpy(),
                                  "b": self.brands[idx]})
 
@@ -5808,7 +5854,7 @@ def q18_large_orders(sf_dir: str):
             self.names = c.c_name.to_numpy()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(self.keys, df.o_custkey.to_numpy())
+            idx = _dim_idx(self.keys, df.o_custkey.to_numpy(), "customer dim")
             return pd.DataFrame({
                 "c_custkey": df.o_custkey.astype("int64"),
                 "c_name": self.names[idx],
@@ -5909,11 +5955,11 @@ def q10_returned_revenue(sf_dir: str):
             self.cb = c.c_acctbal.to_numpy()
             n = ray.get(nref).sort_values("n_nationkey")
             self.cnat = n.n_name.to_numpy()[
-                np.searchsorted(n.n_nationkey.to_numpy(),
-                                c.c_nationkey.to_numpy())]
+                _dim_idx(n.n_nationkey.to_numpy(),
+                         c.c_nationkey.to_numpy(), "nation dim")]
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            i = np.searchsorted(self.ck, df.custkey.to_numpy())
+            i = _dim_idx(self.ck, df.custkey.to_numpy(), "customer dim")
             return pd.DataFrame({
                 "c_custkey": df.custkey.astype("int64"),
                 "c_name": self.cn[i],
@@ -6026,8 +6072,9 @@ def q14_promo_share(sf_dir: str):
             rc = cents(t["l_extendedprice"].to_numpy(zero_copy_only=False)
                        * (1 - t["l_discount"]
                           .to_numpy(zero_copy_only=False)))
-            i = np.searchsorted(
-                self.keys, t["l_partkey"].to_numpy(zero_copy_only=False))
+            i = _dim_idx(
+                self.keys, t["l_partkey"].to_numpy(zero_copy_only=False),
+                "part dim")
             promo = self.is_promo[i]
             return pa.table({
                 "pc": pa.array([int(rc[promo].sum())], pa.int64()),
@@ -6671,7 +6718,7 @@ def orders_basket_sig(sf_dir: str):
             self.brands = part.p_brand.to_numpy()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            idx = np.searchsorted(self.keys, df.l_partkey.to_numpy())
+            idx = _dim_idx(self.keys, df.l_partkey.to_numpy(), "part dim")
             return pd.DataFrame({"o_orderkey": df.l_orderkey.to_numpy(),
                                  "b": self.brands[idx]})
 
@@ -6823,12 +6870,49 @@ def resolve_sql(sql, sf_dir: str) -> str | None:
 # name → (ray callable, oracle SQL string / builder(sf_dir) / None)
 #
 # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-# entries. The registry holds 89; the in-gate 50 all carry a SQL
-# oracle (hash-exact driver rows). Rotation policy (committed round 4,
-# applied again here at round-5 start): a gate slot goes to an
+# entries of SUITE (registry size: assert at the bottom of this file,
+# which also pins that all 50 in-gate entries carry a SQL oracle —
+# hash-exact driver rows). Rotation policy (committed round 4,
+# applied again at round-5 start; the full policy text sits directly
+# above the SUITE literal): a gate slot goes to an
 # --------------------------------------------------------------------------
 # SPDX-JSON SBOM ingest parity (sources/spdx.py vs parse_spdx.go)
 # --------------------------------------------------------------------------
+
+
+def _fleet_fresh(out: str, src_path: str) -> "str | None":
+    """Freshness check for a /tmp document-fleet cache: returns the
+    source fingerprint to commit when (re)generation is needed, or
+    None when the existing cache matches. The sentinel carries the
+    source parquet's (size, mtime_ns) — a bare existence check would
+    feed the Ray side a STALE fleet after the synth data regenerates
+    in place (or when a second checkout shares the sf basename) while
+    the DuckDB oracle reads the live table. On mismatch the whole
+    directory is cleared first: leftover per-group files from a
+    vanished group would otherwise still be globbed as extra
+    documents."""
+    import shutil as _sh
+
+    st = os.stat(src_path)
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    done = f"{out}/_done"
+    if os.path.exists(done):
+        try:
+            with open(done) as fh:
+                if fh.read() == fp:
+                    return None
+        except OSError:
+            pass
+        _sh.rmtree(out, ignore_errors=True)
+    return fp
+
+
+def _fleet_commit(out: str, fp: str) -> None:
+    done = f"{out}/_done"
+    with open(done + ".tmp", "w") as fh:
+        fh.write(fp)
+    os.replace(done + ".tmp", done)
+
 
 def _spdx_fleet_for_sf(sf_dir: str) -> str:
     """Deterministic SPDX-2.2 JSON fleet synthesized FROM the ``part``
@@ -6845,8 +6929,8 @@ def _spdx_fleet_for_sf(sf_dir: str) -> str:
     import json as _json
 
     out = f"/tmp/guac_ray_spdx/{os.path.basename(os.path.normpath(sf_dir))}"
-    done = f"{out}/_done"
-    if os.path.exists(done):
+    _fp = _fleet_fresh(out, f"{sf_dir}/part.parquet")
+    if _fp is None:
         return out
     import pyarrow.parquet as _pq
 
@@ -6914,7 +6998,7 @@ def _spdx_fleet_for_sf(sf_dir: str) -> str:
         with open(tmp, "w") as f:
             _json.dump(doc, f, sort_keys=True)
         os.replace(tmp, f"{out}/{slug}.json")
-    open(done, "w").close()
+    _fleet_commit(out, _fp)
     return out
 
 
@@ -7019,8 +7103,8 @@ def _cdx_fleet_for_sf(sf_dir: str) -> str:
     import json as _json
 
     out = f"/tmp/guac_ray_cdx/{os.path.basename(os.path.normpath(sf_dir))}"
-    done = f"{out}/_done"
-    if os.path.exists(done):
+    _fp = _fleet_fresh(out, f"{sf_dir}/part.parquet")
+    if _fp is None:
         return out
     import pyarrow.parquet as _pq
 
@@ -7072,7 +7156,7 @@ def _cdx_fleet_for_sf(sf_dir: str) -> str:
         with open(tmp, "w") as f:
             _json.dump(doc, f, sort_keys=True)
         os.replace(tmp, f"{out}/{slug}.json")
-    open(done, "w").close()
+    _fleet_commit(out, _fp)
     return out
 
 
@@ -7175,8 +7259,8 @@ def _vex_fleet_for_sf(sf_dir: str) -> tuple[str, str]:
 
     base = f"/tmp/guac_ray_vex/{os.path.basename(os.path.normpath(sf_dir))}"
     ov_dir, cs_dir = f"{base}/openvex", f"{base}/csaf"
-    done = f"{base}/_done"
-    if os.path.exists(done):
+    _fp = _fleet_fresh(base, f"{sf_dir}/supplier.parquet")
+    if _fp is None:
         return ov_dir, cs_dir
     import pyarrow.parquet as _pq
 
@@ -7235,7 +7319,7 @@ def _vex_fleet_for_sf(sf_dir: str) -> tuple[str, str]:
             with open(path + ".tmp", "w") as f:
                 _json.dump(d, f, sort_keys=True)
             os.replace(path + ".tmp", path)
-    open(done, "w").close()
+    _fleet_commit(base, _fp)
     return ov_dir, cs_dir
 
 
@@ -7297,8 +7381,8 @@ def _ite6_fleet_for_sf(sf_dir: str) -> str:
     import json as _json
 
     base = f"/tmp/guac_ray_ite6/{os.path.basename(os.path.normpath(sf_dir))}"
-    done = f"{base}/_done"
-    if os.path.exists(done):
+    _fp = _fleet_fresh(base, f"{sf_dir}/part.parquet")
+    if _fp is None:
         return base
     import pyarrow.parquet as _pq
 
@@ -7345,7 +7429,7 @@ def _ite6_fleet_for_sf(sf_dir: str) -> str:
             with open(path + ".tmp", "w") as f:
                 _json.dump(d, f, sort_keys=True)
             os.replace(path + ".tmp", path)
-    open(done, "w").close()
+    _fleet_commit(base, _fp)
     return base
 
 
@@ -7422,8 +7506,8 @@ def _depsdev_fleet_for_sf(sf_dir: str) -> str:
     import json as _json
 
     base = f"/tmp/guac_ray_depsdev/{os.path.basename(os.path.normpath(sf_dir))}"
-    done = f"{base}/_done"
-    if os.path.exists(done):
+    _fp = _fleet_fresh(base, f"{sf_dir}/customer.parquet")
+    if _fp is None:
         return base
     import hashlib as _hl
 
@@ -7486,7 +7570,7 @@ def _depsdev_fleet_for_sf(sf_dir: str) -> str:
             with open(path + ".tmp", "w") as f:
                 _json.dump(d, f, sort_keys=True)
             os.replace(path + ".tmp", path)
-    open(done, "w").close()
+    _fleet_commit(base, _fp)
     return base
 
 
@@ -7701,9 +7785,10 @@ def q19_brand_band_revenue(sf_dir: str):
 
         def __call__(self, t: pa.Table) -> pa.Table:
             q = t["l_quantity"].to_numpy(zero_copy_only=False)
-            b = self.brand[np.searchsorted(
+            b = self.brand[_dim_idx(
                 self.keys,
-                t["l_partkey"].to_numpy(zero_copy_only=False))]
+                t["l_partkey"].to_numpy(zero_copy_only=False),
+                "part dim")]
             keep = np.zeros(len(q), dtype=bool)
             for br, lo, hi in bands:
                 keep |= (b == br) & (q >= lo) & (q <= hi)
@@ -7855,7 +7940,7 @@ def q16_supplier_variety(sf_dir: str):
                 sup.s_suppkey[sup.s_acctbal < 0].to_numpy())
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            i = _dim_idx(self.pk, df.l_partkey.to_numpy(), "part dim")
             sk = df.l_suppkey.to_numpy().astype("int64")
             bad_i = np.searchsorted(self.bad, sk)
             is_bad = (bad_i < len(self.bad)) & (
@@ -7942,10 +8027,12 @@ def q5_local_revenue(sf_dir: str):
         sup = ray.get(sref)
         ck, cn = c.c_custkey.to_numpy(), c.c_nationkey.to_numpy()
         sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
-        cnat = cn[np.searchsorted(
-            ck, t["custkey"].to_numpy(zero_copy_only=False))]
-        snat = sn[np.searchsorted(
-            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        cnat = cn[_dim_idx(
+            ck, t["custkey"].to_numpy(zero_copy_only=False),
+            "customer dim")]
+        snat = sn[_dim_idx(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False),
+            "supplier dim")]
         keep = cnat == snat
         g = (pd.DataFrame({
             "nationkey": cnat[keep].astype("int64"),
@@ -7969,7 +8056,7 @@ def q5_local_revenue(sf_dir: str):
             self.nm = nat.n_name.to_numpy()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            i = np.searchsorted(self.nk, df.nationkey.to_numpy())
+            i = _dim_idx(self.nk, df.nationkey.to_numpy(), "nation dim")
             return pd.DataFrame({
                 "n_name": self.nm[i],
                 "revenue_cents": df.revenue_cents.astype("int64")})
@@ -8100,7 +8187,7 @@ def q21_waiting_suppliers(sf_dir: str):
             self.in_nat = np.isin(s.s_nationkey.to_numpy(), nk)
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
-            i = np.searchsorted(self.keys, df.suppkey.to_numpy())
+            i = _dim_idx(self.keys, df.suppkey.to_numpy(), "supplier dim")
             keep = self.in_nat[i]
             # typed Arrow output — the q20 empty-nation schema rule
             return pa.table({
@@ -8192,7 +8279,7 @@ def q15_top_supplier(sf_dir: str):
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             hit = df[df.total_revenue_cents.to_numpy() == best]
-            i = np.searchsorted(self.keys, hit.suppkey.to_numpy())
+            i = _dim_idx(self.keys, hit.suppkey.to_numpy(), "supplier dim")
             return pd.DataFrame({
                 "s_suppkey": hit.suppkey.astype("int64"),
                 "s_name": self.names[i],
@@ -8337,10 +8424,12 @@ def q7_nation_volume(sf_dir: str):
         sup = ray.get(sref)
         ck, cn = c.c_custkey.to_numpy(), c.c_nationkey.to_numpy()
         sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
-        cnat = cn[np.searchsorted(
-            ck, t["custkey"].to_numpy(zero_copy_only=False))]
-        snat = sn[np.searchsorted(
-            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        cnat = cn[_dim_idx(
+            ck, t["custkey"].to_numpy(zero_copy_only=False),
+            "customer dim")]
+        snat = sn[_dim_idx(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False),
+            "supplier dim")]
         keep = (np.isin(snat, pk) & np.isin(cnat, pk)
                 & (snat != cnat))
         if not keep.any():
@@ -8456,10 +8545,12 @@ def q8_market_share(sf_dir: str):
         sup = ray.get(sref)
         ck, cn = c.c_custkey.to_numpy(), c.c_nationkey.to_numpy()
         sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
-        cnat = cn[np.searchsorted(
-            ck, t["custkey"].to_numpy(zero_copy_only=False))]
-        snat = sn[np.searchsorted(
-            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        cnat = cn[_dim_idx(
+            ck, t["custkey"].to_numpy(zero_copy_only=False),
+            "customer dim")]
+        snat = sn[_dim_idx(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False),
+            "supplier dim")]
         keep = np.isin(cnat, eur_keys)
         if not keep.any():
             return pa.schema([("o_year", pa.int64()),
@@ -8652,7 +8743,7 @@ def q2_min_cost_supplier(sf_dir: str):
                                   "STANDARD"))
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
-            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            i = _dim_idx(self.pk, df.l_partkey.to_numpy(), "part dim")
             d = df[self.keep_part[i]]
             return table_from_pandas(pd.DataFrame({
                 "p_partkey": d.l_partkey.astype("int64"),
@@ -8692,8 +8783,9 @@ def q2_min_cost_supplier(sf_dir: str):
             # Arrow output — the q20 empty-schema rule)
             keep = df.cost_cents.to_numpy() == df.min_cents.to_numpy()
             d = df[keep]
-            si = np.searchsorted(self.sk, d.suppkey.to_numpy())
-            ni = np.searchsorted(self.nk, self.snat[si])
+            si = _dim_idx(self.sk, d.suppkey.to_numpy(),
+                          "supplier dim")
+            ni = _dim_idx(self.nk, self.snat[si], "nation dim")
             return pa.table({
                 "p_partkey": pa.array(
                     d.p_partkey.to_numpy().astype("int64")),
@@ -8854,7 +8946,7 @@ def q9_product_profit(sf_dir: str):
             self.econ = (p.p_type.to_numpy().astype(str) == "ECONOMY")
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            i = _dim_idx(self.pk, df.l_partkey.to_numpy(), "part dim")
             keep = self.econ[i]
             d = df[keep]
             return pd.DataFrame({
@@ -8886,7 +8978,7 @@ def q9_product_profit(sf_dir: str):
             self.econ = p.p_type.to_numpy().astype(str) == "ECONOMY"
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
-            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            i = _dim_idx(self.pk, df.l_partkey.to_numpy(), "part dim")
             d = df[self.econ[i]]
             return table_from_pandas(pd.DataFrame({
                 "p_partkey": d.l_partkey.astype("int64"),
@@ -8916,8 +9008,9 @@ def q9_product_profit(sf_dir: str):
     def profit_partial(t: pa.Table) -> pa.Table:
         sup = ray.get(sref)
         sk, sn = sup.s_suppkey.to_numpy(), sup.s_nationkey.to_numpy()
-        snat = sn[np.searchsorted(
-            sk, t["suppkey"].to_numpy(zero_copy_only=False))]
+        snat = sn[_dim_idx(
+            sk, t["suppkey"].to_numpy(zero_copy_only=False),
+            "supplier dim")]
         profit = (t["_rc"].to_numpy(zero_copy_only=False)
                   - t["cost_cents"].to_numpy(zero_copy_only=False)
                   * t["qty"].to_numpy(zero_copy_only=False))
@@ -8945,7 +9038,7 @@ def q9_product_profit(sf_dir: str):
             self.nm = nat.n_name.to_numpy()
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            i = np.searchsorted(self.nk, df.nationkey.to_numpy())
+            i = _dim_idx(self.nk, df.nationkey.to_numpy(), "nation dim")
             return pd.DataFrame({
                 "n_name": self.nm[i],
                 "o_year": df.o_year.astype("int64"),
@@ -9012,7 +9105,7 @@ def q20_surge_suppliers(sf_dir: str):
             self.econ = p.p_type.to_numpy().astype(str) == "ECONOMY"
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
-            i = np.searchsorted(self.pk, df.l_partkey.to_numpy())
+            i = _dim_idx(self.pk, df.l_partkey.to_numpy(), "part dim")
             d = df[self.econ[i]]
             return table_from_pandas(pd.DataFrame({
                 "pk": d.l_partkey.astype("int64"),
@@ -9067,7 +9160,7 @@ def q20_surge_suppliers(sf_dir: str):
             self.in_nat = np.isin(s.s_nationkey.to_numpy(), nk)
 
         def __call__(self, df: pd.DataFrame) -> pa.Table:
-            i = np.searchsorted(self.keys, df.sk.to_numpy())
+            i = _dim_idx(self.keys, df.sk.to_numpy(), "supplier dim")
             keep = self.in_nat[i]
             # typed Arrow output: an EMPTY pandas frame with an object
             # string column loses its schema in the block layer (the
@@ -9616,3 +9709,14 @@ SUITE: dict[str, tuple] = {
     "events_value_hist": (events_value_hist, EVENTS_VALUE_HIST_SQL),
     "events_share_of_type": (events_share_of_type, EVENTS_SHARE_SQL),
 }
+
+# The gate contract, asserted at import: the driver checks the FIRST
+# 50 entries, and the rotation policy requires every one of them to be
+# oracle-backed. A future edit that inserts an entry above the cap (or
+# registers a golden-pinned query in a gate slot) must fail HERE, not
+# silently swap which queries the driver verifies.
+_gate = list(SUITE)[:50]
+_no_sql = [n for n in _gate if SUITE[n][1] is None]
+assert not _no_sql, (
+    f"SUITE gate violation: first-50 entries without an oracle: "
+    f"{_no_sql} — golden-pinned queries go past the cap")

@@ -58,12 +58,17 @@ def main() -> int:
 
     corpus_for_sf(SF_DIR)  # KG fixture for THIS sf (idempotent, seeded)
     qs = e.queries()
-    # resolve oracle SQL against the sf under test, not the driver default
-    sqls = {
-        name: resolve_sql(sql, SF_DIR)
-        for name, (_fn, sql) in SUITE.items()
-        if sql is not None
-    }
+    # which entries HAVE an oracle (cheap); the SQL itself resolves
+    # LAZILY per checked name — eager resolution builds every KG
+    # document fleet up front even for a single-query run
+    has_sql = {name for name, (_fn, sql) in SUITE.items()
+               if sql is not None}
+    _sql_cache: dict = {}
+
+    def sql_for(name: str) -> str:
+        if name not in _sql_cache:
+            _sql_cache[name] = resolve_sql(SUITE[name][1], SF_DIR)
+        return _sql_cache[name]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -74,21 +79,31 @@ def main() -> int:
     gate_only = "--gate" in args
     rotation = "--rotation" in args
     only = set(a for a in args if a not in ("--gate", "--rotation"))
+    # comma-separated names (the --only a,b,c form) expand too
+    only = {n for a in only for n in a.split(",") if n}
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name (or flag) must NEVER filter everything out and
+        # exit 0 'all green' — that is a false-green gate
+        print(f"error: unknown query name(s): {sorted(unknown)}",
+              file=sys.stderr)
+        ray.shutdown()
+        return 2
     gate = set(list(qs)[:50])  # the driver checks exactly these
     if rotation:
         names = list(qs)
         in_gate = names[:50]
         past = names[50:]
         print(f"registry: {len(names)} entries "
-              f"({sum(1 for n in names if n in sqls)} oracle-backed, "
-              f"{sum(1 for n in names if n not in sqls)} golden-pinned)")
+              f"({sum(1 for n in names if n in has_sql)} oracle-backed, "
+              f"{sum(1 for n in names if n not in has_sql)} golden-pinned)")
         print(f"IN GATE (driver-checked, first 50): {len(in_gate)}")
         for n in in_gate:
             print(f"  {n}")
         print(f"PAST CAP (green via check_oracle + prior driver record): "
               f"{len(past)}")
         for n in past:
-            kind = "oracle" if n in sqls else "golden-pinned"
+            kind = "oracle" if n in has_sql else "golden-pinned"
             print(f"  {n} [{kind}]")
         ray.shutdown()
         return 0
@@ -106,13 +121,16 @@ def main() -> int:
             fails.append(name)
             continue
         dt = time.time() - t0
-        if name not in sqls:
+        if name not in has_sql:
             print(f"ok?  {name}: rows={len(got)} (rows-only, no oracle) [{dt:.1f}s]")
-            if len(got) < 0:
+            if len(got) == 0:
+                # every golden-pinned query is non-empty at every sf —
+                # a zero-row regression must FAIL, not print ok?
+                print(f"FAIL {name}: golden-pinned query returned 0 rows")
                 fails.append(name)
             continue
         try:
-            want = con.execute(sqls[name]).df()
+            want = con.execute(sql_for(name)).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {type(ex).__name__}: {ex}")
             fails.append(name)
@@ -125,7 +143,16 @@ def main() -> int:
             status.append(f"cols {list(g.columns)} != {list(w.columns)}")
         else:
             try:
-                pd.testing.assert_frame_equal(g, w, check_dtype=False)
+                # TIGHT values: integers/strings compare exactly;
+                # floats at rtol=1e-12 — one-ulp summation-order noise
+                # (pandas sequential cumsum vs DuckDB's windowed-sum
+                # tree, ~2e-16 relative, which the driver's float
+                # normalization also tolerates per the r4 hash-exact
+                # record) passes, while real drift (1e-6-scale, the
+                # class pandas' default rtol=1e-5 would green-light)
+                # fails.
+                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                              rtol=1e-12, atol=1e-12)
             except AssertionError as ex:
                 status.append("values differ: " + str(ex).split("\n")[-2][:160])
         if status:
