@@ -22,6 +22,11 @@ def arrow_type_of(t) -> "pa.DataType | None":
 
     if isinstance(t, pa.DataType):
         return pa.string() if pa.types.is_null(t) else t
+    if t is None:
+        # np.dtype(None) is numpy's legacy float64 alias — minting a
+        # float64 for an UNKNOWN type would break downstream concat
+        # against the real blocks; None means 'caller picks'
+        return None
     try:
         dt = np.dtype(t)
     except TypeError:

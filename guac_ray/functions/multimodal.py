@@ -202,21 +202,33 @@ def _stub_decode(payload: bytes) -> dict:
 class ImageDecoder:
     """Actor-pool stage: media batch → (media_id, width, height,
     features, decoded). BMP/PPM decode for real; unknown magics use the
-    pluggable ``real_decoder`` hook, then the stub (or raise when
-    ``strict``)."""
+    pluggable decoder hook, then the stub (or raise when ``strict``).
+
+    The hook contract: ``decoder(payload: bytes) -> dict`` with keys
+    ``width``/``height``/``features``/``decoded`` (and OPTIONALLY
+    ``rgb``: an (H, W, 3) uint8 array, which ``ImageHasher`` needs to
+    fingerprint codec images). The instance captures the decoder at
+    CONSTRUCTION — a bare class attribute set on the driver would
+    never reach Ray actor processes, which re-import this module
+    fresh; ``decode_images``/``image_dhash`` ship the currently
+    registered hook through ``fn_constructor_kwargs``."""
 
     real_decoder = None  # set by set_real_decoder() (e.g. PIL/libvips)
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, decoder=None):
         self.strict = strict
+        # explicit arg wins; else whatever is registered IN THIS
+        # process (covers direct driver-side use)
+        self.decoder = (decoder if decoder is not None
+                        else ImageDecoder.real_decoder)
 
     def decode(self, payload: bytes) -> dict:
         rgb = decode_any(payload or b"")
         if rgb is not None:
             return {"width": rgb.shape[1], "height": rgb.shape[0],
                     "features": _features(rgb), "decoded": True}
-        if ImageDecoder.real_decoder is not None:
-            return ImageDecoder.real_decoder(payload)
+        if self.decoder is not None:
+            return self.decoder(payload or b"")
         if self.strict:
             raise NotImplementedError(
                 "payload is not BMP/PPM and no codec decoder is installed; "
@@ -244,7 +256,12 @@ class ImageDecoder:
 
 
 def set_real_decoder(fn) -> None:
-    ImageDecoder.real_decoder = staticmethod(fn)
+    """Register a codec decoder (PIL/libvips wrapper). The registration
+    is DRIVER-process state; the ``decode_images`` / ``image_dhash``
+    wrappers capture it at call time and ship it to the actor pool via
+    constructor kwargs — actors re-import this module and would never
+    see a bare class attribute."""
+    ImageDecoder.real_decoder = staticmethod(fn) if fn is not None else None
 
 
 class ImageResizer:
@@ -287,6 +304,10 @@ class FrameSampler:
     SURVEY.md §2.2)."""
 
     def __init__(self, every: int = 10, max_frames: int = 8):
+        if every < 1:
+            # the sibling VideoFeatureExtractor validates stride >= 1 at
+            # construction; a 0 here would ZeroDivisionError per batch
+            raise ValueError("FrameSampler: every must be >= 1")
         self.every = every
         self.max_frames = max_frames
 
@@ -490,8 +511,8 @@ def decode_y4m(payload: bytes) -> "tuple[np.ndarray, int, int] | None":
         # ValueError would kill the whole decode_video map task
         # (decode_ppm wraps the same int() parsing this way)
         return None
-    if w <= 0 or h <= 0 or den <= 0:
-        return None
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        return None  # malformed header (F0:1 would fabricate durations)
     if chroma.startswith("420"):
         fsize = w * h + 2 * ((w // 2) * (h // 2))
     elif chroma.startswith("444"):
@@ -638,11 +659,16 @@ def make_fake_video(n: int = 48, seed: int = 17) -> pa.Table:
     )
 
 
-def decode_images(media: Dataset, concurrency: int = 2, batch_size: int = 32) -> Dataset:
+def decode_images(media: Dataset, concurrency: int = 2, batch_size: int = 32,
+                  strict: bool = False) -> Dataset:
     """Small batches: payload bytes × batch_size × concurrency bounds the
-    per-worker heap for large binaries."""
+    per-worker heap for large binaries. The registered codec decoder
+    (``set_real_decoder``) ships to every actor via constructor
+    kwargs."""
     return media.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"strict": strict,
+                               "decoder": ImageDecoder.real_decoder},
         concurrency=concurrency,
     )
 
@@ -679,13 +705,22 @@ class ImageHasher:
     undecodable payloads emit no row — a perceptual hash of random
     codec bytes would be noise, not a fingerprint."""
 
+    def __init__(self, decoder=None):
+        # same transport rule as ImageDecoder: the hook must arrive via
+        # constructor kwargs to exist inside actor processes. The hook
+        # must return an 'rgb' (H, W, 3) uint8 key for codec images to
+        # be fingerprinted — a decoder without it means codec rows are
+        # SKIPPED (documented; raw-pixel formats always hash).
+        self.decoder = (decoder if decoder is not None
+                        else ImageDecoder.real_decoder)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, hashes = [], []
         for mid, p in zip(batch["media_id"].to_pylist(),
                           batch["payload"].to_pylist()):
             rgb = decode_any(p or b"")
-            if rgb is None and ImageDecoder.real_decoder is not None:
-                out = ImageDecoder.real_decoder(p)
+            if rgb is None and self.decoder is not None:
+                out = self.decoder(p or b"")
                 rgb = out.get("rgb") if isinstance(out, dict) else None
             if rgb is None or rgb.shape[0] < 1 or rgb.shape[1] < 1:
                 continue
@@ -702,6 +737,7 @@ def image_dhash(media: Dataset, concurrency=2, batch_size: int = 32) -> Dataset:
     per-worker heap like ``decode_images``."""
     return media.map_batches(
         ImageHasher, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"decoder": ImageDecoder.real_decoder},
         concurrency=concurrency,
     )
 

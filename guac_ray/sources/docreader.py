@@ -71,13 +71,19 @@ def read_edge_documents(
 
         rows: list[tuple] = []
         for p in batch["path"].to_pylist():
-            with open_maybe_compressed(p) as f:
-                blob = f.read()
             try:
+                # container failures (truncated .gz, vanished file) are
+                # malformed documents too — inside the reject route,
+                # or one bad file kills the whole non-strict read
+                with open_maybe_compressed(p) as f:
+                    blob = f.read()
                 rows.extend(parse_fn(blob, source=p))
             except error_cls:
                 if strict:
                     raise
+            except (OSError, EOFError, pa.ArrowInvalid) as ex:
+                if strict:
+                    raise error_cls(f"unreadable container {p}: {ex}") from ex
         return edges_table(rows)
 
     return rd.from_items([{"path": p} for p in paths]).map_batches(

@@ -87,6 +87,13 @@ class RateLimitedFetcher:
             self.bucket.acquire()
             try:
                 payload = self.transport(ident)
+                if not isinstance(payload, (bytes, bytearray, memoryview)):
+                    # bytes(200) would mint 200 NUL bytes and mark the
+                    # row ok — a transport returning a status code /
+                    # length must surface as an ERROR, not a payload
+                    raise TypeError(
+                        f"transport returned {type(payload).__name__}, "
+                        "expected bytes")
                 out_p.append(bytes(payload))
                 out_ok.append(True)
                 out_err.append("")
@@ -94,14 +101,12 @@ class RateLimitedFetcher:
                 out_p.append(b"")
                 out_ok.append(False)
                 out_err.append(f"{type(ex).__name__}: {ex}")
-        return pa.table(
-            {
-                "identifier": pa.array([str(i) for i in ids], type=pa.string()),
-                "payload": pa.array(out_p, type=pa.binary()),
-                "ok": pa.array(out_ok, type=pa.bool_()),
-                "error": pa.array(out_err, type=pa.string()),
-            }
-        )
+        return pa.Table.from_arrays(
+            [pa.array([str(i) for i in ids], type=pa.string()),
+             pa.array(out_p, type=pa.binary()),
+             pa.array(out_ok, type=pa.bool_()),
+             pa.array(out_err, type=pa.string())],
+            schema=_OUT_SCHEMA)  # one declared schema, used, not drifting
 
 
 def collect_fetch(

@@ -105,14 +105,16 @@ def make_edge(
     origin: str = ORIGIN,
     collector: str = COLLECTOR,
 ) -> tuple:
-    props_json = json.dumps(props, sort_keys=True, separators=(",", ":")) if props else "{}"
+    from guac_ray.sources.docreader import props_json as _pj
+
+    pj = _pj(props)  # ONE props serialization (edge identity keys on it)
     return (
         subj_type,
         subj_key,
         pred,
         obj_type,
         obj_key,
-        props_json,
+        pj,
         JUSTIFICATION[pred],
         origin,
         collector,

@@ -288,3 +288,82 @@ class TestVideoY4M:
             VideoFeatureExtractor(strict=True).features(b"junk")
         with pytest.raises(ValueError):
             VideoFeatureExtractor(stride=0)
+
+
+class TestWave12Hardening:
+    """Round-5 session-12 wave: decoder transport to actors, hostile
+    transports, container rejects."""
+
+    def test_real_decoder_reaches_actor_pool(self, ray_session):
+        """set_real_decoder must affect the DISTRIBUTED decode path —
+        the hook ships via constructor kwargs, not a driver-process
+        class attribute actors never see."""
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.multimodal import (decode_images,
+                                                   set_real_decoder)
+
+        def fake_codec(payload: bytes) -> dict:
+            return {"width": 7, "height": 9,
+                    "features": [0.5] * 8, "decoded": True}
+
+        media = rd.from_pandas(pd.DataFrame({
+            "media_id": [1],
+            "payload": [b"\x89PNG fake codec bytes"]}))
+        set_real_decoder(fake_codec)
+        try:
+            out = decode_images(media).to_pandas()
+        finally:
+            set_real_decoder(None)
+        assert out["decoded"].iloc[0] == True  # noqa: E712
+        assert out["width"].iloc[0] == 7 and out["height"].iloc[0] == 9
+
+    def test_frame_sampler_rejects_zero(self):
+        import pytest
+
+        from guac_ray.functions.multimodal import FrameSampler
+
+        with pytest.raises(ValueError, match="every"):
+            FrameSampler(every=0)
+
+    def test_y4m_zero_fps_stubs(self):
+        from guac_ray.functions.multimodal import decode_y4m
+
+        assert decode_y4m(b"YUV4MPEG2 W2 H2 F0:1 C420\n") is None
+
+    def test_fetcher_int_transport_routes_error(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.sources.fetcher import RateLimitedFetcher
+
+        ds = rd.from_pandas(pd.DataFrame({"identifier": ["a"]}))
+        def bad_transport(i):
+            return 200
+
+        out = ds.map_batches(
+            RateLimitedFetcher,
+            fn_constructor_kwargs={"transport": bad_transport,
+                                   "rate_per_sec": 1000.0},
+            batch_format="pyarrow", concurrency=1).to_pandas()
+        assert not out["ok"].iloc[0]
+        assert "bytes" in out["error"].iloc[0]
+
+    def test_docreader_truncated_gz_rejected(self, ray_session, tmp_path):
+        import gzip
+
+        from guac_ray.sources.spdx import read_documents_any
+
+        good = tmp_path / "good.json"
+        good.write_text(
+            '{"spdxVersion": "SPDX-2.2", "SPDXID": "SPDXRef-DOCUMENT",'
+            ' "name": "x", "documentNamespace": "ns",'
+            ' "creationInfo": {"created": "2024-01-01T00:00:00Z"}}')
+        bad = tmp_path / "bad.json.gz"
+        full = gzip.compress(b'{"spdxVersion": "SPDX-2.2"}')
+        bad.write_bytes(full[: len(full) // 2])  # truncated container
+        out = read_documents_any(str(tmp_path)).to_pandas()
+        # the good doc parses; the truncated .gz reject-routes instead
+        # of crashing the whole read
+        assert len(out) >= 1
