@@ -147,12 +147,14 @@ def coalesce_intervals(
         ds.map_batches(add_bucket, batch_format="pandas"),
         exchange_base or default_exchange("intervals"), reduce_fn)
     if out is None:
+        from guac_ray.arrowutil import arrow_type_of
+
         sch = ds.schema()
         types = dict(zip(sch.names, sch.types)) if sch is not None else {}
 
         def at(c, fallback):
-            ty = types.get(c)
-            return ty if isinstance(ty, pa.DataType) else fallback
+            ty = arrow_type_of(types.get(c))
+            return ty if ty is not None else fallback
 
         return rd.from_arrow(pa.schema(
             [(c, at(c, pa.string())) for c in by]
@@ -209,11 +211,14 @@ def daily_streaks(
         df = (t.to_pandas()[[user_col, "_day"]]
               .drop_duplicates()
               .sort_values([user_col, "_day"], kind="mergesort"))
-        rn = df.groupby(user_col, sort=False).cumcount()
+        # dropna=False throughout: SQL GROUP BY keeps the NULL-user
+        # stream as one group; the pandas default silently deleted it
+        rn = df.groupby(user_col, sort=False, dropna=False).cumcount()
         df["_anchor"] = df["_day"].to_numpy() - rn.to_numpy()
-        isl = (df.groupby([user_col, "_anchor"], sort=False)
+        isl = (df.groupby([user_col, "_anchor"], sort=False,
+                          dropna=False)
                .size().rename("len").reset_index())
-        out = (isl.groupby(user_col, sort=False)
+        out = (isl.groupby(user_col, sort=False, dropna=False)
                .agg(active_days=("len", "sum"),
                     longest_streak=("len", "max"),
                     n_streaks=("len", "size"))
@@ -227,10 +232,11 @@ def daily_streaks(
             add_bucket, batch_format="pandas"),
         exchange_base or default_exchange("streaks"), reduce_fn)
     if out is None:
+        from guac_ray.arrowutil import arrow_type_of
+
         sch = events.schema()
         types = dict(zip(sch.names, sch.types)) if sch is not None else {}
-        uty = types.get(user_col)
-        uty = uty if isinstance(uty, pa.DataType) else pa.int64()
+        uty = arrow_type_of(types.get(user_col)) or pa.int64()
         return rd.from_arrow(pa.schema(
             [(user_col, uty), ("active_days", pa.int64()),
              ("longest_streak", pa.int64()),
@@ -283,9 +289,17 @@ def cohort_retention(
                           % num_buckets).astype("int64")
         return table_from_pandas(out, preserve_index=False)
 
+    if period_days < 1:
+        # numpy's int // 0 is 0 with only a RuntimeWarning — a config
+        # typo would yield a plausible one-cell all-zero matrix
+        raise ValueError("cohort_retention: period_days must be >= 1")
+
     def reduce_fn(t: pa.Table) -> pa.Table:
         df = t.to_pandas()[[user_col, "_week"]].drop_duplicates()
-        coh = df.groupby(user_col, sort=False)["_week"].transform("min")
+        # dropna=False: SQL GROUP BY keeps the NULL-user stream as one
+        # group (the sessionize contract)
+        coh = df.groupby(user_col, sort=False,
+                         dropna=False)["_week"].transform("min")
         cells = (pd.DataFrame({
             "cohort_week": coh.to_numpy(),
             "week_offset": df["_week"].to_numpy() - coh.to_numpy(),
@@ -362,7 +376,8 @@ def rolling_active_users(
               .drop_duplicates()
               .sort_values([user_col, "_day"], kind="mergesort"))
         day = df["_day"].to_numpy()
-        prev = df.groupby(user_col, sort=False)["_day"].shift()
+        prev = df.groupby(user_col, sort=False,
+                          dropna=False)["_day"].shift()
         # coverage islands: [d, d+w-1] unions merge iff gap <= w-1
         new_iv = (prev.isna() | ((df["_day"] - prev) > (w - 1))).to_numpy()
         gid = np.cumsum(new_iv)  # unique island id across users
@@ -433,7 +448,8 @@ def _per_user_stream(
             user_col: df[user_col],
             "_ts": df[ts_col].to_numpy().astype("datetime64[us]")
                              .astype("int64"),
-            "_ord": df[order_col].to_numpy().astype("int64"),
+            "_ord": _as_int64_strict(df[order_col].to_numpy(),
+                                     "_per_user_stream", order_col),
         })
         for c in extra_cols:
             out[c] = df[c].to_numpy()
@@ -488,7 +504,9 @@ def gap_quantiles(
     import ray.data as rd
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        u = _as_int64_strict(
+            t[user_col].to_numpy(zero_copy_only=False),
+            "per-user stream", user_col)
         ts = t["_ts"].to_numpy(zero_copy_only=False)
         od = t["_ord"].to_numpy(zero_copy_only=False)
         o = np.lexsort((od, ts, u))
@@ -558,7 +576,9 @@ def time_weighted_mean(
     import ray.data as rd
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        u = _as_int64_strict(
+            t[user_col].to_numpy(zero_copy_only=False),
+            "per-user stream", user_col)
         ts = t["_ts"].to_numpy(zero_copy_only=False)
         od = t["_ord"].to_numpy(zero_copy_only=False)
         vc = t["_vc"].to_numpy(zero_copy_only=False)
@@ -607,7 +627,11 @@ def time_weighted_mean(
 
     def with_cents(events: Dataset) -> Dataset:
         def add(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
+            # NULL values: the oracle's floor(NULL*100+0.5) is NULL and
+            # the row drops out — mirroring that beats the warning-only
+            # NaN cast, which would mint INT64_MIN cents and trip the
+            # overflow guard on perfectly-scaled data
+            df = df[df[value_col].notna()].copy()
             df["_vc"] = np.floor(
                 df[value_col].to_numpy() * 100 + 0.5).astype("int64")
             return df
@@ -653,7 +677,9 @@ def running_distinct(
     import ray.data as rd
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        u = _as_int64_strict(
+            t[user_col].to_numpy(zero_copy_only=False),
+            "per-user stream", user_col)
         ts = t["_ts"].to_numpy(zero_copy_only=False)
         od = t["_ord"].to_numpy(zero_copy_only=False)
         val = t["_val"].to_numpy(zero_copy_only=False)
@@ -662,11 +688,17 @@ def running_distinct(
             return pa.table({user_col: pa.array([], pa.int64()),
                              order_col: pa.array([], pa.int64()),
                              "n_distinct": pa.array([], pa.int64())})
-        # pass 1: first occurrence of each (user, value), by event time
-        o2 = np.lexsort((od, ts, val, u))
+        # pass 1: first occurrence of each (user, value), by event
+        # time. Values sort as FACTORIZED codes: a None in an object
+        # array would TypeError inside np.lexsort, and SQL
+        # COUNT(DISTINCT) ignores NULLs anyway — null rows keep their
+        # output row but never increment the count (code -1 flags off)
+        vcodes = pd.factorize(val)[0]          # NULL -> -1
+        o2 = np.lexsort((od, ts, vcodes, u))
         first_sorted = np.ones(n, dtype=np.int64)
         first_sorted[1:] = ~((u[o2][1:] == u[o2][:-1])
-                             & (val[o2][1:] == val[o2][:-1]))
+                             & (vcodes[o2][1:] == vcodes[o2][:-1]))
+        first_sorted &= (vcodes[o2] != -1).astype(np.int64)
         flag = np.empty(n, dtype=np.int64)
         flag[o2] = first_sorted
         # pass 2: per-user cumsum of flags in stream order
@@ -749,7 +781,9 @@ def scd2_intervals(
     user_col, type_col = key_cols
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        u = _as_int64_strict(
+            t[user_col].to_numpy(zero_copy_only=False),
+            "per-user stream", user_col)
         ts = t["_ts"].to_numpy(zero_copy_only=False)
         od = t["_ord"].to_numpy(zero_copy_only=False)
         et = t["_et"].to_numpy(zero_copy_only=False)
@@ -757,10 +791,15 @@ def scd2_intervals(
         n = len(u)
         if n == 0:
             return _scd2_empty(user_col, type_col)
-        o = np.lexsort((od, ts, et, u))
-        u, ts, et, vc = u[o], ts[o], et[o], vc[o]
+        # type sorts as FACTORIZED codes: a None in the object array
+        # would TypeError in np.lexsort; SQL GROUP BY keeps the NULL
+        # type as ONE group, which codes give for free (group ORDER is
+        # irrelevant — the output Dataset is unordered)
+        etc = pd.factorize(et, use_na_sentinel=False)[0]
+        o = np.lexsort((od, ts, etc, u))
+        u, ts, et, vc, etc = u[o], ts[o], et[o], vc[o], etc[o]
         new_grp = np.ones(n, dtype=bool)
-        new_grp[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        new_grp[1:] = (u[1:] != u[:-1]) | (etc[1:] != etc[:-1])
         chg = new_grp.copy()
         chg[1:] |= vc[1:] != vc[:-1]
         starts = np.flatnonzero(chg)
@@ -802,11 +841,7 @@ def scd2_intervals(
         exchange_base or default_exchange("scd2"), num_buckets,
         reduce_fn)
     if out is None:
-        return rd.from_arrow(pa.schema(
-            [(user_col, pa.int64()), (type_col, pa.string()),
-             ("value_cents", pa.int64()), ("valid_from_us", pa.int64()),
-             ("valid_to_us", pa.int64()), ("n_obs", pa.int64())]
-        ).empty_table())
+        return rd.from_arrow(_scd2_empty(user_col, type_col))
     return out
 
 
@@ -973,7 +1008,9 @@ def debounce(
         ).empty_table()
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        u = t[user_col].to_numpy(zero_copy_only=False).astype("int64")
+        u = _as_int64_strict(
+            t[user_col].to_numpy(zero_copy_only=False),
+            "per-user stream", user_col)
         ts = t["_ts"].to_numpy(zero_copy_only=False)
         od = t["_ord"].to_numpy(zero_copy_only=False)
         n = len(u)

@@ -1407,3 +1407,102 @@ class TestWave7WindowHardening:
                        ops={"r": ("rank",)},
                        exchange_base=str(tmp_path / "rk")).to_pandas()
         assert out["r"].tolist() == [1, 1]  # all peers, no crash
+
+
+class TestWave13StreamsHardening:
+    """Round-5 session-12: null values/types/users through the stream
+    reduces — crashes and silent casts replaced with SQL semantics."""
+
+    def test_running_distinct_null_values_ignored(self, ray_session,
+                                                  tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import running_distinct
+
+        ts = pd.to_datetime([1, 2, 3, 4], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 1],
+            "ts": ts,
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["a", None, "a", "b"]})
+        out = running_distinct(
+            rd.from_pandas(df), user_col="user_id", ts_col="ts",
+            order_col="event_id", value_col="event_type",
+            exchange_base=str(tmp_path / "rdx")).to_pandas()
+        out = out.sort_values("event_id")
+        # NULL is never a distinct value (SQL COUNT DISTINCT), but the
+        # row keeps its output entry with the unchanged running count
+        assert out["n_distinct"].tolist() == [1, 1, 1, 2]
+
+    def test_scd2_null_type_is_one_group(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import scd2_intervals
+
+        ts = pd.to_datetime([1, 2, 3], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "user_id": [7, 7, 7],
+            "event_type": [None, None, "x"],
+            "ts": ts,
+            "event_id": [1, 2, 3],
+            "value": [5, 5, 9]})
+        out = scd2_intervals(
+            rd.from_pandas(df), key_cols=["user_id", "event_type"],
+            ts_col="ts", order_col="event_id", value_col="value",
+            exchange_base=str(tmp_path / "s2x")).to_pandas()
+        # no lexsort TypeError; the two NULL-type events form ONE run
+        nt = out[out.event_type.isna()]
+        assert len(nt) == 1 and nt["n_obs"].iloc[0] == 2
+
+    def test_streaks_null_user_one_group(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.streams import daily_streaks
+
+        ts = pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-05",
+                             "2024-01-01"]).astype("datetime64[us]")
+        df = pd.DataFrame({
+            "user_id": [None, None, None, "u1"],
+            "ts": ts})
+        out = daily_streaks(
+            rd.from_pandas(df), user_col="user_id", ts_col="ts",
+            exchange_base=str(tmp_path / "dsx")).to_pandas()
+        # the NULL-user stream survives as ONE group (SQL GROUP BY)
+        nu = out[out.user_id.isna()]
+        assert len(nu) == 1
+        assert nu["longest_streak"].iloc[0] == 2
+        assert nu["n_streaks"].iloc[0] == 2
+
+    def test_cohort_rejects_zero_period(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.streams import cohort_retention
+
+        df = pd.DataFrame({
+            "user_id": [1],
+            "ts": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]")})
+        with pytest.raises(ValueError, match="period_days"):
+            cohort_retention(rd.from_pandas(df), period_days=0)
+
+    def test_gap_quantiles_refuses_float_user(self, ray_session,
+                                              tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.streams import gap_quantiles
+
+        ts = pd.to_datetime([1, 2], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "user_id": [1.0, None],  # NULL-upcast float key
+            "ts": ts, "event_id": [1, 2]})
+        with pytest.raises(Exception, match="integer"):
+            gap_quantiles(rd.from_pandas(df), user_col="user_id",
+                          ts_col="ts", order_col="event_id",
+                          exchange_base=str(tmp_path / "gqx")
+                          ).materialize()
