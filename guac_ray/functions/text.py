@@ -298,7 +298,11 @@ class Fingerprinter:
     oracle-friendly definition): fp = md5(lower(ws-collapsed text))."""
 
     def __init__(self):
-        self.ws = re.compile(r"\s+")
+        # the module's \s+ rule (lines 48-53): the oracle collapses
+        # ONLY RE2-ASCII whitespace — Python \s+ would also collapse
+        # NBSP/U+2028, silently forking the fingerprint from any SQL
+        # reimplementation on non-ASCII-whitespace corpora
+        self.ws = _SQL_WS_RE
 
     def fp(self, text: str) -> str:
         norm = self.ws.sub(" ", (text or "").lower()).strip()
@@ -421,7 +425,7 @@ def scrub_pii(
         # output-name shadow guard (the windowed()/nth_value class): an
         # input column named n_<category> would be silently overwritten
         clash = [f"n_{cat}" for cat in pats
-                 if f"n_{cat}" in cols and f"n_{cat}" != dest]
+                 if f"n_{cat}" in cols or f"n_{cat}" == dest]
         if clash:
             raise ValueError(
                 f"scrub_pii: input already carries column(s) {clash} — "
@@ -503,8 +507,11 @@ def pattern_inventory(
                              "pii": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64()),
                              "_bucket": pa.array([], pa.int64())})
+        # dropna=False: a NULL doc id must not silently remove its
+        # matches from a COMPLIANCE inventory (SQL GROUP BY keeps it)
         df = (pd.concat(outs, ignore_index=True)
-              .groupby([id_col, "kind", "pii"], sort=False)
+              .groupby([id_col, "kind", "pii"], sort=False,
+                       dropna=False)
               .size().rename("n").reset_index())
         df["n"] = df["n"].astype("int64")
         df["_bucket"] = (stable_hash(df, [id_col])
@@ -512,7 +519,8 @@ def pattern_inventory(
         return table_from_pandas(df, preserve_index=False)
 
     def reduce_fn(t: pa.Table) -> pa.Table:
-        g = (t.to_pandas().groupby([id_col, "kind", "pii"], sort=False)
+        g = (t.to_pandas().groupby([id_col, "kind", "pii"], sort=False,
+                                   dropna=False)
              ["n"].sum().astype("int64").reset_index())
         return table_from_pandas(g, preserve_index=False)
 
@@ -520,14 +528,28 @@ def pattern_inventory(
         docs.map_batches(extract, batch_format="pyarrow"),
         default_exchange("piiinv"), reduce_fn)
     if out is None:
-        sch = docs.schema()
-        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
-        ity = types.get(id_col)
-        ity = ity if isinstance(ity, pa.DataType) else pa.int64()
         return rd.from_arrow(pa.schema(
-            [(id_col, ity), ("kind", pa.string()),
+            [(id_col, _id_arrow_type(docs, id_col)),
+             ("kind", pa.string()),
              ("pii", pa.string()), ("n", pa.int64())]).empty_table())
     return out
+
+
+class _RevOrd:
+    """Reverse-ordering wrapper: lets a MIN-heap keep the k best rows
+    under (score DESC, id ASC) for ids of ANY orderable type (ints,
+    strings) — the unary-minus trick only works for numbers."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
 
 
 def _id_arrow_type(ds: Dataset, id_col: str) -> pa.DataType:
@@ -718,6 +740,8 @@ def bm25_topk(
 
     terms = sorted({t for ts in queries.values() for t in ts})
 
+    terms_set = set(terms)
+
     def stat_partial(t: pa.Table) -> pa.Table:
         kinds, keys, vals = [], [], []
         n = tot = 0
@@ -728,10 +752,11 @@ def bm25_topk(
                 continue
             n += 1
             tot += len(toks)
-            st = set(toks)
-            for q in terms:
-                if q in st:
-                    dfc[q] += 1
+            # intersect with the (usually smaller) query-term set:
+            # O(min(|doc vocab|, |terms|)) instead of |terms| probes
+            # per document
+            for q in set(toks) & terms_set:
+                dfc[q] += 1
         kinds += ["n", "tot"]
         keys += ["", ""]
         vals += [n, tot]
@@ -756,7 +781,7 @@ def bm25_topk(
     if N == 0:
         return pa.table({
             "qid": pa.array([], pa.int64()),
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], _id_arrow_type(docs, id_col)),
             "score_fp": pa.array([], pa.int64()),
             "rank": pa.array([], pa.int64())})
     idf = {
@@ -789,20 +814,22 @@ def bm25_topk(
                             s += (self.idf[tk] * tf * 2200) // (
                                 tf * 1000 + kd)
                     if s > 0:
-                        # heap on (score, -id): keeps the k best under
-                        # the (score DESC, id ASC) order
-                        heapq.heappush(tops[q], (s, -did))
+                        # heap on (score, _RevOrd(id)): keeps the k
+                        # best under (score DESC, id ASC) for ANY
+                        # orderable id type — unary minus would crash
+                        # on string ids
+                        heapq.heappush(tops[q], (s, _RevOrd(did)))
                         if len(tops[q]) > k:
                             heapq.heappop(tops[q])
             qs, ids, ss = [], [], []
             for q, h in tops.items():
-                for s, nid in h:
+                for s, rid in h:
                     qs.append(q)
-                    ids.append(-nid)
+                    ids.append(rid.v)
                     ss.append(s)
             return pa.table({
                 "qid": pa.array(qs, type=pa.int64()),
-                id_col: pa.array(ids, type=pa.int64()),
+                id_col: pa.array(ids, type=t.schema.field(id_col).type),
                 "score_fp": pa.array(ss, type=pa.int64()),
             })
 
@@ -821,7 +848,8 @@ def bm25_topk(
             out["rank"].append(i)
     return pa.table({
         "qid": pa.array(out["qid"], type=pa.int64()),
-        id_col: pa.array(out[id_col], type=pa.int64()),
+        id_col: pa.array(out[id_col],
+                         type=_id_arrow_type(docs, id_col)),
         "score_fp": pa.array(out["score_fp"], type=pa.int64()),
         "rank": pa.array(out["rank"], type=pa.int64()),
     })
@@ -1279,14 +1307,15 @@ def build_postings(
         flat, cnt = ws_token_stream(t[text_col])
         ids = np.repeat(
             t[id_col].to_numpy(zero_copy_only=False), cnt)
-        if len(ids) == 0:
+        ity = t.schema.field(id_col).type  # arbitrary id types, like
+        if len(ids) == 0:                  # every sibling op
             return pa.table({
                 "term": pa.array([], type=pa.string()),
-                id_col: pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=ity),
                 "tf": pa.array([], type=pa.int64()),
             })
         g = (pa.table({"term": flat.cast(pa.string()),
-                       id_col: pa.array(ids, type=pa.int64())})
+                       id_col: pa.array(ids, type=ity)})
              .group_by(["term", id_col])
              .aggregate([(id_col, "count")]))
         return pa.table({

@@ -939,3 +939,60 @@ class TestWave3Hardening:
              "n_url": [99]}))  # pre-existing column the scrub would clobber
         with pytest.raises(Exception, match="n_url"):
             scrub_pii(ds).materialize()
+
+
+class TestWave14Hardening:
+    """Round-5 session-12 focused pass: arbitrary id types, SQL-RE2
+    whitespace parity, NULL-key inventories, shadow guards."""
+
+    def test_bm25_and_postings_string_ids(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.text import bm25_topk, build_postings
+
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": ["alpha", "beta"],
+            "text": ["hash join probe", "hash only"]}))
+        out = bm25_topk(docs, {1: ["hash", "join"]}, k=2).to_pandas()
+        assert out["doc_id"].tolist() == ["alpha", "beta"]
+        assert out["rank"].tolist() == [1, 2]
+        post = build_postings(
+            docs, exchange_base=str(tmp_path / "px")).to_pandas()
+        assert set(post["doc_id"]) == {"alpha", "beta"}
+
+    def test_fingerprint_sql_whitespace_parity(self):
+        import hashlib
+
+        from guac_ray.functions.text import Fingerprinter
+
+        fp = Fingerprinter()
+        # NBSP is NOT SQL-RE2 whitespace: it must survive, matching the
+        # oracle's [ \t\n\r\f\v]+ collapse (module \s+ rule)
+        assert fp.fp("a b") == hashlib.md5(
+            "a b".encode()).hexdigest()
+        assert fp.fp("a  \t b") == hashlib.md5(b"a b").hexdigest()
+
+    def test_pii_inventory_keeps_null_doc_id(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.text import pattern_inventory
+
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.array([1, None], dtype="Int64"),
+            "text": ["mail x@y.co", "mail z@w.co"]}))
+        out = pattern_inventory(
+            docs, {"email": r"[\w.+-]+@[\w.-]+"}).to_pandas()
+        # the NULL-id doc's match must SURVIVE a compliance audit
+        assert len(out) == 2
+        assert "z@w.co" in set(out["pii"])
+
+    def test_scrub_out_col_cannot_shadow_count(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.text import scrub_pii
+
+        ds = rd.from_pandas(pd.DataFrame(
+            {"text": ["see http://x.example now"]}))
+        with pytest.raises(Exception, match="n_url"):
+            scrub_pii(ds, out_col="n_url").materialize()
