@@ -37,7 +37,8 @@ from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
 
-__all__ = ["grouped_corr", "chi2_contingency", "grouped_linreg"]
+__all__ = ["grouped_corr", "chi2_contingency", "grouped_linreg",
+           "welch_ttest", "mann_whitney_u", "multi_linreg"]
 
 
 def grouped_corr(
@@ -485,3 +486,336 @@ def grouped_acf(
     if out is None:
         return rd.from_arrow(empty.empty_table())
     return out
+
+
+def welch_ttest(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    control,
+    num_buckets: int = 8,
+) -> pa.Table:
+    """Welch's unequal-variance t-test of every group against the
+    ``control`` group — the A/B-experiment readout (does each variant's
+    mean value differ from control?) run straight on the event stream.
+    One output row per non-control group:
+    ``(group_col, n, mean, n_control, mean_control, t_stat, df)``.
+
+    Exactness discipline (module header): ``value_col`` must be integer
+    (the cents trick), so the per-group moment sums (n, Σv, Σv²) are
+    exact int64 through the bucketed two-phase aggregate; each is cast
+    to DOUBLE once and the final expressions run in ONE fixed operation
+    order —
+
+        mean = Σv/n
+        var  = (Σv² − (Σv·Σv)/n) / (n−1)          (sample variance)
+        se²  = var_g/n_g + var_c/n_c
+        t    = (mean_g − mean_c) / sqrt(se²)
+        df   = se²·se² / ((var_g/n_g)²/(n_g−1) + (var_c/n_c)²/(n_c−1))
+
+    — so a SQL oracle spelling the IDENTICAL tree over HUGEINT sums
+    reproduces the doubles bit-for-bit. Constant groups (min == max,
+    the exact integer test) pin var to 0.0; when BOTH variances are
+    zero, t and df pin to 0.0 instead of a 0/0 divergence (the
+    grouped_corr rule). Groups with n < 2 have no sample variance and
+    are dropped (SQL: WHERE n >= 2); a missing or undersized control
+    group raises loudly.
+
+    Scale shape: one streaming map (derive v²) feeding the bucketed
+    two-phase aggregate — shuffle volume is one moment row per (group,
+    block); everything after is a fold over the group-cardinality
+    moment table (the chi2_contingency discipline)."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"welch_ttest: {value_col!r} must be integer (use the "
+                f"cents trick for floats), got {v.dtype}")
+        v = v.astype(np.int64)
+        return pd.DataFrame({group_col: df[group_col], "_v": v,
+                             "_vv": v * v})
+
+    agg = grouped_agg(
+        ds.map_batches(moments, batch_format="pandas"), [group_col],
+        {"_n": ("_v", "count"), "_sv": ("_v", "sum"),
+         "_svv": ("_vv", "sum"),
+         "_mn": ("_v", "min"), "_mx": ("_v", "max")},
+        num_buckets=num_buckets).to_pandas()
+
+    out_schema = pa.schema([
+        (group_col, pa.string()), ("n", pa.int64()),
+        ("mean", pa.float64()), ("n_control", pa.int64()),
+        ("mean_control", pa.float64()),
+        ("t_stat", pa.float64()), ("df", pa.float64())])
+    if agg.empty:
+        return out_schema.empty_table()
+
+    agg = agg[agg["_n"] >= 2].reset_index(drop=True)
+    ctl = agg[agg[group_col] == control]
+    if len(ctl) != 1:
+        raise ValueError(
+            f"welch_ttest: control group {control!r} missing or has "
+            "n < 2 — a t-test against nothing is a config error, not "
+            "an empty result")
+
+    def stats_of(frame: pd.DataFrame):
+        nf = frame["_n"].to_numpy().astype("float64")
+        sv = frame["_sv"].to_numpy().astype("float64")
+        svv = frame["_svv"].to_numpy().astype("float64")
+        const = frame["_mn"].to_numpy() == frame["_mx"].to_numpy()
+        mean = sv / nf
+        var = (svv - (sv * sv) / nf) / (nf - 1.0)
+        var = np.where(const, 0.0, var)
+        return nf, mean, var
+
+    ncf, meanc, varc = stats_of(ctl)
+    nc, mc, vc = float(ncf[0]), float(meanc[0]), float(varc[0])
+
+    g = agg[agg[group_col] != control].reset_index(drop=True)
+    if g.empty:
+        return out_schema.empty_table()
+    nf, mean, var = stats_of(g)
+    sea = var / nf
+    sec = vc / nc
+    se2 = sea + sec
+    zero = se2 == 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (mean - mc) / np.sqrt(se2)
+        dfree = (se2 * se2) / ((sea * sea) / (nf - 1.0)
+                               + (sec * sec) / (nc - 1.0))
+    return pa.table({
+        group_col: pa.array(g[group_col].astype(str)),
+        "n": pa.array(g["_n"].to_numpy().astype("int64")),
+        "mean": pa.array(mean),
+        "n_control": pa.array(np.full(len(g), int(nc), dtype="int64")),
+        "mean_control": pa.array(np.full(len(g), mc)),
+        "t_stat": pa.array(np.where(zero, 0.0, t)),
+        "df": pa.array(np.where(zero, 0.0, dfree)),
+    })
+
+
+def mann_whitney_u(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_buckets: int = 8,
+    max_distinct: int = 2_000_000,
+) -> pa.Table:
+    """Mann–Whitney U rank-sum test between two groups — the
+    non-parametric A/B readout used when value distributions are
+    skewed or heavy-tailed (no normality assumption, unlike
+    ``welch_ttest``). One output row:
+    ``(n_a, n_b, u_a_x2, u_b_x2, z_stat)`` where ``u_a_x2 = 2·U_a``
+    (doubling keeps tie-averaged ranks — odd halves — in exact int64;
+    U itself is u_a_x2/2).
+
+    Exactness: the distributed work is ONE two-phase aggregate at
+    (value, group) grain — the quantile-histogram shape — so the
+    driver folds a distinct-value-bounded table, never the stream.
+    Ranks come from cumulative counts over the sorted distinct values:
+    with c_a/c_b per value, t = c_a + c_b tied rows share average rank
+    (cum_before + (t+1)/2), so
+
+        2·R_a = Σ_v c_a·(2·cum_before + t + 1)        (exact int64)
+        2·U_a = 2·R_a − n_a·(n_a+1)
+
+    and the tie-corrected normal approximation
+
+        σ² = (n_a·n_b/12)·((N+1) − Σ(t³−t)/(N·(N−1)))
+        z  = (2·U_a − n_a·n_b) / (2·σ)
+
+    evaluates in ONE fixed double order from exact integers — the
+    Σ(t³−t) term is summed in arbitrary-precision Python ints here and
+    HUGEINT in the SQL oracle, so both engines cast the SAME exact
+    integer to double. All-tied inputs (σ = 0) pin z to 0.0.
+
+    ``max_distinct`` guards the driver fold exactly like
+    ``scale.percentile_rank``'s distinct_cap: past it, bucket values
+    into ranges first (coarser ties) rather than degrading silently."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"mann_whitney_u: {value_col!r} must be integer (use "
+                f"the cents trick for floats), got {v.dtype}")
+        m = df[group_col].isin([group_a, group_b]).to_numpy()
+        return pd.DataFrame({"_v": v.astype(np.int64)[m],
+                             group_col: df[group_col].to_numpy()[m]})
+
+    hist = grouped_agg(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["_v", group_col], {"c": ("_v", "count")},
+        num_buckets=num_buckets).to_pandas()
+
+    if hist.empty or hist[group_col].nunique() < 2:
+        raise ValueError(
+            f"mann_whitney_u: need both groups {group_a!r} and "
+            f"{group_b!r} present with rows — got "
+            f"{sorted(hist[group_col].unique()) if not hist.empty else []}")
+    if hist["_v"].nunique() > max_distinct:
+        raise ValueError(
+            f"mann_whitney_u: {hist['_v'].nunique()} distinct values "
+            f"exceed max_distinct={max_distinct}; bucket values into "
+            "ranges first (coarser ties) — raising the cap silently "
+            "would make the driver fold data-sized")
+
+    w = (hist.pivot_table(index="_v", columns=group_col, values="c",
+                          aggfunc="sum", fill_value=0)
+         .reindex(columns=[group_a, group_b], fill_value=0)
+         .sort_index())
+    ca = w[group_a].to_numpy().astype("int64")
+    cb = w[group_b].to_numpy().astype("int64")
+    t = ca + cb
+    cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
+    na, nb = int(ca.sum()), int(cb.sum())
+    n = na + nb
+    r_a_x2 = int((ca * (2 * cum_before + t + 1)).sum())
+    u_a_x2 = r_a_x2 - na * (na + 1)
+    u_b_x2 = 2 * na * nb - u_a_x2
+    # Σ(t³−t) in Python ints: a single dominant tie at N rows is
+    # N³ ≈ 4e20 > int64 at 7.5M rows — arbitrary precision here,
+    # HUGEINT in the oracle, both cast the same exact value once
+    tie_term = sum(int(x) ** 3 - int(x) for x in t)
+    naf, nbf, nf = float(na), float(nb), float(n)
+    sig2 = (naf * nbf / 12.0) * (
+        (nf + 1.0) - float(tie_term) / (nf * (nf - 1.0)))
+    if sig2 == 0.0:
+        z = 0.0
+    else:
+        z = (float(u_a_x2) - naf * nbf) / (2.0 * np.sqrt(sig2))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "u_a_x2": pa.array([u_a_x2], pa.int64()),
+        "u_b_x2": pa.array([u_b_x2], pa.int64()),
+        "z_stat": pa.array([float(z)], pa.float64()),
+    })
+
+
+def multi_linreg(
+    ds: Dataset,
+    features: list[str],
+    y: str,
+) -> pa.Table:
+    """EXACT multi-feature ordinary least squares — the distributed
+    linear-model trainer: fit ``y = b0 + b1·x1 + … + bk·xk`` by normal
+    equations over integer features/target. The distributed pass emits
+    per-batch int64 Gram partials (every pairwise product sum of
+    [1, x1…xk, y]); the driver folds them in arbitrary-precision
+    Python ints and solves the (k+1)×(k+1) system by fraction-free
+    Bareiss elimination, so every determinant is an EXACT integer and
+    each coefficient is produced by ONE double division
+    ``float(det_i)/float(det)`` — a SQL oracle spelling Cramer's rule
+    over HUGEINT sums reproduces the doubles bit-for-bit (both engines
+    round the same two exact integers to double once).
+
+    Singular systems (collinear features, e.g. a constant column next
+    to the intercept) have det = 0 and raise loudly — a silently
+    pseudo-inverted fit would not be reproducible across engines.
+
+    Output: one row per coefficient, ``(term, beta)`` with term
+    'intercept' or the feature name, plus an ``n`` column.
+
+    Scale shape: the q6 discipline — one partial row per input block
+    with (k+2)(k+3)/2 int64 sums, folded on the driver; nothing else
+    moves. Per-row product budget: |x_i·x_j| · rows must fit int64 —
+    with bounded encodings (hour ≤ 23, weekday ≤ 6, cents ≤ 10⁷) that
+    holds past 10¹⁰ rows; the partial asserts integer dtypes."""
+    cols = list(features) + [y]
+    k = len(features)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        mats = []
+        for c in cols:
+            v = df[c].to_numpy()
+            if not np.issubdtype(v.dtype, np.integer):
+                raise TypeError(
+                    f"multi_linreg: {c!r} must be integer (use the "
+                    f"cents trick for floats), got {v.dtype}")
+            mats.append(v.astype(np.int64))
+        out = {"_n": np.int64(len(df))}
+        for i, ci in enumerate(cols):
+            out[f"_s_{ci}"] = mats[i].sum()
+            for j in range(i, len(cols)):
+                out[f"_s_{ci}_{cols[j]}"] = (mats[i] * mats[j]).sum()
+        return pa.table({kk: pa.array([int(vv)], pa.int64())
+                         for kk, vv in out.items()})
+
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if parts.empty or int(parts["_n"].sum()) == 0:
+        return pa.schema([("term", pa.string()), ("beta", pa.float64()),
+                          ("n", pa.int64())]).empty_table()
+    # fold in PYTHON ints (arbitrary precision): int64 partials are
+    # exact per block, but their sum and every determinant below can
+    # exceed int64 — the oracle's HUGEINT plays the same role
+    tot = {c: int(parts[c].astype(object).sum()) for c in parts.columns}
+    n = tot["_n"]
+
+    def s(a: str, b: str | None = None) -> int:
+        if b is None:
+            return tot[f"_s_{a}"]
+        return tot.get(f"_s_{a}_{b}", tot.get(f"_s_{b}_{a}"))
+
+    # normal equations over the design [1, x1..xk]: A·beta = b
+    terms = ["1"] + list(features)
+
+    def dot(a: str, b: str) -> int:
+        if a == "1" and b == "1":
+            return n
+        if a == "1":
+            return s(b)
+        if b == "1":
+            return s(a)
+        return s(a, b)
+
+    A = [[dot(ti, tj) for tj in terms] for ti in terms]
+    bvec = [s(f) if f != "1" else 0 for f in terms]
+    bvec[0] = s(y)
+    for i in range(1, k + 1):
+        bvec[i] = s(features[i - 1], y)
+
+    def det_int(m: list[list[int]]) -> int:
+        """Fraction-free Bareiss — exact integer determinant."""
+        m = [row[:] for row in m]
+        d = len(m)
+        sign = 1
+        prev = 1
+        for p in range(d - 1):
+            if m[p][p] == 0:
+                swap = next((r for r in range(p + 1, d) if m[r][p] != 0),
+                            None)
+                if swap is None:
+                    return 0
+                m[p], m[swap] = m[swap], m[p]
+                sign = -sign
+            for r in range(p + 1, d):
+                for c in range(p + 1, d):
+                    m[r][c] = (m[r][c] * m[p][p]
+                               - m[r][p] * m[p][c]) // prev
+                m[r][p] = 0
+            prev = m[p][p]
+        return sign * m[d - 1][d - 1]
+
+    det = det_int(A)
+    if det == 0:
+        raise ValueError(
+            "multi_linreg: singular normal equations (collinear "
+            "features) — drop the dependent feature; a silent "
+            "pseudo-inverse would not be engine-reproducible")
+    betas = []
+    for i in range(k + 1):
+        Ai = [[bvec[r] if c == i else A[r][c]
+               for c in range(k + 1)] for r in range(k + 1)]
+        betas.append(float(det_int(Ai)) / float(det))
+    return pa.table({
+        "term": pa.array(["intercept"] + list(features)),
+        "beta": pa.array(betas, pa.float64()),
+        "n": pa.array([n] * (k + 1), pa.int64()),
+    })

@@ -9294,6 +9294,210 @@ FROM t
 """
 
 
+def events_ab_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test of every event type against the
+    'view' control (functions/stats.py ``welch_ttest``) — the
+    A/B-experiment readout run straight on the event stream. Exact
+    int64 moments (n, Σv, Σv²) through the two-phase aggregate; mean,
+    sample variance, t and the Welch–Satterthwaite df evaluate in ONE
+    fixed double order mirrored by the oracle, so every double is
+    bit-exact. Constant groups pin var 0.0; zero-se² pairs pin
+    t = df = 0.0 (the grouped_corr rule)."""
+    from guac_ray.functions.stats import welch_ttest
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "v": cents(df["value"])})
+
+    return welch_ttest(ds.map_batches(keyed, batch_format="pandas"),
+                       "event_type", "v", "view", num_buckets=4)
+
+
+EVENTS_AB_TTEST_SQL = """
+WITH t AS (
+  SELECT event_type AS g,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+  FROM events
+), m AS (
+  SELECT g, count(*) AS n, sum(v) AS sv, sum(v*v) AS svv,
+         min(v) AS mn, max(v) AS mx
+  FROM t GROUP BY g
+), st AS (
+  SELECT g, CAST(n AS BIGINT) AS n,
+         CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         CASE WHEN mn = mx THEN 0.0 ELSE
+           (CAST(svv AS DOUBLE)
+            - (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+              / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) END AS var
+  FROM m WHERE n >= 2
+), c AS (SELECT * FROM st WHERE g = 'view')
+SELECT s.g AS event_type, s.n, s.mean,
+       c.n AS n_control, c.mean AS mean_control,
+       CASE WHEN s.var / CAST(s.n AS DOUBLE)
+                 + c.var / CAST(c.n AS DOUBLE) = 0.0 THEN 0.0
+            ELSE (s.mean - c.mean)
+                 / sqrt(s.var / CAST(s.n AS DOUBLE)
+                        + c.var / CAST(c.n AS DOUBLE)) END AS t_stat,
+       CASE WHEN s.var / CAST(s.n AS DOUBLE)
+                 + c.var / CAST(c.n AS DOUBLE) = 0.0 THEN 0.0
+            ELSE ((s.var / CAST(s.n AS DOUBLE)
+                   + c.var / CAST(c.n AS DOUBLE))
+                  * (s.var / CAST(s.n AS DOUBLE)
+                     + c.var / CAST(c.n AS DOUBLE)))
+                 / (((s.var / CAST(s.n AS DOUBLE))
+                     * (s.var / CAST(s.n AS DOUBLE)))
+                    / (CAST(s.n AS DOUBLE) - 1.0)
+                    + ((c.var / CAST(c.n AS DOUBLE))
+                       * (c.var / CAST(c.n AS DOUBLE)))
+                      / (CAST(c.n AS DOUBLE) - 1.0)) END AS df
+FROM st s, c WHERE s.g <> 'view'
+"""
+
+
+def events_mannwhitney(sf_dir: str):
+    """Mann–Whitney U rank-sum test (functions/stats.py
+    ``mann_whitney_u``) of purchase vs click value distributions — the
+    non-parametric A/B readout for skewed values where welch_ttest's
+    normality assumption fails. One two-phase aggregate at (value,
+    group) grain (the quantile-histogram shape); the driver folds the
+    distinct-value table: tie-averaged ranks as exact integers
+    (``u_a_x2 = 2·U`` keeps odd halves integral), the tie term
+    Σ(t³−t) in arbitrary-precision ints (HUGEINT in the oracle), and
+    the tie-corrected z in one fixed double order — bit-exact."""
+    from guac_ray.functions.stats import mann_whitney_u
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "v": cents(df["value"])})
+
+    return mann_whitney_u(ds.map_batches(keyed, batch_format="pandas"),
+                          "event_type", "v", "purchase", "click",
+                          num_buckets=4)
+
+
+EVENTS_MANNWHITNEY_SQL = """
+WITH t AS (
+  SELECT event_type AS g,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+), h AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM t GROUP BY v
+), r AS (
+  SELECT v, ca, cb, ca + cb AS tt,
+         COALESCE(sum(ca + cb) OVER (
+             ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS cum_before
+  FROM h
+), agg AS (
+  SELECT CAST(sum(ca) AS HUGEINT) AS na,
+         CAST(sum(cb) AS HUGEINT) AS nb,
+         CAST(sum(ca * (2*cum_before + tt + 1)) AS HUGEINT) AS ra2,
+         CAST(sum(CAST(tt AS HUGEINT)*tt*tt - tt) AS HUGEINT) AS tie
+  FROM r
+), u AS (
+  SELECT na, nb, ra2 - na*(na+1) AS ua2, tie FROM agg
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(ua2 AS BIGINT) AS u_a_x2,
+       CAST(2*na*nb - ua2 AS BIGINT) AS u_b_x2,
+       CASE WHEN (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                 * ((CAST(na + nb AS DOUBLE) + 1.0)
+                    - CAST(tie AS DOUBLE)
+                      / (CAST(na + nb AS DOUBLE)
+                         * (CAST(na + nb AS DOUBLE) - 1.0))) = 0.0
+            THEN 0.0
+            ELSE (CAST(ua2 AS DOUBLE)
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 / (2.0 * sqrt(
+                     (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                     * ((CAST(na + nb AS DOUBLE) + 1.0)
+                        - CAST(tie AS DOUBLE)
+                          / (CAST(na + nb AS DOUBLE)
+                             * (CAST(na + nb AS DOUBLE) - 1.0)))))
+       END AS z_stat
+FROM u
+"""
+
+
+def events_multireg(sf_dir: str):
+    """EXACT multi-feature OLS (functions/stats.py ``multi_linreg``):
+    regress value cents on hour-of-day and weekday — the distributed
+    linear-model trainer via normal equations. One int64 Gram partial
+    per block (the q6 discipline), arbitrary-precision driver fold,
+    fraction-free Bareiss determinants; each coefficient is ONE double
+    division of two exact integers, mirrored by the oracle's HUGEINT
+    Cramer expansion — bit-exact. Weekday is (epoch_day + 4) % 7 on
+    both engines (the grouping-sets idiom)."""
+    from guac_ray.functions.stats import multi_linreg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        day = tu // 86_400_000_000
+        return pd.DataFrame({
+            "hour": (tu // 3_600_000_000) % 24,
+            "weekday": (day + 4) % 7,
+            "y": cents(df["value"]),
+        })
+
+    return multi_linreg(ds.map_batches(feats, batch_format="pandas"),
+                        ["hour", "weekday"], "y")
+
+
+EVENTS_MULTIREG_SQL = """
+WITH t AS (
+  SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+         (epoch_us(ts) // 86400000000 + 4) % 7 AS w,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(h) AS HUGEINT) AS sh, CAST(sum(w) AS HUGEINT) AS sw,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(h*h) AS HUGEINT) AS shh,
+         CAST(sum(h*w) AS HUGEINT) AS shw,
+         CAST(sum(w*w) AS HUGEINT) AS sww,
+         CAST(sum(h*y) AS HUGEINT) AS shy,
+         CAST(sum(w*y) AS HUGEINT) AS swy
+  FROM t
+), d AS (
+  SELECT *,
+         n*(shh*sww - shw*shw) - sh*(sh*sww - shw*sw)
+           + sw*(sh*shw - shh*sw) AS det,
+         sy*(shh*sww - shw*shw) - sh*(shy*sww - shw*swy)
+           + sw*(shy*shw - shh*swy) AS det0,
+         n*(shy*sww - shw*swy) - sy*(sh*sww - shw*sw)
+           + sw*(sh*swy - shy*sw) AS det1,
+         n*(shh*swy - shy*shw) - sh*(sh*swy - shy*sw)
+           + sy*(sh*shw - shh*sw) AS det2
+  FROM m
+)
+SELECT * FROM (
+  SELECT 'intercept' AS term,
+         CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS beta,
+         CAST(n AS BIGINT) AS n FROM d
+  UNION ALL
+  SELECT 'hour', CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE),
+         CAST(n AS BIGINT) FROM d
+  UNION ALL
+  SELECT 'weekday', CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE),
+         CAST(n AS BIGINT) FROM d
+)
+"""
+
+
 # operator that has NEVER had a driver-green row; operators already
 # hash-exact on a prior round's driver record (CORRECTNESS_r01–r04)
 # and UNCHANGED since rotate past the cap, where their old record plus
@@ -9708,6 +9912,14 @@ SUITE: dict[str, tuple] = {
     # equi-depth quantile cut) and share-of-total (ratio_to_report):
     "events_value_hist": (events_value_hist, EVENTS_VALUE_HIST_SQL),
     "events_share_of_type": (events_share_of_type, EVENTS_SHARE_SQL),
+    # round-5 session 12 — experimentation analytics: Welch's t
+    # (exact moments + fixed-order doubles), Mann–Whitney U (tie-
+    # corrected rank sums over the value histogram, exact 2U ints),
+    # and exact multi-feature OLS (integer Gram partials + Bareiss
+    # determinants, one double division per coefficient):
+    "events_ab_ttest": (events_ab_ttest, EVENTS_AB_TTEST_SQL),
+    "events_mannwhitney": (events_mannwhitney, EVENTS_MANNWHITNEY_SQL),
+    "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
 }
 
 # The gate contract, asserted at import: the driver checks the FIRST

@@ -251,3 +251,195 @@ class TestGroupedLinreg:
                                             y.astype(float), 1)
         assert np.isclose(got["slope"].iloc[0], want_slope, rtol=1e-9)
         assert np.isclose(got["intercept"].iloc[0], want_icept, rtol=1e-9)
+
+
+class TestWelchTtest:
+    """welch_ttest: scipy-free closed-form cross-check, pins, guards."""
+
+    def _run(self, df, control="c", num_buckets=2):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import welch_ttest
+
+        out = welch_ttest(rd.from_pandas(df), "g", "v", control,
+                          num_buckets=num_buckets).to_pandas()
+        return out.sort_values("g").reset_index(drop=True)
+
+    def test_matches_reference_formula(self, ray_session):
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "v": rng.integers(0, 10_000, 3000).astype("int64")})
+        out = self._run(df, control="c", num_buckets=3)
+        assert list(out["g"]) == ["a", "b"]
+        for _, row in out.iterrows():
+            va = df.loc[df.g == row["g"], "v"].to_numpy().astype("float64")
+            vc = df.loc[df.g == "c", "v"].to_numpy().astype("float64")
+            na, nc = len(va), len(vc)
+            sa2 = va.var(ddof=1) / na
+            sc2 = vc.var(ddof=1) / nc
+            t_ref = (va.mean() - vc.mean()) / np.sqrt(sa2 + sc2)
+            df_ref = (sa2 + sc2) ** 2 / (sa2 ** 2 / (na - 1)
+                                         + sc2 ** 2 / (nc - 1))
+            assert row["n"] == na and row["n_control"] == nc
+            assert abs(row["t_stat"] - t_ref) < 1e-9
+            assert abs(row["df"] - df_ref) < 1e-6
+
+    def test_zero_variance_pins_and_small_groups_drop(self, ray_session):
+        df = pd.DataFrame({
+            "g": ["a"] * 5 + ["c"] * 5 + ["tiny"],
+            "v": np.array([7] * 5 + [7] * 5 + [3], dtype="int64")})
+        out = self._run(df)
+        # both variances zero -> t, df pin to 0.0; n<2 group dropped
+        assert list(out["g"]) == ["a"]
+        assert out.loc[0, "t_stat"] == 0.0 and out.loc[0, "df"] == 0.0
+
+    def test_missing_control_raises(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import welch_ttest
+
+        df = pd.DataFrame({"g": ["a", "a"], "v": np.array([1, 2], "int64")})
+        with pytest.raises(ValueError, match="control group"):
+            welch_ttest(rd.from_pandas(df), "g", "v", "nope")
+
+    def test_float_rejected(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import welch_ttest
+
+        df = pd.DataFrame({"g": ["a", "c", "c"], "v": [1.5, 2.0, 3.0]})
+        with pytest.raises((TypeError, Exception), match="integer"):
+            welch_ttest(rd.from_pandas(df), "g", "v", "c").to_pandas()
+
+
+class TestMannWhitneyU:
+    """mann_whitney_u: scipy-formula cross-check with heavy ties,
+    all-tied pin, partitioning invariance."""
+
+    def _run(self, df, num_buckets=2):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import mann_whitney_u
+
+        return mann_whitney_u(rd.from_pandas(df), "g", "v", "a", "b",
+                              num_buckets=num_buckets).to_pandas()
+
+    def test_matches_rank_reference(self, ray_session):
+        rng = np.random.default_rng(12)
+        # small value range -> heavy ties, the tie-correction path
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "x"], 2000),
+            "v": rng.integers(0, 40, 2000).astype("int64")})
+        out = self._run(df, num_buckets=3)
+        sub = df[df.g.isin(["a", "b"])]
+        ranks = pd.Series(sub["v"]).rank(method="average")
+        ra = float(ranks[sub.g == "a"].sum())
+        na = int((sub.g == "a").sum())
+        nb = int((sub.g == "b").sum())
+        u_a = ra - na * (na + 1) / 2
+        assert out.loc[0, "n_a"] == na and out.loc[0, "n_b"] == nb
+        assert out.loc[0, "u_a_x2"] == int(round(2 * u_a))
+        assert out.loc[0, "u_a_x2"] + out.loc[0, "u_b_x2"] == 2 * na * nb
+        # z vs the standard tie-corrected normal approximation
+        n = na + nb
+        _, t = np.unique(sub["v"], return_counts=True)
+        tie = float((t.astype("float64") ** 3 - t).sum())
+        sig2 = (na * nb / 12.0) * ((n + 1.0) - tie / (n * (n - 1.0)))
+        z_ref = (u_a - na * nb / 2.0) / np.sqrt(sig2)
+        assert abs(out.loc[0, "z_stat"] - z_ref) < 1e-9
+
+    def test_all_tied_pins_z_zero(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "v": np.array([5, 5, 5, 5], "int64")})
+        out = self._run(df)
+        assert out.loc[0, "z_stat"] == 0.0
+        assert out.loc[0, "u_a_x2"] == out.loc[0, "u_b_x2"] == 4  # 2*U = 2*2
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import mann_whitney_u
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 500),
+            "v": rng.integers(0, 20, 500).astype("int64")})
+        outs = []
+        for nblocks in (1, 7):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            outs.append(mann_whitney_u(ds, "g", "v", "a", "b").to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+    def test_missing_group_raises(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "a"], "v": np.array([1, 2], "int64")})
+        with pytest.raises((ValueError, Exception), match="both groups"):
+            self._run(df)
+
+
+class TestMultiLinreg:
+    """multi_linreg: np.linalg.lstsq parity, exact-integer recovery,
+    singular refusal, partitioning invariance."""
+
+    def _run(self, df, feats=("x1", "x2"), num_blocks=1):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import multi_linreg
+
+        ds = rd.from_pandas(df).repartition(num_blocks)
+        return multi_linreg(ds, list(feats), "y").to_pandas()
+
+    def test_recovers_planted_coefficients(self, ray_session):
+        rng = np.random.default_rng(14)
+        x1 = rng.integers(0, 24, 4000).astype("int64")
+        x2 = rng.integers(0, 7, 4000).astype("int64")
+        y = 100 + 3 * x1 - 5 * x2  # exact linear, integer
+        out = self._run(pd.DataFrame({"x1": x1, "x2": x2, "y": y}),
+                        num_blocks=5)
+        betas = dict(zip(out["term"], out["beta"]))
+        assert abs(betas["intercept"] - 100.0) < 1e-9
+        assert abs(betas["x1"] - 3.0) < 1e-9
+        assert abs(betas["x2"] + 5.0) < 1e-9
+
+    def test_matches_lstsq_on_noise(self, ray_session):
+        rng = np.random.default_rng(15)
+        x1 = rng.integers(0, 24, 3000).astype("int64")
+        x2 = rng.integers(0, 7, 3000).astype("int64")
+        y = (50 + 2 * x1 + 9 * x2
+             + rng.integers(-30, 31, 3000)).astype("int64")
+        out = self._run(pd.DataFrame({"x1": x1, "x2": x2, "y": y}),
+                        num_blocks=4)
+        X = np.column_stack([np.ones(len(x1)), x1, x2]).astype("float64")
+        ref, *_ = np.linalg.lstsq(X, y.astype("float64"), rcond=None)
+        got = out.set_index("term").loc[["intercept", "x1", "x2"],
+                                        "beta"].to_numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+    def test_partitioning_invariance_bit_exact(self, ray_session):
+        rng = np.random.default_rng(16)
+        df = pd.DataFrame({
+            "x1": rng.integers(0, 24, 1000).astype("int64"),
+            "x2": rng.integers(0, 7, 1000).astype("int64"),
+            "y": rng.integers(0, 5000, 1000).astype("int64")})
+        a = self._run(df, num_blocks=1)
+        b = self._run(df, num_blocks=9)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def test_singular_raises(self, ray_session):
+        df = pd.DataFrame({
+            "x1": np.array([2] * 50, "int64"),      # constant = collinear
+            "x2": np.arange(50, dtype="int64"),     # with the intercept
+            "y": np.arange(50, dtype="int64")})
+        with pytest.raises((ValueError, Exception), match="singular"):
+            self._run(df)
+
+    def test_single_feature_matches_grouped_linreg_form(self, ray_session):
+        rng = np.random.default_rng(17)
+        x = rng.integers(0, 100, 800).astype("int64")
+        y = (7 * x + 13 + rng.integers(-5, 6, 800)).astype("int64")
+        out = self._run(pd.DataFrame({"x1": x, "y": y}), feats=("x1",),
+                        num_blocks=3)
+        xf, yf = x.astype("float64"), y.astype("float64")
+        slope_ref = np.polyfit(xf, yf, 1)[0]
+        betas = dict(zip(out["term"], out["beta"]))
+        assert abs(betas["x1"] - slope_ref) < 1e-8
