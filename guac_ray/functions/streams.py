@@ -28,7 +28,7 @@ from guac_ray.stages.assemble import stable_hash
 __all__ = ["sessionize", "coalesce_intervals", "daily_streaks",
            "cohort_retention", "rolling_active_users",
            "gap_quantiles", "time_weighted_mean", "running_distinct",
-           "scd2_intervals", "cdc_merge", "debounce"]
+           "scd2_intervals", "cdc_merge", "debounce", "ewma"]
 
 
 def sessionize(
@@ -1038,4 +1038,117 @@ def debounce(
         reduce_fn)
     if out is None:
         return rd.from_arrow(_empty())
+    return out
+
+
+def ewma(
+    events: Dataset,
+    value_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    scale: int = 1_000_000,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Per-user exponentially-weighted moving average — the streaming
+    smoother / forecast state (what value do we expect from this user
+    next?) that no GROUP BY or window frame expresses: each step
+    depends on the previous SMOOTHED value, an order-sensitive
+    recurrence. FIXED-POINT integer form with rational
+    α = alpha_num/alpha_den:
+
+        e_1 = v_1 · scale
+        e_i = (α_num·v_i·scale + (α_den−α_num)·e_{i−1}) // α_den
+
+    — every step is exact int64 floor division, so the result is
+    bit-identical across any partitioning or engine; the SQL oracle is
+    the IDENTICAL recurrence in a recursive CTE. Output one row per
+    user: (user, n_events, ewma_fp) with ewma_fp = e_n (divide by
+    ``scale`` for the value-scale smoothed mean).
+
+    Values must be NONNEGATIVE integers (cents): numpy's ``//`` floors
+    while SQL's truncates — they agree only when every intermediate is
+    ≥ 0, so negatives are refused loudly rather than silently
+    diverging from any SQL re-implementation. Overflow guard:
+    α_num·v·scale must fit int64; the reduce asserts
+    max(v) ≤ 2⁶²/(scale·α_den) with the rescale advice named.
+
+    Scale shape: the ``sessionize`` contract — ONE user-hash exchange
+    of 3 int64 columns; per bucket one lexsort, then the recurrence
+    runs vectorized ACROSS USERS step-by-step (the loop length is the
+    bucket's MAX per-user stream length, not its row count — same
+    skew caveat as every ordered-stream reduction here)."""
+    from guac_ray.functions.joins import default_exchange
+
+    import ray.data as rd
+
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError(
+            f"ewma: need 0 < alpha_num < alpha_den, got "
+            f"{alpha_num}/{alpha_den}")
+    vmax_ok = (2 ** 62) // (scale * alpha_den)
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        u = _as_int64_strict(
+            t[user_col].to_numpy(zero_copy_only=False),
+            "ewma", user_col)
+        ts = t["_ts"].to_numpy(zero_copy_only=False)
+        od = t["_ord"].to_numpy(zero_copy_only=False)
+        v = t["_v"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "ewma_fp": pa.array([], pa.int64())})
+        if v.min() < 0:
+            raise ValueError(
+                "ewma: negative values — numpy floor-division and SQL "
+                "truncating division diverge below zero; shift or "
+                "split the series first")
+        if v.max() > vmax_ok:
+            raise ValueError(
+                f"ewma: max value {int(v.max())} x scale {scale} x "
+                f"alpha_den {alpha_den} would overflow int64 — lower "
+                "scale or pre-scale the values")
+        o = np.lexsort((od, ts, u))
+        u, v = u[o], v[o].astype(np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new_user)
+        lens = np.diff(np.append(starts, n))
+        e = v[starts] * scale
+        beta = alpha_den - alpha_num
+        # step loop: vectorized across users (length = max stream len)
+        for j in range(1, int(lens.max())):
+            act = lens > j
+            idx = starts[act] + j
+            e[act] = (alpha_num * v[idx] * scale
+                      + beta * e[act]) // alpha_den
+        return pa.table({user_col: pa.array(u[starts]),
+                         "n_events": pa.array(lens.astype("int64")),
+                         "ewma_fp": pa.array(e.astype("int64"))})
+
+    def add_v(df: pd.DataFrame) -> pd.DataFrame:
+        vv = df[value_col].to_numpy()
+        if not np.issubdtype(vv.dtype, np.integer):
+            raise TypeError(
+                "ewma: value must be integer (use the cents trick for "
+                f"floats), got {vv.dtype}")
+        df = df.copy()
+        df["_v"] = vv.astype("int64")
+        return df
+
+    out = _per_user_stream(
+        events.select_columns([user_col, ts_col, order_col, value_col]
+                              ).map_batches(add_v, batch_format="pandas"),
+        user_col, ts_col, order_col, ["_v"],
+        exchange_base or default_exchange("ewma"), num_buckets,
+        reduce_fn)
+    if out is None:
+        return rd.from_arrow(pa.schema(
+            [(user_col, pa.int64()), ("n_events", pa.int64()),
+             ("ewma_fp", pa.int64())]).empty_table())
     return out

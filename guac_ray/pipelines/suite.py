@@ -9430,6 +9430,47 @@ FROM u
 """
 
 
+def events_user_ewma(sf_dir: str):
+    """Per-user fixed-point EWMA (functions/streams.py ``ewma``,
+    α = 1/2, scale 10⁶): the streaming smoother whose every step
+    depends on the previous smoothed value — an order-sensitive
+    recurrence no GROUP BY or window frame expresses. Exact int64
+    floor-division recurrence, bit-identical under any partitioning;
+    the oracle is the IDENTICAL recurrence as a recursive CTE stepping
+    each user's stream in (ts, event_id) order (iteration count = max
+    stream length, not row count). Nonnegative cents only — numpy
+    floors, SQL truncates, they agree at ≥ 0 (guarded loudly)."""
+    from guac_ray.functions.streams import ewma
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = cents(df["value"])
+        return df.drop(columns=["value"])
+
+    return ewma(ds.map_batches(vc, batch_format="pandas"), "v",
+                exchange_base=_exchange("ewma"), num_buckets=8)
+
+
+EVENTS_USER_EWMA_SQL = """
+WITH RECURSIVE t AS (
+  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE ts IS NOT NULL
+), rec AS (
+  SELECT user_id, rn, v * 1000000 AS e FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.user_id, t.rn, (1 * t.v * 1000000 + 1 * r.e) // 2
+  FROM rec r JOIN t ON t.user_id = r.user_id AND t.rn = r.rn + 1
+)
+SELECT user_id, CAST(max(rn) AS BIGINT) AS n_events,
+       CAST(max_by(e, rn) AS BIGINT) AS ewma_fp
+FROM rec GROUP BY user_id
+"""
+
+
 def events_multireg(sf_dir: str):
     """EXACT multi-feature OLS (functions/stats.py ``multi_linreg``):
     regress value cents on hour-of-day and weekday — the distributed
@@ -9920,6 +9961,9 @@ SUITE: dict[str, tuple] = {
     "events_ab_ttest": (events_ab_ttest, EVENTS_AB_TTEST_SQL),
     "events_mannwhitney": (events_mannwhitney, EVENTS_MANNWHITNEY_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
+    # per-user fixed-point EWMA — the order-sensitive smoother whose
+    # recursive-CTE oracle steps the identical integer recurrence:
+    "events_user_ewma": (events_user_ewma, EVENTS_USER_EWMA_SQL),
 }
 
 # The gate contract, asserted at import: the driver checks the FIRST

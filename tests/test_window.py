@@ -1506,3 +1506,106 @@ class TestWave13StreamsHardening:
                           ts_col="ts", order_col="event_id",
                           exchange_base=str(tmp_path / "gqx")
                           ).materialize()
+
+
+class TestEwma:
+    """Fixed-point per-user EWMA: hand recurrence, tie ordering,
+    partitioning invariance, guards."""
+
+    def _run(self, df, tmp_path, name, **kw):
+        import ray.data as rd
+
+        from guac_ray.functions.streams import ewma
+
+        out = ewma(rd.from_pandas(df), "v",
+                   exchange_base=str(tmp_path / name), **kw).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def test_hand_recurrence(self, ray_session, tmp_path):
+        import pandas as pd
+        import numpy as np
+
+        ts = pd.to_datetime([1, 2, 3, 10], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "user_id": np.array([7, 7, 7, 9], "int64"),
+            "ts": ts, "event_id": np.array([1, 2, 3, 4], "int64"),
+            "v": np.array([100, 50, 200, 30], "int64")})
+        out = self._run(df, tmp_path, "e1")
+        S = 1_000_000
+        e = 100 * S
+        e = (50 * S + e) // 2
+        e = (200 * S + e) // 2
+        assert list(out["user_id"]) == [7, 9]
+        assert out.loc[0, "ewma_fp"] == e and out.loc[0, "n_events"] == 3
+        assert out.loc[1, "ewma_fp"] == 30 * S and out.loc[1, "n_events"] == 1
+
+    def test_tied_ts_orders_by_event_id(self, ray_session, tmp_path):
+        import pandas as pd
+        import numpy as np
+
+        ts = pd.to_datetime([5, 5], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({
+            "user_id": np.array([1, 1], "int64"), "ts": ts,
+            "event_id": np.array([2, 1], "int64"),
+            "v": np.array([10, 20], "int64")})  # event 1 (v=20) is FIRST
+        out = self._run(df, tmp_path, "e2")
+        S = 1_000_000
+        assert out.loc[0, "ewma_fp"] == (10 * S + 20 * S) // 2
+
+    def test_partitioning_invariance(self, ray_session, tmp_path):
+        import pandas as pd
+        import numpy as np
+        import ray.data as rd
+
+        from guac_ray.functions.streams import ewma
+
+        rng = np.random.default_rng(21)
+        n = 2000
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 40, n),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n), unit="s")
+                    .astype("datetime64[us]"),
+            "event_id": np.arange(n, dtype="int64"),
+            "v": rng.integers(0, 5000, n).astype("int64")})
+        outs = []
+        for i, nblocks in enumerate((1, 11)):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            outs.append(
+                ewma(ds, "v", exchange_base=str(tmp_path / f"p{i}"),
+                     num_buckets=4).to_pandas()
+                .sort_values("user_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+    def test_negative_and_alpha_guards(self, ray_session, tmp_path):
+        import pandas as pd
+        import numpy as np
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.streams import ewma
+
+        ts = pd.to_datetime([1], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({"user_id": np.array([1], "int64"), "ts": ts,
+                           "event_id": np.array([1], "int64"),
+                           "v": np.array([-5], "int64")})
+        with pytest.raises(Exception, match="negative"):
+            ewma(rd.from_pandas(df), "v",
+                 exchange_base=str(tmp_path / "neg")).materialize()
+        with pytest.raises(ValueError, match="alpha"):
+            ewma(rd.from_pandas(df), "v", alpha_num=3, alpha_den=2)
+
+    def test_overflow_guard(self, ray_session, tmp_path):
+        import pandas as pd
+        import numpy as np
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.streams import ewma
+
+        ts = pd.to_datetime([1], unit="s").astype("datetime64[us]")
+        df = pd.DataFrame({"user_id": np.array([1], "int64"), "ts": ts,
+                           "event_id": np.array([1], "int64"),
+                           "v": np.array([2**61], "int64")})
+        with pytest.raises(Exception, match="overflow"):
+            ewma(rd.from_pandas(df), "v",
+                 exchange_base=str(tmp_path / "ovf")).materialize()
