@@ -9430,6 +9430,101 @@ FROM u
 """
 
 
+def events_mv_refresh(sf_dir: str):
+    """INCREMENTAL materialized-view maintenance (stages/groupagg.py
+    ``mv_refresh``): the per-(user, type) count/sum MV built over the
+    table's FIRST epoch-half refreshes against a signed changelog —
+    second-half rows as inserts, plus deletes replaying the ~10% of
+    first-half rows whose md5(event_id) first byte < 0x19 (the
+    train_test_split discipline, so the delete set is deterministic in
+    both engines and every delete targets a row the base really
+    holds). The base MV is never rescanned at fact grain; the
+    changelog pre-combines per batch; groups refreshed to n == 0 drop
+    exactly as a recompute would. The oracle IS that recompute: one
+    scan weighting deleted base rows 0, everything else 1 — bit-equal
+    counts and cents prove delta maintenance ≡ full rebuild."""
+    from guac_ray.pipelines.curation import md5_first_byte
+    from guac_ray.stages.groupagg import mv_refresh
+    import pyarrow.compute as pc
+
+    def _bounds() -> tuple[int, int]:
+        def part(t: pa.Table) -> pa.Table:
+            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
+                                            pa.int64()),
+                             "mx": pa.array([pc.max(arr).as_py()],
+                                            pa.int64())})
+        p = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow")
+             .to_pandas().dropna())
+        if p.empty:
+            raise ValueError("events_mv_refresh: empty events table")
+        return int(p["mn"].min()), int(p["mx"].max())
+
+    mn, mx = _bounds()
+    t_us = (mn + mx) // 2
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def base_rows(df: pd.DataFrame) -> pa.Table:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        m = tu < t_us
+        # Arrow out: a fully-filtered batch leaves a 0-row OBJECT
+        # column that Ray's pandas size estimator warns on per batch
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy()[m],
+                                pa.int64()),
+            "event_type": pa.array(df["event_type"].to_numpy()[m],
+                                   pa.string()),
+            "v": pa.array(cents(df["value"])[m], pa.int64())})
+
+    base_mv = grouped_agg(
+        ds.map_batches(base_rows, batch_format="pandas"),
+        ["user_id", "event_type"],
+        {"n": ("v", "count"), "value_cents": ("v", "sum")},
+        num_buckets=8)
+
+    def changelog(df: pd.DataFrame) -> pa.Table:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        second = tu >= t_us
+        deleted = (~second) & (md5_first_byte(
+            df["event_id"].to_numpy()) < 0x19)
+        keep = second | deleted
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy()[keep],
+                                pa.int64()),
+            "event_type": pa.array(df["event_type"].to_numpy()[keep],
+                                   pa.string()),
+            "sign": pa.array(np.where(second[keep], 1, -1)
+                             .astype("int64")),
+            "v": pa.array(cents(df["value"])[keep], pa.int64())})
+
+    return mv_refresh(
+        base_mv, ds.map_batches(changelog, batch_format="pandas"),
+        ["user_id", "event_type"], "n", {"value_cents": "v"},
+        exchange_base=_exchange("mvrefresh"), num_buckets=8)
+
+
+EVENTS_MV_REFRESH_SQL = """
+WITH c AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events
+), w AS (
+  SELECT user_id, event_type,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) >= c.t THEN 1
+              WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '19'
+                THEN 0
+              ELSE 1 END AS wgt
+  FROM events, c
+)
+SELECT user_id, event_type, CAST(sum(wgt) AS BIGINT) AS n,
+       CAST(sum(wgt*v) AS BIGINT) AS value_cents
+FROM w GROUP BY user_id, event_type
+HAVING sum(wgt) <> 0
+"""
+
+
 def events_user_ewma(sf_dir: str):
     """Per-user fixed-point EWMA (functions/streams.py ``ewma``,
     α = 1/2, scale 10⁶): the streaming smoother whose every step
@@ -9964,6 +10059,9 @@ SUITE: dict[str, tuple] = {
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:
     "events_user_ewma": (events_user_ewma, EVENTS_USER_EWMA_SQL),
+    # incremental MV maintenance: delta refresh ≡ full recompute,
+    # proven bit-equal by the recompute oracle:
+    "events_mv_refresh": (events_mv_refresh, EVENTS_MV_REFRESH_SQL),
 }
 
 # The gate contract, asserted at import: the driver checks the FIRST

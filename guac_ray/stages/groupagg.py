@@ -30,7 +30,7 @@ from ray.data import Dataset
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["grouped_agg", "grouped_first_last", "grouped_sorted_concat",
-           "grouped_mode"]
+           "grouped_mode", "mv_refresh"]
 
 _PARTIAL = {
     "sum": "sum",
@@ -566,5 +566,124 @@ def pivot_wide(
 
         return rd.from_arrow(pa.schema(
             [(c, at(c)) for c in key_cols]
+            + [(c, pa.int64()) for c in out_cols]).empty_table())
+    return out
+
+
+def mv_refresh(
+    base_mv: Dataset,
+    changes: Dataset,
+    keys: list[str],
+    count_col: str,
+    sum_cols: dict[str, str],
+    sign_col: str = "sign",
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """INCREMENTAL materialized-view maintenance for count/sum
+    aggregates — the delta-refresh every lakehouse MV engine runs
+    instead of recomputing: given the PREVIOUS aggregate
+    (``base_mv``: keys + ``count_col`` + the ``sum_cols`` outputs) and
+    a signed changelog (``changes``: keys + ``sign_col`` ∈ {+1, −1} +
+    one input value column per sum), produce the refreshed aggregate
+
+        n'   = n_base + Σ sign
+        sum' = sum_base + Σ sign·v
+
+    with groups reaching n' == 0 DROPPED (a fully-deleted group
+    vanishes, exactly as a recompute would drop it) and n' < 0 a LOUD
+    error — more deletes than existing rows means the changelog and
+    the snapshot disagree, and a silently negative count would poison
+    every later refresh. Counts and sums are exact int64, so the
+    refreshed table is bit-identical to a full recompute over
+    base-rows ∪ changes (the correctness contract a SQL oracle checks).
+
+    Shape: the changelog pre-combines per batch (one signed partial
+    row per (key, block) — the grouped_agg discipline), then BOTH
+    sides flow through ONE shared key-hash exchange
+    (``fs_exchange_reduce_multi``); the per-bucket reduce is a single
+    groupby-sum. The base MV is never rescanned at fact grain and the
+    changelog never touches base facts — the whole point of
+    incremental maintenance. ``sum_cols``: {mv_output_col:
+    change_value_col}; all value columns must be integer (the cents
+    trick), asserted per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce_multi
+
+    out_cols = [count_col] + list(sum_cols)
+
+    def _check_int(v, name):
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"mv_refresh: {name!r} must be integer (use the cents "
+                f"trick for floats), got {v.dtype}")
+        return v.astype(np.int64)
+
+    def tag_base(df: pd.DataFrame) -> "pa.Table":
+        out = df[keys].copy()
+        out[count_col] = _check_int(df[count_col].to_numpy(), count_col)
+        for mc in sum_cols:
+            out[mc] = _check_int(df[mc].to_numpy(), mc)
+        out["_bucket"] = (stable_hash(out, keys)
+                          % num_buckets).astype("int64")
+        return table_from_pandas(out, preserve_index=False)
+
+    def tag_changes(df: pd.DataFrame) -> "pa.Table":
+        sign = _check_int(df[sign_col].to_numpy(), sign_col)
+        bad = ~np.isin(sign, (1, -1))
+        if bad.any():
+            raise ValueError(
+                f"mv_refresh: {sign_col!r} must be +1 or -1 "
+                f"({int(bad.sum())} offending rows in one batch) — an "
+                "unexpected op code silently mis-weighted into the MV "
+                "would corrupt every later refresh")
+        part = df[keys].copy()
+        part[count_col] = sign
+        for mc, vc in sum_cols.items():
+            part[mc] = sign * _check_int(df[vc].to_numpy(), vc)
+        g = (part.groupby(keys, sort=False, dropna=False)[out_cols]
+             .sum().reset_index())
+        for c in out_cols:
+            g[c] = g[c].astype("int64")
+        g["_bucket"] = (stable_hash(g, keys)
+                        % num_buckets).astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    def reduce_fn(t: "pa.Table") -> "pa.Table":
+        df = t.to_pandas()
+        g = (df.groupby(keys, sort=False, dropna=False)[out_cols]
+             .sum().reset_index())
+        neg = g[count_col] < 0
+        if neg.any():
+            bad = g.loc[neg, keys].iloc[0].to_dict()
+            raise ValueError(
+                f"mv_refresh: group {bad} would reach count "
+                f"{int(g.loc[neg, count_col].iloc[0])} < 0 — the "
+                "changelog deletes rows the base snapshot does not "
+                "hold; reconcile the inputs (a negative count would "
+                "poison every later refresh)")
+        g = g[g[count_col] != 0]
+        for c in out_cols:
+            g[c] = g[c].astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    out = fs_exchange_reduce_multi(
+        [base_mv.map_batches(tag_base, batch_format="pandas"),
+         changes.map_batches(tag_changes, batch_format="pandas")],
+        exchange_base or default_exchange("mvrefresh"), reduce_fn)
+    if out is None:
+        sch = base_mv.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+
+        def at(c):
+            ty = types.get(c)
+            return ty if isinstance(ty, pa.DataType) else pa.string()
+
+        return rd.from_arrow(pa.schema(
+            [(c, at(c)) for c in keys]
             + [(c, pa.int64()) for c in out_cols]).empty_table())
     return out

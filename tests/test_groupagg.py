@@ -441,3 +441,89 @@ class TestWave8Hardening:
         import pandas as pd
         df = pd.read_parquet(paths["transcripts"])
         assert df["conv_id"].nunique() >= 2  # no TypeError crash
+
+
+class TestMvRefresh:
+    """Incremental MV maintenance: delta refresh == full recompute,
+    zero-group drop, negative-count refusal, sign validation."""
+
+    def _mv(self, tmp_path, name, base, changes, **kw):
+        import ray.data as rd
+
+        from guac_ray.stages.groupagg import mv_refresh
+
+        return (mv_refresh(rd.from_pandas(base), rd.from_pandas(changes),
+                           ["k"], "n", {"s": "v"},
+                           exchange_base=str(tmp_path / name), **kw)
+                .to_pandas().sort_values("k").reset_index(drop=True))
+
+    def test_refresh_equals_recompute(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(31)
+        base_rows = pd.DataFrame({
+            "k": rng.integers(0, 20, 500),
+            "v": rng.integers(0, 100, 500).astype("int64")})
+        base = (base_rows.groupby("k")
+                .agg(n=("v", "size"), s=("v", "sum")).reset_index()
+                .astype({"n": "int64", "s": "int64"}))
+        # deletes replay a subset of base rows; inserts are new rows
+        dels = base_rows.sample(60, random_state=1).assign(sign=-1)
+        ins = pd.DataFrame({
+            "k": rng.integers(0, 25, 200),
+            "v": rng.integers(0, 100, 200).astype("int64"),
+            "sign": 1})
+        changes = pd.concat([dels, ins], ignore_index=True)
+        changes["sign"] = changes["sign"].astype("int64")
+        got = self._mv(tmp_path, "m1", base, changes, num_buckets=4)
+        # recompute: base rows minus deleted replicas plus inserts
+        full = pd.concat([base_rows.assign(w=1), ins.assign(w=1)[["k", "v", "w"]],
+                          dels.assign(w=-1)[["k", "v", "w"]]],
+                         ignore_index=True)
+        full["wv"] = full["w"] * full["v"]
+        want = (full.groupby("k")
+                .agg(n=("w", "sum"), s=("wv", "sum")).reset_index())
+        want = want[want["n"] != 0].reset_index(drop=True)
+        want = want.astype({"n": "int64", "s": "int64"})
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+    def test_fully_deleted_group_drops(self, ray_session, tmp_path):
+        import pandas as pd
+
+        base = pd.DataFrame({"k": [1, 2], "n": [1, 2],
+                             "s": [10, 40]}).astype("int64")
+        changes = pd.DataFrame({"k": [1], "v": [10],
+                                "sign": [-1]}).astype("int64")
+        got = self._mv(tmp_path, "m2", base, changes)
+        assert list(got["k"]) == [2]
+
+    def test_negative_count_raises(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+
+        base = pd.DataFrame({"k": [1], "n": [1], "s": [10]}).astype("int64")
+        changes = pd.DataFrame({"k": [1, 1], "v": [10, 10],
+                                "sign": [-1, -1]}).astype("int64")
+        with pytest.raises(Exception, match="< 0"):
+            self._mv(tmp_path, "m3", base, changes)
+
+    def test_bad_sign_raises(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+
+        base = pd.DataFrame({"k": [1], "n": [1], "s": [10]}).astype("int64")
+        changes = pd.DataFrame({"k": [1], "v": [10],
+                                "sign": [2]}).astype("int64")
+        with pytest.raises(Exception, match="sign"):
+            self._mv(tmp_path, "m4", base, changes)
+
+    def test_insert_only_new_group(self, ray_session, tmp_path):
+        import pandas as pd
+
+        base = pd.DataFrame({"k": [], "n": [], "s": []}).astype("int64")
+        changes = pd.DataFrame({"k": [9, 9], "v": [5, 7],
+                                "sign": [1, 1]}).astype("int64")
+        got = self._mv(tmp_path, "m5", base, changes)
+        assert list(got["k"]) == [9]
+        assert got.loc[0, "n"] == 2 and got.loc[0, "s"] == 12
