@@ -3512,6 +3512,73 @@ ORDER BY rank DESC, node_key LIMIT 20""")
     return "".join(parts)
 
 
+_HITS_SCALE = 1 << 20
+_HITS_ITERS = 8
+
+
+def kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the assembled edge table
+    (functions/hits.py) — which nodes vouch (hub) vs are vouched for
+    (authority), the spectral complement of kg_pagerank_top. Quantized
+    fixed-point with max-normalization: every half-step is integer
+    sums + one floor-div normalization, bit-exact vs the unrolled SQL
+    recurrence; edges are shuffled twice at setup (by-src and by-dst
+    layouts), then only the score table moves per half-step with a
+    B-scalar max fold on the driver. Top-20 by authority."""
+    from guac_ray.functions.hits import hits
+
+    g = _corpus_edges(sf_dir)
+    hs = hits(g["edges"], exchange_base=_exchange("hits"),
+              num_buckets=8, max_iters=_HITS_ITERS,
+              quantize_scale=_HITS_SCALE)
+    return hs.sort(["auth_fp", "node_key"],
+                   descending=[True, False]).limit(20)
+
+
+def KG_HITS_SQL(sf_dir: str) -> str:
+    """The same max-normalized fixed-point recurrence unrolled:
+    h_0 = Q; a_i(v) = Σ_in (h_{i-1}·Q)//max(h_{i-1});
+    h_i(u) = Σ_out (a_i·Q)//max(a_i); final both normalized once more
+    — matches hits(quantize_scale=Q, max_iters=K) exactly."""
+    Q, K = _HITS_SCALE, _HITS_ITERS
+    # AS MATERIALIZED is load-bearing (the pagerank-oracle rule):
+    # every level is referenced multiple times (join + its max)
+    parts = [f"""
+WITH edges0 AS MATERIALIZED (
+  SELECT DISTINCT subj_key AS src, obj_key AS dst
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node_key FROM edges0 UNION SELECT dst FROM edges0),
+h0 AS MATERIALIZED (
+  SELECT node_key, CAST({Q} AS BIGINT) AS rank FROM nodes)"""]
+    for i in range(1, K + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT n.node_key, COALESCE(s.c, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst,
+           SUM((h.rank * {Q}) // (SELECT max(rank) FROM h{i - 1})) AS c
+    FROM edges0 e JOIN h{i - 1} h ON h.node_key = e.src
+    GROUP BY e.dst) s ON s.dst = n.node_key),
+h{i} AS MATERIALIZED (
+  SELECT n.node_key, COALESCE(s.c, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.src,
+           SUM((a.rank * {Q}) // (SELECT max(rank) FROM a{i})) AS c
+    FROM edges0 e JOIN a{i} a ON a.node_key = e.dst
+    GROUP BY e.src) s ON s.src = n.node_key)""")
+    parts.append(f"""
+SELECT node_key,
+       CAST((h.rank * {Q}) // (SELECT max(rank) FROM h{K})
+            AS BIGINT) AS hub_fp,
+       CAST((a.rank * {Q}) // (SELECT max(rank) FROM a{K})
+            AS BIGINT) AS auth_fp
+FROM a{K} a JOIN h{K} h USING (node_key)
+ORDER BY auth_fp DESC, node_key LIMIT 20""")
+    return "".join(parts)
+
+
 def kg_ktruss(sf_dir: str):
     """4-truss of the KG (functions/triangles.py ``k_truss``): the
     triangle-support peel that extracts the cohesive core — every
@@ -10062,6 +10129,10 @@ SUITE: dict[str, tuple] = {
     # incremental MV maintenance: delta refresh ≡ full recompute,
     # proven bit-equal by the recompute oracle:
     "events_mv_refresh": (events_mv_refresh, EVENTS_MV_REFRESH_SQL),
+    # HITS hubs/authorities — the quantized iterative-dataflow sibling
+    # of kg_pagerank_top, hash-exact vs the unrolled max-normalized
+    # integer recurrence:
+    "kg_hits": (kg_hits, KG_HITS_SQL),
 }
 
 # The gate contract, asserted at import: the driver checks the FIRST
