@@ -3579,6 +3579,62 @@ ORDER BY auth_fp DESC, node_key LIMIT 20""")
     return "".join(parts)
 
 
+_LPA_ROUNDS = 4
+
+
+def kg_label_prop(sf_dir: str):
+    """Synchronous deterministic label propagation (functions/
+    graph_algs.py ``label_propagation``): community detection over the
+    KG's undirected simple graph — every node adopts the most frequent
+    label among neighbors + its own (self-vote), smallest-label
+    tie-break, exactly 4 synchronous rounds. Async LPA is
+    order-dependent and unverifiable; the synchronous self-vote form
+    is a pure function of the graph, so the oracle unrolls the
+    IDENTICAL vote-argmax recurrence and the full (node, label) table
+    is hash-exact. Stubs shuffle once (bucketed by vote source);
+    per round only (node, label, count) partials move."""
+    from guac_ray.functions.graph_algs import label_propagation
+
+    g = _corpus_edges(sf_dir)
+    return label_propagation(g["edges"], rounds=_LPA_ROUNDS,
+                             exchange_base=_exchange("labelprop"),
+                             num_buckets=8)
+
+
+def KG_LABEL_PROP_SQL(sf_dir: str) -> str:
+    """The same synchronous recurrence unrolled: l_0 = own key;
+    l_i = argmax (count DESC, label ASC) over neighbor votes ∪ the
+    node's own l_{i-1} label."""
+    K = _LPA_ROUNDS
+    parts = [f"""
+WITH edges0 AS MATERIALIZED (
+  SELECT DISTINCT subj_key AS src, obj_key AS dst
+  FROM read_parquet('{_fix(sf_dir)}/golden/edges.parquet')
+  WHERE subj_key IS NOT NULL AND obj_key IS NOT NULL
+    AND subj_key <> obj_key),
+stubs AS MATERIALIZED (
+  SELECT src AS node, dst AS nbr FROM edges0
+  UNION SELECT dst, src FROM edges0),
+nodes AS MATERIALIZED (SELECT DISTINCT node AS node_key FROM stubs),
+l0 AS MATERIALIZED (SELECT node_key, node_key AS label FROM nodes)"""]
+    for i in range(1, K + 1):
+        parts.append(f""",
+v{i} AS MATERIALIZED (
+  SELECT node, lbl, count(*) AS c FROM (
+    SELECT s.node, p.label AS lbl
+    FROM stubs s JOIN l{i - 1} p ON p.node_key = s.nbr
+    UNION ALL
+    SELECT node_key, label FROM l{i - 1}
+  ) GROUP BY node, lbl),
+l{i} AS MATERIALIZED (
+  SELECT node AS node_key, lbl AS label FROM v{i}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, lbl) = 1)""")
+    parts.append(f"""
+SELECT node_key, label FROM l{K}""")
+    return "".join(parts)
+
+
 def kg_ktruss(sf_dir: str):
     """4-truss of the KG (functions/triangles.py ``k_truss``): the
     triangle-support peel that extracts the cohesive core — every
@@ -10133,6 +10189,10 @@ SUITE: dict[str, tuple] = {
     # of kg_pagerank_top, hash-exact vs the unrolled max-normalized
     # integer recurrence:
     "kg_hits": (kg_hits, KG_HITS_SQL),
+    # synchronous deterministic label propagation — community
+    # detection as a pure function of the graph, full (node, label)
+    # table hash-exact vs the unrolled vote-argmax recurrence:
+    "kg_label_prop": (kg_label_prop, KG_LABEL_PROP_SQL),
 }
 
 # The gate contract, asserted at import: the driver checks the FIRST

@@ -164,3 +164,104 @@ class TestStringComponents:
         assert len(got) == 10
         # output keeps the string type
         assert got["root"].dtype == object
+
+
+def _lpa_reference(edges, rounds):
+    """Pure-Python synchronous LPA with self-vote + smallest-label
+    tie-break — the same recurrence the distributed op runs."""
+    from collections import Counter
+
+    nbrs = {}
+    for u, v in edges:
+        if u == v or u is None or v is None:
+            continue
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for n in nbrs:
+            votes = Counter(lab[m] for m in nbrs[n])
+            votes[lab[n]] += 1  # self-vote
+            top = max(votes.values())
+            nxt[n] = min(l for l, c in votes.items() if c == top)
+        lab = nxt
+    return lab
+
+
+class TestLabelPropagation:
+    def _run(self, edges, tmp_path, name, rounds=4, num_buckets=4,
+             nblocks=1):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import label_propagation
+
+        df = pd.DataFrame(edges, columns=["subj_key", "obj_key"])
+        out = label_propagation(
+            rd.from_pandas(df).repartition(nblocks), rounds=rounds,
+            exchange_base=str(tmp_path / name),
+            num_buckets=num_buckets).to_pandas()
+        return out.sort_values("node_key").reset_index(drop=True)
+
+    def test_reference_parity_random(self, ray_session, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(51)
+        edges = list({(f"n{a}", f"n{b}")
+                      for a, b in rng.integers(0, 40, (160, 2))})
+        got = self._run(edges, tmp_path, "l1", rounds=3)
+        want = _lpa_reference(edges, 3)
+        assert len(got) == len(want)
+        for _, row in got.iterrows():
+            assert row["label"] == want[row["node_key"]], row["node_key"]
+
+    def test_two_cliques_bridge(self, ray_session, tmp_path):
+        # two 4-cliques joined by one bridge edge: each clique
+        # converges to its own smallest member's label
+        a = [f"a{i}" for i in range(4)]
+        b = [f"b{i}" for i in range(4)]
+        edges = ([(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+                 + [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+                 + [("a0", "b0")])
+        out = self._run(edges, tmp_path, "l2", rounds=4).set_index(
+            "node_key")
+        assert all(out.loc[n, "label"] == "a0" for n in a)
+        assert all(out.loc[n, "label"] == "a0" or
+                   out.loc[n, "label"] == "b0" for n in b)
+        # the b-clique interior must NOT leak to a0 (only b0 touches a)
+        assert all(out.loc[n, "label"] == "b0" for n in b[1:])
+
+    def test_partitioning_invariance(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(52)
+        edges = list({(f"n{a}", f"n{b}")
+                      for a, b in rng.integers(0, 30, (100, 2))})
+        x = self._run(edges, tmp_path, "l3", nblocks=1, num_buckets=2)
+        y = self._run(edges, tmp_path, "l4", nblocks=8, num_buckets=5)
+        pd.testing.assert_frame_equal(x, y, check_exact=True)
+
+    def test_self_loops_and_dups_ignored(self, ray_session, tmp_path):
+        import pandas as pd
+
+        base = [("a", "b"), ("b", "c")]
+        x = self._run(base, tmp_path, "l5")
+        y = self._run(base + [("a", "a"), ("b", "a")], tmp_path, "l6")
+        pd.testing.assert_frame_equal(x, y, check_exact=True)
+
+    def test_empty_and_rounds_guard(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import label_propagation
+
+        df = pd.DataFrame({"subj_key": pd.Series([], dtype="object"),
+                           "obj_key": pd.Series([], dtype="object")})
+        out = label_propagation(rd.from_pandas(df),
+                                exchange_base=str(tmp_path / "l7"))
+        assert out.schema().names == ["node_key", "label"]
+        with pytest.raises(ValueError, match="rounds"):
+            label_propagation(rd.from_pandas(df), rounds=0)
