@@ -78,8 +78,8 @@ def cmd_build(args) -> int:
 
 
 def cmd_query(args) -> int:
-    if args.what not in ("pagerank", "triangles", "kcore",
-                         "components", "truss") and not args.key:
+    if args.what not in ("pagerank", "triangles", "kcore", "components",
+                         "truss", "hits", "communities") and not args.key:
         # only the whole-graph verb is keyless; a forgotten key on the
         # node verbs must not silently read as "no results"
         print(f"error: query {args.what} requires a node key", file=sys.stderr)
@@ -172,6 +172,27 @@ def cmd_query(args) -> int:
         cc = connected_components_ds(
             edges.map_batches(to_pairs, batch_format="pyarrow"))
         out = cc.to_pandas().rename(columns={"doc_id": "node_key"})
+    elif args.what == "hits":
+        from guac_ray.functions.hits import hits
+
+        hs = hits(edges, max_iters=args.iters if args.iters <= 16 else 8)
+        # top-k distributedly by authority, like the pagerank verb
+        out = (hs.sort(["auth_fp", "node_key"], descending=[True, False])
+               .limit(args.limit).to_pandas())
+    elif args.what == "communities":
+        from guac_ray.functions.graph_algs import label_propagation
+        from guac_ray.stages.groupagg import grouped_agg
+
+        lp = label_propagation(edges, rounds=4)
+        # community SIZES, aggregated DISTRIBUTED (label-cardinality
+        # output) then top-k by sort+limit — the node->label table
+        # never transits the driver; the full table goes to parquet
+        # via the library API
+        out = (grouped_agg(lp, ["label"],
+                           {"n_members": ("node_key", "count")},
+                           num_buckets=8)
+               .sort(["n_members", "label"], descending=[True, False])
+               .limit(args.limit).to_pandas())
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.what)
     print(out.to_json(orient="records", lines=True) if hasattr(out, "to_json")
@@ -789,13 +810,13 @@ def cmd_engagement(args) -> int:
                                             daily_streaks,
                                             rolling_active_users)
 
-    from guac_ray.functions.streams import (gap_quantiles,
+    from guac_ray.functions.streams import (ewma, gap_quantiles,
                                             time_weighted_mean)
 
     cols = [args.user_col, args.ts_col]
-    if args.op in ("gaps", "twap"):
+    if args.op in ("gaps", "twap", "ewma"):
         cols.append(args.order_col)
-    if args.op == "twap":
+    if args.op in ("twap", "ewma"):
         cols.append(args.value_col)
     ds = rd.read_parquet(args.table, columns=cols)
     if args.op == "streaks":
@@ -814,6 +835,25 @@ def cmd_engagement(args) -> int:
                                  user_col=args.user_col,
                                  ts_col=args.ts_col,
                                  order_col=args.order_col)
+    elif args.op == "ewma":
+        import numpy as np
+        import pandas as pd
+
+        def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
+            v = df[args.value_col].to_numpy()
+            if not np.issubdtype(v.dtype, np.integer):
+                ok = ~pd.isna(v)  # SQL semantics: NULL rows drop
+                df = df[ok].copy()
+                df["_cents"] = np.floor(
+                    v[ok].astype("float64") * 100 + 0.5).astype("int64")
+            else:
+                df = df.copy()
+                df["_cents"] = v.astype("int64")
+            return df
+
+        out = ewma(ds.map_batches(to_cents, batch_format="pandas"),
+                   "_cents", user_col=args.user_col, ts_col=args.ts_col,
+                   order_col=args.order_col)
     else:
         out = rolling_active_users(ds, user_col=args.user_col,
                                    ts_col=args.ts_col,
@@ -897,6 +937,72 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_abtest(args) -> int:
+    """Experimentation readouts over an events-style parquet: Welch's
+    t (means), Mann–Whitney U (stochastic order) or Kolmogorov–
+    Smirnov (full CDF shape) between two groups of a categorical
+    column — the session-12 stats family from one verb."""
+    _ray_up(args.num_cpus)
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.table,
+                         columns=[args.group_col, args.value_col])
+
+    def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
+        v = df[args.value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            ok = ~pd.isna(v)  # SQL semantics: NULL rows drop
+            df = df[ok]
+            vv = np.floor(v[ok].astype("float64") * 100
+                          + 0.5).astype("int64")
+        else:
+            vv = v.astype("int64")
+        return pd.DataFrame({args.group_col: df[args.group_col],
+                             "_v": vv})
+
+    keyed = ds.map_batches(to_cents, batch_format="pandas")
+    if args.test == "ttest":
+        from guac_ray.functions.stats import welch_ttest
+
+        out = welch_ttest(keyed, args.group_col, "_v", args.group_b)
+    elif args.test == "mw":
+        from guac_ray.functions.stats import mann_whitney_u
+
+        out = mann_whitney_u(keyed, args.group_col, "_v",
+                             args.group_a, args.group_b)
+    else:
+        from guac_ray.functions.stats import ks_test
+
+        out = ks_test(keyed, args.group_col, "_v",
+                      args.group_a, args.group_b)
+    print(out.to_pandas().to_json(orient="records", lines=True))
+    return 0
+
+
+def cmd_refresh(args) -> int:
+    """Incremental MV refresh: previous aggregate parquet + signed
+    changelog parquet → refreshed aggregate parquet (count + sums),
+    bit-identical to a full recompute (stages/groupagg.mv_refresh)."""
+    _ray_up(args.num_cpus)
+    import ray.data as rd
+
+    from guac_ray.stages.groupagg import mv_refresh
+
+    keys = args.keys.split(",")
+    sums = dict(kv.split(":") for kv in args.sums.split(",")) \
+        if args.sums else {}
+    out = mv_refresh(
+        rd.read_parquet(args.base_mv), rd.read_parquet(args.changes),
+        keys, args.count_col, sums, sign_col=args.sign_col)
+    n = out.count()
+    if n:
+        out.write_parquet(args.out)
+    print(json.dumps({"rows": int(n), "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="guac_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -925,7 +1031,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("what",
                    choices=["known", "vulns", "patch", "neighbors",
                             "pagerank", "triangles", "kcore", "components",
-                            "spath", "truss"])
+                            "spath", "truss", "hits", "communities"])
     q.add_argument("key", nargs="?", default=None)
     q.add_argument("--depth", type=int, default=10)
     q.add_argument("--direction", default="out", choices=["out", "in", "both"])
@@ -1235,7 +1341,7 @@ def main(argv: list[str] | None = None) -> int:
     en.add_argument("table")
     en.add_argument("out")
     en.add_argument("--op", choices=["streaks", "cohort", "dauwau",
-                                     "gaps", "twap"],
+                                     "gaps", "twap", "ewma"],
                     default="streaks")
     en.add_argument("--user-col", default="user_id")
     en.add_argument("--ts-col", default="ts")
@@ -1248,6 +1354,33 @@ def main(argv: list[str] | None = None) -> int:
     en.add_argument("--value-col", default="value",
                     help="twap value column")
     en.set_defaults(fn=cmd_engagement)
+
+    ab = sub.add_parser("abtest",
+                        help="Welch t / Mann-Whitney / KS between two "
+                             "groups of a categorical column")
+    ab.add_argument("table")
+    ab.add_argument("--test", choices=["ttest", "mw", "ks"],
+                    default="ttest")
+    ab.add_argument("--group-col", default="event_type")
+    ab.add_argument("--value-col", default="value")
+    ab.add_argument("--group-a", default="purchase")
+    ab.add_argument("--group-b", default="view",
+                    help="ttest: the control group")
+    ab.set_defaults(fn=cmd_abtest)
+
+    rf = sub.add_parser("refresh",
+                        help="incremental MV refresh: base aggregate + "
+                             "signed changelog -> refreshed aggregate")
+    rf.add_argument("base_mv")
+    rf.add_argument("changes")
+    rf.add_argument("out")
+    rf.add_argument("--keys", required=True,
+                    help="comma-separated group keys")
+    rf.add_argument("--count-col", default="n")
+    rf.add_argument("--sums", default=None,
+                    help="mv_col:change_value_col pairs, comma-separated")
+    rf.add_argument("--sign-col", default="sign")
+    rf.set_defaults(fn=cmd_refresh)
 
     ix = sub.add_parser("index",
                         help="build the full inverted index (term, doc, "

@@ -38,7 +38,7 @@ from ray.data import Dataset
 from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["grouped_corr", "chi2_contingency", "grouped_linreg",
-           "welch_ttest", "mann_whitney_u", "multi_linreg"]
+           "welch_ttest", "mann_whitney_u", "multi_linreg", "ks_test"]
 
 
 def grouped_corr(
@@ -818,4 +818,89 @@ def multi_linreg(
         "term": pa.array(["intercept"] + list(features)),
         "beta": pa.array(betas, pa.float64()),
         "n": pa.array([n] * (k + 1), pa.int64()),
+    })
+
+
+def ks_test(
+    ds: Dataset,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    num_buckets: int = 8,
+    max_distinct: int = 2_000_000,
+) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-equality
+    screen (did the whole SHAPE shift, not just the mean?) completing
+    the experimentation family: ``welch_ttest`` compares means,
+    ``mann_whitney_u`` compares stochastic order, KS compares the full
+    empirical CDFs. One output row:
+    ``(n_a, n_b, d_num, d_stat, z_stat)`` where
+
+        d_num  = max over values |cum_a·n_b − cum_b·n_a|   (EXACT int64)
+        D      = d_num / (n_a·n_b)
+        z      = D · sqrt(n_a·n_b / (n_a + n_b))           (asymptotic)
+
+    — the supremum gap is computed in cross-multiplied integers, so
+    the discrete statistic is exact on any engine; the two doubles
+    evaluate in ONE fixed operation order mirrored by the SQL oracle.
+    Identical distributions give d_num = 0 exactly.
+
+    Same distributed shape as ``mann_whitney_u``: ONE two-phase
+    aggregate at (value, group) grain, driver fold bounded by distinct
+    values (``max_distinct`` guard). Int64 budget: cum·n ≤ N², safe to
+    ~3·10⁹ rows (the chi2_contingency bound)."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"ks_test: {value_col!r} must be integer (use the "
+                f"cents trick for floats), got {v.dtype}")
+        m = df[group_col].isin([group_a, group_b]).to_numpy()
+        return pd.DataFrame({"_v": v.astype(np.int64)[m],
+                             group_col: df[group_col].to_numpy()[m]})
+
+    hist = grouped_agg(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["_v", group_col], {"c": ("_v", "count")},
+        num_buckets=num_buckets).to_pandas()
+
+    if hist.empty or hist[group_col].nunique() < 2:
+        raise ValueError(
+            f"ks_test: need both groups {group_a!r} and {group_b!r} "
+            f"present with rows — got "
+            f"{sorted(hist[group_col].unique()) if not hist.empty else []}")
+    if hist["_v"].nunique() > max_distinct:
+        raise ValueError(
+            f"ks_test: {hist['_v'].nunique()} distinct values exceed "
+            f"max_distinct={max_distinct}; bucket values into ranges "
+            "first — a silent cap would make the driver fold "
+            "data-sized")
+    n_total = int(hist["c"].sum())
+    if n_total > 3_000_000_000:
+        raise ValueError(
+            "ks_test: n > 3e9 would overflow the exact int64 "
+            "cross-multiplied CDF gap (cum*n <= N^2); sample first")
+
+    w = (hist.pivot_table(index="_v", columns=group_col, values="c",
+                          aggfunc="sum", fill_value=0)
+         .reindex(columns=[group_a, group_b], fill_value=0)
+         .sort_index())
+    ca = w[group_a].to_numpy().astype("int64")
+    cb = w[group_b].to_numpy().astype("int64")
+    na, nb = int(ca.sum()), int(cb.sum())
+    cum_a = np.cumsum(ca)
+    cum_b = np.cumsum(cb)
+    d_num = int(np.abs(cum_a * nb - cum_b * na).max())
+    naf, nbf = float(na), float(nb)
+    d_stat = float(d_num) / (naf * nbf)
+    z = d_stat * np.sqrt(naf * nbf / (naf + nbf))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "d_stat": pa.array([d_stat], pa.float64()),
+        "z_stat": pa.array([float(z)], pa.float64()),
     })

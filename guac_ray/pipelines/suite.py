@@ -9689,6 +9689,63 @@ FROM rec GROUP BY user_id
 """
 
 
+def events_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov test (functions/stats.py
+    ``ks_test``) of purchase vs click value distributions — the
+    full-CDF shape comparison completing the experimentation family
+    (t-test: means; Mann–Whitney: stochastic order; KS: the whole
+    distribution). Same one-aggregate (value, group) histogram shape;
+    the supremum CDF gap is EXACT cross-multiplied int64
+    (max |cum_a·n_b − cum_b·n_a|), and the D/z doubles evaluate in
+    one fixed order mirrored by the oracle — bit-exact."""
+    from guac_ray.functions.stats import ks_test
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "v": cents(df["value"])})
+
+    return ks_test(ds.map_batches(keyed, batch_format="pandas"),
+                   "event_type", "v", "purchase", "click",
+                   num_buckets=4)
+
+
+EVENTS_KS_TEST_SQL = """
+WITH t AS (
+  SELECT event_type AS g,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('purchase', 'click')
+), h AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM t GROUP BY v
+), c AS (
+  SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(cb) OVER (ORDER BY v) AS cum_b
+  FROM h
+), n AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na,
+         CAST(sum(cb) AS BIGINT) AS nb FROM h
+), agg AS (
+  SELECT n.na, n.nb,
+         CAST(max(abs(cum_a * n.nb - cum_b * n.na)) AS BIGINT) AS dnum
+  FROM c, n GROUP BY n.na, n.nb
+)
+SELECT na AS n_a, nb AS n_b, dnum AS d_num,
+       CAST(dnum AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS d_stat,
+       (CAST(dnum AS DOUBLE)
+          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) AS z_stat
+FROM agg
+"""
+
+
 def events_multireg(sf_dir: str):
     """EXACT multi-feature OLS (functions/stats.py ``multi_linreg``):
     regress value cents on hour-of-day and weekday — the distributed
@@ -10178,6 +10235,7 @@ SUITE: dict[str, tuple] = {
     # determinants, one double division per coefficient):
     "events_ab_ttest": (events_ab_ttest, EVENTS_AB_TTEST_SQL),
     "events_mannwhitney": (events_mannwhitney, EVENTS_MANNWHITNEY_SQL),
+    "events_ks_test": (events_ks_test, EVENTS_KS_TEST_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:

@@ -1049,3 +1049,113 @@ class TestClusteredLayout:
         with pytest.raises(Exception, match="must be int64"):
             write_clustered(rd.from_pandas(df),
                             str(tmp_path / "x"), "v", num_ranges=2)
+
+
+class TestCliSession12Verbs:
+    """abtest (ttest/mw/ks), refresh (incremental MV), engagement
+    --op ewma, query hits/communities."""
+
+    def _events_parquet(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(71)
+        n = 400
+        p = tmp_path / "ev12.parquet"
+        base = pd.Timestamp("2024-05-01")
+        ts = pd.Series([base + pd.Timedelta(seconds=int(s))
+                        for s in rng.integers(0, 86400, n)]) \
+            .astype("datetime64[us]")
+        pq.write_table(pa.table({
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, 10, n), type=pa.int64()),
+            "ts": pa.array(ts),
+            "event_type": pa.array(
+                rng.choice(["purchase", "view", "click"], n)),
+            "value": pa.array(rng.uniform(0, 50, n)),
+        }), str(p))
+        return str(p)
+
+    def test_abtest_all_three(self, ray_session, tmp_path, capsys):
+        import json
+
+        from guac_ray.__main__ import cmd_abtest
+
+        table = self._events_parquet(tmp_path)
+
+        class A:
+            num_cpus = None
+            group_col, value_col = "event_type", "value"
+            group_a, group_b = "purchase", "view"
+
+        A.table = table
+        for test in ("ttest", "mw", "ks"):
+            A.test = test
+            assert cmd_abtest(A()) == 0
+            lines = [json.loads(x) for x in
+                     capsys.readouterr().out.strip().splitlines()]
+            assert lines, test
+            if test == "ttest":
+                assert {"t_stat", "df"} <= set(lines[0])
+            elif test == "mw":
+                assert {"u_a_x2", "z_stat"} <= set(lines[0])
+            else:
+                assert {"d_num", "d_stat"} <= set(lines[0])
+
+    def test_refresh_verb(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_refresh
+
+        basep = tmp_path / "mv.parquet"
+        chp = tmp_path / "chg.parquet"
+        pq.write_table(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "n": pa.array([2, 1], pa.int64()),
+            "s": pa.array([30, 10], pa.int64())}), str(basep))
+        pq.write_table(pa.table({
+            "k": pa.array([1, 3], pa.int64()),
+            "v": pa.array([5, 7], pa.int64()),
+            "sign": pa.array([1, 1], pa.int64())}), str(chp))
+
+        class A:
+            num_cpus = None
+            base_mv, changes = str(basep), str(chp)
+            out = str(tmp_path / "mv_out")
+            keys, count_col, sums, sign_col = "k", "n", "s:v", "sign"
+
+        assert cmd_refresh(A()) == 0
+        assert json.loads(capsys.readouterr().out.strip())["rows"] == 3
+        got = (pq.read_table(A.out).to_pandas()
+               .sort_values("k").reset_index(drop=True))
+        assert got["n"].tolist() == [3, 1, 1]
+        assert got["s"].tolist() == [35, 10, 7]
+
+    def test_engagement_ewma(self, ray_session, tmp_path, capsys):
+        import json
+
+        import pyarrow.parquet as pq
+
+        from guac_ray.__main__ import cmd_engagement
+
+        table = self._events_parquet(tmp_path)
+
+        class A:
+            num_cpus = None
+            user_col, ts_col = "user_id", "ts"
+            order_col, value_col = "event_id", "value"
+            period_days, window_days = 1, 7
+
+        A.table, A.op = table, "ewma"
+        A.out = str(tmp_path / "ewma_out")
+        assert cmd_engagement(A()) == 0
+        assert json.loads(capsys.readouterr().out.strip())["rows"] == 10
+        g = pq.read_table(A.out).to_pandas()
+        assert {"user_id", "n_events", "ewma_fp"} <= set(g.columns)
+        assert (g["ewma_fp"] >= 0).all()

@@ -443,3 +443,64 @@ class TestMultiLinreg:
         slope_ref = np.polyfit(xf, yf, 1)[0]
         betas = dict(zip(out["term"], out["beta"]))
         assert abs(betas["x1"] - slope_ref) < 1e-8
+
+
+class TestKsTest:
+    """Two-sample KS: scipy-free reference cross-check, identical
+    distributions, partitioning invariance, guards."""
+
+    def _run(self, df, num_buckets=2):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import ks_test
+
+        return ks_test(rd.from_pandas(df), "g", "v", "a", "b",
+                       num_buckets=num_buckets).to_pandas()
+
+    def test_matches_cdf_reference(self, ray_session):
+        rng = np.random.default_rng(61)
+        # shifted distributions -> a real gap, with heavy ties
+        va = rng.integers(0, 50, 800).astype("int64")
+        vb = (rng.integers(0, 50, 600) + 5).astype("int64")
+        df = pd.DataFrame({
+            "g": ["a"] * 800 + ["b"] * 600,
+            "v": np.concatenate([va, vb])})
+        out = self._run(df, num_buckets=3)
+        vals = np.unique(df["v"])
+        ca = np.array([(va <= x).sum() for x in vals], dtype="int64")
+        cb = np.array([(vb <= x).sum() for x in vals], dtype="int64")
+        d_num_ref = int(np.abs(ca * 600 - cb * 800).max())
+        assert out.loc[0, "n_a"] == 800 and out.loc[0, "n_b"] == 600
+        assert out.loc[0, "d_num"] == d_num_ref
+        d_ref = d_num_ref / (800.0 * 600.0)
+        assert abs(out.loc[0, "d_stat"] - d_ref) < 1e-15
+        z_ref = d_ref * np.sqrt(800.0 * 600.0 / 1400.0)
+        assert abs(out.loc[0, "z_stat"] - z_ref) < 1e-12
+
+    def test_identical_distributions_zero(self, ray_session):
+        v = np.array([1, 2, 3, 4, 5] * 10, dtype="int64")
+        df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50,
+                           "v": np.concatenate([v, v])})
+        out = self._run(df)
+        assert out.loc[0, "d_num"] == 0
+        assert out.loc[0, "d_stat"] == 0.0 and out.loc[0, "z_stat"] == 0.0
+
+    def test_partitioning_invariance(self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import ks_test
+
+        rng = np.random.default_rng(62)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b"], 600),
+            "v": rng.integers(0, 30, 600).astype("int64")})
+        outs = []
+        for nblocks in (1, 7):
+            ds = rd.from_pandas(df).repartition(nblocks)
+            outs.append(ks_test(ds, "g", "v", "a", "b").to_pandas())
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+    def test_missing_group_raises(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "a"], "v": np.array([1, 2], "int64")})
+        with pytest.raises((ValueError, Exception), match="both groups"):
+            self._run(df)
