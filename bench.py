@@ -232,6 +232,13 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "q7_nation_volume", "q8_market_share", "events_user_pivot", "events_acf",
             "q2_min_cost_supplier", "q11_important_parts", "events_cume_nth", "q9_product_profit",
             "q20_surge_suppliers", "events_value_hist", "events_share_of_type",
+            # round-5 session 12: experimentation stats (Welch t,
+            # Mann-Whitney U, KS), exact multi-feature OLS, per-user
+            # fixed-point EWMA, incremental MV refresh, HITS,
+            # synchronous label propagation
+            "events_ab_ttest", "events_mannwhitney", "events_ks_test",
+            "events_multireg", "events_user_ewma", "events_mv_refresh",
+            "kg_hits", "kg_label_prop",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -26,7 +26,7 @@ from guac_ray.arrowutil import table_from_pandas
 from ray.data import Dataset
 
 __all__ = ["hll_fold", "hll_merge", "hll_estimate", "approx_ndistinct",
-           "approx_ndistinct_grouped", "heavy_hitters"]
+           "approx_ndistinct_grouped", "heavy_hitters", "hdr_quantiles"]
 
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -231,3 +231,114 @@ def heavy_hitters(
         return pd.DataFrame({col: out[col], "n": out["n"].astype("int64")})
 
     return agg.map_batches(threshold, batch_format="pandas")
+
+
+def hdr_quantiles(
+    ds: Dataset,
+    value_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    m: int = 64,
+    num_buckets: int = 4,
+) -> "pa.Table":
+    """HDR-histogram quantile SKETCH — the relative-error, mergeable
+    quantile estimator that is the documented scale path past the
+    exact machinery's ``distinct_cap`` (functions/quantiles.py raises
+    when distinct values exceed the histogram-exchange budget; this
+    sketch's state is bounded by 54·m buckets REGARDLESS of data,
+    so it holds at any cardinality). Values bucket by
+    (e = floor(log2 v), sub = ((v − 2ᵉ)·m) >> e): base-2 exponent
+    levels with ``m`` linear sub-buckets each — the HdrHistogram /
+    DDSketch layout with INTEGER-EXACT bucketing (no float log, so
+    bucket assignment is bit-identical on any engine; DuckDB spells
+    the exponent as ``length(bin(v)) − 1``). The per-percentile
+    estimate is the LOWER BOUND of the first bucket whose cumulative
+    count reaches rank ⌈pct·n/100⌉ — an underestimate by strictly
+    less than a factor 1/m of the true value (v ≥ 2ᵉ and bucket width
+    2ᵉ/m), i.e. guaranteed relative error < 1/m.
+
+    Unlike KLL/t-digest, the sketch is a pure COUNT TABLE: merging is
+    integer addition, so the result is deterministic under ANY
+    partitioning or merge order — the house bit-exactness contract —
+    and the suite's ``events_hdr_quantiles`` carries a full SQL
+    oracle (approximate in VALUE, exact as an ALGORITHM).
+
+    Output: one row per pct — (pct, rank, est), all int64.
+    Constraints: values must be NONNEGATIVE ints < 2⁵³ (the numpy
+    frexp exactness window; cents-scale data is far inside), m in
+    [2, 1024]; both guarded loudly. v = 0 gets its own (e = −1)
+    bucket with lower bound 0.
+
+    Shape: one streaming bucket map feeding the two-phase aggregate
+    at (e, sub) grain — shuffle is ≤ 54·m partial rows per block; the
+    driver folds a constant-size table."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    if not (2 <= m <= 1024):
+        raise ValueError(f"hdr_quantiles: m must be in [2, 1024], got {m}")
+    for p_ in pcts:
+        if not (1 <= int(p_) <= 100):
+            raise ValueError(
+                f"hdr_quantiles: pcts must be integer percents in "
+                f"[1, 100], got {p_}")
+
+    def to_bucket(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"hdr_quantiles: {value_col!r} must be integer (use "
+                f"the cents trick for floats), got {v.dtype}")
+        v = v.astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError(
+                "hdr_quantiles: negative values — relative-error "
+                "buckets need v >= 0; shift or split the series")
+        if len(v) and v.max() >= (1 << 53):
+            raise ValueError(
+                "hdr_quantiles: values >= 2^53 leave the exact "
+                "float64-exponent window; rescale first")
+        # exact integer floor(log2): float64 conversion is exact
+        # below 2^53, so frexp's exponent is exact
+        e = np.frexp(v.astype(np.float64))[1].astype(np.int64) - 1
+        e[v == 0] = -1
+        sub = np.zeros(len(v), dtype=np.int64)
+        pos = v > 0
+        ve, ee = v[pos], e[pos]
+        sub[pos] = ((ve - (np.int64(1) << ee)) * m) >> ee
+        g = (pd.DataFrame({"e": e, "sub": sub})
+             .groupby(["e", "sub"], sort=False)
+             .size().rename("c").reset_index())
+        g["c"] = g["c"].astype("int64")
+        return pa.table({"e": pa.array(g["e"]),
+                         "sub": pa.array(g["sub"]),
+                         "c": pa.array(g["c"])})
+
+    import pyarrow as pa
+
+    hist = grouped_agg(
+        ds.map_batches(to_bucket, batch_format="pandas"),
+        ["e", "sub"], {"n": ("c", "sum")},
+        num_buckets=num_buckets).to_pandas()
+    if hist.empty:
+        return pa.schema([("pct", pa.int64()), ("rank", pa.int64()),
+                          ("est", pa.int64())]).empty_table()
+    hist = hist.sort_values(["e", "sub"]).reset_index(drop=True)
+    cum = hist["n"].cumsum().to_numpy()
+    n_total = int(cum[-1])
+    ee = hist["e"].to_numpy()
+    ss = hist["sub"].to_numpy()
+    lower = np.where(
+        ee < 0, np.int64(0),
+        (np.int64(1) << np.maximum(ee, 0))
+        + ((ss << np.maximum(ee, 0)) // m))
+    rows = []
+    for p_ in pcts:
+        rank = (int(p_) * n_total + 99) // 100  # ceil(pct*n/100)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        rows.append({"pct": int(p_), "rank": rank,
+                     "est": int(lower[idx])})
+    out = pd.DataFrame(rows)
+    return pa.table({"pct": pa.array(out["pct"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int64()),
+                     "est": pa.array(out["est"], pa.int64())})

@@ -9689,6 +9689,55 @@ FROM rec GROUP BY user_id
 """
 
 
+def events_hdr_quantiles(sf_dir: str):
+    """HDR-histogram quantile sketch (functions/sketch.py
+    ``hdr_quantiles``): p50/p90/p99 of value cents with guaranteed
+    relative error < 1/64 from a CONSTANT-size count table — the
+    scale path past the exact quantile machinery's distinct_cap
+    (sketch state is ≤ 54·64 buckets at ANY cardinality). Bucketing
+    is integer-exact (exponent via float64 frexp here ≡
+    length(bin(v))−1 in the oracle — no float log anywhere), merging
+    is integer addition, so the sketch is bit-identical under any
+    partitioning and the APPROXIMATE estimator is EXACTLY
+    verifiable."""
+    from guac_ray.functions.sketch import hdr_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": cents(df["value"])})
+
+    return hdr_quantiles(ds.map_batches(vc, batch_format="pandas"),
+                         "v", pcts=(50, 90, 99), m=64, num_buckets=4)
+
+
+EVENTS_HDR_QUANTILES_SQL = """
+WITH t AS (
+  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events
+), b AS (
+  SELECT CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS e,
+         CASE WHEN v = 0 THEN 0
+              ELSE ((v - (1::BIGINT << (length(bin(v)) - 1))) * 64)
+                   >> (length(bin(v)) - 1) END AS sub,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY 1, 2
+), c AS (
+  SELECT e, sub, n,
+         sum(n) OVER (ORDER BY e, sub) AS cum,
+         CASE WHEN e < 0 THEN 0
+              ELSE (1::BIGINT << e) + ((sub << e) // 64) END AS lower
+  FROM b
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM b),
+p AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT CAST(pct AS BIGINT) AS pct,
+       CAST((pct * tot.nt + 99) // 100 AS BIGINT) AS rank,
+       (SELECT CAST(c.lower AS BIGINT) FROM c
+        WHERE c.cum >= (pct * tot.nt + 99) // 100
+        ORDER BY c.e, c.sub LIMIT 1) AS est
+FROM p, tot
+"""
+
+
 def events_ks_test(sf_dir: str):
     """Two-sample Kolmogorov–Smirnov test (functions/stats.py
     ``ks_test``) of purchase vs click value distributions — the
@@ -10236,6 +10285,11 @@ SUITE: dict[str, tuple] = {
     "events_ab_ttest": (events_ab_ttest, EVENTS_AB_TTEST_SQL),
     "events_mannwhitney": (events_mannwhitney, EVENTS_MANNWHITNEY_SQL),
     "events_ks_test": (events_ks_test, EVENTS_KS_TEST_SQL),
+    # HDR-histogram quantile sketch — approximate in value, EXACT as
+    # an algorithm (integer bucketing, no float log), so the sketch
+    # estimator itself is oracle-verified:
+    "events_hdr_quantiles": (events_hdr_quantiles,
+                             EVENTS_HDR_QUANTILES_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:

@@ -117,3 +117,76 @@ class TestHeavyHitters:
         df = pd.DataFrame({"v": [1] * 90 + list(range(2, 12))})
         got = heavy_hitters(rd.from_pandas(df).repartition(3), "v", k=4).to_pandas()
         assert got.v.tolist() == ["1"] and got.n.tolist() == [90]
+
+
+class TestHdrQuantiles:
+    """HDR quantile sketch: relative-error bound vs exact quantiles,
+    bucket determinism under partitioning, zero handling, guards."""
+
+    def _run(self, v, m=64, pcts=(50, 90, 99), nblocks=1):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import hdr_quantiles
+
+        df = pd.DataFrame({"v": np.asarray(v, dtype="int64")})
+        return hdr_quantiles(rd.from_pandas(df).repartition(nblocks),
+                             "v", pcts=pcts, m=m).to_pandas()
+
+    def test_relative_error_bound(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(81)
+        # lognormal-ish heavy tail in integers
+        v = np.maximum(1, (np.exp(rng.normal(5, 2, 20_000)))
+                       .astype("int64"))
+        out = self._run(v, m=64).set_index("pct")
+        for pct in (50, 90, 99):
+            rank = (pct * len(v) + 99) // 100
+            true = int(np.sort(v)[rank - 1])
+            est = int(out.loc[pct, "est"])
+            assert est <= true  # lower-bound estimator
+            # guaranteed: est > true*(1 - 1/m) - 1 (bucket width)
+            assert est >= true * (1 - 1.0 / 64) - 1, (pct, est, true)
+
+    def test_partitioning_bit_exact(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(82)
+        v = rng.integers(0, 100_000, 5000)
+        a = self._run(v, nblocks=1)
+        b = self._run(v, nblocks=13)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def test_zeros_and_exact_small(self, ray_session):
+        # all zeros: every quantile estimates 0 exactly
+        out = self._run([0] * 10).set_index("pct")
+        assert (out["est"] == 0).all()
+        # powers of two are bucket lower bounds -> exact estimates
+        out = self._run([16] * 100, pcts=(50,)).set_index("pct")
+        assert out.loc[50, "est"] == 16
+
+    def test_guards(self, ray_session):
+        import pytest
+
+        with pytest.raises(Exception, match="negative"):
+            self._run([-1, 5])
+        with pytest.raises(Exception, match="2\\^53"):
+            self._run([1 << 53])
+        with pytest.raises(ValueError, match="m must"):
+            self._run([1], m=1)
+        with pytest.raises(ValueError, match="pcts"):
+            self._run([1], pcts=(0,))
+
+    def test_float_rejected(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import hdr_quantiles
+
+        df = pd.DataFrame({"v": [1.5, 2.0]})
+        with pytest.raises(Exception, match="integer"):
+            hdr_quantiles(rd.from_pandas(df), "v").to_pandas()

@@ -61,6 +61,11 @@ QUERIES = [
     "q2_min_cost_supplier", "q11_important_parts",
     "q9_product_profit", "q20_surge_suppliers",
     "events_user_pivot", "events_acf", "events_cume_nth",
+    # round 5, session 12 (events-fed members; kg_hits/kg_label_prop
+    # ride the KG corpus): experimentation stats, exact multi-feature
+    # OLS, fixed-point EWMA, incremental MV refresh
+    "events_ab_ttest", "events_mannwhitney", "events_ks_test",
+    "events_multireg", "events_user_ewma", "events_mv_refresh",
 ]
 
 
