@@ -175,7 +175,9 @@ def cmd_query(args) -> int:
     elif args.what == "hits":
         from guac_ray.functions.hits import hits
 
-        hs = hits(edges, max_iters=args.iters if args.iters <= 16 else 8)
+        # --iters defaults to pagerank's 20; HITS pays 4 bucket passes
+        # per iteration, so cap the shared flag at its own default 8
+        hs = hits(edges, max_iters=min(args.iters, 8))
         # top-k distributedly by authority, like the pagerank verb
         out = (hs.sort(["auth_fp", "node_key"], descending=[True, False])
                .limit(args.limit).to_pandas())

@@ -219,6 +219,15 @@ def label_propagation(
         s, o = df[src], df[dst]
         ok = s.notna() & o.notna() & (s != o)
         s, o = s[ok], o[ok]
+        # string keys only (the pagerank-family rule): the typed-empty
+        # and label-init paths pin node_key/label to string — an
+        # integer-keyed graph would flip schemas; refuse at ingest
+        for name, col in (("src", s), ("dst", o)):
+            if np.issubdtype(col.to_numpy().dtype, np.number):
+                raise TypeError(
+                    f"label_propagation: {name!r} node keys must be "
+                    "strings — stringify integer ids upstream, e.g. "
+                    ".astype(str)")
         out = pd.DataFrame({
             "node": pd.concat([s, o], ignore_index=True),
             "nbr": pd.concat([o, s], ignore_index=True),

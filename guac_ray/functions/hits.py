@@ -103,6 +103,15 @@ def hits(
     def part_edges(df: pd.DataFrame, by: str) -> pa.Table:
         out = pd.DataFrame({"src": df[src_col],
                             "dst": df[dst_col]}).drop_duplicates()
+        # string keys only (the pagerank-family rule): every internal
+        # empty/typed-schema path pins node_key to string, so an
+        # integer-keyed graph would flip schemas between empty and
+        # populated buckets — refuse at ingest with the fix named
+        for c in ("src", "dst"):
+            if np.issubdtype(out[c].to_numpy().dtype, np.number):
+                raise TypeError(
+                    f"hits: {c!r} node keys must be strings — "
+                    "stringify integer ids upstream, e.g. .astype(str)")
         out["_bucket"] = _bucket_of(out[by], B)
         return table_from_pandas(out, preserve_index=False)
 

@@ -265,3 +265,16 @@ class TestLabelPropagation:
         assert out.schema().names == ["node_key", "label"]
         with pytest.raises(ValueError, match="rounds"):
             label_propagation(rd.from_pandas(df), rounds=0)
+
+    def test_integer_keys_refused(self, ray_session, tmp_path):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from guac_ray.functions.graph_algs import label_propagation
+
+        df = pd.DataFrame({"subj_key": [1, 2], "obj_key": [2, 3]})
+        with pytest.raises(Exception, match="strings"):
+            label_propagation(
+                rd.from_pandas(df),
+                exchange_base=str(tmp_path / "l8")).to_pandas()

@@ -119,3 +119,13 @@ class TestHits:
         with pytest.raises(ValueError, match="int64 normalization"):
             hits(rd.from_pandas(df), quantize_scale=1 << 62,
                  exchange_base=str(tmp_path / "h6")).to_pandas()
+
+    def test_integer_keys_refused(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from guac_ray.functions.hits import hits
+
+        df = pd.DataFrame({"subj_key": [1, 2], "obj_key": [2, 3]})
+        with pytest.raises(Exception, match="strings"):
+            hits(rd.from_pandas(df),
+                 exchange_base=str(tmp_path / "h7")).to_pandas()
