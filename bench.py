@@ -239,6 +239,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "events_ab_ttest", "events_mannwhitney", "events_ks_test",
             "events_multireg", "events_user_ewma", "events_mv_refresh",
             "kg_hits", "kg_label_prop",
+            # HDR quantile sketches (global + per-key)
+            "events_hdr_quantiles", "events_user_hdr",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -26,7 +26,7 @@ from guac_ray.arrowutil import table_from_pandas
 from ray.data import Dataset
 
 __all__ = ["hll_fold", "hll_merge", "hll_estimate", "approx_ndistinct",
-           "approx_ndistinct_grouped", "heavy_hitters", "hdr_quantiles"]
+           "approx_ndistinct_grouped", "heavy_hitters", "hdr_quantiles", "hdr_quantiles_grouped"]
 
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
@@ -342,3 +342,127 @@ def hdr_quantiles(
     return pa.table({"pct": pa.array(out["pct"], pa.int64()),
                      "rank": pa.array(out["rank"], pa.int64()),
                      "est": pa.array(out["est"], pa.int64())})
+
+
+def hdr_quantiles_grouped(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    pcts: tuple[int, ...] = (50, 90, 99),
+    m: int = 64,
+    exchange_base: str | None = None,
+    num_buckets: int = 16,
+) -> Dataset:
+    """PER-KEY HDR quantile sketch — ``hdr_quantiles`` grouped by a
+    key (per-user p99 latency, per-domain p50 doc length) at UNBOUNDED
+    key cardinality: per-key state is ≤ 54·m buckets and the whole
+    reduction is counts, so it distributes as one key-hash exchange of
+    (key, e, sub, n) partials — in-batch combined first, the
+    grouped_agg discipline — with the per-bucket finalize a single
+    vectorized cumsum + searchsorted over each key's sorted buckets.
+    Same integer-exact bucketing, lower-bound estimate, and < 1/m
+    relative-error guarantee as the global sketch; deterministic under
+    any partitioning. Output: one row per (key, pct) —
+    ``(key_col, pct, rank, est)``, all value columns int64."""
+    from guac_ray.functions.joins import default_exchange
+    from guac_ray.stages.assemble import fs_exchange_reduce, stable_hash
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    if not (2 <= m <= 1024):
+        raise ValueError(
+            f"hdr_quantiles_grouped: m must be in [2, 1024], got {m}")
+    for p_ in pcts:
+        if not (1 <= int(p_) <= 100):
+            raise ValueError(
+                f"hdr_quantiles_grouped: pcts must be integer percents "
+                f"in [1, 100], got {p_}")
+    pct_arr = np.asarray(sorted(int(p_) for p_ in pcts), dtype=np.int64)
+
+    def to_bucket(df: pd.DataFrame) -> "pa.Table":
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"hdr_quantiles_grouped: {value_col!r} must be integer "
+                f"(use the cents trick for floats), got {v.dtype}")
+        v = v.astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError(
+                "hdr_quantiles_grouped: negative values — "
+                "relative-error buckets need v >= 0")
+        if len(v) and v.max() >= (1 << 53):
+            raise ValueError(
+                "hdr_quantiles_grouped: values >= 2^53 leave the "
+                "exact float64-exponent window; rescale first")
+        e = np.frexp(v.astype(np.float64))[1].astype(np.int64) - 1
+        e[v == 0] = -1
+        sub = np.zeros(len(v), dtype=np.int64)
+        pos = v > 0
+        ve, ee = v[pos], e[pos]
+        sub[pos] = ((ve - (np.int64(1) << ee)) * m) >> ee
+        g = (pd.DataFrame({key_col: df[key_col].to_numpy(),
+                           "e": e, "sub": sub})
+             .groupby([key_col, "e", "sub"], sort=False, dropna=False)
+             .size().rename("c").reset_index())
+        g["c"] = g["c"].astype("int64")
+        g["_bucket"] = (stable_hash(g, [key_col])
+                        % num_buckets).astype("int64")
+        return table_from_pandas(g, preserve_index=False)
+
+    def reduce_fn(t: "pa.Table") -> "pa.Table":
+        df = (t.to_pandas()
+              .groupby([key_col, "e", "sub"], sort=False,
+                       dropna=False)["c"].sum().reset_index()
+              .sort_values([key_col, "e", "sub"], kind="mergesort")
+              .reset_index(drop=True))
+        k = df[key_col].to_numpy()
+        n = len(k)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], n)
+        c = df["c"].to_numpy()
+        cs = np.cumsum(c)
+        base = np.where(new_key, cs - c, 0)
+        cum = cs - np.maximum.accumulate(base)  # per-key running count
+        totals = cum[ends - 1]                  # per-key n
+        ee = df["e"].to_numpy()
+        ss = df["sub"].to_numpy()
+        lower = np.where(
+            ee < 0, np.int64(0),
+            (np.int64(1) << np.maximum(ee, 0))
+            + ((ss << np.maximum(ee, 0)) // m))
+        rows_k, rows_p, rows_r, rows_e = [], [], [], []
+        for p_ in pct_arr:
+            ranks = (p_ * totals + 99) // 100
+            # first bucket index within each key whose cum >= rank:
+            # searchsorted per key over its slice, vectorized across
+            # keys via the global cumsum offsets (rank is per-key, so
+            # probe base + rank in the running-count space)
+            glob_target = ranks + (cs[starts] - c[starts])
+            idx = np.searchsorted(cs, glob_target, side="left")
+            rows_k.append(k[starts])
+            rows_p.append(np.full(len(starts), p_, dtype=np.int64))
+            rows_r.append(ranks.astype(np.int64))
+            rows_e.append(lower[idx].astype(np.int64))
+        out = pd.DataFrame({
+            key_col: np.concatenate(rows_k),
+            "pct": np.concatenate(rows_p),
+            "rank": np.concatenate(rows_r),
+            "est": np.concatenate(rows_e)})
+        return table_from_pandas(out, preserve_index=False)
+
+    out = fs_exchange_reduce(
+        ds.select_columns([key_col, value_col]).map_batches(
+            to_bucket, batch_format="pandas"),
+        exchange_base or default_exchange("hdrg"), reduce_fn)
+    if out is None:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types)) if sch is not None else {}
+        kt = types.get(key_col)
+        kt = kt if isinstance(kt, pa.DataType) else pa.string()
+        return rd.from_arrow(pa.schema(
+            [(key_col, kt), ("pct", pa.int64()),
+             ("rank", pa.int64()), ("est", pa.int64())]).empty_table())
+    return out

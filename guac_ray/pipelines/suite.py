@@ -9738,6 +9738,64 @@ FROM p, tot
 """
 
 
+def events_user_hdr(sf_dir: str):
+    """PER-KEY HDR quantile sketch (functions/sketch.py
+    ``hdr_quantiles_grouped``): per-user p50/p99 of value cents with
+    < 1/64 relative error from a per-key constant-size count table —
+    the sketch path for per-key tail latencies at key cardinalities
+    where even ``grouped_robust_stats``' per-bucket sorts get heavy
+    (per-key state is ≤ 54·64 buckets regardless of the key's row
+    count). One key-hash exchange of in-batch-combined (key, e, sub)
+    count partials; the finalize is one vectorized cumsum +
+    searchsorted per bucket. Integer-exact everywhere — hash-exact vs
+    the window-partitioned SQL oracle."""
+    from guac_ray.functions.sketch import hdr_quantiles_grouped
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def vc(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": df["user_id"],
+                             "v": cents(df["value"])})
+
+    return hdr_quantiles_grouped(
+        ds.map_batches(vc, batch_format="pandas"), "user_id", "v",
+        pcts=(50, 99), m=64, exchange_base=_exchange("hdrg"),
+        num_buckets=8)
+
+
+EVENTS_USER_HDR_SQL = """
+WITH t AS (
+  SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+  FROM events
+), b AS (
+  SELECT user_id,
+         CASE WHEN v = 0 THEN -1 ELSE length(bin(v)) - 1 END AS e,
+         CASE WHEN v = 0 THEN 0
+              ELSE ((v - (1::BIGINT << (length(bin(v)) - 1))) * 64)
+                   >> (length(bin(v)) - 1) END AS sub,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY 1, 2, 3
+), c AS (
+  SELECT user_id, e, sub, n,
+         sum(n) OVER (PARTITION BY user_id ORDER BY e, sub) AS cum,
+         sum(n) OVER (PARTITION BY user_id) AS nt,
+         CASE WHEN e < 0 THEN 0
+              ELSE (1::BIGINT << e) + ((sub << e) // 64) END AS lower
+  FROM b
+), p AS (SELECT unnest([50, 99]) AS pct),
+sel AS (
+  SELECT c.user_id, p.pct,
+         (p.pct * c.nt + 99) // 100 AS rank, c.lower, c.e, c.sub
+  FROM c, p WHERE c.cum >= (p.pct * c.nt + 99) // 100
+)
+SELECT user_id, CAST(pct AS BIGINT) AS pct,
+       CAST(rank AS BIGINT) AS rank, CAST(lower AS BIGINT) AS est
+FROM sel
+QUALIFY row_number() OVER (PARTITION BY user_id, pct
+                           ORDER BY e, sub) = 1
+"""
+
+
 def events_ks_test(sf_dir: str):
     """Two-sample Kolmogorov–Smirnov test (functions/stats.py
     ``ks_test``) of purchase vs click value distributions — the
@@ -10290,6 +10348,9 @@ SUITE: dict[str, tuple] = {
     # estimator itself is oracle-verified:
     "events_hdr_quantiles": (events_hdr_quantiles,
                              EVENTS_HDR_QUANTILES_SQL),
+    # per-key HDR sketch: per-user p50/p99 tails at unbounded key
+    # cardinality, window-partitioned SQL oracle:
+    "events_user_hdr": (events_user_hdr, EVENTS_USER_HDR_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:

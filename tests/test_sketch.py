@@ -190,3 +190,75 @@ class TestHdrQuantiles:
         df = pd.DataFrame({"v": [1.5, 2.0]})
         with pytest.raises(Exception, match="integer"):
             hdr_quantiles(rd.from_pandas(df), "v").to_pandas()
+
+
+class TestHdrQuantilesGrouped:
+    """Per-key HDR sketch: per-key relative-error bound, partitioning
+    bit-exactness, single-row keys, typed empty."""
+
+    def _run(self, df, tmp_path, name, m=64, pcts=(50, 99),
+             nblocks=1, num_buckets=4):
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import hdr_quantiles_grouped
+
+        return (hdr_quantiles_grouped(
+            rd.from_pandas(df).repartition(nblocks), "k", "v",
+            pcts=pcts, m=m, exchange_base=str(tmp_path / name),
+            num_buckets=num_buckets).to_pandas()
+            .sort_values(["k", "pct"]).reset_index(drop=True))
+
+    def test_per_key_error_bound(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(91)
+        n = 20_000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 25, n),
+            "v": np.maximum(1, np.exp(rng.normal(4, 2, n))
+                            .astype("int64"))})
+        out = self._run(df, tmp_path, "g1", nblocks=6)
+        for (key, pct), grp in out.groupby(["k", "pct"]):
+            vv = np.sort(df.loc[df.k == key, "v"].to_numpy())
+            rank = (pct * len(vv) + 99) // 100
+            true = int(vv[rank - 1])
+            est = int(grp["est"].iloc[0])
+            assert est <= true
+            assert est >= true * (1 - 1.0 / 64) - 1, (key, pct)
+
+    def test_partitioning_bit_exact(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(92)
+        df = pd.DataFrame({
+            "k": rng.integers(0, 15, 4000),
+            "v": rng.integers(0, 100_000, 4000).astype("int64")})
+        a = self._run(df, tmp_path, "g2", nblocks=1, num_buckets=2)
+        b = self._run(df, tmp_path, "g3", nblocks=9, num_buckets=7)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    def test_single_row_keys_exact(self, ray_session, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        # one row per key at a power of two: estimate is exact
+        df = pd.DataFrame({"k": np.arange(5),
+                           "v": np.array([1, 2, 4, 8, 16], "int64")})
+        out = self._run(df, tmp_path, "g4", pcts=(50,))
+        assert out["est"].tolist() == [1, 2, 4, 8, 16]
+        assert (out["rank"] == 1).all()
+
+    def test_typed_empty(self, ray_session, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from guac_ray.functions.sketch import hdr_quantiles_grouped
+
+        df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                           "v": pd.Series([], dtype="int64")})
+        out = hdr_quantiles_grouped(
+            rd.from_pandas(df), "k", "v",
+            exchange_base=str(tmp_path / "g5"))
+        assert out.schema().names == ["k", "pct", "rank", "est"]

@@ -66,6 +66,7 @@ QUERIES = [
     # OLS, fixed-point EWMA, incremental MV refresh
     "events_ab_ttest", "events_mannwhitney", "events_ks_test",
     "events_multireg", "events_user_ewma", "events_mv_refresh",
+    "events_hdr_quantiles", "events_user_hdr",
 ]
 
 
