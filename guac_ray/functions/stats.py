@@ -544,8 +544,16 @@ def welch_ttest(
          "_mn": ("_v", "min"), "_mx": ("_v", "max")},
         num_buckets=num_buckets).to_pandas()
 
+    # group-column type from the INPUT schema (the chi2_contingency
+    # rule): an astype(str) here would mint the literal 'None' for a
+    # NULL group and silently restring integer group labels
+    sch = ds.schema()
+    gtype = (dict(zip(sch.names, sch.types)).get(group_col)
+             if sch is not None else None)
+    if not isinstance(gtype, pa.DataType):
+        gtype = pa.string()
     out_schema = pa.schema([
-        (group_col, pa.string()), ("n", pa.int64()),
+        (group_col, gtype), ("n", pa.int64()),
         ("mean", pa.float64()), ("n_control", pa.int64()),
         ("mean_control", pa.float64()),
         ("t_stat", pa.float64()), ("df", pa.float64())])
@@ -586,7 +594,7 @@ def welch_ttest(
         dfree = (se2 * se2) / ((sea * sea) / (nf - 1.0)
                                + (sec * sec) / (nc - 1.0))
     return pa.table({
-        group_col: pa.array(g[group_col].astype(str)),
+        group_col: pa.array(g[group_col], type=gtype),
         "n": pa.array(g["_n"].to_numpy().astype("int64")),
         "mean": pa.array(mean),
         "n_control": pa.array(np.full(len(g), int(nc), dtype="int64")),

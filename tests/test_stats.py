@@ -504,3 +504,27 @@ class TestKsTest:
         df = pd.DataFrame({"g": ["a", "a"], "v": np.array([1, 2], "int64")})
         with pytest.raises((ValueError, Exception), match="both groups"):
             self._run(df)
+
+
+class TestWelchTtestTyping:
+    def test_null_group_stays_null_and_int_groups_keep_type(
+            self, ray_session):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import welch_ttest
+
+        # integer group labels: output keeps int64, no restringing
+        df = pd.DataFrame({
+            "g": np.array([1, 1, 1, 2, 2, 2], "int64"),
+            "v": np.array([1, 2, 3, 7, 8, 9], "int64")})
+        out = welch_ttest(rd.from_pandas(df), "g", "v", 2)
+        assert out.schema.field("g").type == "int64"
+        got = out.to_pandas()
+        assert got["g"].tolist() == [1]
+        # NULL group label survives as NULL, not the string 'None'
+        df2 = pd.DataFrame({
+            "g": ["a", "a", "a", None, None, None, "c", "c", "c"],
+            "v": np.array([1, 2, 3, 4, 5, 9, 6, 7, 8], "int64")})
+        out2 = welch_ttest(rd.from_pandas(df2), "g", "v", "c").to_pandas()
+        assert len(out2) == 2
+        assert out2["g"].isna().sum() == 1  # the NULL group row
