@@ -38,7 +38,8 @@ from ray.data import Dataset
 from guac_ray.arrowutil import table_from_pandas
 
 __all__ = ["grouped_corr", "chi2_contingency", "grouped_linreg",
-           "welch_ttest", "mann_whitney_u", "multi_linreg", "ks_test"]
+           "welch_ttest", "mann_whitney_u", "multi_linreg", "ks_test",
+           "two_proportion_ztest", "cuped_adjust"]
 
 
 def grouped_corr(
@@ -911,4 +912,193 @@ def ks_test(
         "d_num": pa.array([d_num], pa.int64()),
         "d_stat": pa.array([d_stat], pa.float64()),
         "z_stat": pa.array([float(z)], pa.float64()),
+    })
+
+
+def two_proportion_ztest(
+    user_flags: Dataset,
+    variant_col: str,
+    flag_col: str,
+    control,
+    num_buckets: int = 4,
+) -> pa.Table:
+    """Two-proportion z-test of per-variant CONVERSION RATES vs a
+    control — the count-based A/B readout (did the purchase RATE move,
+    not the spend?) completing the experimentation family on the
+    binary-outcome side. Input is one row per experimental UNIT
+    (usually user) with its variant and a 0/1 conversion flag; output
+    one row per non-control variant:
+    ``(variant_col, n, conv, rate, n_control, conv_control,
+    rate_control, z_stat)``.
+
+    Counts are exact int64 through the two-phase aggregate; the rates,
+    pooled rate and
+
+        z = (r_v − r_c) / sqrt(p·(1−p)·(1/n_v + 1/n_c))
+
+    evaluate in ONE fixed double order mirrored by the SQL oracle —
+    bit-exact. Degenerate pools (p ∈ {0, 1}: nobody or everybody
+    converts) pin z to 0.0 instead of a 0/0 divergence. Flags outside
+    {0, 1} refuse loudly (a miscoded flag silently averaged into a
+    'rate' is the classic conversion-pipeline bug)."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[flag_col].to_numpy()
+        if not np.issubdtype(f.dtype, np.integer):
+            raise TypeError(
+                f"two_proportion_ztest: {flag_col!r} must be an "
+                f"integer 0/1 flag, got {f.dtype}")
+        bad = ~np.isin(f, (0, 1))
+        if bad.any():
+            raise ValueError(
+                f"two_proportion_ztest: {flag_col!r} has values "
+                f"outside {{0, 1}} ({int(bad.sum())} rows in one "
+                "batch) — a miscoded flag averaged into a rate is "
+                "silent corruption")
+        return pd.DataFrame({variant_col: df[variant_col],
+                             "_f": f.astype(np.int64)})
+
+    agg = grouped_agg(
+        user_flags.map_batches(keyed, batch_format="pandas"),
+        [variant_col], {"_n": ("_f", "count"), "_c": ("_f", "sum")},
+        num_buckets=num_buckets).to_pandas()
+
+    sch = user_flags.schema()
+    vtype = (dict(zip(sch.names, sch.types)).get(variant_col)
+             if sch is not None else None)
+    if not isinstance(vtype, pa.DataType):
+        vtype = pa.string()
+    out_schema = pa.schema([
+        (variant_col, vtype), ("n", pa.int64()), ("conv", pa.int64()),
+        ("rate", pa.float64()), ("n_control", pa.int64()),
+        ("conv_control", pa.int64()), ("rate_control", pa.float64()),
+        ("z_stat", pa.float64())])
+    if agg.empty:
+        return out_schema.empty_table()
+    ctl = agg[agg[variant_col] == control]
+    if len(ctl) != 1:
+        raise ValueError(
+            f"two_proportion_ztest: control variant {control!r} "
+            "missing — a rate test against nothing is a config error")
+    nc = int(ctl["_n"].iloc[0])
+    cc = int(ctl["_c"].iloc[0])
+    g = agg[agg[variant_col] != control].reset_index(drop=True)
+    if g.empty:
+        return out_schema.empty_table()
+    nv = g["_n"].to_numpy().astype("int64")
+    cv = g["_c"].to_numpy().astype("int64")
+    nvf, cvf = nv.astype("float64"), cv.astype("float64")
+    ncf, ccf = float(nc), float(cc)
+    rv = cvf / nvf
+    rc = ccf / ncf
+    pool = (cvf + ccf) / (nvf + ncf)
+    den2 = pool * (1.0 - pool) * (1.0 / nvf + 1.0 / ncf)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (rv - rc) / np.sqrt(den2)
+    return pa.table({
+        variant_col: pa.array(g[variant_col], type=vtype),
+        "n": pa.array(nv), "conv": pa.array(cv),
+        "rate": pa.array(rv),
+        "n_control": pa.array(np.full(len(g), nc, dtype="int64")),
+        "conv_control": pa.array(np.full(len(g), cc, dtype="int64")),
+        "rate_control": pa.array(np.full(len(g), rc)),
+        "z_stat": pa.array(np.where(den2 == 0.0, 0.0, z)),
+    })
+
+
+def cuped_adjust(
+    user_metrics: Dataset,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    num_buckets: int = 4,
+) -> pa.Table:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    'Improving the Sensitivity of Online Controlled Experiments') —
+    the industry-standard pre-period adjustment: with a pre-experiment
+    covariate X and experiment metric Y per unit,
+
+        θ        = cov(X, Y) / var(X)          (population, ALL units)
+        adj_mean = mean(Y_v) − θ·(mean(X_v) − mean(X_all))
+
+    removes the X-explained variance from each variant's mean without
+    biasing the treatment effect. Input: one row per unit with
+    variant, integer pre metric, integer post metric. Output one row
+    per variant:
+    ``(variant_col, n, mean_pre, mean_post, mean_adj)``.
+
+    Exactness discipline: per-variant moment sums (n, Σx, Σy, Σxy,
+    Σx²) are exact int64 through the two-phase aggregate; the GLOBAL
+    moments are the exact integer fold of the per-variant rows (never
+    a second scan), and θ / means / adjustments evaluate in ONE fixed
+    double order (grouped_corr's tree: Σxy − (Σx·Σy)/n over doubles)
+    mirrored by the SQL oracle — bit-exact. Zero pre-variance pins
+    θ = 0.0 (adjustment is a no-op, as it should be). Per-unit x·y
+    products must fit int64 — the grouped_corr budget, asserted."""
+    from guac_ray.stages.groupagg import grouped_agg
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[pre_col].to_numpy()
+        y = df[post_col].to_numpy()
+        if not (np.issubdtype(x.dtype, np.integer)
+                and np.issubdtype(y.dtype, np.integer)):
+            raise TypeError(
+                f"cuped_adjust: {pre_col!r}/{post_col!r} must be "
+                f"integer (cents), got {x.dtype}/{y.dtype}")
+        x = x.astype(np.int64)
+        y = y.astype(np.int64)
+        return pd.DataFrame({variant_col: df[variant_col],
+                             "_x": x, "_y": y, "_xy": x * y,
+                             "_xx": x * x})
+
+    agg = grouped_agg(
+        user_metrics.map_batches(moments, batch_format="pandas"),
+        [variant_col],
+        {"_n": ("_x", "count"), "_sx": ("_x", "sum"),
+         "_sy": ("_y", "sum"), "_sxy": ("_xy", "sum"),
+         "_sxx": ("_xx", "sum"),
+         "_mnx": ("_x", "min"), "_mxx": ("_x", "max")},
+        num_buckets=num_buckets).to_pandas()
+
+    sch = user_metrics.schema()
+    vtype = (dict(zip(sch.names, sch.types)).get(variant_col)
+             if sch is not None else None)
+    if not isinstance(vtype, pa.DataType):
+        vtype = pa.string()
+    out_schema = pa.schema([
+        (variant_col, vtype), ("n", pa.int64()),
+        ("mean_pre", pa.float64()), ("mean_post", pa.float64()),
+        ("mean_adj", pa.float64())])
+    if agg.empty:
+        return out_schema.empty_table()
+
+    # global moments: the EXACT integer fold of the per-variant rows
+    N = int(agg["_n"].sum())
+    SX = int(agg["_sx"].astype(object).sum())
+    SY = int(agg["_sy"].astype(object).sum())
+    SXY = int(agg["_sxy"].astype(object).sum())
+    SXX = int(agg["_sxx"].astype(object).sum())
+    const = int(agg["_mnx"].min()) == int(agg["_mxx"].max())
+    nf = float(N)
+    sxf, syf, sxyf, sxxf = float(SX), float(SY), float(SXY), float(SXX)
+    if const:
+        theta = 0.0
+    else:
+        # grouped_corr's fixed tree: cov and var share the (… − …/n)
+        # numerators; their /n denominators cancel in the ratio, and
+        # BOTH engines spell the ratio of the two numerators directly
+        theta = (sxyf - (sxf * syf) / nf) / (sxxf - (sxf * sxf) / nf)
+    mean_x_all = sxf / nf
+
+    nv = agg["_n"].to_numpy().astype("float64")
+    mean_pre = agg["_sx"].to_numpy().astype("float64") / nv
+    mean_post = agg["_sy"].to_numpy().astype("float64") / nv
+    mean_adj = mean_post - theta * (mean_pre - mean_x_all)
+    return pa.table({
+        variant_col: pa.array(agg[variant_col], type=vtype),
+        "n": pa.array(agg["_n"].to_numpy().astype("int64")),
+        "mean_pre": pa.array(mean_pre),
+        "mean_post": pa.array(mean_post),
+        "mean_adj": pa.array(mean_adj),
     })

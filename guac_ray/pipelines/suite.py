@@ -9738,6 +9738,197 @@ FROM p, tot
 """
 
 
+def events_ab_conversion(sf_dir: str):
+    """Two-proportion conversion z-test (functions/stats.py
+    ``two_proportion_ztest``): users md5-split 50/50 into variants
+    'a'/'b' (the train_test_split discipline — deterministic in both
+    engines), conversion = the user produced ≥ 1 purchase event;
+    variant 'b' tests against control 'a'. The binary-outcome member
+    of the experimentation family: exact int64 unit counts through
+    per-user flag aggregation, pooled-rate z in one fixed double
+    order — bit-exact vs the oracle."""
+    from guac_ray.functions.stats import two_proportion_ztest
+    from guac_ray.pipelines.curation import md5_first_byte
+    from guac_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flag(df: pd.DataFrame) -> pa.Table:
+        g = (pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "_p": (df["event_type"].to_numpy() == "purchase")
+            .astype("int64")})
+            .groupby("user_id", sort=False)["_p"].max().reset_index())
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "_p": pa.array(g["_p"], pa.int64())})
+
+    users = grouped_agg(ds.map_batches(flag, batch_format="pandas"),
+                        ["user_id"], {"converted": ("_p", "max")},
+                        num_buckets=4)
+
+    def add_variant(df: pd.DataFrame) -> pa.Table:
+        v = np.where(md5_first_byte(df["user_id"].to_numpy()) >= 0x80,
+                     "b", "a")
+        return pa.table({
+            "variant": pa.array(v, pa.string()),
+            "converted": pa.array(
+                df["converted"].to_numpy().astype("int64"))})
+
+    return two_proportion_ztest(
+        users.map_batches(add_variant, batch_format="pandas"),
+        "variant", "converted", "a", num_buckets=2)
+
+
+EVENTS_AB_CONVERSION_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) >= '80'
+              THEN 'b' ELSE 'a' END AS variant
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(f) AS BIGINT) AS c
+  FROM u GROUP BY variant
+), ctl AS (SELECT * FROM m WHERE variant = 'a')
+SELECT v.variant, v.n, v.c AS conv,
+       CAST(v.c AS DOUBLE) / CAST(v.n AS DOUBLE) AS rate,
+       ctl.n AS n_control, ctl.c AS conv_control,
+       CAST(ctl.c AS DOUBLE) / CAST(ctl.n AS DOUBLE) AS rate_control,
+       CASE WHEN ((CAST(v.c AS DOUBLE) + CAST(ctl.c AS DOUBLE))
+                  / (CAST(v.n AS DOUBLE) + CAST(ctl.n AS DOUBLE)))
+                 * (1.0 - (CAST(v.c AS DOUBLE) + CAST(ctl.c AS DOUBLE))
+                          / (CAST(v.n AS DOUBLE)
+                             + CAST(ctl.n AS DOUBLE)))
+                 * (1.0 / CAST(v.n AS DOUBLE)
+                    + 1.0 / CAST(ctl.n AS DOUBLE)) = 0.0
+            THEN 0.0
+            ELSE (CAST(v.c AS DOUBLE) / CAST(v.n AS DOUBLE)
+                  - CAST(ctl.c AS DOUBLE) / CAST(ctl.n AS DOUBLE))
+                 / sqrt(((CAST(v.c AS DOUBLE) + CAST(ctl.c AS DOUBLE))
+                         / (CAST(v.n AS DOUBLE)
+                            + CAST(ctl.n AS DOUBLE)))
+                        * (1.0 - (CAST(v.c AS DOUBLE)
+                                  + CAST(ctl.c AS DOUBLE))
+                                 / (CAST(v.n AS DOUBLE)
+                                    + CAST(ctl.n AS DOUBLE)))
+                        * (1.0 / CAST(v.n AS DOUBLE)
+                           + 1.0 / CAST(ctl.n AS DOUBLE)))
+       END AS z_stat
+FROM m v, ctl WHERE v.variant <> 'a'
+"""
+
+
+def events_cuped(sf_dir: str):
+    """CUPED variance-reduced A/B readout (functions/stats.py
+    ``cuped_adjust``, Deng et al. 2013): per-user pre/post cents
+    around the table's integer-µs midpoint (the mv_refresh epoch
+    discipline), users md5-split into variants; θ from EXACT global
+    moments (the integer fold of the per-variant moment rows — never
+    a second scan), adjusted means in one fixed double order —
+    bit-exact vs the oracle's HUGEINT spelling."""
+    from guac_ray.functions.stats import cuped_adjust
+    from guac_ray.pipelines.curation import md5_first_byte
+    from guac_ray.stages.groupagg import grouped_agg
+    import pyarrow.compute as pc
+
+    def _bounds() -> tuple[int, int]:
+        def part(t: pa.Table) -> pa.Table:
+            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
+                                            pa.int64()),
+                             "mx": pa.array([pc.max(arr).as_py()],
+                                            pa.int64())})
+        p = (_read(sf_dir, "events", ["ts"])
+             .map_batches(part, batch_format="pyarrow")
+             .to_pandas().dropna())
+        if p.empty:
+            raise ValueError("events_cuped: empty events table")
+        return int(p["mn"].min()), int(p["mx"].max())
+
+    mn, mx = _bounds()
+    t_us = (mn + mx) // 2
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def split(df: pd.DataFrame) -> pa.Table:
+        tu = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        vc = cents(df["value"])
+        pre = np.where(tu < t_us, vc, 0)
+        post = np.where(tu >= t_us, vc, 0)
+        g = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "_x": pre, "_y": post})
+             .groupby("user_id", sort=False)[["_x", "_y"]]
+             .sum().reset_index())
+        return pa.table({"user_id": pa.array(g["user_id"], pa.int64()),
+                         "_x": pa.array(g["_x"].astype("int64")),
+                         "_y": pa.array(g["_y"].astype("int64"))})
+
+    users = grouped_agg(ds.map_batches(split, batch_format="pandas"),
+                        ["user_id"],
+                        {"pre_c": ("_x", "sum"), "post_c": ("_y", "sum")},
+                        num_buckets=4)
+
+    def add_variant(df: pd.DataFrame) -> pa.Table:
+        v = np.where(md5_first_byte(df["user_id"].to_numpy()) >= 0x80,
+                     "b", "a")
+        return pa.table({
+            "variant": pa.array(v, pa.string()),
+            "pre_c": pa.array(df["pre_c"].to_numpy().astype("int64")),
+            "post_c": pa.array(df["post_c"].to_numpy().astype("int64"))})
+
+    return cuped_adjust(
+        users.map_batches(add_variant, batch_format="pandas"),
+        "variant", "pre_c", "post_c", num_buckets=2)
+
+
+EVENTS_CUPED_SQL = """
+WITH c AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t FROM events
+), u AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN epoch_us(ts) < c.t
+                  THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN epoch_us(ts) >= c.t
+                  THEN CAST(floor(value*100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y,
+         CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) >= '80'
+              THEN 'b' ELSE 'a' END AS variant
+  FROM events, c GROUP BY user_id
+), m AS (
+  SELECT variant, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*y) AS sxy, sum(x*x) AS sxx,
+         min(x) AS mnx, max(x) AS mxx
+  FROM u GROUP BY variant
+), g AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS gn,
+         CAST(sum(sx) AS HUGEINT) AS gsx,
+         CAST(sum(sy) AS HUGEINT) AS gsy,
+         CAST(sum(sxy) AS HUGEINT) AS gsxy,
+         CAST(sum(sxx) AS HUGEINT) AS gsxx,
+         min(mnx) AS gmn, max(mxx) AS gmx
+  FROM m
+)
+SELECT m.variant, CAST(m.n AS BIGINT) AS n,
+       CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_pre,
+       CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) AS mean_post,
+       CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+         - (CASE WHEN g.gmn = g.gmx THEN 0.0 ELSE
+              (CAST(g.gsxy AS DOUBLE)
+               - (CAST(g.gsx AS DOUBLE) * CAST(g.gsy AS DOUBLE))
+                 / CAST(g.gn AS DOUBLE))
+              / (CAST(g.gsxx AS DOUBLE)
+                 - (CAST(g.gsx AS DOUBLE) * CAST(g.gsx AS DOUBLE))
+                   / CAST(g.gn AS DOUBLE)) END)
+           * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)
+              - CAST(g.gsx AS DOUBLE) / CAST(g.gn AS DOUBLE))
+         AS mean_adj
+FROM m, g
+"""
+
+
 def events_user_hdr(sf_dir: str):
     """PER-KEY HDR quantile sketch (functions/sketch.py
     ``hdr_quantiles_grouped``): per-user p50/p99 of value cents with
@@ -10351,6 +10542,11 @@ SUITE: dict[str, tuple] = {
     # per-key HDR sketch: per-user p50/p99 tails at unbounded key
     # cardinality, window-partitioned SQL oracle:
     "events_user_hdr": (events_user_hdr, EVENTS_USER_HDR_SQL),
+    # binary-outcome A/B (two-proportion conversion z) and CUPED
+    # variance-reduced means (Deng et al. 2013):
+    "events_ab_conversion": (events_ab_conversion,
+                             EVENTS_AB_CONVERSION_SQL),
+    "events_cuped": (events_cuped, EVENTS_CUPED_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:

@@ -528,3 +528,95 @@ class TestWelchTtestTyping:
         out2 = welch_ttest(rd.from_pandas(df2), "g", "v", "c").to_pandas()
         assert len(out2) == 2
         assert out2["g"].isna().sum() == 1  # the NULL group row
+
+
+class TestTwoProportionZtest:
+    def _run(self, df, control="a", num_buckets=2):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import two_proportion_ztest
+
+        return two_proportion_ztest(
+            rd.from_pandas(df), "g", "f", control,
+            num_buckets=num_buckets).to_pandas()
+
+    def test_matches_closed_form(self, ray_session):
+        rng = np.random.default_rng(101)
+        n = 3000
+        g = rng.choice(["a", "b", "c"], n)
+        # different planted rates per variant
+        rate = np.where(g == "a", 0.2, np.where(g == "b", 0.3, 0.25))
+        f = (rng.uniform(size=n) < rate).astype("int64")
+        out = (self._run(pd.DataFrame({"g": g, "f": f}), num_buckets=3)
+               .sort_values("g").reset_index(drop=True))
+        assert list(out["g"]) == ["b", "c"]
+        for _, row in out.iterrows():
+            nv = int((g == row["g"]).sum())
+            cv = int(f[g == row["g"]].sum())
+            nc = int((g == "a").sum())
+            cc = int(f[g == "a"].sum())
+            assert row["n"] == nv and row["conv"] == cv
+            p = (cv + cc) / (nv + nc)
+            z_ref = ((cv / nv - cc / nc)
+                     / np.sqrt(p * (1 - p) * (1 / nv + 1 / nc)))
+            assert abs(row["z_stat"] - z_ref) < 1e-12
+
+    def test_degenerate_pool_pins_zero(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "f": np.array([0, 0, 0, 0], "int64")})
+        out = self._run(df)
+        assert out.loc[0, "z_stat"] == 0.0
+
+    def test_bad_flag_and_missing_control(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "b"], "f": np.array([2, 0], "int64")})
+        with pytest.raises(Exception, match="0, 1"):
+            self._run(df)
+        df2 = pd.DataFrame({"g": ["b", "b"], "f": np.array([1, 0], "int64")})
+        with pytest.raises(Exception, match="control"):
+            self._run(df2)
+
+
+class TestCupedAdjust:
+    def _run(self, df, num_buckets=2):
+        import ray.data as rd
+
+        from guac_ray.functions.stats import cuped_adjust
+
+        return (cuped_adjust(rd.from_pandas(df), "g", "x", "y",
+                             num_buckets=num_buckets).to_pandas()
+                .sort_values("g").reset_index(drop=True))
+
+    def test_matches_reference_and_reduces_variance(self, ray_session):
+        rng = np.random.default_rng(102)
+        n = 4000
+        g = rng.choice(["a", "b"], n)
+        x = rng.integers(0, 10_000, n).astype("int64")
+        # post correlated with pre + a small true lift for b
+        y = (x + rng.integers(-500, 500, n)
+             + np.where(g == "b", 50, 0)).astype("int64")
+        out = self._run(pd.DataFrame({"g": g, "x": x, "y": y}))
+        xf, yf = x.astype("float64"), y.astype("float64")
+        theta = np.cov(xf, yf, bias=True)[0, 1] / xf.var()
+        for _, row in out.iterrows():
+            m = g == row["g"]
+            adj_ref = yf[m].mean() - theta * (xf[m].mean() - xf.mean())
+            assert abs(row["mean_adj"] - adj_ref) < 1e-6
+        # CUPED's point: adjusted lift ~ true lift with the pre-period
+        # noise removed
+        lift = (out.set_index("g").loc["b", "mean_adj"]
+                - out.set_index("g").loc["a", "mean_adj"])
+        assert 20 < lift < 80
+
+    def test_constant_pre_pins_theta_zero(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "a", "b", "b"],
+                           "x": np.array([5, 5, 5, 5], "int64"),
+                           "y": np.array([1, 3, 7, 9], "int64")})
+        out = self._run(df)
+        # theta = 0 -> mean_adj == mean_post exactly
+        assert (out["mean_adj"] == out["mean_post"]).all()
+
+    def test_float_rejected(self, ray_session):
+        df = pd.DataFrame({"g": ["a", "b"], "x": [1.5, 2.0],
+                           "y": [1, 2]})
+        with pytest.raises(Exception, match="integer"):
+            self._run(df)
