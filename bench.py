@@ -241,8 +241,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "kg_hits", "kg_label_prop",
             # HDR quantile sketches (global + per-key)
             "events_hdr_quantiles", "events_user_hdr",
-            # binary-outcome A/B + CUPED variance reduction
-            "events_ab_conversion", "events_cuped",
+            # binary-outcome A/B + CUPED variance reduction + SRM
+            "events_ab_conversion", "events_cuped", "events_srm",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

@@ -9820,6 +9820,78 @@ FROM m v, ctl WHERE v.variant <> 'a'
 """
 
 
+def events_srm(sf_dir: str):
+    """Sample-ratio-mismatch guardrail — the FIRST check every
+    experimentation platform runs before reading any metric: does the
+    observed variant split match the designed 50/50 allocation? Chi-
+    square goodness-of-fit over the unit counts with the expected
+    cell in EXACT integers: for each variant,
+
+        d = 2·n_v − N                   (exact int64; expected = N/2)
+        chi2_cell = (d·d) / (2·N)       (one fixed-order double)
+
+    (the (obs−exp)²/exp cell with exp = N/2, multiplied through by 4
+    then divided by 2N — spelled identically in both engines so no
+    fractional expectation ever materializes). Output one row per
+    variant: (variant, n, n_total, chi2_cell); the total SRM statistic
+    is the one-row fold, per the chi2_contingency per-cell contract.
+    Unit = user (md5 split, the ab_conversion discipline)."""
+    from guac_ray.pipelines.curation import md5_first_byte
+    from guac_ray.stages.groupagg import grouped_agg
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        u = pd.unique(df["user_id"].to_numpy())
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    users = grouped_agg(
+        ds.map_batches(per_user, batch_format="pandas"),
+        ["user_id"], {"_n": ("user_id", "count")}, num_buckets=4)
+
+    def add_variant(df: pd.DataFrame) -> pa.Table:
+        v = np.where(md5_first_byte(df["user_id"].to_numpy()) >= 0x80,
+                     "b", "a")
+        return pa.table({"variant": pa.array(v, pa.string())})
+
+    counts = grouped_agg(
+        users.map_batches(add_variant, batch_format="pandas"),
+        ["variant"], {"n": ("variant", "count")},
+        num_buckets=2).to_pandas()
+    if counts.empty:
+        return pa.schema([("variant", pa.string()), ("n", pa.int64()),
+                          ("n_total", pa.int64()),
+                          ("chi2_cell", pa.float64())]).empty_table()
+    nt = int(counts["n"].sum())
+    nv = counts["n"].to_numpy().astype("int64")
+    d = 2 * nv - nt
+    df64 = d.astype("float64")
+    cell = (df64 * df64) / (2.0 * float(nt))
+    return pa.table({
+        "variant": pa.array(counts["variant"], pa.string()),
+        "n": pa.array(nv),
+        "n_total": pa.array(np.full(len(nv), nt, dtype="int64")),
+        "chi2_cell": pa.array(cell),
+    })
+
+
+EVENTS_SRM_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), v AS (
+  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) >= '80'
+              THEN 'b' ELSE 'a' END AS variant
+  FROM u
+), m AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY variant
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM m)
+SELECT m.variant, m.n, t.nt AS n_total,
+       (CAST(2*m.n - t.nt AS DOUBLE) * CAST(2*m.n - t.nt AS DOUBLE))
+         / (2.0 * CAST(t.nt AS DOUBLE)) AS chi2_cell
+FROM m, t
+"""
+
+
 def events_cuped(sf_dir: str):
     """CUPED variance-reduced A/B readout (functions/stats.py
     ``cuped_adjust``, Deng et al. 2013): per-user pre/post cents
@@ -10547,6 +10619,8 @@ SUITE: dict[str, tuple] = {
     "events_ab_conversion": (events_ab_conversion,
                              EVENTS_AB_CONVERSION_SQL),
     "events_cuped": (events_cuped, EVENTS_CUPED_SQL),
+    # sample-ratio-mismatch guardrail (exact-integer chi2 cells):
+    "events_srm": (events_srm, EVENTS_SRM_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:

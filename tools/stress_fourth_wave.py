@@ -67,7 +67,7 @@ QUERIES = [
     "events_ab_ttest", "events_mannwhitney", "events_ks_test",
     "events_multireg", "events_user_ewma", "events_mv_refresh",
     "events_hdr_quantiles", "events_user_hdr",
-    "events_ab_conversion", "events_cuped",
+    "events_ab_conversion", "events_cuped", "events_srm",
 ]
 
 
