@@ -41,6 +41,27 @@ def _ray_up(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _cents_frame(df, value_col: str, keep: list[str]):
+    """Project ``keep`` + a '_cents' int64 column from ``value_col``:
+    integer columns pass through, float columns get floor(v*100+0.5)
+    with NULL rows DROPPED (SQL aggregates skip NULL — the decision is
+    explicit here, per the cents() hardening). One definition for
+    every CLI verb that coerces arbitrary parquet values to cents."""
+    import numpy as np
+    import pandas as pd
+
+    v = df[value_col].to_numpy()
+    if not np.issubdtype(v.dtype, np.integer):
+        ok = ~pd.isna(v)
+        df = df[ok].copy()
+        df["_cents"] = np.floor(
+            v[ok].astype("float64") * 100 + 0.5).astype("int64")
+    else:
+        df = df.copy()
+        df["_cents"] = v.astype("int64")
+    return df[keep + ["_cents"]]
+
+
 def cmd_build(args) -> int:
     _ray_up(args.num_cpus)
     from guac_ray.state.checkpoint import poll_graph_job, run_graph_job
@@ -838,24 +859,13 @@ def cmd_engagement(args) -> int:
                                  ts_col=args.ts_col,
                                  order_col=args.order_col)
     elif args.op == "ewma":
-        import numpy as np
-        import pandas as pd
-
-        def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
-            v = df[args.value_col].to_numpy()
-            if not np.issubdtype(v.dtype, np.integer):
-                ok = ~pd.isna(v)  # SQL semantics: NULL rows drop
-                df = df[ok].copy()
-                df["_cents"] = np.floor(
-                    v[ok].astype("float64") * 100 + 0.5).astype("int64")
-            else:
-                df = df.copy()
-                df["_cents"] = v.astype("int64")
-            return df
-
-        out = ewma(ds.map_batches(to_cents, batch_format="pandas"),
-                   "_cents", user_col=args.user_col, ts_col=args.ts_col,
-                   order_col=args.order_col)
+        out = ewma(ds.map_batches(
+            lambda df: _cents_frame(
+                df, args.value_col,
+                [args.user_col, args.ts_col, args.order_col]),
+            batch_format="pandas"),
+            "_cents", user_col=args.user_col, ts_col=args.ts_col,
+            order_col=args.order_col)
     else:
         out = rolling_active_users(ds, user_col=args.user_col,
                                    ts_col=args.ts_col,
@@ -953,16 +963,8 @@ def cmd_abtest(args) -> int:
                          columns=[args.group_col, args.value_col])
 
     def to_cents(df: "pd.DataFrame") -> "pd.DataFrame":
-        v = df[args.value_col].to_numpy()
-        if not np.issubdtype(v.dtype, np.integer):
-            ok = ~pd.isna(v)  # SQL semantics: NULL rows drop
-            df = df[ok]
-            vv = np.floor(v[ok].astype("float64") * 100
-                          + 0.5).astype("int64")
-        else:
-            vv = v.astype("int64")
-        return pd.DataFrame({args.group_col: df[args.group_col],
-                             "_v": vv})
+        out = _cents_frame(df, args.value_col, [args.group_col])
+        return out.rename(columns={"_cents": "_v"})
 
     keyed = ds.map_batches(to_cents, batch_format="pandas")
     if args.test == "ttest":
@@ -998,6 +1000,9 @@ def cmd_refresh(args) -> int:
     out = mv_refresh(
         rd.read_parquet(args.base_mv), rd.read_parquet(args.changes),
         keys, args.count_col, sums, sign_col=args.sign_col)
+    # materialize once: count + write read the same blocks instead of
+    # re-running the exchange reduce twice (the funnel-verb rule)
+    out = out.materialize()
     n = out.count()
     if n:
         out.write_parquet(args.out)

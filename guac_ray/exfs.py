@@ -36,6 +36,7 @@ __all__ = [
     "set_exchange_filesystem", "exchange_fs",
     "fs_mkdirs", "fs_rmtree", "fs_listdir", "fs_list_files",
     "fs_read_table", "fs_num_rows",
+    "bucket_of_keys", "read_bucket_df",
 ]
 
 _STATE: dict = {"fs": None, "base": None}
@@ -214,3 +215,29 @@ def default_exchange(name: str) -> str:
     base-dir policy lives once."""
     _, base = exchange_fs()
     return f"{base.rstrip('/')}/guac_ray_exchange/{name}"
+
+
+def bucket_of_keys(keys, num_buckets: int):
+    """Exchange bucket id per key value — the ONE hash every
+    graph-iteration operator (pagerank / hits / label_propagation)
+    uses for its node/score/stub layouts. A single definition: the
+    bucket assignment is a cross-layout CONTRACT (edge bucket k joins
+    score bucket k), so a divergent copy silently breaks every
+    co-partitioned read."""
+    from guac_ray.stages.assemble import stable_hash
+
+    return (stable_hash(keys.to_frame("k"), ["k"])
+            % num_buckets).astype("int64")
+
+
+def read_bucket_df(f, root: str, k: int, columns=None):
+    """All parquet files of ``root/_bucket=k`` as ONE pandas frame
+    (None when the bucket has no files) — the per-bucket read the
+    graph-iteration operators' tasks run against the exchange."""
+    import pyarrow as pa
+
+    fls = fs_list_files(f, f"{root}/_bucket={k}")
+    if not fls:
+        return None
+    return pa.concat_tables(
+        [fs_read_table(f, x, columns=columns) for x in fls]).to_pandas()

@@ -186,11 +186,11 @@ def label_propagation(
     import pyarrow.parquet as pq
     import ray.data as rdata
 
-    from guac_ray.exfs import (default_exchange, exchange_fs,
-                               fresh_exchange_dir, fs_bucket_ids,
-                               fs_list_files, fs_mkdirs, fs_read_table)
+    from guac_ray.exfs import (bucket_of_keys, default_exchange,
+                               exchange_fs, fresh_exchange_dir,
+                               fs_bucket_ids, fs_list_files, fs_mkdirs,
+                               read_bucket_df)
     from guac_ray.functions.dedup import dedup_exact
-    from guac_ray.stages.assemble import stable_hash
 
     if rounds < 1:
         raise ValueError(
@@ -200,17 +200,12 @@ def label_propagation(
                             or default_exchange("labelprop"))
     B = num_buckets
 
+    # shared with pagerank/hits (one definition in exfs — the bucket
+    # assignment is a cross-layout contract)
     def _bucket_of(keys: pd.Series) -> np.ndarray:
-        return (stable_hash(keys.to_frame("k"), ["k"]) % B
-                ).astype("int64")
+        return bucket_of_keys(keys, B)
 
-    def _read_bucket(fsys, root, k, columns=None):
-        fls = fs_list_files(fsys, f"{root}/_bucket={k}")
-        if not fls:
-            return None
-        return pa.concat_tables(
-            [fs_read_table(fsys, f, columns=columns)
-             for f in fls]).to_pandas()
+    _read_bucket = read_bucket_df
 
     # ---- setup: distinct stubs (both orientations, no self-loops),
     # bucketed by VOTE SOURCE (nbr); in-bucket dedup is global dedup

@@ -55,26 +55,16 @@ import ray.data as rd
 from ray.data import Dataset
 
 from guac_ray.arrowutil import table_from_pandas
-from guac_ray.exfs import (default_exchange, exchange_fs,
+from guac_ray.exfs import (bucket_of_keys, default_exchange, exchange_fs,
                            fresh_exchange_dir, fs_bucket_ids,
-                           fs_list_files, fs_mkdirs, fs_num_rows,
-                           fs_read_table)
-from guac_ray.stages.assemble import stable_hash
+                           fs_list_files, fs_mkdirs, fs_num_rows)
 
 __all__ = ["hits"]
 
 
-def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
-    return (stable_hash(keys.to_frame("k"), ["k"])
-            % num_buckets).astype("int64")
+from guac_ray.exfs import read_bucket_df as _read_bucket
 
-
-def _read_bucket(fsys, root: str, k: int, columns=None):
-    fls = fs_list_files(fsys, f"{root}/_bucket={k}")
-    if not fls:
-        return None
-    return pa.concat_tables(
-        [fs_read_table(fsys, f, columns=columns) for f in fls]).to_pandas()
+_bucket_of = bucket_of_keys
 
 
 def hits(
@@ -101,8 +91,13 @@ def hits(
 
     # ---- setup: distinct edges in TWO layouts (by src, by dst) ----
     def part_edges(df: pd.DataFrame, by: str) -> pa.Table:
-        out = pd.DataFrame({"src": df[src_col],
-                            "dst": df[dst_col]}).drop_duplicates()
+        # drop NULL endpoints FIRST (the kcore/label_propagation rule):
+        # pandas merge MATCHES NaN/None join keys, so a kept null edge
+        # would propagate score through a phantom NULL node while the
+        # SQL oracle's JOIN never matches NULL — silent divergence
+        ok = df[src_col].notna() & df[dst_col].notna()
+        out = pd.DataFrame({"src": df[src_col][ok],
+                            "dst": df[dst_col][ok]}).drop_duplicates()
         # string keys only (the pagerank-family rule): every internal
         # empty/typed-schema path pins node_key to string, so an
         # integer-keyed graph would flip schemas between empty and

@@ -54,9 +54,10 @@ import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data import Dataset
 
-from guac_ray.exfs import (default_exchange, exchange_fs, fresh_exchange_dir,
-                           fs_bucket_ids, fs_list_files, fs_mkdirs,
-                           fs_num_rows, fs_read_table)
+from guac_ray.exfs import (bucket_of_keys, default_exchange, exchange_fs,
+                           fresh_exchange_dir, fs_bucket_ids,
+                           fs_list_files, fs_mkdirs, fs_num_rows,
+                           read_bucket_df)
 from guac_ray.stages.assemble import stable_hash
 
 __all__ = ["pagerank"]
@@ -64,16 +65,10 @@ __all__ = ["pagerank"]
 _DANGLING = "\x00dangling\x00"
 
 
-def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
-    return (stable_hash(keys.to_frame("k"), ["k"]) % num_buckets).astype("int64")
-
-
-def _read_bucket(fsys, root: str, k: int, columns=None) -> pd.DataFrame | None:
-    fls = fs_list_files(fsys, f"{root}/_bucket={k}")
-    if not fls:
-        return None
-    return pa.concat_tables(
-        [fs_read_table(fsys, f, columns=columns) for f in fls]).to_pandas()
+# shared with hits/label_propagation: the bucket assignment and the
+# per-bucket read are a cross-layout contract — one definition (exfs)
+_bucket_of = bucket_of_keys
+_read_bucket = read_bucket_df
 
 
 def pagerank(

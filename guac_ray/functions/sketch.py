@@ -419,7 +419,12 @@ def hdr_quantiles_grouped(
         k = df[key_col].to_numpy()
         n = len(k)
         new_key = np.ones(n, dtype=bool)
-        new_key[1:] = k[1:] != k[:-1]
+        # NULL keys are ONE SQL group: a bare k[1:] != k[:-1] is True
+        # for consecutive NaNs (NaN != NaN), fragmenting the null key
+        # into one garbage quantile row per bucket — mask NaN-vs-NaN
+        # comparisons back to "same key" (sort_values groups them)
+        na = pd.isna(k)
+        new_key[1:] = (k[1:] != k[:-1]) & ~(na[1:] & na[:-1])
         starts = np.flatnonzero(new_key)
         ends = np.append(starts[1:], n)
         c = df["c"].to_numpy()

@@ -684,6 +684,12 @@ def mann_whitney_u(
     cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
     na, nb = int(ca.sum()), int(cb.sum())
     n = na + nb
+    if n > 2_000_000_000:
+        # 2·R_a ≈ N² would silently wrap numpy int64 past ~3e9 rows —
+        # the ks_test/chi2 guard class, raised loudly instead
+        raise ValueError(
+            "mann_whitney_u: n > 2e9 would overflow the exact int64 "
+            "doubled rank sum (2*R_a <= N*(N+1)); sample first")
     r_a_x2 = int((ca * (2 * cum_before + t + 1)).sum())
     u_a_x2 = r_a_x2 - na * (na + 1)
     u_b_x2 = 2 * na * nb - u_a_x2
@@ -748,11 +754,15 @@ def multi_linreg(
                     f"multi_linreg: {c!r} must be integer (use the "
                     f"cents trick for floats), got {v.dtype}")
             mats.append(v.astype(np.int64))
+        # partial keys are COLUMN INDICES, not names: name-based keys
+        # like _s_{a}_{b} collide when a column name itself contains an
+        # underscore (features ('a','b') vs a column 'a_b' — the pair
+        # moment would be silently overwritten by the single moment)
         out = {"_n": np.int64(len(df))}
-        for i, ci in enumerate(cols):
-            out[f"_s_{ci}"] = mats[i].sum()
+        for i in range(len(cols)):
+            out[f"_s{i}"] = mats[i].sum()
             for j in range(i, len(cols)):
-                out[f"_s_{ci}_{cols[j]}"] = (mats[i] * mats[j]).sum()
+                out[f"_s{i}_{j}"] = (mats[i] * mats[j]).sum()
         return pa.table({kk: pa.array([int(vv)], pa.int64())
                          for kk, vv in out.items()})
 
@@ -766,29 +776,29 @@ def multi_linreg(
     # exceed int64 — the oracle's HUGEINT plays the same role
     tot = {c: int(parts[c].astype(object).sum()) for c in parts.columns}
     n = tot["_n"]
+    iy = len(cols) - 1  # y's column index
 
-    def s(a: str, b: str | None = None) -> int:
-        if b is None:
-            return tot[f"_s_{a}"]
-        return tot.get(f"_s_{a}_{b}", tot.get(f"_s_{b}_{a}"))
+    def s(i: int, j: int | None = None) -> int:
+        if j is None:
+            return tot[f"_s{i}"]
+        lo, hi = (i, j) if i <= j else (j, i)
+        return tot[f"_s{lo}_{hi}"]
 
-    # normal equations over the design [1, x1..xk]: A·beta = b
-    terms = ["1"] + list(features)
+    # normal equations over the design [1, x1..xk]: A·beta = b.
+    # term index -1 stands for the intercept's all-ones column.
+    terms = [-1] + list(range(k))
 
-    def dot(a: str, b: str) -> int:
-        if a == "1" and b == "1":
+    def dot(a: int, b: int) -> int:
+        if a == -1 and b == -1:
             return n
-        if a == "1":
+        if a == -1:
             return s(b)
-        if b == "1":
+        if b == -1:
             return s(a)
         return s(a, b)
 
     A = [[dot(ti, tj) for tj in terms] for ti in terms]
-    bvec = [s(f) if f != "1" else 0 for f in terms]
-    bvec[0] = s(y)
-    for i in range(1, k + 1):
-        bvec[i] = s(features[i - 1], y)
+    bvec = [s(iy)] + [s(i, iy) for i in range(k)]
 
     def det_int(m: list[list[int]]) -> int:
         """Fraction-free Bareiss — exact integer determinant."""

@@ -139,6 +139,28 @@ def _exchange(name: str) -> str:
     return default_exchange(name)
 
 
+def _ts_midpoint_us(sf_dir: str, qname: str) -> int:
+    """The events table's integer-µs (min+max)//2 midpoint — the ONE
+    epoch cutoff shared by the asof/mv_refresh/cuped family (a single
+    definition: any floor-vs-truncate or NULL-handling fix must hit
+    every member or their "midpoint discipline" silently diverges)."""
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"mn": pa.array([pc.min(arr).as_py()],
+                                        pa.int64()),
+                         "mx": pa.array([pc.max(arr).as_py()],
+                                        pa.int64())})
+
+    p = (_read(sf_dir, "events", ["ts"])
+         .map_batches(part, batch_format="pyarrow")
+         .to_pandas().dropna())
+    if p.empty:
+        raise ValueError(f"{qname}: empty events table")
+    return (int(p["mn"].min()) + int(p["mx"].max())) // 2
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational operators
 # ---------------------------------------------------------------------------
@@ -6491,22 +6513,7 @@ def events_asof_state(sf_dir: str):
 
     from guac_ray.functions.streams import scd2_intervals
 
-    def _bounds() -> tuple[int, int]:
-        def part(t: pa.Table) -> pa.Table:
-            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
-                                            pa.int64()),
-                             "mx": pa.array([pc.max(arr).as_py()],
-                                            pa.int64())})
-        p = (_read(sf_dir, "events", ["ts"])
-             .map_batches(part, batch_format="pyarrow")
-             .to_pandas().dropna())
-        if p.empty:
-            raise ValueError("events_asof_state: empty events table")
-        return int(p["mn"].min()), int(p["mx"].max())
-
-    mn, mx = _bounds()
-    t_us = (mn + mx) // 2
+    t_us = _ts_midpoint_us(sf_dir, "events_asof_state")
 
     ds = _read(sf_dir, "events",
                ["event_id", "ts", "user_id", "event_type", "value"])
@@ -9570,22 +9577,7 @@ def events_mv_refresh(sf_dir: str):
     from guac_ray.stages.groupagg import mv_refresh
     import pyarrow.compute as pc
 
-    def _bounds() -> tuple[int, int]:
-        def part(t: pa.Table) -> pa.Table:
-            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
-                                            pa.int64()),
-                             "mx": pa.array([pc.max(arr).as_py()],
-                                            pa.int64())})
-        p = (_read(sf_dir, "events", ["ts"])
-             .map_batches(part, batch_format="pyarrow")
-             .to_pandas().dropna())
-        if p.empty:
-            raise ValueError("events_mv_refresh: empty events table")
-        return int(p["mn"].min()), int(p["mx"].max())
-
-    mn, mx = _bounds()
-    t_us = (mn + mx) // 2
+    t_us = _ts_midpoint_us(sf_dir, "events_mv_refresh")
 
     ds = _read(sf_dir, "events",
                ["event_id", "ts", "user_id", "event_type", "value"])
@@ -9905,22 +9897,7 @@ def events_cuped(sf_dir: str):
     from guac_ray.stages.groupagg import grouped_agg
     import pyarrow.compute as pc
 
-    def _bounds() -> tuple[int, int]:
-        def part(t: pa.Table) -> pa.Table:
-            arr = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
-            return pa.table({"mn": pa.array([pc.min(arr).as_py()],
-                                            pa.int64()),
-                             "mx": pa.array([pc.max(arr).as_py()],
-                                            pa.int64())})
-        p = (_read(sf_dir, "events", ["ts"])
-             .map_batches(part, batch_format="pyarrow")
-             .to_pandas().dropna())
-        if p.empty:
-            raise ValueError("events_cuped: empty events table")
-        return int(p["mn"].min()), int(p["mx"].max())
-
-    mn, mx = _bounds()
-    t_us = (mn + mx) // 2
+    t_us = _ts_midpoint_us(sf_dir, "events_cuped")
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
