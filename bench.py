@@ -243,6 +243,8 @@ def run_bench(sf_dir: str, num_cpus: int, corpus_dir: str | None = None,
             "events_hdr_quantiles", "events_user_hdr",
             # binary-outcome A/B + CUPED variance reduction + SRM
             "events_ab_conversion", "events_cuped", "events_srm",
+            # distributed exact PCA top component
+            "emb_pca_top",
         ]
         for name in bench_queries:
             fn, _ = SUITE[name]

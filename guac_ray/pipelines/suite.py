@@ -4085,6 +4085,68 @@ FROM lb GROUP BY doc_id
 """
 
 
+_PCA_SCALE = 1_000_000
+_PCA_Q = 1 << 20
+_PCA_ITERS = 12
+
+
+def emb_pca_top(sf_dir: str):
+    """Distributed EXACT PCA top component (functions/pca.py): the
+    principal direction of the embedding table via quantized integer
+    Gram partials (one streaming pass, dims²·blocks partial rows — no
+    shuffle at all), an arbitrary-precision driver fold of the
+    centered covariance NUMERATOR, and fixed-point power iteration
+    with truncating (SQL-semantics) max-abs normalization — the
+    kg_hits recurrence discipline applied to a dense 64×64 operator,
+    so the whole spectral pipeline is hash-exact vs the unrolled
+    HUGEINT oracle. Output one row per dimension (dim,
+    component_fp)."""
+    from guac_ray.functions.pca import pca_top_component
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return pca_top_component(ds, "embedding", scale=_PCA_SCALE,
+                             quantize=_PCA_Q, iters=_PCA_ITERS)
+
+
+def EMB_PCA_SQL(sf_dir: str) -> str:
+    """The same recurrence unrolled: quantize → exact Gram + means →
+    Cn = N·Σxy − Σx·Σy → 12 power steps with (w·Q) // max(|w|)
+    truncating normalization (HUGEINT everywhere)."""
+    S, Q, K = _PCA_SCALE, _PCA_Q, _PCA_ITERS
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {S} + 0.5)
+              AS BIGINT) AS x
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+m1 AS MATERIALIZED (
+  SELECT dim, CAST(sum(x) AS HUGEINT) AS sx FROM q GROUP BY dim),
+g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.x*b.x) AS HUGEINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.dim, b.dim),
+cn AS MATERIALIZED (
+  SELECT g.i, g.j,
+         (SELECT n FROM nn) * g.sxy - ma.sx * mb.sx AS c
+  FROM g JOIN m1 ma ON ma.dim = g.i JOIN m1 mb ON mb.dim = g.j),
+v0 AS MATERIALIZED (
+  SELECT dim, CAST({Q} AS HUGEINT) AS val FROM m1)"""]
+    for k in range(1, K + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT cn.i AS dim, SUM(cn.c * v.val) AS wv
+  FROM cn JOIN v{k - 1} v ON v.dim = cn.j GROUP BY cn.i),
+v{k} AS MATERIALIZED (
+  SELECT dim, (wv * {Q}) // (SELECT max(abs(wv)) FROM w{k}) AS val
+  FROM w{k})""")
+    parts.append(f"""
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(val AS BIGINT) AS component_fp
+FROM v{K}""")
+    return "".join(parts)
+
+
 def emb_kmeans(sf_dir: str):
     """Fixed-point k-means over the embedding table
     (functions/kmeans.py): k=8, 3 Lloyd iterations, init = the 8
@@ -10598,6 +10660,9 @@ SUITE: dict[str, tuple] = {
     "events_cuped": (events_cuped, EVENTS_CUPED_SQL),
     # sample-ratio-mismatch guardrail (exact-integer chi2 cells):
     "events_srm": (events_srm, EVENTS_SRM_SQL),
+    # distributed exact PCA top component — quantized Gram partials +
+    # fixed-point power iteration, unrolled HUGEINT oracle:
+    "emb_pca_top": (emb_pca_top, EMB_PCA_SQL),
     "events_multireg": (events_multireg, EVENTS_MULTIREG_SQL),
     # per-user fixed-point EWMA — the order-sensitive smoother whose
     # recursive-CTE oracle steps the identical integer recurrence:
