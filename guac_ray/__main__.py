@@ -20,6 +20,10 @@ code never calls ray.init.
     python -m guac_ray kmeans <table.parquet> [--k K] [--iters N] [--out F]
     python -m guac_ray boiler <table.parquet> <out_dir> --group-col G [--min-groups N]
     python -m guac_ray export <table.parquet> <out_dir> [--format jsonl|csv] [--columns a,b]
+    python -m guac_ray abtest <events.parquet> [--test ttest|mw|ks] [--group-a A --group-b B]
+    python -m guac_ray refresh <mv.parquet> <changes.parquet> <out> --keys k [--sums s:v]
+    python -m guac_ray query  <graph_out_dir> hits [--limit K]
+    python -m guac_ray query  <graph_out_dir> communities [--limit K]
 """
 
 from __future__ import annotations
